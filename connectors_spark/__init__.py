@@ -1,0 +1,20 @@
+"""connectors-spark: a PySpark-native table-format + analytics engine with the
+query and data-processing capabilities of delta-io/connectors, re-expressed
+Spark-first (DataFrame/SQL plans, Catalyst optimization, distributed state
+reconstruction), plus large-scale training-data pipeline operators
+(dedup, similarity search, text analysis, multimodal columns).
+"""
+
+from .table import DeltaLog, DeltaTable
+from .scan import DeltaScan
+from .expressions import Col, Lit
+from .log.actions import (AddFile, CommitInfo, Metadata, Protocol,
+                          RemoveFile, SetTransaction)
+
+__all__ = [
+    "DeltaLog", "DeltaTable", "DeltaScan", "Col", "Lit",
+    "AddFile", "CommitInfo", "Metadata", "Protocol", "RemoveFile",
+    "SetTransaction",
+]
+
+__version__ = "0.1.0"

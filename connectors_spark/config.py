@@ -1,0 +1,77 @@
+"""Table configuration registry (reference: DeltaConfig.scala:78-90,199-253).
+
+Keys live in ``Metadata.configuration``; values are strings. Interval values
+use the SQL calendar-interval surface syntax ("interval 30 days").
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import timedelta
+from typing import Dict
+
+_INTERVAL_RE = re.compile(
+    r"^(?:interval\s+)?(\d+)\s*(millisecond|second|minute|hour|day|week)s?$",
+    re.IGNORECASE)
+
+_UNIT_MS = {
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+    "week": 7 * 86_400_000,
+}
+
+
+def parse_interval_ms(s: str) -> int:
+    """Parse "interval 2 weeks" -> milliseconds
+    (DeltaConfigs.parseCalendarInterval, DeltaConfig.scala:78-90)."""
+    m = _INTERVAL_RE.match(s.strip())
+    if not m:
+        raise ValueError(f"cannot parse interval: {s!r}")
+    return int(m.group(1)) * _UNIT_MS[m.group(2).lower()]
+
+
+DEFAULTS: Dict[str, str] = {
+    # DeltaConfig.scala:199-205
+    "delta.logRetentionDuration": "interval 30 days",
+    # DeltaConfig.scala:219-225
+    "delta.deletedFileRetentionDuration": "interval 1 weeks",
+    # DeltaConfig.scala:228-233
+    "delta.checkpointInterval": "10",
+    "delta.appendOnly": "false",
+    "delta.enableExpiredLogCleanup": "true",
+}
+
+
+class TableConfig:
+    def __init__(self, configuration: Dict[str, str]):
+        self._conf = dict(DEFAULTS)
+        self._conf.update(configuration or {})
+
+    def get(self, key: str) -> str:
+        return self._conf[key]
+
+    @property
+    def checkpoint_interval(self) -> int:
+        return int(self.get("delta.checkpointInterval"))
+
+    @property
+    def log_retention_ms(self) -> int:
+        return parse_interval_ms(self.get("delta.logRetentionDuration"))
+
+    @property
+    def tombstone_retention_ms(self) -> int:
+        return parse_interval_ms(self.get("delta.deletedFileRetentionDuration"))
+
+    @property
+    def append_only(self) -> bool:
+        return self.get("delta.appendOnly").lower() == "true"
+
+    @property
+    def enable_expired_log_cleanup(self) -> bool:
+        return self.get("delta.enableExpiredLogCleanup").lower() == "true"
+
+    def as_timedelta(self, key: str) -> timedelta:
+        return timedelta(milliseconds=parse_interval_ms(self.get(key)))

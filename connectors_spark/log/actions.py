@@ -1,0 +1,361 @@
+"""Delta transaction-log actions: the event-sourced row types of a table.
+
+Re-expressed from the reference's action model
+(``standalone/src/main/scala/io/delta/standalone/internal/actions/actions.scala``)
+as plain Python dataclasses plus an explicit PySpark schema
+(``SINGLE_ACTION_SCHEMA``) so executors can parse delta JSON / checkpoint
+Parquet without inference.
+
+Wire format: one JSON object per line, each wrapped in a single-key envelope
+(``{"add": {...}}``), matching ``actions.scala:339-367`` (SingleAction).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+from pyspark.sql import types as T
+
+# Protocol versions we read/write (reference: actions.scala:31-35,63-70).
+MAX_READER_VERSION = 1
+MAX_WRITER_VERSION = 2
+
+
+@dataclass
+class Protocol:
+    minReaderVersion: int = MAX_READER_VERSION
+    minWriterVersion: int = MAX_WRITER_VERSION
+
+    def wrap(self) -> Dict[str, Any]:
+        return {"protocol": {
+            "minReaderVersion": self.minReaderVersion,
+            "minWriterVersion": self.minWriterVersion,
+        }}
+
+
+@dataclass
+class Format:
+    provider: str = "parquet"
+    options: Dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class Metadata:
+    """Table metadata (reference: actions.scala:183-214)."""
+
+    id: str = ""
+    name: Optional[str] = None
+    description: Optional[str] = None
+    format: Format = field(default_factory=Format)
+    schemaString: str = ""
+    partitionColumns: List[str] = field(default_factory=list)
+    configuration: Dict[str, str] = field(default_factory=dict)
+    createdTime: Optional[int] = None
+
+    @property
+    def schema(self) -> T.StructType:
+        if not self.schemaString:
+            return T.StructType([])
+        return T.StructType.fromJson(json.loads(self.schemaString))
+
+    @property
+    def partition_schema(self) -> T.StructType:
+        s = self.schema
+        by_name = {f.name: f for f in s.fields}
+        return T.StructType([by_name[c] for c in self.partitionColumns])
+
+    @property
+    def data_schema(self) -> T.StructType:
+        pcols = set(self.partitionColumns)
+        return T.StructType([f for f in self.schema.fields if f.name not in pcols])
+
+    def wrap(self) -> Dict[str, Any]:
+        d: Dict[str, Any] = {
+            "id": self.id,
+            "format": {"provider": self.format.provider,
+                       "options": self.format.options},
+            "schemaString": self.schemaString,
+            "partitionColumns": self.partitionColumns,
+            "configuration": self.configuration,
+        }
+        if self.name is not None:
+            d["name"] = self.name
+        if self.description is not None:
+            d["description"] = self.description
+        if self.createdTime is not None:
+            d["createdTime"] = self.createdTime
+        return {"metaData": d}
+
+
+@dataclass
+class AddFile:
+    """A data file that is part of the table (actions.scala:109-132).
+
+    ``path`` is a URI-encoded path relative to the table root (or an
+    absolute URI). ``partitionValues`` holds the EXACT string values --
+    never parse them from the path (DeltaInputFormat.scala:41-43).
+    """
+
+    path: str
+    partitionValues: Dict[str, Optional[str]] = field(default_factory=dict)
+    size: int = 0
+    modificationTime: int = 0
+    dataChange: bool = True
+    stats: Optional[str] = None
+    tags: Optional[Dict[str, str]] = None
+
+    def wrap(self) -> Dict[str, Any]:
+        d: Dict[str, Any] = {
+            "path": self.path,
+            "partitionValues": self.partitionValues,
+            "size": self.size,
+            "modificationTime": self.modificationTime,
+            "dataChange": self.dataChange,
+        }
+        if self.stats:
+            d["stats"] = self.stats
+        if self.tags:
+            d["tags"] = self.tags
+        return {"add": d}
+
+    def remove(self, deletion_timestamp: int, data_change: bool = True) -> "RemoveFile":
+        return RemoveFile(
+            path=self.path,
+            deletionTimestamp=deletion_timestamp,
+            dataChange=data_change,
+            extendedFileMetadata=True,
+            partitionValues=self.partitionValues,
+            size=self.size,
+        )
+
+
+@dataclass
+class RemoveFile:
+    """Tombstone for a no-longer-active file (actions.scala:143-157)."""
+
+    path: str
+    deletionTimestamp: Optional[int] = None
+    dataChange: bool = True
+    extendedFileMetadata: bool = False
+    partitionValues: Optional[Dict[str, Optional[str]]] = None
+    size: Optional[int] = None
+    tags: Optional[Dict[str, str]] = None
+
+    def wrap(self) -> Dict[str, Any]:
+        d: Dict[str, Any] = {"path": self.path, "dataChange": self.dataChange}
+        if self.deletionTimestamp is not None:
+            d["deletionTimestamp"] = self.deletionTimestamp
+        if self.extendedFileMetadata:
+            d["extendedFileMetadata"] = True
+            d["partitionValues"] = self.partitionValues or {}
+            d["size"] = self.size or 0
+        if self.tags:
+            d["tags"] = self.tags
+        return {"remove": d}
+
+
+@dataclass
+class AddCDCFile:
+    """CDC data file (actions.scala:164-172); ignored by snapshot reads."""
+
+    path: str
+    partitionValues: Dict[str, Optional[str]] = field(default_factory=dict)
+    size: int = 0
+    tags: Optional[Dict[str, str]] = None
+
+    def wrap(self) -> Dict[str, Any]:
+        return {"cdc": {"path": self.path, "partitionValues": self.partitionValues,
+                        "size": self.size, "tags": self.tags}}
+
+
+@dataclass
+class SetTransaction:
+    """Idempotent-writer watermark (actions.scala:88-94)."""
+
+    appId: str
+    version: int
+    lastUpdated: Optional[int] = None
+
+    def wrap(self) -> Dict[str, Any]:
+        d: Dict[str, Any] = {"appId": self.appId, "version": self.version}
+        if self.lastUpdated is not None:
+            d["lastUpdated"] = self.lastUpdated
+        return {"txn": d}
+
+
+@dataclass
+class CommitInfo:
+    """Commit provenance (actions.scala:235-266). Purely informational."""
+
+    timestamp: int = 0
+    operation: str = "Manual Update"
+    operationParameters: Dict[str, str] = field(default_factory=dict)
+    readVersion: Optional[int] = None
+    isolationLevel: Optional[str] = None
+    isBlindAppend: Optional[bool] = None
+    operationMetrics: Optional[Dict[str, str]] = None
+    userMetadata: Optional[str] = None
+    engineInfo: Optional[str] = None
+
+    def wrap(self) -> Dict[str, Any]:
+        d: Dict[str, Any] = {
+            "timestamp": self.timestamp,
+            "operation": self.operation,
+            "operationParameters": self.operationParameters,
+        }
+        for k in ("readVersion", "isolationLevel", "isBlindAppend",
+                  "operationMetrics", "userMetadata", "engineInfo"):
+            v = getattr(self, k)
+            if v is not None:
+                d[k] = v
+        return {"commitInfo": d}
+
+
+Action = Any  # union of the dataclasses above
+
+
+def to_json_line(action: Action) -> str:
+    return json.dumps(action.wrap(), separators=(",", ":"))
+
+
+def _parse_one(key: str, d: Dict[str, Any]) -> Optional[Action]:
+    if key == "add":
+        return AddFile(
+            path=d["path"], partitionValues=d.get("partitionValues") or {},
+            size=d.get("size") or 0,
+            modificationTime=d.get("modificationTime") or 0,
+            dataChange=d.get("dataChange", True), stats=d.get("stats"),
+            tags=d.get("tags"))
+    if key == "remove":
+        return RemoveFile(
+            path=d["path"], deletionTimestamp=d.get("deletionTimestamp"),
+            dataChange=d.get("dataChange", True),
+            extendedFileMetadata=d.get("extendedFileMetadata", False),
+            partitionValues=d.get("partitionValues"), size=d.get("size"),
+            tags=d.get("tags"))
+    if key == "metaData":
+        fmt = d.get("format") or {}
+        return Metadata(
+            id=d.get("id", ""), name=d.get("name"),
+            description=d.get("description"),
+            format=Format(fmt.get("provider", "parquet"),
+                          fmt.get("options") or {}),
+            schemaString=d.get("schemaString", ""),
+            partitionColumns=list(d.get("partitionColumns") or []),
+            configuration=d.get("configuration") or {},
+            createdTime=d.get("createdTime"))
+    if key == "protocol":
+        return Protocol(d.get("minReaderVersion", 1), d.get("minWriterVersion", 2))
+    if key == "txn":
+        return SetTransaction(d["appId"], d["version"], d.get("lastUpdated"))
+    if key == "commitInfo":
+        return CommitInfo(
+            timestamp=d.get("timestamp") or 0,
+            operation=d.get("operation", ""),
+            operationParameters=d.get("operationParameters") or {},
+            readVersion=d.get("readVersion"),
+            isolationLevel=d.get("isolationLevel"),
+            isBlindAppend=d.get("isBlindAppend"),
+            operationMetrics=d.get("operationMetrics"),
+            userMetadata=d.get("userMetadata"),
+            engineInfo=d.get("engineInfo"))
+    if key == "cdc":
+        return AddCDCFile(d["path"], d.get("partitionValues") or {},
+                          d.get("size") or 0, d.get("tags"))
+    return None
+
+
+def from_json_line(line: str) -> Optional[Action]:
+    """Parse one NDJSON action line into a dataclass (driver-side path)."""
+    obj = json.loads(line)
+    for key, d in obj.items():
+        if d is None:
+            continue
+        a = _parse_one(key, d)
+        if a is not None:
+            return a
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Spark schema for SingleAction — used by spark.read.json over delta files and
+# spark.read.parquet over checkpoints (same struct column names).
+# ---------------------------------------------------------------------------
+
+_STR_MAP = T.MapType(T.StringType(), T.StringType(), True)
+
+ADD_SCHEMA = T.StructType([
+    T.StructField("path", T.StringType()),
+    T.StructField("partitionValues", _STR_MAP),
+    T.StructField("size", T.LongType()),
+    T.StructField("modificationTime", T.LongType()),
+    T.StructField("dataChange", T.BooleanType()),
+    T.StructField("stats", T.StringType()),
+    T.StructField("tags", _STR_MAP),
+])
+
+REMOVE_SCHEMA = T.StructType([
+    T.StructField("path", T.StringType()),
+    T.StructField("deletionTimestamp", T.LongType()),
+    T.StructField("dataChange", T.BooleanType()),
+    T.StructField("extendedFileMetadata", T.BooleanType()),
+    T.StructField("partitionValues", _STR_MAP),
+    T.StructField("size", T.LongType()),
+    T.StructField("tags", _STR_MAP),
+])
+
+METADATA_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("description", T.StringType()),
+    T.StructField("format", T.StructType([
+        T.StructField("provider", T.StringType()),
+        T.StructField("options", _STR_MAP),
+    ])),
+    T.StructField("schemaString", T.StringType()),
+    T.StructField("partitionColumns", T.ArrayType(T.StringType())),
+    T.StructField("configuration", _STR_MAP),
+    T.StructField("createdTime", T.LongType()),
+])
+
+PROTOCOL_SCHEMA = T.StructType([
+    T.StructField("minReaderVersion", T.IntegerType()),
+    T.StructField("minWriterVersion", T.IntegerType()),
+])
+
+TXN_SCHEMA = T.StructType([
+    T.StructField("appId", T.StringType()),
+    T.StructField("version", T.LongType()),
+    T.StructField("lastUpdated", T.LongType()),
+])
+
+COMMIT_INFO_SCHEMA = T.StructType([
+    T.StructField("timestamp", T.LongType()),
+    T.StructField("operation", T.StringType()),
+    T.StructField("operationParameters", _STR_MAP),
+    T.StructField("readVersion", T.LongType()),
+    T.StructField("isolationLevel", T.StringType()),
+    T.StructField("isBlindAppend", T.BooleanType()),
+    T.StructField("operationMetrics", _STR_MAP),
+    T.StructField("userMetadata", T.StringType()),
+    T.StructField("engineInfo", T.StringType()),
+])
+
+CDC_SCHEMA = T.StructType([
+    T.StructField("path", T.StringType()),
+    T.StructField("partitionValues", _STR_MAP),
+    T.StructField("size", T.LongType()),
+    T.StructField("tags", _STR_MAP),
+])
+
+SINGLE_ACTION_SCHEMA = T.StructType([
+    T.StructField("txn", TXN_SCHEMA),
+    T.StructField("add", ADD_SCHEMA),
+    T.StructField("remove", REMOVE_SCHEMA),
+    T.StructField("metaData", METADATA_SCHEMA),
+    T.StructField("protocol", PROTOCOL_SCHEMA),
+    T.StructField("cdc", CDC_SCHEMA),
+    T.StructField("commitInfo", COMMIT_INFO_SCHEMA),
+])

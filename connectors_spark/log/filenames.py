@@ -1,0 +1,69 @@
+"""Delta log file-name math (reference: util/FileNames.scala:30-107).
+
+Version <-> zero-padded filename conversions, checkpoint naming (single and
+multi-part), and classification of ``_delta_log`` directory entries.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import List, Optional, Tuple
+
+DELTA_FILE_RE = re.compile(r"^(\d{20})\.json$")
+CHECKPOINT_RE = re.compile(
+    r"^(\d{20})\.checkpoint(?:\.(\d{10})\.(\d{10}))?\.parquet$")
+
+LAST_CHECKPOINT = "_last_checkpoint"
+
+
+def delta_file(log_path: str, version: int) -> str:
+    """``%020d.json`` (FileNames.scala:30)."""
+    return os.path.join(log_path, "%020d.json" % version)
+
+
+def checkpoint_file_single(log_path: str, version: int) -> str:
+    """``%020d.checkpoint.parquet`` (FileNames.scala:49)."""
+    return os.path.join(log_path, "%020d.checkpoint.parquet" % version)
+
+
+def checkpoint_file_parts(log_path: str, version: int, parts: int) -> List[str]:
+    """Multi-part ``%020d.checkpoint.%010d.%010d.parquet`` (FileNames.scala:61-64)."""
+    return [
+        os.path.join(log_path, "%020d.checkpoint.%010d.%010d.parquet"
+                     % (version, i + 1, parts))
+        for i in range(parts)
+    ]
+
+
+def is_delta_file(name: str) -> bool:
+    return DELTA_FILE_RE.match(os.path.basename(name)) is not None
+
+
+def is_checkpoint_file(name: str) -> bool:
+    return CHECKPOINT_RE.match(os.path.basename(name)) is not None
+
+
+def delta_version(name: str) -> int:
+    m = DELTA_FILE_RE.match(os.path.basename(name))
+    if not m:
+        raise ValueError(f"not a delta file: {name}")
+    return int(m.group(1))
+
+
+def checkpoint_version(name: str) -> int:
+    m = CHECKPOINT_RE.match(os.path.basename(name))
+    if not m:
+        raise ValueError(f"not a checkpoint file: {name}")
+    return int(m.group(1))
+
+
+def checkpoint_part(name: str) -> Tuple[int, Optional[int], Optional[int]]:
+    """Return (version, part_no, num_parts); part fields None if single-part."""
+    m = CHECKPOINT_RE.match(os.path.basename(name))
+    if not m:
+        raise ValueError(f"not a checkpoint file: {name}")
+    v = int(m.group(1))
+    if m.group(2) is None:
+        return v, None, None
+    return v, int(m.group(2)), int(m.group(3))

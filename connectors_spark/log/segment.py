@@ -1,0 +1,161 @@
+"""LogSegment computation: which log files constitute a version's state.
+
+Re-expresses ``SnapshotManagement.getLogSegmentForVersion``
+(``standalone/.../SnapshotManagement.scala:116-214``) and the
+``_last_checkpoint`` hint (``Checkpoints.scala:107-165``): pick the latest
+complete checkpoint <= target version plus the contiguous delta files after
+it. Driver-side path math over an ordered listing -- cheap even for logs
+with millions of commits because the checkpoint bounds the tail we read.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from . import filenames as fn
+from .logstore import LogStore
+
+
+@dataclass(frozen=True)
+class LogSegment:
+    """IR #1 of the read lifecycle (SnapshotManagement.scala:316-328)."""
+
+    log_path: str
+    version: int
+    deltas: Tuple[str, ...] = ()
+    checkpoint_files: Tuple[str, ...] = ()
+    checkpoint_version: Optional[int] = None
+    last_commit_timestamp: int = 0
+
+
+@dataclass
+class LastCheckpoint:
+    version: int
+    size: int
+    parts: Optional[int] = None
+
+
+def read_last_checkpoint(store: LogStore, log_path: str) -> Optional[LastCheckpoint]:
+    p = os.path.join(log_path, fn.LAST_CHECKPOINT)
+    if not store.exists(p):
+        return None
+    try:
+        d = json.loads("\n".join(store.read(p)))
+        return LastCheckpoint(int(d["version"]), int(d.get("size", 0)),
+                              int(d["parts"]) if d.get("parts") else None)
+    except (ValueError, KeyError):
+        # Corrupt hint is non-fatal: fall back to a full listing
+        # (Checkpoints.scala:140-151).
+        return None
+
+
+def write_last_checkpoint(store: LogStore, log_path: str,
+                          version: int, size: int,
+                          parts: Optional[int] = None) -> None:
+    d: Dict[str, int] = {"version": version, "size": size}
+    if parts is not None:
+        d["parts"] = parts
+    store.write(os.path.join(log_path, fn.LAST_CHECKPOINT),
+                [json.dumps(d, separators=(",", ":"))], overwrite=True)
+
+
+def _complete_checkpoints(names: List[str]) -> Dict[int, List[str]]:
+    """Group checkpoint files by version, keep only complete instances
+    (observed part count == declared parts; Checkpoints.scala:202-210)."""
+    groups: Dict[Tuple[int, Optional[int]], List[str]] = {}
+    for n in names:
+        if not fn.is_checkpoint_file(n):
+            continue
+        v, _part, num_parts = fn.checkpoint_part(n)
+        groups.setdefault((v, num_parts), []).append(n)
+    out: Dict[int, List[str]] = {}
+    for (v, num_parts), files in groups.items():
+        expected = num_parts if num_parts is not None else 1
+        if len(files) == expected:
+            # Prefer single-part over multi-part at the same version
+            # (CheckpointInstance ordering, Checkpoints.scala:81-88).
+            if v not in out or num_parts is None:
+                out[v] = sorted(files)
+    return out
+
+
+def verify_delta_versions(versions: List[int], expected_start: Optional[int],
+                          expected_end: Optional[int]) -> None:
+    """Contiguity check (SnapshotManagement.verifyDeltaVersions:294-300)."""
+    if not versions:
+        return
+    if versions != list(range(versions[0], versions[-1] + 1)):
+        raise ValueError(f"versions are not contiguous: {versions}")
+    if expected_start is not None and versions[0] != expected_start:
+        raise ValueError(
+            f"did not get the first delta file version {expected_start}; got {versions[0]}")
+    if expected_end is not None and versions[-1] != expected_end:
+        raise ValueError(
+            f"did not get the last delta file version {expected_end}; got {versions[-1]}")
+
+
+def get_log_segment(store: LogStore, log_path: str,
+                    version_to_load: Optional[int] = None) -> LogSegment:
+    """List ``_delta_log`` and assemble the LogSegment for
+    ``version_to_load`` (None = latest)."""
+    hint = read_last_checkpoint(store, log_path)
+    # Start the listing at the checkpoint hint (bounded tail). If loading an
+    # older version, list from 0 (SnapshotManagement.scala:116-150).
+    start_version = 0
+    if hint is not None and (version_to_load is None
+                             or version_to_load >= hint.version):
+        start_version = hint.version
+    start_name = "%020d" % start_version
+
+    names = [n for n in store.list_from(log_path, start_name)
+             if fn.is_delta_file(n) or fn.is_checkpoint_file(n)]
+    if not names and start_version > 0:
+        # Stale hint; re-list everything.
+        names = [n for n in store.list_from(log_path)
+                 if fn.is_delta_file(n) or fn.is_checkpoint_file(n)]
+        start_version = 0
+
+    deltas_all = [(fn.delta_version(n), n) for n in names if fn.is_delta_file(n)]
+    if version_to_load is not None:
+        deltas_all = [(v, n) for v, n in deltas_all if v <= version_to_load]
+    ckpts = _complete_checkpoints(names)
+    if version_to_load is not None:
+        ckpts = {v: f for v, f in ckpts.items() if v <= version_to_load}
+
+    if not deltas_all and not ckpts:
+        raise FileNotFoundError(f"No delta log files found in {log_path}")
+
+    ckpt_version = max(ckpts) if ckpts else None
+    ckpt_files = tuple(os.path.join(log_path, f) for f in ckpts[ckpt_version]) \
+        if ckpt_version is not None else ()
+
+    # Deltas strictly after the checkpoint.
+    tail = sorted((v, n) for v, n in deltas_all
+                  if ckpt_version is None or v > ckpt_version)
+    versions = [v for v, _ in tail]
+    expected_start = ckpt_version + 1 if ckpt_version is not None else None
+    verify_delta_versions(versions, expected_start if versions else None,
+                          version_to_load if versions else None)
+
+    if versions:
+        version = versions[-1]
+    elif ckpt_version is not None:
+        version = ckpt_version
+    else:
+        raise FileNotFoundError(f"No usable log files in {log_path}")
+
+    if version_to_load is not None and version != version_to_load:
+        raise ValueError(
+            f"Cannot load table version {version_to_load}; log only reaches {version}")
+
+    delta_paths = tuple(os.path.join(log_path, n) for _, n in tail)
+    last_ts = store.mtime_ms(delta_paths[-1]) if delta_paths else (
+        store.mtime_ms(ckpt_files[-1]) if ckpt_files else 0)
+
+    return LogSegment(log_path=log_path, version=version, deltas=delta_paths,
+                      checkpoint_files=ckpt_files,
+                      checkpoint_version=ckpt_version,
+                      last_commit_timestamp=last_ts)

@@ -1,0 +1,406 @@
+"""Snapshot: the state of a Delta table at one version, as DataFrames.
+
+Spark-first re-expression of the reference's snapshot machinery:
+
+- protocol & metadata: reverse replay with short-circuit
+  (``SnapshotImpl.loadTableProtocolAndMetadata``, SnapshotImpl.scala:164-246)
+  -- done driver-side over the bounded post-checkpoint tail (a checkpoint
+  caps it at ``checkpointInterval`` small JSON files) plus a column-pruned
+  pyarrow read of the checkpoint for the rare fallback.
+- state reconstruction (``InMemoryLogReplay.append``,
+  InMemoryLogReplay.scala:51-84) -- done as ONE distributed pass: a window
+  dedup over (add ∪ remove) keyed by canonical path, newest version wins.
+  This scales to checkpoints with millions of AddFiles because the shuffle
+  is on ``path`` (unique, unskewed) and Parquet/JSON parsing happens on
+  executors.
+- table data read (``SnapshotImpl.open`` + CloseableParquetDataIterator,
+  SnapshotImpl.scala:107-116) -- ``spark.read.parquet`` over the active
+  files; partition values are reassembled from ``AddFile.partitionValues``
+  (never parsed from paths: DeltaInputFormat.scala:33-53), via Spark's own
+  partition-dir discovery when the layout provably agrees with the log, else
+  via a broadcast path->values join.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import urllib.parse
+from functools import cached_property
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import filenames as fn
+from .actions import (SINGLE_ACTION_SCHEMA, AddFile, Metadata, Protocol,
+                      from_json_line)
+from .logstore import LogStore, strip_scheme
+from .segment import LogSegment
+
+MAX_READER_VERSION = 1
+
+
+def _decode_path(p: str) -> str:
+    return urllib.parse.unquote(p)
+
+
+def canonical_path(p: str, table_path: str) -> str:
+    """Absolute posix path for a log ``path`` entry (URI-decoded; relative
+    paths resolve against the table root). Mirrors
+    SnapshotImpl.canonicalizePath (SnapshotImpl.scala:349-362)."""
+    d = _decode_path(p)
+    if "://" in d:
+        rest = d.split("://", 1)[1]
+        slash = rest.find("/")
+        return rest[slash:] if slash >= 0 else "/"
+    if d.startswith("file:"):
+        return d[len("file:"):]
+    if d.startswith("/"):
+        return d
+    return table_path.rstrip("/") + "/" + d
+
+
+def canonical_path_col(col, table_path: str):
+    """Column-expression twin of :func:`canonical_path` (used in the
+    distributed state reconstruction)."""
+    d = F.coalesce(F.expr(f"try_url_decode({col})"), F.col(col))
+    return (
+        F.when(d.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"),
+               F.regexp_replace(d, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""))
+        .when(d.startswith("file:"), F.expr(f"substring(try_url_decode({col}), 6)"))
+        .when(d.startswith("/"), d)
+        .otherwise(F.concat(F.lit(table_path.rstrip("/") + "/"), d))
+    )
+
+
+class Snapshot:
+    """Immutable view of the table at ``segment.version``."""
+
+    def __init__(self, spark: SparkSession, table_path: str,
+                 segment: LogSegment, store: LogStore,
+                 min_file_retention_ts: Optional[int] = None):
+        self.spark = spark
+        self.table_path = strip_scheme(table_path).rstrip("/")
+        self.segment = segment
+        self.store = store
+        self._min_file_retention_ts = min_file_retention_ts
+        self._pm: Optional[Tuple[Protocol, Metadata]] = None
+        self._set_txns: Optional[Dict[str, int]] = None
+
+    @property
+    def version(self) -> int:
+        return self.segment.version
+
+    # ------------------------------------------------------------------
+    # Protocol & metadata (driver-side reverse replay, A2)
+    # ------------------------------------------------------------------
+
+    def _replay_driver_side(self):
+        """Scan post-checkpoint deltas newest->oldest for P&M and txns;
+        fall back to a column-pruned checkpoint read. The tail is bounded
+        by the checkpoint interval, so this is O(interval) small files."""
+        protocol: Optional[Protocol] = None
+        metadata: Optional[Metadata] = None
+        txns: Dict[str, int] = {}
+        for path in reversed(self.segment.deltas):
+            for line in self.store.read(path):
+                a = from_json_line(line)
+                if isinstance(a, Protocol) and protocol is None:
+                    protocol = a
+                elif isinstance(a, Metadata) and metadata is None:
+                    metadata = a
+                else:
+                    app = getattr(a, "appId", None)
+                    if app is not None and app not in txns:
+                        txns[app] = a.version
+        if (protocol is None or metadata is None or True) \
+                and self.segment.checkpoint_files:
+            import pyarrow.parquet as pq
+            for cf in self.segment.checkpoint_files:
+                tbl = pq.read_table(cf, columns=[
+                    c for c in ("protocol", "metaData", "txn")
+                    if c in pq.read_schema(cf).names])
+                for row in tbl.to_pylist():
+                    p, m, x = row.get("protocol"), row.get("metaData"), row.get("txn")
+                    if p and p.get("minReaderVersion") is not None and protocol is None:
+                        protocol = Protocol(p["minReaderVersion"], p["minWriterVersion"])
+                    if m and m.get("id") and metadata is None:
+                        from .actions import Format
+                        fmt = m.get("format") or {}
+                        metadata = Metadata(
+                            id=m.get("id", ""), name=m.get("name"),
+                            description=m.get("description"),
+                            format=Format(fmt.get("provider", "parquet"),
+                                          fmt.get("options") or {}),
+                            schemaString=m.get("schemaString", ""),
+                            partitionColumns=list(m.get("partitionColumns") or []),
+                            configuration=dict(m.get("configuration") or {}),
+                            createdTime=m.get("createdTime"))
+                    if x and x.get("appId") and x["appId"] not in txns:
+                        txns[x["appId"]] = x["version"]
+        if protocol is None or metadata is None:
+            raise ValueError(
+                f"Delta log at {self.table_path} has no protocol/metadata "
+                f"(version {self.version})")
+        if protocol.minReaderVersion > MAX_READER_VERSION:
+            raise ValueError(
+                f"Unsupported reader protocol version {protocol.minReaderVersion} "
+                f"(DeltaLogImpl.assertProtocolRead)")
+        self._pm = (protocol, metadata)
+        self._set_txns = txns
+
+    @property
+    def protocol(self) -> Protocol:
+        if self._pm is None:
+            self._replay_driver_side()
+        return self._pm[0]
+
+    @property
+    def metadata(self) -> Metadata:
+        if self._pm is None:
+            self._replay_driver_side()
+        return self._pm[1]
+
+    @property
+    def set_transactions(self) -> Dict[str, int]:
+        """Last SetTransaction version per appId (InMemoryLogReplay.scala:56-57)."""
+        if self._set_txns is None:
+            self._replay_driver_side()
+        return dict(self._set_txns)
+
+    def txn_version(self, app_id: str) -> int:
+        return self.set_transactions.get(app_id, -1)
+
+    # ------------------------------------------------------------------
+    # Actions DataFrame (S2: checkpoint + delta load)
+    # ------------------------------------------------------------------
+
+    def _conform(self, df: DataFrame) -> DataFrame:
+        """Project any actions-shaped DataFrame (e.g. a checkpoint written by
+        another engine with extra nested fields) onto SINGLE_ACTION_SCHEMA."""
+        cols = []
+        have = {f.name: f.dataType for f in df.schema.fields}
+        for f in SINGLE_ACTION_SCHEMA.fields:
+            if f.name not in have:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                continue
+            sub = have[f.name]
+            if isinstance(sub, T.StructType):
+                subnames = set(sub.names)
+                inner = [
+                    (F.col(f"{f.name}.{sf.name}").cast(sf.dataType)
+                     if sf.name in subnames else F.lit(None).cast(sf.dataType)
+                     ).alias(sf.name)
+                    for sf in f.dataType.fields
+                ]
+                cols.append(F.when(F.col(f.name).isNotNull(),
+                                   F.struct(*inner)).alias(f.name))
+            else:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        extra = [c for c in ("version", "is_checkpoint") if c in df.columns]
+        return df.select(*cols, *extra)
+
+    def actions_df(self) -> DataFrame:
+        """All actions of the segment with ``version`` and ``is_checkpoint``
+        columns. Executors parse the files in parallel (the reference's
+        ParVector load, SnapshotImpl.scala:248-293, for free)."""
+        parts = []
+        if self.segment.deltas:
+            d = (self.spark.read.json(list(self.segment.deltas),
+                                      schema=SINGLE_ACTION_SCHEMA)
+                 .withColumn("version",
+                             F.regexp_extract(F.input_file_name(),
+                                              r"(\d+)\.json", 1).cast("long"))
+                 .withColumn("is_checkpoint", F.lit(False)))
+            parts.append(self._conform(d))
+        if self.segment.checkpoint_files:
+            c = (self.spark.read.parquet(*self.segment.checkpoint_files)
+                 .withColumn("version", F.lit(self.segment.checkpoint_version)
+                             .cast("long"))
+                 .withColumn("is_checkpoint", F.lit(True)))
+            parts.append(self._conform(c))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ------------------------------------------------------------------
+    # State reconstruction (S3/J1: one distributed window-dedup pass)
+    # ------------------------------------------------------------------
+
+    @cached_property
+    def files_df(self) -> DataFrame:
+        """Active AddFiles as a DataFrame:
+        ``path`` (canonical absolute), ``partitionValues``, ``size``,
+        ``modificationTime``, ``dataChange``, ``stats``, ``tags``, ``version``.
+
+        Last action per path wins (version desc; an add beats a remove at
+        the same version, matching sequential replay order of
+        InMemoryLogReplay.scala:64-81)."""
+        acts = self.actions_df()
+        adds = acts.where(F.col("add.path").isNotNull()).select(
+            canonical_path_col("add.path", self.table_path).alias("path"),
+            F.col("add.partitionValues").alias("partitionValues"),
+            F.col("add.size").alias("size"),
+            F.col("add.modificationTime").alias("modificationTime"),
+            F.col("add.dataChange").alias("dataChange"),
+            F.col("add.stats").alias("stats"),
+            F.col("add.tags").alias("tags"),
+            F.col("version"),
+            F.lit(1).alias("is_add"),
+        )
+        removes = acts.where(F.col("remove.path").isNotNull()).select(
+            canonical_path_col("remove.path", self.table_path).alias("path"),
+            F.col("remove.partitionValues").alias("partitionValues"),
+            F.lit(None).cast("long").alias("size"),
+            F.lit(None).cast("long").alias("modificationTime"),
+            F.col("remove.dataChange").alias("dataChange"),
+            F.lit(None).cast("string").alias("stats"),
+            F.col("remove.tags").alias("tags"),
+            F.col("version"),
+            F.lit(0).alias("is_add"),
+        )
+        w = Window.partitionBy("path").orderBy(F.desc("version"), F.desc("is_add"))
+        return (adds.unionByName(removes)
+                .withColumn("__rn", F.row_number().over(w))
+                .where((F.col("__rn") == 1) & (F.col("is_add") == 1))
+                .drop("__rn", "is_add"))
+
+    @cached_property
+    def tombstones_df(self) -> DataFrame:
+        """RemoveFile tombstones younger than the retention window
+        (InMemoryLogReplay.getTombstones, InMemoryLogReplay.scala:90-92)."""
+        min_ts = self._min_file_retention_ts
+        if min_ts is None:
+            min_ts = int(time.time() * 1000) - 7 * 24 * 3600 * 1000
+        acts = self.actions_df()
+        removes = acts.where(F.col("remove.path").isNotNull()).select(
+            canonical_path_col("remove.path", self.table_path).alias("path"),
+            F.col("remove.deletionTimestamp").alias("deletionTimestamp"),
+            F.col("version"),
+        )
+        adds = acts.where(F.col("add.path").isNotNull()).select(
+            canonical_path_col("add.path", self.table_path).alias("path"),
+            F.lit(None).cast("long").alias("deletionTimestamp"),
+            F.col("version"),
+        ).withColumn("is_add", F.lit(1))
+        removes = removes.withColumn("is_add", F.lit(0))
+        w = Window.partitionBy("path").orderBy(F.desc("version"), F.desc("is_add"))
+        return (adds.unionByName(removes)
+                .withColumn("__rn", F.row_number().over(w))
+                .where((F.col("__rn") == 1) & (F.col("is_add") == 0))
+                .where(F.coalesce(F.col("deletionTimestamp"), F.lit(0)) > min_ts)
+                .drop("__rn", "is_add"))
+
+    def all_files(self) -> List[AddFile]:
+        """Collect active files to the driver (metadata-sized; used by the
+        write path for overwrite/DML and by tests)."""
+        rows = self.files_df.collect()
+        return [AddFile(path=r["path"],
+                        partitionValues=dict(r["partitionValues"] or {}),
+                        size=r["size"] or 0,
+                        modificationTime=r["modificationTime"] or 0,
+                        dataChange=bool(r["dataChange"])
+                        if r["dataChange"] is not None else True,
+                        stats=r["stats"], tags=dict(r["tags"]) if r["tags"] else None)
+                for r in rows]
+
+    # ------------------------------------------------------------------
+    # Aggregates over state (A1)
+    # ------------------------------------------------------------------
+
+    def state_summary(self) -> Dict[str, int]:
+        row = self.files_df.agg(
+            F.coalesce(F.sum("size"), F.lit(0)).alias("sizeInBytes"),
+            F.count("*").alias("numOfFiles")).collect()[0]
+        return {"sizeInBytes": row["sizeInBytes"], "numOfFiles": row["numOfFiles"]}
+
+    # ------------------------------------------------------------------
+    # Data read (S7)
+    # ------------------------------------------------------------------
+
+    def _hive_layout_ok(self, paths: Sequence[str],
+                        pvs: Sequence[Dict[str, Optional[str]]]) -> bool:
+        """True iff every active file's directory layout encodes exactly the
+        partition values recorded in the log, so Spark's own partition-dir
+        discovery (basePath) is safe. Escaped-chars fidelity: we compare the
+        DECODED dir value against the log value and fall back on mismatch
+        (golden scenario data-reader-escaped-chars)."""
+        pcols = self.metadata.partitionColumns
+        for p, pv in zip(paths, pvs):
+            rel = p[len(self.table_path):].lstrip("/")
+            segs = rel.split("/")[:-1]
+            if len(segs) < len(pcols):
+                return False
+            segs = segs[-len(pcols):] if pcols else []
+            for col, seg in zip(pcols, segs):
+                if "=" not in seg:
+                    return False
+                k, v = seg.split("=", 1)
+                if k != col:
+                    return False
+                decoded = urllib.parse.unquote(v)
+                want = (pv or {}).get(col)
+                if want is None:
+                    if decoded != "__HIVE_DEFAULT_PARTITION__":
+                        return False
+                elif decoded != want:
+                    return False
+        return True
+
+    def to_df(self, files: Optional[DataFrame] = None,
+              residual=None) -> DataFrame:
+        """DataFrame of table rows for the active (optionally pruned) files.
+
+        Partition values come from the log. Fast path: when the on-disk
+        layout is Hive-style and provably consistent with
+        ``partitionValues``, one ``spark.read`` with ``basePath`` lets the
+        Parquet source prune/prune-down natively. General path: scan with
+        the data schema and broadcast-join ``path -> partitionValues``
+        on ``input_file_name()`` (single scan, no per-partition plan
+        explosion at 100k+ partitions)."""
+        meta = self.metadata
+        src = files if files is not None else self.files_df
+        rows = src.select("path", "partitionValues").collect()
+        paths = [r["path"] for r in rows]
+        if not paths:
+            df = self.spark.createDataFrame([], meta.schema)
+            return df.where(residual) if residual is not None else df
+
+        pcols = meta.partitionColumns
+        if not pcols:
+            df = self.spark.read.schema(meta.schema).parquet(*paths)
+        else:
+            pvs = [dict(r["partitionValues"] or {}) for r in rows]
+            pschema = meta.partition_schema
+            if self._hive_layout_ok(paths, pvs):
+                df = (self.spark.read
+                      .option("basePath", self.table_path)
+                      .schema(meta.schema)
+                      .parquet(*paths))
+            else:
+                # input_file_name() must be normalized the same way as log paths
+                data = (self.spark.read.schema(meta.data_schema).parquet(*paths)
+                        .withColumn("__fn", F.input_file_name()))
+                data = data.withColumn(
+                    "__file", canonical_path_col("__fn", self.table_path)).drop("__fn")
+                pv_rows = [
+                    tuple([p] + [pv.get(c) for c in pcols])
+                    for p, pv in zip(paths, pvs)
+                ]
+                pv_schema = T.StructType(
+                    [T.StructField("__file", T.StringType())]
+                    + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols])
+                pv_df = self.spark.createDataFrame(pv_rows, pv_schema)
+                for f in pschema.fields:
+                    pv_df = pv_df.withColumn(
+                        f.name, F.col(f"__pv_{f.name}").cast(f.dataType))
+                pv_df = pv_df.drop(*[f"__pv_{c}" for c in pcols])
+                df = (data.join(F.broadcast(pv_df), "__file").drop("__file")
+                      .select(*[F.col(f.name) for f in meta.schema.fields]))
+        if residual is not None:
+            df = df.where(residual)
+        return df

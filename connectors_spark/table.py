@@ -1,0 +1,446 @@
+"""DeltaLog + DeltaTable: the engine's user-facing API.
+
+Read lifecycle (SURVEY §3.1): ``DeltaTable.for_path(spark, path)`` →
+driver-side LogSegment listing → snapshot (distributed state
+reconstruction) → ``scan(pred)`` → ``to_df()`` → Catalyst/Tungsten.
+
+Write lifecycle (§3.2): ``write()``/``delete()``/``update()``/``merge()``
+stage Parquet distributed, then commit through the optimistic transaction
+protocol.
+
+Reference entry points re-expressed: DeltaLog.forTable
+(``DeltaLog.java:163-177``, ``DeltaLogImpl.scala:256-264``), update
+(``SnapshotManagement.update:45-99``), time travel
+(``SnapshotManagement.scala:51-59``), getChanges
+(``DeltaLogImpl.scala:106-130``), startTransaction
+(``DeltaLogImpl.scala:174-177``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import threading
+import uuid
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import TableConfig
+from .errors import DeltaError
+from .expressions import Expression
+from .log import filenames as fn
+from .log.actions import (AddFile, CommitInfo, Metadata, Protocol, RemoveFile,
+                          SetTransaction, from_json_line)
+from .log.logstore import LogStore, default_log_store, strip_scheme
+from .log.segment import LogSegment, get_log_segment
+from .log.snapshot import Snapshot, canonical_path
+from .log import history as hist
+from .scan import DeltaScan
+from .txn import OptimisticTransaction
+from .writer import stage_and_collect
+
+_log_cache: Dict[str, "DeltaLog"] = {}
+_log_cache_lock = threading.Lock()
+
+
+class DeltaLog:
+    """One per table path per process (module-level cache, ≍ the reference's
+    Guava caches: DeltaHelper.scala:117-136)."""
+
+    def __init__(self, spark: SparkSession, table_path: str):
+        self.spark = spark
+        self.table_path = strip_scheme(os.path.abspath(table_path)).rstrip("/")
+        self.log_path = os.path.join(self.table_path, "_delta_log")
+        self.store: LogStore = default_log_store(self.table_path)
+        self._snapshot: Optional[Snapshot] = None
+        self._lock = threading.RLock()  # deltaLogLock (DeltaLogImpl.scala:190)
+
+    # ----------------------------------------------------------- factory
+
+    @classmethod
+    def for_table(cls, spark: SparkSession, table_path: str) -> "DeltaLog":
+        key = strip_scheme(os.path.abspath(table_path)).rstrip("/")
+        with _log_cache_lock:
+            log = _log_cache.get(key)
+            if log is None or log.spark is not spark:
+                log = cls(spark, table_path)
+                _log_cache[key] = log
+            return log
+
+    # ------------------------------------------------------------- state
+
+    def table_exists(self) -> bool:
+        try:
+            get_log_segment(self.store, self.log_path)
+            return True
+        except (FileNotFoundError, ValueError):
+            return False
+
+    def update(self) -> Optional[Snapshot]:
+        """Recompute the latest snapshot; no-op when the segment is unchanged
+        (SnapshotManagement.update:65-99)."""
+        with self._lock:
+            try:
+                seg = get_log_segment(self.store, self.log_path)
+            except FileNotFoundError:
+                self._snapshot = None
+                return None
+            cur = self._snapshot
+            if cur is not None and cur.segment == seg:
+                return cur
+            self._snapshot = Snapshot(self.spark, self.table_path, seg,
+                                      self.store)
+            return self._snapshot
+
+    def snapshot(self) -> Snapshot:
+        s = self.update()
+        if s is None:
+            raise FileNotFoundError(f"{self.table_path} is not a Delta table")
+        return s
+
+    # -------------------------------------------------------- time travel
+
+    def snapshot_for_version(self, version: int) -> Snapshot:
+        """T1 (SnapshotManagement.scala:51-54): exact version, bounded by
+        [earliest reproducible, latest]."""
+        seg = get_log_segment(self.store, self.log_path, version_to_load=version)
+        return Snapshot(self.spark, self.table_path, seg, self.store)
+
+    def snapshot_for_timestamp(self, ts_ms: int) -> Snapshot:
+        """T2 (SnapshotManagement.scala:56-59): latest commit whose
+        monotonized timestamp <= ts."""
+        commits = hist.list_commits(self.store, self.log_path)
+        c = hist.active_commit_at_time(commits, ts_ms)
+        return self.snapshot_for_version(c.version)
+
+    def version_before_or_at_timestamp(self, ts_ms: int) -> int:
+        """T3 (DeltaLogImpl.scala:132-146)."""
+        commits = hist.list_commits(self.store, self.log_path)
+        c = hist.active_commit_at_time(commits, ts_ms, can_return_last=True)
+        return c.version
+
+    def version_at_or_after_timestamp(self, ts_ms: int) -> int:
+        """T3 (DeltaLogImpl.scala:148-172)."""
+        commits = hist.list_commits(self.store, self.log_path)
+        c = hist.active_commit_at_time(commits, ts_ms, can_return_last=True,
+                                       can_return_earliest=True)
+        if c.timestamp >= ts_ms:
+            return c.version
+        if c.version + 1 <= commits[-1].version:
+            return c.version + 1
+        raise ValueError(f"no version at or after timestamp {ts_ms}")
+
+    # ----------------------------------------------------------- history
+
+    def history(self) -> List[Dict[str, Any]]:
+        commits = hist.list_commits(self.store, self.log_path)
+        out = []
+        for c in reversed(commits):
+            info = hist.commit_info_at(self.store, self.log_path, c.version)
+            out.append({"version": c.version, "timestamp": c.timestamp,
+                        "operation": info.operation,
+                        "operationParameters": info.operationParameters,
+                        "isBlindAppend": info.isBlindAppend,
+                        "isolationLevel": info.isolationLevel,
+                        "engineInfo": info.engineInfo})
+        return out
+
+    def commit_info_at(self, version: int) -> CommitInfo:
+        return hist.commit_info_at(self.store, self.log_path, version)
+
+    # ----------------------------------------------------------- changes
+
+    def get_changes(self, start_version: int = 0,
+                    fail_on_data_loss: bool = False
+                    ) -> Iterator[Tuple[int, List[Any]]]:
+        """ST1/T5 (DeltaLogImpl.getChanges, DeltaLogImpl.scala:106-130):
+        iterator of (version, actions) with gap detection."""
+        names = [n for n in self.store.list_from(
+            self.log_path, "%020d" % start_version) if fn.is_delta_file(n)]
+        versions = sorted(fn.delta_version(n) for n in names)
+        if fail_on_data_loss and versions and versions[0] != start_version:
+            raise DeltaError(
+                f"versions [{start_version}, {versions[0]}) were cleaned up "
+                f"(failOnDataLoss)")
+        last = None
+        for v in versions:
+            if fail_on_data_loss and last is not None and v != last + 1:
+                raise DeltaError(f"version gap between {last} and {v}")
+            last = v
+            lines = self.store.read(fn.delta_file(self.log_path, v))
+            yield v, [a for a in (from_json_line(l) for l in lines)
+                      if a is not None]
+
+    # ------------------------------------------------------ transactions
+
+    def start_transaction(self) -> OptimisticTransaction:
+        return OptimisticTransaction(self)
+
+    def post_commit(self, version: int) -> None:
+        """W7/W8 (OptimisticTransactionImpl.postCommit:393-405): checkpoint
+        every ``checkpointInterval`` commits, then expired-log cleanup."""
+        snap = self.update()
+        if snap is None:
+            return
+        cfg = TableConfig(snap.metadata.configuration)
+        if version % cfg.checkpoint_interval == 0 and version > 0:
+            from .log.checkpoints import write_checkpoint
+            ckpt_snap = snap if snap.version == version \
+                else self.snapshot_for_version(version)
+            write_checkpoint(ckpt_snap)
+            if cfg.enable_expired_log_cleanup:
+                self._cleanup_expired_logs(version, cfg)
+
+    def _cleanup_expired_logs(self, checkpoint_version: int,
+                              cfg: TableConfig) -> None:
+        """W8 (MetadataCleanup.scala:50-97, simplified): delete delta files
+        older than logRetention that precede the new checkpoint. Expiry uses
+        monotonized timestamps so a lagging mtime can't orphan a younger
+        commit (BufferingLogDeletionIterator.scala:30-60)."""
+        cutoff = int(time.time() * 1000) - cfg.log_retention_ms
+        commits = hist.list_commits(self.store, self.log_path)
+        for c in commits:
+            if c.version >= checkpoint_version or c.timestamp >= cutoff:
+                break
+            self.store.delete(fn.delta_file(self.log_path, c.version))
+
+
+class DeltaTable:
+    """High-level table handle: reads, time travel, writes, DML, changes."""
+
+    def __init__(self, log: DeltaLog):
+        self.log = log
+        self.spark = log.spark
+
+    # ----------------------------------------------------------- factory
+
+    @classmethod
+    def for_path(cls, spark: SparkSession, path: str) -> "DeltaTable":
+        return cls(DeltaLog.for_table(spark, path))
+
+    @property
+    def path(self) -> str:
+        return self.log.table_path
+
+    # ------------------------------------------------------------- reads
+
+    def snapshot(self) -> Snapshot:
+        return self.log.snapshot()
+
+    def to_df(self, version: Optional[int] = None,
+              timestamp_ms: Optional[int] = None) -> DataFrame:
+        snap = self._resolve(version, timestamp_ms)
+        return snap.to_df()
+
+    def scan(self, predicate: Optional[Expression] = None,
+             version: Optional[int] = None) -> DeltaScan:
+        snap = self._resolve(version, None)
+        return DeltaScan(snap, predicate)
+
+    def _resolve(self, version: Optional[int],
+                 timestamp_ms: Optional[int]) -> Snapshot:
+        if version is not None and timestamp_ms is not None:
+            raise DeltaError("versionAsOf and timestampAsOf are mutually exclusive")
+        if version is not None:
+            return self.log.snapshot_for_version(version)
+        if timestamp_ms is not None:
+            return self.log.snapshot_for_timestamp(timestamp_ms)
+        return self.log.snapshot()
+
+    def history(self) -> List[Dict[str, Any]]:
+        return self.log.history()
+
+    # ------------------------------------------------------------ writes
+
+    def _make_metadata(self, df: DataFrame, partition_by: Sequence[str],
+                       configuration: Optional[Dict[str, str]] = None,
+                       existing: Optional[Metadata] = None) -> Metadata:
+        return Metadata(
+            id=existing.id if existing else str(uuid.uuid4()),
+            schemaString=df.schema.json(),
+            partitionColumns=list(partition_by),
+            configuration=dict(configuration or
+                               (existing.configuration if existing else {})),
+            createdTime=existing.createdTime if existing
+            else int(time.time() * 1000))
+
+    def write(self, df: DataFrame, mode: str = "append",
+              partition_by: Optional[Sequence[str]] = None,
+              configuration: Optional[Dict[str, str]] = None) -> int:
+        """Append/overwrite ``df``. Creates the table on first write."""
+        if mode not in ("append", "overwrite"):
+            raise DeltaError(f"unsupported write mode {mode!r}")
+        txn = self.log.start_transaction()
+        exists = txn.snapshot is not None and txn.read_version >= 0
+        if exists:
+            meta = txn.snapshot.metadata
+            pcols = list(partition_by) if partition_by is not None \
+                else list(meta.partitionColumns)
+            if set(df.schema.fieldNames()) != {f.name for f in meta.schema.fields}:
+                new_meta = self._make_metadata(df, pcols, configuration, meta)
+                txn.update_metadata(new_meta)
+        else:
+            pcols = list(partition_by or [])
+            txn.update_metadata(self._make_metadata(df, pcols, configuration))
+
+        actions: List[Any] = []
+        op = "WRITE"
+        if mode == "overwrite" and exists:
+            txn.read_whole_table()
+            now = int(time.time() * 1000)
+            actions += [f.remove(now) for f in txn.snapshot.all_files()]
+        adds = stage_and_collect(df, self.log.table_path, pcols)
+        actions += adds
+        n_rows = sum(json.loads(a.stats)["numRecords"] for a in adds
+                     if a.stats)
+        version = txn.commit(
+            actions, operation=op if exists else "CREATE TABLE AS SELECT",
+            operation_parameters={"mode": mode,
+                                  "partitionBy": json.dumps(list(pcols))},
+            operation_metrics={"numFiles": str(len(adds)),
+                               "numOutputRows": str(n_rows)})
+        return version
+
+    # --------------------------------------------------------------- DML
+
+    def delete(self, predicate: Optional[Expression] = None) -> int:
+        """DELETE: drop whole files when the predicate is partition-only,
+        else rewrite only the touched files (SURVEY §7 P6; op names
+        Operation.java:43-105)."""
+        txn = self.log.start_transaction()
+        snap = txn.snapshot
+        if snap is None:
+            raise FileNotFoundError("table does not exist")
+        now = int(time.time() * 1000)
+        if predicate is None:
+            txn.read_whole_table()
+            actions: List[Any] = [f.remove(now) for f in snap.all_files()]
+            return txn.commit(actions, "DELETE",
+                              {"predicate": "true"})
+        candidates = txn.mark_files_as_read(predicate)
+        scan = DeltaScan(snap, predicate)
+        actions = []
+        if scan.residual is None:
+            actions += [f.remove(now) for f in candidates]
+        else:
+            cand_paths = [canonical_path(f.path, snap.table_path)
+                          for f in candidates]
+            files_subset = snap.files_df.where(F.col("path").isin(cand_paths))
+            df = snap.to_df(files=files_subset)
+            keep = df.where(~F.coalesce(
+                predicate.to_column(F.col), F.lit(False)))
+            adds = stage_and_collect(keep, self.log.table_path,
+                                     snap.metadata.partitionColumns)
+            actions += adds
+            actions += [f.remove(now) for f in candidates]
+        return txn.commit(actions, "DELETE", {})
+
+    def update(self, set_exprs: Dict[str, Any],
+               predicate: Optional[Expression] = None) -> int:
+        """UPDATE: rewrite files containing matching rows."""
+        txn = self.log.start_transaction()
+        snap = txn.snapshot
+        if snap is None:
+            raise FileNotFoundError("table does not exist")
+        candidates = txn.mark_files_as_read(predicate)
+        if not candidates:
+            return txn.commit([], "UPDATE", {})
+        cand_paths = [canonical_path(f.path, snap.table_path)
+                      for f in candidates]
+        files_subset = snap.files_df.where(F.col("path").isin(cand_paths))
+        df = snap.to_df(files=files_subset)
+        cond = predicate.to_column(F.col) if predicate is not None else F.lit(True)
+        cond = F.coalesce(cond, F.lit(False))
+        out = df
+        for col, expr in set_exprs.items():
+            val = expr if not isinstance(expr, str) else F.expr(expr)
+            out = out.withColumn(col, F.when(cond, val).otherwise(F.col(col)))
+        adds = stage_and_collect(out, self.log.table_path,
+                                 snap.metadata.partitionColumns)
+        now = int(time.time() * 1000)
+        actions: List[Any] = list(adds) + [f.remove(now) for f in candidates]
+        return txn.commit(actions, "UPDATE", {})
+
+    def merge(self, source: DataFrame, condition,
+              when_matched_update: Optional[Dict[str, Any]] = None,
+              when_matched_delete: bool = False,
+              when_not_matched_insert: bool = True) -> int:
+        """MERGE (upsert): find touched files with a semi-join, rewrite only
+        those, insert unmatched source rows. ``condition`` is a SQL string
+        over ``t`` (target) and ``s`` (source) aliases."""
+        txn = self.log.start_transaction()
+        snap = txn.snapshot
+        if snap is None:
+            raise FileNotFoundError("table does not exist")
+        txn.read_whole_table()
+        target = snap.to_df().alias("t")
+        src = source.alias("s")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+
+        # Touched files: data rows that join the source, traced back to files.
+        meta = snap.metadata
+        all_files = snap.all_files()
+        cand_paths = [canonical_path(f.path, snap.table_path) for f in all_files]
+        with_file = (snap.to_df()
+                     .withColumn("__fn", F.input_file_name()))
+        from .log.snapshot import canonical_path_col
+        with_file = with_file.withColumn(
+            "__file", canonical_path_col("__fn", snap.table_path)).drop("__fn")
+        touched = (with_file.alias("t").join(src, cond, "inner")
+                   .select("__file").distinct().collect())
+        touched_paths = {r["__file"] for r in touched}
+        touched_adds = [f for f, p in zip(all_files, cand_paths)
+                        if p in touched_paths]
+
+        files_subset = snap.files_df.where(
+            F.col("path").isin(list(touched_paths)) if touched_paths
+            else F.lit(False))
+        touched_df = snap.to_df(files=files_subset).alias("t")
+
+        matched = touched_df.join(src, cond, "inner")
+        tcols = [f.name for f in meta.schema.fields]
+        parts = []
+        # target rows in touched files with no source match: keep as-is
+        parts.append(touched_df.join(src, cond, "left_anti")
+                     .select(*[F.col(f"t.{c}").alias(c) for c in tcols]))
+        if when_matched_update is not None:
+            upd = matched.select(*[
+                (F.expr(str(when_matched_update[c]))
+                 if c in when_matched_update else F.col(f"t.{c}")).alias(c)
+                for c in tcols])
+            parts.append(upd)
+        elif not when_matched_delete:
+            parts.append(matched.select(
+                *[F.col(f"t.{c}").alias(c) for c in tcols]))
+        # when_matched_delete: matched rows simply not re-emitted
+        if when_not_matched_insert:
+            scols = set(source.columns)
+            ins = (src.join(target, cond, "left_anti")
+                   .select(*[(F.col(f"s.{c}") if c in scols
+                              else F.lit(None)).alias(c) for c in tcols]))
+            parts.append(ins)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+
+        adds = stage_and_collect(out, self.log.table_path,
+                                 meta.partitionColumns)
+        now = int(time.time() * 1000)
+        actions: List[Any] = list(adds) + [f.remove(now) for f in touched_adds]
+        return txn.commit(actions, "MERGE", {"predicate": str(condition)})
+
+    # ----------------------------------------------------------- changes
+
+    def changes_df(self, start_version: int = 0,
+                   end_version: Optional[int] = None,
+                   ignore_deletes: bool = False,
+                   ignore_changes: bool = False) -> DataFrame:
+        """Rows added in [start_version, end_version] with a ``_commit_version``
+        column; per-version validation per ST3 (ActionProcessor.java:56-110)."""
+        from .streaming.changes import changes_df
+        return changes_df(self, start_version, end_version,
+                          ignore_deletes=ignore_deletes,
+                          ignore_changes=ignore_changes)

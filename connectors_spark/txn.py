@@ -1,0 +1,339 @@
+"""Optimistic transactions: commit protocol + conflict detection.
+
+Re-expresses the reference's write path
+(``OptimisticTransactionImpl.scala:97-462``, ``ConflictChecker.scala:88-232``):
+
+1. pin a read snapshot (W1),
+2. record reads (predicates / files / whole-table) for conflict detection (W2),
+3. ``commit``: prepare (relativize paths, first-commit Protocol+Metadata,
+   partition-column check, append-only gate; W4), build CommitInfo with the
+   isolation level (``Serializable`` when the txn changes data, else
+   ``SnapshotIsolation``; isolationLevels.scala:19-25) and ``isBlindAppend``
+   (adds only + no reads; OptimisticTransactionImpl.scala:125-130),
+4. put-if-absent write of ``N.json``; on loss, replay each winning commit
+   through the conflict rules (J2-J5) and retry at N+1.
+
+Winning commits are a handful of small JSON files, so the conflict checks
+run driver-side in plain Python -- the distributed engine is only involved
+in producing the data files, never in the commit decision.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.parse
+from typing import Any, Dict, List, Optional, Sequence, Set
+
+from .config import TableConfig
+from .errors import (ConcurrentAppendException, ConcurrentDeleteDeleteException,
+                     ConcurrentDeleteReadException, ConcurrentTransactionException,
+                     DeltaError, DeltaProtocolError, MetadataChangedException,
+                     ProtocolChangedException)
+from .expressions import Expression
+from .log import filenames as fn
+from .log.actions import (AddFile, CommitInfo, Metadata, Protocol, RemoveFile,
+                          SetTransaction, from_json_line, to_json_line)
+from .log.logstore import FileAlreadyExistsError
+from .log.snapshot import canonical_path
+from .partition_values import decode_row
+
+MAX_RETRIES = 10_000_000  # OptimisticTransactionImpl.scala:44
+
+SERIALIZABLE = "Serializable"
+SNAPSHOT_ISOLATION = "SnapshotIsolation"
+
+ENGINE_INFO = "connectors-spark/0.1"
+
+
+def relativize(path: str, table_path: str) -> str:
+    """Store paths relative to the table root when possible, URI-encoded
+    (DeltaFileOperations.tryRelativizePath, FileNames.absolutePath:100-107)."""
+    c = canonical_path(path, table_path)
+    root = table_path.rstrip("/") + "/"
+    if c.startswith(root):
+        rel = c[len(root):]
+        return "/".join(urllib.parse.quote(seg) for seg in rel.split("/"))
+    return "file://" + urllib.parse.quote(c)
+
+
+class OptimisticTransaction:
+    def __init__(self, log: "DeltaLog"):  # noqa: F821 (circular type)
+        self.log = log
+        self.snapshot = log.update()
+        self.read_version = self.snapshot.version if self.snapshot else -1
+        self.read_predicates: List[Expression] = []
+        self.read_files: Set[str] = set()
+        self._read_whole_table = False
+        self.read_txn_app_ids: Set[str] = set()
+        self.new_metadata: Optional[Metadata] = None
+        self.committed = False
+
+    # -------------------------------------------------------------- reads
+
+    def txn_version(self, app_id: str) -> int:
+        """Latest SetTransaction version for app_id, recording the dependency
+        (OptimisticTransactionImpl.scala:221-224)."""
+        self.read_txn_app_ids.add(app_id)
+        if self.snapshot is None:
+            return -1
+        return self.snapshot.txn_version(app_id)
+
+    def mark_files_as_read(self, predicate: Optional[Expression]):
+        """Run a pruned scan and remember predicate + files for conflict
+        detection (W2, OptimisticTransactionImpl.scala:162-172)."""
+        from .scan import DeltaScan
+        scan = DeltaScan(self.snapshot, predicate)
+        files = scan.collect_files()
+        if predicate is not None:
+            self.read_predicates.append(predicate)
+        else:
+            self._read_whole_table = True
+        self.read_files.update(
+            canonical_path(f.path, self.snapshot.table_path) for f in files)
+        return files
+
+    def read_whole_table(self) -> None:
+        self._read_whole_table = True
+
+    # ------------------------------------------------------------ metadata
+
+    def update_metadata(self, metadata: Metadata) -> None:
+        """<=1 metadata update per txn (OptimisticTransactionImpl.scala:187-214)."""
+        if self.new_metadata is not None:
+            raise DeltaError("Cannot change the metadata more than once in a txn")
+        self._check_partition_columns(metadata)
+        if not metadata.schemaString:
+            raise DeltaError("Table schema must not be empty")
+        self._check_field_names(metadata)
+        self.new_metadata = metadata
+
+    @staticmethod
+    def _check_partition_columns(metadata: Metadata) -> None:
+        # All partition columns in schema; >=1 non-partition column
+        # (OptimisticTransactionImpl.scala:484-498).
+        names = {f.name for f in metadata.schema.fields}
+        for c in metadata.partitionColumns:
+            if c not in names:
+                raise DeltaError(f"Partition column {c} not found in schema")
+        if names and not (names - set(metadata.partitionColumns)):
+            raise DeltaError("Data written into a Delta table needs at least "
+                             "one non-partition column")
+
+    @staticmethod
+    def _check_field_names(metadata: Metadata) -> None:
+        # Parquet-illegal chars (SchemaUtils.scala:183-195); case-duplicates
+        # (SchemaMergingUtils.scala).
+        bad = set(' ,;{}()\n\t=')
+        seen: Set[str] = set()
+        for f in metadata.schema.fields:
+            if any(ch in bad for ch in f.name):
+                raise DeltaError(f"Invalid characters in column name {f.name!r}")
+            low = f.name.lower()
+            if low in seen:
+                raise DeltaError(f"Duplicate column name {f.name!r} (case-insensitive)")
+            seen.add(low)
+
+    # -------------------------------------------------------------- commit
+
+    def commit(self, actions: Sequence[Any], operation: str = "Manual Update",
+               operation_parameters: Optional[Dict[str, str]] = None,
+               engine_info: str = ENGINE_INFO,
+               operation_metrics: Optional[Dict[str, str]] = None) -> int:
+        if self.committed:
+            raise DeltaError("Transaction already committed")
+        acts = list(actions)
+        acts = self._prepare_commit(acts)
+
+        data_changed = any(
+            getattr(a, "dataChange", False)
+            for a in acts if isinstance(a, (AddFile, RemoveFile)))
+        isolation = SERIALIZABLE if data_changed else SNAPSHOT_ISOLATION
+        only_add_files = all(not isinstance(a, RemoveFile)
+                             for a in acts if isinstance(a, (AddFile, RemoveFile)))
+        depends_on_files = bool(self.read_predicates) or self._read_whole_table
+        is_blind_append = only_add_files and not depends_on_files
+
+        info = CommitInfo(
+            timestamp=int(time.time() * 1000),
+            operation=operation,
+            operationParameters=operation_parameters or {},
+            readVersion=self.read_version if self.read_version >= 0 else None,
+            isolationLevel=isolation,
+            isBlindAppend=is_blind_append,
+            operationMetrics=operation_metrics,
+            engineInfo=engine_info,
+        )
+        lines = [to_json_line(info)] + [to_json_line(a) for a in acts]
+
+        attempt_version = self.read_version + 1
+        for _ in range(MAX_RETRIES):
+            target = fn.delta_file(self.log.log_path, attempt_version)
+            try:
+                self.log.store.write(target, lines, overwrite=False)
+                self.committed = True
+                self.log.post_commit(attempt_version)
+                return attempt_version
+            except FileAlreadyExistsError:
+                self._check_for_conflicts(attempt_version, acts, isolation)
+                attempt_version += 1
+        raise DeltaError("commit retry budget exhausted")
+
+    def _prepare_commit(self, actions: List[Any]) -> List[Any]:
+        metadatas = [a for a in actions if isinstance(a, Metadata)]
+        if len(metadatas) > 1:
+            raise DeltaError("Cannot change the metadata more than once per commit")
+        if metadatas and self.new_metadata is not None:
+            raise DeltaError("Metadata already set via update_metadata")
+        if self.new_metadata is not None:
+            actions = [self.new_metadata] + actions
+
+        table_path = self.log.table_path
+        out: List[Any] = []
+        for a in actions:
+            if isinstance(a, AddFile):
+                a = AddFile(path=relativize(a.path, table_path),
+                            partitionValues=a.partitionValues, size=a.size,
+                            modificationTime=a.modificationTime,
+                            dataChange=a.dataChange, stats=a.stats, tags=a.tags)
+            elif isinstance(a, RemoveFile):
+                a = RemoveFile(path=relativize(a.path, table_path),
+                               deletionTimestamp=a.deletionTimestamp,
+                               dataChange=a.dataChange,
+                               extendedFileMetadata=a.extendedFileMetadata,
+                               partitionValues=a.partitionValues, size=a.size,
+                               tags=a.tags)
+            elif isinstance(a, Protocol):
+                # Only Protocol(1,2) is committable
+                # (OptimisticTransactionImpl.scala:289-293).
+                if (a.minReaderVersion, a.minWriterVersion) != (1, 2):
+                    raise DeltaProtocolError(
+                        "Can only commit Protocol(minReaderVersion=1, "
+                        "minWriterVersion=2)")
+            out.append(a)
+        actions = out
+
+        if self.read_version < 0:
+            # First commit: needs metadata; inject Protocol (W4,
+            # OptimisticTransactionImpl.scala:242-310).
+            has_meta = any(isinstance(a, Metadata) for a in actions)
+            if not has_meta:
+                raise DeltaError("The first commit must provide table metadata")
+            if not any(isinstance(a, Protocol) for a in actions):
+                actions = [Protocol()] + actions
+
+        meta = next((a for a in actions if isinstance(a, Metadata)), None)
+        effective_meta = meta or (self.snapshot.metadata if self.snapshot else None)
+        if effective_meta is not None:
+            pcols = list(effective_meta.partitionColumns)
+            for a in actions:
+                if isinstance(a, AddFile):
+                    if sorted(a.partitionValues.keys()) != sorted(pcols):
+                        raise DeltaError(
+                            f"AddFile partition values {sorted(a.partitionValues)} "
+                            f"do not match table partition columns {sorted(pcols)}")
+            cfg = TableConfig(effective_meta.configuration)
+            if cfg.append_only:
+                for a in actions:
+                    if isinstance(a, RemoveFile) and a.dataChange:
+                        raise DeltaError(
+                            "This table is append-only (delta.appendOnly); "
+                            "removes with dataChange are forbidden "
+                            "(DeltaLogImpl.assertRemovable)")
+        if meta is not None:
+            self._check_partition_columns(meta)
+            self._check_field_names(meta)
+            if self.snapshot is not None:
+                _check_schema_evolution(self.snapshot.metadata, meta)
+        return actions
+
+    # ----------------------------------------------------- conflict checks
+
+    def _check_for_conflicts(self, winning_version: int,
+                             my_actions: List[Any], isolation: str) -> None:
+        """Replay one winning commit through J2-J5
+        (ConflictChecker.scala:88-232). Raises if this txn must abort;
+        returning means we may retry at the next version."""
+        lines = self.log.store.read(
+            fn.delta_file(self.log.log_path, winning_version))
+        winning = [from_json_line(l) for l in lines]
+        winning = [a for a in winning if a is not None]
+
+        commit_info = next((a for a in winning if isinstance(a, CommitInfo)), None)
+        blind_append = bool(commit_info.isBlindAppend) if commit_info else False
+
+        if any(isinstance(a, Protocol) for a in winning):
+            raise ProtocolChangedException(
+                f"version {winning_version} changed the protocol")
+        if any(isinstance(a, Metadata) for a in winning):
+            raise MetadataChangedException(
+                f"version {winning_version} changed table metadata")
+
+        win_adds = [a for a in winning if isinstance(a, AddFile)]
+        win_removes = [a for a in winning if isinstance(a, RemoveFile)]
+        win_txns = {a.appId for a in winning if isinstance(a, SetTransaction)}
+
+        if win_txns & self.read_txn_app_ids:
+            raise ConcurrentTransactionException(
+                f"concurrent SetTransaction for appIds "
+                f"{sorted(win_txns & self.read_txn_app_ids)}")
+
+        # J2: added files this txn should have read. Under SnapshotIsolation a
+        # blind append can never invalidate our reads
+        # (ConflictChecker.scala:148-173).
+        check_adds = win_adds if (isolation == SERIALIZABLE or not blind_append) \
+            else []
+        if check_adds and (self._read_whole_table or self.read_predicates):
+            pschema = self.snapshot.metadata.partition_schema \
+                if self.snapshot else None
+            for a in check_adds:
+                if self._read_whole_table:
+                    raise ConcurrentAppendException(
+                        f"file added by version {winning_version}: {a.path}")
+                row = decode_row(a.partitionValues, pschema) if pschema else {}
+                for pred in self.read_predicates:
+                    if pred.eval(row) is True:
+                        raise ConcurrentAppendException(
+                            f"file added by version {winning_version} matches "
+                            f"a read predicate: {a.path}")
+
+        table_path = self.log.table_path
+        win_removed_paths = {canonical_path(r.path, table_path)
+                             for r in win_removes}
+        # J3: winning commit deleted something I read.
+        if self._read_whole_table and win_removed_paths:
+            raise ConcurrentDeleteReadException(
+                f"version {winning_version} deleted files while this txn read "
+                f"the whole table")
+        hit = win_removed_paths & self.read_files
+        if hit:
+            raise ConcurrentDeleteReadException(
+                f"version {winning_version} deleted file(s) read by this txn: "
+                f"{sorted(hit)[:3]}")
+        # J4: both deleted the same file.
+        my_removed = {canonical_path(a.path, table_path)
+                      for a in my_actions if isinstance(a, RemoveFile)}
+        both = win_removed_paths & my_removed
+        if both:
+            raise ConcurrentDeleteDeleteException(
+                f"version {winning_version} also deleted {sorted(both)[:3]}")
+
+
+def _check_schema_evolution(old: Metadata, new: Metadata) -> None:
+    """Write-compatibility rules (SchemaUtils.scala:82-141): no dropped
+    columns, no type changes, no nullable->non-null; new columns nullable."""
+    old_fields = {f.name: f for f in old.schema.fields}
+    new_fields = {f.name: f for f in new.schema.fields}
+    if not old_fields:
+        return
+    for name, f in old_fields.items():
+        if name not in new_fields:
+            raise DeltaError(f"Schema evolution cannot drop column {name!r}")
+        nf = new_fields[name]
+        if nf.dataType != f.dataType:
+            raise DeltaError(f"Schema evolution cannot change type of {name!r}")
+        if f.nullable and not nf.nullable:
+            raise DeltaError(f"Schema evolution cannot tighten nullability of {name!r}")
+    for name, nf in new_fields.items():
+        if name not in old_fields and not nf.nullable:
+            raise DeltaError(f"New column {name!r} must be nullable")

@@ -1,0 +1,71 @@
+"""End-to-end: write a Delta table from testdata parquet, read it back."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from connectors_spark import DeltaTable
+from connectors_spark.expressions import Col
+from tests.conftest import read_table
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    li = read_table(spark, "lineitem")
+    t = DeltaTable.for_path(spark, str(tmp_path / "li"))
+    v = t.write(li)
+    assert v == 0
+    out = t.to_df()
+    assert out.count() == li.count()
+    assert set(out.columns) == set(li.columns)
+    # value check on an aggregate
+    a = li.agg(F.sum("l_quantity")).collect()[0][0]
+    b = out.agg(F.sum("l_quantity")).collect()[0][0]
+    assert abs(a - b) < 1e-6
+
+
+def test_append_and_overwrite(spark, tmp_path):
+    orders = read_table(spark, "orders")
+    t = DeltaTable.for_path(spark, str(tmp_path / "o"))
+    t.write(orders.where("o_orderstatus = 'F'"))
+    n_f = t.to_df().count()
+    v = t.write(orders.where("o_orderstatus <> 'F'"), mode="append")
+    assert v == 1
+    assert t.to_df().count() == orders.count()
+    v = t.write(orders.limit(10), mode="overwrite")
+    assert v == 2
+    assert t.to_df().count() == 10
+
+
+def test_partitioned_write_and_prune(spark, tmp_path):
+    orders = read_table(spark, "orders")
+    t = DeltaTable.for_path(spark, str(tmp_path / "p"))
+    t.write(orders, partition_by=["o_orderstatus"])
+    snap = t.snapshot()
+    assert snap.metadata.partitionColumns == ["o_orderstatus"]
+    scan = t.scan(Col("o_orderstatus") == "F")
+    pruned = scan.files().count()
+    total = snap.files_df.count()
+    assert 0 < pruned < total
+    got = scan.to_df().count()
+    want = orders.where("o_orderstatus = 'F'").count()
+    assert got == want
+    # partition column values come back typed and correct
+    assert scan.to_df().select("o_orderstatus").distinct().collect()[0][0] == "F"
+
+
+def test_time_travel(spark, tmp_path):
+    orders = read_table(spark, "orders")
+    t = DeltaTable.for_path(spark, str(tmp_path / "tt"))
+    t.write(orders.where("o_orderstatus = 'F'"))
+    t.write(orders.where("o_orderstatus <> 'F'"), mode="append")
+    v0 = t.to_df(version=0).count()
+    v1 = t.to_df(version=1).count()
+    assert v0 == orders.where("o_orderstatus = 'F'").count()
+    assert v1 == orders.count()
+    hist = t.history()
+    assert [h["version"] for h in hist] == [1, 0]
+    with pytest.raises(Exception):
+        t.to_df(version=5)
