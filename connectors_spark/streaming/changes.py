@@ -73,7 +73,8 @@ def changes_df(table, start_version: int = 0,
     meta = snap.metadata
     per_version = validated_adds_per_version(
         table, start_version, end_version,
-        ignore_deletes=ignore_deletes, ignore_changes=ignore_changes)
+        ignore_deletes=ignore_deletes, ignore_changes=ignore_changes,
+        allow_initial_changes=False)
 
     # One scan over all files; version and partition values attached via a
     # broadcast path-keyed join (same mechanism as Snapshot.to_df).

@@ -377,6 +377,11 @@ class DeltaTable:
             raise FileNotFoundError("table does not exist")
         txn.read_whole_table()
         target = snap.to_df().alias("t")
+        # Materialize the source once: it is referenced by three plans
+        # (touched-file discovery, matched join, insert anti-join) and a
+        # nondeterministic source (limit/sample/rand) would otherwise give
+        # each a different view -- the classic merge-source hazard.
+        source = source.localCheckpoint(eager=True)
         src = source.alias("s")
         cond = F.expr(condition) if isinstance(condition, str) else condition
 

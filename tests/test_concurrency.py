@@ -1,0 +1,138 @@
+"""Concurrent-commit matrix, modeled on the reference's
+OSSCompatibilitySuite.scala:216-421 + OptimisticTransactionSuite scenarios:
+which pairs of concurrent transactions must succeed and which must raise.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from connectors_spark import DeltaTable, Metadata, Protocol
+from connectors_spark.errors import (ConcurrentAppendException,
+                                     ConcurrentDeleteDeleteException,
+                                     ConcurrentDeleteReadException,
+                                     ConcurrentTransactionException,
+                                     MetadataChangedException,
+                                     ProtocolChangedException)
+from connectors_spark.expressions import Col
+from connectors_spark.log.actions import SetTransaction
+from tests.conftest import read_table
+
+
+def _partitioned_table(spark, path):
+    orders = read_table(spark, "orders")
+    t = DeltaTable.for_path(spark, str(path))
+    t.write(orders, partition_by=["o_orderstatus"])
+    return t, orders
+
+
+def _stage(t, df, status):
+    """Stage files for partition o_orderstatus=<status> without committing."""
+    from connectors_spark.writer import stage_and_collect
+    return stage_and_collect(df.where(f"o_orderstatus = '{status}'"),
+                             t.path, ["o_orderstatus"])
+
+
+def test_disjoint_partition_appends_allowed(spark, tmp_path):
+    t, orders = _partitioned_table(spark, tmp_path / "a")
+    txn1 = t.log.start_transaction()
+    txn1.mark_files_as_read(Col("o_orderstatus") == "F")
+    txn2 = t.log.start_transaction()
+    txn2.mark_files_as_read(Col("o_orderstatus") == "O")
+    adds2 = _stage(t, orders.limit(50), "O")
+    v2 = txn2.commit(adds2, "WRITE")
+    # txn1 read partition F; txn2 appended to O -> no conflict, retries to v2+1
+    adds1 = _stage(t, orders.limit(50), "F")
+    v1 = txn1.commit(adds1, "WRITE")
+    assert v1 == v2 + 1
+
+
+def test_append_into_read_partition_conflicts(spark, tmp_path):
+    t, orders = _partitioned_table(spark, tmp_path / "b")
+    txn1 = t.log.start_transaction()
+    txn1.mark_files_as_read(Col("o_orderstatus") == "F")
+    DeltaTable.for_path(spark, t.path).write(
+        orders.where("o_orderstatus = 'F'").limit(20), mode="append")
+    adds1 = _stage(t, orders.limit(50), "F")
+    with pytest.raises(ConcurrentAppendException):
+        txn1.commit(adds1, "WRITE")
+
+
+def test_blind_appends_never_conflict_with_each_other(spark, tmp_path):
+    t, orders = _partitioned_table(spark, tmp_path / "c")
+    txn1 = t.log.start_transaction()   # no reads recorded -> blind append
+    DeltaTable.for_path(spark, t.path).write(orders.limit(30), mode="append")
+    adds1 = _stage(t, orders.limit(50), "F")
+    v = txn1.commit(adds1, "WRITE")
+    assert v == 2
+
+
+def test_delete_vs_disjoint_read_allowed(spark, tmp_path):
+    t, orders = _partitioned_table(spark, tmp_path / "d")
+    txn1 = t.log.start_transaction()
+    txn1.mark_files_as_read(Col("o_orderstatus") == "O")
+    DeltaTable.for_path(spark, t.path).delete(Col("o_orderstatus") == "F")
+    adds1 = _stage(t, orders.limit(50), "O")
+    v = txn1.commit(adds1, "WRITE")
+    assert v == 2
+
+
+def test_delete_read_overlap_conflicts(spark, tmp_path):
+    t, orders = _partitioned_table(spark, tmp_path / "e")
+    txn1 = t.log.start_transaction()
+    files = txn1.mark_files_as_read(Col("o_orderstatus") == "F")
+    assert files
+    DeltaTable.for_path(spark, t.path).delete(Col("o_orderstatus") == "F")
+    adds1 = _stage(t, orders.limit(50), "F")
+    with pytest.raises((ConcurrentDeleteReadException,
+                        ConcurrentAppendException)):
+        txn1.commit(adds1, "WRITE")
+
+
+def test_delete_delete_conflicts(spark, tmp_path):
+    t, orders = _partitioned_table(spark, tmp_path / "f")
+    txn1 = t.log.start_transaction()
+    files = [f for f in txn1.snapshot.all_files()
+             if f.partitionValues.get("o_orderstatus") == "F"]
+    now = int(time.time() * 1000)
+    removes = [f.remove(now) for f in files]
+    DeltaTable.for_path(spark, t.path).delete(Col("o_orderstatus") == "F")
+    with pytest.raises(ConcurrentDeleteDeleteException):
+        txn1.commit(removes, "DELETE")
+
+
+def test_metadata_change_conflicts(spark, tmp_path):
+    t, orders = _partitioned_table(spark, tmp_path / "g")
+    txn1 = t.log.start_transaction()
+    txn1.read_whole_table()
+    # winning commit changes metadata (adds a nullable column)
+    t2 = DeltaTable.for_path(spark, t.path)
+    t2.write(orders.withColumn(
+        "extra", F.when(F.col("o_orderkey") >= 0, F.lit("x"))),
+        mode="append")
+    adds1 = _stage(t, orders.limit(50), "F")
+    with pytest.raises(MetadataChangedException):
+        txn1.commit(adds1, "WRITE")
+
+
+def test_txn_overlap_conflicts(spark, tmp_path):
+    t, orders = _partitioned_table(spark, tmp_path / "h")
+    txn1 = t.log.start_transaction()
+    assert txn1.txn_version("app-1") == -1
+    txn2 = t.log.start_transaction()
+    txn2.commit([SetTransaction("app-1", 7)], "STREAMING UPDATE")
+    adds1 = _stage(t, orders.limit(50), "F")
+    with pytest.raises(ConcurrentTransactionException):
+        txn1.commit(adds1 + [SetTransaction("app-1", 8)], "STREAMING UPDATE")
+
+
+def test_set_transaction_visible(spark, tmp_path):
+    t, orders = _partitioned_table(spark, tmp_path / "i")
+    txn = t.log.start_transaction()
+    txn.commit([SetTransaction("job-42", 3)], "STREAMING UPDATE")
+    snap = t.log.snapshot()
+    assert snap.txn_version("job-42") == 3
+    assert snap.txn_version("unknown") == -1
