@@ -1,0 +1,147 @@
+"""Text-analysis column functions: tokenization, shingling, hashing,
+fingerprinting, quality metrics, language-ID.
+
+All pure `pyspark.sql.functions` expressions (vectorized, codegen'd,
+no Python UDFs) — this is the hot path for 100 TB document pipelines,
+so every function here stays JVM-side.
+
+Determinism contract: hashes derive from md5 (identical across Spark,
+DuckDB, and any engine), NOT xxhash64/murmur (seed/implementation
+specific). `hash64` gives a uniform 60-bit integer usable for minhash
+permutations and simhash bit sampling.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Union[Column, str]
+
+
+def _c(c: ColumnOrName) -> Column:
+    return c if isinstance(c, Column) else F.col(c)
+
+
+# --------------------------------------------------------------------------
+# Tokenization & shingling
+# --------------------------------------------------------------------------
+
+def tokens(text: ColumnOrName) -> Column:
+    """Whitespace tokens with empties removed (array<string>)."""
+    return F.filter(F.split(_c(text), " "), lambda t: t != F.lit(""))
+
+
+def token_count(text: ColumnOrName) -> Column:
+    return F.size(tokens(text))
+
+
+def ngram_shingles(text: ColumnOrName, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>).
+
+    Built from `transform` over an index sequence so the whole thing is
+    one codegen'd expression; `array_distinct` gives set semantics for
+    Jaccard. Docs shorter than n words yield an empty array.
+    """
+    t = tokens(text)
+    grams = F.transform(F.sequence(F.lit(0), F.size(t) - n),
+                        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+    return F.when(F.size(t) >= n, F.array_distinct(grams)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+# --------------------------------------------------------------------------
+# Deterministic hashing
+# --------------------------------------------------------------------------
+
+def hash64(s: ColumnOrName) -> Column:
+    """Deterministic 60-bit non-negative hash of a string.
+
+    First 15 hex chars of md5 parsed base-16 → fits in a BIGINT.
+    DuckDB-oracle equivalent: ``('0x' || substring(md5(s),1,15))::BIGINT``.
+    """
+    return F.conv(F.substring(F.md5(_c(s)), 1, 15), 16, 10).cast("long")
+
+
+def fingerprint(text: ColumnOrName) -> Column:
+    """Canonical document fingerprint: md5 of the normalized text
+    (lowercased, whitespace collapsed). Exact-dedup key."""
+    norm = F.regexp_replace(F.trim(F.lower(_c(text))), r"\s+", " ")
+    return F.md5(norm)
+
+
+# --------------------------------------------------------------------------
+# Quality metrics
+# --------------------------------------------------------------------------
+
+STOPWORDS_EN: List[str] = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "by", "at", "this", "that",
+]
+
+
+def stopword_ratio(text: ColumnOrName,
+                   stopwords: List[str] = STOPWORDS_EN) -> Column:
+    """Fraction of tokens that are stopwords (0.0 when no tokens)."""
+    t = tokens(text)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    hits = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    return F.when(F.size(t) > 0,
+                  hits.cast("double") / F.size(t).cast("double")
+                  ).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: ColumnOrName) -> Column:
+    """Fraction of characters that are not [a-z0-9 ] (lowercased)."""
+    low = F.lower(_c(text))
+    stripped = F.regexp_replace(low, "[a-z0-9 ]", "")
+    return F.when(F.length(low) > 0,
+                  F.length(stripped).cast("double") /
+                  F.length(low).cast("double")).otherwise(F.lit(0.0))
+
+
+# --------------------------------------------------------------------------
+# Language ID (marker-word heuristic)
+# --------------------------------------------------------------------------
+
+# Small high-frequency marker lists per language. A real system would use
+# character n-gram models; the heuristic keeps the whole computation as a
+# vectorized Catalyst expression — and is exactly reproducible in SQL.
+LANG_MARKERS: Dict[str, List[str]] = {
+    "en": ["the", "and", "of", "is", "to", "with"],
+    "es": ["el", "la", "de", "que", "los", "una"],
+    "fr": ["le", "la", "les", "des", "est", "une"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "zh": ["de", "shi", "le", "zai", "he", "you"],
+}
+
+
+def lang_scores(text: ColumnOrName,
+                markers: Dict[str, List[str]] = LANG_MARKERS
+                ) -> Dict[str, Column]:
+    t = tokens(text)
+    out: Dict[str, Column] = {}
+    for lang, words in markers.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+    return out
+
+
+def lang_id(text: ColumnOrName,
+            markers: Dict[str, List[str]] = LANG_MARKERS) -> Column:
+    """argmax language by marker-hit count; ties and all-zero → 'en'.
+
+    Deterministic tie-break: languages compared in sorted-name order,
+    strict `>` needed to displace the incumbent.
+    """
+    scores = lang_scores(text, markers)
+    langs = sorted(markers)
+    best_lang = F.lit("en")
+    best_score = scores[langs[0]] * 0  # typed zero
+    for lang in langs:
+        is_better = scores[lang] > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("en"))

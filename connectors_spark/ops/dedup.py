@@ -1,0 +1,267 @@
+"""Document deduplication operators (SURVEY.md §7 / training-data pipeline).
+
+Four families, each scale-first:
+
+- **Exact** — hash-groupBy on a normalized fingerprint. One shuffle on a
+  16-byte key; at 100 TB this is the cheapest possible dedup.
+- **N-gram Jaccard** — exact set similarity, but NEVER all-pairs: candidate
+  pairs come from an inverted shingle index (explode → self-join on shingle
+  → groupBy pair). Hot shingles are capped (`max_shingle_freq`, cf. stop
+  words) so one ubiquitous shingle can't create an O(n²) bucket.
+- **MinHash + LSH** — k deterministic permutations folded into ONE
+  aggregation pass over the exploded shingles (map-side combine), banded
+  so only same-band docs join. The classic scale path: shuffle volume is
+  O(docs × bands), not O(docs²).
+- **SimHash** — 60-bit signature via per-bit vote aggregation, near-dup
+  candidates from 15-bit band buckets, verified with `bit_count(xor)`.
+
+All hashing is md5-derived (see functions.text.hash64) so every operator
+is reproducible in a double-entry SQL oracle. No Python UDFs anywhere —
+every expression is Catalyst-codegen'd.
+
+Reference parity note: delta-io/connectors has no dedup operators; these
+are the §7 extensions. The LSH shape follows the published MinHash/LSH
+literature (Broder '97; Leskovec et al., "Mining of Massive Datasets").
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, hash64, ngram_shingles, tokens
+
+# Prime modulus > 2^32 and multiplier bound 2^29 keep a*h+b < 2^62:
+# no BIGINT overflow in Spark OR the SQL oracle (DuckDB errors on
+# overflow; Spark wraps — identical only if we never overflow).
+MINHASH_PRIME = 4294967311
+
+# 16 fixed (a, b) permutation constants, a ∈ [1, 2^29), b ∈ [0, P).
+# Hardcoded so signatures are stable across runs/engines.
+MINHASH_PERMS: List[Tuple[int, int]] = [
+    (268041533, 1929943859), (488076719, 3527867887), (104395303, 2971215073),
+    (387420489, 1046527441), (536812103, 3628273133), (225058681, 2038074743),
+    (472882027, 3267000013), (323507003, 1823829241), (198491317, 2797050013),
+    (533000389, 3464871019), (137438953, 1472033447), (429496729, 3091567403),
+    ( 86028121, 2147483647), (507892117, 3739208719), (179424673, 1300609249),
+    (463291321, 3323707379),
+]
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text",
+                     out: str = "fp") -> DataFrame:
+    return df.withColumn(out, fingerprint(text_col))
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per exact-content group.
+
+    Single hash aggregation: shuffle key is the md5 fingerprint, so data
+    is near-uniformly distributed — no skew at any scale.
+    """
+    return (with_fingerprint(df, text_col)
+            .groupBy("fp")
+            .agg(F.min(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias("group_size"))
+            )
+
+
+def exact_dup_stats(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Corpus-level exact-dup summary: docs, distinct contents, dup docs."""
+    groups = dedup_exact(df, id_col, text_col)
+    return groups.agg(
+        F.sum("group_size").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        (F.sum("group_size") - F.count(F.lit(1))).cast("long")
+        .alias("n_exact_dups"),
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard (exact verification; inverted-index candidates)
+# --------------------------------------------------------------------------
+
+def shingle_sets(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingles array, set size) — the base relation for Jaccard."""
+    return (df.select(F.col(id_col).alias("_id"),
+                      ngram_shingles(text_col, n).alias("_sh"))
+            .withColumn("_sz", F.size("_sh")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.8,
+                        max_shingle_freq: Optional[int] = None) -> DataFrame:
+    """Exact Jaccard-similar pairs above `threshold`.
+
+    Plan shape (scale-critical):
+      explode shingles → (optional hot-shingle cap) → self-join on the
+      shingle (equi-join, hash-partitioned by shingle) → groupBy (a, b)
+      count shared → join back the two set sizes → filter on Jaccard.
+
+    Candidate generation cost is Σ_s freq(s)², so `max_shingle_freq`
+    matters on real corpora: a boilerplate shingle appearing in 1M docs
+    would otherwise emit 10¹² pairs. Pairs that lose capped shingles can
+    only be *under*-counted, which for high thresholds is the safe side.
+    """
+    sh = shingle_sets(df, id_col, text_col, n)
+    ex = sh.select("_id", F.explode("_sh").alias("_g"))
+    if max_shingle_freq is not None:
+        hot = (ex.groupBy("_g").count()
+               .filter(F.col("count") > max_shingle_freq).select("_g"))
+        ex = ex.join(hot, "_g", "left_anti")
+    a = ex.select(F.col("_id").alias("a_id"), "_g")
+    b = ex.select(F.col("_id").alias("b_id"), "_g")
+    shared = (a.join(b, "_g")
+              .filter(F.col("a_id") < F.col("b_id"))
+              .groupBy("a_id", "b_id")
+              .agg(F.count(F.lit(1)).alias("_shared")))
+    sz = sh.select("_id", "_sz")
+    out = (shared
+           .join(sz.withColumnRenamed("_id", "a_id")
+                   .withColumnRenamed("_sz", "_asz"), "a_id")
+           .join(sz.withColumnRenamed("_id", "b_id")
+                   .withColumnRenamed("_sz", "_bsz"), "b_id")
+           .withColumn("jaccard",
+                       F.col("_shared").cast("double") /
+                       (F.col("_asz") + F.col("_bsz") - F.col("_shared"))
+                       .cast("double"))
+           .filter(F.col("jaccard") >= threshold)
+           .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard")))
+    return out
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       num_perm: int = 16) -> DataFrame:
+    """One row per doc: mh_0..mh_{k-1} minhash signature columns.
+
+    Single explode + single aggregation: all k permutation-mins are
+    computed as k agg expressions over one pass (partial aggregation
+    combines map-side, so shuffle rows = docs, not docs × shingles).
+    """
+    perms = MINHASH_PERMS[:num_perm]
+    ex = (shingle_sets(df, id_col, text_col, n)
+          .select("_id", F.explode("_sh").alias("_g"))
+          .withColumn("_h", hash64(F.col("_g")) % MINHASH_PRIME))
+    aggs = [F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MINHASH_PRIME)
+            .alias(f"mh_{i}") for i, (a, b) in enumerate(perms)]
+    return ex.groupBy("_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      num_perm: int = 16, bands: int = 4,
+                      threshold: float = 0.8) -> DataFrame:
+    """Near-dup pairs: LSH candidate generation + exact Jaccard verify.
+
+    Bands of rows=k/b signature values form bucket keys; docs sharing any
+    band bucket become candidates (shuffle O(docs×bands)); candidates are
+    verified with exact shingle-set Jaccard (array_intersect on the two
+    docs' shingle arrays — only for candidate pairs, never all pairs).
+    """
+    rows = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    band_cols = []
+    for bi in range(bands):
+        key = F.md5(F.concat_ws(
+            ",", *[F.col(f"mh_{bi * rows + r}").cast("string")
+                   for r in range(rows)]))
+        band_cols.append(F.struct(F.lit(bi).alias("band"),
+                                  key.alias("key")).alias(f"b{bi}"))
+    buckets = (sig.select("_id", F.explode(F.array(*band_cols)).alias("bk"))
+               .select("_id", "bk.band", "bk.key"))
+    left = buckets.select(F.col("_id").alias("a_id"), "band", "key")
+    right = buckets.select(F.col("_id").alias("b_id"), "band", "key")
+    cand = (left.join(right, ["band", "key"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id").distinct())
+    sh = shingle_sets(df, id_col, text_col, n)
+    j = (cand
+         .join(sh.select(F.col("_id").alias("a_id"),
+                         F.col("_sh").alias("_ash"),
+                         F.col("_sz").alias("_asz")), "a_id")
+         .join(sh.select(F.col("_id").alias("b_id"),
+                         F.col("_sh").alias("_bsh"),
+                         F.col("_sz").alias("_bsz")), "b_id")
+         .withColumn("_shared",
+                     F.size(F.array_intersect("_ash", "_bsh")))
+         .withColumn("jaccard",
+                     F.col("_shared").cast("double") /
+                     (F.col("_asz") + F.col("_bsz") - F.col("_shared"))
+                     .cast("double"))
+         .filter(F.col("jaccard") >= threshold)
+         .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard")))
+    return j
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 60          # hash64 yields 60 usable bits (15 hex chars)
+SIMHASH_BAND_BITS = 15     # 4 bands × 15 bits
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """60-bit SimHash per doc (token-frequency weighted).
+
+    explode tokens → one aggregation with 60 per-bit vote sums (map-side
+    combined) → recombine votes into a single BIGINT. One shuffle keyed
+    by doc id.
+    """
+    ex = (df.select(F.col(id_col).alias("_id"),
+                    F.explode(tokens(text_col)).alias("_t"))
+          .withColumn("_h", hash64(F.col("_t"))))
+    votes = [F.sum(F.when(F.shiftright("_h", j).bitwiseAND(F.lit(1)) == 1,
+                          1).otherwise(-1)).alias(f"v{j}")
+             for j in range(SIMHASH_BITS)]
+    agg = ex.groupBy("_id").agg(*votes)
+    sim: Column = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"v{j}") > 0,
+                           F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return agg.select("_id", sim.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  max_hamming: int = 9) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ max_hamming.
+
+    Band join: 4 chunks of 15 bits; by pigeonhole any pair within
+    Hamming 3·(bands-1) shares some chunk SOMETIMES — for guaranteed
+    recall at distance d you need d < bands; here bands=4 guarantees
+    recall for d ≤ 3 and probabilistically catches larger d. Verification
+    is exact bit_count(xor).
+    """
+    sh = simhash(df, id_col, text_col)
+    chunks = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftright("simhash", i * SIMHASH_BAND_BITS)
+                 .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                 .alias("key"))
+        for i in range(SIMHASH_BITS // SIMHASH_BAND_BITS)])
+    b = (sh.select("_id", "simhash", F.explode(chunks).alias("c"))
+         .select("_id", "simhash", "c.band", "c.key"))
+    left = b.select(F.col("_id").alias("a_id"),
+                    F.col("simhash").alias("a_sim"), "band", "key")
+    right = b.select(F.col("_id").alias("b_id"),
+                     F.col("simhash").alias("b_sim"), "band", "key")
+    return (left.join(right, ["band", "key"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id",
+                    F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
+                    .alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming))

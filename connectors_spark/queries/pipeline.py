@@ -1,0 +1,320 @@
+"""Training-data pipeline suite: dedup, similarity search, text
+analysis, multimodal — the §7 extension operators, each with a
+double-entry DuckDB oracle where SQL can express it.
+
+The oracle SQL re-derives the exact same md5-based hashing and
+double-precision arithmetic, so a hash-compare pins the operator's
+semantics, not just its row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import (LANG_MARKERS, STOPWORDS_EN, lang_id,
+                              punct_ratio, stopword_ratio, token_count)
+from ..ops import dedup as dd
+from ..ops import multimodal as mm
+from ..ops import similarity as sim
+from .registry import load, register
+
+# Shared oracle CTEs ------------------------------------------------------
+
+_TOKS = """
+toks AS (
+  SELECT doc_id, lang, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents)
+"""
+
+_SHINGLES = _TOKS + """,
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in range(1, len(t) - 1)])
+              ELSE [] END AS s
+  FROM toks)
+"""
+
+_H64 = "('0x' || substring(md5({v}), 1, 15))::BIGINT"
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+@register("doc_exact_dup_stats", sql=r"""
+WITH fp AS (
+  SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f
+  FROM documents)
+SELECT count(*)::BIGINT AS n_docs,
+       count(DISTINCT f)::BIGINT AS n_unique,
+       (count(*) - count(DISTINCT f))::BIGINT AS n_exact_dups
+FROM fp
+""")
+def doc_exact(spark, sf_dir):
+    return dd.exact_dup_stats(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (inverted-index candidates)
+# --------------------------------------------------------------------------
+
+@register("doc_ngram_jaccard_pairs", sql=f"""
+WITH {_SHINGLES},
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+shared AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS c
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(s) AS z FROM sh)
+SELECT a_id, b_id,
+       round(c::DOUBLE / (za.z + zb.z - c), 6) AS jaccard
+FROM shared JOIN sz za ON za.doc_id = a_id
+            JOIN sz zb ON zb.doc_id = b_id
+WHERE c::DOUBLE / (za.z + zb.z - c) >= 0.8
+""", bench=True)
+def doc_jaccard(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(load(spark, sf_dir, "documents"),
+                                  threshold=0.8)
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs
+# --------------------------------------------------------------------------
+
+def _perm_values() -> str:
+    return ", ".join(f"({i}, {a}, {b})"
+                     for i, (a, b) in enumerate(dd.MINHASH_PERMS))
+
+
+@register("doc_minhash_lsh_pairs", sql=f"""
+WITH {_SHINGLES},
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+h AS (SELECT doc_id, {_H64.format(v='g')} % {dd.MINHASH_PRIME} AS hv FROM ex),
+perms(i, a, b) AS (VALUES {_perm_values()}),
+sig AS (
+  SELECT doc_id, i, min((a * hv + b) % {dd.MINHASH_PRIME}) AS m
+  FROM h CROSS JOIN perms GROUP BY 1, 2),
+bnd AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(string_agg(m::VARCHAR, ',' ORDER BY i)) AS key
+  FROM sig GROUP BY doc_id, i // 4),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bnd a JOIN bnd b ON a.band = b.band AND a.key = b.key
+                        AND a.doc_id < b.doc_id),
+ver AS (
+  SELECT a_id, b_id,
+         len(list_intersect(sa.s, sb.s))::BIGINT AS c,
+         len(sa.s) AS za, len(sb.s) AS zb
+  FROM cand JOIN sh sa ON sa.doc_id = a_id
+            JOIN sh sb ON sb.doc_id = b_id)
+SELECT a_id, b_id, round(c::DOUBLE / (za + zb - c), 6) AS jaccard
+FROM ver WHERE c::DOUBLE / (za + zb - c) >= 0.8
+""", bench=True)
+def doc_minhash(spark, sf_dir):
+    return dd.minhash_lsh_pairs(load(spark, sf_dir, "documents"),
+                                threshold=0.8)
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup pairs
+# --------------------------------------------------------------------------
+
+@register("doc_simhash_pairs", sql=f"""
+WITH {_TOKS},
+tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+h AS (SELECT doc_id, {_H64.format(v='w')} AS hv FROM tok),
+bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS j)
+  GROUP BY 1, 2),
+simh AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+         AS simhash
+  FROM bits GROUP BY 1),
+chunks AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> (band * 15)) & 32767 AS key
+  FROM simh CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                  a.simhash AS asim, b.simhash AS bsim
+  FROM chunks a JOIN chunks b ON a.band = b.band AND a.key = b.key
+                              AND a.doc_id < b.doc_id)
+SELECT a_id, b_id, bit_count(xor(asim, bsim))::INTEGER AS hamming
+FROM cand WHERE bit_count(xor(asim, bsim)) <= 9
+""")
+def doc_simhash(spark, sf_dir):
+    return (dd.simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=9)
+            .select("a_id", "b_id", F.col("hamming").cast("int").alias("hamming")))
+
+
+# --------------------------------------------------------------------------
+# Text quality stats per language
+# --------------------------------------------------------------------------
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+
+
+@register("doc_text_stats", sql=f"""
+WITH {_TOKS},
+per AS (
+  SELECT toks.lang, len(t) AS n_toks,
+         CASE WHEN len(t) > 0
+              THEN len(list_filter(t, x -> list_contains([{_SW}], x)))::DOUBLE
+                   / len(t) ELSE 0.0 END AS swr,
+         CASE WHEN length(lower(d.text)) > 0
+              THEN length(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                   / length(lower(d.text)) ELSE 0.0 END AS pr
+  FROM toks JOIN documents d USING (doc_id))
+SELECT lang, count(*)::BIGINT AS n_docs,
+       round(avg(n_toks), 4) AS avg_tokens,
+       round(avg(swr), 6) AS avg_stopword_ratio,
+       round(avg(pr), 6) AS avg_punct_ratio
+FROM per GROUP BY lang
+""")
+def doc_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (docs.select("lang",
+                        token_count("text").alias("_nt"),
+                        stopword_ratio("text").alias("_swr"),
+                        punct_ratio("text").alias("_pr"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("_nt"), 4).alias("avg_tokens"),
+                 F.round(F.avg("_swr"), 6).alias("avg_stopword_ratio"),
+                 F.round(F.avg("_pr"), 6).alias("avg_punct_ratio")))
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion counts
+# --------------------------------------------------------------------------
+
+def _lang_sql_scores() -> str:
+    parts = []
+    for lg in sorted(LANG_MARKERS):
+        words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lg])
+        parts.append(
+            f"len(list_filter(t, x -> list_contains([{words}], x))) AS s_{lg}")
+    return ", ".join(parts)
+
+
+def _lang_sql_argmax() -> str:
+    langs = sorted(LANG_MARKERS)
+    g = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    whens = "\n".join(f"WHEN s_{lg} = {g} THEN '{lg}'" for lg in langs)
+    return f"CASE WHEN {g} = 0 THEN 'en'\n{whens}\nEND"
+
+
+@register("doc_lang_id", sql=f"""
+WITH {_TOKS},
+sc AS (SELECT doc_id, lang, {_lang_sql_scores()} FROM toks)
+SELECT lang, {_lang_sql_argmax()} AS pred, count(*)::BIGINT AS n
+FROM sc GROUP BY 1, 2
+""")
+def doc_lang(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (docs.select("lang", lang_id("text").alias("pred"))
+            .groupBy("lang", "pred").agg(F.count(F.lit(1)).alias("n")))
+
+
+# --------------------------------------------------------------------------
+# Token top-k
+# --------------------------------------------------------------------------
+
+@register("doc_token_topk", sql=f"""
+WITH {_TOKS}
+SELECT w AS token, count(*)::BIGINT AS n
+FROM (SELECT unnest(t) AS w FROM toks)
+GROUP BY w ORDER BY n DESC, token LIMIT 20
+""")
+def doc_tokens(spark, sf_dir):
+    from ..functions.text import tokens
+    docs = load(spark, sf_dir, "documents")
+    return (docs.select(F.explode(tokens("text")).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("token")).limit(20))
+
+
+# --------------------------------------------------------------------------
+# Multimodal: fake decode via Arrow-batched mapInPandas
+# --------------------------------------------------------------------------
+
+@register("mm_decode_features", sql="""
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         octet_length(encode(text))::BIGINT AS n_bytes
+  FROM documents)
+SELECT doc_id, kind, n_bytes,
+       (16 + n_bytes % 32)::INTEGER AS width,
+       (16 + n_bytes % 17)::INTEGER AS height,
+       (CASE WHEN kind = 'image' THEN 1 ELSE n_bytes % 100 END)::INTEGER
+       AS n_frames
+FROM m
+""")
+def mm_decode(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return mm.fake_decode_features(mm.attach_fake_media(docs))
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+@register("emb_cosine_topk", sql="""
+WITH u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings),
+n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+d AS (
+  SELECT uq.vec_id AS qid, uc.vec_id AS cid, sum(uq.v * uc.v) AS dot
+  FROM u uq JOIN u uc ON uq.i = uc.i
+  WHERE uq.vec_id < 5 AND uc.vec_id <> uq.vec_id
+  GROUP BY 1, 2),
+s AS (
+  SELECT qid, cid, round(dot / nq.nrm / nc.nrm, 6) AS sim
+  FROM d JOIN n nq ON nq.vec_id = qid JOIN n nc ON nc.vec_id = cid)
+SELECT qid AS query_id, cid AS vec_id, sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY sim DESC, cid) AS rank
+  FROM s) WHERE rank <= 5
+""", bench=True)
+def emb_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = sim.cosine_topk(emb, queries, k=5)
+    return out.select("query_id", "vec_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+@register("emb_norm_stats", sql="""
+WITH u AS (
+  SELECT vec_id, label, unnest(embedding)::DOUBLE AS v FROM embeddings),
+n AS (SELECT vec_id, label, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1, 2)
+SELECT label, count(*)::BIGINT AS n_vectors,
+       round(avg(nrm), 6) AS avg_norm,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm
+FROM n GROUP BY label
+""")
+def emb_stats(spark, sf_dir):
+    return sim.embedding_norm_stats(load(spark, sf_dir, "embeddings"))
+
+
+# Rows-only (approximate; recall measured in tests, not hash-matched):
+@register("emb_ann_lsh_topk", sql=None, bench=True)
+def emb_ann(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return sim.ann_lsh_topk(emb, queries, k=5, dim=64, num_planes=8,
+                            multiprobe=2)

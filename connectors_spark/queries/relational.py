@@ -1,0 +1,374 @@
+"""Relational analytics suite: TPC-H-adapted queries over the testdata
+star schema plus event-stream queries (sessionization, rollups).
+
+Spark-first plan notes per query are inline — the goal at 100 TB:
+- dimension joins BROADCAST (region/nation/supplier — and customer when
+  it fits; at real TPC-H scale customer shuffles, AQE decides),
+- aggregations rely on partial (map-side) aggregation,
+- filters sit directly on the scan so Catalyst pushes them into Parquet
+  (verified via .explain: PushedFilters), and only needed columns are
+  selected before joins (ReadSchema pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from .registry import load, register
+
+
+# --------------------------------------------------------------------------
+# Q1 pricing summary report (TPC-H Q1 adapted)
+# --------------------------------------------------------------------------
+
+@register("q1_pricing_summary", sql="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                   AS sum_qty,
+       round(sum(l_extendedprice), 2)                              AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4)                                   AS avg_qty,
+       round(avg(l_extendedprice), 4)                              AS avg_price,
+       round(avg(l_discount), 6)                                   AS avg_disc,
+       count(*)                                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+""", bench=True)
+def q1(spark, sf_dir):
+    # Single scan → partial agg → 6-group final agg. Filter + 7-column
+    # projection push into the Parquet reader; no join, no skew.
+    li = load(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                               * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+# --------------------------------------------------------------------------
+# Q3 shipping priority (TPC-H Q3 adapted)
+# --------------------------------------------------------------------------
+
+@register("q3_shipping_priority", sql="""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""", bench=True)
+def q3(spark, sf_dir):
+    # customer is the selective dimension (1/5 segment) → broadcast it
+    # into orders, then join the big fact last so the only shuffle is the
+    # orders⋈lineitem equi-join (co-partitioned on orderkey by AQE).
+    cu = load(spark, sf_dir, "customer") \
+        .filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    od = load(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")) \
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")) \
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    return (od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+            .join(li, od.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(10))
+
+
+# --------------------------------------------------------------------------
+# Q5 local supplier volume (TPC-H Q5 adapted)
+# --------------------------------------------------------------------------
+
+@register("q5_local_supplier_volume", sql="""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation   ON c_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_nationkey = c_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""", bench=True)
+def q5(spark, sf_dir):
+    # region/nation/supplier/customer are all dimensions → broadcast
+    # chain; the fact tables join on orderkey. The "local" constraint
+    # (supplier nation == customer nation) is a post-join filter.
+    re = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    na = load(spark, sf_dir, "nation")
+    cu = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    od = load(spark, sf_dir, "orders") \
+        .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")) &
+                (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))) \
+        .select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    dim = (na.join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+           .select("n_nationkey", "n_name"))
+    return (od.join(li, od.o_orderkey == li.l_orderkey)
+            .join(cu, od.o_custkey == cu.c_custkey)
+            .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+            .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+            .join(F.broadcast(dim), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("n_name")))
+
+
+# --------------------------------------------------------------------------
+# Q6 forecast revenue change (TPC-H Q6 adapted)
+# --------------------------------------------------------------------------
+
+@register("q6_forecast_revenue", sql="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""", bench=True)
+def q6(spark, sf_dir):
+    # Pure scan-filter-agg: all four predicates push into Parquet
+    # (row-group min/max skipping on l_shipdate at scale).
+    li = load(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) &
+                      (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")) &
+                      (F.col("l_discount").between(0.05, 0.07)) &
+                      (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+                 .alias("revenue")))
+
+
+# --------------------------------------------------------------------------
+# Q10 returned-item reporting (TPC-H Q10 adapted)
+# --------------------------------------------------------------------------
+
+@register("q10_returned_items", sql="""
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""", bench=True)
+def q10(spark, sf_dir):
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_returnflag") == "R") \
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    na = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (od.join(li, od.o_orderkey == li.l_orderkey)
+            .join(cu, od.o_custkey == cu.c_custkey)
+            .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select("c_custkey", "c_name",
+                    F.round("c_acctbal", 2).alias("acctbal"), "n_name", "revenue")
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20))
+
+
+# --------------------------------------------------------------------------
+# Q14 promotion effect (TPC-H Q14 adapted)
+# --------------------------------------------------------------------------
+
+@register("q14_promo_revenue", sql="""
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+""")
+def q14(spark, sf_dir):
+    # part is a broadcast dimension; conditional aggregation avoids a
+    # second pass.
+    li = load(spark, sf_dir, "lineitem") \
+        .filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) &
+                (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))) \
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    pa = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+            .agg(F.round(100.0 * F.sum(F.when(F.col("p_type") == "PROMO", disc)
+                                       .otherwise(F.lit(0.0))) / F.sum(disc), 4)
+                 .alias("promo_revenue")))
+
+
+# --------------------------------------------------------------------------
+# Q18 large-volume customers (TPC-H Q18 adapted)
+# --------------------------------------------------------------------------
+
+@register("q18_large_volume_customer", sql="""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS totalprice,
+       round(big.sum_qty, 2)  AS sum_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) big
+JOIN orders   ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 100
+""", bench=True)
+def q18(spark, sf_dir):
+    # Aggregate-then-join: the HAVING collapses lineitem to a tiny key
+    # set which then BROADCASTS into orders — at 100 TB this inverts a
+    # giant join into agg + broadcast.
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("_sq"))
+           .filter(F.col("_sq") > 300))
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (od.join(F.broadcast(big), od.o_orderkey == big.l_orderkey)
+            .join(cu, od.o_custkey == cu.c_custkey)
+            .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                    F.round("o_totalprice", 2).alias("totalprice"),
+                    F.round("_sq", 2).alias("sum_qty"))
+            .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+            .limit(100))
+
+
+# --------------------------------------------------------------------------
+# Window: top orders per customer
+# --------------------------------------------------------------------------
+
+@register("w_top_orders_per_customer", sql="""
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rk
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders)
+WHERE rk <= 3
+""")
+def w_top_orders(spark, sf_dir):
+    od = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
+                                                F.asc("o_orderkey"))
+    return (od.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("o_custkey", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("totalprice"), "rk"))
+
+
+# --------------------------------------------------------------------------
+# Window: monthly revenue + running cumulative per priority
+# --------------------------------------------------------------------------
+
+@register("w_monthly_running_revenue", sql="""
+WITH m AS (
+  SELECT o_orderpriority, date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+         round(sum(o_totalprice), 2) AS month_rev
+  FROM orders GROUP BY 1, 2)
+SELECT o_orderpriority, month, month_rev,
+       round(sum(month_rev) OVER (PARTITION BY o_orderpriority ORDER BY month
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+       AS running_rev
+FROM m
+""")
+def w_running_rev(spark, sf_dir):
+    # Two-level: rounded monthly aggregate first so the running sum adds
+    # IDENTICAL doubles in identical (month) order on any engine.
+    od = load(spark, sf_dir, "orders")
+    m = (od.groupBy("o_orderpriority",
+                    F.date_trunc("month", "o_orderdate").alias("month"))
+         .agg(F.round(F.sum("o_totalprice"), 2).alias("month_rev")))
+    w = (Window.partitionBy("o_orderpriority").orderBy("month")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return m.withColumn("running_rev", F.round(F.sum("month_rev").over(w), 2))
+
+
+# --------------------------------------------------------------------------
+# Events: sessionization via lag gap (30 min)
+# --------------------------------------------------------------------------
+
+@register("ev_sessionize", sql="""
+WITH g AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events)
+SELECT user_id, count(*) AS n_events,
+       sum(CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000
+                THEN 1 ELSE 0 END)::BIGINT AS n_sessions
+FROM g GROUP BY user_id
+""", bench=True)
+def ev_sessionize(spark, sf_dir):
+    # lag over (user, ts) — the classic sessionize; one shuffle by
+    # user_id serves both the window and the final aggregation. Gaps are
+    # compared in exact epoch-microseconds (truncation/boundary semantics
+    # of second-granularity datediff differ across engines).
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return (ev.withColumn("_gap", us - F.lag(us).over(w))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.when(F.col("_gap").isNull() |
+                              (F.col("_gap") > 1800 * 1000000), 1)
+                       .otherwise(0)).alias("n_sessions")))
+
+
+# --------------------------------------------------------------------------
+# Events: hourly rollup
+# --------------------------------------------------------------------------
+
+@register("ev_hourly_rollup", sql="""
+SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def ev_hourly(spark, sf_dir):
+    # Tumbling-window rollup expressed as date_trunc groupBy — the batch
+    # twin of the Structured Streaming windowed agg in streaming/.
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+# --------------------------------------------------------------------------
+# Events: JSON props extraction + conditional agg
+# --------------------------------------------------------------------------
+
+@register("ev_props_json", sql="""
+SELECT event_type,
+       round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT))           AS max_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+""")
+def ev_props(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.avg(k), 4).alias("avg_k"),
+                 F.max(k).alias("max_k"),
+                 F.count(F.lit(1)).alias("n")))

@@ -67,14 +67,19 @@ def validated_adds_per_version(
 def changes_df(table, start_version: int = 0,
                end_version: Optional[int] = None,
                ignore_deletes: bool = False,
-               ignore_changes: bool = False) -> DataFrame:
-    """Added rows per version as one DataFrame (+``_commit_version``)."""
+               ignore_changes: bool = False,
+               allow_initial_changes: bool = False) -> DataFrame:
+    """Added rows per version as one DataFrame (+``_commit_version``).
+
+    ``allow_initial_changes`` exempts ``start_version`` from ST3
+    validation (needed when streaming from version 0: the creation
+    commit necessarily carries Protocol+Metadata)."""
     snap = table.log.snapshot()
     meta = snap.metadata
     per_version = validated_adds_per_version(
         table, start_version, end_version,
         ignore_deletes=ignore_deletes, ignore_changes=ignore_changes,
-        allow_initial_changes=False)
+        allow_initial_changes=allow_initial_changes)
 
     # One scan over all files; version and partition values attached via a
     # broadcast path-keyed join (same mechanism as Snapshot.to_df).

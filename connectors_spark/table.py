@@ -442,10 +442,12 @@ class DeltaTable:
     def changes_df(self, start_version: int = 0,
                    end_version: Optional[int] = None,
                    ignore_deletes: bool = False,
-                   ignore_changes: bool = False) -> DataFrame:
+                   ignore_changes: bool = False,
+                   allow_initial_changes: bool = False) -> DataFrame:
         """Rows added in [start_version, end_version] with a ``_commit_version``
         column; per-version validation per ST3 (ActionProcessor.java:56-110)."""
         from .streaming.changes import changes_df
         return changes_df(self, start_version, end_version,
                           ignore_deletes=ignore_deletes,
-                          ignore_changes=ignore_changes)
+                          ignore_changes=ignore_changes,
+                          allow_initial_changes=allow_initial_changes)
