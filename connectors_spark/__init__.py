@@ -8,11 +8,13 @@ reconstruction), plus large-scale training-data pipeline operators
 from .table import DeltaLog, DeltaTable
 from .scan import DeltaScan
 from .expressions import Col, Lit
+from .catalog import DeltaCatalog, read_delta
 from .log.actions import (AddFile, CommitInfo, Metadata, Protocol,
                           RemoveFile, SetTransaction)
 
 __all__ = [
     "DeltaLog", "DeltaTable", "DeltaScan", "Col", "Lit",
+    "DeltaCatalog", "read_delta",
     "AddFile", "CommitInfo", "Metadata", "Protocol", "RemoveFile",
     "SetTransaction",
 ]

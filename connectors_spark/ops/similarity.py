@@ -70,42 +70,51 @@ def _plane(dim: int, plane_idx: int) -> List[float]:
     return comps
 
 
-def signature_col(vec_col: str, dim: int, num_planes: int = 8):
-    """Column: integer LSH signature = sign-bit pattern over the planes."""
+def signature_col(vec_col: str, dim: int, num_planes: int,
+                  table_idx: int = 0):
+    """Column: integer LSH signature = sign-bit pattern over this hash
+    table's planes (each table uses an independent plane set)."""
     sig = F.lit(0).cast("long")
     for p in range(num_planes):
-        plane = F.array(*[F.lit(c) for c in _plane(dim, p)])
+        plane = F.array(*[F.lit(c)
+                          for c in _plane(dim, table_idx * num_planes + p)])
         d = dot_d(F.col(vec_col), plane)
         sig = sig + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(0)
     return sig
 
 
-def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-                 dim: int = 64, num_planes: int = 8,
-                 id_col: str = "vec_id", vec_col: str = "embedding",
-                 query_id_col: str = "query_id",
-                 multiprobe: int = 0) -> DataFrame:
-    """Approximate top-k: join on LSH bucket signature, rank in-bucket.
+def _bucket_keys(vec_col: str, dim: int, num_planes: int, num_tables: int):
+    """array<struct<tbl,sig>> — one bucket key per hash table."""
+    return F.array(*[
+        F.struct(F.lit(t).alias("tbl"),
+                 signature_col(vec_col, dim, num_planes, t).alias("sig"))
+        for t in range(num_tables)])
 
-    `multiprobe` > 0 additionally probes buckets at Hamming distance 1
-    on the first `multiprobe` signature bits (recall boost ~linear in
-    probes). The corpus side can be written bucket-partitioned so a
-    query touches one partition — that's the 100 TB layout.
+
+def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 dim: int = 64, num_planes: int = 3, num_tables: int = 12,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 query_id_col: str = "query_id") -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH.
+
+    L independent hash tables of m planes each: a close pair collides in
+    ≥1 table with prob 1-(1-p^m)^L where p = 1-θ/π. Candidates are the
+    union over tables (distinct), verified by exact cosine, ranked
+    in-candidate-set. Corpus-side cost is O(n·L) rows shuffled — at
+    100 TB the corpus would be WRITTEN bucket-partitioned once
+    (partitionBy(tbl, sig)) so each query probes L partitions instead
+    of scanning.
     """
-    csig = corpus.select(F.col(id_col).alias("_cid"),
-                         F.col(vec_col).alias("_cv"),
-                         signature_col(vec_col, dim, num_planes)
-                         .alias("_sig"))
-    qbase = queries.select(F.col(query_id_col).alias("_qid"),
-                           F.col(vec_col).alias("_qv"),
-                           signature_col(vec_col, dim, num_planes)
-                           .alias("_sig0"))
-    probes = [F.col("_sig0")]
-    for p in range(multiprobe):
-        probes.append(F.col("_sig0").bitwiseXOR(F.lit(1 << p)))
-    q = (qbase.select("_qid", "_qv",
-                      F.explode(F.array(*probes)).alias("_sig")))
-    scored = (csig.join(F.broadcast(q), "_sig")
+    keys = _bucket_keys(vec_col, dim, num_planes, num_tables)
+    csig = (corpus.select(F.col(id_col).alias("_cid"),
+                          F.col(vec_col).alias("_cv"),
+                          F.explode(keys).alias("_bk"))
+            .select("_cid", "_cv", "_bk.tbl", "_bk.sig"))
+    q = (queries.select(F.col(query_id_col).alias("_qid"),
+                        F.col(vec_col).alias("_qv"),
+                        F.explode(keys).alias("_bk"))
+         .select("_qid", "_qv", "_bk.tbl", "_bk.sig"))
+    scored = (csig.join(F.broadcast(q), ["tbl", "sig"])
               .filter(F.col("_cid") != F.col("_qid"))
               .select("_qid", "_cid",
                       F.round(cosine_d("_qv", "_cv"), 6).alias("sim"))

@@ -316,5 +316,4 @@ def emb_ann(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = (emb.filter(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return sim.ann_lsh_topk(emb, queries, k=5, dim=64, num_planes=8,
-                            multiprobe=2)
+    return sim.ann_lsh_topk(emb, queries, k=5, dim=64)

@@ -1,0 +1,230 @@
+"""Structured Streaming SOURCE: table version as the stream offset
+(reference ST1-ST5; SURVEY.md §2.9, §3.3).
+
+A Python DataSource (`spark.dataSource.register`) whose offset is the
+Delta table version — the exact analogue of the Flink connector's
+enumerator (ChangesProcessor.java:93-172): ``latestOffset`` polls the
+log, ``partitions(start, end)`` plans one input partition per validated
+data file in versions (start, end], executors read the Parquet and
+reattach partition values from the log.
+
+The planner runs Spark-free (pure-Python LogStore + action JSON parse)
+because Python data sources execute outside the driver's JVM session;
+the per-file reads use pyarrow and yield Arrow RecordBatches, so row
+data never passes through Python objects.
+
+Scale note: offsets advance by whole versions; each microbatch is
+planned as files → Spark distributes per-file partitions exactly as a
+batch scan would. Rate limiting = `maxVersionsPerBatch` (≍ Flink's
+per-poll changes cap). For very large appends per version, file-level
+split would go here.
+
+Usage:
+    spark.dataSource.register(DeltaStreamDataSource)
+    (spark.readStream.format("delta_stream")
+        .option("path", table_path)
+        .option("startingVersion", "0")          # or "latest"
+        .load())
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, List, Optional, Tuple
+
+from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
+                                    InputPartition)
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..errors import DeltaError
+from ..log import filenames as fn
+from ..log.actions import (AddFile, Metadata, Protocol, RemoveFile,
+                           from_json_line)
+from ..log.logstore import default_log_store, strip_scheme
+from ..partition_values import decode as decode_partition_value
+
+
+def _log_path(table_path: str) -> str:
+    return os.path.join(strip_scheme(table_path), "_delta_log")
+
+
+def _read_version_actions(store, log_path: str, version: int) -> list:
+    lines = store.read(fn.delta_file(log_path, version))
+    return [a for a in (from_json_line(ln) for ln in lines) if a is not None]
+
+
+def _list_versions(store, log_path: str, after: int) -> List[int]:
+    names = [n for n in store.list_from(log_path, "%020d" % max(after + 1, 0))
+             if fn.is_delta_file(n)]
+    return sorted(v for v in (fn.delta_version(n) for n in names)
+                  if v > after)
+
+
+def _latest_metadata(store, log_path: str) -> Metadata:
+    """Latest Metadata action by reverse delta-file scan (A2 shape,
+    Spark-free). Checkpoint-only logs are not expected for streaming
+    tables whose recent deltas are retained."""
+    names = [n for n in store.list_from(log_path) if fn.is_delta_file(n)]
+    for name in sorted(names, reverse=True):
+        for a in _read_version_actions(store, log_path,
+                                       fn.delta_version(name)):
+            if isinstance(a, Metadata):
+                return a
+    raise DeltaError(f"no Metadata found in {log_path}")
+
+
+class DeltaFilePartition(InputPartition):
+    def __init__(self, file_path: str, version: int,
+                 partition_values: dict):
+        self.file_path = file_path
+        self.version = version
+        self.partition_values = partition_values
+
+
+class DeltaVersionStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.table_path = options["path"]
+        self.log_path = _log_path(self.table_path)
+        self.store = default_log_store(self.table_path)
+        self.ignore_deletes = str(options.get("ignoredeletes",
+                                              "false")).lower() == "true"
+        self.ignore_changes = str(options.get("ignorechanges",
+                                              "false")).lower() == "true"
+        self.max_versions = int(options.get("maxversionsperbatch", "0")) or None
+        self.schema_json = schema.json()
+        starting = str(options.get("startingversion", "0"))
+        if starting == "latest":
+            vs = _list_versions(self.store, self.log_path, -1)
+            self.start_after = vs[-1] if vs else -1
+        else:
+            self.start_after = int(starting) - 1
+        meta = _latest_metadata(self.store, self.log_path)
+        self.partition_columns = list(meta.partitionColumns)
+        self.meta_schema_json = meta.schemaString
+
+    # ------------------------------------------------------------ offsets
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_after}
+
+    def latestOffset(self) -> dict:
+        vs = _list_versions(self.store, self.log_path, -1)
+        latest = vs[-1] if vs else self.start_after
+        if self.max_versions is not None:
+            # rate limit: at most N versions per microbatch — but never
+            # report less than already-consumed
+            latest = min(latest, self.start_after + self.max_versions) \
+                if latest > self.start_after else latest
+        return {"version": max(latest, self.start_after)}
+
+    # ---------------------------------------------------------- planning
+
+    def _validated_adds(self, version: int) -> List[AddFile]:
+        actions = _read_version_actions(self.store, self.log_path, version)
+        adds = [a for a in actions if isinstance(a, AddFile) and a.dataChange]
+        removes = [a for a in actions
+                   if isinstance(a, RemoveFile) and a.dataChange]
+        if version > 0:
+            # ST3 (ActionProcessor.java:56-110): creation commit exempt.
+            if any(isinstance(a, (Metadata, Protocol)) for a in actions):
+                raise DeltaError(
+                    f"metadata/protocol change at version {version} "
+                    f"mid-stream")
+            if removes and adds and not self.ignore_changes:
+                raise DeltaError(
+                    f"version {version} mixes adds and removes; set "
+                    f"ignoreChanges=true to stream its added rows")
+            if removes and not adds and not self.ignore_deletes:
+                raise DeltaError(
+                    f"version {version} deletes data; set "
+                    f"ignoreDeletes=true to skip it")
+        return adds
+
+    def partitions(self, start: dict, end: dict
+                   ) -> List[DeltaFilePartition]:
+        out: List[DeltaFilePartition] = []
+        for v in _list_versions(self.store, self.log_path, start["version"]):
+            if v > end["version"]:
+                break
+            for a in self._validated_adds(v):
+                p = a.path
+                if "://" not in p and not p.startswith("/"):
+                    p = os.path.join(strip_scheme(self.table_path), p)
+                out.append(DeltaFilePartition(p, v,
+                                              dict(a.partitionValues or {})))
+        return out
+
+    # ------------------------------------------------------------ reading
+
+    def read(self, partition: DeltaFilePartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        full = StructType.fromJson(json.loads(self.schema_json))
+        meta = StructType.fromJson(json.loads(self.meta_schema_json))
+        pcols = set(self.partition_columns)
+        data_fields = [f for f in meta.fields if f.name not in pcols]
+        tbl = pq.read_table(partition.file_path,
+                            columns=[f.name for f in data_fields])
+        n = tbl.num_rows
+        arrays, names = [], []
+        for f in full.fields:
+            if f.name == "_commit_version":
+                arrays.append(pa.array([partition.version] * n,
+                                       type=pa.int64()))
+            elif f.name in pcols:
+                val = decode_partition_value(
+                    partition.partition_values.get(f.name), f.dataType)
+                arrays.append(pa.array([val] * n,
+                                       type=to_arrow_type(f.dataType)))
+            else:
+                col = tbl.column(f.name)
+                arrays.append(col.cast(to_arrow_type(f.dataType)))
+            names.append(f.name)
+        out = pa.Table.from_arrays(arrays, names=names)
+        yield from out.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+def register_stream_source(spark) -> None:
+    """Register the ``delta_stream`` format, shipping this package's
+    code BY VALUE to the data-source Python workers.
+
+    Spark pickles a Python DataSource class by module reference; the
+    worker processes don't necessarily have connectors_spark on their
+    sys.path (e.g. driver started from another directory). Registering
+    the package's modules for pickle-by-value makes the source
+    self-contained — no install required on workers.
+    """
+    import sys
+
+    from pyspark import cloudpickle
+    for name, mod in list(sys.modules.items()):
+        if name.startswith("connectors_spark") and mod is not None:
+            try:
+                cloudpickle.register_pickle_by_value(mod)
+            except Exception:  # pragma: no cover - best effort
+                pass
+    spark.dataSource.register(DeltaStreamDataSource)
+
+
+class DeltaStreamDataSource(DataSource):
+    """readStream format ``delta_stream``: version-offset change feed."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_stream"
+
+    def schema(self) -> StructType:
+        store = default_log_store(self.options["path"])
+        meta = _latest_metadata(store, _log_path(self.options["path"]))
+        return StructType(meta.schema.fields
+                          + [StructField("_commit_version", LongType())])
+
+    def streamReader(self, schema: StructType) -> DeltaVersionStreamReader:
+        return DeltaVersionStreamReader(schema, dict(self.options))

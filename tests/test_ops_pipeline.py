@@ -1,0 +1,151 @@
+"""Tests for the training-data pipeline operators: dedup families,
+similarity search (incl. ANN recall vs brute force), text functions,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from connectors_spark.functions.text import (fingerprint, lang_id,
+                                             ngram_shingles, stopword_ratio,
+                                             token_count)
+from connectors_spark.ops import dedup as dd
+from connectors_spark.ops import multimodal as mm
+from connectors_spark.ops import similarity as sim
+from tests.conftest import read_table
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (3, "completely different words in this sentence here"),
+        (4, "tiny"),                                          # < 3 tokens
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world "), (2, "other")],
+        "doc_id: long, text: string")
+    fps = {r.doc_id: r.fp for r in
+           df.select("doc_id", fingerprint("text").alias("fp")).collect()}
+    assert fps[0] == fps[1] and fps[0] != fps[2]
+
+
+def test_exact_dedup(spark):
+    out = dd.dedup_exact(_docs(spark)).collect()
+    sizes = {r.doc_id: r.group_size for r in out}
+    assert sizes[0] == 2          # docs 0 and 2 collapse, min id kept
+    assert 2 not in sizes
+    stats = dd.exact_dup_stats(_docs(spark)).first()
+    assert (stats.n_docs, stats.n_unique, stats.n_exact_dups) == (5, 4, 1)
+
+
+def test_shingles_short_doc_empty(spark):
+    df = _docs(spark).select("doc_id", ngram_shingles("text").alias("s"))
+    by_id = {r.doc_id: r.s for r in df.collect()}
+    assert by_id[4] == []
+    assert "the quick brown" in by_id[0]
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = {(r.a_id, r.b_id): r.jaccard
+             for r in dd.ngram_jaccard_pairs(_docs(spark),
+                                             threshold=0.5).collect()}
+    assert pairs[(0, 2)] == 1.0                       # exact dup
+    assert (0, 1) in pairs and pairs[(0, 1)] < 1.0    # near dup
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_lsh_agrees_with_exact_on_testdata(spark, sf_dir):
+    docs = read_table(spark, "documents", sf_dir)
+    exact = {(r.a_id, r.b_id) for r in
+             dd.ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    lsh = {(r.a_id, r.b_id) for r in
+           dd.minhash_lsh_pairs(docs, threshold=0.8).collect()}
+    # LSH verifies candidates with exact Jaccard → no false positives;
+    # at J≥0.8 with 4 bands × 4 rows, recall should be total here.
+    assert lsh == exact and len(lsh) > 0
+
+
+def test_simhash_near_dup(spark):
+    long_a = " ".join(f"word{i}" for i in range(30))
+    long_b = " ".join(f"word{i}" if i != 29 else "changed"
+                      for i in range(30))
+    df = _docs(spark).union(spark.createDataFrame(
+        [(5, long_a), (6, long_b)], "doc_id: long, text: string"))
+    pairs = dd.simhash_pairs(df, max_hamming=20).collect()
+    got = {(r.a_id, r.b_id): r.hamming for r in pairs}
+    assert got[(0, 2)] == 0            # identical text → identical simhash
+
+    # Self-consistency: every pair that shares a 15-bit chunk AND is
+    # within the hamming bound must be reported (band recall contract).
+    sh = {r._id: r.simhash for r in dd.simhash(df).collect()}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(sh[a] ^ sh[b]).count("1")
+            shares = any((sh[a] >> (c * 15)) & 32767 ==
+                         (sh[b] >> (c * 15)) & 32767 for c in range(4))
+            assert ((a, b) in got) == (shares and d <= 20), (a, b, d, shares)
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
+    emb = read_table(spark, "embeddings", sf_dir)
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = {(r.query_id, r.vec_id) for r in
+             sim.cosine_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.vec_id) for r in
+              sim.ann_lsh_topk(emb, queries, k=5, dim=64).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"ANN recall too low: {recall}"
+
+
+def test_cosine_topk_excludes_self_and_ranks(spark, sf_dir):
+    emb = read_table(spark, "embeddings", sf_dir)
+    queries = (emb.filter(F.col("vec_id") == 0)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = sim.cosine_topk(emb, queries, k=3).collect()
+    assert len(out) == 3
+    assert all(r.vec_id != 0 for r in out)
+    sims = [r.sim for r in out]
+    assert sims == sorted(sims, reverse=True)
+    assert [r.rank for r in out] == [1, 2, 3]
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame([(0, "The cat and the hat!")],
+                               "doc_id: long, text: string")
+    row = df.select(
+        token_count("text").alias("n"),
+        stopword_ratio(F.lower("text")).alias("swr"),
+        lang_id("text").alias("lang")).first()
+    assert row.n == 5
+    assert row.swr == pytest.approx(3 / 5)   # 'the' ×2 + 'and' (lowercased)
+    assert row.lang == "en"
+
+
+def test_multimodal_plumbing(spark):
+    docs = _docs(spark)
+    media = mm.attach_fake_media(docs)
+    assert [f.name for f in media.schema.fields] == ["doc_id", "media", "meta"]
+    feats = {r.doc_id: r for r in mm.fake_decode_features(media).collect()}
+    assert len(feats) == 5
+    r0 = feats[0]
+    n = len("the quick brown fox jumps over the lazy dog")
+    assert r0.kind == "image" and r0.n_bytes == n
+    assert r0.width == 16 + n % 32 and r0.height == 16 + n % 17
+    assert r0.n_frames == 1
+    r1 = feats[1]
+    assert r1.kind == "audio" and r1.n_frames == r1.n_bytes % 100
+
+
+def test_minhash_signature_stable(spark):
+    sig1 = dd.minhash_signatures(_docs(spark)).collect()
+    sig2 = dd.minhash_signatures(_docs(spark)).collect()
+    assert sorted(map(tuple, sig1)) == sorted(map(tuple, sig2))

@@ -1,0 +1,87 @@
+"""Tests: CONVERT TO DELTA adoption, JDBC-import transform pipeline,
+SQL catalog surface."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from connectors_spark import DeltaTable
+from connectors_spark.catalog import DeltaCatalog, read_delta
+from connectors_spark.errors import DeltaError
+from connectors_spark.sources import apply_transforms, convert_to_delta
+
+
+def test_convert_flat_parquet_dir(spark, tmp_path, sf_dir):
+    d = str(tmp_path / "flat")
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    src.write.parquet(d)
+    # drop Spark's _SUCCESS etc. is handled by the file filter
+    v = convert_to_delta(spark, d)
+    assert v == 0
+    t = DeltaTable.for_path(spark, d)
+    assert t.to_df().count() == src.count()
+    assert {f.name for f in t.snapshot().metadata.schema.fields} == \
+        set(src.columns)
+    # adopted files were not rewritten
+    assert t.snapshot().files_df.count() >= 1
+
+
+def test_convert_hive_partitioned(spark, tmp_path, sf_dir):
+    d = str(tmp_path / "hive")
+    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    src.write.partitionBy("l_returnflag").parquet(d)
+    convert_to_delta(spark, d, partition_by=["l_returnflag"])
+    t = DeltaTable.for_path(spark, d)
+    assert t.to_df().count() == src.count()
+    # partition pruning on the adopted table
+    from connectors_spark.expressions import Col, Lit
+    scan = t.scan(Col("l_returnflag") == Lit("R"))
+    n_r = src.filter(F.col("l_returnflag") == "R").count()
+    assert scan.to_df().count() == n_r
+    n_all_files = t.snapshot().files_df.count()
+    n_r_files = scan.files().count()
+    assert n_r_files < n_all_files   # fewer files after pruning
+
+
+def test_convert_refuses_existing_delta(spark, tmp_path, sf_dir):
+    d = str(tmp_path / "tbl")
+    t = DeltaTable.for_path(spark, d)
+    t.write(spark.read.parquet(f"{sf_dir}/region.parquet"))
+    with pytest.raises(DeltaError):
+        convert_to_delta(spark, d)
+
+
+def test_jdbc_transforms(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    out = apply_transforms(df, [
+        lambda d: d.withColumn("r_name", F.lower("r_name")),
+        lambda d: d.filter(F.col("r_regionkey") < 3),
+    ])
+    rows = out.collect()
+    assert len(rows) == 3 and all(r.r_name == r.r_name.lower()
+                                  for r in rows)
+
+
+def test_catalog_sql_and_time_travel(spark, tmp_path, sf_dir):
+    d = str(tmp_path / "cat")
+    t = DeltaTable.for_path(spark, d)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    t.write(nation.filter(F.col("n_nationkey") < 10))
+    t.write(nation.filter(F.col("n_nationkey") >= 10), mode="append")
+
+    cat = DeltaCatalog(spark)
+    cat.register("nation_v0", d, version=0)
+    cat.register("nation_all", d)
+    assert cat.sql("select count(*) c from nation_v0").first().c == 10
+    assert cat.sql("select count(*) c from nation_all").first().c == 25
+    joined = cat.sql("""
+        select a.n_nationkey from nation_all a
+        join nation_v0 b using (n_nationkey)""").count()
+    assert joined == 10
+
+    assert read_delta(spark, d, version=0).count() == 10
+    cat.drop("nation_v0")
+    cat.drop("nation_all")

@@ -1,0 +1,123 @@
+"""Streaming integration tests: version-offset source (Python
+DataSource), exactly-once foreachBatch sink, end-to-end delta→delta."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from connectors_spark import DeltaTable
+from connectors_spark.errors import DeltaError
+from connectors_spark.streaming import DeltaStreamSink, register_stream_source
+from connectors_spark.streaming.source import DeltaVersionStreamReader
+
+
+def _mk_table(spark, path, versions=2, rows_per=5):
+    t = DeltaTable.for_path(spark, str(path))
+    for v in range(versions):
+        df = spark.range(v * rows_per, (v + 1) * rows_per) \
+            .select(F.col("id"), (F.col("id") * 10).alias("val"))
+        t.write(df, mode="append")
+    return t
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_stream_source(spark)
+
+
+def test_source_reads_all_versions(spark, tmp_path):
+    src = tmp_path / "src"
+    _mk_table(spark, src, versions=3)
+    q = (spark.readStream.format("delta_stream")
+         .option("path", str(src)).load()
+         .writeStream.format("memory").queryName("t_all")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from t_all").collect()
+    assert len(rows) == 15
+    by_version = {}
+    for r in rows:
+        by_version.setdefault(r._commit_version, []).append(r.id)
+    assert set(by_version) == {0, 1, 2}
+    assert sorted(by_version[1]) == [5, 6, 7, 8, 9]
+
+
+def test_source_tails_new_commits(spark, tmp_path):
+    src = tmp_path / "src"
+    t = _mk_table(spark, src, versions=1)
+    stream = (spark.readStream.format("delta_stream")
+              .option("path", str(src)).load()
+              .writeStream.format("memory").queryName("t_tail")
+              .option("checkpointLocation", str(tmp_path / "ck"))
+              .trigger(processingTime="1 seconds").start())
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and \
+                spark.sql("select * from t_tail").count() < 5:
+            time.sleep(0.5)
+        assert spark.sql("select * from t_tail").count() == 5
+        t.write(spark.range(100, 103).select(
+            F.col("id"), (F.col("id") * 10).alias("val")), mode="append")
+        deadline = time.time() + 60
+        while time.time() < deadline and \
+                spark.sql("select * from t_tail").count() < 8:
+            time.sleep(0.5)
+        got = spark.sql(
+            "select id from t_tail where _commit_version = 1").collect()
+        assert sorted(r.id for r in got) == [100, 101, 102]
+    finally:
+        stream.stop()
+
+
+def test_source_validation_ignore_deletes(spark, tmp_path):
+    from pyspark.sql.types import StructType
+
+    src = tmp_path / "src"
+    t = _mk_table(spark, src, versions=2)
+    from connectors_spark.expressions import Col, Lit
+    t.delete(Col("id") < Lit(3))   # version 2: removes (+ rewrite adds)
+    reader = DeltaVersionStreamReader(StructType(), {"path": str(src)})
+    with pytest.raises(DeltaError):
+        reader.partitions({"version": 0}, {"version": 2})
+    reader2 = DeltaVersionStreamReader(
+        StructType(), {"path": str(src), "ignorechanges": "true"})
+    parts = reader2.partitions({"version": 0}, {"version": 2})
+    assert all(p.version in (1, 2) for p in parts)
+
+
+def test_sink_exactly_once(spark, tmp_path):
+    target = tmp_path / "tgt"
+    sink = DeltaStreamSink(str(target), app_id="app-1")
+    df0 = spark.range(0, 5).select(F.col("id"), F.lit("a").alias("tag"))
+    df1 = spark.range(5, 8).select(F.col("id"), F.lit("b").alias("tag"))
+    assert sink.write_batch(df0, 0) == 0
+    assert sink.write_batch(df1, 1) == 1
+    # replays (restart from checkpoint) are skipped, no duplicates
+    assert sink.write_batch(df0, 0) is None
+    assert sink.write_batch(df1, 1) is None
+    t = DeltaTable.for_path(spark, str(target))
+    assert t.to_df().count() == 8
+    assert sink.last_committed_batch(spark) == 1
+    # out-of-order older batch also skipped
+    assert sink.write_batch(df0, 0) is None
+    assert sink.write_batch(df1, 2) == 2
+    assert t.to_df().count() == 11
+
+
+def test_end_to_end_delta_to_delta(spark, tmp_path):
+    src, tgt = tmp_path / "src", tmp_path / "tgt"
+    _mk_table(spark, src, versions=2, rows_per=4)
+    sink = DeltaStreamSink(str(tgt), app_id="e2e")
+    q = (spark.readStream.format("delta_stream")
+         .option("path", str(src)).load()
+         .drop("_commit_version")
+         .writeStream.foreachBatch(sink.foreach_batch)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = DeltaTable.for_path(spark, str(tgt)).to_df()
+    assert sorted(r.id for r in out.collect()) == list(range(8))
