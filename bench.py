@@ -36,6 +36,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+
+    # JVM/codegen warmup (untimed): spin the pipeline once on a trivial
+    # plan so the first measured query doesn't pay JIT + class loading.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, q in REGISTRY.items():

@@ -85,11 +85,22 @@ def exact_dup_stats(df: DataFrame, id_col: str = "doc_id",
 # N-gram Jaccard (exact verification; inverted-index candidates)
 # --------------------------------------------------------------------------
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input is
+    narrow (e.g. a single small Parquet file → one task). At real scale
+    the scan is already wide and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingle_sets(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", n: int = 3) -> DataFrame:
     """(id, shingles array, set size) — the base relation for Jaccard."""
-    return (df.select(F.col(id_col).alias("_id"),
-                      ngram_shingles(text_col, n).alias("_sh"))
+    return (_spread(df).select(F.col(id_col).alias("_id"),
+                               ngram_shingles(text_col, n).alias("_sh"))
             .withColumn("_sz", F.size("_sh")))
 
 
@@ -108,25 +119,28 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     matters on real corpora: a boilerplate shingle appearing in 1M docs
     would otherwise emit 10¹² pairs. Pairs that lose capped shingles can
     only be *under*-counted, which for high thresholds is the safe side.
+
+    Set sizes ride along with the exploded rows so the pair aggregation
+    needs no back-joins, and the length filter (J ≥ t ⟹
+    max(|a|,|b|)/min(|a|,|b|) ≤ 1/t) prunes impossible pairs before the
+    groupBy shuffle.
     """
     sh = shingle_sets(df, id_col, text_col, n)
-    ex = sh.select("_id", F.explode("_sh").alias("_g"))
+    ex = sh.select("_id", "_sz", F.explode("_sh").alias("_g"))
     if max_shingle_freq is not None:
         hot = (ex.groupBy("_g").count()
                .filter(F.col("count") > max_shingle_freq).select("_g"))
         ex = ex.join(hot, "_g", "left_anti")
-    a = ex.select(F.col("_id").alias("a_id"), "_g")
-    b = ex.select(F.col("_id").alias("b_id"), "_g")
-    shared = (a.join(b, "_g")
-              .filter(F.col("a_id") < F.col("b_id"))
-              .groupBy("a_id", "b_id")
-              .agg(F.count(F.lit(1)).alias("_shared")))
-    sz = sh.select("_id", "_sz")
-    out = (shared
-           .join(sz.withColumnRenamed("_id", "a_id")
-                   .withColumnRenamed("_sz", "_asz"), "a_id")
-           .join(sz.withColumnRenamed("_id", "b_id")
-                   .withColumnRenamed("_sz", "_bsz"), "b_id")
+    a = ex.select(F.col("_id").alias("a_id"), F.col("_sz").alias("_asz"),
+                  "_g")
+    b = ex.select(F.col("_id").alias("b_id"), F.col("_sz").alias("_bsz"),
+                  "_g")
+    out = (a.join(b, "_g")
+           .filter((F.col("a_id") < F.col("b_id")) &
+                   (F.greatest("_asz", "_bsz") * F.lit(threshold) <=
+                    F.least("_asz", "_bsz")))
+           .groupBy("a_id", "b_id", "_asz", "_bsz")
+           .agg(F.count(F.lit(1)).alias("_shared"))
            .withColumn("jaccard",
                        F.col("_shared").cast("double") /
                        (F.col("_asz") + F.col("_bsz") - F.col("_shared"))
@@ -220,8 +234,8 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     combined) → recombine votes into a single BIGINT. One shuffle keyed
     by doc id.
     """
-    ex = (df.select(F.col(id_col).alias("_id"),
-                    F.explode(tokens(text_col)).alias("_t"))
+    ex = (_spread(df).select(F.col(id_col).alias("_id"),
+                             F.explode(tokens(text_col)).alias("_t"))
           .withColumn("_h", hash64(F.col("_t"))))
     votes = [F.sum(F.when(F.shiftright("_h", j).bitwiseAND(F.lit(1)) == 1,
                           1).otherwise(-1)).alias(f"v{j}")

@@ -29,6 +29,14 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine_d, dot_d, norm_d
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Widen narrow inputs to cluster parallelism (no-op at scale)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 query_id_col: str = "query_id") -> DataFrame:
@@ -40,8 +48,8 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """
     q = F.broadcast(queries.select(F.col(query_id_col).alias("_qid"),
                                    F.col(vec_col).alias("_qv")))
-    c = corpus.select(F.col(id_col).alias("_cid"),
-                      F.col(vec_col).alias("_cv"))
+    c = _spread(corpus).select(F.col(id_col).alias("_cid"),
+                               F.col(vec_col).alias("_cv"))
     scored = (c.crossJoin(q)
               .filter(F.col("_cid") != F.col("_qid"))
               .select("_qid", "_cid",
@@ -106,9 +114,9 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     of scanning.
     """
     keys = _bucket_keys(vec_col, dim, num_planes, num_tables)
-    csig = (corpus.select(F.col(id_col).alias("_cid"),
-                          F.col(vec_col).alias("_cv"),
-                          F.explode(keys).alias("_bk"))
+    csig = (_spread(corpus).select(F.col(id_col).alias("_cid"),
+                                   F.col(vec_col).alias("_cv"),
+                                   F.explode(keys).alias("_bk"))
             .select("_cid", "_cv", "_bk.tbl", "_bk.sig"))
     q = (queries.select(F.col(query_id_col).alias("_qid"),
                         F.col(vec_col).alias("_qv"),
