@@ -399,8 +399,11 @@ class Snapshot:
                     pv_df = pv_df.withColumn(
                         f.name, F.col(f"__pv_{f.name}").cast(f.dataType))
                 pv_df = pv_df.drop(*[f"__pv_{c}" for c in pcols])
-                df = (data.join(F.broadcast(pv_df), "__file").drop("__file")
-                      .select(*[F.col(f.name) for f in meta.schema.fields]))
+                df = data.join(F.broadcast(pv_df), "__file").drop("__file")
+        # Schema-order projection: Spark's file source appends partition
+        # columns after data columns; the table contract is metadata
+        # schema order (Snapshot.open ≍ SnapshotImpl.scala:107-116).
+        df = df.select(*[F.col(f.name) for f in meta.schema.fields])
         if residual is not None:
             df = df.where(residual)
         return df

@@ -66,7 +66,12 @@ def file_stats_json(path: str) -> Tuple[str, int]:
                 nulls[name] = nulls.get(name, 0) + st.null_count
             if not st.has_min_max:
                 continue
-            mn, mx = _json_safe(st.min), _json_safe(st.max)
+            try:
+                mn, mx = _json_safe(st.min), _json_safe(st.max)
+            except Exception:
+                # pyarrow can't extract min/max for some logical types
+                # (e.g. decimal) — stats are best-effort skip hints.
+                continue
             if mn is None or mx is None:
                 continue
             if name not in mins or mn < mins[name]:

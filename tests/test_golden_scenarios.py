@@ -1,0 +1,276 @@
+"""Golden-table scenario parity (SURVEY §5, FIXTURES.md F1-F9): the
+reference's data-decode and log-correctness fixtures regenerated with
+our own writer and asserted on read — same scenarios, our substrate.
+
+Reference: golden-tables/src/test/scala/io/delta/golden/GoldenTables.scala
+(cites per test)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import Row, functions as F
+from pyspark.sql import types as T
+
+from connectors_spark import DeltaTable
+from connectors_spark.errors import DeltaError
+from connectors_spark.expressions import Col, Lit
+
+
+def _t(spark, tmp_path, name="t"):
+    return DeltaTable.for_path(spark, str(tmp_path / name))
+
+
+# ---------------------------------------------------------------- F1
+
+def test_primitives_roundtrip(spark, tmp_path):
+    """GoldenTables.scala:509-533 (data-reader-primitives)."""
+    schema = T.StructType([
+        T.StructField("as_int", T.IntegerType()),
+        T.StructField("as_long", T.LongType()),
+        T.StructField("as_byte", T.ByteType()),
+        T.StructField("as_short", T.ShortType()),
+        T.StructField("as_boolean", T.BooleanType()),
+        T.StructField("as_float", T.FloatType()),
+        T.StructField("as_double", T.DoubleType()),
+        T.StructField("as_string", T.StringType()),
+        T.StructField("as_binary", T.BinaryType()),
+        T.StructField("as_big_decimal", T.DecimalType(1, 0)),
+    ])
+    rows = [(i, i, i, i, i % 2 == 0, float(i), float(i), str(i),
+             bytes([i]), Decimal(i)) for i in range(10)]
+    rows.append(tuple([None] * 10))
+    df = spark.createDataFrame(rows, schema)
+    t = _t(spark, tmp_path)
+    t.write(df)
+    got = t.to_df()
+    assert got.schema == schema
+    back = sorted(got.collect(),
+                  key=lambda r: (r.as_int is None, r.as_int))
+    assert back[0].as_binary == b"\x00" and back[9].as_big_decimal == Decimal(9)
+    assert all(v is None for v in back[-1])
+
+
+# ---------------------------------------------------------------- F2
+
+def test_partition_values_typed_decode(spark, tmp_path):
+    """GoldenTables.scala:536-590: every partitionable type as partition
+    column, incl. an all-NULL partition tuple; values decode from the
+    LOG strings to schema types (PartitionRowRecord.scala:66-160)."""
+    schema = T.StructType([
+        T.StructField("as_int", T.IntegerType()),
+        T.StructField("as_long", T.LongType()),
+        T.StructField("as_boolean", T.BooleanType()),
+        T.StructField("as_float", T.FloatType()),
+        T.StructField("as_double", T.DoubleType()),
+        T.StructField("as_string", T.StringType()),
+        T.StructField("as_date", T.DateType()),
+        T.StructField("as_timestamp", T.TimestampType()),
+        T.StructField("as_big_decimal", T.DecimalType(1, 0)),
+        T.StructField("value", T.StringType()),
+    ])
+    pcols = [f.name for f in schema.fields[:-1]]
+    rows = [(i, i, i % 2 == 0, float(i), float(i), str(i),
+             dt.date(2021, 1, 1 + i),
+             dt.datetime(2021, 1, 1, 8, 9, 10 + i),
+             Decimal(i), f"v{i}") for i in range(3)]
+    rows.append(tuple([None] * 9 + ["vnull"]))
+    df = spark.createDataFrame(rows, schema)
+    t = _t(spark, tmp_path)
+    t.write(df, partition_by=pcols)
+    got = t.to_df()
+    assert got.schema == schema
+    back = {r.value: r for r in got.collect()}
+    assert back["v1"].as_date == dt.date(2021, 1, 2)
+    assert back["v1"].as_timestamp == dt.datetime(2021, 1, 1, 8, 9, 11)
+    assert back["v1"].as_big_decimal == Decimal(1)
+    assert back["v1"].as_float == 1.0 and back["v1"].as_boolean is False
+    assert all(back["vnull"][c] is None for c in pcols)
+    # typed predicate over decoded partition values prunes files
+    scan = t.scan(Col("as_date") == Lit(dt.date(2021, 1, 2)))
+    assert scan.files().count() == 1
+    assert [r.value for r in scan.to_df().collect()] == ["v1"]
+
+
+# ---------------------------------------------------------- F3/F4/F5/F6
+
+def test_nested_types_roundtrip(spark, tmp_path):
+    """GoldenTables.scala:612-710: arrays of primitives, deep lists,
+    list-of-maps, maps, nested structs."""
+    schema = T.StructType([
+        T.StructField("i", T.IntegerType()),
+        T.StructField("as_array_int", T.ArrayType(T.IntegerType())),
+        T.StructField("as_array_binary", T.ArrayType(T.BinaryType())),
+        T.StructField("as_array_decimal",
+                      T.ArrayType(T.DecimalType(1, 0))),
+        T.StructField("threed",
+                      T.ArrayType(T.ArrayType(T.ArrayType(T.IntegerType())))),
+        T.StructField("list_of_maps",
+                      T.ArrayType(T.MapType(T.StringType(), T.LongType()))),
+        T.StructField("list_of_records", T.ArrayType(
+            T.StructType([T.StructField("val", T.IntegerType())]))),
+        T.StructField("m_int", T.MapType(T.IntegerType(), T.IntegerType())),
+        T.StructField("m_str_dec",
+                      T.MapType(T.StringType(), T.DecimalType(1, 0))),
+        T.StructField("a", T.StructType([
+            T.StructField("aa", T.StringType()),
+            T.StructField("ab", T.StringType()),
+            T.StructField("ac", T.StructType([
+                T.StructField("aca", T.IntegerType()),
+                T.StructField("acb", T.LongType()),
+            ]))])),
+    ])
+    rows = [(i,
+             [i, i + 1],
+             [bytes([i])],
+             [Decimal(i % 10)],
+             [[[i], [i + 1]], [[i + 2]]],
+             [{"k": i}, {"j": i + 1}],
+             [Row(val=i)],
+             {i: i * 2},
+             {"d": Decimal(i % 10)},
+             Row(aa=f"aa{i}", ab=None, ac=Row(aca=i, acb=i * 10)))
+            for i in range(10)]
+    df = spark.createDataFrame(rows, schema)
+    t = _t(spark, tmp_path)
+    t.write(df)
+    got = t.to_df()
+    assert got.schema == schema
+    back = {r.i: r for r in got.collect()}
+    assert back[3].threed == [[[3], [4]], [[5]]]
+    assert back[3].list_of_maps == [{"k": 3}, {"j": 4}]
+    assert back[3].m_int == {3: 6}
+    assert back[3].a.ac.acb == 30
+    assert back[3].as_array_binary == [b"\x03"]
+
+
+# ---------------------------------------------------------------- F7
+
+def test_timestamp_instant_preserved_across_session_timezones(spark,
+                                                              tmp_path):
+    """GoldenTables.scala:593-609 (data-reader-date-types-*): timestamps
+    written under one zone must denote the same instant read under
+    any session timezone (DeltaLogImpl.timezone ≍
+    spark.sql.session.timeZone)."""
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.createDataFrame(
+            [(dt.datetime(2020, 1, 1, 8, 9, 10), dt.date(2020, 1, 1))],
+            "ts: timestamp, d: date")
+        t = _t(spark, tmp_path)
+        t.write(df)
+        ref = t.to_df().select(F.unix_micros("ts").alias("us"),
+                               "d").first()
+        for tz in ["UTC", "Iceland", "PST", "America/Los_Angeles",
+                   "Etc/GMT+9", "Asia/Beirut", "JST"]:
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = t.to_df().select(F.unix_micros("ts").alias("us"),
+                                   "d").first()
+            assert got.us == ref.us, tz       # same instant
+            assert got.d == dt.date(2020, 1, 1), tz  # dates are tz-free
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+# ---------------------------------------------------------------- F8
+
+def test_escaped_chars_partition_values(spark, tmp_path):
+    """GoldenTables.scala:721-727: partition values with URL-unsafe
+    chars; values must come from the log, never parsed from paths
+    (DeltaInputFormat.scala:41-43)."""
+    vals = ["bar+%21", "bar+%22", "bar+%23", "a b/c=d"]
+    df = spark.createDataFrame([(f"foo{i}", v) for i, v in enumerate(vals)],
+                               "_1: string, _2: string")
+    t = _t(spark, tmp_path)
+    t.write(df, partition_by=["_2"])
+    got = t.to_df()
+    assert sorted(r._2 for r in got.collect()) == sorted(vals)
+    scan = t.scan(Col("_2") == Lit("bar+%21"))
+    assert [r._1 for r in scan.to_df().collect()] == ["foo0"]
+    assert scan.files().count() == 1
+
+
+def test_decimal_decode_large(spark, tmp_path):
+    """GoldenTables.scala:730-735 (reference bug #124)."""
+    df = spark.createDataFrame([(Decimal(1000000),)],
+                               T.StructType([T.StructField(
+                                   "large_decimal", T.DecimalType(10, 0))]))
+    t = _t(spark, tmp_path)
+    t.write(df)
+    assert t.to_df().first().large_decimal == Decimal(1000000)
+
+
+def test_empty_file_commits_skipped(spark, tmp_path):
+    """GoldenTables.scala:737-748 (reference bug #125): commit sizes
+    [0,1,1,0,1,0,0,1,0,0,0,1] — empty commits must not break reads."""
+    sizes = [0, 1, 1, 0, 1, 0, 0, 1, 0, 0, 0, 1]
+    t = _t(spark, tmp_path)
+    n = 0
+    for i, s in enumerate(sizes):
+        df = spark.range(i, i + s).select(F.col("id").cast("int").alias("col1"))
+        t.write(df, mode="append")
+        n += s
+    got = t.to_df()
+    assert got.count() == n
+    assert t.snapshot().version == len(sizes) - 1
+
+
+# ---------------------------------------------------------------- F9
+
+def test_delete_re_add_same_file(spark, tmp_path):
+    """GoldenTables.scala:231-249: a path removed then re-added in a
+    later transaction is ACTIVE (last action per path wins)."""
+    t = _t(spark, tmp_path)
+    t.write(spark.range(5).select(F.col("id").cast("int").alias("x")))
+    snap = t.snapshot()
+    adds = snap.all_files()
+    assert len(adds) >= 1
+    victim = adds[0]
+    now = int(time.time() * 1000)
+    txn = t.log.start_transaction()
+    txn.commit([victim.remove(now)], "DELETE", {})
+    txn2 = t.log.start_transaction()
+    txn2.commit([victim], "WRITE", {})
+    paths = [r.path for r in t.snapshot().files_df.collect()]
+    assert sum(1 for p in paths if p.endswith(victim.path.split("/")[-1])) == 1
+    assert t.to_df().count() == 5
+
+
+def test_versions_not_contiguous_raises(spark, tmp_path):
+    """GoldenTables.scala:251-267: a gap in delta versions must fail
+    (SnapshotManagement.verifyDeltaVersions:294-300)."""
+    import os
+    t = _t(spark, tmp_path)
+    for i in range(3):
+        t.write(spark.range(i, i + 1).select(F.col("id").alias("x")),
+                mode="append")
+    os.remove(str(tmp_path / "t" / "_delta_log" /
+                  ("%020d.json" % 1)))
+    from connectors_spark.table import DeltaLog
+    DeltaLog._cache.clear() if hasattr(DeltaLog, "_cache") else None
+    fresh = DeltaTable.for_path(spark, str(tmp_path / "t"))
+    with pytest.raises((DeltaError, ValueError)):
+        fresh.log.update()
+        fresh.to_df().count()
+
+
+def test_log_without_metadata_raises(spark, tmp_path):
+    """GoldenTables.scala:269-338: state reconstruction without a
+    Metadata action must throw."""
+    import os
+    d = tmp_path / "raw"
+    (d / "_delta_log").mkdir(parents=True)
+    from connectors_spark.log.actions import AddFile, Protocol, to_json_line
+    lines = [to_json_line(Protocol(1, 2)),
+             to_json_line(AddFile(path="f.parquet", partitionValues={},
+                                  size=1, modificationTime=0,
+                                  dataChange=True))]
+    with open(d / "_delta_log" / ("%020d.json" % 0), "w") as fh:
+        fh.write("\n".join(lines))
+    t = DeltaTable.for_path(spark, str(d))
+    with pytest.raises((DeltaError, ValueError)):
+        t.snapshot().metadata
