@@ -5,7 +5,7 @@ reconstruction), plus large-scale training-data pipeline operators
 (dedup, similarity search, text analysis, multimodal columns).
 """
 
-from .table import DeltaLog, DeltaTable
+from .table import DeltaLog, DeltaTable, TableMaintenance
 from .scan import DeltaScan
 from .expressions import Col, Lit
 from .catalog import DeltaCatalog, read_delta
@@ -13,8 +13,8 @@ from .log.actions import (AddFile, CommitInfo, Metadata, Protocol,
                           RemoveFile, SetTransaction)
 
 __all__ = [
-    "DeltaLog", "DeltaTable", "DeltaScan", "Col", "Lit",
-    "DeltaCatalog", "read_delta",
+    "DeltaLog", "DeltaTable", "DeltaScan", "TableMaintenance",
+    "Col", "Lit", "DeltaCatalog", "read_delta",
     "AddFile", "CommitInfo", "Metadata", "Protocol", "RemoveFile",
     "SetTransaction",
 ]

@@ -372,3 +372,86 @@ def ev_props(spark, sf_dir):
             .agg(F.round(F.avg(k), 4).alias("avg_k"),
                  F.max(k).alias("max_k"),
                  F.count(F.lit(1)).alias("n")))
+
+
+# --------------------------------------------------------------------------
+# Q4-style: order priority with EXISTS semi-join
+# --------------------------------------------------------------------------
+
+@register("q4_priority_semijoin", sql="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+""")
+def q4(spark, sf_dir):
+    # EXISTS → left_semi join; the lineitem side is pre-filtered so the
+    # semi-join input is small and AQE broadcasts it.
+    od = load(spark, sf_dir, "orders") \
+        .filter((F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")) &
+                (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp")))
+    li = load(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (od.join(li, od.o_orderkey == li.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+# --------------------------------------------------------------------------
+# Q16-style: distinct-supplier counts per brand
+# --------------------------------------------------------------------------
+
+@register("q16_supplier_cnt", sql="""
+SELECT p_brand, count(DISTINCT l_suppkey) AS supplier_cnt,
+       count(*) AS line_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size >= 20
+GROUP BY p_brand
+""")
+def q16(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    pa = load(spark, sf_dir, "part").filter(F.col("p_size") >= 20) \
+        .select("p_partkey", "p_brand")
+    return (li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"),
+                 F.count(F.lit(1)).alias("line_cnt")))
+
+
+# --------------------------------------------------------------------------
+# Q22-style: rich customers with no orders (anti-join + scalar subquery)
+# --------------------------------------------------------------------------
+
+@register("q22_global_sales_opportunity", sql="""
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+""")
+def q22(spark, sf_dir):
+    # Scalar subquery (tiny aggregate crossJoined as a literal) + anti
+    # join against the recently-active-customer key set ("rich customers
+    # with no recent orders"); the date filter keeps the anti side small
+    # enough to broadcast.
+    cu = load(spark, sf_dir, "customer")
+    od = (load(spark, sf_dir, "orders")
+          .filter(F.col("o_orderdate") >=
+                  F.lit("2000-01-01").cast("timestamp"))
+          .select("o_custkey"))
+    avg_bal = (cu.filter(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("a")))
+    return (cu.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("a"))
+            .join(od, cu.c_custkey == od.o_custkey, "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))

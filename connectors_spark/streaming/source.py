@@ -93,15 +93,40 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
                                               "false")).lower() == "true"
         self.max_versions = int(options.get("maxversionsperbatch", "0")) or None
         self.schema_json = schema.json()
-        starting = str(options.get("startingversion", "0"))
-        if starting == "latest":
+        starting = options.get("startingversion")
+        starting_ts = options.get("startingtimestamp")
+        if starting is not None and starting_ts is not None:
+            # ST5: mutually exclusive (DeltaSourceOptions.java:63-112)
+            raise DeltaError("startingVersion and startingTimestamp are "
+                             "mutually exclusive")
+        if starting_ts is not None:
+            self.start_after = self._version_at_or_after(starting_ts) - 1
+        elif str(starting or "0") == "latest":
             vs = _list_versions(self.store, self.log_path, -1)
             self.start_after = vs[-1] if vs else -1
         else:
-            self.start_after = int(starting) - 1
+            self.start_after = int(starting or 0) - 1
         meta = _latest_metadata(self.store, self.log_path)
         self.partition_columns = list(meta.partitionColumns)
         self.meta_schema_json = meta.schemaString
+
+    def _version_at_or_after(self, ts_opt: str) -> int:
+        """ST5 start-position resolution by timestamp (epoch ms or ISO
+        datetime; DeltaLog.getVersionAtOrAfterTimestamp,
+        DeltaLogImpl.scala:148-172)."""
+        from ..log import history as hist
+        try:
+            ts_ms = int(ts_opt)
+        except ValueError:
+            import datetime as _dt
+            ts_ms = int(_dt.datetime.fromisoformat(ts_opt)
+                        .timestamp() * 1000)
+        commits = hist.list_commits(self.store, self.log_path)
+        for c in commits:
+            if c.timestamp >= ts_ms:
+                return c.version
+        # after the last commit: stream starts at the next future version
+        return (commits[-1].version + 1) if commits else 0
 
     # ------------------------------------------------------------ offsets
 

@@ -451,3 +451,111 @@ class DeltaTable:
                           ignore_deletes=ignore_deletes,
                           ignore_changes=ignore_changes,
                           allow_initial_changes=allow_initial_changes)
+
+
+def _canonical(path: str, table_path: str) -> str:
+    from .log.snapshot import canonical_path
+    return canonical_path(path, table_path)
+
+
+class TableMaintenance:
+    """OPTIMIZE (small-file bin-packing) and VACUUM (physical removal of
+    unreferenced files) — the operational pair that keeps a 100 TB table
+    healthy: streaming sinks produce one file per partition per batch,
+    compaction folds them back into scan-efficient ~128 MB files, and
+    vacuum reclaims the space the rewrites (and DML) tombstoned.
+
+    OPTIMIZE commits with dataChange=False on both adds and removes, so
+    change feeds (ST3 validation filters on dataChange) skip compaction
+    commits and SnapshotIsolation suffices — matching how the reference
+    distinguishes data- from file-layout transactions
+    (isolationLevels.scala:19-25, actions.scala:109-132 dataChange).
+    """
+
+    def __init__(self, table: DeltaTable):
+        self.table = table
+
+    def optimize(self, target_file_size: int = 128 * 1024 * 1024,
+                 min_files_per_group: int = 2) -> Dict[str, int]:
+        """Bin-pack files smaller than ``target_file_size``, grouped by
+        partition tuple. Returns {filesRemoved, filesAdded, version}."""
+        t = self.table
+        txn = t.log.start_transaction()
+        snap = txn.snapshot
+        if snap is None:
+            raise FileNotFoundError("table does not exist")
+        pcols = snap.metadata.partitionColumns
+        groups: Dict[Tuple, List[Any]] = {}
+        for f in snap.all_files():
+            if f.size >= target_file_size:
+                continue
+            key = tuple((c, (f.partitionValues or {}).get(c)) for c in pcols)
+            groups.setdefault(key, []).append(f)
+        victims: List[Any] = []
+        for key, fs in groups.items():
+            if len(fs) >= min_files_per_group:
+                victims.extend(fs)
+        if not victims:
+            return {"filesRemoved": 0, "filesAdded": 0,
+                    "version": snap.version}
+        cand_paths = [_canonical(f.path, snap.table_path) for f in victims]
+        subset = snap.files_df.where(F.col("path").isin(cand_paths))
+        df = snap.to_df(files=subset)
+        total = sum(f.size for f in victims)
+        n_out = max(1, -(-total // target_file_size))
+        adds = stage_and_collect(df.repartition(n_out), t.path, pcols,
+                                 data_change=False)
+        now = int(time.time() * 1000)
+        actions: List[Any] = list(adds) + [
+            f.remove(now, data_change=False) for f in victims]
+        version = txn.commit(
+            actions, operation="OPTIMIZE",
+            operation_parameters={"targetSize": str(target_file_size)},
+            operation_metrics={"numRemovedFiles": str(len(victims)),
+                               "numAddedFiles": str(len(adds))})
+        return {"filesRemoved": len(victims), "filesAdded": len(adds),
+                "version": version}
+
+    def vacuum(self, retention_ms: Optional[int] = None,
+               dry_run: bool = False) -> List[str]:
+        """Delete data files that are neither active nor within the
+        tombstone retention window (default: the table's
+        delta.deletedFileRetentionDuration, 1 week —
+        DeltaConfig.scala:219-225). Returns deleted (or would-delete)
+        paths relative to the table root."""
+        t = self.table
+        snap = t.log.update() or t.snapshot()
+        if retention_ms is None:
+            retention_ms = TableConfig(
+                snap.metadata.configuration).tombstone_retention_ms
+        horizon = int(time.time() * 1000) - retention_ms
+        root = t.path
+        local_root = root[len("file:"):] if root.startswith("file:") else root
+        active = {_canonical(f.path, snap.table_path)
+                  for f in snap.all_files()}
+        doomed: List[str] = []
+        for dirpath, _dirs, files in os.walk(local_root):
+            if "_delta_log" in dirpath:
+                continue
+            for name in files:
+                if name.startswith(("_", ".")):
+                    continue
+                full = os.path.join(dirpath, name)
+                if _canonical(full, snap.table_path) in active:
+                    continue
+                if os.path.getmtime(full) * 1000 > horizon:
+                    continue
+                doomed.append(os.path.relpath(full, local_root))
+        if not dry_run:
+            for rel in doomed:
+                os.remove(os.path.join(local_root, rel))
+            # prune now-empty partition dirs
+            for dirpath, dirs, files in os.walk(local_root, topdown=False):
+                if "_delta_log" in dirpath or dirpath == local_root:
+                    continue
+                if not dirs and not files:
+                    try:
+                        os.rmdir(dirpath)
+                    except OSError:
+                        pass
+        return sorted(doomed)

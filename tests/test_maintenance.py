@@ -1,0 +1,79 @@
+"""OPTIMIZE (bin-packing) and VACUUM (physical cleanup) tests."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from connectors_spark import DeltaTable
+from connectors_spark.expressions import Col, Lit
+from connectors_spark.table import TableMaintenance
+
+
+def _small_appends(spark, path, n=5, partitioned=False):
+    t = DeltaTable.for_path(spark, str(path))
+    for i in range(n):
+        df = spark.range(i * 10, (i + 1) * 10).select(
+            F.col("id"), (F.col("id") % 2).cast("string").alias("p"))
+        t.write(df.coalesce(1), mode="append",
+                partition_by=["p"] if partitioned and i == 0 else None)
+    return t
+
+
+def test_optimize_compacts_small_files(spark, tmp_path):
+    t = _small_appends(spark, tmp_path / "t", n=5)
+    before = t.snapshot().files_df.count()
+    res = TableMaintenance(t).optimize()
+    after = t.snapshot().files_df.count()
+    assert res["filesRemoved"] == before >= 5
+    assert res["filesAdded"] == after == 1
+    assert t.to_df().count() == 50
+    assert sorted(r.id for r in t.to_df().collect()) == list(range(50))
+
+
+def test_optimize_preserves_partitions_and_change_feed(spark, tmp_path):
+    t = _small_appends(spark, tmp_path / "t", n=4, partitioned=True)
+    res = TableMaintenance(t).optimize()
+    assert res["filesRemoved"] > 0
+    # partition pruning still correct after compaction
+    scan = t.scan(Col("p") == Lit("0"))
+    assert scan.to_df().count() == 20
+    assert all((r["partitionValues"] or {}).get("p") == "0"
+               for r in scan.files().collect())
+    # compaction commit is dataChange=False → change feed skips it
+    ch = t.changes_df(0, allow_initial_changes=True)
+    versions = {r._commit_version for r in
+                ch.select("_commit_version").distinct().collect()}
+    assert res["version"] not in versions
+    assert ch.count() == 40
+
+
+def test_optimize_noop_when_nothing_to_do(spark, tmp_path):
+    t = _small_appends(spark, tmp_path / "t", n=1)
+    v0 = t.snapshot().version
+    res = TableMaintenance(t).optimize()
+    assert res == {"filesRemoved": 0, "filesAdded": 0, "version": v0}
+
+
+def test_vacuum_removes_unreferenced_files(spark, tmp_path):
+    t = _small_appends(spark, tmp_path / "t", n=3)
+    root = str(tmp_path / "t")
+    maint = TableMaintenance(t)
+    maint.optimize()   # tombstones the 3 small files
+    n_disk_before = sum(len([f for f in fs if f.endswith(".parquet")])
+                        for _, _, fs in os.walk(root))
+    # retention window keeps them
+    assert maint.vacuum() == []
+    # dry run lists but does not delete
+    listed = maint.vacuum(retention_ms=0, dry_run=True)
+    assert len(listed) == 3
+    assert sum(len([f for f in fs if f.endswith(".parquet")])
+               for _, _, fs in os.walk(root)) == n_disk_before
+    # real vacuum deletes exactly the tombstoned files
+    deleted = maint.vacuum(retention_ms=0)
+    assert deleted == listed
+    assert t.to_df().count() == 30   # table unaffected
+    n_disk_after = sum(len([f for f in fs if f.endswith(".parquet")])
+                       for _, _, fs in os.walk(root))
+    assert n_disk_after == n_disk_before - 3

@@ -121,3 +121,39 @@ def test_end_to_end_delta_to_delta(spark, tmp_path):
     q.awaitTermination(120)
     out = DeltaTable.for_path(spark, str(tgt)).to_df()
     assert sorted(r.id for r in out.collect()) == list(range(8))
+
+
+def test_source_start_position_options(spark, tmp_path):
+    from pyspark.sql.types import StructType
+
+    src = tmp_path / "src"
+    t = _mk_table(spark, src, versions=3)
+    commits = {h["version"]: h["timestamp"] for h in t.history()}
+
+    # startingVersion=2 skips versions 0-1
+    r = DeltaVersionStreamReader(StructType(),
+                                 {"path": str(src), "startingversion": "2"})
+    assert r.initialOffset() == {"version": 1}
+
+    # startingVersion=latest consumes nothing that exists yet
+    r = DeltaVersionStreamReader(
+        StructType(), {"path": str(src), "startingversion": "latest"})
+    assert r.initialOffset() == {"version": 2}
+
+    # startingTimestamp at v1's commit time starts at v1
+    r = DeltaVersionStreamReader(
+        StructType(),
+        {"path": str(src), "startingtimestamp": str(commits[1])})
+    assert r.initialOffset() == {"version": 0}
+
+    # timestamp after every commit → only future versions
+    r = DeltaVersionStreamReader(
+        StructType(),
+        {"path": str(src), "startingtimestamp": str(commits[2] + 10_000)})
+    assert r.initialOffset() == {"version": 2}
+
+    # mutually exclusive options
+    with pytest.raises(DeltaError):
+        DeltaVersionStreamReader(
+            StructType(), {"path": str(src), "startingversion": "1",
+                           "startingtimestamp": "0"})
