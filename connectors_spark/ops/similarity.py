@@ -134,6 +134,129 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     F.col("_cid").alias(id_col), "sim", "rank"))
 
 
+def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.45,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: all (a_id < b_id) with
+    round(cosine, 6) >= threshold.
+
+    The join is a broadcast nested-loop (one side broadcast, map-only,
+    zero shuffle) — exact all-pairs is inherently O(n²), so this is the
+    verification/oracle path; at 100 TB corpus scale use the LSH
+    candidate generator (`cosine_neardup_pairs_lsh`) which bounds the
+    pair stream to same-bucket collisions. The cosine keeps dot/na/nb
+    operation order so round(·, 6) is bit-identical to a double-precision
+    SQL oracle.
+    """
+    withn = df.select(F.col(id_col), F.col(vec_col),
+                      norm_d(vec_col).alias("_n"))
+    a = _spread(withn).select(F.col(id_col).alias("a_id"),
+                              F.col(vec_col).alias("_av"),
+                              F.col("_n").alias("_na"))
+    b = withn.select(F.col(id_col).alias("b_id"),
+                     F.col(vec_col).alias("_bv"),
+                     F.col("_n").alias("_nb"))
+    return (a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id",
+                    F.round(dot_d("_av", "_bv") / F.col("_na") /
+                            F.col("_nb"), 6).alias("sim"))
+            .filter(F.col("sim") >= threshold))
+
+
+def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float = 0.45,
+                             dim: int = 64, num_planes: int = 3,
+                             num_tables: int = 12, id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Approximate near-dup pairs: multi-table LSH candidates verified by
+    exact cosine — the 100 TB path (subset of `cosine_neardup_pairs`;
+    recall measured in tests)."""
+    keys = _bucket_keys(vec_col, dim, num_planes, num_tables)
+    ex = (_spread(df).select(F.col(id_col).alias("_id"),
+                             F.explode(keys).alias("_bk"))
+          .select("_id", "_bk.tbl", "_bk.sig"))
+    other = ex.select(F.col("_id").alias("_id2"), "tbl", "sig")
+    # Dedup candidate PAIRS before the (expensive) cosine verify — a pair
+    # colliding in many tables is still verified exactly once; vectors
+    # are joined back only for surviving candidates.
+    cand = (ex.join(other, ["tbl", "sig"])
+            .filter(F.col("_id") < F.col("_id2"))
+            .select(F.col("_id").alias("a_id"), F.col("_id2").alias("b_id"))
+            .distinct())
+    withn = df.select(F.col(id_col), F.col(vec_col),
+                      norm_d(vec_col).alias("_n"))
+    va = withn.select(F.col(id_col).alias("a_id"),
+                      F.col(vec_col).alias("_av"), F.col("_n").alias("_na"))
+    vb = withn.select(F.col(id_col).alias("b_id"),
+                      F.col(vec_col).alias("_bv"), F.col("_n").alias("_nb"))
+    return (cand.join(F.broadcast(va), "a_id").join(F.broadcast(vb), "b_id")
+            .select("a_id", "b_id",
+                    F.round(dot_d("_av", "_bv") / F.col("_na") /
+                            F.col("_nb"), 6).alias("sim"))
+            .filter(F.col("sim") >= threshold))
+
+
+# --------------------------------------------------------------------------
+# Materialized ANN index (bucket-partitioned Delta table)
+# --------------------------------------------------------------------------
+
+def build_ann_index(corpus: DataFrame, index_path: str, dim: int = 64,
+                    num_planes: int = 3, num_tables: int = 12,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    mode: str = "overwrite") -> int:
+    """Write the corpus as a Delta table partitioned by (tbl, sig) — one
+    directory per LSH bucket. Built once, the index turns every ANN query
+    into a partition-pruned scan of L buckets instead of a corpus sweep:
+    sub-linear reads, and the pruning happens in our own metadata plane
+    (files_df filter) before any Parquet is opened. Returns the committed
+    version."""
+    from ..table import DeltaTable
+    keys = _bucket_keys(vec_col, dim, num_planes, num_tables)
+    exploded = (corpus.select(F.col(id_col), F.col(vec_col),
+                              F.explode(keys).alias("_bk"))
+                .select(F.col("_bk.tbl").alias("tbl"),
+                        F.col("_bk.sig").alias("sig"),
+                        id_col, vec_col))
+    t = DeltaTable.for_path(corpus.sparkSession, index_path)
+    return t.write(exploded, mode=mode, partition_by=["tbl", "sig"])
+
+
+def ann_query_indexed(spark, index_path: str, queries: DataFrame, k: int = 5,
+                      dim: int = 64, num_planes: int = 3,
+                      num_tables: int = 12, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      query_id_col: str = "query_id") -> DataFrame:
+    """Probe a `build_ann_index` table: hash each query to its L bucket
+    keys, partition-prune the index scan to exactly those buckets (an OR
+    of (tbl, sig) conjuncts over the typed predicate AST — E9/E10), then
+    exact-cosine verify and rank within candidates. Identical results to
+    `ann_lsh_topk` (same planes, same tie-break) at a fraction of the
+    read: L·Q buckets instead of the whole corpus."""
+    from ..expressions import Col, Lit
+    from ..table import DeltaTable
+    keys = _bucket_keys(vec_col, dim, num_planes, num_tables)
+    qk = (queries.select(F.col(query_id_col).alias("_qid"),
+                         F.col(vec_col).alias("_qv"),
+                         F.explode(keys).alias("_bk"))
+          .select("_qid", "_qv", "_bk.tbl", "_bk.sig"))
+    probe = sorted({(r["tbl"], r["sig"])
+                    for r in qk.select("tbl", "sig").distinct().collect()})
+    pred = None
+    for t, s in probe:
+        term = (Col("tbl") == Lit(t)) & (Col("sig") == Lit(s))
+        pred = term if pred is None else (pred | term)
+    cand = DeltaTable.for_path(spark, index_path).scan(pred).to_df()
+    scored = (cand.join(F.broadcast(qk), ["tbl", "sig"])
+              .filter(F.col(id_col) != F.col("_qid"))
+              .select("_qid", F.col(id_col).alias("_cid"),
+                      F.round(cosine_d("_qv", vec_col), 6).alias("sim"))
+              .distinct())
+    w = Window.partitionBy("_qid").orderBy(F.desc("sim"), F.asc("_cid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("_qid").alias(query_id_col),
+                    F.col("_cid").alias(id_col), "sim", "rank"))
+
+
 def embedding_norm_stats(df: DataFrame, vec_col: str = "embedding",
                          label_col: str = "label") -> DataFrame:
     """Per-label corpus stats (norm mean/min/max, count) — sanity op."""

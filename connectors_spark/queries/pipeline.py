@@ -317,3 +317,66 @@ def emb_ann(spark, sf_dir):
     queries = (emb.filter(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     return sim.ann_lsh_topk(emb, queries, k=5, dim=64)
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (exact, oracle-matched)
+# --------------------------------------------------------------------------
+
+@register("emb_cosine_neardup_pairs", sql="""
+WITH u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings),
+n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+d AS (
+  SELECT ua.vec_id AS a_id, ub.vec_id AS b_id, sum(ua.v * ub.v) AS dot
+  FROM u ua JOIN u ub ON ua.i = ub.i AND ua.vec_id < ub.vec_id
+  GROUP BY 1, 2)
+SELECT a_id, b_id, round(dot / na.nrm / nb.nrm, 6) AS sim
+FROM d JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id
+WHERE round(dot / na.nrm / nb.nrm, 6) >= 0.45
+""")
+def emb_neardup(spark, sf_dir):
+    # Synthetic embeddings have no true near-dups (max pair cos ≈ 0.6),
+    # so the demo threshold is 0.45; a real corpus would use ~0.95.
+    return sim.cosine_neardup_pairs(load(spark, sf_dir, "embeddings"),
+                                    threshold=0.45)
+
+
+# Rows-only (approximate LSH recall path for the same operator):
+@register("emb_cosine_neardup_lsh", sql=None)
+def emb_neardup_lsh(spark, sf_dir):
+    return sim.cosine_neardup_pairs_lsh(load(spark, sf_dir, "embeddings"),
+                                        threshold=0.45)
+
+
+# --------------------------------------------------------------------------
+# Materialized ANN index: bucket-partitioned Delta table, pruned probes
+# --------------------------------------------------------------------------
+
+_ANN_INDEX_BUILT: set = set()
+
+
+def _ann_index_path(spark, sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/connectors_spark_ann_index_{tag}"
+    if path not in _ANN_INDEX_BUILT:
+        sim.build_ann_index(load(spark, sf_dir, "embeddings"), path, dim=64)
+        _ANN_INDEX_BUILT.add(path)
+    return path
+
+
+# Rows-only: same results as emb_ann_lsh_topk but served from the
+# bucket-partitioned index via partition-pruned scans (equality asserted
+# in tests/test_ops_pipeline.py). Not benched: the first call pays the
+# one-time index build, which would dominate the probe time.
+@register("emb_ann_indexed_topk", sql=None)
+def emb_ann_indexed(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return sim.ann_query_indexed(spark, _ann_index_path(spark, sf_dir),
+                                 queries, k=5, dim=64)

@@ -455,3 +455,123 @@ def q22(spark, sf_dir):
             .groupBy("c_nationkey")
             .agg(F.count(F.lit(1)).alias("numcust"),
                  F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
+
+
+# --------------------------------------------------------------------------
+# Q12-style: priority line counts per return flag (fact-fact join + CASE)
+# --------------------------------------------------------------------------
+
+@register("q12_priority_lines", sql="""
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+""")
+def q12(spark, sf_dir):
+    # Fact-fact equi-join: both sides shuffle on orderkey at real scale
+    # (AQE may still broadcast the projected orders side at small SF);
+    # the shipdate filter is pushed to the lineitem scan.
+    li = (load(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) &
+                  (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+          .select("l_orderkey", "l_returnflag"))
+    od = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count")))
+
+
+# --------------------------------------------------------------------------
+# Q13-style: customer order-count distribution (left outer join, zero bucket)
+# --------------------------------------------------------------------------
+
+@register("q13_customer_distribution", sql="""
+SELECT c_count, count(*)::BIGINT AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count
+""")
+def q13(spark, sf_dir):
+    # LEFT OUTER keeps order-less customers in the c_count=0 bucket;
+    # count(o_orderkey) counts only matched (non-null) rows. Two
+    # aggregations: the first shuffles on custkey, the second is tiny.
+    cu = load(spark, sf_dir, "customer").select("c_custkey")
+    od = (load(spark, sf_dir, "orders")
+          .filter(F.col("o_orderpriority") != "1-URGENT")
+          .select("o_custkey", "o_orderkey"))
+    per = (cu.join(od, cu.c_custkey == od.o_custkey, "left_outer")
+           .groupBy("c_custkey")
+           .agg(F.count("o_orderkey").alias("c_count")))
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# Q17-style: small-quantity revenue vs per-part average (correlated subquery)
+# --------------------------------------------------------------------------
+
+@register("q17_small_quantity_revenue", sql="""
+WITH pavg AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS cutoff
+  FROM lineitem GROUP BY l_partkey)
+SELECT p_brand, round(sum(l_extendedprice), 2) AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pavg ON pavg.l_partkey = lineitem.l_partkey
+WHERE l_quantity < cutoff
+GROUP BY p_brand
+""")
+def q17(spark, sf_dir):
+    # The correlated scalar subquery (per-part average) is de-correlated
+    # into an aggregate + equi-join — one extra pass over lineitem's two
+    # needed columns, partially aggregated map-side before the shuffle.
+    li = load(spark, sf_dir, "lineitem") \
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    pavg = (li.groupBy("l_partkey")
+            .agg((F.lit(0.2) * F.avg("l_quantity")).alias("cutoff")))
+    pa = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (li.join(pavg, "l_partkey")
+            .filter(F.col("l_quantity") < F.col("cutoff"))
+            .join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+# --------------------------------------------------------------------------
+# Q19-style: disjunctive predicate revenue (OR-of-conjunctions pushdown)
+# --------------------------------------------------------------------------
+
+@register("q19_disjunctive_revenue", sql="""
+SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_size <= 10 AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_size > 40 AND l_quantity >= 25 AND l_quantity <= 40)
+GROUP BY p_brand
+""")
+def q19(spark, sf_dir):
+    # Disjunction spans both sides of the join, so it can't be fully
+    # pushed to either scan; Catalyst still derives the implied
+    # single-side conjuncts (l_quantity bounds, p_size bounds) and pushes
+    # those, evaluating the full OR post-join.
+    li = load(spark, sf_dir, "lineitem") \
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    pa = load(spark, sf_dir, "part").select("p_partkey", "p_size", "p_brand")
+    cond = (((F.col("p_size") <= 10) & F.col("l_quantity").between(1, 20)) |
+            ((F.col("p_size") > 40) & F.col("l_quantity").between(25, 40)))
+    return (li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+            .filter(cond)
+            .groupBy("p_brand")
+            .agg(F.round(F.sum(F.col("l_extendedprice") *
+                               (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))

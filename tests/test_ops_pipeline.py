@@ -149,3 +149,42 @@ def test_minhash_signature_stable(spark):
     sig1 = dd.minhash_signatures(_docs(spark)).collect()
     sig2 = dd.minhash_signatures(_docs(spark)).collect()
     assert sorted(map(tuple, sig1)) == sorted(map(tuple, sig2))
+
+
+def test_cosine_neardup_exact_and_lsh_subset(spark, sf_dir):
+    emb = read_table(spark, "embeddings", sf_dir)
+    exact = {(r.a_id, r.b_id): r.sim for r in
+             sim.cosine_neardup_pairs(emb, threshold=0.45).collect()}
+    assert len(exact) > 0
+    assert all(a < b for a, b in exact)
+    approx = {(r.a_id, r.b_id): r.sim for r in
+              sim.cosine_neardup_pairs_lsh(emb, threshold=0.45,
+                                           dim=64).collect()}
+    # LSH candidates are a subset of the exact result, with equal sims
+    assert set(approx) <= set(exact)
+    assert all(approx[k] == exact[k] for k in approx)
+    assert len(approx) / len(exact) >= 0.5, "LSH near-dup recall too low"
+
+
+def test_ann_indexed_matches_unindexed(spark, sf_dir, tmp_path):
+    from connectors_spark import DeltaTable
+    from connectors_spark.expressions import Col, Lit
+
+    emb = read_table(spark, "embeddings", sf_dir)
+    idx = str(tmp_path / "ann_index")
+    sim.build_ann_index(emb, idx, dim=64)
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    via_index = sorted(map(tuple, sim.ann_query_indexed(
+        spark, idx, queries, k=5, dim=64).collect()))
+    direct = sorted(map(tuple, sim.ann_lsh_topk(
+        emb, queries, k=5, dim=64).collect()))
+    assert via_index == direct
+
+    # the probe is partition-pruned: scanning one bucket touches a strict
+    # subset of the index's files
+    t = DeltaTable.for_path(spark, idx)
+    total = t.snapshot().files_df.count()
+    one = t.scan((Col("tbl") == Lit(0)) &
+                 (Col("sig") == Lit(0))).files().count()
+    assert 0 < one < total
