@@ -72,6 +72,21 @@ def fingerprint(text: ColumnOrName) -> Column:
     return F.md5(norm)
 
 
+def kgram_hashes(text: ColumnOrName, k: int = 8) -> Column:
+    """Rolling character k-gram hashes of the normalized text
+    (array<long>, positional order preserved). Docs shorter than k chars
+    yield a single whole-text hash. One codegen'd expression — each gram
+    is hashed exactly once; window selection over these hashes belongs in
+    a window function (see ops.dedup.winnow_overlap_pairs), NOT a nested
+    array expression, which would re-evaluate the whole array per window
+    (O(m²) hashing)."""
+    norm = F.regexp_replace(F.trim(F.lower(_c(text))), r"\s+", " ")
+    m = F.length(norm) - k + 1          # number of k-grams
+    grams = F.transform(F.sequence(F.lit(1), m),
+                        lambda i: hash64(norm.substr(i, F.lit(k))))
+    return F.when(m >= 1, grams).otherwise(F.array(hash64(norm)))
+
+
 # --------------------------------------------------------------------------
 # Quality metrics
 # --------------------------------------------------------------------------

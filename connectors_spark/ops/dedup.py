@@ -31,7 +31,8 @@ from typing import List, Optional, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, hash64, ngram_shingles, tokens
+from ..functions.text import (fingerprint, hash64, kgram_hashes,
+                              ngram_shingles, tokens)
 
 # Prime modulus > 2^32 and multiplier bound 2^29 keep a*h+b < 2^62:
 # no BIGINT overflow in Spark OR the SQL oracle (DuckDB errors on
@@ -216,6 +217,82 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
          .filter(F.col("jaccard") >= threshold)
          .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard")))
     return j
+
+
+# --------------------------------------------------------------------------
+# Winnowing (rolling-hash fingerprint) partial-overlap detection
+# --------------------------------------------------------------------------
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken:
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003): hash every character k-gram, slide a window of w consecutive
+    hashes, select each window's minimum; the distinct selected hashes
+    fingerprint the document. Any shared substring of length >= k+w-1
+    contributes at least one common fingerprint, so PARTIAL overlap
+    (quotes, boilerplate, containment) is detectable — which
+    whole-document set-Jaccard dilutes away.
+
+    Returns (_id, _f) — one row per distinct fingerprint. The k-grams
+    are hashed once (one array expression), then posexploded so the
+    per-window minimum is a rows-between window function — a single
+    shuffle on doc id, never O(m²) rehashing. Docs with fewer than w
+    k-grams keep all their gram hashes (standard winnowing fallback).
+    """
+    from pyspark.sql import Window
+    ex = (_spread(df)
+          .select(F.col(id_col).alias("_id"),
+                  kgram_hashes(text_col, k).alias("_g"))
+          .select("_id", F.size("_g").alias("_m"),
+                  F.posexplode("_g").alias("_pos", "_h")))
+    win = (Window.partitionBy("_id").orderBy("_pos")
+           .rowsBetween(Window.currentRow, w - 1))
+    return (ex.withColumn("_wmin", F.min("_h").over(win))
+            .filter((F.col("_m") < w) | (F.col("_pos") <= F.col("_m") - w))
+            .select("_id",
+                    F.when(F.col("_m") >= w, F.col("_wmin"))
+                    .otherwise(F.col("_h")).alias("_f"))
+            .distinct())
+
+
+def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 8, w: int = 4,
+                         min_shared: int = 5,
+                         max_fp_freq: Optional[int] = None) -> DataFrame:
+    """Pairs of documents sharing >= `min_shared` winnowing fingerprints
+    — catches PARTIAL overlap (shared quotes, boilerplate, containment)
+    that whole-document Jaccard dilutes away.
+
+    Same inverted-index shape as `ngram_jaccard_pairs`: the (already
+    ~1/w winnowed, distinct) fingerprints self-join on the fingerprint,
+    shared counts aggregate per pair. `max_fp_freq` caps ubiquitous
+    fingerprints (boilerplate appearing in thousands of docs) so one hot
+    key can't create an O(n²) bucket at corpus scale. Output `overlap`
+    is the Jaccard of the two fingerprint SETS (deterministic, rounded).
+    """
+    fp = winnow_fingerprints(df, id_col, text_col, k, w)
+    sz = fp.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    ex = fp.join(sz, "_id")
+    if max_fp_freq is not None:
+        hot = (ex.groupBy("_f").count()
+               .filter(F.col("count") > max_fp_freq).select("_f"))
+        ex = ex.join(hot, "_f", "left_anti")
+    a = ex.select(F.col("_id").alias("a_id"), F.col("_sz").alias("_asz"),
+                  "_f")
+    b = ex.select(F.col("_id").alias("b_id"), F.col("_sz").alias("_bsz"),
+                  "_f")
+    return (a.join(b, "_f")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id", "_asz", "_bsz")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(F.col("shared") >= min_shared)
+            .select("a_id", "b_id", F.col("shared").cast("long"),
+                    F.round(F.col("shared").cast("double") /
+                            (F.col("_asz") + F.col("_bsz") -
+                             F.col("shared")).cast("double"), 6)
+                    .alias("overlap")))
 
 
 # --------------------------------------------------------------------------

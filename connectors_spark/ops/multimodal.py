@@ -90,6 +90,82 @@ def fake_decode_features(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(decode, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("thumb", BinaryType()),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame_off", LongType()),
+    StructField("frame_bytes", BinaryType()),
+])
+
+
+def fake_resize(media_df: DataFrame, width: int = 32,
+                height: int = 32) -> DataFrame:
+    """Arrow-batched mapInPandas 'resize': 1→1 batch shape with a binary
+    OUTPUT column — the contract a real thumbnailer (PIL resize) drops
+    into. The deterministic stand-in takes the first width*height payload
+    bytes, zero-padded."""
+    target = width * height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": width,
+                "height": height,
+                "thumb": pdf["media"].map(
+                    lambda b: bytes(b[:target]).ljust(target, b"\0")),
+            }).astype({"width": "int32", "height": "int32"})
+
+    return media_df.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+def fake_frame_sample(media_df: DataFrame, every_n: int = 10,
+                      frame_size: int = 256) -> DataFrame:
+    """Arrow-batched mapInPandas frame sampler: 1→N batch shape (each
+    video row emits one row per sampled frame) — the contract a real
+    video decoder (pyav/ffmpeg keyframe extraction) drops into.
+
+    Deterministic stand-in: n_frames = n_bytes % 100 (matching
+    fake_decode_features), frames every_n apart, each frame a
+    frame_size-byte slice of the payload starting at
+    (frame_idx * frame_size) % n_bytes."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kind = pdf["meta"].map(lambda m: m["kind"])
+            vid = pdf[(kind == "video").values]
+            if len(vid) == 0:
+                continue
+            nb = vid["media"].map(len).astype("int64")
+            frames = (nb % 100).map(
+                lambda k: list(range(0, int(k), every_n)))
+            out = pd.DataFrame({"doc_id": vid["doc_id"],
+                                "media": vid["media"],
+                                "nb": nb,
+                                "frame_idx": frames}).explode("frame_idx")
+            out = out[out["frame_idx"].notna()]
+            if len(out) == 0:
+                continue
+            idx = out["frame_idx"].astype("int64")
+            off = (idx * frame_size) % out["nb"].clip(lower=1)
+            yield pd.DataFrame({
+                "doc_id": out["doc_id"],
+                "frame_idx": idx.astype("int32"),
+                "frame_off": off.astype("int64"),
+                "frame_bytes": [bytes(m[o:o + frame_size])
+                                for m, o in zip(out["media"], off)],
+            })
+
+    return media_df.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
 def decode_image(media_df: DataFrame) -> DataFrame:  # pragma: no cover
     """Real image decode → (doc_id, width, height, mode). Requires PIL,
     which this container does not ship; the mapInPandas shape is

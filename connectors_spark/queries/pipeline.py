@@ -155,6 +155,44 @@ def doc_simhash(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Winnowing (rolling-hash) partial-overlap pairs
+# --------------------------------------------------------------------------
+
+@register("doc_winnow_overlap_pairs", sql=f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+  FROM documents),
+kg AS (
+  SELECT doc_id,
+         CASE WHEN length(t) >= 8
+              THEN [{_H64.format(v="substring(t, i, 8)")}
+                    for i in range(1, length(t) - 8 + 2)]
+              ELSE [{_H64.format(v="t")}] END AS h
+  FROM norm),
+win AS (
+  SELECT doc_id,
+         CASE WHEN len(h) >= 4
+              THEN list_distinct([list_min(h[i:i+3])
+                                  for i in range(1, len(h) - 4 + 2)])
+              ELSE list_distinct(h) END AS fps
+  FROM kg),
+ex AS (SELECT doc_id, len(fps) AS z, unnest(fps) AS f FROM win),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         any_value(a.z) AS za, any_value(b.z) AS zb,
+         count(*)::BIGINT AS shared
+  FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT a_id, b_id, shared,
+       round(shared::DOUBLE / (za + zb - shared), 6) AS overlap
+FROM pairs WHERE shared >= 30
+""")
+def doc_winnow(spark, sf_dir):
+    return dd.winnow_overlap_pairs(load(spark, sf_dir, "documents"),
+                                   min_shared=30)
+
+
+# --------------------------------------------------------------------------
 # Text quality stats per language
 # --------------------------------------------------------------------------
 
@@ -262,6 +300,23 @@ FROM m
 def mm_decode(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return mm.fake_decode_features(mm.attach_fake_media(docs))
+
+
+@register("mm_frame_sample", sql="""
+WITH v AS (
+  SELECT doc_id, octet_length(encode(text))::BIGINT AS nb
+  FROM documents WHERE doc_id % 3 = 2),
+f AS (
+  SELECT doc_id, nb, unnest(range(0, nb % 100, 10)) AS frame_idx
+  FROM v WHERE nb % 100 > 0)
+SELECT doc_id, frame_idx::INTEGER AS frame_idx,
+       (frame_idx * 256) % greatest(nb, 1) AS frame_off
+FROM f
+""")
+def mm_frames(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    frames = mm.fake_frame_sample(mm.attach_fake_media(docs))
+    return frames.select("doc_id", "frame_idx", "frame_off")
 
 
 # --------------------------------------------------------------------------

@@ -202,10 +202,21 @@ class DeltaLog:
         commit (BufferingLogDeletionIterator.scala:30-60)."""
         cutoff = int(time.time() * 1000) - cfg.log_retention_ms
         commits = hist.list_commits(self.store, self.log_path)
+        expired = set()
         for c in commits:
             if c.version >= checkpoint_version or c.timestamp >= cutoff:
                 break
+            expired.add(c.version)
             self.store.delete(fn.delta_file(self.log_path, c.version))
+        if not expired:
+            return
+        # Superseded checkpoint files for expired versions go too
+        # (MetadataCleanup deletes delta AND checkpoint files before the
+        # cutoff; the just-written checkpoint is never expired).
+        for name in self.store.list_from(self.log_path):
+            if fn.is_checkpoint_file(name) \
+                    and fn.checkpoint_version(name) in expired:
+                self.store.delete(os.path.join(self.log_path, name))
 
 
 class DeltaTable:

@@ -77,3 +77,32 @@ def test_vacuum_removes_unreferenced_files(spark, tmp_path):
     n_disk_after = sum(len([f for f in fs if f.endswith(".parquet")])
                        for _, _, fs in os.walk(root))
     assert n_disk_after == n_disk_before - 3
+
+
+def test_expired_log_cleanup_removes_deltas_and_checkpoints(spark, tmp_path):
+    """W8: commits older than logRetention that precede a checkpoint are
+    deleted, along with their superseded checkpoint files; the table
+    stays fully readable from the surviving checkpoint."""
+    path = str(tmp_path / "t")
+    t = DeltaTable.for_path(spark, path)
+    cfg = {"delta.checkpointInterval": "2",
+           "delta.logRetentionDuration": "interval 0 seconds"}
+    for i in range(5):   # versions 0..4; checkpoints at 2 and 4
+        df = spark.range(i * 10, (i + 1) * 10).toDF("id")
+        t.write(df.coalesce(1), mode="append", configuration=cfg)
+    log_dir = os.path.join(path, "_delta_log")
+    names = set(os.listdir(log_dir))
+    # deltas 0-3 expired (retention 0, all < checkpoint 4); delta 4 kept
+    for v in range(4):
+        assert f"{v:020d}.json" not in names
+    assert "00000000000000000004.json" in names
+    # checkpoint 2 superseded and expired; checkpoint 4 survives
+    assert not any(n.startswith("00000000000000000002.checkpoint")
+                   for n in names)
+    assert any(n.startswith("00000000000000000004.checkpoint")
+               for n in names)
+    # table still reads completely, and time travel to the checkpoint
+    # version still works
+    t2 = DeltaTable.for_path(spark, path)
+    assert t2.to_df().count() == 50
+    assert t2.to_df(version=4).count() == 50

@@ -188,3 +188,55 @@ def test_ann_indexed_matches_unindexed(spark, sf_dir, tmp_path):
     one = t.scan((Col("tbl") == Lit(0)) &
                  (Col("sig") == Lit(0))).files().count()
     assert 0 < one < total
+
+
+def test_winnow_detects_partial_overlap(spark):
+    # Doc 1 CONTAINS doc 0's text inside unrelated padding; Jaccard on
+    # whole-doc shingles dilutes below threshold, winnowing still links
+    # them (shared substring >= k+w-1 chars -> shared fingerprint).
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (0, quote),
+        (1, ("entirely unrelated preamble text goes here first and " +
+             quote + " followed by a long unrelated epilogue section")),
+        (2, "nothing in common with the others at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {(r.a_id, r.b_id): r.shared
+           for r in dd.winnow_overlap_pairs(df, min_shared=3).collect()}
+    assert (0, 1) in got
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_winnow_fingerprints_shape(spark):
+    df = spark.createDataFrame([(0, "abcdefghij"), (1, "ab")],
+                               "doc_id: long, text: string")
+    fp = dd.winnow_fingerprints(df, k=8, w=4)
+    by_id = {}
+    for r in fp.collect():
+        by_id.setdefault(r._id, set()).add(r._f)
+    # doc 0: 3 k-grams < w=4 -> fallback keeps all gram hashes
+    assert len(by_id[0]) == 3
+    # doc 1: shorter than k -> single whole-text hash
+    assert len(by_id[1]) == 1
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    rows = [(i, "x" * (100 + i * 37)) for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    media = mm.attach_fake_media(docs)
+
+    th = mm.fake_resize(media, width=8, height=4).collect()
+    assert len(th) == 6
+    assert all(len(r.thumb) == 32 and r.width == 8 and r.height == 4
+               for r in th)
+
+    frames = mm.fake_frame_sample(media, every_n=10, frame_size=16).collect()
+    # only video rows (doc_id % 3 == 2) emit frames: one per 10 frames
+    vids = {i: (100 + i * 37) for i in range(6) if i % 3 == 2}
+    expect = sum(-(-(nb % 100) // 10) for nb in vids.values() if nb % 100)
+    assert len(frames) == expect
+    assert all(r.doc_id in vids for r in frames)
+    assert all(len(r.frame_bytes) <= 16 for r in frames)
+    assert all(r.frame_off == (r.frame_idx * 16) % vids[r.doc_id]
+               for r in frames)
