@@ -575,3 +575,112 @@ def q19(spark, sf_dir):
             .agg(F.round(F.sum(F.col("l_extendedprice") *
                                (1 - F.col("l_discount"))), 2)
                  .alias("revenue")))
+
+
+# --------------------------------------------------------------------------
+# Q7-style: volume shipping between two nations
+# --------------------------------------------------------------------------
+
+@register("q7_volume_shipping", sql="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders   ON o_orderkey = l_orderkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') OR
+       (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+GROUP BY 1, 2, 3
+""")
+def q7(spark, sf_dir):
+    # nation is filtered to 2 rows before broadcasting into supplier and
+    # customer, which shrink to ~2/25 of their rows and broadcast into
+    # the fact join; the only big shuffle is orders⋈lineitem.
+    na = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7"))
+    su = (load(spark, sf_dir, "supplier")
+          .join(F.broadcast(na.select(F.col("n_nationkey").alias("s_nationkey"),
+                                      F.col("n_name").alias("supp_nation"))),
+                "s_nationkey")
+          .select("s_suppkey", "supp_nation"))
+    cu = (load(spark, sf_dir, "customer")
+          .join(F.broadcast(na.select(F.col("n_nationkey").alias("c_nationkey"),
+                                      F.col("n_name").alias("cust_nation"))),
+                "c_nationkey")
+          .select("c_custkey", "cust_nation"))
+    od = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+    return (li.join(od, li.l_orderkey == od.o_orderkey)
+            .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+            .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+            .filter(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice") *
+                               (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+# --------------------------------------------------------------------------
+# Q15-style: top supplier(s) by period revenue (argmax with ties)
+# --------------------------------------------------------------------------
+
+@register("q15_top_supplier", sql="""
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+""")
+def q15(spark, sf_dir):
+    # The "view + scalar max" decomposes to: one aggregation over the
+    # filtered fact, a 1-row max broadcast back onto it, and a broadcast
+    # dimension join. Rounding BEFORE the max comparison keeps the
+    # equality deterministic across engines.
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) &
+        (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+    rev = (li.groupBy(F.col("l_suppkey").alias("suppkey"))
+           .agg(F.round(F.sum(F.col("l_extendedprice") *
+                              (1 - F.col("l_discount"))), 2)
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    su = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (rev.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_revenue") == F.col("_mx"))
+            .join(F.broadcast(su), rev.suppkey == su.s_suppkey)
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+# --------------------------------------------------------------------------
+# Q2-style: argmax per group (top customer per nation, max_by)
+# --------------------------------------------------------------------------
+
+@register("q2_top_customer_per_nation", sql="""
+WITH ranked AS (
+  SELECT c_nationkey, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_name DESC) AS rn
+  FROM customer)
+SELECT c_nationkey, c_name AS top_customer,
+       round(c_acctbal, 2) AS top_acctbal
+FROM ranked WHERE rn = 1
+""")
+def q2(spark, sf_dir):
+    # argmax as a single map-side-combinable aggregate (max_by on a
+    # (value, tie-break) struct) — no window, no second shuffle; ties
+    # resolve deterministically by name.
+    cu = load(spark, sf_dir, "customer")
+    pair = F.struct(F.col("c_acctbal"), F.col("c_name"))
+    return (cu.groupBy("c_nationkey")
+            .agg(F.max_by("c_name", pair).alias("top_customer"),
+                 F.round(F.max("c_acctbal"), 2).alias("top_acctbal")))
