@@ -684,3 +684,206 @@ def q2(spark, sf_dir):
     return (cu.groupBy("c_nationkey")
             .agg(F.max_by("c_name", pair).alias("top_customer"),
                  F.round(F.max("c_acctbal"), 2).alias("top_acctbal")))
+
+
+# --------------------------------------------------------------------------
+# Q8-style: national market share within a region
+# --------------------------------------------------------------------------
+
+@register("q8_market_share", sql="""
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END), 2)
+           AS nation_volume,
+       round(sum(volume), 2) AS total_volume,
+       round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT year(o_orderdate)::BIGINT AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part JOIN lineitem ON p_partkey = l_partkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       JOIN region ON n1.n_regionkey = r_regionkey
+       JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01')
+GROUP BY o_year
+""")
+def q8(spark, sf_dir):
+    # All dimensions broadcast (part filtered to 1/6, customer to 1/5
+    # via the region chain, supplier+nation tiny); the single shuffle is
+    # orders⋈lineitem on orderkey. Numerator/denominator are reported
+    # alongside the ratio so the rounded share stays auditable.
+    re = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = (load(spark, sf_dir, "nation")
+          .join(F.broadcast(re), F.col("n_regionkey") == re.r_regionkey)
+          .select("n_nationkey"))
+    cu = (load(spark, sf_dir, "customer")
+          .join(F.broadcast(n1), F.col("c_nationkey") == n1.n_nationkey)
+          .select("c_custkey"))
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("nation"))
+    su = (load(spark, sf_dir, "supplier")
+          .join(F.broadcast(n2), "s_nationkey")
+          .select("s_suppkey", "nation"))
+    pa = load(spark, sf_dir, "part") \
+        .filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    od = load(spark, sf_dir, "orders") \
+        .filter((F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")) &
+                (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))) \
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat = F.when(F.col("nation") == "NATION_5", vol).otherwise(F.lit(0.0))
+    return (li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+            .join(od, li.l_orderkey == od.o_orderkey)
+            .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+            .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+            .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.round(F.sum(nat), 2).alias("nation_volume"),
+                 F.round(F.sum(vol), 2).alias("total_volume"),
+                 F.round(F.sum(nat) / F.sum(vol), 6).alias("mkt_share")))
+
+
+# --------------------------------------------------------------------------
+# Q9-style: product-line profit by supplier nation and year
+# (adapted: testdata has no partsupp, so cost = 0.4 * p_retailprice * qty)
+# --------------------------------------------------------------------------
+
+@register("q9_product_profit", sql="""
+SELECT nation, o_year, sum(amount_e4) AS sum_profit_e4
+FROM (
+  SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+         round((l_extendedprice * (1 - l_discount)
+                - 0.4 * p_retailprice * l_quantity) * 10000)::BIGINT
+             AS amount_e4
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN orders ON o_orderkey = l_orderkey
+       JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%gear%')
+GROUP BY nation, o_year
+""")
+def q9(spark, sf_dir):
+    # part (name-filtered), supplier⋈nation broadcast; orders⋈lineitem
+    # is the only shuffle. The LIKE filter is pushed into the part scan
+    # (StringContains pushdown).
+    pa = load(spark, sf_dir, "part") \
+        .filter(F.col("p_name").contains("gear")) \
+        .select("p_partkey", "p_retailprice")
+    na = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("nation"))
+    su = (load(spark, sf_dir, "supplier")
+          .join(F.broadcast(na), "s_nationkey")
+          .select("s_suppkey", "nation"))
+    od = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    # Profits cancel (revenue - cost), so a double sum rounded to cents
+    # lands on genuine half-cent ties where engines disagree. Amounts are
+    # exact multiples of 1e-4, so summing round(amount*1e4) longs is
+    # exact and engine-independent.
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - 0.4 * F.col("p_retailprice") * F.col("l_quantity"))
+    amount_e4 = F.round(amount * 10000, 0).cast("long")
+    return (li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+            .join(od, li.l_orderkey == od.o_orderkey)
+            .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+            .groupBy("nation",
+                     F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.sum(amount_e4).alias("sum_profit_e4")))
+
+
+# --------------------------------------------------------------------------
+# Q11-style: important parts by traded value vs global threshold
+# (adapted: no partsupp — value = sum(extendedprice * quantity) per part)
+# --------------------------------------------------------------------------
+
+@register("q11_important_parts", sql="""
+WITH val AS (
+  SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS part_value
+  FROM lineitem GROUP BY 1)
+SELECT l_partkey, part_value
+FROM val
+WHERE part_value > (SELECT avg(part_value) * 1.5 FROM val)
+""")
+def q11(spark, sf_dir):
+    # Group-agg reused twice: once per part, once reduced to the scalar
+    # threshold that is broadcast back — the same having-vs-scalar shape
+    # as TPC-H Q11, with no second scan of the fact table.
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_quantity")
+    val = (li.groupBy("l_partkey")
+           .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2)
+                .alias("part_value")))
+    val = val.persist()
+    thr = val.agg((F.avg("part_value") * 1.5).alias("_thr"))
+    return (val.crossJoin(F.broadcast(thr))
+            .filter(F.col("part_value") > F.col("_thr"))
+            .select("l_partkey", "part_value"))
+
+
+# --------------------------------------------------------------------------
+# Q21-style: suppliers who alone shipped late on multi-supplier orders
+# (adapted: no commit/receipt dates — "late" = shipped >60 days after order)
+# --------------------------------------------------------------------------
+
+@register("q21_waiting_suppliers", sql="""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'),
+ord AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+  FROM li GROUP BY 1)
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM li JOIN ord USING (l_orderkey)
+        JOIN supplier ON s_suppkey = l_suppkey
+WHERE li.late = 1 AND ord.n_supp > 1 AND ord.n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""")
+def q21(spark, sf_dir):
+    # The EXISTS / NOT EXISTS pair of TPC-H Q21 collapses into one
+    # per-order aggregate (distinct suppliers, distinct late suppliers)
+    # joined back to the late rows — two shuffles on orderkey that AQE
+    # co-partitions, instead of two correlated subquery scans.
+    od = load(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderstatus") == "F") \
+        .select("o_orderkey", "o_orderdate")
+    li_raw = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    li = (li_raw.join(od, li_raw.l_orderkey == od.o_orderkey)
+          .select("l_orderkey", "l_suppkey",
+                  F.when(F.col("l_shipdate") >
+                         F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                         1).otherwise(0).alias("late")))
+    li = li.persist()
+    ord_stats = (li.groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                      F.countDistinct(F.when(F.col("late") == 1,
+                                             F.col("l_suppkey")))
+                      .alias("n_late")))
+    su = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (li.filter(F.col("late") == 1)
+            .join(ord_stats.filter((F.col("n_supp") > 1) &
+                                   (F.col("n_late") == 1)), "l_orderkey")
+            .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), F.asc("s_name"))
+            .limit(20))
