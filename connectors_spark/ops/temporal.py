@@ -1,0 +1,119 @@
+"""Temporal join operators: as-of join and binned range join.
+
+Spark has no built-in as-of join (pandas `merge_asof` semantics) and a
+naive range join is a cross product, so both are provided here as
+compositions of existing DataFrame ops — no Python UDFs, one shuffle
+each, scale-safe shapes:
+
+- **as-of join** — union the two inputs tagged by side and run ONE
+  window over (by-key, time) carrying the last-seen right-side payload
+  forward. Cost: a single shuffle on the by-key + an in-partition sort;
+  never a range explosion, no per-row probing. This is the standard
+  big-data as-of shape (a merge-sorted scan per key group).
+- **binned range join** — join ranges [ts+lo, ts+hi] by exploding the
+  left side over the fixed-width time bins its range covers, equi-join
+  on (key, bin), then exact range filter. Fanout is bounded by
+  ceil((hi-lo)/bin) + 1 per row, so shuffle volume stays linear — the
+  equi-join gives Catalyst a hash join instead of a broadcast
+  nested-loop over an inequality.
+
+Reference parity: none (delta-io/connectors has no data-plane joins) —
+SURVEY.md §7 extensions. Semantics follow pandas merge_asof and the
+range-join literature (e.g. interval/bin joins in Flink/Trino).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
+              by: Optional[List[str]] = None,
+              right_cols: Optional[List[str]] = None,
+              strict: bool = False,
+              tolerance_seconds: Optional[float] = None,
+              prefix: str = "asof_") -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.on <= left.on`` (``<`` when ``strict``) within the same
+    ``by`` group, or nulls when none exists.
+
+    Deterministic: right-side ties on `on` resolve by the largest
+    payload struct (stable given a unique column in `right_cols`).
+    `tolerance_seconds` nulls out matches older than the window.
+    """
+    by = by or []
+    right_cols = right_cols or [c for c in right.columns
+                                if c != on and c not in by]
+    # Tag so that at equal timestamps the right row sorts before the left
+    # row for <= semantics, after it for strict < semantics.
+    right_tag, left_tag = (0, 1) if not strict else (1, 0)
+    payload = F.struct(F.col(on).alias("_asof_ts"),
+                       *[F.col(c) for c in right_cols])
+    r = (right.select(*by, F.col(on).alias("_t"),
+                      payload.alias("_p"))
+         .withColumn("_side", F.lit(right_tag)))
+    l = (left.withColumn("_t", F.col(on))
+         .withColumn("_p", F.lit(None).cast(r.schema["_p"].dataType))
+         .withColumn("_side", F.lit(left_tag)))
+    unioned = l.select(*left.columns, "_t", "_p", "_side").unionByName(
+        r.select(*[F.lit(None).cast(left.schema[c].dataType).alias(c)
+                   for c in left.columns if c not in by and c != on],
+                 *by, F.col("_t").alias(on), "_t", "_p", "_side"),
+        allowMissingColumns=False)
+    w = (Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1)))
+    w = (w.orderBy("_t", "_side", F.desc("_p"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = (unioned
+               .withColumn("_m", F.last("_p", ignorenulls=True).over(w))
+               .filter(F.col("_side") == left_tag))
+    if tolerance_seconds is not None:
+        in_tol = (F.col("_t").cast("double") -
+                  F.col("_m._asof_ts").cast("double")) <= tolerance_seconds
+        matched = matched.withColumn(
+            "_m", F.when(in_tol, F.col("_m")))
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col("_m._asof_ts").alias(f"{prefix}{on}"))
+    out_cols += [F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right_cols]
+    return matched.select(*out_cols)
+
+
+def range_join_binned(left: DataFrame, right: DataFrame,
+                      by: List[str], on: str = "ts",
+                      lower_seconds: float = 0.0,
+                      upper_seconds: float = 3600.0,
+                      bin_seconds: float = 3600.0,
+                      right_alias: str = "r") -> DataFrame:
+    """All (left, right) pairs in the same ``by`` group with
+    ``left.on + lower <= right.on <= left.on + upper``.
+
+    Left rows are exploded over every `bin_seconds`-wide epoch bin their
+    range covers (bounded fanout), the join is a plain equi-join on
+    (by, bin), and the exact inequality filters the candidates. Right
+    columns come back prefixed with `right_alias`. The pair stream is
+    linear in input size for fixed range/bin ratio — pick `bin_seconds`
+    ≈ the range width so fanout ≈ 2.
+    """
+    n_bins = int((upper_seconds - lower_seconds) // bin_seconds) + 2
+    lsec = F.col(on).cast("double")
+    lo_bin = F.floor((lsec + lower_seconds) / bin_seconds).cast("long")
+    l = (left.withColumn("_b0", lo_bin)
+         .withColumn("_bin", F.explode(F.sequence(
+             F.col("_b0"), F.col("_b0") + F.lit(n_bins - 1))))
+         .drop("_b0"))
+    # Keep only bins the range actually covers (sequence over-covers by
+    # at most one trailing bin).
+    l = l.filter(F.col("_bin") * bin_seconds <= lsec + upper_seconds)
+    rsec = F.col(on).cast("double")
+    r = right.select(
+        *[F.col(c).alias(c) for c in by],
+        F.floor(rsec / bin_seconds).cast("long").alias("_bin"),
+        *[F.col(c).alias(f"{right_alias}_{c}") for c in right.columns
+          if c not in by])
+    rts = F.col(f"{right_alias}_{on}").cast("double")
+    return (l.join(r, [*by, "_bin"])
+            .filter((rts >= lsec + lower_seconds) &
+                    (rts <= lsec + upper_seconds))
+            .drop("_bin"))

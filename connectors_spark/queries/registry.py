@@ -57,4 +57,5 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # Importing the suite modules populates REGISTRY.
 from . import relational   # noqa: E402,F401
 from . import pipeline     # noqa: E402,F401
+from . import temporal     # noqa: E402,F401
 from . import delta_demo   # noqa: E402,F401

@@ -1,0 +1,164 @@
+"""Temporal / sketch query suite: as-of join, binned range join, KMV
+distinct sketch, multi-granularity rollup — over the events table.
+
+Every query is double-entry: the Spark plan uses the reusable operators
+in ops.temporal (single-shuffle as-of, bounded-fanout range join) and
+the oracle re-derives identical semantics in ANSI-ish DuckDB SQL.
+Timestamp arithmetic stays on the microsecond integer grid
+(unix_micros/epoch_us) so no float rounding can diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import hash64
+from ..ops import temporal as tp
+from .registry import load, register
+
+
+# --------------------------------------------------------------------------
+# As-of join: attribute each view to the user's latest click at-or-before
+# --------------------------------------------------------------------------
+
+@register("ev_asof_click_attribution", sql="""
+WITH u AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+  FROM events WHERE event_type IN ('click', 'view')),
+m AS (
+  SELECT *,
+         last_value(CASE WHEN side = 0
+                         THEN {'ts': ts, 'event_id': event_id} END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id
+                 ORDER BY ts, side, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM u)
+SELECT event_id AS view_id, user_id,
+       c.event_id AS click_id,
+       epoch_us(ts) - epoch_us(c.ts) AS gap_us
+FROM m WHERE side = 1
+""")
+def ev_asof(spark, sf_dir):
+    # ops.temporal.asof_join: one union + one window shuffle on user_id
+    # — the merge-sorted-scan as-of shape; no range explosion, no
+    # per-row probe. Gap stays on the integer microsecond grid.
+    ev = load(spark, sf_dir, "events")
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("event_id", "user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id"))
+    out = tp.asof_join(views, clicks, on="ts", by=["user_id"],
+                       right_cols=["event_id"])
+    return out.select(
+        F.col("event_id").alias("view_id"), "user_id",
+        F.col("asof_event_id").alias("click_id"),
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("gap_us"))
+
+
+# --------------------------------------------------------------------------
+# Range join: per error event, activity of the same user in the next 30 min
+# --------------------------------------------------------------------------
+
+@register("ev_range_error_context", sql="""
+SELECT e.event_id, e.user_id,
+       count(*)::BIGINT AS n_following,
+       round(sum(o.value), 2) AS sum_value
+FROM events e JOIN events o
+  ON o.user_id = e.user_id
+ AND o.event_id <> e.event_id
+ AND epoch_us(o.ts) >= epoch_us(e.ts)
+ AND epoch_us(o.ts) <= epoch_us(e.ts) + 1800000000
+WHERE e.event_type = 'error'
+GROUP BY 1, 2
+""")
+def ev_range(spark, sf_dir):
+    # ops.temporal.range_join_binned: errors explode over the <=2
+    # half-hour epoch bins their window covers, equi-join on
+    # (user_id, bin) — a hash join Catalyst can shuffle-partition —
+    # then the exact microsecond-range filter. Never an inequality-only
+    # (nested-loop) join.
+    ev = load(spark, sf_dir, "events")
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select("event_id", "user_id", "ts"))
+    other = ev.select("event_id", "user_id", "ts", "value")
+    pairs = tp.range_join_binned(
+        errors, other, by=["user_id"], on="ts",
+        lower_seconds=0.0, upper_seconds=1800.0, bin_seconds=1800.0)
+    return (pairs.filter(F.col("r_event_id") != F.col("event_id"))
+            .groupBy("event_id", "user_id")
+            .agg(F.count(F.lit(1)).alias("n_following"),
+                 F.round(F.sum("r_value"), 2).alias("sum_value")))
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — deterministic, oracle-matched
+# --------------------------------------------------------------------------
+
+_KMV_K = 32
+_2_60 = 1152921504606846976  # 2^60: hash64 range
+
+
+@register("ev_kmv_distinct", sql=f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+  FROM events),
+r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h),
+g AS (
+  SELECT event_type, count(*)::BIGINT AS n_exact,
+         max(CASE WHEN rn = {_KMV_K} THEN hv END) AS hk
+  FROM r GROUP BY 1)
+SELECT event_type, n_exact,
+       round(CASE WHEN n_exact < {_KMV_K} THEN n_exact::DOUBLE
+                  ELSE {_KMV_K - 1} * {_2_60}.0 / hk END, 2) AS kmv_est
+FROM g
+""")
+def ev_kmv(spark, sf_dir):
+    # Deterministic alternative to HLL: the k smallest md5-derived
+    # hashes per group estimate distinct count as (k-1)·2^60/h_k.
+    # Unlike approx_count_distinct, every engine computes the identical
+    # estimate — sketches stay hash-compare-testable. Shuffle is one
+    # window on (event_type); at scale the distinct pre-aggregation
+    # combines map-side.
+    from pyspark.sql import Window
+    ev = load(spark, sf_dir, "events")
+    h = (ev.select("event_type",
+                   hash64(F.col("user_id").cast("string")).alias("hv"))
+         .distinct())
+    w = Window.partitionBy("event_type").orderBy("hv")
+    r = h.withColumn("rn", F.row_number().over(w))
+    g = (r.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n_exact"),
+              F.max(F.when(F.col("rn") == _KMV_K, F.col("hv"))).alias("hk")))
+    est = F.when(F.col("n_exact") < _KMV_K,
+                 F.col("n_exact").cast("double")) \
+           .otherwise(F.lit(float(_KMV_K - 1)) * F.lit(float(_2_60)) /
+                      F.col("hk"))
+    return g.select("event_type", "n_exact",
+                    F.round(est, 2).alias("kmv_est"))
+
+
+# --------------------------------------------------------------------------
+# Hypertable-style rollup: day × event_type with subtotal grades
+# --------------------------------------------------------------------------
+
+@register("ev_rollup_day_type", sql="""
+SELECT CAST(ts AS DATE) AS day, event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP (day, event_type)
+""")
+def ev_rollup(spark, sf_dir):
+    # ROLLUP computes (day, type), (day), and grand-total grades in ONE
+    # pass with partial aggregation — the continuous-aggregate /
+    # hypertable rollup shape; no per-granularity rescans.
+    ev = load(spark, sf_dir, "events")
+    return (ev.rollup(F.to_date("ts").alias("day"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))

@@ -1,0 +1,100 @@
+"""Unit tests for ops.temporal: as-of join semantics (inclusive/strict,
+tolerance, unmatched rows) and binned range join (boundary inclusion,
+self-pairs, bin-width independence)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from connectors_spark.ops import temporal as tp
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    quotes = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 100.0),
+         (1, _ts("2024-01-01T10:00:05"), 101.0),
+         (1, _ts("2024-01-01T10:01:00"), 102.0),
+         (2, _ts("2024-01-01T10:00:03"), 200.0)],
+        "sym int, ts timestamp, px double")
+    trades = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:05"), 10),   # == quote2 ts
+         (1, _ts("2024-01-01T10:00:59"), 20),
+         (2, _ts("2024-01-01T10:00:00"), 30),   # before any quote
+         (3, _ts("2024-01-01T10:00:00"), 40)],  # no quotes for sym
+        "sym int, ts timestamp, qty int")
+    return quotes, trades
+
+
+def test_asof_inclusive(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = {(r["sym"], r["qty"]): r["asof_px"]
+           for r in tp.asof_join(trades, quotes, on="ts", by=["sym"],
+                                 right_cols=["px"]).collect()}
+    assert out[(1, 10)] == 101.0       # equal ts matches (<=)
+    assert out[(1, 20)] == 101.0       # latest earlier quote
+    assert out[(2, 30)] is None        # quote is later
+    assert out[(3, 40)] is None        # no right rows in group
+
+
+def test_asof_strict(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = {(r["sym"], r["qty"]): r["asof_px"]
+           for r in tp.asof_join(trades, quotes, on="ts", by=["sym"],
+                                 right_cols=["px"],
+                                 strict=True).collect()}
+    assert out[(1, 10)] == 100.0       # equal ts excluded under <
+    assert out[(1, 20)] == 101.0
+
+
+def test_asof_tolerance(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = {(r["sym"], r["qty"]): r["asof_px"]
+           for r in tp.asof_join(trades, quotes, on="ts", by=["sym"],
+                                 right_cols=["px"],
+                                 tolerance_seconds=10).collect()}
+    assert out[(1, 10)] == 101.0       # gap 0s within tolerance
+    assert out[(1, 20)] is None        # gap 54s > 10s
+
+
+def test_range_join_boundaries(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts("2024-01-01T10:00:00"))],
+        "uid int, lid int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, 200, _ts("2024-01-01T09:59:59")),   # before window
+         (1, 201, _ts("2024-01-01T10:00:00")),   # lower bound (incl.)
+         (1, 202, _ts("2024-01-01T10:30:00")),   # upper bound (incl.)
+         (1, 203, _ts("2024-01-01T10:30:01")),   # after window
+         (2, 204, _ts("2024-01-01T10:00:01"))],  # other key
+        "uid int, rid int, ts timestamp")
+    got = sorted(r["r_rid"] for r in tp.range_join_binned(
+        left, right, by=["uid"], on="ts",
+        lower_seconds=0, upper_seconds=1800,
+        bin_seconds=1800).collect())
+    assert got == [201, 202]
+
+
+def test_range_join_bin_width_independent(spark):
+    # Same pairs whatever bin width is chosen (bins are an optimization,
+    # not a semantic).
+    left = spark.createDataFrame(
+        [(1, i, _ts("2024-01-01T10:00:00") + dt.timedelta(seconds=37 * i))
+         for i in range(20)], "uid int, lid int, ts timestamp")
+    right = left.select("uid", F.col("lid").alias("rid"), "ts")
+    expect = None
+    for bin_s in (60, 300, 1800):
+        got = sorted((r["lid"], r["r_rid"]) for r in tp.range_join_binned(
+            left, right, by=["uid"], on="ts",
+            lower_seconds=0, upper_seconds=120,
+            bin_seconds=bin_s).collect())
+        if expect is None:
+            expect = got
+        assert got == expect
+    # sanity: each row pairs at least with itself (lag 0)
+    assert all((i, i) in expect for i in range(20))
