@@ -1,0 +1,103 @@
+"""Physical-plan shape assertions: the properties that make the suite
+scale — filter/projection pushdown into Parquet, broadcast joins for
+dimensions, no nested-loop/cartesian joins on the hot paths — pinned as
+regression tests via .explain("formatted") output.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+from connectors_spark.queries import REGISTRY
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def plans(spark, sf_dir):
+    def get(name):
+        return plan_of(REGISTRY[name].fn(spark, sf_dir))
+    return get
+
+
+def test_q1_filter_and_projection_pushdown(plans):
+    p = plans("q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # Only the 7 needed lineitem columns reach the scan, not all 11.
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read and "l_returnflag" in read
+
+
+def test_q6_all_predicates_pushed(plans):
+    p = plans("q6_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_shipdate" in p
+    assert "GreaterThanOrEqual(l_discount" in p
+    assert "LessThan(l_quantity" in p
+
+
+def test_q3_broadcasts_dimensions(plans):
+    p = plans("q3_shipping_priority")
+    assert "BroadcastHashJoin" in p            # customer side
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q5_broadcast_chain_no_cartesian(plans):
+    p = plans("q5_local_supplier_volume")
+    assert p.count("BroadcastHashJoin") >= 2   # nation/region + supplier
+    assert "CartesianProduct" not in p
+
+
+def test_q9_single_fact_shuffle(plans):
+    p = plans("q9_product_profit")
+    # part + supplier broadcast; only orders⋈lineitem may shuffle.
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "StringContains(p_name,gear)" in p
+
+
+def test_range_join_is_hash_join(plans):
+    p = plans("ev_range_error_context")
+    # The binned rewrite must produce an equi-join, never a nested loop
+    # over the interval predicate.
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_asof_join_single_window(plans):
+    p = plans("ev_asof_click_attribution")
+    assert "Window" in p
+    assert "Join" not in p                     # no join at all: union+window
+
+
+def test_dedup_jaccard_no_cartesian(plans):
+    p = plans("doc_ngram_jaccard_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q1_partial_aggregation(plans):
+    # Map-side combine: the shuffle must carry pre-aggregated partials
+    # (6 groups/partition), never raw lineitem rows.
+    p = plans("q1_pricing_summary")
+    assert "partial_sum" in p
+
+
+def test_q1_wholestage_codegen(spark, sf_dir):
+    # The scan→filter→partial-agg pipeline compiles into whole-stage
+    # codegen (adaptive plans only annotate codegen in codegen mode).
+    import contextlib, io
+    df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")
+    out = buf.getvalue()
+    assert "WholeStageCodegen" in out
+    assert "Found" in out  # "Found N WholeStageCodegen subtrees."
