@@ -188,3 +188,13 @@ def lang_id(text: ColumnOrName,
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(is_better, scores[lang]).otherwise(best_score)
     return F.when(best_score > 0, best_lang).otherwise(F.lit("en"))
+
+
+def regex_tokens(text: ColumnOrName,
+                 pattern: str = r"[a-z]+|[0-9]+|[^a-z0-9\s]") -> Column:
+    """BPE-style pre-tokenization: lowercased runs of letters, runs of
+    digits, and single punctuation marks (whitespace dropped) — the
+    coarse split GPT-ish byte-pair tokenizers apply before merges.
+    Codegen'd `regexp_extract_all`; the pattern class is dialect-neutral
+    (identical under Java regex and RE2/DuckDB)."""
+    return F.regexp_extract_all(F.lower(_c(text)), F.lit(pattern), F.lit(0))

@@ -302,3 +302,107 @@ def embedding_norm_stats(df: DataFrame, vec_col: str = "embedding",
                  F.round(F.avg("_n"), 6).alias("avg_norm"),
                  F.round(F.min("_n"), 6).alias("min_norm"),
                  F.round(F.max("_n"), 6).alias("max_norm")))
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN index: coarse quantizer + pruned list probes
+# --------------------------------------------------------------------------
+
+def _ivf_centroids(corpus: DataFrame, nlist: int, id_col: str,
+                   vec_col: str) -> "np.ndarray":
+    """Deterministic coarse quantizer: the corpus vectors whose md5(id)
+    hashes are the nlist smallest (an order-free pseudo-random sample —
+    no RNG state, no Lloyd iterations whose float summation order could
+    differ run-to-run). Returns (nlist × dim), L2-normalized."""
+    from ..functions.text import hash64
+    rows = (corpus.select(F.col(id_col).alias("_id"),
+                          F.col(vec_col).alias("_v"),
+                          hash64(F.col(id_col).cast("string")).alias("_h"))
+            .orderBy("_h", "_id").limit(nlist).collect())
+    cents = np.array([r["_v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    return cents / np.where(norms == 0, 1.0, norms)
+
+
+def _ivf_assign_col(vec_col: str, cents: "np.ndarray"):
+    """Column: index of the cosine-nearest centroid (one numpy matmul
+    per Arrow batch; ties break to the lowest list id via argmax)."""
+    from pyspark.sql.types import IntegerType
+    centsT = cents.T  # dim × nlist
+
+    @F.pandas_udf(IntegerType())
+    def _assign(vs: pd.Series) -> pd.Series:
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(norms == 0, 1.0, norms)
+        return pd.Series(np.argmax(mat @ centsT, axis=1).astype("int32"))
+
+    return _assign(F.col(vec_col))
+
+
+def build_ivf_index(corpus: DataFrame, index_path: str, nlist: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    mode: str = "overwrite") -> "np.ndarray":
+    """Write the corpus as a Delta table partitioned by IVF list id.
+
+    The coarse quantizer is a deterministic hash-sample of the corpus
+    (see _ivf_centroids); every vector lands in exactly ONE list (vs L
+    copies under multi-table LSH), so the index stores the corpus once.
+    Queries read only `nprobe` list partitions — pruned in our metadata
+    plane before any Parquet opens. Returns the centroid matrix (the
+    caller persists it however it likes; it is re-derivable from the
+    corpus deterministically)."""
+    from ..table import DeltaTable
+    cents = _ivf_centroids(corpus, nlist, id_col, vec_col)
+    assigned = corpus.select(
+        _ivf_assign_col(vec_col, cents).alias("list_id"), id_col, vec_col)
+    t = DeltaTable.for_path(corpus.sparkSession, index_path)
+    t.write(assigned, mode=mode, partition_by=["list_id"])
+    return cents
+
+
+def ivf_query_indexed(spark, index_path: str, queries: DataFrame,
+                      cents: "np.ndarray", k: int = 5, nprobe: int = 4,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      query_id_col: str = "query_id") -> DataFrame:
+    """Probe a `build_ivf_index` table: rank centroids per query
+    (driver-side numpy on the small query set), partition-prune the scan
+    to the union of probed lists, exact-cosine verify within candidates.
+    Read cost: nprobe/nlist of the corpus per query batch, against the
+    LSH index's L-buckets-per-query — IVF reads less when queries
+    cluster, LSH guarantees per-query bucket locality."""
+    from ..expressions import Col, Lit
+    from ..table import DeltaTable
+    qrows = queries.select(F.col(query_id_col).alias("_qid"),
+                           F.col(vec_col).alias("_qv")).collect()
+    qmat = np.array([r["_qv"] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    sims = (qmat / np.where(qn == 0, 1.0, qn)) @ cents.T
+    probes = {}  # qid -> list ids
+    for i, r in enumerate(qrows):
+        order = sorted(range(cents.shape[0]),
+                       key=lambda j: (-sims[i, j], j))
+        probes[r["_qid"]] = order[:nprobe]
+    probe_lists = sorted({l for ls in probes.values() for l in ls})
+    pred = None
+    for l in probe_lists:
+        term = Col("list_id") == Lit(l)
+        pred = term if pred is None else (pred | term)
+    cand = DeltaTable.for_path(spark, index_path).scan(pred).to_df()
+    q = F.broadcast(queries.select(F.col(query_id_col).alias("_qid"),
+                                   F.col(vec_col).alias("_qv")))
+    # A candidate counts only if its list is among ITS query's probes.
+    probe_pairs = [(qid, l) for qid, ls in probes.items() for l in ls]
+    pp = F.broadcast(spark.createDataFrame(
+        probe_pairs, ["_qid", "list_id"]))
+    scored = (cand.join(pp, "list_id")
+              .join(q, "_qid")
+              .filter(F.col(id_col) != F.col("_qid"))
+              .select("_qid", F.col(id_col).alias("_cid"),
+                      F.round(cosine_d("_qv", vec_col), 6).alias("sim"))
+              .distinct())
+    w = Window.partitionBy("_qid").orderBy(F.desc("sim"), F.asc("_cid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("_qid").alias(query_id_col),
+                    F.col("_cid").alias(id_col), "sim", "rank"))

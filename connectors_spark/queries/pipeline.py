@@ -435,3 +435,69 @@ def emb_ann_indexed(spark, sf_dir):
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     return sim.ann_query_indexed(spark, _ann_index_path(spark, sf_dir),
                                  queries, k=5, dim=64)
+
+
+# --------------------------------------------------------------------------
+# IVF ANN: single-copy list-partitioned index, nprobe pruned probes
+# --------------------------------------------------------------------------
+
+_IVF_INDEX: dict = {}
+
+
+def _ivf_index(spark, sf_dir: str):
+    import hashlib
+    import tempfile
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/connectors_spark_ivf_index_{tag}"
+    if path not in _IVF_INDEX:
+        cents = sim.build_ivf_index(load(spark, sf_dir, "embeddings"),
+                                    path, nlist=16)
+        _IVF_INDEX[path] = cents
+    return path, _IVF_INDEX[path]
+
+
+# Rows-only: approximate by construction (recall vs brute force asserted
+# in tests/test_ops_pipeline.py). Not benched: first call pays the
+# one-time index build.
+@register("emb_ann_ivf_topk", sql=None)
+def emb_ann_ivf(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    path, cents = _ivf_index(spark, sf_dir)
+    return sim.ivf_query_indexed(spark, path, queries, cents,
+                                 k=5, nprobe=6)
+
+
+# --------------------------------------------------------------------------
+# BPE-style regex token stats (pre-tokenizer accounting per source)
+# --------------------------------------------------------------------------
+
+@register("doc_bpe_token_stats", sql=r"""
+WITH t AS (
+  SELECT source, doc_id,
+         unnest(regexp_extract_all(lower(text),
+                                   '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS tok
+  FROM documents),
+per_src AS (
+  SELECT source, count(*)::BIGINT AS n_tokens,
+         count(DISTINCT tok)::BIGINT AS n_distinct
+  FROM t GROUP BY 1),
+docs_per AS (SELECT source, count(*)::BIGINT AS n_docs
+             FROM documents GROUP BY 1)
+SELECT source, n_docs, n_tokens, n_distinct,
+       round(n_tokens::DOUBLE / n_docs, 4) AS avg_tokens_per_doc
+FROM per_src JOIN docs_per USING (source)
+""")
+def doc_bpe(spark, sf_dir):
+    from ..functions.text import regex_tokens
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("source", F.explode(regex_tokens("text")).alias("tok"))
+    per_src = (t.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.countDistinct("tok").alias("n_distinct")))
+    dper = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (per_src.join(dper, "source")
+            .select("source", "n_docs", "n_tokens", "n_distinct",
+                    F.round(F.col("n_tokens").cast("double") /
+                            F.col("n_docs"), 4).alias("avg_tokens_per_doc")))

@@ -887,3 +887,50 @@ def q21(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("numwait"))
             .orderBy(F.desc("numwait"), F.asc("s_name"))
             .limit(20))
+
+
+# --------------------------------------------------------------------------
+# Q20-style: suppliers shipping outsized volumes of promo parts
+# (adapted: no partsupp — threshold is 1.5x the per-part average of
+#  supplier-level shipped quantity; quantities are integer-valued doubles
+#  so sums/averages are exact and engine-independent)
+# --------------------------------------------------------------------------
+
+@register("q20_outsized_promo_suppliers", sql="""
+WITH sp AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2),
+pavg AS (SELECT l_partkey, avg(qty) AS aq FROM sp GROUP BY 1)
+SELECT s_suppkey, s_name, count(*)::BIGINT AS n_big_parts
+FROM supplier JOIN sp ON s_suppkey = sp.l_suppkey
+              JOIN pavg ON pavg.l_partkey = sp.l_partkey
+WHERE sp.qty > 1.5 * pavg.aq AND s_nationkey = 2
+GROUP BY 1, 2
+""")
+def q20(spark, sf_dir):
+    # part (type-filtered) broadcasts into the date-pruned fact; the
+    # (supplier, part) aggregate is the only fact-sized shuffle. The
+    # correlated per-part average is a window over the already-small
+    # aggregate instead of a second scan + self-join.
+    pa = load(spark, sf_dir, "part") \
+        .filter(F.col("p_type") == "PROMO").select("p_partkey")
+    li = (load(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) &
+                  (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+          .select("l_partkey", "l_suppkey", "l_quantity"))
+    sp = (li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+          .groupBy("l_suppkey", "l_partkey")
+          .agg(F.sum("l_quantity").alias("qty")))
+    w = Window.partitionBy("l_partkey")
+    big = (sp.withColumn("aq", F.avg("qty").over(w))
+           .filter(F.col("qty") > 1.5 * F.col("aq")))
+    su = (load(spark, sf_dir, "supplier")
+          .filter(F.col("s_nationkey") == 2)
+          .select("s_suppkey", "s_name"))
+    return (big.join(F.broadcast(su), big.l_suppkey == su.s_suppkey)
+            .groupBy("s_suppkey", "s_name")
+            .agg(F.count(F.lit(1)).alias("n_big_parts")))

@@ -240,3 +240,28 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert all(len(r.frame_bytes) <= 16 for r in frames)
     assert all(r.frame_off == (r.frame_idx * 16) % vids[r.doc_id]
                for r in frames)
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir, tmp_path):
+    from connectors_spark.ops import similarity as sim
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = {(r["query_id"], r["vec_id"])
+             for r in sim.cosine_topk(emb, queries, k=5).collect()}
+    idx = str(tmp_path / "ivf_index")
+    cents = sim.build_ivf_index(emb, idx, nlist=16)
+    approx = {(r["query_id"], r["vec_id"])
+              for r in sim.ivf_query_indexed(
+                  spark, idx, queries, cents, k=5, nprobe=6).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_ivf_centroids_deterministic(spark, sf_dir):
+    from connectors_spark.ops import similarity as sim
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c1 = sim._ivf_centroids(emb, 8, "vec_id", "embedding")
+    c2 = sim._ivf_centroids(emb, 8, "vec_id", "embedding")
+    assert (c1 == c2).all()
