@@ -50,7 +50,9 @@ def main() -> None:
     @F.pandas_udf("long")
     def _warm(x: pd.Series) -> pd.Series:
         return x
-    spark.range(1000).select(_warm("id")).count()
+    # Touch every core so all local[N] Python workers exist before
+    # the first measured pandas-UDF query.
+    spark.range(100000).repartition(int(cpus)).select(_warm("id")).count()
 
     timings: dict[str, float] = {}
     total = 0.0

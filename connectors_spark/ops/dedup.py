@@ -128,7 +128,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     groupBy shuffle.
     """
     sh = shingle_sets(df, id_col, text_col, n)
-    ex = sh.select("_id", "_sz", F.explode("_sh").alias("_g"))
+    # Join on the 60-bit md5 hash of the shingle, not the string: the
+    # self-join shuffle carries 8-byte keys instead of ~25-byte strings
+    # and comparisons are integer equality. Distinct-per-doc is taken on
+    # strings BEFORE hashing, so counts are identical to the string join
+    # (up to md5 collisions, ~1e-12 for millions of shingles).
+    ex = (sh.select("_id", "_sz", F.explode("_sh").alias("_gs"))
+          .select("_id", "_sz", hash64("_gs").alias("_g")))
     if max_shingle_freq is not None:
         hot = (ex.groupBy("_g").count()
                .filter(F.col("count") > max_shingle_freq).select("_g"))

@@ -157,3 +157,36 @@ def test_source_start_position_options(spark, tmp_path):
         DeltaVersionStreamReader(
             StructType(), {"path": str(src), "startingversion": "1",
                            "startingtimestamp": "0"})
+
+
+def test_stream_watermark_window_agg(spark, tmp_path):
+    """Extension beyond reference parity: event-time windowed counts
+    with a watermark over the Delta stream source — the Structured
+    Streaming capabilities the Flink connector never had compose
+    directly with our version-as-offset source."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from connectors_spark.streaming.source import register_stream_source
+    from connectors_spark.table import DeltaTable
+
+    path = str(tmp_path / "tbl")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, base + dt.timedelta(minutes=7 * i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    DeltaTable.for_path(spark, path).write(df)
+
+    register_stream_source(spark)
+    out = (spark.readStream.format("delta_stream")
+           .option("path", path).load()
+           .withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "30 minutes").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    q = (out.writeStream.format("memory").queryName("win_agg")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["w"]["start"].minute + 60 * r["w"]["start"].hour, r["n"])
+           for r in spark.sql("SELECT * FROM win_agg").collect()}
+    # 10 events at 7-min spacing over [0, 63] → windows 0/30/60 min
+    assert got == {(0, 5), (30, 4), (60, 1)}
