@@ -1,0 +1,63 @@
+"""Connected components over pair graphs (near-dup clusters).
+
+Iterative min-label propagation expressed as DataFrame joins: every
+round each node adopts the smallest label among itself and its
+neighbors, converging in O(diameter) rounds — 2-3 on the short-chain
+clusters dedup produces (for adversarial long-path graphs the
+large-star/small-star scheme of Kiveris et al., SoCC 2014, drops rounds
+to O(log² n); dedup graphs never need it). Each round is two shuffles
+on node id; no driver-side graph state — only the convergence check
+(a limit-1 count) comes back to the driver.
+
+Use case: near-duplicate pairs from MinHash/SimHash/embedding LSH form
+edges; components are duplicate CLUSTERS, from which keep-best dedup
+retains one representative (see ops.dedup usage in queries.pipeline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, a_col: str = "a_id",
+                         b_col: str = "b_id",
+                         max_iter: int = 20) -> DataFrame:
+    """(node, component) for every node appearing in `edges`; component
+    is the smallest node id reachable (deterministic canonical label).
+
+    Label propagation: each node's label starts as min(self, neighbors)
+    and every round adopts the min label among itself and its neighbors,
+    until a round changes nothing. Rounds are DataFrame joins —
+    distributed, no collect of the graph. `max_iter` bounds worst-case
+    chains; dedup clusters converge in 2-3 rounds.
+    """
+    edges = edges.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+    sym = (edges.union(edges.select(F.col("_b").alias("_a"),
+                                    F.col("_a").alias("_b"))))
+    sym = sym.persist()
+    labels = (sym.groupBy("_a")
+              .agg(F.least(F.min("_b"), F.first("_a")).alias("_lbl"))
+              .select(F.col("_a").alias("_n"), "_lbl"))
+    for _ in range(max_iter):
+        labels = labels.persist()
+        # Each node's candidate label: min over its own label and its
+        # neighbors' labels.
+        nbr = (sym.join(labels.withColumnRenamed("_n", "_b")
+                        .withColumnRenamed("_lbl", "_nlbl"), "_b")
+               .groupBy("_a").agg(F.min("_nlbl").alias("_cand")))
+        new_labels = (labels.join(nbr.withColumnRenamed("_a", "_n"),
+                                  "_n", "left")
+                      .select("_n", F.least("_lbl", F.coalesce(
+                          "_cand", "_lbl")).alias("_lbl")))
+        new_labels = new_labels.persist()
+        changed = (new_labels.withColumnRenamed("_lbl", "_new")
+                   .join(labels, "_n")
+                   .filter(F.col("_new") != F.col("_lbl")).limit(1).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("_n").alias("node"),
+                         F.col("_lbl").alias("component"))

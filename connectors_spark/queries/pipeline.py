@@ -89,8 +89,7 @@ def _perm_values() -> str:
                      for i, (a, b) in enumerate(dd.MINHASH_PERMS))
 
 
-@register("doc_minhash_lsh_pairs", sql=f"""
-WITH {_SHINGLES},
+_MINHASH_CTES = f"""{_SHINGLES},
 ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
 h AS (SELECT doc_id, {_H64.format(v='g')} % {dd.MINHASH_PRIME} AS hv FROM ex),
 perms(i, a, b) AS (VALUES {_perm_values()}),
@@ -110,7 +109,11 @@ ver AS (
          len(list_intersect(sa.s, sb.s))::BIGINT AS c,
          len(sa.s) AS za, len(sb.s) AS zb
   FROM cand JOIN sh sa ON sa.doc_id = a_id
-            JOIN sh sb ON sb.doc_id = b_id)
+            JOIN sh sb ON sb.doc_id = b_id)"""
+
+
+@register("doc_minhash_lsh_pairs", sql=f"""
+WITH {_MINHASH_CTES}
 SELECT a_id, b_id, round(c::DOUBLE / (za + zb - c), 6) AS jaccard
 FROM ver WHERE c::DOUBLE / (za + zb - c) >= 0.8
 """, bench=True)
@@ -501,3 +504,75 @@ def doc_bpe(spark, sf_dir):
             .select("source", "n_docs", "n_tokens", "n_distinct",
                     F.round(F.col("n_tokens").cast("double") /
                             F.col("n_docs"), 4).alias("avg_tokens_per_doc")))
+
+
+# --------------------------------------------------------------------------
+# Near-dup clusters: connected components over MinHash pairs, keep-best
+# --------------------------------------------------------------------------
+
+_CC_CTES = _MINHASH_CTES + """,
+pairs AS (
+  SELECT a_id, b_id FROM ver WHERE c::DOUBLE / (za + zb - c) >= 0.8),
+sym AS (SELECT a_id AS a, b_id AS b FROM pairs
+        UNION SELECT b_id, a_id FROM pairs),
+reach(n, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.n),
+comp AS (SELECT n AS doc_id, min(r) AS component FROM reach GROUP BY n)"""
+
+
+@register("doc_neardup_components", sql=f"""
+WITH RECURSIVE {_CC_CTES}
+SELECT doc_id, component FROM comp
+""")
+def doc_components(spark, sf_dir):
+    # Distributed min-label propagation (ops.graph) vs the oracle's
+    # recursive-CTE transitive closure: both canonicalize a cluster to
+    # its smallest doc id.
+    from ..ops.graph import connected_components
+    edges = dd.minhash_lsh_pairs(load(spark, sf_dir, "documents"),
+                                 threshold=0.8)
+    return (connected_components(edges)
+            .select(F.col("node").alias("doc_id"), "component"))
+
+
+@register("doc_dedup_keep_best", sql=f"""
+WITH RECURSIVE {_CC_CTES},
+sized AS (
+  SELECT comp.component, comp.doc_id,
+         len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+             AS n_toks
+  FROM comp JOIN documents d USING (doc_id)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY component
+                               ORDER BY n_toks DESC, doc_id) AS rn
+  FROM sized)
+SELECT component, doc_id AS kept_doc, n_toks AS kept_toks,
+       (SELECT count(*) FROM sized s2
+        WHERE s2.component = ranked.component)::BIGINT AS n_members
+FROM ranked WHERE rn = 1
+""")
+def doc_keep_best(spark, sf_dir):
+    # Cluster-aware dedup: within each near-dup component keep the doc
+    # with the most tokens (tie -> lowest id). One window over the
+    # (tiny) component relation; the corpus-sized work stays in the LSH
+    # candidate generation.
+    from pyspark.sql import Window
+    from ..ops.graph import connected_components
+    docs = load(spark, sf_dir, "documents")
+    edges = dd.minhash_lsh_pairs(docs, threshold=0.8)
+    comp = (connected_components(edges)
+            .select(F.col("node").alias("doc_id"), "component"))
+    sized = (comp.join(docs.select("doc_id",
+                                   token_count("text").alias("n_toks")),
+                       "doc_id"))
+    w = Window.partitionBy("component").orderBy(F.desc("n_toks"),
+                                                F.asc("doc_id"))
+    wc = Window.partitionBy("component")
+    return (sized.withColumn("n_members", F.count(F.lit(1)).over(wc))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("component", F.col("doc_id").alias("kept_doc"),
+                    F.col("n_toks").alias("kept_toks"),
+                    F.col("n_members").cast("long").alias("n_members")))

@@ -265,3 +265,17 @@ def test_ivf_centroids_deterministic(spark, sf_dir):
     c1 = sim._ivf_centroids(emb, 8, "vec_id", "embedding")
     c2 = sim._ivf_centroids(emb, 8, "vec_id", "embedding")
     assert (c1 == c2).all()
+
+
+def test_connected_components_shapes(spark):
+    from connectors_spark.ops.graph import connected_components
+    # two triangles bridged by a chain + an isolated pair
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3),      # triangle A
+         (3, 4), (4, 5),              # chain to...
+         (5, 6), (6, 7), (5, 7),      # triangle B
+         (10, 11)],                   # separate pair
+        "a_id long, b_id long")
+    got = {(r["node"], r["component"])
+           for r in connected_components(edges).collect()}
+    assert got == {(n, 1) for n in range(1, 8)} | {(10, 10), (11, 10)}
