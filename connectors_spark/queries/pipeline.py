@@ -576,3 +576,130 @@ def doc_keep_best(spark, sf_dir):
             .select("component", F.col("doc_id").alias("kept_doc"),
                     F.col("n_toks").alias("kept_toks"),
                     F.col("n_members").cast("long").alias("n_members")))
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus curation: exact dedup -> near-dup keep-best -> quality
+# --------------------------------------------------------------------------
+
+# The near-dup stage must run on the EXACT-dedup survivors, so the CTE
+# chain is rebuilt from the `e` relation rather than raw documents.
+_CURATE_CTES = r"""
+fp AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks,
+         CASE WHEN length(lower(text)) > 0
+              THEN length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                   / length(lower(text)) ELSE 0.0 END AS pr
+  FROM documents),
+e AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+    FROM fp) WHERE rn = 1),
+esh AS (
+  SELECT e.doc_id,
+         CASE WHEN len(t.t) >= 3
+              THEN list_distinct([t.t[i] || ' ' || t.t[i+1] || ' ' || t.t[i+2]
+                                  for i in range(1, len(t.t) - 1)])
+              ELSE [] END AS s
+  FROM e JOIN (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS t
+               FROM documents) t USING (doc_id)),
+eex AS (SELECT doc_id, unnest(s) AS g FROM esh),
+eh AS (SELECT doc_id,
+              ('0x' || substring(md5(g), 1, 15))::BIGINT % 4294967311 AS hv
+       FROM eex),
+esig AS (
+  SELECT doc_id, i, min((a * hv + b) % 4294967311) AS m
+  FROM eh CROSS JOIN perms GROUP BY 1, 2),
+ebnd AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(string_agg(m::VARCHAR, ',' ORDER BY i)) AS key
+  FROM esig GROUP BY doc_id, i // 4),
+ecand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM ebnd a JOIN ebnd b ON a.band = b.band AND a.key = b.key
+                          AND a.doc_id < b.doc_id),
+ever AS (
+  SELECT a_id, b_id, len(list_intersect(sa.s, sb.s))::BIGINT AS c,
+         len(sa.s) AS za, len(sb.s) AS zb
+  FROM ecand JOIN esh sa ON sa.doc_id = a_id
+             JOIN esh sb ON sb.doc_id = b_id),
+pairs AS (
+  SELECT a_id, b_id FROM ever WHERE c::DOUBLE / (za + zb - c) >= 0.8),
+sym AS (SELECT a_id AS a, b_id AS b FROM pairs
+        UNION SELECT b_id, a_id FROM pairs),
+reach(n, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.n),
+comp AS (SELECT n AS doc_id, min(r) AS component FROM reach GROUP BY n),
+nd AS (
+  SELECT e.*, coalesce(comp.component, e.doc_id) AS component
+  FROM e LEFT JOIN comp USING (doc_id)),
+kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY component
+                                 ORDER BY n_toks DESC, doc_id) AS krn
+    FROM nd) WHERE krn = 1),
+final AS (SELECT * FROM kept WHERE n_toks >= 5 AND pr <= 0.35)
+"""
+
+
+@register("doc_curate_corpus", sql=f"""
+WITH RECURSIVE perms(i, a, b) AS (VALUES {_perm_values()}),
+{_CURATE_CTES}
+SELECT d.source,
+       count(*)::BIGINT AS n_input,
+       count(*) FILTER (WHERE e.doc_id IS NOT NULL)::BIGINT AS n_exact_kept,
+       count(*) FILTER (WHERE k.doc_id IS NOT NULL)::BIGINT AS n_neardup_kept,
+       count(*) FILTER (WHERE f.doc_id IS NOT NULL)::BIGINT AS n_final
+FROM documents d
+LEFT JOIN e ON e.doc_id = d.doc_id
+LEFT JOIN kept k ON k.doc_id = d.doc_id
+LEFT JOIN final f ON f.doc_id = d.doc_id
+GROUP BY 1
+""")
+def doc_curate(spark, sf_dir):
+    # The full training-data curation funnel as ONE lazy plan:
+    # exact-dup removal (fingerprint window), near-dup clusters on the
+    # survivors (MinHash LSH -> connected components -> keep the
+    # longest doc), then quality gates. Per-source survival counts at
+    # each stage. Corpus-sized shuffles: fingerprint window, shingle
+    # explode, pair groupBy — all hash-keyed and skew-free.
+    from pyspark.sql import Window
+    from ..functions.text import fingerprint, punct_ratio
+    from ..ops.graph import connected_components
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", "text",
+        fingerprint("text").alias("f"),
+        token_count("text").alias("n_toks"),
+        punct_ratio("text").alias("pr"))
+    we = Window.partitionBy("f").orderBy("doc_id")
+    e = (base.withColumn("rn", F.row_number().over(we))
+         .filter(F.col("rn") == 1).drop("rn"))
+    e = e.persist()
+    edges = dd.minhash_lsh_pairs(e.select("doc_id", "text"), threshold=0.8)
+    comp = (connected_components(edges)
+            .select(F.col("node").alias("doc_id"), "component"))
+    nd = (e.join(comp, "doc_id", "left")
+          .withColumn("component",
+                      F.coalesce("component", "doc_id")))
+    wk = Window.partitionBy("component").orderBy(F.desc("n_toks"),
+                                                 F.asc("doc_id"))
+    kept = (nd.withColumn("krn", F.row_number().over(wk))
+            .filter(F.col("krn") == 1))
+    final = kept.filter((F.col("n_toks") >= 5) & (F.col("pr") <= 0.35))
+    flags = (docs.select("doc_id", "source")
+             .join(e.select("doc_id", F.lit(1).alias("_e")), "doc_id", "left")
+             .join(kept.select("doc_id", F.lit(1).alias("_k")),
+                   "doc_id", "left")
+             .join(final.select("doc_id", F.lit(1).alias("_f")),
+                   "doc_id", "left"))
+    return (flags.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_input"),
+                 F.count("_e").alias("n_exact_kept"),
+                 F.count("_k").alias("n_neardup_kept"),
+                 F.count("_f").alias("n_final")))
