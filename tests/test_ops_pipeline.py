@@ -279,3 +279,26 @@ def test_connected_components_shapes(spark):
     got = {(r["node"], r["component"])
            for r in connected_components(edges).collect()}
     assert got == {(n, 1) for n in range(1, 8)} | {(10, 10), (11, 10)}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from connectors_spark.ops.skew import salted_join
+    from pyspark.sql import functions as F
+    # 10k rows, 90% on one hot key
+    left = spark.range(10000).select(
+        F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("lv"))
+    right = spark.createDataFrame(
+        [(1, "hot"), (5, "cold"), (77, "rare")], "k long, tag string")
+    plain = sorted((r["k"], r["lv"], r["tag"])
+                   for r in left.join(right, ["k"]).collect())
+    salted = sorted((r["k"], r["lv"], r["tag"])
+                    for r in salted_join(left, right, ["k"]).collect())
+    assert plain == salted and len(plain) == 9000
+    # left-outer parity incl. unmatched rows
+    pl = sorted((r["k"], r["lv"], r["tag"])
+                for r in left.join(right, ["k"], "left").collect())
+    sl = sorted((r["k"], r["lv"], r["tag"])
+                for r in salted_join(left, right, ["k"],
+                                     how="left").collect())
+    assert pl == sl
