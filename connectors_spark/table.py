@@ -469,6 +469,36 @@ def _canonical(path: str, table_path: str) -> str:
     return canonical_path(path, table_path)
 
 
+_ZORDER_BITS = 16
+
+
+def _zorder_code(df: DataFrame, cols: List[str]) -> F.Column:
+    """Morton code over equi-width bucket ids of the given numeric
+    columns. Bucket bounds come from one min/max aggregate (driver-side,
+    2 numbers per column); the interleave is a codegen'd bit expression.
+    Nulls sort first (bucket 0)."""
+    bounds = df.agg(*[F.min(c).alias(f"_lo_{c}") for c in cols],
+                    *[F.max(c).alias(f"_hi_{c}") for c in cols]).first()
+    n_buckets = 1 << _ZORDER_BITS
+    bucket_cols = []
+    for c in cols:
+        lo = float(bounds[f"_lo_{c}"] or 0.0)
+        hi = float(bounds[f"_hi_{c}"] or 0.0)
+        width = (hi - lo) or 1.0
+        b = F.floor((F.col(c).cast("double") - F.lit(lo)) /
+                    F.lit(width) * n_buckets).cast("long")
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1))
+        bucket_cols.append(F.coalesce(b, F.lit(0)))
+    code = F.lit(0).cast("long")
+    k = len(cols)
+    for bit in range(_ZORDER_BITS):
+        for j, b in enumerate(bucket_cols):
+            code = code + F.shiftleft(
+                F.shiftright(b, bit).bitwiseAND(F.lit(1)),
+                bit * k + j)
+    return code
+
+
 class TableMaintenance:
     """OPTIMIZE (small-file bin-packing) and VACUUM (physical removal of
     unreferenced files) — the operational pair that keeps a 100 TB table
@@ -487,9 +517,18 @@ class TableMaintenance:
         self.table = table
 
     def optimize(self, target_file_size: int = 128 * 1024 * 1024,
-                 min_files_per_group: int = 2) -> Dict[str, int]:
+                 min_files_per_group: int = 2,
+                 zorder_by: Optional[List[str]] = None) -> Dict[str, int]:
         """Bin-pack files smaller than ``target_file_size``, grouped by
-        partition tuple. Returns {filesRemoved, filesAdded, version}."""
+        partition tuple. With ``zorder_by``, ALL files are rewritten
+        Z-order-clustered on the given numeric columns instead: rows are
+        range-partitioned and sorted by a Morton (bit-interleaved) code
+        over equi-width bucket ids, so each output file covers a compact
+        hyper-rectangle and per-file min/max stats become selective on
+        EVERY clustered column — stats-based skipping (scan.py) then
+        prunes on any of them, the multi-column layout the reference
+        carries stats for but never exploits (actions.scala:116-117).
+        Returns {filesRemoved, filesAdded, version}."""
         t = self.table
         txn = t.log.start_transaction()
         snap = txn.snapshot
@@ -498,13 +537,14 @@ class TableMaintenance:
         pcols = snap.metadata.partitionColumns
         groups: Dict[Tuple, List[Any]] = {}
         for f in snap.all_files():
-            if f.size >= target_file_size:
+            if zorder_by is None and f.size >= target_file_size:
                 continue
             key = tuple((c, (f.partitionValues or {}).get(c)) for c in pcols)
             groups.setdefault(key, []).append(f)
         victims: List[Any] = []
+        min_group = 1 if zorder_by else min_files_per_group
         for key, fs in groups.items():
-            if len(fs) >= min_files_per_group:
+            if len(fs) >= min_group:
                 victims.extend(fs)
         if not victims:
             return {"filesRemoved": 0, "filesAdded": 0,
@@ -514,14 +554,22 @@ class TableMaintenance:
         df = snap.to_df(files=subset)
         total = sum(f.size for f in victims)
         n_out = max(1, -(-total // target_file_size))
-        adds = stage_and_collect(df.repartition(n_out), t.path, pcols,
-                                 data_change=False)
+        if zorder_by:
+            df = df.withColumn("_z", _zorder_code(df, zorder_by))
+            df = (df.repartitionByRange(n_out, F.col("_z"))
+                  .sortWithinPartitions("_z").drop("_z"))
+        else:
+            df = df.repartition(n_out)
+        adds = stage_and_collect(df, t.path, pcols, data_change=False)
         now = int(time.time() * 1000)
         actions: List[Any] = list(adds) + [
             f.remove(now, data_change=False) for f in victims]
+        params = {"targetSize": str(target_file_size)}
+        if zorder_by:
+            params["zOrderBy"] = ",".join(zorder_by)
         version = txn.commit(
             actions, operation="OPTIMIZE",
-            operation_parameters={"targetSize": str(target_file_size)},
+            operation_parameters=params,
             operation_metrics={"numRemovedFiles": str(len(victims)),
                                "numAddedFiles": str(len(adds))})
         return {"filesRemoved": len(victims), "filesAdded": len(adds),

@@ -106,3 +106,44 @@ def test_expired_log_cleanup_removes_deltas_and_checkpoints(spark, tmp_path):
     t2 = DeltaTable.for_path(spark, path)
     assert t2.to_df().count() == 50
     assert t2.to_df(version=4).count() == 50
+
+
+def test_optimize_zorder_improves_stats_skipping(spark, tmp_path):
+    """Z-order clustering makes per-file min/max selective on BOTH
+    clustered columns: a point-ish predicate on either column must
+    stats-skip most files after OPTIMIZE ZORDER, where the original
+    insert-ordered layout skips none on the non-sorted column."""
+    from pyspark.sql import functions as F
+
+    from connectors_spark.expressions import Col, Lit
+    from connectors_spark.table import DeltaTable, TableMaintenance
+
+    path = str(tmp_path / "zt")
+    n = 20000
+    df = (spark.range(n)
+          .select(F.col("id").alias("rid"),
+                  (F.col("id") % 200).alias("x"),
+                  F.floor(F.col("id") / 100).alias("y")))
+    t = DeltaTable.for_path(spark, path)
+    # 8 insert-ordered files: y is clustered by construction, x is
+    # round-robin so every file spans the whole x range.
+    t.write(df.repartitionByRange(8, "rid"))
+
+    def files_read(pred):
+        return len(t.scan(pred).collect_files())
+
+    total_before = len(t.snapshot().all_files())
+    x_before = files_read((Col("x") >= Lit(10)) & (Col("x") < Lit(20)))
+    assert x_before == total_before      # x skips nothing pre-cluster
+
+    res = TableMaintenance(t).optimize(target_file_size=16 * 1024,
+                                       zorder_by=["x", "y"])
+    assert res["filesAdded"] > 1
+    total = len(t.snapshot().all_files())
+    x_after = files_read((Col("x") >= Lit(10)) & (Col("x") < Lit(20)))
+    y_after = files_read((Col("y") >= Lit(10)) & (Col("y") < Lit(20)))
+    assert x_after < total and y_after < total
+    # contents unchanged by re-clustering
+    assert t.to_df().count() == n
+    got = t.to_df().agg(F.sum("rid")).first()[0]
+    assert got == n * (n - 1) // 2
