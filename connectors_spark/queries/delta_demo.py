@@ -162,3 +162,35 @@ def delta_delete(spark, sf_dir):
     t = DeltaTable.for_path(spark, d)
     return t.to_df().select("o_orderkey",
                             F.round("o_totalprice", 2).alias("totalprice"))
+
+
+# --------------------------------------------------------------------------
+# Z-order clustering + stats skipping (OPTIMIZE ZORDER, §4 extension)
+# --------------------------------------------------------------------------
+
+@register("delta_zorder_prune", sql="""
+SELECT l_orderkey, l_partkey, l_suppkey, round(l_extendedprice, 2)
+       AS extendedprice
+FROM lineitem WHERE l_partkey >= 100 AND l_partkey < 300
+""")
+def delta_zorder_prune(spark, sf_dir):
+    # The engine path under test: write unclustered, OPTIMIZE ZORDER on
+    # (l_partkey, l_suppkey), then scan with a partkey range — file-level
+    # min/max skipping prunes most files (asserted in
+    # tests/test_maintenance.py); the oracle pins that re-clustering
+    # never changes query results.
+    from ..table import TableMaintenance
+
+    def build(d):
+        li = load(spark, sf_dir, "lineitem")
+        t = DeltaTable.for_path(spark, d)
+        t.write(li.repartition(8))
+        TableMaintenance(t).optimize(target_file_size=4 * 1024 * 1024,
+                                     zorder_by=["l_partkey", "l_suppkey"])
+    d = _built(sf_dir, "lineitem_zorder", build)
+    t = DeltaTable.for_path(spark, d)
+    pred = (Col("l_partkey") >= Lit(100)) & (Col("l_partkey") < Lit(300))
+    return (t.scan(pred).to_df()
+            .filter((F.col("l_partkey") >= 100) & (F.col("l_partkey") < 300))
+            .select("l_orderkey", "l_partkey", "l_suppkey",
+                    F.round("l_extendedprice", 2).alias("extendedprice")))

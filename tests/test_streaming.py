@@ -190,3 +190,45 @@ def test_stream_watermark_window_agg(spark, tmp_path):
            for r in spark.sql("SELECT * FROM win_agg").collect()}
     # 10 events at 7-min spacing over [0, 63] → windows 0/30/60 min
     assert got == {(0, 5), (30, 4), (60, 1)}
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization over the Delta stream
+    source: gaps inside a batch close sessions immediately; the trailing
+    open session stays in state (flushed by event-time timeout once the
+    watermark passes — not reached in a single availableNow batch)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from connectors_spark.streaming.source import register_stream_source
+    from connectors_spark.streaming.stateful import sessionize_stream
+    from connectors_spark.table import DeltaTable
+
+    path = str(tmp_path / "tbl")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: burst of 3, 2000s quiet, burst of 2 (stays open)
+        (1, at(0)), (1, at(10)), (1, at(20)), (1, at(2020)), (1, at(2030)),
+        # user 2: two singleton sessions, last stays open
+        (2, at(0)), (2, at(5000)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    DeltaTable.for_path(spark, path).write(df)
+
+    register_stream_source(spark)
+    stream = (spark.readStream.format("delta_stream")
+              .option("path", path).load()
+              .withWatermark("ts", "10 seconds"))
+    out = sessionize_stream(stream, gap_seconds=1800)
+    q = (out.writeStream.format("memory").queryName("sessions")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["session_start"].second + 60 * r["session_start"].minute,
+            r["n_events"])
+           for r in spark.sql("SELECT * FROM sessions").collect()}
+    assert got == {(1, 0, 3), (2, 0, 1)}
