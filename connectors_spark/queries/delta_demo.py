@@ -25,19 +25,27 @@ from .registry import load, register
 
 BASE = "/tmp/cs_delta_demo"
 _MARKER = "_DEMO_BUILT"
+# Bump when the table format / writer output changes: stale /tmp
+# fixtures built by an older engine version then rebuild instead of
+# poisoning reads across driver rounds.
+_FIXTURE_VERSION = "2"
 
 
 def _built(sf_dir: str, case: str, builder: Callable[[str], None]) -> str:
     sf = os.path.basename(os.path.normpath(sf_dir))
     d = os.path.join(BASE, sf, case)
     marker = os.path.join(d, _MARKER)
-    if not os.path.exists(marker):
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            current = fh.read().strip()
+    if current != _FIXTURE_VERSION:
         if os.path.exists(d):
             shutil.rmtree(d)
         os.makedirs(d, exist_ok=True)
         builder(d)
         with open(marker, "w") as fh:
-            fh.write("ok")
+            fh.write(_FIXTURE_VERSION)
     return d
 
 
