@@ -54,6 +54,13 @@ def main() -> None:
     # the first measured pandas-UDF query.
     spark.range(100000).repartition(int(cpus)).select(_warm("id")).count()
 
+    # Fixture setup (untimed): demo Delta tables are built on first use
+    # inside the query fn; constructing the DataFrame here triggers the
+    # build so the timed run measures the scan, not table creation.
+    for name, q in REGISTRY.items():
+        if q.bench and name.startswith("delta_"):
+            q.fn(spark, sf_dir)
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, q in REGISTRY.items():
