@@ -47,18 +47,54 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 query_id_col: str = "query_id") -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
-    `queries` must have (query_id_col, vec_col). Self-matches (same id)
-    are excluded. Ranking is deterministic: (rounded sim DESC, id ASC) so
-    ties can't reorder across engines/runs.
+    `queries` must have (query_id_col, vec_col) and be small (collected
+    to a closure constant — the same contract as a broadcast). Scoring
+    is one numpy matmul per Arrow batch inside mapInPandas, which also
+    performs the LOCAL top-k: each corpus partition emits at most
+    queries×k pre-reduced rows, so the final ranking window shuffles
+    O(partitions · q · k) rows — never the corpus×queries cross
+    product. Self-matches (same id) are excluded. Ranking is
+    deterministic: (rounded sim DESC, id ASC); the cosine divides
+    dot/query_norm/corpus_norm in the oracle's operation order. Ids are
+    assumed integral (the emitted schema types them as long).
     """
-    q = F.broadcast(queries.select(F.col(query_id_col).alias("_qid"),
-                                   F.col(vec_col).alias("_qv")))
-    c = _spread(corpus).select(F.col(id_col).alias("_cid"),
-                               F.col(vec_col).alias("_cv"))
-    scored = (c.crossJoin(q)
-              .filter(F.col("_cid") != F.col("_qid"))
-              .select("_qid", "_cid",
-                      F.round(cosine_d("_qv", "_cv"), 6).alias("sim")))
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    qrows = queries.select(F.col(query_id_col).alias("_qid"),
+                           F.col(vec_col).alias("_qv")).collect()
+    qids = [r["_qid"] for r in qrows]
+    qmat = np.array([r["_qv"] for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    qnorm = np.where(qnorm == 0, 1.0, qnorm)
+    out_schema = StructType([
+        StructField("_qid", LongType()),
+        StructField("_cid", LongType()),
+        StructField("sim", DoubleType()),
+    ])
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cids = pdf[id_col].to_numpy()
+            cnorm = np.sqrt((mat * mat).sum(axis=1))
+            cnorm = np.where(cnorm == 0, 1.0, cnorm)
+            dots = mat @ qmat.T                       # n × q
+            out = {"_qid": [], "_cid": [], "sim": []}
+            for j, qid in enumerate(qids):
+                sims = np.round(dots[:, j] / qnorm[j] / cnorm, 6)
+                mask = cids != qid
+                order = np.lexsort((cids[mask], -sims[mask]))[:k]
+                sel_ids = cids[mask][order]
+                sel_sims = sims[mask][order]
+                out["_qid"] += [qid] * len(sel_ids)
+                out["_cid"] += list(sel_ids)
+                out["sim"] += list(sel_sims)
+            yield pd.DataFrame(out)
+
+    c = _spread(corpus).select(id_col, vec_col)
+    scored = c.mapInPandas(local_topk, out_schema)
     w = Window.partitionBy("_qid").orderBy(F.desc("sim"), F.asc("_cid"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
