@@ -202,3 +202,59 @@ def delta_zorder_prune(spark, sf_dir):
             .filter((F.col("l_partkey") >= 100) & (F.col("l_partkey") < 300))
             .select("l_orderkey", "l_partkey", "l_suppkey",
                     F.round("l_extendedprice", 2).alias("extendedprice")))
+
+
+# --------------------------------------------------------------------------
+# UPDATE DML (P6): conditional column rewrite under the oracle
+# --------------------------------------------------------------------------
+
+@register("delta_update", sql="""
+SELECT s_suppkey, s_name,
+       round(CASE WHEN s_acctbal < 0 THEN 0.0 ELSE s_acctbal END, 2)
+           AS acctbal
+FROM supplier
+""")
+def delta_update(spark, sf_dir):
+    # UPDATE rewrites only files containing matching rows (predicate
+    # pruning picks candidates from file stats); untouched files keep
+    # their AddFile unchanged.
+    def build(d):
+        su = load(spark, sf_dir, "supplier")
+        t = DeltaTable.for_path(spark, d)
+        t.write(su, mode="append")
+        t.update({"s_acctbal": "0.0"}, Col("s_acctbal") < Lit(0.0))
+    d = _built(sf_dir, "supplier_update", build)
+    t = DeltaTable.for_path(spark, d)
+    return t.to_df().select("s_suppkey", "s_name",
+                            F.round("s_acctbal", 2).alias("acctbal"))
+
+
+# --------------------------------------------------------------------------
+# CONVERT TO DELTA (S: metadata-only adoption of a parquet directory)
+# --------------------------------------------------------------------------
+
+@register("delta_convert", sql="""
+SELECT r_regionkey, count(*)::BIGINT AS n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+""")
+def delta_convert(spark, sf_dir):
+    # convert_to_delta adopts the files in place (no data rewrite) —
+    # the Hive-partitioned layout's values come from directory names,
+    # then every later read goes through the Delta log.
+    from ..sources.convert import convert_to_delta
+
+    def build(d):
+        na = load(spark, sf_dir, "nation")
+        (na.write.mode("overwrite").partitionBy("n_regionkey")
+         .parquet(f"{d}/plain"))
+        convert_to_delta(spark, f"{d}/plain",
+                         partition_by=["n_regionkey"])
+    d = _built(sf_dir, "nation_convert", build)
+    t = DeltaTable.for_path(spark, f"{d}/plain")
+    re = load(spark, sf_dir, "region").select("r_regionkey")
+    na = t.to_df()
+    return (na.join(F.broadcast(re),
+                    na.n_regionkey == re.r_regionkey)
+            .groupBy("r_regionkey")
+            .agg(F.count(F.lit(1)).alias("n")))
