@@ -162,3 +162,71 @@ def ev_rollup(spark, sf_dir):
     return (ev.rollup(F.to_date("ts").alias("day"), "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+# --------------------------------------------------------------------------
+# Inter-arrival gaps per event type (lag window, integer microseconds)
+# --------------------------------------------------------------------------
+
+@register("ev_interarrival_stats", sql="""
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+  FROM events)
+SELECT event_type, count(gap_us)::BIGINT AS n_gaps,
+       min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+       (sum(gap_us) / count(gap_us))::BIGINT AS mean_gap_us
+FROM g GROUP BY 1
+""")
+def ev_interarrival(spark, sf_dir):
+    # One shuffle on event_type serves both the lag window and the
+    # aggregation; the mean stays in integer microseconds (exact BIGINT
+    # division, no float drift).
+    from pyspark.sql import Window
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.select("event_type",
+                  (F.unix_micros("ts") -
+                   F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"))
+    return (g.groupBy("event_type")
+            .agg(F.count("gap_us").alias("n_gaps"),
+                 F.min("gap_us").alias("min_gap_us"),
+                 F.max("gap_us").alias("max_gap_us"),
+                 (F.sum("gap_us") / F.count("gap_us")).cast("long")
+                 .alias("mean_gap_us")))
+
+
+# --------------------------------------------------------------------------
+# Discrete percentiles of order value per priority (cume_dist rule)
+# --------------------------------------------------------------------------
+
+@register("ord_totalprice_percentiles", sql="""
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         cume_dist() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice) AS cd
+  FROM orders)
+SELECT o_orderpriority,
+       round(min(CASE WHEN cd >= 0.5 THEN o_totalprice END), 2) AS p50,
+       round(min(CASE WHEN cd >= 0.95 THEN o_totalprice END), 2) AS p95
+FROM ranked GROUP BY 1
+""")
+def ord_percentiles(spark, sf_dir):
+    # Discrete percentiles via the SQL-standard rule (smallest value
+    # whose cume_dist >= p) spelled out as a window + conditional min —
+    # engine-neutral, always an actual data value (2-decimal prices), so
+    # rounding can never tie. percentile_disc would hide the rule behind
+    # implementation-defined rank arithmetic.
+    from pyspark.sql import Window
+    od = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    ranked = od.select("o_orderpriority", "o_totalprice",
+                       F.cume_dist().over(w).alias("cd"))
+    return (ranked.groupBy("o_orderpriority")
+            .agg(F.round(F.min(F.when(F.col("cd") >= 0.5,
+                                      F.col("o_totalprice"))), 2)
+                 .alias("p50"),
+                 F.round(F.min(F.when(F.col("cd") >= 0.95,
+                                      F.col("o_totalprice"))), 2)
+                 .alias("p95")))
