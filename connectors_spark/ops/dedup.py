@@ -135,6 +135,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     # (up to md5 collisions, ~1e-12 for millions of shingles).
     ex = (sh.select("_id", "_sz", F.explode("_sh").alias("_gs"))
           .select("_id", "_sz", hash64("_gs").alias("_g")))
+    # Both join sides read ex; persist so shingling+hashing runs once.
+    ex = ex.persist()
     if max_shingle_freq is not None:
         hot = (ex.groupBy("_g").count()
                .filter(F.col("count") > max_shingle_freq).select("_g"))
