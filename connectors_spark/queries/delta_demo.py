@@ -258,3 +258,32 @@ def delta_convert(spark, sf_dir):
                     na.n_regionkey == re.r_regionkey)
             .groupBy("r_regionkey")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+# --------------------------------------------------------------------------
+# Schema evolution (W3/ST8): widen on append, old files read as NULL
+# --------------------------------------------------------------------------
+
+@register("delta_schema_evolution", sql="""
+SELECT s_suppkey, s_name,
+       CASE WHEN s_suppkey % 2 = 1 THEN round(s_acctbal, 2) END AS acctbal
+FROM supplier
+""")
+def delta_schema_evolution(spark, sf_dir):
+    # v0 writes a narrow schema (even keys); v1 appends wide rows (odd
+    # keys, + s_acctbal), committing a new Metadata under the
+    # write-compatibility rules (new column nullable). The snapshot read
+    # applies the LATEST schema to every file: v0 parquet lacks the
+    # column and decodes as NULL — the nullable-widening contract of
+    # SchemaUtils.scala:82-141.
+    def build(d):
+        su = load(spark, sf_dir, "supplier")
+        t = DeltaTable.for_path(spark, d)
+        t.write(su.filter(F.col("s_suppkey") % 2 == 0)
+                .select("s_suppkey", "s_name"))
+        t.write(su.filter(F.col("s_suppkey") % 2 == 1)
+                .select("s_suppkey", "s_name", "s_acctbal"))
+    d = _built(sf_dir, "supplier_evolve", build)
+    t = DeltaTable.for_path(spark, d)
+    return t.to_df().select("s_suppkey", "s_name",
+                            F.round("s_acctbal", 2).alias("acctbal"))
