@@ -230,3 +230,59 @@ def ord_percentiles(spark, sf_dir):
                  F.round(F.min(F.when(F.col("cd") >= 0.95,
                                       F.col("o_totalprice"))), 2)
                  .alias("p95")))
+
+
+# --------------------------------------------------------------------------
+# Conversion funnel: view -> click -> purchase in strict time order
+# --------------------------------------------------------------------------
+
+@register("ev_funnel_view_click_purchase", sql="""
+WITH s1 AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM events GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY 1)
+SELECT count(s1.user_id)::BIGINT AS n_view,
+       count(s2.user_id)::BIGINT AS n_view_click,
+       count(s3.user_id)::BIGINT AS n_full_funnel,
+       floor(sum(CASE WHEN s3.user_id IS NOT NULL
+                      THEN epoch_us(t3) - epoch_us(t1) END)::DOUBLE
+             / count(s3.user_id))::BIGINT AS mean_convert_us
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+WHERE s1.t1 IS NOT NULL
+""")
+def ev_funnel(spark, sf_dir):
+    # Each stage is one aggregation over the fact joined with the
+    # (tiny, broadcast) previous-stage anchors — strict event ordering
+    # without a per-user sort, conversion time on the integer
+    # microsecond grid.
+    ev = load(spark, sf_dir, "events")
+    s1 = (ev.groupBy("user_id")
+          .agg(F.min(F.when(F.col("event_type") == "view",
+                            F.col("ts"))).alias("t1"))
+          .filter(F.col("t1").isNotNull()))
+    s2 = (ev.filter(F.col("event_type") == "click")
+          .join(F.broadcast(s1), "user_id")
+          .filter(F.col("ts") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    s3 = (ev.filter(F.col("event_type") == "purchase")
+          .join(F.broadcast(s2), "user_id")
+          .filter(F.col("ts") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    j = (s1.join(s2, "user_id", "left").join(s3, "user_id", "left"))
+    conv = F.when(F.col("t3").isNotNull(),
+                  F.unix_micros("t3") - F.unix_micros("t1"))
+    return j.agg(
+        F.count("user_id").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_full_funnel"),
+        F.floor(F.sum(conv) / F.count("t3")).cast("long")
+        .alias("mean_convert_us"))
