@@ -287,3 +287,38 @@ def delta_schema_evolution(spark, sf_dir):
     t = DeltaTable.for_path(spark, d)
     return t.to_df().select("s_suppkey", "s_name",
                             F.round("s_acctbal", 2).alias("acctbal"))
+
+
+# --------------------------------------------------------------------------
+# Dynamic join-key file pruning (metadata-plane DPP)
+# --------------------------------------------------------------------------
+
+@register("delta_join_prune", sql="""
+SELECT l_returnflag, count(*)::BIGINT AS n,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type = 'PROMO' AND p_size >= 40
+GROUP BY 1
+""")
+def delta_join_prune(spark, sf_dir):
+    # The dimension filter's surviving keys prune the FACT's file set
+    # before any Parquet opens (scan.prune_by_join_keys); the same keys
+    # then drive the row-level join. On a partitioned/zordered fact this
+    # skips whole files; correctness never depends on how much it skips.
+    from ..scan import prune_by_join_keys
+
+    def build(d):
+        li = load(spark, sf_dir, "lineitem")
+        DeltaTable.for_path(spark, d).write(li.repartitionByRange(
+            8, "l_partkey"))
+    d = _built(sf_dir, "lineitem_bykey", build)
+    t = DeltaTable.for_path(spark, d)
+    pa = (load(spark, sf_dir, "part")
+          .filter((F.col("p_type") == "PROMO") & (F.col("p_size") >= 40))
+          .select("p_partkey"))
+    scan = prune_by_join_keys(t, "l_partkey", pa.select("p_partkey"))
+    li = scan.to_df()
+    return (li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_price")))

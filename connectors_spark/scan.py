@@ -87,6 +87,10 @@ class DeltaScan:
 
         conds = []
         for c in split_conjuncts(self.residual):
+            in_keep = self._in_list_keep(c, data_fields, stat)
+            if in_keep is not None:
+                conds.append(in_keep)
+                continue
             col, lit, op = _simple_comparison(c)
             if col is None or col not in data_fields:
                 continue
@@ -114,6 +118,40 @@ class DeltaScan:
             out = out & c
         return out
 
+    _IN_SKIP_MAX_VALUES = 64
+
+    def _in_list_keep(self, c, data_fields, stat):
+        """Keep-file condition for an ``col IN (literals)`` conjunct:
+        OR of per-value range containment for short lists, else the
+        [min(values), max(values)] envelope (sound, just looser).
+        Returns None when the conjunct isn't a stats-able IN."""
+        from .expressions import Col as ColExpr
+        from .expressions import In, Lit as LitExpr
+        if not isinstance(c, In) or not isinstance(c.value, ColExpr):
+            return None
+        if not all(isinstance(e, LitExpr) for e in c.elems):
+            return None
+        col = c.value.name
+        if col not in data_fields:
+            return None
+        dtype = data_fields[col]
+        if dtype.simpleString() not in (
+                "tinyint", "smallint", "int", "bigint", "float", "double",
+                "date", "timestamp", "string") and                 not dtype.simpleString().startswith("decimal"):
+            return None
+        values = [e.value for e in c.elems if e.value is not None]
+        if not values:
+            return None
+        lo, hi = stat("minValues", col, dtype), stat("maxValues", col, dtype)
+        if len(values) <= self._IN_SKIP_MAX_VALUES:
+            keep = None
+            for v in values:
+                term = (lo <= F.lit(v)) & (hi >= F.lit(v))
+                keep = term if keep is None else (keep | term)
+        else:
+            keep = (lo <= F.lit(max(values))) & (hi >= F.lit(min(values)))
+        return F.coalesce(keep, F.lit(True))
+
     # ------------------------------------------------------------- data
 
     def to_df(self) -> DataFrame:
@@ -140,3 +178,27 @@ def _simple_comparison(e: Expression):
             if isinstance(l, Lit) and isinstance(r, Col) and l.value is not None:
                 return r.name, l, flipped[op]
     return None, None, None
+
+
+def prune_by_join_keys(table, key_col: str, keys_df,
+                       max_keys: int = 100_000):
+    """Dynamic (runtime) file pruning by join keys — the metadata-plane
+    analogue of Spark's dynamic partition pruning, which cannot see our
+    log-backed file listing. Collect the (bounded) distinct join keys
+    from the dimension side, build an ``In`` predicate, and scan the
+    fact table with it: partition-valued keys prune whole directories,
+    other keys prune via per-file min/max stats, and the same predicate
+    re-applies row-level as the residual. Falls back to an unpruned scan
+    when the key set exceeds ``max_keys`` (an IN list that large stops
+    paying for itself — at that point a shuffle join is the plan).
+
+    Returns the pruned DeltaScan; caller chains ``.to_df()`` and joins.
+    """
+    from .expressions import Col
+    rows = keys_df.distinct().limit(max_keys + 1).collect()
+    if len(rows) > max_keys:
+        return table.scan(None)
+    keys = sorted(r[0] for r in rows if r[0] is not None)
+    if not keys:
+        return table.scan(None)
+    return table.scan(Col(key_col).isin(*keys))

@@ -147,3 +147,27 @@ def test_optimize_zorder_improves_stats_skipping(spark, tmp_path):
     assert t.to_df().count() == n
     got = t.to_df().agg(F.sum("rid")).first()[0]
     assert got == n * (n - 1) // 2
+
+
+def test_join_key_pruning_skips_files(spark, tmp_path):
+    """prune_by_join_keys must skip files whose min/max range contains
+    none of the dimension keys (In-list stats skipping)."""
+    from pyspark.sql import functions as F
+
+    from connectors_spark.scan import prune_by_join_keys
+    from connectors_spark.table import DeltaTable
+
+    path = str(tmp_path / "fact")
+    fact = spark.range(8000).select(F.col("id").alias("k"),
+                                    (F.col("id") * 2).alias("v"))
+    t = DeltaTable.for_path(spark, path)
+    t.write(fact.repartitionByRange(8, "k"))   # k-ranged files
+    total = len(t.snapshot().all_files())
+    keys = spark.createDataFrame([(5,), (17,), (900,)], "k long")
+    scan = prune_by_join_keys(t, "k", keys)
+    touched = len(scan.collect_files())
+    assert touched < total                      # most ranges skipped
+    got = sorted(r["k"] for r in scan.to_df()
+                 .join(keys.withColumnRenamed("k", "kk"),
+                       F.col("k") == F.col("kk")).collect())
+    assert got == [5, 17, 900]
