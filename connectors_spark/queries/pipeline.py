@@ -703,3 +703,26 @@ def doc_curate(spark, sf_dir):
                  F.count("_e").alias("n_exact_kept"),
                  F.count("_k").alias("n_neardup_kept"),
                  F.count("_f").alias("n_final")))
+
+
+# --------------------------------------------------------------------------
+# Multimodal resize: binary-out mapInPandas, content pinned via md5
+# --------------------------------------------------------------------------
+
+@register("mm_resize_thumbs", sql="""
+SELECT doc_id, 32 AS width, 32 AS height,
+       md5(rpad(left(text, 1024), 1024, chr(0))) AS thumb_md5
+FROM documents
+""")
+def mm_resize(spark, sf_dir):
+    # fake_resize is the 1-in-1-out Arrow contract a real thumbnailer
+    # drops into; hashing the binary output pins the exact byte
+    # transform (prefix + zero padding), not just row shape. The
+    # documents corpus is pure ASCII so the oracle's string rpad hashes
+    # the identical bytes.
+    docs = load(spark, sf_dir, "documents")
+    thumbs = mm.fake_resize(mm.attach_fake_media(docs))
+    return thumbs.select("doc_id",
+                         F.col("width").cast("int").alias("width"),
+                         F.col("height").cast("int").alias("height"),
+                         F.md5("thumb").alias("thumb_md5"))
