@@ -198,3 +198,15 @@ def regex_tokens(text: ColumnOrName,
     Codegen'd `regexp_extract_all`; the pattern class is dialect-neutral
     (identical under Java regex and RE2/DuckDB)."""
     return F.regexp_extract_all(F.lower(_c(text)), F.lit(pattern), F.lit(0))
+
+
+def hash_split(key: ColumnOrName, train: int = 80, val: int = 10) -> Column:
+    """Deterministic dataset split label ('train' | 'val' | 'test') from
+    the md5-derived hash of a key column, bucketed mod 100. Reproducible
+    across engines, runs, and repartitioning — unlike randomSplit, a
+    row's split never depends on partitioning or seed plumbing, and the
+    assignment is stable when the corpus grows."""
+    b = hash64(_c(key).cast("string")) % 100
+    return (F.when(b < train, F.lit("train"))
+            .when(b < train + val, F.lit("val"))
+            .otherwise(F.lit("test")))

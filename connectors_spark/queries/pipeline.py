@@ -726,3 +726,29 @@ def mm_resize(spark, sf_dir):
                          F.col("width").cast("int").alias("width"),
                          F.col("height").cast("int").alias("height"),
                          F.md5("thumb").alias("thumb_md5"))
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split accounting
+# --------------------------------------------------------------------------
+
+@register("doc_hash_split_counts", sql=f"""
+WITH s AS (
+  SELECT source,
+         CASE WHEN {_H64.format(v='doc_id::VARCHAR')} % 100 < 80
+              THEN 'train'
+              WHEN {_H64.format(v='doc_id::VARCHAR')} % 100 < 90
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents)
+SELECT source, split, count(*)::BIGINT AS n
+FROM s GROUP BY 1, 2
+""")
+def doc_split(spark, sf_dir):
+    # Reproducible splits: assignment is a pure function of the id, so
+    # growing or repartitioning the corpus never reshuffles existing
+    # rows between train and test (randomSplit cannot guarantee that).
+    from ..functions.text import hash_split
+    docs = load(spark, sf_dir, "documents")
+    return (docs.select("source", hash_split("doc_id").alias("split"))
+            .groupBy("source", "split")
+            .agg(F.count(F.lit(1)).alias("n")))
