@@ -38,3 +38,25 @@ def norm_d(a: ColumnOrName) -> Column:
 def cosine_d(a: ColumnOrName, b: ColumnOrName) -> Column:
     """Double-precision cosine similarity."""
     return dot_d(a, b) / norm_d(a) / norm_d(b)
+
+
+def quantize_i8(a: ColumnOrName) -> Column:
+    """Symmetric int8 quantization: scale = max|v|/127, q_i =
+    round(v_i/scale). Returns struct(scale double, q array<int>). All
+    arithmetic in double with SQL round semantics (half away from zero)
+    so a SQL oracle reproduces the exact codes."""
+    v = F.transform(_c(a), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = mx / F.lit(127.0)
+    q = F.transform(v, lambda x: F.round(x / scale, 0).cast("int"))
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_error_i8(a: ColumnOrName) -> Column:
+    """Max absolute reconstruction error of the int8 round trip,
+    normalized by the scale (≤ 0.5 by construction)."""
+    qz = quantize_i8(a)
+    v = F.transform(_c(a), lambda x: x.cast("double"))
+    err = F.zip_with(v, qz["q"],
+                     lambda x, qi: F.abs(qi.cast("double") * qz["scale"] - x))
+    return F.array_max(err) / qz["scale"]

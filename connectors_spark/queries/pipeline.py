@@ -752,3 +752,42 @@ def doc_split(spark, sf_dir):
     return (docs.select("source", hash_split("doc_id").alias("split"))
             .groupBy("source", "split")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+# --------------------------------------------------------------------------
+# Int8 embedding quantization: 4x storage cut, bounded reconstruction err
+# --------------------------------------------------------------------------
+
+@register("emb_quantize_i8_error", sql="""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings),
+s AS (
+  SELECT vec_id, label, e,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+  FROM v),
+err AS (
+  SELECT label,
+         list_max(list_transform(e,
+             x -> abs(round(x / scale) * scale - x))) / scale AS nerr
+  FROM s)
+SELECT label, count(*)::BIGINT AS n_vectors,
+       round(max(nerr), 6) AS max_norm_err,
+       round(avg(nerr), 6) AS avg_norm_err
+FROM err GROUP BY 1
+""")
+def emb_quant(spark, sf_dir):
+    # Quantized codes are 64 bytes/vector instead of 256 — the storage
+    # path for a 100 TB ANN corpus (IVF/LSH candidate verify happily
+    # runs on dequantized values; exact re-rank reads the fp32 column
+    # for finalists only). The oracle reproduces the identical codes,
+    # pinning quantization arithmetic, and the normalized error is
+    # bounded by 0.5 by construction.
+    from ..functions.vectors import dequantize_error_i8
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("label", dequantize_error_i8("embedding").alias("nerr"))
+    return (e.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 F.round(F.max("nerr"), 6).alias("max_norm_err"),
+                 F.round(F.avg("nerr"), 6).alias("avg_norm_err")))
