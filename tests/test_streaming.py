@@ -232,3 +232,39 @@ def test_stateful_sessionize_stream(spark, tmp_path):
             r["n_events"])
            for r in spark.sql("SELECT * FROM sessions").collect()}
     assert got == {(1, 0, 3), (2, 0, 1)}
+
+
+def test_source_offset_recovery_across_restart(spark, tmp_path):
+    """Restarting a stream with the same checkpointLocation resumes from
+    the committed version offset: rows delivered before the stop are
+    not redelivered, rows committed while down are picked up."""
+    from pyspark.sql import functions as F
+
+    from connectors_spark.streaming.source import register_stream_source
+    from connectors_spark.table import DeltaTable
+
+    path = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    t = DeltaTable.for_path(spark, path)
+    t.write(spark.range(0, 100).select(F.col("id")))
+
+    register_stream_source(spark)
+
+    def run_once():
+        q = (spark.readStream.format("delta_stream")
+             .option("path", path).load()
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert first == 100
+
+    t.write(spark.range(100, 150).select(F.col("id")))   # while "down"
+    run_once()
+    rows = [r["id"] for r in spark.read.parquet(out).collect()]
+    assert len(rows) == 150                 # no redelivery
+    assert sorted(rows) == list(range(150))
