@@ -136,3 +136,39 @@ def test_set_transaction_visible(spark, tmp_path):
     snap = t.log.snapshot()
     assert snap.txn_version("job-42") == 3
     assert snap.txn_version("unknown") == -1
+
+
+def test_parallel_append_thread_race_loses_nothing(spark, tmp_path):
+    """Eight threads blind-append concurrently through the put-if-absent
+    commit path: every commit must land at a distinct version with no
+    lost updates — the mutual-exclusion contract of the log store under
+    a real race, not a staged interleaving."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from connectors_spark.table import DeltaTable
+
+    path = str(tmp_path / "race")
+    t = DeltaTable.for_path(spark, path)
+    t.write(spark.range(0, 10).select(F.col("id")))
+
+    errors = []
+
+    def append(i):
+        try:
+            df = spark.range(100 * i, 100 * i + 10).select(F.col("id"))
+            DeltaTable.for_path(spark, path).write(df)
+        except Exception as e:          # noqa: BLE001
+            errors.append((i, e))
+
+    threads = [threading.Thread(target=append, args=(i,))
+               for i in range(1, 9)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(120)
+    assert not errors, errors
+    snap = t.log.update()
+    assert snap.version == 8            # 8 commits after version 0
+    assert t.to_df().count() == 90      # 10 initial + 8 × 10, none lost
