@@ -101,3 +101,15 @@ def test_q1_wholestage_codegen(spark, sf_dir):
     out = buf.getvalue()
     assert "WholeStageCodegen" in out
     assert "Found" in out  # "Found N WholeStageCodegen subtrees."
+
+
+def test_funnel_broadcasts_stage_anchors(plans):
+    p = plans("ev_funnel_view_click_purchase")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_curate_corpus_no_cartesian(plans):
+    p = plans("doc_curate_corpus")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
