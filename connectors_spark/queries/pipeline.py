@@ -791,3 +791,39 @@ def emb_quant(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_vectors"),
                  F.round(F.max("nerr"), 6).alias("max_norm_err"),
                  F.round(F.avg("nerr"), 6).alias("avg_norm_err")))
+
+
+# --------------------------------------------------------------------------
+# Deterministic weighted priority sample (Duffield et al., JACM 2007)
+# --------------------------------------------------------------------------
+
+@register("doc_priority_sample", sql=f"""
+WITH w AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::DOUBLE
+             AS wt
+  FROM documents),
+p AS (
+  SELECT doc_id, source, wt,
+         wt / (({_H64.format(v='doc_id::VARCHAR')} + 1)
+               / 1152921504606846976.0) AS prio
+  FROM w),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY prio DESC, doc_id) AS rn FROM p)
+SELECT source, count(*)::BIGINT AS n_sampled,
+       round(sum(wt), 2) AS sampled_weight
+FROM r WHERE rn <= 200 GROUP BY 1
+""")
+def doc_priority_sample(spark, sf_dir):
+    # Token count as the sampling weight: long documents are
+    # proportionally more likely to survive, and the selected SET is a
+    # pure function of (ids, weights, k) — rerunning curation yields
+    # byte-identical corpora.
+    from ..ops.sampling import priority_sample
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", "source",
+                    token_count("text").cast("double").alias("wt"))
+    s = priority_sample(w, 200, "wt", "doc_id")
+    return (s.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_sampled"),
+                 F.round(F.sum("wt"), 2).alias("sampled_weight")))
