@@ -42,6 +42,7 @@ DEFAULTS: Dict[str, str] = {
     "delta.checkpointInterval": "10",
     "delta.appendOnly": "false",
     "delta.enableExpiredLogCleanup": "true",
+    "delta.enableChangeDataFeed": "false",
 }
 
 
@@ -72,6 +73,10 @@ class TableConfig:
     @property
     def enable_expired_log_cleanup(self) -> bool:
         return self.get("delta.enableExpiredLogCleanup").lower() == "true"
+
+    @property
+    def enable_change_data_feed(self) -> bool:
+        return self.get("delta.enableChangeDataFeed").lower() == "true"
 
     def as_timedelta(self, key: str) -> timedelta:
         return timedelta(milliseconds=parse_interval_ms(self.get(key)))

@@ -290,6 +290,42 @@ def delta_schema_evolution(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Row-level Change Data Feed (AddCDCFile, actions.scala:164-172)
+# --------------------------------------------------------------------------
+
+@register("delta_cdf_row_level", sql="""
+SELECT s_suppkey, round(s_acctbal, 2) AS acctbal,
+       'update_preimage' AS change_type, 1::BIGINT AS commit_version
+FROM supplier WHERE s_acctbal < 0
+UNION ALL
+SELECT s_suppkey, 0.0, 'update_postimage', 1::BIGINT
+FROM supplier WHERE s_acctbal < 0
+UNION ALL
+SELECT s_suppkey, round(CASE WHEN s_acctbal < 0 THEN 0.0
+                             ELSE s_acctbal END, 2), 'delete', 2::BIGINT
+FROM supplier WHERE s_suppkey <= 10
+""")
+def delta_cdf_row_level(spark, sf_dir):
+    # v0 creates with CDF enabled, v1 UPDATEs (negative balances -> 0),
+    # v2 DELETEs suppliers 1..10. table_changes(1,2) must reproduce the
+    # exact pre/post images and delete rows -- the oracle derives all
+    # three change sets from the source parquet alone.
+    def build(d):
+        su = load(spark, sf_dir, "supplier")
+        t = DeltaTable.for_path(spark, d)
+        t.write(su, configuration={"delta.enableChangeDataFeed": "true"})
+        t.update({"s_acctbal": "0.0"}, Col("s_acctbal") < Lit(0.0))
+        t.delete(Col("s_suppkey") <= Lit(10))
+    d = _built(sf_dir, "supplier_cdf", build)
+    t = DeltaTable.for_path(spark, d)
+    return (t.table_changes(1, 2)
+            .select("s_suppkey",
+                    F.round("s_acctbal", 2).alias("acctbal"),
+                    F.col("_change_type").alias("change_type"),
+                    F.col("_commit_version").alias("commit_version")))
+
+
+# --------------------------------------------------------------------------
 # Dynamic join-key file pruning (metadata-plane DPP)
 # --------------------------------------------------------------------------
 

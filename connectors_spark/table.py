@@ -40,7 +40,8 @@ from .log.snapshot import Snapshot, canonical_path
 from .log import history as hist
 from .scan import DeltaScan
 from .txn import OptimisticTransaction
-from .writer import stage_and_collect
+from .writer import (CHANGE_TYPE_COL, stage_and_collect,
+                     stage_cdc_and_collect)
 
 _log_cache: Dict[str, "DeltaLog"] = {}
 _log_cache_lock = threading.Lock()
@@ -335,18 +336,27 @@ class DeltaTable:
         scan = DeltaScan(snap, predicate)
         actions = []
         if scan.residual is None:
+            # Whole-file delete: no CDC files needed even with CDF on --
+            # the change reader synthesizes delete rows from the removed
+            # (still readable) Parquet, so file-granular deletes stay
+            # metadata-only (streaming/cdf.py).
             actions += [f.remove(now) for f in candidates]
         else:
             cand_paths = [canonical_path(f.path, snap.table_path)
                           for f in candidates]
             files_subset = snap.files_df.where(F.col("path").isin(cand_paths))
             df = snap.to_df(files=files_subset)
-            keep = df.where(~F.coalesce(
-                predicate.to_column(F.col), F.lit(False)))
+            hit = F.coalesce(predicate.to_column(F.col), F.lit(False))
+            keep = df.where(~hit)
             adds = stage_and_collect(keep, self.log.table_path,
                                      snap.metadata.partitionColumns)
             actions += adds
             actions += [f.remove(now) for f in candidates]
+            if TableConfig(snap.metadata.configuration) \
+                    .enable_change_data_feed:
+                cdc = df.where(hit).withColumn(
+                    CHANGE_TYPE_COL, F.lit("delete"))
+                actions += stage_cdc_and_collect(cdc, self.log.table_path)
         return txn.commit(actions, "DELETE", {})
 
     def update(self, set_exprs: Dict[str, Any],
@@ -365,14 +375,26 @@ class DeltaTable:
         df = snap.to_df(files=files_subset)
         cond = predicate.to_column(F.col) if predicate is not None else F.lit(True)
         cond = F.coalesce(cond, F.lit(False))
-        out = df
+        # Mark matched rows ONCE against pre-update values: set_exprs may
+        # rewrite columns the predicate reads, so re-evaluating cond after
+        # the rewrite would mis-tag rows (and lose CDF postimages).
+        marked = df.withColumn("__hit", cond)
+        out = marked
         for col, expr in set_exprs.items():
             val = expr if not isinstance(expr, str) else F.expr(expr)
-            out = out.withColumn(col, F.when(cond, val).otherwise(F.col(col)))
-        adds = stage_and_collect(out, self.log.table_path,
+            out = out.withColumn(
+                col, F.when(F.col("__hit"), val).otherwise(F.col(col)))
+        adds = stage_and_collect(out.drop("__hit"), self.log.table_path,
                                  snap.metadata.partitionColumns)
         now = int(time.time() * 1000)
         actions: List[Any] = list(adds) + [f.remove(now) for f in candidates]
+        if TableConfig(snap.metadata.configuration).enable_change_data_feed:
+            pre = (marked.where("__hit").drop("__hit")
+                   .withColumn(CHANGE_TYPE_COL, F.lit("update_preimage")))
+            post = (out.where("__hit").drop("__hit")
+                    .withColumn(CHANGE_TYPE_COL, F.lit("update_postimage")))
+            actions += stage_cdc_and_collect(pre.unionByName(post),
+                                             self.log.table_path)
         return txn.commit(actions, "UPDATE", {})
 
     def merge(self, source: DataFrame, condition,
@@ -418,26 +440,36 @@ class DeltaTable:
 
         matched = touched_df.join(src, cond, "inner")
         tcols = [f.name for f in meta.schema.fields]
+        cdc_parts: List[DataFrame] = []
         parts = []
         # target rows in touched files with no source match: keep as-is
         parts.append(touched_df.join(src, cond, "left_anti")
                      .select(*[F.col(f"t.{c}").alias(c) for c in tcols]))
+        matched_t = matched.select(
+            *[F.col(f"t.{c}").alias(c) for c in tcols])
         if when_matched_update is not None:
             upd = matched.select(*[
                 (F.expr(str(when_matched_update[c]))
                  if c in when_matched_update else F.col(f"t.{c}")).alias(c)
                 for c in tcols])
             parts.append(upd)
-        elif not when_matched_delete:
-            parts.append(matched.select(
-                *[F.col(f"t.{c}").alias(c) for c in tcols]))
-        # when_matched_delete: matched rows simply not re-emitted
+            cdc_parts.append(matched_t.withColumn(
+                CHANGE_TYPE_COL, F.lit("update_preimage")))
+            cdc_parts.append(upd.withColumn(
+                CHANGE_TYPE_COL, F.lit("update_postimage")))
+        elif when_matched_delete:
+            cdc_parts.append(matched_t.withColumn(
+                CHANGE_TYPE_COL, F.lit("delete")))
+        else:
+            parts.append(matched_t)
         if when_not_matched_insert:
             scols = set(source.columns)
             ins = (src.join(target, cond, "left_anti")
                    .select(*[(F.col(f"s.{c}") if c in scols
                               else F.lit(None)).alias(c) for c in tcols]))
             parts.append(ins)
+            cdc_parts.append(ins.withColumn(
+                CHANGE_TYPE_COL, F.lit("insert")))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -446,6 +478,12 @@ class DeltaTable:
                                  meta.partitionColumns)
         now = int(time.time() * 1000)
         actions: List[Any] = list(adds) + [f.remove(now) for f in touched_adds]
+        if cdc_parts and TableConfig(snap.metadata.configuration) \
+                .enable_change_data_feed:
+            cdc = cdc_parts[0]
+            for p in cdc_parts[1:]:
+                cdc = cdc.unionByName(p)
+            actions += stage_cdc_and_collect(cdc, self.log.table_path)
         return txn.commit(actions, "MERGE", {"predicate": str(condition)})
 
     # ----------------------------------------------------------- changes
@@ -462,6 +500,17 @@ class DeltaTable:
                           ignore_deletes=ignore_deletes,
                           ignore_changes=ignore_changes,
                           allow_initial_changes=allow_initial_changes)
+
+    def table_changes(self, start_version: int = 0,
+                      end_version: Optional[int] = None) -> DataFrame:
+        """Row-level Change Data Feed: table columns + ``_change_type``
+        (insert / delete / update_preimage / update_postimage) +
+        ``_commit_version``. DML commits describe their changes exactly via
+        CDC files when ``delta.enableChangeDataFeed`` is set; other commits
+        synthesize inserts/deletes from their dataChange actions
+        (streaming/cdf.py; reference action model actions.scala:164-172)."""
+        from .streaming.cdf import table_changes
+        return table_changes(self, start_version, end_version)
 
 
 def _canonical(path: str, table_path: str) -> str:

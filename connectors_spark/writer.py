@@ -24,7 +24,10 @@ from typing import Any, Dict, List, Optional, Tuple
 
 from pyspark.sql import DataFrame
 
-from .log.actions import AddFile
+from .log.actions import AddCDCFile, AddFile
+
+CDC_DIR = "_change_data"
+CHANGE_TYPE_COL = "_change_type"
 
 _STATS_TYPES = ("int8", "int16", "int32", "int64", "float", "double",
                 "string", "date32", "date64")
@@ -143,3 +146,36 @@ def stage_and_collect(df: DataFrame, table_path: str,
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return adds
+
+
+def stage_cdc_and_collect(df: DataFrame, table_path: str) -> List[AddCDCFile]:
+    """Write change rows (``df`` must carry a ``_change_type`` column) as
+    Parquet under ``<table>/_change_data/`` and return the ``AddCDCFile``
+    actions to commit alongside the DML's add/remove actions.
+
+    CDC files are invisible to snapshot reads (SnapshotImpl ignores the
+    ``cdc`` action; actions.scala:164-172) -- only the row-level change
+    reader (streaming/cdf.py) opens them. Files are written unpartitioned
+    with partition columns as ordinary data columns: change batches are
+    small relative to the table and a per-version scan never prunes them.
+    """
+    staging = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    dest_dir = os.path.join(table_path, CDC_DIR)
+    os.makedirs(dest_dir, exist_ok=True)
+    cdcs: List[AddCDCFile] = []
+    try:
+        for name in os.listdir(staging):
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(staging, name)
+            dest = os.path.join(dest_dir, f"cdc-{uuid.uuid4().hex}-{name}")
+            os.rename(src, dest)
+            st = os.stat(dest)
+            rel = os.path.relpath(dest, table_path)
+            cdcs.append(AddCDCFile(
+                path="/".join(urllib.parse.quote(s) for s in rel.split("/")),
+                partitionValues={}, size=st.st_size))
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return cdcs

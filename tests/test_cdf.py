@@ -1,0 +1,117 @@
+"""Row-level Change Data Feed: CDC files on DML, synthesis elsewhere.
+
+Covers the Delta CDF protocol rules the reader implements
+(connectors_spark/streaming/cdf.py): a commit with AddCDCFile actions is
+described exactly by those files; other commits synthesize inserts from
+dataChange adds and deletes from dataChange removes; dataChange=false
+commits emit nothing.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from connectors_spark.expressions import Col, Lit
+from connectors_spark.log.actions import AddCDCFile
+from connectors_spark.log import filenames as fn
+from connectors_spark.table import DeltaTable, TableMaintenance
+
+CDF = {"delta.enableChangeDataFeed": "true"}
+
+
+def _mk(spark, tmp_path, rows, partition_by=None, cdf=True):
+    t = DeltaTable.for_path(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(rows)
+    t.write(df, partition_by=partition_by or [],
+            configuration=CDF if cdf else None)
+    return t
+
+
+def _changes(t, start, end=None):
+    return {(r["k"], r["v"], r["_change_type"], r["_commit_version"])
+            for r in t.table_changes(start, end).collect()}
+
+
+def test_append_synthesizes_inserts(spark, tmp_path):
+    t = _mk(spark, tmp_path, [Row(k=1, v="a"), Row(k=2, v="b")])
+    t.write(spark.createDataFrame([Row(k=3, v="c")]))
+    assert _changes(t, 0) == {(1, "a", "insert", 0), (2, "b", "insert", 0),
+                              (3, "c", "insert", 1)}
+
+
+def test_update_emits_pre_and_post_images(spark, tmp_path):
+    t = _mk(spark, tmp_path, [Row(k=1, v="a"), Row(k=2, v="b")])
+    t.update({"v": "'B'"}, Col("k") == Lit(2))
+    assert _changes(t, 1) == {(2, "b", "update_preimage", 1),
+                              (2, "B", "update_postimage", 1)}
+    # the untouched row is NOT in the feed even though its file was rewritten
+    v1 = t.table_changes(1).where("k = 1").count()
+    assert v1 == 0
+
+
+def test_update_predicate_on_rewritten_column(spark, tmp_path):
+    # cond reads the column the update rewrites: postimages must still tag
+    # the originally-matching rows.
+    t = _mk(spark, tmp_path, [Row(k=1, v="neg"), Row(k=-5, v="neg")])
+    t.update({"k": "0"}, Col("k") < Lit(0))
+    assert _changes(t, 1) == {(-5, "neg", "update_preimage", 1),
+                              (0, "neg", "update_postimage", 1)}
+
+
+def test_delete_residual_emits_cdc(spark, tmp_path):
+    t = _mk(spark, tmp_path, [Row(k=i, v=str(i)) for i in range(6)])
+    t.delete(Col("k") >= Lit(4))
+    got = _changes(t, 1)
+    assert got == {(4, "4", "delete", 1), (5, "5", "delete", 1)}
+    # CDC files physically exist under _change_data
+    acts = list(t.log.get_changes(1))[0][1]
+    assert any(isinstance(a, AddCDCFile) for a in acts)
+
+
+def test_whole_file_delete_synthesizes_from_removes(spark, tmp_path):
+    rows = [Row(k=i, v="x" if i % 2 else "y") for i in range(6)]
+    t = _mk(spark, tmp_path, rows, partition_by=["v"])
+    t.delete(Col("v") == Lit("x"))  # partition-only: whole files removed
+    acts = list(t.log.get_changes(1))[0][1]
+    assert not any(isinstance(a, AddCDCFile) for a in acts)
+    got = _changes(t, 1)
+    assert got == {(1, "x", "delete", 1), (3, "x", "delete", 1),
+                   (5, "x", "delete", 1)}
+
+
+def test_merge_mixed_change_types(spark, tmp_path):
+    t = _mk(spark, tmp_path, [Row(k=1, v="a"), Row(k=2, v="b")])
+    src = spark.createDataFrame([Row(k=2, v="B2"), Row(k=9, v="new")])
+    t.merge(src, "t.k = s.k",
+            when_matched_update={"v": "s.v"})
+    assert _changes(t, 1) == {(2, "b", "update_preimage", 1),
+                              (2, "B2", "update_postimage", 1),
+                              (9, "new", "insert", 1)}
+
+
+def test_optimize_emits_nothing(spark, tmp_path):
+    t = _mk(spark, tmp_path, [Row(k=1, v="a")])
+    t.write(spark.createDataFrame([Row(k=2, v="b")]))
+    TableMaintenance(t).optimize(min_files_per_group=2)
+    assert t.log.snapshot().version == 2
+    assert t.table_changes(2, 2).count() == 0
+
+
+def test_cdf_disabled_update_synthesizes_rewrite(spark, tmp_path):
+    # Without the table property no CDC files are written; the reader
+    # falls back to file-level synthesis (delete old file + insert new).
+    t = _mk(spark, tmp_path, [Row(k=1, v="a")], cdf=False)
+    t.update({"v": "'A'"}, Col("k") == Lit(1))
+    acts = list(t.log.get_changes(1))[0][1]
+    assert not any(isinstance(a, AddCDCFile) for a in acts)
+    assert _changes(t, 1) == {(1, "a", "delete", 1), (1, "A", "insert", 1)}
+
+
+def test_partitioned_update_cdc_carries_partition_columns(spark, tmp_path):
+    rows = [Row(k=i, v="x" if i % 2 else "y") for i in range(4)]
+    t = _mk(spark, tmp_path, rows, partition_by=["v"])
+    t.update({"k": "k + 10"}, Col("k") == Lit(1))
+    assert _changes(t, 1) == {(1, "x", "update_preimage", 1),
+                              (11, "x", "update_postimage", 1)}
