@@ -290,6 +290,33 @@ def delta_schema_evolution(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# RESTORE: revert the table to an earlier version as a new commit
+# --------------------------------------------------------------------------
+
+@register("delta_restore", sql="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+FROM orders
+""")
+def delta_restore(spark, sf_dir):
+    # v0 writes all orders, v1 DELETEs the cheap ones, v2 RESTOREs to v0.
+    # The read after restore must equal the original table exactly -- the
+    # deleted rows come back from the re-added files, and v1 remains
+    # reachable by time travel (asserted in tests/test_maintenance.py).
+    from ..table import TableMaintenance
+
+    def build(d):
+        od = load(spark, sf_dir, "orders")
+        t = DeltaTable.for_path(spark, d)
+        t.write(od, mode="append")
+        t.delete(Col("o_totalprice") < Lit(100000.0))
+        TableMaintenance(t).restore(version=0)
+    d = _built(sf_dir, "orders_restore", build)
+    t = DeltaTable.for_path(spark, d)
+    return t.to_df().select("o_orderkey", "o_custkey",
+                            F.round("o_totalprice", 2).alias("totalprice"))
+
+
+# --------------------------------------------------------------------------
 # Row-level Change Data Feed (AddCDCFile, actions.scala:164-172)
 # --------------------------------------------------------------------------
 

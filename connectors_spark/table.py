@@ -624,6 +624,68 @@ class TableMaintenance:
         return {"filesRemoved": len(victims), "filesAdded": len(adds),
                 "version": version}
 
+    def restore(self, version: Optional[int] = None,
+                timestamp_ms: Optional[int] = None) -> Dict[str, int]:
+        """RESTORE the table to an earlier version (or the version active
+        at a timestamp) as a NEW commit: the file-set diff between the
+        current and target snapshots becomes add/remove actions, and the
+        target's Metadata is re-committed when it differs (undoing schema
+        or config changes). History is preserved -- time travel still
+        reaches every version, and the restore itself is just another
+        commit that conflict-checks like any other writer.
+
+        Fails if any file the target snapshot needs has been VACUUMed.
+        Returns {filesAdded, filesRemoved, version}.
+        """
+        t = self.table
+        txn = t.log.start_transaction()
+        snap = txn.snapshot
+        if snap is None:
+            raise FileNotFoundError("table does not exist")
+        target = t._resolve(version, timestamp_ms)
+        if target.version == snap.version:
+            return {"filesAdded": 0, "filesRemoved": 0,
+                    "version": snap.version}
+        txn.read_whole_table()
+
+        cur = {_canonical(f.path, snap.table_path): f
+               for f in snap.all_files()}
+        want = {_canonical(f.path, snap.table_path): f
+                for f in target.all_files()}
+        to_add = [f for p, f in want.items() if p not in cur]
+        to_remove = [f for p, f in cur.items() if p not in want]
+
+        root = t.path
+        local_root = root[len("file:"):] if root.startswith("file:") else root
+        missing = [p for p in want
+                   if not os.path.exists(os.path.join(local_root, p))]
+        if missing:
+            raise DeltaError(
+                f"cannot restore to version {target.version}: "
+                f"{len(missing)} data file(s) were removed by VACUUM "
+                f"(first: {missing[0]})")
+
+        now = int(time.time() * 1000)
+        # Re-added files are a data change even if their original commit
+        # was a dataChange=false layout rewrite (OPTIMIZE).
+        import dataclasses
+        actions: List[Any] = [dataclasses.replace(f, dataChange=True)
+                              for f in to_add]
+        actions += [f.remove(now) for f in to_remove]
+        if target.metadata.schemaString != snap.metadata.schemaString \
+                or target.metadata.configuration \
+                != snap.metadata.configuration \
+                or target.metadata.partitionColumns \
+                != snap.metadata.partitionColumns:
+            txn.update_metadata(target.metadata, overwrite_schema=True)
+        ver = txn.commit(
+            actions, operation="RESTORE",
+            operation_parameters={"version": str(target.version)},
+            operation_metrics={"numRestoredFiles": str(len(to_add)),
+                               "numRemovedFiles": str(len(to_remove))})
+        return {"filesAdded": len(to_add), "filesRemoved": len(to_remove),
+                "version": ver}
+
     def vacuum(self, retention_ms: Optional[int] = None,
                dry_run: bool = False) -> List[str]:
         """Delete data files that are neither active nor within the

@@ -98,8 +98,13 @@ class OptimisticTransaction:
 
     # ------------------------------------------------------------ metadata
 
-    def update_metadata(self, metadata: Metadata) -> None:
-        """<=1 metadata update per txn (OptimisticTransactionImpl.scala:187-214)."""
+    def update_metadata(self, metadata: Metadata,
+                        overwrite_schema: bool = False) -> None:
+        """<=1 metadata update per txn (OptimisticTransactionImpl.scala:187-214).
+
+        ``overwrite_schema`` skips the write-compatibility rules -- only for
+        operations that intentionally replace the schema with a previously
+        committed one (RESTORE), never for evolution on append."""
         if self.new_metadata is not None:
             raise DeltaError("Cannot change the metadata more than once in a txn")
         self._check_partition_columns(metadata)
@@ -107,6 +112,7 @@ class OptimisticTransaction:
             raise DeltaError("Table schema must not be empty")
         self._check_field_names(metadata)
         self.new_metadata = metadata
+        self._overwrite_schema = overwrite_schema
 
     @staticmethod
     def _check_partition_columns(metadata: Metadata) -> None:
@@ -243,7 +249,8 @@ class OptimisticTransaction:
         if meta is not None:
             self._check_partition_columns(meta)
             self._check_field_names(meta)
-            if self.snapshot is not None:
+            if self.snapshot is not None \
+                    and not getattr(self, "_overwrite_schema", False):
                 _check_schema_evolution(self.snapshot.metadata, meta)
         return actions
 

@@ -171,3 +171,48 @@ def test_join_key_pruning_skips_files(spark, tmp_path):
                  .join(keys.withColumnRenamed("k", "kk"),
                        F.col("k") == F.col("kk")).collect())
     assert got == [5, 17, 900]
+
+
+def test_restore_undoes_delete(spark, tmp_path):
+    from pyspark.sql import Row
+    t = DeltaTable.for_path(spark, str(tmp_path / "restore1"))
+    t.write(spark.createDataFrame([Row(k=i) for i in range(10)]))
+    t.delete(Col("k") >= Lit(5))
+    assert t.to_df().count() == 5
+    out = TableMaintenance(t).restore(version=0)
+    assert out["version"] == 2
+    assert {r["k"] for r in t.to_df().collect()} == set(range(10))
+    # history intact: time travel to the deleted state still works
+    assert t.to_df(version=1).count() == 5
+
+
+def test_restore_undoes_append_and_schema_change(spark, tmp_path):
+    from pyspark.sql import Row
+    t = DeltaTable.for_path(spark, str(tmp_path / "restore2"))
+    t.write(spark.createDataFrame([Row(k=1)]))
+    t.write(spark.createDataFrame([Row(k=2, v="wide")]))  # widens schema
+    assert len(t.snapshot().metadata.schema.fields) == 2
+    TableMaintenance(t).restore(version=0)
+    snap = t.log.snapshot()
+    assert [f.name for f in snap.metadata.schema.fields] == ["k"]
+    assert {r["k"] for r in t.to_df().collect()} == {1}
+
+
+def test_restore_noop_at_current_version(spark, tmp_path):
+    from pyspark.sql import Row
+    t = DeltaTable.for_path(spark, str(tmp_path / "restore3"))
+    t.write(spark.createDataFrame([Row(k=1)]))
+    out = TableMaintenance(t).restore(version=0)
+    assert out == {"filesAdded": 0, "filesRemoved": 0, "version": 0}
+
+
+def test_restore_fails_after_vacuum(spark, tmp_path):
+    import pytest
+    from pyspark.sql import Row
+    from connectors_spark.errors import DeltaError
+    t = DeltaTable.for_path(spark, str(tmp_path / "restore4"))
+    t.write(spark.createDataFrame([Row(k=i) for i in range(4)]))
+    t.delete(Col("k") >= Lit(2))
+    TableMaintenance(t).vacuum(retention_ms=0)
+    with pytest.raises(DeltaError, match="VACUUM"):
+        TableMaintenance(t).restore(version=0)
