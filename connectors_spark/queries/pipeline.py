@@ -283,6 +283,62 @@ def doc_tokens(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# TF-IDF term weights / BM25 retrieval scoring (ops/ranking.py)
+# --------------------------------------------------------------------------
+
+@register("doc_tfidf_terms", sql=f"""
+WITH {_TOKS},
+post AS (
+  SELECT doc_id, w AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks) u GROUP BY 1, 2),
+dfr AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+SELECT term, df, sum(tf)::BIGINT AS total_tf,
+       round(sum(tf * ln(n.n / df)), 4) AS total_tfidf
+FROM post JOIN dfr USING (term), n
+GROUP BY term, df
+""")
+def doc_tfidf(spark, sf_dir):
+    # Per-term corpus rollup of the (doc, term) tf-idf relation: pins the
+    # postings construction, the df aggregate, and the idf arithmetic
+    # without depending on per-row float ordering.
+    from ..ops.ranking import tfidf
+    docs = load(spark, sf_dir, "documents")
+    rel = tfidf(docs)
+    return (rel.groupBy("term", "df")
+            .agg(F.sum("tf").alias("total_tf"),
+                 F.round(F.sum("tfidf"), 4).alias("total_tfidf")))
+
+
+_BM25_QUERY = ("spark", "join", "filter")
+
+
+@register("doc_bm25_scores", sql=f"""
+WITH {_TOKS},
+dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+post AS (
+  SELECT doc_id, w AS term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks) u
+  WHERE w IN {repr(_BM25_QUERY)} GROUP BY 1, 2),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY 1)
+SELECT doc_id,
+       round(sum(ln(1 + (st.n - df + 0.5) / (df + 0.5))
+                 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / st.avgdl))),
+             4) AS score
+FROM post JOIN dfr USING (term) JOIN dl USING (doc_id), st
+GROUP BY doc_id
+""")
+def doc_bm25(spark, sf_dir):
+    # Okapi BM25 (k1=1.2, b=0.75) of every document against a fixed
+    # 3-term query; only docs containing >=1 query term score.
+    from ..ops.ranking import bm25
+    docs = load(spark, sf_dir, "documents")
+    return (bm25(docs, list(_BM25_QUERY))
+            .select("doc_id", F.round("score", 4).alias("score")))
+
+
+# --------------------------------------------------------------------------
 # Multimodal: fake decode via Arrow-batched mapInPandas
 # --------------------------------------------------------------------------
 

@@ -302,3 +302,45 @@ def test_salted_join_matches_plain_join(spark):
                 for r in salted_join(left, right, ["k"],
                                      how="left").collect())
     assert pl == sl
+
+
+# --------------------------------------------------------------------------
+# TF-IDF / BM25 ranking (ops/ranking.py)
+# --------------------------------------------------------------------------
+
+def test_tfidf_values_tiny_corpus(spark):
+    import math
+    from connectors_spark.ops.ranking import tfidf
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c"), (2, "c c c")], "doc_id: long, text: string")
+    rows = {(r["doc_id"], r["term"]): (r["tf"], r["df"], r["tfidf"])
+            for r in tfidf(docs).collect()}
+    # 'a' in 2 of 3 docs, tf=2 in doc 0
+    tf, df, w = rows[(0, "a")]
+    assert (tf, df) == (2, 2)
+    assert abs(w - 2 * math.log(3 / 2)) < 1e-12
+    # 'b' unique to doc 0
+    assert abs(rows[(0, "b")][2] - math.log(3.0)) < 1e-12
+
+
+def test_bm25_ranks_rarer_term_higher(spark):
+    from connectors_spark.ops.ranking import bm25
+    docs = spark.createDataFrame(
+        [(0, "rare common pad"), (1, "common pad x"), (2, "common pad y"),
+         (3, "pad z w")], "doc_id: long, text: string")
+    scores = {r["doc_id"]: r["score"]
+              for r in bm25(docs, ["rare", "common"]).collect()}
+    assert 3 not in scores            # no query term -> absent
+    assert scores[0] > scores[1]      # rare term outweighs common
+    assert scores[1] == scores[2]     # identical evidence -> equal score
+
+
+def test_bm25_plan_broadcasts_df_and_avoids_cartesian(spark):
+    from connectors_spark.ops.ranking import bm25
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} common") for i in range(50)],
+        "doc_id: long, text: string")
+    plan = bm25(docs, ["common", "w1"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
