@@ -78,5 +78,14 @@ class TableConfig:
     def enable_change_data_feed(self) -> bool:
         return self.get("delta.enableChangeDataFeed").lower() == "true"
 
+    @property
+    def check_constraints(self) -> Dict[str, str]:
+        """CHECK constraints: ``delta.constraints.<name> -> <sql expr>``
+        entries in the table configuration (the Delta table-property
+        convention for constraint storage)."""
+        pfx = "delta.constraints."
+        return {k[len(pfx):]: v for k, v in self._conf.items()
+                if k.startswith(pfx)}
+
     def as_timedelta(self, key: str) -> timedelta:
         return timedelta(milliseconds=parse_interval_ms(self.get(key)))

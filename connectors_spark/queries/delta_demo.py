@@ -290,6 +290,43 @@ def delta_schema_evolution(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# CHECK constraints: violating commits must not land
+# --------------------------------------------------------------------------
+
+@register("delta_check_constraint", sql="""
+SELECT c_custkey, round(c_acctbal, 2) AS acctbal FROM customer
+UNION ALL
+SELECT c_custkey, round(c_acctbal + 20000.0, 2) FROM customer
+WHERE c_custkey <= 50
+""")
+def delta_check_constraint(spark, sf_dir):
+    # v0 creates with CHECK (c_acctbal > -2000). A batch shifted to be
+    # all-negative must be rejected WITHOUT committing; a valid shifted
+    # batch must land. The read equals original + valid batch only --
+    # which the oracle derives from the source parquet.
+    from ..errors import DeltaError
+
+    def build(d):
+        cu = load(spark, sf_dir, "customer")
+        t = DeltaTable.for_path(spark, d)
+        t.write(cu, configuration={
+            "delta.constraints.bal": "c_acctbal > -2000.0"})
+        bad = cu.withColumn("c_acctbal", F.col("c_acctbal") - 100000.0)
+        try:
+            t.write(bad)
+            raise AssertionError("constraint violation not raised")
+        except DeltaError:
+            pass
+        good = (cu.filter(F.col("c_custkey") <= 50)
+                .withColumn("c_acctbal", F.col("c_acctbal") + 20000.0))
+        t.write(good)
+    d = _built(sf_dir, "customer_check", build)
+    t = DeltaTable.for_path(spark, d)
+    return t.to_df().select("c_custkey",
+                            F.round("c_acctbal", 2).alias("acctbal"))
+
+
+# --------------------------------------------------------------------------
 # RESTORE: revert the table to an earlier version as a new commit
 # --------------------------------------------------------------------------
 

@@ -298,6 +298,11 @@ class DeltaTable:
             pcols = list(partition_by or [])
             txn.update_metadata(self._make_metadata(df, pcols, configuration))
 
+        eff_meta = txn.new_metadata or (txn.snapshot.metadata if exists
+                                        else None)
+        if eff_meta is not None:
+            _enforce_constraints(df, eff_meta.configuration, "written")
+
         actions: List[Any] = []
         op = "WRITE"
         if mode == "overwrite" and exists:
@@ -384,6 +389,8 @@ class DeltaTable:
             val = expr if not isinstance(expr, str) else F.expr(expr)
             out = out.withColumn(
                 col, F.when(F.col("__hit"), val).otherwise(F.col(col)))
+        _enforce_constraints(out.where("__hit").drop("__hit"),
+                             snap.metadata.configuration, "updated")
         adds = stage_and_collect(out.drop("__hit"), self.log.table_path,
                                  snap.metadata.partitionColumns)
         now = int(time.time() * 1000)
@@ -474,6 +481,10 @@ class DeltaTable:
         for p in parts[1:]:
             out = out.unionByName(p)
 
+        # parts[0] is always the kept (unchanged) rows; everything after
+        # carries new or rewritten values that can violate a constraint.
+        for p in parts[1:]:
+            _enforce_constraints(p, meta.configuration, "merged")
         adds = stage_and_collect(out, self.log.table_path,
                                  meta.partitionColumns)
         now = int(time.time() * 1000)
@@ -501,6 +512,46 @@ class DeltaTable:
                           ignore_changes=ignore_changes,
                           allow_initial_changes=allow_initial_changes)
 
+    # ------------------------------------------------------- constraints
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT: validate the WHOLE current table
+        satisfies ``expr`` (one scan), then commit a Metadata whose
+        configuration carries ``delta.constraints.<name>``. Every later
+        data-adding commit re-validates its own rows (_enforce_constraints)."""
+        txn = self.log.start_transaction()
+        snap = txn.snapshot
+        if snap is None:
+            raise FileNotFoundError("table does not exist")
+        key = f"delta.constraints.{name.lower()}"
+        if key in snap.metadata.configuration:
+            raise DeltaError(f"constraint {name!r} already exists")
+        txn.read_whole_table()
+        _enforce_constraints(
+            snap.to_df(), {key: expr}, "existing")
+        meta = snap.metadata
+        import dataclasses
+        new_meta = dataclasses.replace(
+            meta, configuration={**meta.configuration, key: expr})
+        txn.update_metadata(new_meta)
+        return txn.commit([], "ADD CONSTRAINT",
+                          {"name": name, "expr": expr})
+
+    def drop_constraint(self, name: str) -> int:
+        txn = self.log.start_transaction()
+        snap = txn.snapshot
+        if snap is None:
+            raise FileNotFoundError("table does not exist")
+        key = f"delta.constraints.{name.lower()}"
+        if key not in snap.metadata.configuration:
+            raise DeltaError(f"constraint {name!r} does not exist")
+        meta = snap.metadata
+        conf = {k: v for k, v in meta.configuration.items() if k != key}
+        import dataclasses
+        new_meta = dataclasses.replace(meta, configuration=conf)
+        txn.update_metadata(new_meta)
+        return txn.commit([], "DROP CONSTRAINT", {"name": name})
+
     def table_changes(self, start_version: int = 0,
                       end_version: Optional[int] = None) -> DataFrame:
         """Row-level Change Data Feed: table columns + ``_change_type``
@@ -516,6 +567,26 @@ class DeltaTable:
 def _canonical(path: str, table_path: str) -> str:
     from .log.snapshot import canonical_path
     return canonical_path(path, table_path)
+
+
+def _enforce_constraints(df: DataFrame, configuration: Dict[str, str],
+                         what: str) -> None:
+    """Reject the commit if any row violates a CHECK constraint. SQL
+    semantics: a row passes when the expression is TRUE or NULL; only
+    FALSE violates. One filter scan per constrained batch -- the filter
+    pushes into the batch's source scan, and the batch being committed is
+    (at 100 TB) vastly smaller than the table it lands in."""
+    checks = TableConfig(configuration).check_constraints
+    if not checks:
+        return
+    for name in sorted(checks):
+        expr = checks[name]
+        bad = F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+        row = df.where(~bad).limit(1).collect()
+        if row:
+            raise DeltaError(
+                f"CHECK constraint {name} ({expr}) violated by {what} "
+                f"row: {row[0].asDict()}")
 
 
 _ZORDER_BITS = 16
