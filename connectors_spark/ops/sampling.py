@@ -43,3 +43,29 @@ def priority_sample(df: DataFrame, k: int, weight_col: str,
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
             .drop("_prio", "_rn"))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, fractions,
+                      id_col: str) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample: keep a row iff
+    hash64(id) mod 10000 < fraction·10000 for its stratum's fraction.
+
+    ``fractions`` is either one float for every stratum or a
+    {stratum_value: fraction} dict (strata absent from the dict are
+    dropped). A pure filter -- no shuffle, no RNG state, no window: each
+    partition decides its rows independently, so the operator scales
+    embarrassingly and the selected set is a pure function of (ids,
+    fractions), reproducible by any engine with md5 (SQL oracle included).
+
+    Per-stratum counts are binomial around fraction·n_stratum, exactly as
+    with rand()-based Bernoulli sampling, but stable across runs."""
+    bucket = hash64(F.col(id_col).cast("string")) % 10000
+    if isinstance(fractions, dict):
+        # flat CASE: stratum value -> its threshold, unknown strata -> 0
+        thresh = F.lit(0)
+        for value, frac in sorted(fractions.items(), reverse=True):
+            thresh = F.when(F.col(strata_col) == F.lit(value),
+                            F.lit(int(frac * 10000))).otherwise(thresh)
+    else:
+        thresh = F.lit(int(float(fractions) * 10000))
+    return df.where(bucket < thresh)

@@ -283,6 +283,29 @@ def doc_tokens(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Stratified per-language sampling (ops/sampling.py)
+# --------------------------------------------------------------------------
+
+_STRATA = {"en": 0.5, "de": 0.25, "zh": 0.1}
+
+
+@register("doc_stratified_sample", sql=f"""
+SELECT doc_id, lang FROM documents
+WHERE ({_H64.format(v="doc_id::VARCHAR")} % 10000) <
+      CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+                WHEN 'zh' THEN 1000 ELSE 0 END
+""")
+def doc_stratified(spark, sf_dir):
+    # Deterministic per-stratum Bernoulli sample: 50% of en, 25% of de,
+    # 10% of zh, drop other languages. A pure filter (no shuffle); the
+    # oracle pins the EXACT selected id set, not just stratum counts.
+    from ..ops.sampling import stratified_sample
+    docs = load(spark, sf_dir, "documents")
+    return (stratified_sample(docs, "lang", _STRATA, id_col="doc_id")
+            .select("doc_id", "lang"))
+
+
+# --------------------------------------------------------------------------
 # TF-IDF term weights / BM25 retrieval scoring (ops/ranking.py)
 # --------------------------------------------------------------------------
 

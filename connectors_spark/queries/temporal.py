@@ -164,6 +164,23 @@ def ev_rollup(spark, sf_dir):
                  F.round(F.sum("value"), 2).alias("sum_value")))
 
 
+@register("ev_cube_type_day", sql="""
+SELECT CAST(ts AS DATE) AS day, event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY CUBE (day, event_type)
+""")
+def ev_cube(spark, sf_dir):
+    # CUBE adds the (event_type)-only grade ROLLUP lacks: all four
+    # grouping sets — (day, type), (day), (type), () — in one shuffle
+    # with map-side partial aggregation (Expand + HashAggregate).
+    ev = load(spark, sf_dir, "events")
+    return (ev.cube(F.to_date("ts").alias("day"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
 # --------------------------------------------------------------------------
 # Inter-arrival gaps per event type (lag window, integer microseconds)
 # --------------------------------------------------------------------------

@@ -344,3 +344,26 @@ def test_bm25_plan_broadcasts_df_and_avoids_cartesian(spark):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_stratified_sample_deterministic_and_filter_only(spark):
+    from connectors_spark.ops.sampling import stratified_sample
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(400)],
+        "id: long, s: string")
+    s1 = stratified_sample(df, "s", {"a": 0.5, "b": 0.1}, id_col="id")
+    got1 = {r["id"] for r in s1.collect()}
+    got2 = {r["id"] for r in s1.collect()}
+    assert got1 == got2 and got1  # reproducible, non-empty
+    # unknown strata dropped entirely with dict fractions
+    assert {r["s"] for r in s1.collect()} <= {"a", "b"}
+    # scalar fraction applies to every stratum; subset relation holds for
+    # equal thresholds (same hash, same cut)
+    s_all = {r["id"] for r in
+             stratified_sample(df, "s", 0.1, id_col="id").collect()}
+    s_half = {r["id"] for r in
+              stratified_sample(df, "s", 0.5, id_col="id").collect()}
+    assert s_all <= s_half
+    # no shuffle in the plan: pure filter over the scan
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
