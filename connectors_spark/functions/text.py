@@ -200,6 +200,26 @@ def regex_tokens(text: ColumnOrName,
     return F.regexp_extract_all(F.lower(_c(text)), F.lit(pattern), F.lit(0))
 
 
+# PII patterns: dialect-neutral (identical semantics under Java regex and
+# DuckDB's RE2): no backrefs, no lookaround, no \b at class edges.
+PII_PATTERNS: List = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("phone", r"\+?[0-9][0-9() -]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(text: ColumnOrName) -> Column:
+    """Replace emails, URLs, and phone-ish digit runs with typed
+    placeholder tokens — the standard pre-training scrub pass. Order
+    matters (emails before phones so digits inside addresses don't
+    half-match); each pattern is one codegen'd regexp_replace."""
+    out = _c(text)
+    for _name, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
 def hash_split(key: ColumnOrName, train: int = 80, val: int = 10) -> Column:
     """Deterministic dataset split label ('train' | 'val' | 'test') from
     the md5-derived hash of a key column, bucketed mod 100. Reproducible

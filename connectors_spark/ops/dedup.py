@@ -372,3 +372,63 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                     .alias("hamming"))
             .distinct()
             .filter(F.col("hamming") <= max_hamming))
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate chunk removal (sub-document dedup)
+# ---------------------------------------------------------------------------
+
+def doc_chunks(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", chunk_tokens: int = 10) -> DataFrame:
+    """(doc_id, pos, chunk): consecutive ``chunk_tokens``-token windows of
+    each document, position-ordered. The sub-document unit for
+    boilerplate detection — the C4/CCNet recipe dedups LINES across the
+    corpus; our synthetic docs have no newlines, so the deterministic
+    stand-in unit is the fixed-width token chunk (a trailing short chunk
+    is kept). One codegen'd expression, no Python."""
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)))
+    return (df.where(F.size(toks) > 0)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.posexplode(chunks).alias("pos", "chunk")))
+
+
+def boilerplate_chunks(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", chunk_tokens: int = 10,
+                       min_docs: int = 2) -> DataFrame:
+    """(chunk, n_docs): chunks occurring in ≥ min_docs DISTINCT documents
+    — corpus-level boilerplate (headers, footers, license banners). The
+    aggregate is distinct-doc counting per chunk: one shuffle keyed by
+    the chunk text; at scale, key by hash64(chunk) instead of the raw
+    string to bound shuffle width."""
+    ch = doc_chunks(df, id_col, text_col, chunk_tokens).dropDuplicates(
+        ["doc_id", "chunk"])
+    return (ch.groupBy("chunk")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .where(F.col("n_docs") >= min_docs))
+
+
+def remove_boilerplate(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", chunk_tokens: int = 10,
+                       min_docs: int = 2) -> DataFrame:
+    """Documents with boilerplate chunks stripped: chunks appearing in ≥
+    min_docs distinct docs are dropped, survivors re-joined in position
+    order. Returns (doc_id, text) with empty docs removed.
+
+    Plan shape: chunk explode → left_anti join against the (small)
+    boilerplate relation → groupBy doc reassembly ordered by pos. The
+    boilerplate side is a corpus-frequency aggregate, broadcast when it
+    fits; the reassembly is one shuffle by doc_id."""
+    ch = doc_chunks(df, id_col, text_col, chunk_tokens)
+    bp = boilerplate_chunks(df, id_col, text_col, chunk_tokens, min_docs)
+    kept = ch.join(F.broadcast(bp.select("chunk")), "chunk", "left_anti")
+    return (kept.groupBy("doc_id")
+            .agg(F.concat_ws(
+                " ", F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s.getField("chunk"))).alias("text"))
+            .where(F.length("text") > 0))

@@ -283,6 +283,74 @@ def doc_tokens(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# PII redaction (functions.text.redact_pii)
+# --------------------------------------------------------------------------
+
+@register("doc_redact_pii", sql="""
+WITH seeded AS (
+  SELECT doc_id,
+         'reach me at user' || doc_id || '@mail.example.org or ' ||
+         'https://ex.org/d/' || doc_id || ' tel +1 555 010' || doc_id ||
+         ' . ' || text AS text
+  FROM documents),
+red AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\\s]+', '<URL>', 'g'),
+             '\\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS text
+  FROM seeded)
+SELECT doc_id, md5(text) AS h FROM red
+""")
+def doc_redact(spark, sf_dir):
+    # The corpus is synthetic word soup, so the PII is injected
+    # deterministically (same concat in both engines); the md5 of the
+    # redacted text then pins the exact regex replacement semantics --
+    # email before phone so address digits never half-match.
+    from ..functions.text import redact_pii
+    docs = load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(F.lit("reach me at user"), F.col("doc_id").cast("string"),
+                 F.lit("@mail.example.org or https://ex.org/d/"),
+                 F.col("doc_id").cast("string"), F.lit(" tel +1 555 010"),
+                 F.col("doc_id").cast("string"), F.lit(" . "),
+                 F.col("text")).alias("text"))
+    return seeded.select("doc_id", F.md5(redact_pii("text")).alias("h"))
+
+
+# --------------------------------------------------------------------------
+# Boilerplate chunk removal (ops.dedup.remove_boilerplate)
+# --------------------------------------------------------------------------
+
+@register("doc_boilerplate_removal", sql=f"""
+WITH {_TOKS},
+ch AS (
+  SELECT doc_id, i::INT - 1 AS pos,
+         array_to_string(list_slice(t, (i - 1) * 10 + 1, i * 10), ' ')
+             AS chunk
+  FROM toks, unnest(range(1, ceil(len(t) / 10.0)::BIGINT + 1)) AS u(i)
+  WHERE len(t) > 0),
+bp AS (
+  SELECT chunk FROM (SELECT DISTINCT doc_id, chunk FROM ch) d
+  GROUP BY chunk HAVING count(*) >= 2),
+kept AS (SELECT * FROM ch WHERE chunk NOT IN (SELECT chunk FROM bp)),
+reassembled AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id)
+SELECT doc_id, md5(text) AS h FROM reassembled WHERE length(text) > 0
+""")
+def doc_boilerplate(spark, sf_dir):
+    # Sub-document dedup: 10-token chunks occurring in >=2 distinct docs
+    # (exact-dup documents make every chunk boilerplate) are stripped;
+    # survivors reassemble in position order. md5 pins reassembly exactly.
+    from ..ops.dedup import remove_boilerplate
+    docs = load(spark, sf_dir, "documents")
+    out = remove_boilerplate(docs, chunk_tokens=10, min_docs=2)
+    return out.select("doc_id", F.md5("text").alias("h"))
+
+
+# --------------------------------------------------------------------------
 # Stratified per-language sampling (ops/sampling.py)
 # --------------------------------------------------------------------------
 

@@ -367,3 +367,44 @@ def test_stratified_sample_deterministic_and_filter_only(spark):
     # no shuffle in the plan: pure filter over the scan
     plan = s1._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_redact_pii_replaces_typed_tokens(spark):
+    from connectors_spark.functions.text import redact_pii
+    df = spark.createDataFrame(
+        [(0, "mail a.b+c@x-y.org now"),
+         (1, "see https://a.io/p?q=1 and http://b.co"),
+         (2, "call +1 (415) 555-0100 today"),
+         (3, "clean text only")], "id: long, text: string")
+    got = {r["id"]: r["t"]
+           for r in df.select("id", redact_pii("text").alias("t")).collect()}
+    assert got[0] == "mail <EMAIL> now"
+    assert got[1] == "see <URL> and <URL>"
+    assert got[2] == "call <PHONE> today"
+    assert got[3] == "clean text only"
+
+
+def test_remove_boilerplate_strips_shared_chunks(spark):
+    from connectors_spark.ops.dedup import (boilerplate_chunks,
+                                            remove_boilerplate)
+    header = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"  # one exact 10-token chunk
+    df = spark.createDataFrame(
+        [(0, f"{header} unique zero text"),
+         (1, f"{header} other one body"),
+         (2, "totally different words here")],
+        "doc_id: long, text: string")
+    bp = {r["chunk"] for r in boilerplate_chunks(df).collect()}
+    assert bp == {header}
+    out = {r["doc_id"]: r["text"]
+           for r in remove_boilerplate(df).collect()}
+    assert out[0] == "unique zero text"
+    assert out[1] == "other one body"
+    assert out[2] == "totally different words here"
+
+
+def test_remove_boilerplate_drops_fully_duplicate_docs(spark):
+    from connectors_spark.ops.dedup import remove_boilerplate
+    same = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(0, same), (1, same)], "doc_id: long, text: string")
+    assert remove_boilerplate(df).count() == 0
