@@ -1,0 +1,113 @@
+"""Distributed k-means (Lloyd's algorithm) over embedding columns —
+the clustering substrate for SemDeDup-style semantic dedup (Abbas et
+al. 2023: cluster embeddings, then near-dup within clusters) and for
+IVF-style partitioned ANN layouts.
+
+Reference parity: none (delta-io/connectors has no vector operators);
+§7 extension.
+
+Execution model — the textbook distributed Lloyd iteration:
+
+- **Assignment** is embarrassingly parallel: the k×dim centroid matrix
+  is closed over by an Arrow-batched pandas UDF (one numpy matmul per
+  batch, no shuffle, no JVM↔Python per-row crossings).
+- **Update** is one map-side-combined aggregation: posexplode the
+  vector, groupBy (cluster, dim), avg. Shuffle volume is O(rows × dim)
+  counts, combined to k×dim partial sums per task before the exchange.
+- The k×dim centroid matrix (tiny — 8×64 here, ≤ MBs for real k) is
+  collected to the driver between iterations; that driver sync per
+  iteration is inherent to Lloyd and independent of corpus size.
+
+Determinism (what makes the DuckDB oracle hash-match): init centroids
+are the k lowest-id vectors (no RNG); distances and updated centroids
+are rounded to 6 decimals before use, so double summation order across
+engines/partitions cannot flip an argmin; ties break to the lowest
+cluster id.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _assign_col(vec_col: str, cents: np.ndarray):
+    """(cluster, dist) struct column: index of the nearest centroid by
+    squared L2 distance rounded to 6 places, ties to the lowest id."""
+    from pyspark.sql.types import (IntegerType, DoubleType, StructField,
+                                   StructType)
+
+    out_t = StructType([StructField("cluster", IntegerType()),
+                        StructField("dist", DoubleType())])
+    c = cents.copy()
+
+    @F.pandas_udf(out_t)
+    def _assign(vs: pd.Series) -> pd.DataFrame:
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        # ||v-c||² per (row, centroid); rounded so cross-engine
+        # summation-order noise (~1e-13) can't flip the argmin.
+        d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).round(6)
+        cl = d.argmin(axis=1)  # first (lowest) index wins ties
+        return pd.DataFrame({"cluster": cl.astype("int32"),
+                             "dist": d[np.arange(len(cl)), cl]})
+
+    return _assign(F.col(vec_col))
+
+
+def _update_centroids(assigned: DataFrame, vec_col: str,
+                      prev: np.ndarray) -> np.ndarray:
+    """One Lloyd update: per-(cluster, dim) mean over assigned vectors,
+    rounded to 6; clusters that lost every point keep their previous
+    centroid (standard empty-cluster policy)."""
+    rows = (assigned
+            .select("cluster",
+                    F.posexplode(F.col(vec_col).cast("array<double>"))
+                    .alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("v"), 6).alias("c"))
+            .collect())
+    nxt = prev.copy()
+    for r in rows:
+        nxt[r["cluster"], r["dim"]] = r["c"]
+    return nxt
+
+
+def kmeans_fit(df: DataFrame, k: int = 8, iters: int = 2,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> Tuple[np.ndarray, DataFrame]:
+    """Run `iters` Lloyd iterations from the k lowest-id vectors.
+
+    Returns (centroids, assignments) where assignments is
+    (id_col, cluster, dist) under the FINAL centroids. The input is
+    scanned iters+1 times (once per assignment pass plus the final
+    labeling); callers clustering a hot corpus should `.cache()` it.
+    """
+    init = sorted(df.select(id_col, vec_col).orderBy(id_col).limit(k)
+                  .collect(), key=lambda r: r[id_col])
+    if len(init) < k:
+        raise ValueError(f"k={k} but only {len(init)} vectors")
+    cents = np.array([r[vec_col] for r in init], dtype=np.float64)
+    for _ in range(iters):
+        assigned = df.select(
+            F.col(id_col),
+            _assign_col(vec_col, cents)["cluster"].alias("cluster"),
+            F.col(vec_col))
+        cents = _update_centroids(assigned, vec_col, cents)
+    final = df.select(
+        F.col(id_col),
+        _assign_col(vec_col, cents).alias("_a")).select(
+        id_col, F.col("_a.cluster").alias("cluster"),
+        F.col("_a.dist").alias("dist"))
+    return cents, final
+
+
+def cluster_summary(assignments: DataFrame) -> DataFrame:
+    """(cluster, n, mean_dist): cluster sizes and mean within-cluster
+    squared distance (rounded 6) — the convergence/balance report."""
+    return (assignments.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("dist"), 6).alias("mean_dist")))

@@ -432,3 +432,39 @@ def remove_boilerplate(df: DataFrame, id_col: str = "doc_id",
                     F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
                     lambda s: s.getField("chunk"))).alias("text"))
             .where(F.length("text") > 0))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train/eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def contamination_report(train: DataFrame, eval_df: DataFrame, n: int = 3,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Training documents that share word n-grams with an evaluation set
+    — the GPT-3-style decontamination check (Brown et al. 2020, §C) run
+    before training: any train doc overlapping a benchmark document is
+    flagged (and usually dropped).
+
+    Returns (doc_id, n_shared_ngrams, n_eval_docs): per contaminated
+    TRAIN document, how many distinct n-grams it shares with the eval
+    set and how many distinct eval documents those grams appear in.
+
+    Scale shape: distinct n-grams per doc on both sides (Arrow-batched
+    shingle pass), then an equi-join on the gram. The eval side is a
+    benchmark suite — thousands of docs, not billions — so its gram
+    relation is broadcast: the train corpus is scanned once with a
+    map-side hash join, no shuffle of the 100 TB side. For an eval set
+    too big to broadcast, drop the hint and it degrades to one
+    sort-merge join keyed by gram.
+    """
+    tg = (train.select(F.col(id_col).alias("doc_id"),
+                       F.explode(ngram_shingles(F.col(text_col), n))
+                       .alias("g")))
+    eg = (eval_df.select(F.col(id_col).alias("_eval_id"),
+                         F.explode(ngram_shingles(F.col(text_col), n))
+                         .alias("g")))
+    hits = tg.join(F.broadcast(eg), "g")
+    return (hits.groupBy("doc_id")
+            .agg(F.countDistinct("g").alias("n_shared_ngrams"),
+                 F.countDistinct("_eval_id").alias("n_eval_docs")))

@@ -974,3 +974,169 @@ def doc_priority_sample(spark, sf_dir):
     return (s.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_sampled"),
                  F.round(F.sum("wt"), 2).alias("sampled_weight")))
+
+
+# --------------------------------------------------------------------------
+# Gopher repetition filters (ops/quality.py)
+# --------------------------------------------------------------------------
+
+@register("doc_repetition_stats", sql=f"""
+WITH {_TOKS},
+g2 AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+  FROM toks, unnest(range(1, len(t))) AS u(i)),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+s2 AS (SELECT doc_id,
+              round(max(c)::DOUBLE / sum(c), 6) AS top2_frac,
+              round(coalesce(sum(c) FILTER (WHERE c > 1), 0)::DOUBLE
+                    / sum(c), 6) AS dup2_frac
+       FROM c2 GROUP BY 1),
+g3 AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+s3 AS (SELECT doc_id,
+              round(max(c)::DOUBLE / sum(c), 6) AS top3_frac,
+              round(coalesce(sum(c) FILTER (WHERE c > 1), 0)::DOUBLE
+                    / sum(c), 6) AS dup3_frac
+       FROM c3 GROUP BY 1)
+SELECT b.doc_id, len(b.t) AS n_tok,
+       coalesce(s2.top2_frac, 0.0) AS top2_frac,
+       coalesce(s2.dup2_frac, 0.0) AS dup2_frac,
+       coalesce(s3.top3_frac, 0.0) AS top3_frac,
+       coalesce(s3.dup3_frac, 0.0) AS dup3_frac,
+       (len(b.t) >= 5 AND coalesce(s2.top2_frac, 0.0) < 0.20
+        AND coalesce(s3.top3_frac, 0.0) < 0.18
+        AND coalesce(s2.dup2_frac, 0.0) < 0.60
+        AND coalesce(s3.dup3_frac, 0.0) < 0.50) AS keep
+FROM toks b LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+""")
+def doc_repetition(spark, sf_dir):
+    # Gopher §A1.1 repetition removal: fraction of n-grams in the most
+    # frequent n-gram + fraction in duplicated n-grams, n ∈ {2,3};
+    # `keep` applies the published caps. One explode + two keyed
+    # aggregations per n, no joins against the corpus.
+    from ..ops.quality import gopher_filter
+    return gopher_filter(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (ops/dedup.py contamination_report)
+# --------------------------------------------------------------------------
+
+@register("doc_decontaminate", sql=f"""
+WITH {_TOKS},
+sh AS (
+  SELECT doc_id, source,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in range(1, len(t) - 1)])
+              ELSE [] END AS s
+  FROM toks),
+tg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE source <> 'src0'),
+eg AS (SELECT doc_id AS eval_id, unnest(s) AS g FROM sh
+       WHERE source = 'src0')
+SELECT tg.doc_id, count(DISTINCT tg.g) AS n_shared_ngrams,
+       count(DISTINCT eg.eval_id) AS n_eval_docs
+FROM tg JOIN eg ON tg.g = eg.g
+GROUP BY 1
+""")
+def doc_decontaminate(spark, sf_dir):
+    # GPT-3-style decontamination: train docs (source<>'src0') sharing
+    # any distinct 3-gram with the held-out eval slice (source='src0').
+    # The eval gram relation is broadcast; the corpus shuffles nothing.
+    from ..ops.dedup import contamination_report
+    docs = load(spark, sf_dir, "documents")
+    return contamination_report(docs.filter(F.col("source") != "src0"),
+                                docs.filter(F.col("source") == "src0"),
+                                n=3)
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (ops/packing.py)
+# --------------------------------------------------------------------------
+
+@register("doc_pack_sequences", sql=f"""
+WITH {_TOKS},
+pos AS (
+  SELECT doc_id, len(t) AS n_tok,
+         coalesce(sum(len(t)) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS tok_start
+  FROM toks),
+packed AS (
+  SELECT doc_id, n_tok, tok_start, tok_start // 256 AS seq_id,
+         CASE WHEN n_tok > 0
+              THEN (tok_start + n_tok - 1) // 256 <> tok_start // 256
+              ELSE FALSE END AS crossing
+  FROM pos)
+SELECT seq_id, count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS n_tokens_started,
+       sum(CASE WHEN crossing THEN 1 ELSE 0 END)::BIGINT AS n_crossing
+FROM packed GROUP BY 1
+""")
+def doc_pack(spark, sf_dir):
+    # Concat-and-chunk packing into 256-token context windows. The
+    # Spark side computes the identical global prefix sum with the
+    # two-pass block-offset scheme (integer sums are associative, so it
+    # is bit-equal to the oracle's single ORDER BY window).
+    from ..ops.packing import packing_summary
+    return packing_summary(load(spark, sf_dir, "documents"), ctx=256)
+
+
+# --------------------------------------------------------------------------
+# K-means clustering on embeddings (ops/clustering.py)
+# --------------------------------------------------------------------------
+
+@register("emb_kmeans_clusters", sql="""
+WITH u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings),
+ids AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+c0 AS (SELECT ids.cl, u.i, u.v AS c FROM ids JOIN u USING (vec_id)),
+d0 AS (
+  SELECT u.vec_id, c.cl,
+         round(sum((u.v - c.c) * (u.v - c.c)), 6) AS d
+  FROM u JOIN c0 c ON u.i = c.i GROUP BY 1, 2),
+a0 AS (
+  SELECT vec_id, cl FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d, cl) AS rn FROM d0)
+  WHERE rn = 1),
+m1 AS (SELECT a0.cl, u.i, round(avg(u.v), 6) AS c
+       FROM a0 JOIN u USING (vec_id) GROUP BY 1, 2),
+c1 AS (SELECT c0.cl, c0.i, coalesce(m1.c, c0.c) AS c
+       FROM c0 LEFT JOIN m1 ON c0.cl = m1.cl AND c0.i = m1.i),
+d1 AS (
+  SELECT u.vec_id, c.cl,
+         round(sum((u.v - c.c) * (u.v - c.c)), 6) AS d
+  FROM u JOIN c1 c ON u.i = c.i GROUP BY 1, 2),
+a1 AS (
+  SELECT vec_id, cl FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d, cl) AS rn FROM d1)
+  WHERE rn = 1),
+m2 AS (SELECT a1.cl, u.i, round(avg(u.v), 6) AS c
+       FROM a1 JOIN u USING (vec_id) GROUP BY 1, 2),
+c2 AS (SELECT c1.cl, c1.i, coalesce(m2.c, c1.c) AS c
+       FROM c1 LEFT JOIN m2 ON c1.cl = m2.cl AND c1.i = m2.i),
+d2 AS (
+  SELECT u.vec_id, c.cl,
+         round(sum((u.v - c.c) * (u.v - c.c)), 6) AS d
+  FROM u JOIN c2 c ON u.i = c.i GROUP BY 1, 2)
+SELECT vec_id, cl::INT AS cluster, d AS dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d, cl) AS rn FROM d2)
+WHERE rn = 1
+""")
+def emb_kmeans(spark, sf_dir):
+    # Two distributed Lloyd iterations, k=8, deterministic init (the 8
+    # lowest-id vectors); per-vector final assignment + rounded squared
+    # distance. The oracle unrolls both iterations in SQL.
+    from ..ops.clustering import kmeans_fit
+    emb = load(spark, sf_dir, "embeddings").cache()
+    _, assigned = kmeans_fit(emb, k=8, iters=2)
+    return assigned.select("vec_id", "cluster", "dist")

@@ -408,3 +408,65 @@ def test_remove_boilerplate_drops_fully_duplicate_docs(spark):
     df = spark.createDataFrame(
         [(0, same), (1, same)], "doc_id: long, text: string")
     assert remove_boilerplate(df).count() == 0
+
+
+def test_repetition_stats_known_values(spark):
+    from connectors_spark.ops.quality import gopher_filter
+    df = spark.createDataFrame(
+        [(0, "a b a b"),          # 2-grams: ab,ba,ab -> top 2/3 dup 2/3
+         (1, "v w x y z q r s")], # no repeats
+        "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in gopher_filter(df).collect()}
+    assert got[0]["n_tok"] == 4
+    assert abs(got[0]["top2_frac"] - round(2 / 3, 6)) < 1e-9
+    assert abs(got[0]["dup2_frac"] - round(2 / 3, 6)) < 1e-9
+    assert got[0]["top3_frac"] == 0.5 and got[0]["dup3_frac"] == 0.0
+    assert got[0]["keep"] is False      # n_tok < 5 and over caps
+    assert got[1]["dup2_frac"] == 0.0 and got[1]["keep"] is True
+
+
+def test_contamination_report_flags_overlap(spark):
+    from connectors_spark.ops.dedup import contamination_report
+    train = spark.createDataFrame(
+        [(10, "the quick brown fox jumps"),
+         (11, "totally clean training text")],
+        "doc_id: long, text: string")
+    ev = spark.createDataFrame(
+        [(0, "quick brown fox runs"), (1, "another eval doc")],
+        "doc_id: long, text: string")
+    rows = {r["doc_id"]: r for r in
+            contamination_report(train, ev, n=3).collect()}
+    assert set(rows) == {10}
+    assert rows[10]["n_shared_ngrams"] == 1   # "quick brown fox"
+    assert rows[10]["n_eval_docs"] == 1
+
+
+def test_pack_sequences_block_offsets_match_naive(spark):
+    from connectors_spark.ops.packing import pack_sequences
+    docs = [(i, " ".join(["w"] * (3 + i % 4))) for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    # tiny blocks force the two-pass path across 7 blocks
+    got = {r["doc_id"]: r for r in
+           pack_sequences(df, ctx=8, block_size=3).collect()}
+    cum = 0
+    for i, text in docs:
+        n = len(text.split())
+        assert got[i]["tok_start"] == cum
+        assert got[i]["seq_id"] == cum // 8
+        assert got[i]["seq_offset"] == cum % 8
+        assert got[i]["crosses_boundary"] == ((cum + n - 1) // 8 != cum // 8)
+        cum += n
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    from connectors_spark.ops.clustering import kmeans_fit
+    vecs = ([(i, [0.0 + i * 0.01, 0.0]) for i in range(4)]
+            + [(10 + i, [10.0 + i * 0.01, 10.0]) for i in range(4)])
+    df = spark.createDataFrame(vecs, "vec_id: long, embedding: array<float>")
+    cents, assigned = kmeans_fit(df, k=2, iters=2)
+    rows = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    # init = vectors 0 and 1 (both in the low cloud); after updates the
+    # far cloud must own one centroid and the clouds must split cleanly
+    low = {rows[i] for i in range(4)}
+    high = {rows[10 + i] for i in range(4)}
+    assert len(low) == 1 and len(high) == 1 and low != high
