@@ -111,3 +111,47 @@ def cluster_summary(assignments: DataFrame) -> DataFrame:
     return (assignments.groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.avg("dist"), 6).alias("mean_dist")))
+
+
+def semdedup(df: DataFrame, k: int = 8, iters: int = 2,
+             threshold: float = 0.4, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means,
+    then drop semantic duplicates WITHIN each cluster — a document is
+    dropped when a lower-id document in its cluster has cosine
+    similarity ≥ threshold (the paper keeps an arbitrary member per
+    duplicate set; lowest-id is the deterministic variant).
+
+    Returns (id_col, cluster, dropped): the full corpus labeled.
+
+    Scale shape: the all-pairs comparison is confined to clusters —
+    cost Σ |cluster|², the entire point of clustering first. k grows
+    with the corpus (|cluster| ≈ n/k stays bounded), and the pair join
+    is an equi-join on cluster id, so no cross-cluster pair ever
+    materializes. Similarities are rounded to 6 before thresholding so
+    the drop set is engine- and partitioning-independent.
+    """
+    _, assigned = kmeans_fit(df, k, iters, id_col, vec_col)
+    labeled = (df.select(F.col(id_col).alias("_id"),
+                         F.col(vec_col).cast("array<double>").alias("_v"))
+               .join(assigned.select(F.col(id_col).alias("_id"), "cluster"),
+                     "_id"))
+    nrm = labeled.withColumn(
+        "_n", F.sqrt(F.aggregate("_v", F.lit(0.0),
+                                 lambda a, x: a + x * x)))
+    a = nrm.select("cluster", F.col("_id").alias("_a"),
+                   F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = nrm.select("cluster", F.col("_id").alias("_b"),
+                   F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    dropped = (a.join(b, "cluster")
+               .filter(F.col("_a") < F.col("_b"))
+               .withColumn("_sim", F.round(
+                   dot / F.col("_na") / F.col("_nb"), 6))
+               .filter(F.col("_sim") >= F.lit(threshold))
+               .select(F.col("_b").alias("_id")).distinct())
+    return (labeled.join(dropped.withColumn("_d", F.lit(True)),
+                         "_id", "left")
+            .select(F.col("_id").alias(id_col), "cluster",
+                    F.coalesce("_d", F.lit(False)).alias("dropped")))

@@ -1088,8 +1088,11 @@ def doc_pack(spark, sf_dir):
 # K-means clustering on embeddings (ops/clustering.py)
 # --------------------------------------------------------------------------
 
-@register("emb_kmeans_clusters", sql="""
-WITH u AS (
+# Two unrolled Lloyd iterations (k=8, deterministic lowest-id init),
+# ending in `asg` = (vec_id, cl, d): final cluster + rounded distance.
+# Shared by the kmeans and semdedup oracles.
+_KMEANS_CTES = """
+u AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          unnest(embedding)::DOUBLE AS v
   FROM embeddings),
@@ -1126,11 +1129,18 @@ c2 AS (SELECT c1.cl, c1.i, coalesce(m2.c, c1.c) AS c
 d2 AS (
   SELECT u.vec_id, c.cl,
          round(sum((u.v - c.c) * (u.v - c.c)), 6) AS d
-  FROM u JOIN c2 c ON u.i = c.i GROUP BY 1, 2)
-SELECT vec_id, cl::INT AS cluster, d AS dist FROM (
-  SELECT *, row_number() OVER (PARTITION BY vec_id
-                               ORDER BY d, cl) AS rn FROM d2)
-WHERE rn = 1
+  FROM u JOIN c2 c ON u.i = c.i GROUP BY 1, 2),
+asg AS (
+  SELECT vec_id, cl, d FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d, cl) AS rn FROM d2)
+  WHERE rn = 1)
+"""
+
+
+@register("emb_kmeans_clusters", sql=f"""
+WITH {_KMEANS_CTES}
+SELECT vec_id, cl::INT AS cluster, d AS dist FROM asg
 """)
 def emb_kmeans(spark, sf_dir):
     # Two distributed Lloyd iterations, k=8, deterministic init (the 8
@@ -1140,3 +1150,34 @@ def emb_kmeans(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings").cache()
     _, assigned = kmeans_fit(emb, k=8, iters=2)
     return assigned.select("vec_id", "cluster", "dist")
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (ops/clustering.py semdedup)
+# --------------------------------------------------------------------------
+
+@register("emb_semdedup", sql=f"""
+WITH {_KMEANS_CTES},
+nr AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+p AS (
+  SELECT ua.vec_id AS a, ub.vec_id AS b,
+         round(sum(ua.v * ub.v) / na.nrm / nb.nrm, 6) AS sim
+  FROM asg aa
+  JOIN asg ab ON aa.cl = ab.cl AND ab.vec_id > aa.vec_id
+  JOIN u ua ON ua.vec_id = aa.vec_id
+  JOIN u ub ON ub.vec_id = ab.vec_id AND ub.i = ua.i
+  JOIN nr na ON na.vec_id = aa.vec_id
+  JOIN nr nb ON nb.vec_id = ab.vec_id
+  GROUP BY ua.vec_id, ub.vec_id, na.nrm, nb.nrm),
+dr AS (SELECT DISTINCT b FROM p WHERE sim >= 0.35)
+SELECT vec_id, cl::INT AS cluster,
+       (vec_id IN (SELECT b FROM dr)) AS dropped
+FROM asg
+""")
+def emb_semdedup(spark, sf_dir):
+    # SemDeDup: within each k-means cluster, a vector is dropped when a
+    # lower-id cluster-mate has cosine >= 0.35. All-pairs cost is
+    # bounded per cluster; no cross-cluster pair materializes.
+    from ..ops.clustering import semdedup
+    emb = load(spark, sf_dir, "embeddings").cache()
+    return semdedup(emb, k=8, iters=2, threshold=0.35)

@@ -470,3 +470,17 @@ def test_kmeans_separates_obvious_clusters(spark):
     low = {rows[i] for i in range(4)}
     high = {rows[10 + i] for i in range(4)}
     assert len(low) == 1 and len(high) == 1 and low != high
+
+
+def test_semdedup_drops_near_duplicates_within_cluster(spark):
+    from connectors_spark.ops.clustering import semdedup
+    # two clouds; 20/21 nearly parallel (cos~1), 22 orthogonal-ish
+    vecs = ([(i, [0.0 + i * 0.01, 5.0]) for i in range(4)]
+            + [(20, [10.0, 0.0]), (21, [10.0, 0.1]), (22, [0.1, -9.0])])
+    df = spark.createDataFrame(vecs, "vec_id: long, embedding: array<float>")
+    out = {r["vec_id"]: r for r in
+           semdedup(df, k=2, iters=2, threshold=0.99).collect()}
+    assert out[21]["dropped"] is True      # dominated by 20 (cos ~1)
+    assert out[20]["dropped"] is False     # lowest id of its dup set
+    assert out[0]["dropped"] is False      # lowest id of the 0-3 fan
+    assert out[22]["dropped"] is False     # anti-parallel to everything
