@@ -113,3 +113,33 @@ def test_curate_corpus_no_cartesian(plans):
     p = plans("doc_curate_corpus")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_decontaminate_broadcasts_eval_side(plans):
+    # the eval/benchmark gram relation must broadcast: the train corpus
+    # is scanned once with a map-side hash join, no shuffle of it
+    p = plans("doc_decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_pack_sequences_no_global_window(plans):
+    # the prefix sum must run block-partitioned: the only
+    # SinglePartition exchange may carry the tiny per-block totals
+    # (_blk, _bt), never the doc rows; the doc-row window hash
+    # partitions by _blk
+    p = plans("doc_pack_sequences")
+    blocks = p.split("\n\n")
+    single = [b for b in blocks
+              if b.startswith("(") and "SinglePartition" in b]
+    assert single, "expected the block-offset window's tiny exchange"
+    for b in single:
+        assert "doc_id" not in b, f"doc rows funneled to one task:\n{b}"
+    assert "hashpartitioning(_blk" in p
+
+
+def test_repetition_partial_aggregation(plans):
+    # per-gram counts must partially aggregate before the exchange
+    p = plans("doc_repetition_stats")
+    assert "partial_count" in p or "HashAggregate" in p
+    assert "CartesianProduct" not in p
