@@ -103,3 +103,40 @@ def gopher_filter(df: DataFrame, id_col: str = "doc_id",
     for col, cap in GOPHER_CAPS.items():
         cond = cond & (F.col(col) < F.lit(cap))
     return stats.withColumn("keep", cond)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-LM quality scoring (CCNet-style, unigram)
+# ---------------------------------------------------------------------------
+
+def unigram_nll_scores(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    unigram language model — the CCNet quality signal (Wenzek et al.
+    2020 score with a KenLM model; the unigram LM is its deterministic,
+    external-model-free analogue): word-soup and boilerplate score low
+    (common tokens), rare-token noise scores high.
+
+    Returns (doc_id, n_tok, nll) for documents with ≥1 token; ``nll``
+    is avg(-ln p(token)) rounded to 6.
+
+    Scale shape: the vocabulary relation is corpus-bounded (Heaps' law
+    — millions of rows, not corpus-sized), so the token→logprob join
+    broadcasts; the corpus is tokenized once and shuffled once for the
+    per-doc average (map-side combined). The corpus total token count
+    rides on the vocab relation via one tiny single-partition window
+    over vocab rows — never over data rows.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokens(F.col(text_col))).alias("w"))
+    vocab = tok.groupBy("w").count()
+    w_all = Window.partitionBy()
+    logp = vocab.select(
+        "w", (-F.log(F.col("count") /
+                     F.sum("count").over(w_all))).alias("_nll"))
+    return (tok.join(F.broadcast(logp), "w")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tok"),
+                 F.round(F.avg("_nll"), 6).alias("nll")))

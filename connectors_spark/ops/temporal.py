@@ -117,3 +117,42 @@ def range_join_binned(left: DataFrame, right: DataFrame,
             .filter((rts >= lsec + lower_seconds) &
                     (rts <= lsec + upper_seconds))
             .drop("_bin"))
+
+
+def gap_fill_locf(df: DataFrame, key_col: str, ts_col: str, val_col: str,
+                  agg: str = "avg") -> DataFrame:
+    """Regularize an event series to a dense per-key DAILY grid with
+    last-observation-carried-forward fill — the hypertable
+    `time_bucket_gapfill` + `locf` shape (TimescaleDB) used to turn
+    irregular events into model-ready time series.
+
+    Per key: buckets span the key's own [min, max] observed day;
+    missing days take the most recent observed day's aggregate;
+    ``filled`` marks interpolated rows. Bucket aggregates are rounded
+    to 6 before the carry so the fill is bit-stable across engines.
+
+    Scale shape: one shuffle keyed (key, day) for the bucket aggregate,
+    one shuffle keyed key for span + LOCF window. The dense grid is
+    built by exploding per-key `sequence(min_day, max_day)` — fanout =
+    days-per-key, generated on executors, never on the driver. Keys are
+    independent: no global window, no cross-key exchange.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    agg_fn = {"avg": F.avg, "sum": F.sum, "min": F.min,
+              "max": F.max}[agg]
+    obs = (df.select(F.col(key_col).alias("key"), day.alias("day"),
+                     F.col(val_col).alias("v"))
+           .groupBy("key", "day")
+           .agg(F.round(agg_fn("v"), 6).alias("v")))
+    span = (obs.groupBy("key")
+            .agg(F.min("day").alias("_lo"), F.max("day").alias("_hi")))
+    grid = span.select(
+        "key", F.explode(F.sequence(
+            "_lo", "_hi",
+            F.expr("interval 1 day"))).alias("day"))
+    w = (Window.partitionBy("key").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(obs, ["key", "day"], "left")
+            .select("key", "day",
+                    F.last("v", ignorenulls=True).over(w).alias("value"),
+                    F.col("v").isNull().alias("filled")))

@@ -303,3 +303,57 @@ def ev_funnel(spark, sf_dir):
         F.count("t3").alias("n_full_funnel"),
         F.floor(F.sum(conv) / F.count("t3")).cast("long")
         .alias("mean_convert_us"))
+
+
+# --------------------------------------------------------------------------
+# Gap-fill + LOCF daily series (ops/temporal.py gap_fill_locf)
+# --------------------------------------------------------------------------
+
+@register("ev_gapfill_daily_locf", sql="""
+WITH obs AS (
+  SELECT user_id AS key, date_trunc('day', ts)::DATE AS day,
+         round(avg(value), 6) AS v
+  FROM events GROUP BY 1, 2),
+span AS (SELECT key, min(day) AS lo, max(day) AS hi FROM obs GROUP BY 1),
+grid AS (
+  SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+  FROM span)
+SELECT g.key, g.day,
+       last_value(o.v IGNORE NULLS) OVER (
+           PARTITION BY g.key ORDER BY g.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       o.v IS NULL AS filled
+FROM grid g LEFT JOIN obs o ON o.key = g.key AND o.day = g.day
+""")
+def ev_gapfill(spark, sf_dir):
+    # Dense per-user daily mean-value series over each user's own
+    # observed span; missing days carry the last observed day's value
+    # (time_bucket_gapfill + locf). Two keyed shuffles, no global window.
+    return tp.gap_fill_locf(load(spark, sf_dir, "events"),
+                            key_col="user_id", ts_col="ts",
+                            val_col="value")
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM quality scores (ops/quality.py unigram_nll_scores)
+# --------------------------------------------------------------------------
+
+@register("doc_unigram_nll", sql="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+v AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT sum(c)::DOUBLE AS s FROM v),
+lp AS (SELECT w, -ln(c / s) AS nll FROM v, tot)
+SELECT tok.doc_id, count(*)::BIGINT AS n_tok,
+       round(avg(lp.nll), 6) AS nll
+FROM tok JOIN lp USING (w)
+GROUP BY 1
+""")
+def doc_unigram_nll(spark, sf_dir):
+    # CCNet-style quality signal under the corpus's own unigram LM:
+    # mean -ln p(token) per doc. Vocab relation broadcast; corpus
+    # tokenized once.
+    from ..ops.quality import unigram_nll_scores
+    return unigram_nll_scores(load(spark, sf_dir, "documents"))

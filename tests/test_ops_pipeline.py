@@ -484,3 +484,17 @@ def test_semdedup_drops_near_duplicates_within_cluster(spark):
     assert out[20]["dropped"] is False     # lowest id of its dup set
     assert out[0]["dropped"] is False      # lowest id of the 0-3 fan
     assert out[22]["dropped"] is False     # anti-parallel to everything
+
+
+def test_unigram_nll_orders_rare_above_common(spark):
+    import math
+    from connectors_spark.ops.quality import unigram_nll_scores
+    df = spark.createDataFrame(
+        [(0, "a a a a"), (1, "a a a rare")], "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in unigram_nll_scores(df).collect()}
+    # corpus: a ×7, rare ×1, total 8
+    p_a, p_r = 7 / 8, 1 / 8
+    assert abs(got[0]["nll"] - round(-math.log(p_a), 6)) < 1e-9
+    exp1 = (3 * -math.log(p_a) + -math.log(p_r)) / 4
+    assert abs(got[1]["nll"] - round(exp1, 6)) < 1e-6
+    assert got[1]["nll"] > got[0]["nll"]

@@ -98,3 +98,24 @@ def test_range_join_bin_width_independent(spark):
         assert got == expect
     # sanity: each row pairs at least with itself (lag 0)
     assert all((i, i) in expect for i in range(20))
+
+
+def test_gap_fill_locf_fills_and_marks(spark):
+    import datetime as dt
+    from connectors_spark.ops.temporal import gap_fill_locf
+    rows = [(1, dt.datetime(2024, 1, 1, 5), 10.0),
+            (1, dt.datetime(2024, 1, 1, 9), 20.0),   # day1 avg 15
+            (1, dt.datetime(2024, 1, 4, 1), 40.0),   # gap: jan 2,3
+            (2, dt.datetime(2024, 1, 2, 0), 7.0)]    # single-day key
+    df = spark.createDataFrame(
+        rows, "user_id: long, ts: timestamp, value: double")
+    out = {(r["key"], str(r["day"])): r for r in
+           gap_fill_locf(df, "user_id", "ts", "value").collect()}
+    assert len(out) == 5                     # 4 days key1 + 1 day key2
+    assert out[(1, "2024-01-01")]["value"] == 15.0
+    assert out[(1, "2024-01-02")]["value"] == 15.0
+    assert out[(1, "2024-01-02")]["filled"] is True
+    assert out[(1, "2024-01-03")]["value"] == 15.0
+    assert out[(1, "2024-01-04")]["value"] == 40.0
+    assert out[(1, "2024-01-04")]["filled"] is False
+    assert out[(2, "2024-01-02")]["value"] == 7.0
