@@ -422,3 +422,35 @@ def delta_join_prune(spark, sf_dir):
             .groupBy("l_returnflag")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("l_extendedprice"), 2).alias("sum_price")))
+
+
+# --------------------------------------------------------------------------
+# Symlink-format manifest (engine interop, ≍ Power BI/Hive external readers)
+# --------------------------------------------------------------------------
+
+@register("delta_manifest_read", sql="""
+SELECT * FROM lineitem
+""")
+def delta_manifest_read(spark, sf_dir):
+    # GENERATE symlink_format_manifest, then read the table back USING
+    # ONLY the manifest (the Presto/Athena path: no log replay, just
+    # the file list + hive-layout partition recovery). Hash-equality
+    # with the source proves the manifest names exactly the active
+    # files and the partition reassembly is lossless.
+    from ..table import TableMaintenance
+
+    def build(d):
+        li = load(spark, sf_dir, "lineitem")
+        DeltaTable.for_path(spark, d).write(
+            li, mode="append", partition_by=["l_returnflag"])
+    d = _built(sf_dir, "lineitem_part", build)
+    t = DeltaTable.for_path(spark, d)
+    manifests = TableMaintenance(t).generate_manifest()
+    paths = []
+    for m in manifests:
+        with open(m) as fh:
+            paths.extend(line.strip() for line in fh if line.strip())
+    cols = sorted(load(spark, sf_dir, "lineitem").columns)
+    return (spark.read.option("basePath", t.path)
+            .schema(t.snapshot().metadata.schema)
+            .parquet(*paths).select(*cols))

@@ -20,8 +20,10 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import threading
+import urllib.parse
 import uuid
 from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -800,3 +802,51 @@ class TableMaintenance:
                     except OSError:
                         pass
         return sorted(doomed)
+
+    def generate_manifest(self) -> List[str]:
+        """Write a ``_symlink_format_manifest`` for the current
+        snapshot — the interop path that lets manifest-based engines
+        (Presto, Trino, Athena, Redshift Spectrum) query the table by
+        reading a plain list of active Parquet files, the same
+        engine-without-a-connector role the reference's Power BI reader
+        plays (powerbi/fn_ReadDeltaTable.pq:9-10: re-derive the active
+        file list outside the JVM).
+
+        Layout mirrors Delta's GENERATE symlink_format_manifest: one
+        ``manifest`` text file per partition directory (or a single
+        root-level one for unpartitioned tables), each line an absolute
+        ``file:`` URI of an active data file. Returns the manifest
+        paths written. Stale manifest subdirectories from dropped
+        partitions are removed.
+
+        Scale note: manifest content is metadata (the active file
+        list), bounded by file count, not data size; at very large file
+        counts, write per-partition manifests from the files_df with a
+        ``partitionBy`` text write instead of this driver loop.
+        """
+        t = self.table
+        snap = t.log.update() or t.snapshot()
+        root = t.path
+        local_root = root[len("file:"):] if root.startswith("file:") else root
+        groups: Dict[str, List[str]] = {}
+        for f in snap.all_files():
+            absolute = _canonical(f.path, snap.table_path)
+            rel = os.path.relpath(absolute, local_root)
+            # group by the file's physical directory so the manifest
+            # tree mirrors the on-disk partition layout even for
+            # escaped partition values; files outside the table root
+            # (absolute-path adds) land in the root manifest
+            sub = "" if rel.startswith("..") else os.path.dirname(rel)
+            groups.setdefault(sub, []).append("file:" + absolute)
+        man_root = os.path.join(local_root, "_symlink_format_manifest")
+        if os.path.exists(man_root):
+            shutil.rmtree(man_root)
+        written: List[str] = []
+        for sub, uris in sorted(groups.items()):
+            d = os.path.join(man_root, sub) if sub else man_root
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, "manifest")
+            with open(path, "w") as fh:
+                fh.write("\n".join(sorted(uris)) + "\n")
+            written.append(path)
+        return written

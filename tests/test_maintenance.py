@@ -216,3 +216,35 @@ def test_restore_fails_after_vacuum(spark, tmp_path):
     TableMaintenance(t).vacuum(retention_ms=0)
     with pytest.raises(DeltaError, match="VACUUM"):
         TableMaintenance(t).restore(version=0)
+
+
+def test_generate_manifest_lists_active_files(spark, tmp_path):
+    from connectors_spark import DeltaTable
+    from connectors_spark.table import TableMaintenance
+    d = str(tmp_path / "mtbl")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, "b")], "id: long, p: string")
+    t = DeltaTable.for_path(spark, d)
+    t.write(df, partition_by=["p"])
+    maint = TableMaintenance(t)
+    manifests = maint.generate_manifest()
+    assert len(manifests) == 2          # one per partition dir
+    uris = []
+    for m in manifests:
+        assert m.endswith("/manifest")
+        uris += [l.strip() for l in open(m) if l.strip()]
+    import os
+    active = {os.path.basename(f.path) for f in t.snapshot().all_files()}
+    assert {os.path.basename(u) for u in uris} == active
+    # read-back via manifest only == table read via log replay
+    got = (spark.read.option("basePath", t.path)
+           .parquet(*uris).select("id", "p").collect())
+    assert sorted(map(tuple, got)) == [(1, "a"), (2, "b"), (3, "a"), (4, "b")]
+    # regeneration after compaction must reflect the NEW active set
+    maint.optimize(min_files_per_group=2)
+    uris2 = []
+    for m in maint.generate_manifest():
+        uris2 += [l.strip() for l in open(m) if l.strip()]
+    active2 = {os.path.basename(f.path) for f in t.snapshot().all_files()}
+    assert {os.path.basename(u) for u in uris2} == active2
+    assert set(uris2) != set(uris)
