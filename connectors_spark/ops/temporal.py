@@ -156,3 +156,57 @@ def gap_fill_locf(df: DataFrame, key_col: str, ts_col: str, val_col: str,
             .select("key", "day",
                     F.last("v", ignorenulls=True).over(w).alias("value"),
                     F.col("v").isNull().alias("filled")))
+
+
+def gap_fill_interpolate(df: DataFrame, key_col: str, ts_col: str,
+                         val_col: str, agg: str = "avg") -> DataFrame:
+    """Dense per-key daily grid with LINEAR interpolation across gaps —
+    the `interpolate()` companion to :func:`gap_fill_locf`
+    (time_bucket_gapfill + interpolate): a missing day between two
+    observed days takes the value on the straight line between them.
+
+    Per missing day: v = prev + (next - prev) * elapsed/span. The
+    interpolation runs on an exact integer micro-unit grid (bucket
+    aggregates quantized to 1e-6, the lerp floored after one double
+    multiply/divide well inside 2^53) so the result is bit-identical
+    across engines and partitionings — a plain `round(lerp, 6)` can
+    land on a half-way boundary and disagree in the last digit.
+    Interior gaps only by construction (the grid spans each key's own
+    [min, max] observed day, so every missing day has both neighbors).
+
+    Scale shape: identical to LOCF — two keyed shuffles; the previous/
+    next observation pairs come from two IGNORE-NULLS windows over the
+    same (key, day) partitioning, no self-join.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    agg_fn = {"avg": F.avg, "sum": F.sum, "min": F.min,
+              "max": F.max}[agg]
+    obs = (df.select(F.col(key_col).alias("key"), day.alias("day"),
+                     F.col(val_col).alias("v"))
+           .groupBy("key", "day")
+           .agg(F.round(agg_fn("v"), 6).alias("v")))
+    span = (obs.groupBy("key")
+            .agg(F.min("day").alias("_lo"), F.max("day").alias("_hi")))
+    grid = span.select(
+        "key", F.explode(F.sequence(
+            "_lo", "_hi", F.expr("interval 1 day"))).alias("day"))
+    joined = grid.join(obs, ["key", "day"], "left")
+    w_prev = (Window.partitionBy("key").orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_next = (Window.partitionBy("key").orderBy("day")
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    vu = F.floor(F.col("v") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    joined = joined.withColumn("_vu", vu)
+    prev_v = F.last("_vu", ignorenulls=True).over(w_prev)
+    next_v = F.first("_vu", ignorenulls=True).over(w_next)
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    prev_d = F.last(obs_day, ignorenulls=True).over(w_prev)
+    next_d = F.first(obs_day, ignorenulls=True).over(w_next)
+    elapsed = F.datediff(F.col("day"), prev_d)
+    span_d = F.datediff(next_d, prev_d)
+    interp_u = prev_v + F.floor((next_v - prev_v) * elapsed / span_d)
+    micro = F.coalesce(F.col("_vu"), interp_u).cast("double")
+    return joined.select(
+        "key", "day",
+        (micro / F.lit(1e6)).alias("value"),
+        F.col("v").isNull().alias("filled"))

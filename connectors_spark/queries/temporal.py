@@ -357,3 +357,42 @@ def doc_unigram_nll(spark, sf_dir):
     # tokenized once.
     from ..ops.quality import unigram_nll_scores
     return unigram_nll_scores(load(spark, sf_dir, "documents"))
+
+
+@register("ev_gapfill_daily_interp", sql="""
+WITH obs AS (
+  SELECT user_id AS key, date_trunc('day', ts)::DATE AS day,
+         floor(round(avg(value), 6) * 1e6 + 0.5)::BIGINT AS vu
+  FROM events GROUP BY 1, 2),
+span AS (SELECT key, min(day) AS lo, max(day) AS hi FROM obs GROUP BY 1),
+grid AS (
+  SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+  FROM span),
+j AS (
+  SELECT g.key, g.day, o.vu,
+         last_value(o.vu IGNORE NULLS) OVER w_prev AS pv,
+         first_value(o.vu IGNORE NULLS) OVER w_next AS nv,
+         last_value(CASE WHEN o.vu IS NOT NULL THEN g.day END IGNORE NULLS)
+             OVER w_prev AS pd,
+         first_value(CASE WHEN o.vu IS NOT NULL THEN g.day END IGNORE NULLS)
+             OVER w_next AS nd
+  FROM grid g LEFT JOIN obs o ON o.key = g.key AND o.day = g.day
+  WINDOW
+    w_prev AS (PARTITION BY g.key ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY g.key ORDER BY g.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT key, day,
+       coalesce(vu, pv + floor((nv - pv) * date_diff('day', pd, day)
+                               / date_diff('day', pd, nd)))::DOUBLE
+           / 1e6 AS value,
+       vu IS NULL AS filled
+FROM j
+""")
+def ev_gapfill_interp(spark, sf_dir):
+    # Linear interpolation across interior gaps (time_bucket_gapfill +
+    # interpolate); same two-shuffle shape as LOCF, neighbors from two
+    # IGNORE-NULLS windows, never a self-join.
+    return tp.gap_fill_interpolate(load(spark, sf_dir, "events"),
+                                   key_col="user_id", ts_col="ts",
+                                   val_col="value")

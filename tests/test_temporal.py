@@ -119,3 +119,20 @@ def test_gap_fill_locf_fills_and_marks(spark):
     assert out[(1, "2024-01-04")]["value"] == 40.0
     assert out[(1, "2024-01-04")]["filled"] is False
     assert out[(2, "2024-01-02")]["value"] == 7.0
+
+
+def test_gap_fill_interpolate_linear_values(spark):
+    import datetime as dt
+    from connectors_spark.ops.temporal import gap_fill_interpolate
+    rows = [(1, dt.datetime(2024, 1, 1, 5), 10.0),
+            (1, dt.datetime(2024, 1, 4, 1), 40.0)]   # gap jan 2,3
+    df = spark.createDataFrame(
+        rows, "user_id: long, ts: timestamp, value: double")
+    out = {str(r["day"]): r for r in
+           gap_fill_interpolate(df, "user_id", "ts", "value").collect()}
+    assert out["2024-01-01"]["value"] == 10.0
+    assert out["2024-01-02"]["value"] == 20.0   # 10 + 30 * 1/3
+    assert out["2024-01-03"]["value"] == 30.0
+    assert out["2024-01-02"]["filled"] is True
+    assert out["2024-01-04"]["value"] == 40.0
+    assert out["2024-01-04"]["filled"] is False
