@@ -210,3 +210,59 @@ def gap_fill_interpolate(df: DataFrame, key_col: str, ts_col: str,
         "key", "day",
         (micro / F.lit(1e6)).alias("value"),
         F.col("v").isNull().alias("filled"))
+
+
+def ohlc(df: DataFrame, key_col: str, ts_col: str,
+         val_col: str) -> DataFrame:
+    """Per-key daily OHLC (open/high/low/close) candlestick aggregate —
+    the financial `candlestick_agg` / `first-last` bucket shape over an
+    irregular event series.
+
+    open/close are the values at the first/last timestamp in the
+    bucket; ties on the timestamp resolve by value (smallest wins the
+    open, largest wins the close) so the result is deterministic under
+    any partitioning. Implemented with `min_by`/`max_by` over a
+    `(ts, value)` struct key — struct ordering is lexicographic, so
+    the tie-break costs nothing extra.
+
+    Scale shape: a single hash aggregate keyed (key, day) with map-side
+    partial aggregation; no window, no sort, no second shuffle.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    k = F.struct(F.col(ts_col), F.col(val_col))
+    return (df.groupBy(F.col(key_col).alias("key"), day.alias("day"))
+            .agg(F.min_by(F.col(val_col), k).alias("open"),
+                 F.max(val_col).alias("high"),
+                 F.min(val_col).alias("low"),
+                 F.max_by(F.col(val_col), k).alias("close"),
+                 F.count("*").alias("n")))
+
+
+def time_weighted_avg(df: DataFrame, key_col: str, ts_col: str,
+                      val_col: str) -> DataFrame:
+    """Per-key time-weighted average over an irregular series — the
+    TimescaleDB `time_weight('LOCF', ...)`/`average()` shape: each
+    observation holds until the next one, so its weight is the gap (in
+    microseconds) to the successor; the final observation of a key
+    carries no weight. Keys with a single observation yield NULL.
+
+    Weights stay on the integer microsecond grid; the only floating
+    math is the value*weight product and the final division, so engines
+    agree to double precision. Ties on the timestamp order by value so
+    the weighted pairing is deterministic.
+
+    Scale shape: one shuffle keyed by `key` shared by the lead window
+    and the final aggregate (the groupBy reuses the window's hash
+    partitioning — Catalyst elides the second exchange); per-key state
+    is O(1).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, val_col)
+    t = F.unix_micros(F.col(ts_col))
+    dur = (F.lead(t).over(w) - t).alias("_dur_us")
+    obs = df.select(F.col(key_col).alias("key"),
+                    F.col(val_col).alias("v"), dur)
+    return (obs.groupBy("key")
+            .agg((F.sum(F.col("v") * F.col("_dur_us")) /
+                  F.sum("_dur_us")).alias("twa"),
+                 F.sum("_dur_us").alias("span_us"),
+                 F.count("*").alias("n")))

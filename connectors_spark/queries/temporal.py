@@ -396,3 +396,50 @@ def ev_gapfill_interp(spark, sf_dir):
     return tp.gap_fill_interpolate(load(spark, sf_dir, "events"),
                                    key_col="user_id", ts_col="ts",
                                    val_col="value")
+
+
+@register("ev_ohlc_daily", sql="""
+WITH b AS (
+  SELECT user_id AS key, date_trunc('day', ts)::DATE AS day, ts, value
+  FROM events),
+w AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY key, day
+                            ORDER BY ts, value) AS rn_a,
+         row_number() OVER (PARTITION BY key, day
+                            ORDER BY ts DESC, value DESC) AS rn_z
+  FROM b)
+SELECT key, day,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_z = 1 THEN value END) AS close,
+       count(*) AS n
+FROM w GROUP BY 1, 2
+""")
+def ev_ohlc(spark, sf_dir):
+    # Single hash aggregate with map-side combine: min_by/max_by on a
+    # (ts, value) struct key give deterministic open/close without the
+    # oracle's two window sorts.
+    return tp.ohlc(load(spark, sf_dir, "events"),
+                   key_col="user_id", ts_col="ts", val_col="value")
+
+
+@register("ev_time_weighted_avg", sql="""
+WITH d AS (
+  SELECT user_id AS key, value AS v,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, value)
+             - epoch_us(ts) AS dur_us
+  FROM events)
+SELECT key, sum(v * dur_us) / sum(dur_us) AS twa,
+       sum(dur_us) AS span_us, count(*) AS n
+FROM d GROUP BY 1
+""")
+def ev_twa(spark, sf_dir):
+    # LOCF time-weighted mean: lead-window durations on the integer
+    # microsecond grid, then one keyed aggregate that reuses the
+    # window's partitioning (no second exchange).
+    return tp.time_weighted_avg(load(spark, sf_dir, "events"),
+                                key_col="user_id", ts_col="ts",
+                                val_col="value")

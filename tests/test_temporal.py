@@ -136,3 +136,34 @@ def test_gap_fill_interpolate_linear_values(spark):
     assert out["2024-01-02"]["filled"] is True
     assert out["2024-01-04"]["value"] == 40.0
     assert out["2024-01-04"]["filled"] is False
+
+
+def test_ohlc_open_close_ties(spark):
+    import datetime as dt
+    from connectors_spark.ops.temporal import ohlc
+    t = dt.datetime(2024, 1, 1, 12)
+    rows = [(1, t, 5.0), (1, t, 3.0),                      # tied open
+            (1, dt.datetime(2024, 1, 1, 13), 9.0),
+            (1, dt.datetime(2024, 1, 1, 14), 7.0),
+            (1, dt.datetime(2024, 1, 1, 14), 8.0)]         # tied close
+    df = spark.createDataFrame(
+        rows, "user_id: long, ts: timestamp, value: double")
+    [r] = ohlc(df, "user_id", "ts", "value").collect()
+    assert (r["open"], r["high"], r["low"], r["close"], r["n"]) == \
+        (3.0, 9.0, 3.0, 8.0, 5)
+
+
+def test_time_weighted_avg_holds_value_until_next(spark):
+    import datetime as dt
+    from connectors_spark.ops.temporal import time_weighted_avg
+    rows = [(1, dt.datetime(2024, 1, 1, 0), 10.0),  # holds 1h
+            (1, dt.datetime(2024, 1, 1, 1), 40.0),  # holds 3h
+            (1, dt.datetime(2024, 1, 1, 4), 0.0),   # terminal, weight 0
+            (2, dt.datetime(2024, 1, 1, 0), 99.0)]  # single obs -> NULL
+    df = spark.createDataFrame(
+        rows, "user_id: long, ts: timestamp, value: double")
+    out = {r["key"]: r for r in
+           time_weighted_avg(df, "user_id", "ts", "value").collect()}
+    assert out[1]["twa"] == (10.0 * 1 + 40.0 * 3) / 4
+    assert out[1]["span_us"] == 4 * 3600 * 1_000_000
+    assert out[2]["twa"] is None and out[2]["n"] == 1
