@@ -331,6 +331,10 @@ class Snapshot:
         (golden scenario data-reader-escaped-chars)."""
         pcols = self.metadata.partitionColumns
         for p, pv in zip(paths, pvs):
+            # absolute-path adds (shallow clones) live outside the root:
+            # basePath-relative partition discovery cannot see them
+            if not p.startswith(self.table_path + "/"):
+                return False
             rel = p[len(self.table_path):].lstrip("/")
             segs = rel.split("/")[:-1]
             if len(segs) < len(pcols):

@@ -454,3 +454,29 @@ def delta_manifest_read(spark, sf_dir):
     return (spark.read.option("basePath", t.path)
             .schema(t.snapshot().metadata.schema)
             .parquet(*paths).select(*cols))
+
+
+@register("delta_clone_cow", sql="""
+SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2)
+       AS totalprice, o_orderdate
+FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice >= 100000
+""")
+def delta_clone_cow(spark, sf_dir):
+    # Shallow CLONE at version 0 (metadata-only: AddFiles point at the
+    # source by absolute path), then DELETE on the clone: the rewrite
+    # copy-on-writes survivors under the clone's root while the source
+    # table is untouched — the hash gate validates absolute-path log
+    # replay + COW isolation end to end.
+    src_dir = _build_tt(spark, sf_dir)
+
+    def build(d):
+        tgt = os.path.join(d, "t")
+        DeltaTable.for_path(spark, src_dir).clone_to(tgt, version=0)
+        DeltaTable.for_path(spark, tgt).delete(
+            Col("o_totalprice") < Lit(100000.0))
+    d = _built(sf_dir, "orders_clone", build)
+    t = DeltaTable.for_path(spark, os.path.join(d, "t"))
+    return (t.to_df()
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+                    F.round("o_totalprice", 2).alias("totalprice"),
+                    "o_orderdate"))

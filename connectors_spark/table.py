@@ -565,6 +565,74 @@ class DeltaTable:
         from .streaming.cdf import table_changes
         return table_changes(self, start_version, end_version)
 
+    # ------------------------------------------------------------- clone
+
+    def clone_to(self, target_path: str, version: Optional[int] = None,
+                 timestamp_ms: Optional[int] = None,
+                 deep: bool = False) -> Dict[str, Any]:
+        """CLONE this table (optionally at an earlier version/timestamp)
+        into a new table at ``target_path``.
+
+        Shallow (default): the clone's AddFiles reference the source's
+        data files by ABSOLUTE path — zero data movement, O(#files)
+        metadata work, so cloning a 100 TB table commits in seconds.
+        The clone is then fully independent: DML on it copy-on-writes
+        new files under the clone's own root (untouched files keep
+        pointing at the source), VACUUM on the clone never deletes
+        outside its root, and the source's history/log is not shared
+        (the clone starts at version 0). This is Delta's
+        ``CLONE ... SHALLOW`` / the absolute-path AddFile protocol the
+        reference resolves in SnapshotImpl.canonicalizePath
+        (SnapshotImpl.scala:349-362) and FileNames.absolutePath
+        (FileNames.scala:100-107).
+
+        Deep: additionally copies every active data file under the
+        target root (relative paths). Driver-side copy here; at fleet
+        scale run the copy as a distributed job over the file list and
+        commit the same actions.
+
+        The target must not already exist. Returns
+        {version, sourceVersion, filesCloned, bytesCloned}.
+        """
+        import dataclasses
+        src = self._resolve(version, timestamp_ms)
+        tgt_log = DeltaLog.for_table(self.spark, target_path)
+        txn = tgt_log.start_transaction()
+        if txn.snapshot is not None and txn.read_version >= 0:
+            raise DeltaError(f"CLONE target already exists: {target_path}")
+        now = int(time.time() * 1000)
+        txn.update_metadata(dataclasses.replace(
+            src.metadata, id=str(uuid.uuid4()), createdTime=now))
+        tgt_root = tgt_log.table_path
+        actions: List[Any] = []
+        bytes_cloned = 0
+        for f in src.all_files():
+            absolute = _canonical(f.path, src.table_path)
+            bytes_cloned += f.size
+            if deep:
+                rel = (os.path.relpath(absolute, src.table_path)
+                       if absolute.startswith(src.table_path + "/")
+                       else f"{uuid.uuid4().hex}-{os.path.basename(absolute)}")
+                dest = os.path.join(tgt_root, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                shutil.copy2(absolute, dest)
+                new_path = "/".join(urllib.parse.quote(s)
+                                    for s in rel.split("/"))
+            else:
+                new_path = "/".join(urllib.parse.quote(s)
+                                    for s in absolute.split("/"))
+            actions.append(dataclasses.replace(
+                f, path=new_path, dataChange=True, modificationTime=now))
+        ver = txn.commit(
+            actions, operation="CLONE",
+            operation_parameters={"source": self.path,
+                                  "sourceVersion": str(src.version),
+                                  "isShallow": json.dumps(not deep)},
+            operation_metrics={"numClonedFiles": str(len(actions)),
+                               "clonedBytes": str(bytes_cloned)})
+        return {"version": ver, "sourceVersion": src.version,
+                "filesCloned": len(actions), "bytesCloned": bytes_cloned}
+
 
 def _canonical(path: str, table_path: str) -> str:
     from .log.snapshot import canonical_path

@@ -248,3 +248,61 @@ def test_generate_manifest_lists_active_files(spark, tmp_path):
     active2 = {os.path.basename(f.path) for f in t.snapshot().all_files()}
     assert {os.path.basename(u) for u in uris2} == active2
     assert set(uris2) != set(uris)
+
+
+def test_shallow_clone_is_independent(spark, tmp_path):
+    src = _small_appends(spark, tmp_path / "src", n=3)
+    res = src.clone_to(str(tmp_path / "cl"))
+    assert res == {"version": 0, "sourceVersion": 2, "filesCloned": 3,
+                   "bytesCloned": res["bytesCloned"]}
+    cl = DeltaTable.for_path(spark, str(tmp_path / "cl"))
+    assert sorted(r.id for r in cl.to_df().collect()) == list(range(30))
+    # no data files were copied into the clone
+    data_files = [f for _r, _d, fs in os.walk(tmp_path / "cl")
+                  for f in fs if f.endswith(".parquet")
+                  and "_delta_log" not in _r]
+    assert data_files == []
+    # writes diverge both ways
+    src.write(spark.range(100, 110).select(
+        F.col("id"), F.lit("0").alias("p")), mode="append")
+    cl.delete(Col("id") < Lit(10))
+    assert sorted(r.id for r in cl.to_df().collect()) == list(range(10, 30))
+    assert src.to_df().count() == 40
+    # copy-on-write landed the rewrite under the clone's own root
+    active = {r.path for r in cl.snapshot().files_df.collect()}
+    assert any(p.startswith(str(tmp_path / "cl")) for p in active)
+    # vacuum on the clone must never reach into the source
+    TableMaintenance(cl).vacuum(retention_ms=0)
+    assert src.to_df(version=2).count() == 30
+
+
+def test_clone_at_version_and_deep(spark, tmp_path):
+    import pytest
+    from connectors_spark.errors import DeltaError
+    src = _small_appends(spark, tmp_path / "src", n=3)
+    src.clone_to(str(tmp_path / "v0"), version=0)
+    v0 = DeltaTable.for_path(spark, str(tmp_path / "v0"))
+    assert v0.to_df().count() == 10
+    assert v0.history()[-1]["operation"] == "CLONE"
+    with pytest.raises(DeltaError):
+        src.clone_to(str(tmp_path / "v0"))
+    src.clone_to(str(tmp_path / "deep"), deep=True)
+    deep = DeltaTable.for_path(spark, str(tmp_path / "deep"))
+    assert deep.to_df().count() == 30
+    # deep clone owns real copies under its root
+    active = {r.path for r in deep.snapshot().files_df.collect()}
+    assert all(p.startswith(str(tmp_path / "deep")) for p in active)
+
+
+def test_shallow_clone_partitioned_reads_and_prunes(spark, tmp_path):
+    # regression: absolute-path adds must not take the basePath fast
+    # path (partition dirs live outside the clone root)
+    src = DeltaTable.for_path(spark, str(tmp_path / "src"))
+    df = spark.range(20).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("p"))
+    src.write(df, mode="append", partition_by=["p"])
+    src.clone_to(str(tmp_path / "cl"))
+    cl = DeltaTable.for_path(spark, str(tmp_path / "cl"))
+    assert sorted(r.id for r in cl.to_df().collect()) == list(range(20))
+    pruned = cl.scan(Col("p") == Lit("1")).to_df()
+    assert sorted(r.id for r in pruned.collect()) == list(range(1, 20, 2))
