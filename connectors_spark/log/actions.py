@@ -121,6 +121,8 @@ class AddFile:
         return {"add": d}
 
     def remove(self, deletion_timestamp: int, data_change: bool = True) -> "RemoveFile":
+        # tags travel with the tombstone so change readers can still see
+        # the deletion vector the file carried when it was removed
         return RemoveFile(
             path=self.path,
             deletionTimestamp=deletion_timestamp,
@@ -128,6 +130,7 @@ class AddFile:
             extendedFileMetadata=True,
             partitionValues=self.partitionValues,
             size=self.size,
+            tags=self.tags,
         )
 
 

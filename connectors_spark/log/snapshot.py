@@ -355,6 +355,70 @@ class Snapshot:
                     return False
         return True
 
+    def _attach_partition_values(self, data: DataFrame,
+                                 paths: Sequence[str],
+                                 pvs: Sequence[Dict[str, Optional[str]]],
+                                 keep_file: bool = False) -> DataFrame:
+        """Broadcast-join ``path -> partitionValues`` onto ``data`` (which
+        carries a canonical ``__file`` column), decoding the log's string
+        values with the partition schema's types. Drops ``__file``
+        unless ``keep_file``."""
+        meta = self.metadata
+        pcols = meta.partitionColumns
+        pv_rows = [tuple([p] + [pv.get(c) for c in pcols])
+                   for p, pv in zip(paths, pvs)]
+        pv_schema = T.StructType(
+            [T.StructField("__file", T.StringType())]
+            + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols])
+        pv_df = self.spark.createDataFrame(pv_rows, pv_schema)
+        for f in meta.partition_schema.fields:
+            pv_df = pv_df.withColumn(
+                f.name, F.col(f"__pv_{f.name}").cast(f.dataType))
+        pv_df = pv_df.drop(*[f"__pv_{c}" for c in pcols])
+        out = data.join(F.broadcast(pv_df), "__file")
+        return out if keep_file else out.drop("__file")
+
+    def _read_plain(self, rows: Sequence) -> DataFrame:
+        """Scan for files with no deletion vector."""
+        meta = self.metadata
+        paths = [r["path"] for r in rows]
+        pcols = meta.partitionColumns
+        if not pcols:
+            return self.spark.read.schema(meta.schema).parquet(*paths)
+        pvs = [dict(r["partitionValues"] or {}) for r in rows]
+        if self._hive_layout_ok(paths, pvs):
+            return (self.spark.read
+                    .option("basePath", self.table_path)
+                    .schema(meta.schema)
+                    .parquet(*paths))
+        # input_file_name() must be normalized the same way as log paths
+        data = (self.spark.read.schema(meta.data_schema).parquet(*paths)
+                .withColumn("__fn", F.input_file_name()))
+        data = data.withColumn(
+            "__file", canonical_path_col("__fn", self.table_path)).drop("__fn")
+        return self._attach_partition_values(data, paths, pvs)
+
+    def _read_with_dv(self, rows: Sequence) -> DataFrame:
+        """Scan for files carrying a deletion vector: anti-join deleted
+        ``(file, row_index)`` positions via the Parquet source's hidden
+        ``_metadata`` columns — one extra hash join bounded by the
+        deleted-row count, no rewrite ever read."""
+        from ..dv import DV_TAG, apply_dv, dv_relation
+        meta = self.metadata
+        paths = [r["path"] for r in rows]
+        pvs = [dict(r["partitionValues"] or {}) for r in rows]
+        pairs = [(r["path"], dict(r["tags"])[DV_TAG]) for r in rows]
+        dv = dv_relation(self.spark, self.table_path, pairs)
+        data = (self.spark.read.schema(meta.data_schema).parquet(*paths)
+                .withColumn("__fn", F.col("_metadata.file_path"))
+                .withColumn("__ri", F.col("_metadata.row_index")))
+        data = data.withColumn(
+            "__file", canonical_path_col("__fn", self.table_path)).drop("__fn")
+        data = apply_dv(data, dv).drop("__ri")
+        if not meta.partitionColumns:
+            return data.drop("__file")
+        return self._attach_partition_values(data, paths, pvs)
+
     def to_df(self, files: Optional[DataFrame] = None,
               residual=None) -> DataFrame:
         """DataFrame of table rows for the active (optionally pruned) files.
@@ -365,49 +429,29 @@ class Snapshot:
         Parquet source prune/prune-down natively. General path: scan with
         the data schema and broadcast-join ``path -> partitionValues``
         on ``input_file_name()`` (single scan, no per-partition plan
-        explosion at 100k+ partitions)."""
+        explosion at 100k+ partitions). Files carrying a deletion vector
+        are scanned separately with the deleted positions anti-joined
+        out (dv.py)."""
+        from ..dv import DV_TAG
         meta = self.metadata
         src = files if files is not None else self.files_df
-        rows = src.select("path", "partitionValues").collect()
-        paths = [r["path"] for r in rows]
-        if not paths:
+        rows = src.select("path", "partitionValues", "tags").collect()
+        if not rows:
             df = self.spark.createDataFrame([], meta.schema)
             return df.where(residual) if residual is not None else df
-
-        pcols = meta.partitionColumns
-        if not pcols:
-            df = self.spark.read.schema(meta.schema).parquet(*paths)
-        else:
-            pvs = [dict(r["partitionValues"] or {}) for r in rows]
-            pschema = meta.partition_schema
-            if self._hive_layout_ok(paths, pvs):
-                df = (self.spark.read
-                      .option("basePath", self.table_path)
-                      .schema(meta.schema)
-                      .parquet(*paths))
-            else:
-                # input_file_name() must be normalized the same way as log paths
-                data = (self.spark.read.schema(meta.data_schema).parquet(*paths)
-                        .withColumn("__fn", F.input_file_name()))
-                data = data.withColumn(
-                    "__file", canonical_path_col("__fn", self.table_path)).drop("__fn")
-                pv_rows = [
-                    tuple([p] + [pv.get(c) for c in pcols])
-                    for p, pv in zip(paths, pvs)
-                ]
-                pv_schema = T.StructType(
-                    [T.StructField("__file", T.StringType())]
-                    + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols])
-                pv_df = self.spark.createDataFrame(pv_rows, pv_schema)
-                for f in pschema.fields:
-                    pv_df = pv_df.withColumn(
-                        f.name, F.col(f"__pv_{f.name}").cast(f.dataType))
-                pv_df = pv_df.drop(*[f"__pv_{c}" for c in pcols])
-                df = data.join(F.broadcast(pv_df), "__file").drop("__file")
+        plain = [r for r in rows if not ((r["tags"] or {}).get(DV_TAG))]
+        dvd = [r for r in rows if (r["tags"] or {}).get(DV_TAG)]
+        parts = [self._read_plain(plain)] if plain else []
+        if dvd:
+            parts.append(self._read_with_dv(dvd))
         # Schema-order projection: Spark's file source appends partition
         # columns after data columns; the table contract is metadata
         # schema order (Snapshot.open ≍ SnapshotImpl.scala:107-116).
-        df = df.select(*[F.col(f.name) for f in meta.schema.fields])
+        parts = [p.select(*[F.col(f.name) for f in meta.schema.fields])
+                 for p in parts]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         if residual is not None:
             df = df.where(residual)
         return df

@@ -480,3 +480,27 @@ def delta_clone_cow(spark, sf_dir):
             .select("o_orderkey", "o_custkey", "o_orderstatus",
                     F.round("o_totalprice", 2).alias("totalprice"),
                     "o_orderdate"))
+
+
+@register("delta_dv_delete", sql="""
+SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2)
+       AS totalprice, o_orderdate
+FROM orders WHERE NOT (o_totalprice < 100000)
+""")
+def delta_dv_delete(spark, sf_dir):
+    # Row-level DELETE via deletion vectors: the data files are never
+    # rewritten — deleted positions live in a sidecar and the read
+    # anti-joins them out by (file, row_index). The hash gate validates
+    # the full DV protocol: sidecar write, tag repointing, and the
+    # metadata-column anti-join read.
+    def build(d):
+        t = DeltaTable.for_path(spark, d)
+        t.write(load(spark, sf_dir, "orders"), mode="append")
+        t.delete(Col("o_totalprice") < Lit(100000.0),
+                 deletion_vectors=True)
+    d = _built(sf_dir, "orders_dv", build)
+    t = DeltaTable.for_path(spark, d)
+    return (t.to_df()
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+                    F.round("o_totalprice", 2).alias("totalprice"),
+                    "o_orderdate"))

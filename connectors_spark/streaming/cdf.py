@@ -29,34 +29,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..dv import DV_TAG
 from ..log.actions import AddCDCFile, AddFile, RemoveFile
 from ..log.snapshot import canonical_path, canonical_path_col
 from ..writer import CHANGE_TYPE_COL
 
-# (canonical file path, commit version, partitionValues or None)
-_FileRow = Tuple[str, int, Optional[dict]]
+# (canonical file path, commit version, partitionValues or None,
+#  deletion-vector sidecar rel path or None)
+_FileRow = Tuple[str, int, Optional[dict], Optional[str]]
 
 
 def _scan_tagged(table, snap, file_rows: List[_FileRow],
                  schema: T.StructType, with_partition_cols: bool,
                  change_type: Optional[str]) -> DataFrame:
     """Scan ``file_rows`` with ``schema``, attach ``_commit_version`` (and
-    partition columns decoded from the log when the files lack them)."""
+    partition columns decoded from the log when the files lack them).
+    Files carrying a deletion vector contribute only their live rows:
+    an added file applies its new DV, a removed file the DV it had when
+    removed — so a synthesized DV-delete version nets out to exactly
+    the newly-deleted rows."""
+    from ..dv import dv_relation_keyed
     spark = table.spark
     meta = snap.metadata
     paths = sorted({r[0] for r in file_rows})
-    data = (spark.read.schema(schema).parquet(*paths)
-            .withColumn("__fn", F.input_file_name()))
+    dv_triples = sorted({(r[0], r[3], r[1]) for r in file_rows if r[3]})
+    reader = spark.read.schema(schema).parquet(*paths)
+    if dv_triples:
+        reader = reader.withColumn("__ri", F.col("_metadata.row_index"))
+    data = reader.withColumn("__fn", F.input_file_name())
     data = data.withColumn(
         "__file", canonical_path_col("__fn", snap.table_path)).drop("__fn")
-
     pcols = meta.partitionColumns if with_partition_cols else []
     map_schema = T.StructType(
         [T.StructField("__file", T.StringType()),
          T.StructField("_commit_version", T.LongType())]
         + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols])
     map_rows = [tuple([p, v] + [(pv or {}).get(c) for c in pcols])
-                for p, v, pv in file_rows]
+                for p, v, pv, _dv in file_rows]
     pv_df = spark.createDataFrame(map_rows, map_schema)
     for f in meta.partition_schema.fields:
         if f.name in pcols:
@@ -64,7 +73,19 @@ def _scan_tagged(table, snap, file_rows: List[_FileRow],
                 f.name, F.col(f"__pv_{f.name}").cast(f.dataType))
     pv_df = pv_df.drop(*[f"__pv_{c}" for c in pcols])
 
-    out = data.join(F.broadcast(pv_df), "__file").drop("__file")
+    out = data.join(F.broadcast(pv_df), "__file")
+    if dv_triples:
+        # per-version DV application: the map join above fans a file out
+        # to each version that references it, so the anti-join must key
+        # on (file, version, position) — the same file may carry a
+        # different (growing) DV at each version.
+        dvv = dv_relation_keyed(spark, snap.table_path, list(dv_triples))
+        out = out.join(
+            dvv, (out["__file"] == dvv["file_path"])
+            & (out["_commit_version"] == dvv["__dvkey"])
+            & (out["__ri"] == dvv["row_index"]), "left_anti")
+        out = out.drop("__ri")
+    out = out.drop("__file")
     if change_type is not None:
         out = out.withColumn(CHANGE_TYPE_COL, F.lit(change_type))
     cols = [f.name for f in meta.schema.fields]
@@ -87,14 +108,16 @@ def table_changes(table, start_version: int = 0,
         cdcs = [a for a in actions if isinstance(a, AddCDCFile)]
         if cdcs:
             cdc_rows += [(canonical_path(a.path, snap.table_path),
-                          version, None) for a in cdcs]
+                          version, None, None) for a in cdcs]
             continue
         ins_rows += [(canonical_path(a.path, snap.table_path),
-                      version, a.partitionValues)
+                      version, a.partitionValues,
+                      (a.tags or {}).get(DV_TAG))
                      for a in actions
                      if isinstance(a, AddFile) and a.dataChange]
         del_rows += [(canonical_path(a.path, snap.table_path),
-                      version, a.partitionValues)
+                      version, a.partitionValues,
+                      (a.tags or {}).get(DV_TAG))
                      for a in actions
                      if isinstance(a, RemoveFile) and a.dataChange]
 

@@ -325,10 +325,14 @@ class DeltaTable:
 
     # --------------------------------------------------------------- DML
 
-    def delete(self, predicate: Optional[Expression] = None) -> int:
+    def delete(self, predicate: Optional[Expression] = None,
+               deletion_vectors: bool = False) -> int:
         """DELETE: drop whole files when the predicate is partition-only,
         else rewrite only the touched files (SURVEY §7 P6; op names
-        Operation.java:43-105)."""
+        Operation.java:43-105). With ``deletion_vectors=True`` a
+        row-level delete records deleted positions in a sidecar instead
+        of rewriting the touched files (dv.py) — the scale path when the
+        deleted rows are a small fraction of very large files."""
         txn = self.log.start_transaction()
         snap = txn.snapshot
         if snap is None:
@@ -342,6 +346,9 @@ class DeltaTable:
         candidates = txn.mark_files_as_read(predicate)
         scan = DeltaScan(snap, predicate)
         actions = []
+        if scan.residual is not None and deletion_vectors:
+            return self._delete_with_dv(txn, snap, predicate, candidates,
+                                        now)
         if scan.residual is None:
             # Whole-file delete: no CDC files needed even with CDF on --
             # the change reader synthesizes delete rows from the removed
@@ -365,6 +372,73 @@ class DeltaTable:
                     CHANGE_TYPE_COL, F.lit("delete"))
                 actions += stage_cdc_and_collect(cdc, self.log.table_path)
         return txn.commit(actions, "DELETE", {})
+
+    def _delete_with_dv(self, txn, snap, predicate, candidates,
+                        now: int) -> int:
+        """Row-level delete via deletion vectors: the touched files stay
+        physically untouched; their deleted positions (old DV ∪ new
+        hits) land in one new sidecar and each file is re-added with its
+        tag repointed. I/O is bounded by the deleted rows (sidecar +
+        optional CDC), never by the file sizes being deleted from."""
+        import dataclasses
+
+        from .dv import DV_CARD_TAG, DV_TAG, apply_dv, dv_relation, stage_dv
+        from .log.snapshot import canonical_path_col
+        params = {"deletionVectors": "true"}
+        if not candidates:
+            return txn.commit([], "DELETE", params)
+        meta = snap.metadata
+        cand = {canonical_path(f.path, snap.table_path): f
+                for f in candidates}
+        paths = sorted(cand)
+        pvs = [dict(cand[p].partitionValues or {}) for p in paths]
+        data = (self.spark.read.schema(meta.data_schema).parquet(*paths)
+                .withColumn("__fn", F.col("_metadata.file_path"))
+                .withColumn("__ri", F.col("_metadata.row_index")))
+        data = data.withColumn(
+            "__file",
+            canonical_path_col("__fn", snap.table_path)).drop("__fn")
+        if meta.partitionColumns:
+            data = snap._attach_partition_values(data, paths, pvs,
+                                                 keep_file=True)
+        prior_pairs = [(p, (f.tags or {})[DV_TAG]) for p, f in cand.items()
+                       if (f.tags or {}).get(DV_TAG)]
+        prior = dv_relation(self.spark, snap.table_path, prior_pairs)
+        live = apply_dv(data, prior)
+        hit = F.coalesce(predicate.to_column(F.col), F.lit(False))
+        # Materialized once: reused for the sidecar write, the touched-
+        # file counts, and the CDC pre-images.
+        hits = live.where(hit).localCheckpoint(eager=True)
+        touched = {r["__file"] for r in
+                   hits.select("__file").distinct().collect()}
+        if not touched:
+            return txn.commit([], "DELETE", params)
+        new_dv = hits.select(F.col("__file").alias("file_path"),
+                             F.col("__ri").alias("row_index"))
+        if prior is not None:
+            new_dv = new_dv.unionByName(
+                prior.where(F.col("file_path").isin(sorted(touched))))
+        rel, counts = stage_dv(self.spark, snap.table_path, new_dv)
+        actions: List[Any] = []
+        for p in sorted(touched):
+            f = cand[p]
+            tags = dict(f.tags or {})
+            tags[DV_TAG] = rel
+            tags[DV_CARD_TAG] = str(counts.get(p, 0))
+            actions.append(f.remove(now))
+            actions.append(dataclasses.replace(
+                f, tags=tags, dataChange=True))
+        n_deleted = hits.count()
+        if TableConfig(meta.configuration).enable_change_data_feed:
+            cdc = (hits.drop("__file", "__ri")
+                   .select(*[F.col(fd.name) for fd in meta.schema.fields])
+                   .withColumn(CHANGE_TYPE_COL, F.lit("delete")))
+            actions += stage_cdc_and_collect(cdc, self.log.table_path)
+        return txn.commit(
+            actions, "DELETE", params,
+            operation_metrics={"numDeletedRows": str(n_deleted),
+                               "numDeletionVectorsAdded":
+                               str(len(touched))})
 
     def update(self, set_exprs: Dict[str, Any],
                predicate: Optional[Expression] = None) -> int:
@@ -789,16 +863,25 @@ class TableMaintenance:
                     "version": snap.version}
         txn.read_whole_table()
 
+        from .dv import DV_TAG
         cur = {_canonical(f.path, snap.table_path): f
                for f in snap.all_files()}
         want = {_canonical(f.path, snap.table_path): f
                 for f in target.all_files()}
-        to_add = [f for p, f in want.items() if p not in cur]
+        # A path present in both snapshots still needs re-adding when its
+        # deletion vector differs (the DV lives in tags, not the path).
+        to_add = [f for p, f in want.items()
+                  if p not in cur
+                  or (cur[p].tags or {}).get(DV_TAG)
+                  != (f.tags or {}).get(DV_TAG)]
         to_remove = [f for p, f in cur.items() if p not in want]
 
         root = t.path
         local_root = root[len("file:"):] if root.startswith("file:") else root
-        missing = [p for p in want
+        needed = list(want) + [
+            _canonical((f.tags or {})[DV_TAG], snap.table_path)
+            for f in want.values() if (f.tags or {}).get(DV_TAG)]
+        missing = [p for p in needed
                    if not os.path.exists(os.path.join(local_root, p))]
         if missing:
             raise DeltaError(
@@ -842,8 +925,14 @@ class TableMaintenance:
         horizon = int(time.time() * 1000) - retention_ms
         root = t.path
         local_root = root[len("file:"):] if root.startswith("file:") else root
-        active = {_canonical(f.path, snap.table_path)
-                  for f in snap.all_files()}
+        from .dv import DV_TAG
+        active = set()
+        for f in snap.all_files():
+            active.add(_canonical(f.path, snap.table_path))
+            # a sidecar named by an active file's deletion-vector tag is
+            # load-bearing for reads — never reclaimable while referenced
+            if (f.tags or {}).get(DV_TAG):
+                active.add(_canonical(f.tags[DV_TAG], snap.table_path))
         doomed: List[str] = []
         for dirpath, _dirs, files in os.walk(local_root):
             if "_delta_log" in dirpath:
