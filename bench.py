@@ -63,28 +63,42 @@ def main() -> None:
     # build so the timed run measures the scan, not table creation.
     for name, q in REGISTRY.items():
         if q.bench and name.startswith("delta_"):
-            q.fn(spark, sf_dir)
+            try:
+                q.fn(spark, sf_dir)
+            except Exception as e:  # noqa: BLE001
+                print(f"# fixture {name}: {e}", file=sys.stderr)
 
+    # Fault isolation: one broken query must not lose the whole run's
+    # numbers — record it under "errors" and keep timing the rest.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name, q in REGISTRY.items():
         if not q.bench:
             continue
-        q.fn(spark, sf_dir).count()          # warm (untimed)
-        t0 = time.perf_counter()
-        q.fn(spark, sf_dir).count()          # steady state (timed)
-        dt = round(time.perf_counter() - t0, 3)
+        try:
+            q.fn(spark, sf_dir).count()          # warm (untimed)
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).count()          # steady state (timed)
+            dt = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
-    print(json.dumps({
+    out = {
         "metric": "headline_suite_wall_clock",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

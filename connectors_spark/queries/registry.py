@@ -42,15 +42,25 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one testdata table; pin session timezone to UTC so
     timestamp semantics match the (timezone-naive) DuckDB oracle.
 
-    events.ts is parquet TIMESTAMP(NANOS) which Spark cannot decode
-    natively — read it as raw nanos and truncate to micros (identical
-    to DuckDB's nanos→micros truncation for positive epochs)."""
+    events.ts has shipped as either parquet TIMESTAMP(MICROS) (read
+    natively) or TIMESTAMP(NANOS) (Spark reads as raw long under
+    legacy.parquet.nanosAsLong — truncate to micros, identical to
+    DuckDB's nanos→micros truncation for positive epochs). Handle both
+    so testdata regeneration can't break every events query."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events":
-        from pyspark.sql import functions as F
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # normalize to TIMESTAMP (UTC session) so downstream
+            # window/watermark ops behave uniformly across variants
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

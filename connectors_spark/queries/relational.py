@@ -758,7 +758,7 @@ def q8(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 @register("q9_product_profit", sql="""
-SELECT nation, o_year, sum(amount_e4) AS sum_profit_e4
+SELECT nation, o_year, sum(amount_e4)::BIGINT AS sum_profit_e4
 FROM (
   SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
          round((l_extendedprice * (1 - l_discount)
