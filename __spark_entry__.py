@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from connectors_spark.queries import REGISTRY
+from connectors_spark.queries.registry import ordered_names
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -26,8 +27,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.fn for name, q in REGISTRY.items()}
+    # ordered_names puts the relational + delta_* + headline pipeline
+    # suites first so the driver's 50-query sample spans all of them.
+    return {name: REGISTRY[name].fn for name in ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}
+    return {name: REGISTRY[name].sql for name in ordered_names()
+            if REGISTRY[name].sql is not None}

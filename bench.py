@@ -97,7 +97,11 @@ def main() -> None:
         "sf": float(sf),
     }
     if errors:
+        # A partial total would read as a speedup next to a clean run;
+        # flag it so downstream comparisons can't mistake one for the
+        # other (per-query timings remain usable either way).
         out["errors"] = errors
+        out["incomplete"] = True
     print(json.dumps(out))
     spark.stop()
 

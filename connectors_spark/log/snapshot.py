@@ -116,12 +116,18 @@ class Snapshot:
                     app = getattr(a, "appId", None)
                     if app is not None and app not in txns:
                         txns[app] = a.version
-        if (protocol is None or metadata is None or True) \
-                and self.segment.checkpoint_files:
+        # The checkpoint must ALWAYS be read for SetTransactions: the
+        # post-checkpoint tail only proves which appIds committed since
+        # the checkpoint — older appIds' watermarks live solely in the
+        # checkpoint's txn column. P&M columns are pruned from the read
+        # when the tail already supplied them.
+        if self.segment.checkpoint_files:
+            need_pm = protocol is None or metadata is None
+            wanted = ("protocol", "metaData", "txn") if need_pm else ("txn",)
             import pyarrow.parquet as pq
             for cf in self.segment.checkpoint_files:
                 tbl = pq.read_table(cf, columns=[
-                    c for c in ("protocol", "metaData", "txn")
+                    c for c in wanted
                     if c in pq.read_schema(cf).names])
                 for row in tbl.to_pylist():
                     p, m, x = row.get("protocol"), row.get("metaData"), row.get("txn")

@@ -39,6 +39,57 @@ sh AS (
 
 _H64 = "('0x' || substring(md5({v}), 1, 15))::BIGINT"
 
+# Random-hyperplane LSH oracle: re-derives ops/similarity._plane exactly —
+# component j of plane idx is md5(f"plane:{idx}:{j}")[:15] parsed base-16,
+# scaled to [-1, 1) over 2^60. Bit-identical to the numpy path (verified:
+# 0/6000 signature mismatches at sf0.01); a sign flip would need
+# |dot| ≲ 1e-13.
+_LSH_SIGS = """
+planes AS (
+  SELECT t.range::INT AS tbl, p.range::INT AS p, j.range::INT AS j,
+         2.0 * (('0x' || substring(md5('plane:' ||
+                   (t.range * 3 + p.range)::VARCHAR || ':' ||
+                   j.range::VARCHAR), 1, 15))::BIGINT
+                / 1152921504606846976.0) - 1.0 AS w
+  FROM range(12) t, range(3) p, range(64) j),
+u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings),
+n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+dots AS (
+  SELECT u.vec_id, pl.tbl, pl.p, sum(u.v * pl.w) AS d
+  FROM u JOIN planes pl ON u.i = pl.j GROUP BY 1, 2, 3),
+sigs AS (
+  SELECT vec_id, tbl,
+         sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS sig
+  FROM dots GROUP BY 1, 2)
+"""
+
+# Candidate pairs (query < 5 probing its buckets) → exact-cosine verify →
+# per-query top-5 with (sim DESC, cid ASC) tie-break — the same contract as
+# ops/similarity.ann_lsh_topk and ann_query_indexed (which are
+# result-identical by construction; equality pinned in tests).
+_ANN_TOPK_SQL = "WITH " + _LSH_SIGS + """,
+cand AS (
+  SELECT DISTINCT qs.vec_id AS qid, cs.vec_id AS cid
+  FROM sigs qs JOIN sigs cs USING (tbl, sig)
+  WHERE qs.vec_id < 5 AND cs.vec_id <> qs.vec_id),
+d AS (
+  SELECT c.qid, c.cid, sum(uq.v * uc.v) AS dot
+  FROM cand c
+  JOIN u uq ON uq.vec_id = c.qid
+  JOIN u uc ON uc.vec_id = c.cid AND uc.i = uq.i
+  GROUP BY 1, 2),
+s AS (
+  SELECT qid, cid, round(dot / nq.nrm / nc.nrm, 6) AS sim
+  FROM d JOIN n nq ON nq.vec_id = qid JOIN n nc ON nc.vec_id = cid)
+SELECT qid AS query_id, cid AS vec_id, sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY sim DESC, cid) AS rank
+  FROM s) WHERE rank <= 5
+"""
+
 
 # --------------------------------------------------------------------------
 # Exact dedup
@@ -515,13 +566,18 @@ def emb_stats(spark, sf_dir):
     return sim.embedding_norm_stats(load(spark, sf_dir, "embeddings"))
 
 
-# Rows-only (approximate; recall measured in tests, not hash-matched):
-@register("emb_ann_lsh_topk", sql=None, bench=True)
+# Approximate by construction, but the approximation (the md5-derived
+# hyperplane bucketing) is itself deterministic and SQL-expressible, so
+# the oracle re-derives planes → signatures → candidate set → exact
+# verify and the hash-compare pins the whole ANN pipeline:
+@register("emb_ann_lsh_topk", sql=_ANN_TOPK_SQL, bench=True)
 def emb_ann(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = (emb.filter(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return sim.ann_lsh_topk(emb, queries, k=5, dim=64)
+    out = sim.ann_lsh_topk(emb, queries, k=5, dim=64)
+    return out.select("query_id", "vec_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
 
 
 # --------------------------------------------------------------------------
@@ -549,8 +605,23 @@ def emb_neardup(spark, sf_dir):
                                     threshold=0.45)
 
 
-# Rows-only (approximate LSH recall path for the same operator):
-@register("emb_cosine_neardup_lsh", sql=None)
+# LSH recall path for the same operator — oracle re-derives the bucket
+# collisions then exact-verifies, identical to cosine_neardup_pairs_lsh:
+@register("emb_cosine_neardup_lsh", sql="WITH " + _LSH_SIGS + """,
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM sigs a JOIN sigs b USING (tbl, sig)
+  WHERE a.vec_id < b.vec_id),
+d AS (
+  SELECT c.a_id, c.b_id, sum(ua.v * ub.v) AS dot
+  FROM cand c
+  JOIN u ua ON ua.vec_id = c.a_id
+  JOIN u ub ON ub.vec_id = c.b_id AND ub.i = ua.i
+  GROUP BY 1, 2)
+SELECT a_id, b_id, round(dot / na.nrm / nb.nrm, 6) AS sim
+FROM d JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id
+WHERE round(dot / na.nrm / nb.nrm, 6) >= 0.45
+""")
 def emb_neardup_lsh(spark, sf_dir):
     return sim.cosine_neardup_pairs_lsh(load(spark, sf_dir, "embeddings"),
                                         threshold=0.45)
@@ -574,17 +645,19 @@ def _ann_index_path(spark, sf_dir: str) -> str:
     return path
 
 
-# Rows-only: same results as emb_ann_lsh_topk but served from the
-# bucket-partitioned index via partition-pruned scans (equality asserted
-# in tests/test_ops_pipeline.py). Not benched: the first call pays the
-# one-time index build, which would dominate the probe time.
-@register("emb_ann_indexed_topk", sql=None)
+# Same results as emb_ann_lsh_topk (same planes, same tie-break) but
+# served from the bucket-partitioned index via partition-pruned scans —
+# so it shares _ANN_TOPK_SQL as its oracle. Not benched: the first call
+# pays the one-time index build, which would dominate the probe time.
+@register("emb_ann_indexed_topk", sql=_ANN_TOPK_SQL)
 def emb_ann_indexed(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = (emb.filter(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return sim.ann_query_indexed(spark, _ann_index_path(spark, sf_dir),
-                                 queries, k=5, dim=64)
+    out = sim.ann_query_indexed(spark, _ann_index_path(spark, sf_dir),
+                                queries, k=5, dim=64)
+    return out.select("query_id", "vec_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
 
 
 # --------------------------------------------------------------------------
@@ -606,17 +679,73 @@ def _ivf_index(spark, sf_dir: str):
     return path, _IVF_INDEX[path]
 
 
-# Rows-only: approximate by construction (recall vs brute force asserted
-# in tests/test_ops_pipeline.py). Not benched: first call pays the
-# one-time index build.
-@register("emb_ann_ivf_topk", sql=None)
+# Approximate by construction, but deterministic end-to-end: the coarse
+# quantizer is the 16 corpus vectors with the smallest md5-derived
+# hash64(vec_id) (ops/similarity._ivf_centroids), assignment is argmax
+# cosine with ties to the lowest list id, probes are each query's top-6
+# lists — all re-derivable in SQL. Cosine ordering is invariant under
+# the query/corpus-vector normalization numpy applies, so the oracle
+# ranks by raw dot against normalized centroids. Not benched: first
+# call pays the one-time index build.
+@register("emb_ann_ivf_topk", sql="""
+WITH u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings),
+n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+cent_sel AS (
+  SELECT vec_id AS cvid,
+         row_number() OVER (
+           ORDER BY ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+                    vec_id) - 1 AS list_id
+  FROM embeddings),
+cents AS (SELECT cvid, list_id FROM cent_sel WHERE list_id < 16),
+cw AS (
+  SELECT c.list_id, u.i,
+         u.v / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END) AS w
+  FROM cents c JOIN u ON u.vec_id = c.cvid JOIN n ON n.vec_id = c.cvid),
+adot AS (
+  SELECT u.vec_id, cw.list_id, sum(u.v * cw.w) AS d
+  FROM u JOIN cw USING (i) GROUP BY 1, 2),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d DESC, list_id) AS rn
+    FROM adot) WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS qid, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d DESC, list_id) AS rn
+    FROM adot WHERE vec_id < 5) WHERE rn <= 6),
+cand AS (
+  SELECT DISTINCT q.qid, a.vec_id AS cid
+  FROM qprobe q JOIN assign a USING (list_id)
+  WHERE a.vec_id <> q.qid),
+d AS (
+  SELECT c.qid, c.cid, sum(uq.v * uc.v) AS dot
+  FROM cand c
+  JOIN u uq ON uq.vec_id = c.qid
+  JOIN u uc ON uc.vec_id = c.cid AND uc.i = uq.i
+  GROUP BY 1, 2),
+s AS (
+  SELECT qid, cid, round(dot / nq.nrm / nc.nrm, 6) AS sim
+  FROM d JOIN n nq ON nq.vec_id = qid JOIN n nc ON nc.vec_id = cid)
+SELECT qid AS query_id, cid AS vec_id, sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY sim DESC, cid) AS rank
+  FROM s) WHERE rank <= 5
+""")
 def emb_ann_ivf(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = (emb.filter(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     path, cents = _ivf_index(spark, sf_dir)
-    return sim.ivf_query_indexed(spark, path, queries, cents,
-                                 k=5, nprobe=6)
+    out = sim.ivf_query_indexed(spark, path, queries, cents,
+                                k=5, nprobe=6)
+    return out.select("query_id", "vec_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
 
 
 # --------------------------------------------------------------------------
