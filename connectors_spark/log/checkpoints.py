@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import math
 import os
-import shutil
 import urllib.parse
 import uuid
 from typing import Optional
@@ -109,22 +108,28 @@ def write_checkpoint(snapshot: Snapshot, parts: Optional[int] = None) -> int:
         parts = max(1, math.ceil(n_files / ACTIONS_PER_PART))
     state = state.repartition(parts)
 
+    # Publication goes through the snapshot's LogStore (never raw os
+    # calls): the POSIX store renames; an object-store store implements
+    # rename as its own copy/put. Same temp+publish dance as
+    # Checkpoints.scala:267-288.
+    store = snapshot.store
     tmp = os.path.join(log_path, f".tmp_ckpt_{uuid.uuid4().hex}")
     state.write.mode("overwrite").option("compression", "snappy").parquet(tmp)
     try:
-        part_files = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        part_files = sorted(f for f in store.list_dir(tmp)
+                            if f.endswith(".parquet"))
         if len(part_files) == 1:
-            os.replace(os.path.join(tmp, part_files[0]),
-                       fn.checkpoint_file_single(log_path, snapshot.version))
+            store.rename(os.path.join(tmp, part_files[0]),
+                         fn.checkpoint_file_single(log_path, snapshot.version))
             written_parts = None
         else:
             names = fn.checkpoint_file_parts(log_path, snapshot.version,
                                              len(part_files))
             for src, dst in zip(part_files, names):
-                os.replace(os.path.join(tmp, src), dst)
+                store.rename(os.path.join(tmp, src), dst)
             written_parts = len(part_files)
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        store.remove_tree(tmp)
 
     write_last_checkpoint(snapshot.store, log_path, snapshot.version,
                           n_actions, written_parts)

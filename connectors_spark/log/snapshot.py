@@ -63,6 +63,21 @@ def canonical_path(p: str, table_path: str) -> str:
     return table_path.rstrip("/") + "/" + d
 
 
+def addfiles_from_rows(rows: Sequence) -> List[AddFile]:
+    """Materialize ``files_df`` rows (any filtered subset) as AddFile
+    actions — the bridge from the DataFrame file inventory to the
+    driver-side action list a commit must enumerate."""
+    return [AddFile(path=r["path"],
+                    partitionValues=dict(r["partitionValues"] or {}),
+                    size=r["size"] or 0,
+                    modificationTime=r["modificationTime"] or 0,
+                    dataChange=bool(r["dataChange"])
+                    if r["dataChange"] is not None else True,
+                    stats=r["stats"],
+                    tags=dict(r["tags"]) if r["tags"] else None)
+            for r in rows]
+
+
 def canonical_path_col(col, table_path: str):
     """Column-expression twin of :func:`canonical_path` (used in the
     distributed state reconstruction)."""
@@ -302,17 +317,12 @@ class Snapshot:
                 .drop("__rn", "is_add"))
 
     def all_files(self) -> List[AddFile]:
-        """Collect active files to the driver (metadata-sized; used by the
-        write path for overwrite/DML and by tests)."""
-        rows = self.files_df.collect()
-        return [AddFile(path=r["path"],
-                        partitionValues=dict(r["partitionValues"] or {}),
-                        size=r["size"] or 0,
-                        modificationTime=r["modificationTime"] or 0,
-                        dataChange=bool(r["dataChange"])
-                        if r["dataChange"] is not None else True,
-                        stats=r["stats"], tags=dict(r["tags"]) if r["tags"] else None)
-                for r in rows]
+        """Collect active files to the driver. Only for callers whose
+        COMMIT must enumerate every file anyway (whole-table overwrite/
+        delete removes, clone, restore) and tests — DML paths that touch
+        a subset should filter ``files_df`` and collect just that subset
+        (see ``addfiles_from_rows``)."""
+        return addfiles_from_rows(self.files_df.collect())
 
     # ------------------------------------------------------------------
     # Aggregates over state (A1)

@@ -39,9 +39,15 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from ..errors import DeltaError
 from ..log import filenames as fn
-from ..log.actions import (AddFile, Metadata, Protocol, RemoveFile,
-                           from_json_line)
+from ..log.actions import (AddFile, Format, Metadata, Protocol,
+                           RemoveFile, from_json_line)
+# Module-scope imports only (no lazy `from ..x import` inside methods
+# that workers execute): this module ships to data-source workers by
+# value (shipping.py), which covers objects referenced at pickle time
+# but NOT runtime imports — those would need the package installed.
+from ..log import history as hist
 from ..log.logstore import default_log_store, strip_scheme
+from ..log.segment import get_log_segment
 from ..partition_values import decode as decode_partition_value
 
 
@@ -61,17 +67,82 @@ def _list_versions(store, log_path: str, after: int) -> List[int]:
                   if v > after)
 
 
+def _meta_from_dict(m: dict) -> Metadata:
+    fmt = m.get("format") or {}
+    return Metadata(
+        id=m.get("id", ""), name=m.get("name"),
+        description=m.get("description"),
+        format=Format(fmt.get("provider", "parquet"),
+                      fmt.get("options") or {}),
+        schemaString=m.get("schemaString", ""),
+        partitionColumns=list(m.get("partitionColumns") or []),
+        configuration=dict(m.get("configuration") or {}),
+        createdTime=m.get("createdTime"))
+
+
 def _latest_metadata(store, log_path: str) -> Metadata:
     """Latest Metadata action by reverse delta-file scan (A2 shape,
-    Spark-free). Checkpoint-only logs are not expected for streaming
-    tables whose recent deltas are retained."""
+    Spark-free), falling back to the checkpoint's metaData column for
+    logs whose early versions were cleaned (W8) — the Metadata may
+    survive only in the checkpoint."""
     names = [n for n in store.list_from(log_path) if fn.is_delta_file(n)]
     for name in sorted(names, reverse=True):
         for a in _read_version_actions(store, log_path,
                                        fn.delta_version(name)):
             if isinstance(a, Metadata):
                 return a
+    try:
+        seg = get_log_segment(store, log_path)
+    except (FileNotFoundError, ValueError):
+        seg = None
+    if seg is not None and seg.checkpoint_files:
+        import pyarrow.parquet as pq
+        for cf in seg.checkpoint_files:
+            if "metaData" not in pq.read_schema(cf).names:
+                continue
+            for row in pq.read_table(cf, columns=["metaData"]).to_pylist():
+                m = row.get("metaData")
+                if m and m.get("id"):
+                    return _meta_from_dict(m)
     raise DeltaError(f"no Metadata found in {log_path}")
+
+
+def _snapshot_adds(store, log_path: str,
+                   version: Optional[int] = None
+                   ) -> Tuple[int, List[AddFile]]:
+    """Active AddFiles at ``version`` (None = latest), replayed
+    Spark-free: checkpoint Parquet (pyarrow) + post-checkpoint delta
+    tail, last action per path wins (S3 semantics,
+    InMemoryLogReplay.scala:51-84). This is the ST4 initial-snapshot
+    planner — it works even when W8 cleanup deleted the early deltas,
+    because the state it needs lives in the checkpoint."""
+    seg = get_log_segment(store, log_path, version_to_load=version)
+    active: dict = {}
+    for cf in seg.checkpoint_files:
+        import pyarrow.parquet as pq
+        names = pq.read_schema(cf).names
+        cols = [c for c in ("add", "remove") if c in names]
+        for row in pq.read_table(cf, columns=cols).to_pylist():
+            a = row.get("add")
+            if a and a.get("path"):
+                active[a["path"]] = AddFile(
+                    path=a["path"],
+                    partitionValues=dict(a.get("partitionValues") or {}),
+                    size=a.get("size") or 0,
+                    modificationTime=a.get("modificationTime") or 0,
+                    dataChange=True, stats=a.get("stats"),
+                    tags=dict(a["tags"]) if a.get("tags") else None)
+            r = row.get("remove") if "remove" in row else None
+            if r and r.get("path"):
+                active.pop(r["path"], None)
+    for path in seg.deltas:
+        for line in store.read(path):
+            a = from_json_line(line)
+            if isinstance(a, AddFile):
+                active[a.path] = a
+            elif isinstance(a, RemoveFile):
+                active.pop(a.path, None)
+    return seg.version, list(active.values())
 
 
 class DeltaFilePartition(InputPartition):
@@ -99,13 +170,27 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
             # ST5: mutually exclusive (DeltaSourceOptions.java:63-112)
             raise DeltaError("startingVersion and startingTimestamp are "
                              "mutually exclusive")
+        self.snapshot_first = False
         if starting_ts is not None:
             self.start_after = self._version_at_or_after(starting_ts) - 1
-        elif str(starting or "0") == "latest":
+        elif starting is None:
+            # ST4 default (SnapshotAndChangesTableProcessor.java): first
+            # microbatch = the full snapshot at the CURRENT latest
+            # version, then tail from latest+1. Survives W8 log cleanup
+            # (the snapshot replays from the checkpoint) and never trips
+            # ST3 on historical metadata changes/deletes. Explicit
+            # startingVersion=0 restores full-history replay.
+            try:
+                latest, _ = _snapshot_adds(self.store, self.log_path)
+                self.snapshot_first = True
+                self.start_after = latest
+            except (FileNotFoundError, ValueError):
+                self.start_after = -1   # empty table: tail from v0
+        elif str(starting) == "latest":
             vs = _list_versions(self.store, self.log_path, -1)
             self.start_after = vs[-1] if vs else -1
         else:
-            self.start_after = int(starting or 0) - 1
+            self.start_after = int(starting) - 1
         meta = _latest_metadata(self.store, self.log_path)
         self.partition_columns = list(meta.partitionColumns)
         self.meta_schema_json = meta.schemaString
@@ -114,7 +199,6 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
         """ST5 start-position resolution by timestamp (epoch ms or ISO
         datetime; DeltaLog.getVersionAtOrAfterTimestamp,
         DeltaLogImpl.scala:148-172)."""
-        from ..log import history as hist
         try:
             ts_ms = int(ts_opt)
         except ValueError:
@@ -131,6 +215,11 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
     # ------------------------------------------------------------ offsets
 
     def initialOffset(self) -> dict:
+        if self.snapshot_first:
+            # "snap" marks the pending initial-snapshot batch; it differs
+            # from every later offset, so the engine plans the first
+            # microbatch even when no new commits exist yet.
+            return {"version": self.start_after, "snap": True}
         return {"version": self.start_after}
 
     def latestOffset(self) -> dict:
@@ -169,16 +258,33 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict
                    ) -> List[DeltaFilePartition]:
         out: List[DeltaFilePartition] = []
+        if start.get("snap"):
+            # ST4 initial snapshot: all active files at start["version"],
+            # attributed to that version. Recomputed from the PERSISTED
+            # offset (not reader state) so a checkpoint restart plans the
+            # identical batch.
+            v0 = start["version"]
+            _, adds = _snapshot_adds(self.store, self.log_path, v0)
+            for a in sorted(adds, key=lambda a: a.path):
+                out.append(DeltaFilePartition(self._fs_path(a.path), v0,
+                                              dict(a.partitionValues or {})))
         for v in _list_versions(self.store, self.log_path, start["version"]):
             if v > end["version"]:
                 break
             for a in self._validated_adds(v):
-                p = a.path
-                if "://" not in p and not p.startswith("/"):
-                    p = os.path.join(strip_scheme(self.table_path), p)
-                out.append(DeltaFilePartition(p, v,
+                out.append(DeltaFilePartition(self._fs_path(a.path), v,
                                               dict(a.partitionValues or {})))
         return out
+
+    def _fs_path(self, log_path_value: str) -> str:
+        """Log AddFile.path (URI-encoded, table-relative) → readable
+        filesystem path (decoded segments, absolute)."""
+        import urllib.parse
+        p = "/".join(urllib.parse.unquote(s)
+                     for s in log_path_value.split("/"))
+        if "://" not in p and not p.startswith("/"):
+            p = os.path.join(strip_scheme(self.table_path), p)
+        return p
 
     # ------------------------------------------------------------ reading
 
@@ -226,15 +332,8 @@ def register_stream_source(spark) -> None:
     the package's modules for pickle-by-value makes the source
     self-contained — no install required on workers.
     """
-    import sys
-
-    from pyspark import cloudpickle
-    for name, mod in list(sys.modules.items()):
-        if name.startswith("connectors_spark") and mod is not None:
-            try:
-                cloudpickle.register_pickle_by_value(mod)
-            except Exception:  # pragma: no cover - best effort
-                pass
+    from ..shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()
     spark.dataSource.register(DeltaStreamDataSource)
 
 

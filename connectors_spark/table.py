@@ -49,13 +49,24 @@ _log_cache: Dict[str, "DeltaLog"] = {}
 _log_cache_lock = threading.Lock()
 
 
+def _canonical_table_path(table_path: str) -> str:
+    """file:/local → absolute POSIX path; any other scheme stays a URI
+    (its registered LogStore owns path semantics)."""
+    if "://" in table_path and not table_path.startswith("file:"):
+        return table_path.rstrip("/")
+    return strip_scheme(os.path.abspath(strip_scheme(table_path))).rstrip("/")
+
+
 class DeltaLog:
     """One per table path per process (module-level cache, ≍ the reference's
     Guava caches: DeltaHelper.scala:117-136)."""
 
     def __init__(self, spark: SparkSession, table_path: str):
         self.spark = spark
-        self.table_path = strip_scheme(os.path.abspath(table_path)).rstrip("/")
+        # file:/local paths normalize to absolute POSIX form; other
+        # schemes (memory://, s3://...) keep their URI verbatim — their
+        # LogStore owns path semantics.
+        self.table_path = _canonical_table_path(table_path)
         self.log_path = os.path.join(self.table_path, "_delta_log")
         self.store: LogStore = default_log_store(self.table_path)
         self._snapshot: Optional[Snapshot] = None
@@ -65,7 +76,7 @@ class DeltaLog:
 
     @classmethod
     def for_table(cls, spark: SparkSession, table_path: str) -> "DeltaLog":
-        key = strip_scheme(os.path.abspath(table_path)).rstrip("/")
+        key = _canonical_table_path(table_path)
         with _log_cache_lock:
             log = _log_cache.get(key)
             if log is None or log.spark is not spark:
@@ -483,16 +494,33 @@ class DeltaTable:
     def merge(self, source: DataFrame, condition,
               when_matched_update: Optional[Dict[str, Any]] = None,
               when_matched_delete: bool = False,
-              when_not_matched_insert: bool = True) -> int:
+              when_not_matched_insert: bool = True,
+              predicate=None) -> int:
         """MERGE (upsert): find touched files with a semi-join, rewrite only
         those, insert unmatched source rows. ``condition`` is a SQL string
-        over ``t`` (target) and ``s`` (source) aliases."""
+        over ``t`` (target) and ``s`` (source) aliases.
+
+        ``predicate`` (optional, an ``expressions.Expression`` over
+        partition columns) narrows the merge's CONFLICT FOOTPRINT: the
+        target scan is pruned to matching files and the txn records the
+        predicate via ``mark_files_as_read`` instead of
+        ``read_whole_table`` (OptimisticTransactionImpl.scala:162-172),
+        so merges over disjoint partitions commit concurrently. The
+        caller must ensure the merge condition implies the predicate
+        (the standard Delta partition-scoped-merge contract) — target
+        rows outside it are invisible to this merge."""
         txn = self.log.start_transaction()
         snap = txn.snapshot
         if snap is None:
             raise FileNotFoundError("table does not exist")
-        txn.read_whole_table()
-        target = snap.to_df().alias("t")
+        if predicate is None:
+            txn.read_whole_table()
+            scoped_files = None         # whole table
+        else:
+            from .scan import DeltaScan
+            txn.mark_files_as_read(predicate)
+            scoped_files = DeltaScan(snap, predicate).files()
+        target = snap.to_df(files=scoped_files).alias("t")
         # Materialize the source once: it is referenced by three plans
         # (touched-file discovery, matched join, insert anti-join) and a
         # nondeterministic source (limit/sample/rand) would otherwise give
@@ -501,24 +529,24 @@ class DeltaTable:
         src = source.alias("s")
         cond = F.expr(condition) if isinstance(condition, str) else condition
 
-        # Touched files: data rows that join the source, traced back to files.
+        # Touched files: data rows that join the source, traced back to
+        # files. Only the TOUCHED subset of files_df ever reaches the
+        # driver (it becomes the commit's RemoveFile list) — the full
+        # file inventory stays a DataFrame end-to-end.
         meta = snap.metadata
-        all_files = snap.all_files()
-        cand_paths = [canonical_path(f.path, snap.table_path) for f in all_files]
-        with_file = (snap.to_df()
+        with_file = (snap.to_df(files=scoped_files)
                      .withColumn("__fn", F.input_file_name()))
-        from .log.snapshot import canonical_path_col
+        from .log.snapshot import addfiles_from_rows, canonical_path_col
         with_file = with_file.withColumn(
             "__file", canonical_path_col("__fn", snap.table_path)).drop("__fn")
         touched = (with_file.alias("t").join(src, cond, "inner")
                    .select("__file").distinct().collect())
         touched_paths = {r["__file"] for r in touched}
-        touched_adds = [f for f, p in zip(all_files, cand_paths)
-                        if p in touched_paths]
 
         files_subset = snap.files_df.where(
             F.col("path").isin(list(touched_paths)) if touched_paths
             else F.lit(False))
+        touched_adds = addfiles_from_rows(files_subset.collect())
         touched_df = snap.to_df(files=files_subset).alias("t")
 
         matched = touched_df.join(src, cond, "inner")

@@ -3,13 +3,22 @@ protocol.
 
 The distributed write is plain ``df.write.partitionBy(...).parquet`` into a
 hidden staging directory under the table root (so a publish is a same-
-filesystem rename, never a copy); the driver then moves each part file into
-place and builds ``AddFile`` actions with per-file stats
-(numRecords/min/max/nullCount from the Parquet footers -- the skipping
-input the reference carries opaquely in ``AddFile.stats``,
-actions.scala:116-117). Mirrors the reference's writer+commit split
-(Flink ``DeltaWriter``/``DeltaWriterBucket`` stage files,
-``DeltaGlobalCommitter`` commits; DeltaWriterBucket.java, S8).
+filesystem rename, never a copy). Publication is ALSO distributed: the
+staged file list (names only — no data I/O) fans out through
+``mapInPandas``, and each executor task reads its files' Parquet footers
+for stats (numRecords/min/max/nullCount — the skipping input the
+reference carries opaquely in ``AddFile.stats``, actions.scala:116-117),
+moves them into their final Hive-style location, and emits one metadata
+row. The driver collects ONLY the action list — O(files) rows of path +
+stats JSON, never file contents — so a million-file commit stays a
+million tiny rows, not a million driver-side footer reads. Mirrors the
+reference's writer+commit split (Flink ``DeltaWriter``/
+``DeltaWriterBucket`` stage files, ``DeltaGlobalCommitter`` commits;
+DeltaWriterBucket.java, S8).
+
+Task-retry safety: the per-file move is idempotent (a retried task that
+finds its source gone but the destination present treats the move as
+already done), so a lost executor cannot duplicate or orphan a file.
 """
 
 from __future__ import annotations
@@ -17,7 +26,6 @@ from __future__ import annotations
 import datetime as dt
 import json
 import os
-import shutil
 import urllib.parse
 import uuid
 from typing import Any, Dict, List, Optional, Tuple
@@ -102,12 +110,82 @@ def _parse_partition_dirs(rel_dir: str, partition_columns: List[str]
     return values
 
 
+def _publish_one(store, staging: str, table_path: str, rel_path: str,
+                 collect_stats: bool) -> Tuple[int, int, Optional[str]]:
+    """Extract stats from one staged file and move it into place (through
+    the LogStore's file-plane ops — never raw os calls, so an
+    object-store deployment swaps the store, not this code).
+    Idempotent: a task retry that finds src gone but dest present reuses
+    the already-published file. Returns (size, mtime_ms, stats_json)."""
+    src = os.path.join(staging, rel_path)
+    dest = os.path.join(table_path, rel_path)
+    stats = None
+    if store.exists(src):
+        if collect_stats:
+            stats, _n = file_stats_json(src)
+        store.rename(src, dest)
+    elif not store.exists(dest):
+        raise FileNotFoundError(f"staged file vanished: {src}")
+    elif collect_stats:
+        stats, _n = file_stats_json(dest)
+    size, mtime = store.stat(dest)
+    return size, mtime, stats
+
+
+def publish_plan(spark, staging: str, table_path: str,
+                 rel_paths: List[str], collect_stats: bool,
+                 store=None) -> DataFrame:
+    """DataFrame plan that publishes the staged files distributedly: one
+    ``mapInPandas`` stage where each task footer-reads + moves its slice
+    and emits (rel_path, size, mtime, stats) — the commit's action list.
+    Exposed separately so tests can pin that it IS a distributed job.
+    ``store`` (a stateless LogStore, pickled into the closure) performs
+    the move/stat on executors."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .log.logstore import default_log_store
+    from .shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()   # workers may not have the pkg installed
+    if store is None:
+        store = default_log_store(table_path)
+
+    out_schema = T.StructType([
+        T.StructField("rel_path", T.StringType()),
+        T.StructField("size", T.LongType()),
+        T.StructField("mtime", T.LongType()),
+        T.StructField("stats", T.StringType()),
+    ])
+
+    def _publish(batches):
+        for pdf in batches:
+            rows = {"rel_path": [], "size": [], "mtime": [], "stats": []}
+            for rel in pdf["rel_path"]:
+                size, mtime, stats = _publish_one(
+                    store, staging, table_path, rel, collect_stats)
+                rows["rel_path"].append(rel)
+                rows["size"].append(size)
+                rows["mtime"].append(mtime)
+                rows["stats"].append(stats)
+            yield pd.DataFrame(rows)
+
+    n_parts = min(len(rel_paths),
+                  spark.sparkContext.defaultParallelism) or 1
+    src = spark.createDataFrame([(p,) for p in rel_paths],
+                                "rel_path string").repartition(n_parts)
+    return src.mapInPandas(_publish, out_schema)
+
+
 def stage_and_collect(df: DataFrame, table_path: str,
                       partition_by: Optional[List[str]] = None,
                       data_change: bool = True,
                       collect_stats: bool = True) -> List[AddFile]:
     """Write ``df`` as Parquet under ``table_path`` and return the AddFile
-    actions to commit. Files land in their final Hive-style layout."""
+    actions to commit. Files land in their final Hive-style layout.
+
+    The staged-file LISTING is a names-only walk (no data I/O); footer
+    reads and moves run on executors via ``publish_plan``. Only the
+    resulting action rows come back to the driver."""
     partition_by = partition_by or []
     staging = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
@@ -115,36 +193,32 @@ def stage_and_collect(df: DataFrame, table_path: str,
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
 
+    from .log.logstore import default_log_store
+    store = default_log_store(table_path)
     adds: List[AddFile] = []
     try:
-        for root, _dirs, files in os.walk(staging):
-            for name in files:
-                if not name.endswith(".parquet"):
-                    continue
-                src = os.path.join(root, name)
-                rel_dir = os.path.relpath(root, staging)
-                rel_dir = "" if rel_dir == "." else rel_dir
-                pv = _parse_partition_dirs(rel_dir, partition_by)
-                dest_dir = os.path.join(table_path, rel_dir) if rel_dir \
-                    else table_path
-                os.makedirs(dest_dir, exist_ok=True)
-                dest = os.path.join(dest_dir, name)
-                stats = None
-                if collect_stats:
-                    stats, _n = file_stats_json(src)
-                os.rename(src, dest)
-                st = os.stat(dest)
-                rel_path = os.path.join(rel_dir, name) if rel_dir else name
-                adds.append(AddFile(
-                    path="/".join(urllib.parse.quote(s)
-                                  for s in rel_path.split("/")),
-                    partitionValues=pv,
-                    size=st.st_size,
-                    modificationTime=int(st.st_mtime * 1000),
-                    dataChange=data_change,
-                    stats=stats))
+        rel_paths = [p for p in store.list_files_recursive(staging)
+                     if p.endswith(".parquet")]
+        if not rel_paths:
+            return []
+        pub = publish_plan(df.sparkSession, staging, table_path,
+                           rel_paths, collect_stats, store=store).collect()
+        for r in pub:
+            rel_path = r["rel_path"]
+            rel_dir = os.path.dirname(rel_path)
+            pv = _parse_partition_dirs(rel_dir, partition_by)
+            adds.append(AddFile(
+                path="/".join(urllib.parse.quote(s)
+                              for s in rel_path.split("/")),
+                partitionValues=pv,
+                size=r["size"],
+                modificationTime=r["mtime"],
+                dataChange=data_change,
+                stats=r["stats"]))
     finally:
-        shutil.rmtree(staging, ignore_errors=True)
+        store.remove_tree(staging)
+    # collect() order is partition-arbitrary; sort for reproducible logs.
+    adds.sort(key=lambda a: a.path)
     return adds
 
 
@@ -159,23 +233,24 @@ def stage_cdc_and_collect(df: DataFrame, table_path: str) -> List[AddCDCFile]:
     with partition columns as ordinary data columns: change batches are
     small relative to the table and a per-version scan never prunes them.
     """
+    from .log.logstore import default_log_store
+    store = default_log_store(table_path)
     staging = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     dest_dir = os.path.join(table_path, CDC_DIR)
-    os.makedirs(dest_dir, exist_ok=True)
     cdcs: List[AddCDCFile] = []
     try:
-        for name in os.listdir(staging):
+        for name in store.list_dir(staging):
             if not name.endswith(".parquet"):
                 continue
             src = os.path.join(staging, name)
             dest = os.path.join(dest_dir, f"cdc-{uuid.uuid4().hex}-{name}")
-            os.rename(src, dest)
-            st = os.stat(dest)
+            store.rename(src, dest)
+            size, _mtime = store.stat(dest)
             rel = os.path.relpath(dest, table_path)
             cdcs.append(AddCDCFile(
                 path="/".join(urllib.parse.quote(s) for s in rel.split("/")),
-                partitionValues={}, size=st.st_size))
+                partitionValues={}, size=size))
     finally:
-        shutil.rmtree(staging, ignore_errors=True)
+        store.remove_tree(staging)
     return cdcs

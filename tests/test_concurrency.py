@@ -172,3 +172,103 @@ def test_parallel_append_thread_race_loses_nothing(spark, tmp_path):
     snap = t.log.update()
     assert snap.version == 8            # 8 commits after version 0
     assert t.to_df().count() == 90      # 10 initial + 8 × 10, none lost
+
+
+def test_disjoint_partition_merges_both_commit(spark, tmp_path):
+    """Two merges scoped (via ``predicate``) to disjoint partitions must
+    BOTH commit: the txn records the partition predicate instead of a
+    whole-table read, so the loser's conflict check sees only
+    non-overlapping adds/removes and retries successfully. A barrier in
+    the staging step guarantees both txns start before either commits —
+    a real overlap, not a lucky serialization."""
+    import threading
+
+    import connectors_spark.table as table_mod
+
+    t, orders = _partitioned_table(spark, tmp_path / "mrg")
+    n_f = t.to_df().where("o_orderstatus = 'F'").count()
+    n_o = t.to_df().where("o_orderstatus = 'O'").count()
+
+    barrier = threading.Barrier(2, timeout=120)
+    orig_stage = table_mod.stage_and_collect
+
+    def staged_with_barrier(df, *a, **kw):
+        barrier.wait()
+        return orig_stage(df, *a, **kw)
+
+    def run_merge(status, errors):
+        try:
+            src = (orders.where(f"o_orderstatus = '{status}'").limit(5)
+                   .select("o_orderkey", "o_orderstatus")
+                   .withColumn("new_price", F.lit(1.5)))
+            DeltaTable.for_path(spark, str(tmp_path / "mrg")).merge(
+                src,
+                "t.o_orderkey = s.o_orderkey AND "
+                f"t.o_orderstatus = '{status}'",
+                when_matched_update={"o_totalprice": "s.new_price"},
+                when_not_matched_insert=False,
+                predicate=(Col("o_orderstatus") == status))
+        except Exception as e:          # noqa: BLE001
+            errors.append((status, e))
+
+    table_mod.stage_and_collect = staged_with_barrier
+    try:
+        errors: list = []
+        th1 = threading.Thread(target=run_merge, args=("F", errors))
+        th2 = threading.Thread(target=run_merge, args=("O", errors))
+        th1.start(); th2.start()
+        th1.join(180); th2.join(180)
+    finally:
+        table_mod.stage_and_collect = orig_stage
+    assert not errors, errors
+    snap = t.log.update()
+    assert snap.version == 2            # v0 write + both merges landed
+    df = t.to_df()
+    # rows preserved, 5 per partition rewritten
+    assert df.where("o_orderstatus = 'F'").count() == n_f
+    assert df.where("o_orderstatus = 'O'").count() == n_o
+    assert df.where("o_totalprice = 1.5").count() == 10
+
+
+def test_overlapping_merges_conflict_without_predicate(spark, tmp_path):
+    """Same overlap WITHOUT the predicate: merge records a whole-table
+    read, so the loser must abort with ConcurrentAppendException — the
+    narrowing above is what enables disjoint concurrency, not a
+    loosened conflict check."""
+    import threading
+
+    import connectors_spark.table as table_mod
+
+    t, orders = _partitioned_table(spark, tmp_path / "mrgc")
+    barrier = threading.Barrier(2, timeout=120)
+    orig_stage = table_mod.stage_and_collect
+
+    def staged_with_barrier(df, *a, **kw):
+        barrier.wait()
+        return orig_stage(df, *a, **kw)
+
+    def run_merge(status, errors):
+        try:
+            src = (orders.where(f"o_orderstatus = '{status}'").limit(5)
+                   .select("o_orderkey", "o_orderstatus")
+                   .withColumn("new_price", F.lit(1.5)))
+            DeltaTable.for_path(spark, str(tmp_path / "mrgc")).merge(
+                src,
+                "t.o_orderkey = s.o_orderkey AND "
+                f"t.o_orderstatus = '{status}'",
+                when_matched_update={"o_totalprice": "s.new_price"},
+                when_not_matched_insert=False)
+        except Exception as e:          # noqa: BLE001
+            errors.append((status, e))
+
+    table_mod.stage_and_collect = staged_with_barrier
+    try:
+        errors: list = []
+        th1 = threading.Thread(target=run_merge, args=("F", errors))
+        th2 = threading.Thread(target=run_merge, args=("O", errors))
+        th1.start(); th2.start()
+        th1.join(180); th2.join(180)
+    finally:
+        table_mod.stage_and_collect = orig_stage
+    assert len(errors) == 1, errors
+    assert isinstance(errors[0][1], ConcurrentAppendException), errors

@@ -143,3 +143,36 @@ def test_repetition_partial_aggregation(plans):
     p = plans("doc_repetition_stats")
     assert "partial_count" in p or "HashAggregate" in p
     assert "CartesianProduct" not in p
+
+
+def test_commit_publish_is_distributed(spark, tmp_path):
+    """The commit path's footer-stats extraction + file moves must run as
+    a Spark job (mapInPandas over the staged file list), never a
+    driver-side per-file loop — the difference between a constant-time
+    and an O(files) serial commit at fleet scale."""
+    from connectors_spark.writer import publish_plan, stage_and_collect
+
+    df = spark.range(0, 1000).selectExpr(
+        "id", "id % 7 as grp", "cast(id as double) as val")
+    table_path = str(tmp_path / "tbl")
+    staging = str(tmp_path / "staging")
+    df.repartition(4).write.parquet(staging)
+    import os
+    rels = [n for n in os.listdir(staging) if n.endswith(".parquet")]
+    os.makedirs(table_path, exist_ok=True)
+    pub = publish_plan(spark, staging, table_path, rels, collect_stats=True)
+    assert "MapInPandas" in plan_of(pub)
+
+    rows = pub.collect()
+    assert len(rows) == len(rels)
+    for r in rows:
+        assert r["size"] > 0
+        assert '"numRecords"' in r["stats"]
+        assert os.path.exists(os.path.join(table_path, r["rel_path"]))
+        assert not os.path.exists(os.path.join(staging, r["rel_path"]))
+
+    # end-to-end: stage_and_collect returns stat-bearing AddFiles
+    import json as _json
+    adds = stage_and_collect(df, str(tmp_path / "tbl2"), ["grp"])
+    assert sum(_json.loads(a.stats)["numRecords"] for a in adds) == 1000
+    assert all(a.partitionValues.get("grp") is not None for a in adds)

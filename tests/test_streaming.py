@@ -29,10 +29,13 @@ def _register(spark):
 
 
 def test_source_reads_all_versions(spark, tmp_path):
+    # explicit startingVersion=0 = full-history replay (the ST4 default
+    # is snapshot-first; see test_default_start_snapshot_then_tail)
     src = tmp_path / "src"
     _mk_table(spark, src, versions=3)
     q = (spark.readStream.format("delta_stream")
-         .option("path", str(src)).load()
+         .option("path", str(src))
+         .option("startingVersion", "0").load()
          .writeStream.format("memory").queryName("t_all")
          .option("checkpointLocation", str(tmp_path / "ck"))
          .trigger(availableNow=True).start())
@@ -268,3 +271,55 @@ def test_source_offset_recovery_across_restart(spark, tmp_path):
     rows = [r["id"] for r in spark.read.parquet(out).collect()]
     assert len(rows) == 150                 # no redelivery
     assert sorted(rows) == list(range(150))
+
+
+def test_default_start_snapshot_then_tail(spark, tmp_path):
+    """ST4 (SnapshotAndChangesTableProcessor.java): with no
+    startingVersion, the first microbatch is the CURRENT snapshot and
+    the stream tails from there. Exercised against a table whose early
+    log files were deleted by W8 cleanup AND whose history contains a
+    delete — full-history replay would hit FileNotFound on version 0
+    and trip ST3 on the delete; the snapshot path must not care."""
+    src = tmp_path / "src"
+    t = DeltaTable.for_path(spark, str(src))
+    cfg = {"delta.checkpointInterval": "2",
+           "delta.logRetentionDuration": "interval 0 seconds"}
+    for v in range(4):                       # versions 0..3
+        df = (spark.range(v * 5, (v + 1) * 5)
+              .select(F.col("id"), (F.col("id") * 10).alias("val")))
+        t.write(df.coalesce(1), mode="append", configuration=cfg)
+    from connectors_spark.expressions import Col, Lit
+    t.delete(Col("id") < Lit(5))             # version 4: a delete
+    df = (spark.range(100, 105)
+          .select(F.col("id"), (F.col("id") * 10).alias("val")))
+    t.write(df.coalesce(1), mode="append")   # version 5
+    import os
+    names = os.listdir(os.path.join(str(src), "_delta_log"))
+    assert "00000000000000000000.json" not in names  # history really gone
+
+    q = (spark.readStream.format("delta_stream")
+         .option("path", str(src)).load()
+         .writeStream.format("memory").queryName("t_snap")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from t_snap").collect()
+    expect = sorted(r.id for r in t.to_df().collect())
+    assert sorted(r.id for r in rows) == expect
+    assert {r._commit_version for r in rows} == {5}   # snapshot @ latest
+
+    # tail: a new commit resumes from the persisted offset — only the
+    # new version's rows, no snapshot replay
+    df = (spark.range(200, 203)
+          .select(F.col("id"), (F.col("id") * 10).alias("val")))
+    t.write(df.coalesce(1), mode="append")   # version 6
+    got: list = []
+    q2 = (spark.readStream.format("delta_stream")
+          .option("path", str(src)).load()
+          .writeStream.foreachBatch(
+              lambda df, _bid: got.extend(df.collect()))
+          .option("checkpointLocation", str(tmp_path / "ck"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    assert sorted(r.id for r in got) == [200, 201, 202]
+    assert {r._commit_version for r in got} == {6}
