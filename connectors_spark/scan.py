@@ -87,6 +87,10 @@ class DeltaScan:
 
         conds = []
         for c in split_conjuncts(self.residual):
+            null_keep = self._null_check_keep(c, data_fields)
+            if null_keep is not None:
+                conds.append(null_keep)
+                continue
             in_keep = self._in_list_keep(c, data_fields, stat)
             if in_keep is not None:
                 conds.append(in_keep)
@@ -117,6 +121,30 @@ class DeltaScan:
         for c in conds[1:]:
             out = out & c
         return out
+
+    def _null_check_keep(self, c, data_fields):
+        """Keep-file condition for ``col IS [NOT] NULL`` conjuncts from
+        the already-collected ``nullCount`` / ``numRecords`` stats:
+        IS NULL keeps a file only if it has >0 nulls; IS NOT NULL only
+        if it has at least one non-null row. Missing stats keep the
+        file (never skip on missing evidence). Returns None when the
+        conjunct isn't a null check on a stats-able data column."""
+        from .expressions import IsNotNull, IsNull
+        if not isinstance(c, (IsNull, IsNotNull)) or \
+                not isinstance(c.child, Col):
+            return None
+        col = c.child.name
+        if col not in data_fields:
+            return None
+        nulls = F.get_json_object(
+            F.col("stats"), f"$.nullCount.{col}").cast("long")
+        nrec = F.get_json_object(
+            F.col("stats"), "$.numRecords").cast("long")
+        if isinstance(c, IsNull):
+            keep = nulls > 0
+        else:
+            keep = nulls < nrec
+        return F.coalesce(keep, F.lit(True))
 
     _IN_SKIP_MAX_VALUES = 64
 

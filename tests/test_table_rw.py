@@ -69,3 +69,38 @@ def test_time_travel(spark, tmp_path):
     assert [h["version"] for h in hist] == [1, 0]
     with pytest.raises(Exception):
         t.to_df(version=5)
+
+
+def test_null_stats_file_skipping(spark, tmp_path):
+    """IS NULL / IS NOT NULL prune files via the collected nullCount /
+    numRecords stats: an all-non-null file is skipped by IS NULL, an
+    all-null file by IS NOT NULL; results stay exact."""
+    from pyspark.sql import functions as F
+
+    from connectors_spark.expressions import Col, IsNotNull, IsNull
+    from connectors_spark.scan import DeltaScan
+
+    path = str(tmp_path / "t")
+    t = DeltaTable.for_path(spark, path)
+    no_nulls = spark.range(0, 10).select(
+        F.col("id"), F.col("id").cast("string").alias("v"))
+    all_nulls = spark.range(10, 20).select(
+        F.col("id"), F.lit(None).cast("string").alias("v"))
+    mixed = spark.range(20, 30).select(
+        F.col("id"), F.when(F.col("id") % 2 == 0,
+                            F.col("id").cast("string")).alias("v"))
+    t.write(no_nulls.coalesce(1))
+    t.write(all_nulls.coalesce(1), mode="append")
+    t.write(mixed.coalesce(1), mode="append")
+    snap = t.snapshot()
+    assert snap.files_df.count() == 3
+
+    is_null = DeltaScan(snap, IsNull(Col("v")))
+    assert is_null.files().count() == 2          # no_nulls file skipped
+    assert sorted(r.id for r in is_null.to_df().collect()) == \
+        list(range(10, 20)) + [21, 23, 25, 27, 29]
+
+    not_null = DeltaScan(snap, IsNotNull(Col("v")))
+    assert not_null.files().count() == 2         # all_nulls file skipped
+    assert sorted(r.id for r in not_null.to_df().collect()) == \
+        list(range(0, 10)) + [20, 22, 24, 26, 28]
