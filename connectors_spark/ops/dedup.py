@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (fingerprint, hash64, kgram_hashes,
@@ -468,3 +468,77 @@ def contamination_report(train: DataFrame, eval_df: DataFrame, n: int = 3,
     return (hits.groupBy("doc_id")
             .agg(F.countDistinct("g").alias("n_shared_ngrams"),
                  F.countDistinct("_eval_id").alias("n_eval_docs")))
+
+
+# --------------------------------------------------------------------------
+# Corpus-composition capping and incremental (cross-batch) dedup
+# --------------------------------------------------------------------------
+
+def cap_per_group(df: DataFrame, group_col: str = "source",
+                  cap: int = 10, id_col: str = "doc_id",
+                  rank_col: str = "n_chars") -> DataFrame:
+    """Keep at most ``cap`` documents per group (domain/source), ranked by
+    (``rank_col`` DESC, ``id_col`` ASC) — the standard corpus-composition
+    guard against any single domain dominating training data.
+
+    One window over a shuffle keyed by the group column. At 100 TB the
+    shuffle carries only (group, rank, id) after column pruning; a
+    pathological mega-domain still bounds its partition at the domain's
+    row count — for those, pre-aggregate a per-partition local top-cap
+    first (same trick as similarity.cosine_topk) before the window.
+    Reference parity: none — §7 extension.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(rank_col), F.asc(id_col))
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= cap)
+            .drop("_rk"))
+
+
+def build_fingerprint_index(docs: DataFrame, index_path: str,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            mode: str = "overwrite") -> int:
+    """Materialize a persistent exact-dedup index: one row per distinct
+    content fingerprint with the first-seen doc id, stored as a Delta
+    table. The index is what makes dedup INCREMENTAL: later ingests
+    anti-join against it instead of re-scanning the historical corpus.
+    Returns the committed version."""
+    from ..table import DeltaTable
+    fps = (with_fingerprint(docs, text_col)
+           .groupBy("fp").agg(F.min(id_col).alias("first_" + id_col)))
+    t = DeltaTable.for_path(docs.sparkSession, index_path)
+    return t.write(fps, mode=mode)
+
+
+def ingest_dedup(new_docs: DataFrame, index_path: str,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 update_index: bool = True) -> DataFrame:
+    """Incremental exact dedup for a streaming/batched ingestion
+    pipeline: accept only documents whose content fingerprint is BOTH
+    unseen in the persistent index AND first (min id) within this batch,
+    then append the accepted fingerprints to the index so the next batch
+    dedups against them.
+
+    Plan shape: one hash aggregation for the in-batch keep-first, one
+    anti-join against the index scan on the md5 fingerprint (uniform
+    keys — no skew at any scale; Spark broadcasts the smaller side when
+    it fits, hash-shuffles otherwise). The historical corpus is never
+    re-read — the index is O(distinct contents) and itself a Delta
+    table, so the whole loop is transactional.
+    Reference parity: none — §7 extension.
+    """
+    from ..table import DeltaTable
+    spark = new_docs.sparkSession
+    fp_docs = with_fingerprint(new_docs, text_col)
+    first = (fp_docs.groupBy("fp").agg(F.min(id_col).alias("_first_id")))
+    in_batch = (fp_docs.join(first, "fp")
+                .where(F.col(id_col) == F.col("_first_id"))
+                .drop("_first_id"))
+    index = DeltaTable.for_path(spark, index_path).to_df()
+    accepted = in_batch.join(index.select("fp"), "fp", "left_anti")
+    if update_index:
+        new_fps = accepted.select(
+            "fp", F.col(id_col).alias("first_" + id_col))
+        DeltaTable.for_path(spark, index_path).write(new_fps, mode="append")
+    return accepted.drop("fp")

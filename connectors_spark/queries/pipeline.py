@@ -481,6 +481,50 @@ def doc_bm25(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Corpus composition: per-domain capping + incremental cross-batch dedup
+# --------------------------------------------------------------------------
+
+@register("doc_domain_cap", sql="""
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents) WHERE rk <= 10
+""")
+def doc_domain_cap(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return dd.cap_per_group(docs, group_col="source", cap=10) \
+        .select("doc_id", "source", "n_chars")
+
+
+@register("doc_incremental_ingest", sql=r"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f
+  FROM documents),
+b1 AS (SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 0),
+firsts AS (SELECT f, min(doc_id) AS first_id FROM fp GROUP BY 1)
+SELECT p.doc_id, p.source
+FROM fp p JOIN firsts fi ON fi.f = p.f AND fi.first_id = p.doc_id
+WHERE p.f NOT IN (SELECT f FROM b1)
+""")
+def doc_incremental(spark, sf_dir):
+    """Two-batch ingestion: batch 1 (even doc_ids) seeds the persistent
+    fingerprint index (a Delta table, rebuilt each call so the query is
+    idempotent); batch 2 (the full corpus) ingests against it — accepted
+    docs are those unseen in batch 1 and first-of-fingerprint in
+    batch 2. Exercises the whole incremental-dedup loop including the
+    transactional index append."""
+    import hashlib
+    import tempfile
+    docs = load(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/connectors_spark_fp_index_{tag}"
+    dd.build_fingerprint_index(docs.where(F.col("doc_id") % 2 == 0), path)
+    return dd.ingest_dedup(docs, path).select("doc_id", "source")
+
+
+# --------------------------------------------------------------------------
 # Multimodal: fake decode via Arrow-batched mapInPandas
 # --------------------------------------------------------------------------
 

@@ -162,6 +162,8 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
                                               "false")).lower() == "true"
         self.ignore_changes = str(options.get("ignorechanges",
                                               "false")).lower() == "true"
+        self.fail_on_data_loss = str(options.get("failondataloss",
+                                                 "true")).lower() == "true"
         self.max_versions = int(options.get("maxversionsperbatch", "0")) or None
         self.schema_json = schema.json()
         starting = options.get("startingversion")
@@ -268,9 +270,19 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
             for a in sorted(adds, key=lambda a: a.path):
                 out.append(DeltaFilePartition(self._fs_path(a.path), v0,
                                               dict(a.partitionValues or {})))
+        prev = start["version"]
         for v in _list_versions(self.store, self.log_path, start["version"]):
             if v > end["version"]:
                 break
+            if v != prev + 1 and self.fail_on_data_loss:
+                # ST1 gap detection (DeltaLogImpl.getChanges
+                # failOnDataLoss, DeltaLogImpl.scala:106-130): versions
+                # (prev, v) were cleaned before we streamed them.
+                raise DeltaError(
+                    f"versions {prev + 1}..{v - 1} are missing from the "
+                    f"log (expired cleanup?); set failOnDataLoss=false "
+                    f"to continue from version {v}")
+            prev = v
             for a in self._validated_adds(v):
                 out.append(DeltaFilePartition(self._fs_path(a.path), v,
                                               dict(a.partitionValues or {})))

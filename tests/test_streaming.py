@@ -323,3 +323,33 @@ def test_default_start_snapshot_then_tail(spark, tmp_path):
     q2.awaitTermination(120)
     assert sorted(r.id for r in got) == [200, 201, 202]
     assert {r._commit_version for r in got} == {6}
+
+
+def test_fail_on_data_loss_gap_detection(spark, tmp_path):
+    """ST1 failOnDataLoss (DeltaLogImpl.getChanges): a version gap from
+    expired-log cleanup raises mid-tail unless failOnDataLoss=false,
+    which resumes at the first surviving version."""
+    from pyspark.sql.types import StructType
+
+    src = tmp_path / "src"
+    t = DeltaTable.for_path(spark, str(src))
+    cfg = {"delta.checkpointInterval": "3",
+           "delta.logRetentionDuration": "interval 0 seconds"}
+    for v in range(4):                       # versions 0..3; 0..2 cleaned
+        df = (spark.range(v * 5, (v + 1) * 5)
+              .select(F.col("id"), (F.col("id") * 10).alias("val")))
+        t.write(df.coalesce(1), mode="append", configuration=cfg)
+    import os
+    names = os.listdir(os.path.join(str(src), "_delta_log"))
+    assert "00000000000000000000.json" not in names
+
+    reader = DeltaVersionStreamReader(
+        StructType(), {"path": str(src), "startingversion": "0"})
+    with pytest.raises(DeltaError, match="missing from the log"):
+        reader.partitions({"version": -1}, {"version": 3})
+
+    reader2 = DeltaVersionStreamReader(
+        StructType(), {"path": str(src), "startingversion": "0",
+                       "failondataloss": "false"})
+    parts = reader2.partitions({"version": -1}, {"version": 3})
+    assert {p.version for p in parts} == {3}     # surviving tail only
