@@ -125,6 +125,9 @@ class LogStore:
             out.extend(os.path.join(rel, f) if rel else f for f in files)
         return sorted(out)
 
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
     def stat(self, path: str) -> Tuple[int, int]:
         """(size_bytes, mtime_ms)."""
         st = os.stat(path)
@@ -212,6 +215,11 @@ class InMemoryLogStore(LogStore):
         with self._lock:
             return sorted(p[len(prefix):]
                           for p in self._files if p.startswith(prefix))
+
+    def is_dir(self, path: str) -> bool:
+        prefix = path.rstrip("/") + "/"
+        with self._lock:
+            return any(p.startswith(prefix) for p in self._files)
 
     def remove_tree(self, dir_path: str) -> None:
         prefix = dir_path.rstrip("/") + "/"

@@ -827,10 +827,14 @@ class TableMaintenance:
         if snap is None:
             raise FileNotFoundError("table does not exist")
         pcols = snap.metadata.partitionColumns
+        # Pre-filter candidates IN the DataFrame: only bin-packable
+        # files (or, for Z-order, the full rewrite set — inherent) are
+        # collected; a mostly-compacted table collects near-nothing.
+        from .log.snapshot import addfiles_from_rows
+        cand_df = snap.files_df if zorder_by is not None \
+            else snap.files_df.where(F.col("size") < target_file_size)
         groups: Dict[Tuple, List[Any]] = {}
-        for f in snap.all_files():
-            if zorder_by is None and f.size >= target_file_size:
-                continue
+        for f in addfiles_from_rows(cand_df.collect()):
             key = tuple((c, (f.partitionValues or {}).get(c)) for c in pcols)
             groups.setdefault(key, []).append(f)
         victims: List[Any] = []
@@ -946,6 +950,8 @@ class TableMaintenance:
         DeltaConfig.scala:219-225). Returns deleted (or would-delete)
         paths relative to the table root."""
         t = self.table
+        spark = t.log.spark
+        store = t.log.store
         snap = t.log.update() or t.snapshot()
         if retention_ms is None:
             retention_ms = TableConfig(
@@ -953,31 +959,91 @@ class TableMaintenance:
         horizon = int(time.time() * 1000) - retention_ms
         root = t.path
         local_root = root[len("file:"):] if root.startswith("file:") else root
+
+        # Distributed reclaim (the reference-Spark VACUUM shape): the
+        # table subtree is LISTED in parallel (one task per top-level
+        # child — the partition-dir fan-out), candidates anti-join the
+        # active file inventory as DataFrames (never a driver-side set
+        # of all files), and deletes run on executors. The driver holds
+        # only the doomed list — the report the API returns.
+        import pandas as pd
+        from .log.snapshot import canonical_path_col
+        from .shipping import ensure_shipped_by_value
+        ensure_shipped_by_value()
+
+        # every child subtree except the log itself — _change_data /
+        # _deletion_vectors / stale _staging dirs hold reclaimable files
+        seeds = [""] + [n for n in store.list_dir(local_root)
+                        if n != "_delta_log" and not n.startswith(".")
+                        and store.is_dir(os.path.join(local_root, n))]
+
+        def list_subtree(batches):
+            for pdf in batches:
+                rels, mts = [], []
+                for seed in pdf["seed"]:
+                    if seed == "":
+                        for n in store.list_dir(local_root):
+                            full = os.path.join(local_root, n)
+                            if n.startswith(("_", ".")) or store.is_dir(full):
+                                continue
+                            _sz, mt = store.stat(full)
+                            rels.append(n)
+                            mts.append(mt)
+                    else:
+                        base = os.path.join(local_root, seed)
+                        for rel in store.list_files_recursive(base):
+                            if os.path.basename(rel).startswith(("_", ".")):
+                                continue
+                            _sz, mt = store.stat(os.path.join(base, rel))
+                            rels.append(os.path.join(seed, rel))
+                            mts.append(mt)
+                yield pd.DataFrame({"rel": rels, "mtime": mts})
+
+        n_seed_parts = min(len(seeds),
+                           spark.sparkContext.defaultParallelism) or 1
+        listing = (spark.createDataFrame([(s,) for s in seeds],
+                                         "seed string")
+                   .repartition(n_seed_parts)
+                   .mapInPandas(list_subtree, "rel string, mtime long"))
+
+        # active files ∪ referenced deletion-vector sidecars, canonical
         from .dv import DV_TAG
-        active = set()
-        for f in snap.all_files():
-            active.add(_canonical(f.path, snap.table_path))
-            # a sidecar named by an active file's deletion-vector tag is
-            # load-bearing for reads — never reclaimable while referenced
-            if (f.tags or {}).get(DV_TAG):
-                active.add(_canonical(f.tags[DV_TAG], snap.table_path))
-        doomed: List[str] = []
-        for dirpath, _dirs, files in os.walk(local_root):
-            if "_delta_log" in dirpath:
-                continue
-            for name in files:
-                if name.startswith(("_", ".")):
-                    continue
-                full = os.path.join(dirpath, name)
-                if _canonical(full, snap.table_path) in active:
-                    continue
-                if os.path.getmtime(full) * 1000 > horizon:
-                    continue
-                doomed.append(os.path.relpath(full, local_root))
-        if not dry_run:
-            for rel in doomed:
-                os.remove(os.path.join(local_root, rel))
-            # prune now-empty partition dirs
+        active = snap.files_df.select(F.col("path").alias("__p"))
+        dv = (snap.files_df
+              .select(F.col("tags").getItem(DV_TAG).alias("__t"))
+              .where(F.col("__t").isNotNull())
+              .select(canonical_path_col("__t", snap.table_path)
+                      .alias("__p")))
+        active = active.unionByName(dv).distinct()
+
+        cand = (listing
+                .withColumn("__p", F.concat(F.lit(local_root + "/"),
+                                            F.col("rel")))
+                .where(F.col("mtime") <= F.lit(horizon))
+                .join(F.broadcast(active), "__p", "left_anti"))
+        # NOTE: active is broadcast when it fits (typical — it is the
+        # file inventory, not the data); for tables past the broadcast
+        # threshold Spark falls back to a shuffled anti-join on its own
+        # if the hint is dropped. Both sides are metadata-sized.
+
+        if dry_run:
+            doomed = [r["rel"] for r in cand.select("rel").collect()]
+        else:
+            def delete_files(batches):
+                for pdf in batches:
+                    done = []
+                    for rel in pdf["rel"]:
+                        try:
+                            store.delete(os.path.join(local_root, rel))
+                        except FileNotFoundError:
+                            pass      # task retry: already deleted
+                        done.append(rel)
+                    yield pd.DataFrame({"rel": done})
+
+            doomed = [r["rel"] for r in
+                      cand.select("rel").mapInPandas(
+                          delete_files, "rel string").collect()]
+            # prune now-empty partition dirs (bounded by dir count)
             for dirpath, dirs, files in os.walk(local_root, topdown=False):
                 if "_delta_log" in dirpath or dirpath == local_root:
                     continue
