@@ -274,3 +274,90 @@ def test_log_without_metadata_raises(spark, tmp_path):
     t = DeltaTable.for_path(spark, str(d))
     with pytest.raises((DeltaError, ValueError)):
         t.snapshot().metadata
+
+
+def test_corrupted_last_checkpoint_recovers(spark, tmp_path):
+    """Golden ``corrupted-last-checkpoint``: a corrupt (or partially
+    written) _last_checkpoint hint is non-fatal — the reader falls back
+    to a full listing and the table stays completely readable
+    (Checkpoints.scala:140-151)."""
+    import os
+
+    path = str(tmp_path / "t")
+    t = DeltaTable.for_path(spark, path)
+    cfg = {"delta.checkpointInterval": "3"}
+    for i in range(5):
+        t.write(spark.range(i * 10, (i + 1) * 10).toDF("id"),
+                mode="append", configuration=cfg)
+    lc = os.path.join(path, "_delta_log", "_last_checkpoint")
+    assert os.path.exists(lc)
+    with open(lc, "w") as f:
+        f.write("{not json at all")
+    t2 = DeltaTable.for_path(spark, path)
+    t2.log._snapshot = None            # force re-list past any cache
+    assert t2.to_df().count() == 50
+    assert t2.snapshot().version == 4
+
+
+def test_invalid_protocol_version_raises(spark, tmp_path):
+    """Golden ``deltalog-invalid-protocol-version``: a table whose
+    Protocol demands a newer reader than we support must refuse to read
+    (DeltaLogImpl.assertProtocolRead, W9)."""
+    from connectors_spark.log.actions import AddFile, Metadata, Protocol
+    from connectors_spark.table import DeltaLog
+
+    path = str(tmp_path / "t")
+    t = DeltaTable.for_path(spark, path)
+    t.write(spark.range(0, 5).toDF("id"))
+    log = DeltaLog.for_table(spark, path)
+    txn = log.start_transaction()
+    with pytest.raises(Exception):
+        # our writer refuses to WRITE an unsupported protocol...
+        txn.commit([Protocol(minReaderVersion=99, minWriterVersion=99)],
+                   "UPGRADE")
+    # ...so forge the log file directly, as the golden table does
+    import json as _json
+    import os
+    v = log.snapshot().version + 1
+    target = os.path.join(path, "_delta_log", f"{v:020d}.json")
+    with open(target, "w") as f:
+        f.write(_json.dumps({"protocol": {"minReaderVersion": 99,
+                                          "minWriterVersion": 99}}) + "\n")
+    t2 = DeltaTable.for_path(spark, path)
+    t2.log._snapshot = None
+    with pytest.raises(ValueError, match="protocol"):
+        t2.snapshot().metadata
+
+
+def test_checkpoint_missing_metadata_raises(spark, tmp_path):
+    """Golden ``deltalog-state-reconstruction-from-checkpoint-missing-
+    metadata``: a checkpoint that lost its Metadata row (and deltas that
+    never carried one) must fail loudly, not return a ghost table."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    t = DeltaTable.for_path(spark, path)
+    cfg = {"delta.checkpointInterval": "2"}
+    for i in range(3):
+        t.write(spark.range(i * 10, (i + 1) * 10).toDF("id"),
+                mode="append", configuration=cfg)
+    log_dir = os.path.join(path, "_delta_log")
+    ckpts = [n for n in os.listdir(log_dir) if ".checkpoint" in n]
+    assert ckpts
+    # strip the metaData rows out of the checkpoint, delete the deltas
+    # that carried Metadata (only version 0 does)
+    for n in ckpts:
+        full = os.path.join(log_dir, n)
+        tbl = pq.read_table(full)
+        mask = [m is None or m.get("id") is None
+                for m in tbl.column("metaData").to_pylist()]
+        import pyarrow.compute as pc
+        import pyarrow as pa
+        pq.write_table(tbl.filter(pa.array(mask)), full)
+    os.remove(os.path.join(log_dir, "00000000000000000000.json"))
+    t2 = DeltaTable.for_path(spark, path)
+    t2.log._snapshot = None
+    with pytest.raises(ValueError, match="protocol/metadata"):
+        t2.snapshot().metadata
