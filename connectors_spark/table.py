@@ -1070,34 +1070,54 @@ class TableMaintenance:
         paths written. Stale manifest subdirectories from dropped
         partitions are removed.
 
-        Scale note: manifest content is metadata (the active file
-        list), bounded by file count, not data size; at very large file
-        counts, write per-partition manifests from the files_df with a
-        ``partitionBy`` text write instead of this driver loop.
+        Scale: the grouping runs on ``files_df`` (one shuffle keyed by
+        the physical directory — the partition fan-out) and each
+        executor task writes its directories' manifest files through
+        the LogStore; the driver collects only the written paths
+        (bounded by partition count, the inherent report size).
         """
         t = self.table
+        spark = t.log.spark
+        store = t.log.store
         snap = t.log.update() or t.snapshot()
         root = t.path
         local_root = root[len("file:"):] if root.startswith("file:") else root
-        groups: Dict[str, List[str]] = {}
-        for f in snap.all_files():
-            absolute = _canonical(f.path, snap.table_path)
-            rel = os.path.relpath(absolute, local_root)
-            # group by the file's physical directory so the manifest
-            # tree mirrors the on-disk partition layout even for
-            # escaped partition values; files outside the table root
-            # (absolute-path adds) land in the root manifest
-            sub = "" if rel.startswith("..") else os.path.dirname(rel)
-            groups.setdefault(sub, []).append("file:" + absolute)
         man_root = os.path.join(local_root, "_symlink_format_manifest")
-        if os.path.exists(man_root):
-            shutil.rmtree(man_root)
-        written: List[str] = []
-        for sub, uris in sorted(groups.items()):
-            d = os.path.join(man_root, sub) if sub else man_root
-            os.makedirs(d, exist_ok=True)
-            path = os.path.join(d, "manifest")
-            with open(path, "w") as fh:
-                fh.write("\n".join(sorted(uris)) + "\n")
-            written.append(path)
-        return written
+        store.remove_tree(man_root)
+
+        import pandas as pd
+        from .shipping import ensure_shipped_by_value
+        ensure_shipped_by_value()
+
+        prefix = local_root.rstrip("/") + "/"
+        # group by the file's PHYSICAL directory so the manifest tree
+        # mirrors the on-disk partition layout even for escaped
+        # partition values; files outside the table root (absolute-path
+        # adds) land in the root manifest
+        rel = F.when(F.col("path").startswith(prefix),
+                     F.expr(f"substring(path, {len(prefix) + 1})"))
+        sub = F.when(rel.isNull() | ~rel.contains("/"), F.lit("")) \
+            .otherwise(F.regexp_replace(rel, "/[^/]*$", ""))
+        grouped = (snap.files_df
+                   .select(sub.alias("__sub"),
+                           F.concat(F.lit("file:"), F.col("path"))
+                           .alias("__uri"))
+                   .groupBy("__sub")
+                   .agg(F.sort_array(F.collect_list("__uri"))
+                        .alias("__uris")))
+
+        def write_manifests(batches):
+            for pdf in batches:
+                out = []
+                for s, uris in zip(pdf["__sub"], pdf["__uris"]):
+                    d = os.path.join(man_root, s) if s else man_root
+                    path = os.path.join(d, "manifest")
+                    os.makedirs(d, exist_ok=True)
+                    store.write(path, list(uris), overwrite=True)
+                    out.append(path)
+                yield pd.DataFrame({"path": out})
+
+        written = [r["path"] for r in
+                   grouped.mapInPandas(write_manifests,
+                                       "path string").collect()]
+        return sorted(written)
