@@ -896,30 +896,58 @@ class TableMaintenance:
         txn.read_whole_table()
 
         from .dv import DV_TAG
-        cur = {_canonical(f.path, snap.table_path): f
-               for f in snap.all_files()}
-        want = {_canonical(f.path, snap.table_path): f
-                for f in target.all_files()}
-        # A path present in both snapshots still needs re-adding when its
-        # deletion vector differs (the DV lives in tags, not the path).
-        to_add = [f for p, f in want.items()
-                  if p not in cur
-                  or (cur[p].tags or {}).get(DV_TAG)
-                  != (f.tags or {}).get(DV_TAG)]
-        to_remove = [f for p, f in cur.items() if p not in want]
+        from .log.snapshot import addfiles_from_rows, canonical_path_col
+        # The file-set diff runs as DataFrame joins on files_df (paths
+        # are canonical there) — only the DIFF rows, which the commit
+        # must enumerate anyway, ever reach the driver. A path present
+        # in both snapshots still needs re-adding when its deletion
+        # vector differs (the DV lives in tags, not the path).
+        cur_k = snap.files_df.select(
+            F.col("path").alias("__p"),
+            F.col("tags").getItem(DV_TAG).alias("__cdv"))
+        want_df = target.files_df.withColumn(
+            "__wdv", F.col("tags").getItem(DV_TAG))
+        add_rows = (want_df
+                    .join(cur_k, want_df["path"] == cur_k["__p"], "left")
+                    .where(F.col("__p").isNull() |
+                           ~F.col("__wdv").eqNullSafe(F.col("__cdv")))
+                    .drop("__p", "__cdv", "__wdv")
+                    .collect())
+        to_add = addfiles_from_rows(add_rows)
+        to_remove = addfiles_from_rows(
+            snap.files_df.join(target.files_df.select("path"),
+                               "path", "left_anti").collect())
 
         root = t.path
         local_root = root[len("file:"):] if root.startswith("file:") else root
-        needed = list(want) + [
-            _canonical((f.tags or {})[DV_TAG], snap.table_path)
-            for f in want.values() if (f.tags or {}).get(DV_TAG)]
-        missing = [p for p in needed
-                   if not os.path.exists(os.path.join(local_root, p))]
+        # Existence check for every file (and DV sidecar) the target
+        # needs, distributed through the store — the driver sees only
+        # the missing list (the error report).
+        import pandas as pd
+        from .shipping import ensure_shipped_by_value
+        ensure_shipped_by_value()
+        store = t.log.store
+        dv_needed = (target.files_df
+                     .select(F.col("tags").getItem(DV_TAG).alias("__t"))
+                     .where(F.col("__t").isNotNull())
+                     .select(canonical_path_col("__t", snap.table_path)
+                             .alias("path")))
+        needed = target.files_df.select("path").unionByName(dv_needed)
+
+        def find_missing(batches):
+            for pdf in batches:
+                gone = [p for p in pdf["path"]
+                        if not store.exists(os.path.join(local_root, p))]
+                yield pd.DataFrame({"path": gone})
+
+        missing = [r["path"] for r in
+                   needed.mapInPandas(find_missing, "path string")
+                   .limit(100).collect()]
         if missing:
             raise DeltaError(
                 f"cannot restore to version {target.version}: "
-                f"{len(missing)} data file(s) were removed by VACUUM "
-                f"(first: {missing[0]})")
+                f"data file(s) were removed by VACUUM "
+                f"(first: {sorted(missing)[0]})")
 
         now = int(time.time() * 1000)
         # Re-added files are a data change even if their original commit
