@@ -128,6 +128,12 @@ class LogStore:
     def is_dir(self, path: str) -> bool:
         return os.path.isdir(path)
 
+    def copy_file(self, src: str, dst: str) -> None:
+        """Copy one file (metadata preserved); overwrite-idempotent so
+        distributed task retries are safe."""
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copy2(src, dst)
+
     def stat(self, path: str) -> Tuple[int, int]:
         """(size_bytes, mtime_ms)."""
         st = os.stat(path)
@@ -220,6 +226,13 @@ class InMemoryLogStore(LogStore):
         prefix = path.rstrip("/") + "/"
         with self._lock:
             return any(p.startswith(prefix) for p in self._files)
+
+    def copy_file(self, src: str, dst: str) -> None:
+        with self._lock:
+            if src not in self._files:
+                raise FileNotFoundError(src)
+            self._files[dst] = list(self._files[src])
+            self._mtimes[dst] = self._mtimes.get(src, 0)
 
     def remove_tree(self, dir_path: str) -> None:
         prefix = dir_path.rstrip("/") + "/"

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import threading
 import urllib.parse
@@ -689,9 +688,10 @@ class DeltaTable:
         (FileNames.scala:100-107).
 
         Deep: additionally copies every active data file under the
-        target root (relative paths). Driver-side copy here; at fleet
-        scale run the copy as a distributed job over the file list and
-        commit the same actions.
+        target root (relative paths). The DATA MOVEMENT — the 100 TB
+        part — runs as a distributed job over the file list through the
+        store; the driver builds only the action list (inherent: the
+        commit enumerates the files either way).
 
         The target must not already exist. Returns
         {version, sourceVersion, filesCloned, bytesCloned}.
@@ -707,6 +707,7 @@ class DeltaTable:
             src.metadata, id=str(uuid.uuid4()), createdTime=now))
         tgt_root = tgt_log.table_path
         actions: List[Any] = []
+        copies: List[Tuple[str, str]] = []
         bytes_cloned = 0
         for f in src.all_files():
             absolute = _canonical(f.path, src.table_path)
@@ -715,9 +716,7 @@ class DeltaTable:
                 rel = (os.path.relpath(absolute, src.table_path)
                        if absolute.startswith(src.table_path + "/")
                        else f"{uuid.uuid4().hex}-{os.path.basename(absolute)}")
-                dest = os.path.join(tgt_root, rel)
-                os.makedirs(os.path.dirname(dest), exist_ok=True)
-                shutil.copy2(absolute, dest)
+                copies.append((absolute, os.path.join(tgt_root, rel)))
                 new_path = "/".join(urllib.parse.quote(s)
                                     for s in rel.split("/"))
             else:
@@ -725,6 +724,28 @@ class DeltaTable:
                                     for s in absolute.split("/"))
             actions.append(dataclasses.replace(
                 f, path=new_path, dataChange=True, modificationTime=now))
+        if copies:
+            import pandas as pd
+            from .shipping import ensure_shipped_by_value
+            ensure_shipped_by_value()
+            store = tgt_log.store
+
+            def copy_files(batches):
+                for pdf in batches:
+                    n = 0
+                    for s, d in zip(pdf["src"], pdf["dst"]):
+                        store.copy_file(s, d)
+                        n += 1
+                    yield pd.DataFrame({"n": [n]})
+
+            n_parts = min(len(copies),
+                          self.spark.sparkContext.defaultParallelism) or 1
+            copied = (self.spark.createDataFrame(
+                copies, "src string, dst string")
+                .repartition(n_parts)
+                .mapInPandas(copy_files, "n long")
+                .agg(F.sum("n")).collect()[0][0])
+            assert copied == len(copies), (copied, len(copies))
         ver = txn.commit(
             actions, operation="CLONE",
             operation_parameters={"source": self.path,
