@@ -1065,15 +1065,15 @@ class TableMaintenance:
                       .alias("__p")))
         active = active.unionByName(dv).distinct()
 
+        # No broadcast hint on the anti-join: the active inventory is
+        # usually tiny (→ auto-broadcast) but a forced hint would pin a
+        # multi-million-file inventory in driver memory; both sides are
+        # metadata-sized, so a shuffled anti-join is fine at the tail.
         cand = (listing
                 .withColumn("__p", F.concat(F.lit(local_root + "/"),
                                             F.col("rel")))
                 .where(F.col("mtime") <= F.lit(horizon))
-                .join(F.broadcast(active), "__p", "left_anti"))
-        # NOTE: active is broadcast when it fits (typical — it is the
-        # file inventory, not the data); for tables past the broadcast
-        # threshold Spark falls back to a shuffled anti-join on its own
-        # if the hint is dropped. Both sides are metadata-sized.
+                .join(active, "__p", "left_anti"))
 
         if dry_run:
             doomed = [r["rel"] for r in cand.select("rel").collect()]
