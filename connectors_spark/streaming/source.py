@@ -225,14 +225,18 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
         return {"version": self.start_after}
 
     def latestOffset(self) -> dict:
-        vs = _list_versions(self.store, self.log_path, -1)
-        latest = vs[-1] if vs else self.start_after
-        if self.max_versions is not None:
-            # rate limit: at most N versions per microbatch — but never
-            # report less than already-consumed
-            latest = min(latest, self.start_after + self.max_versions) \
-                if latest > self.start_after else latest
-        return {"version": max(latest, self.start_after)}
+        # list only past the consumed floor (committed offset, falling
+        # back to the start position): the poll cost is O(uncommitted
+        # tail), not O(log history) — the listFrom contract object-store
+        # log stores push down (TableMonitor.java polling shape).
+        floor = max(self.start_after, getattr(self, "_committed", -1))
+        vs = _list_versions(self.store, self.log_path, floor)
+        latest = vs[-1] if vs else floor
+        if self.max_versions is not None and latest > floor:
+            # rate limit: at most N versions per microbatch, relative to
+            # the last COMMITTED batch (commit() advances the floor)
+            latest = min(latest, floor + self.max_versions)
+        return {"version": max(latest, floor)}
 
     # ---------------------------------------------------------- planning
 
@@ -331,7 +335,10 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
         yield from out.to_batches()
 
     def commit(self, end: dict) -> None:
-        pass
+        # advance the consumed floor so rate limiting and the tail
+        # listing are relative to completed batches
+        v = end.get("version", -1)
+        self._committed = max(getattr(self, "_committed", -1), v)
 
 
 def register_stream_source(spark) -> None:

@@ -353,3 +353,23 @@ def test_fail_on_data_loss_gap_detection(spark, tmp_path):
                        "failondataloss": "false"})
     parts = reader2.partitions({"version": -1}, {"version": 3})
     assert {p.version for p in parts} == {3}     # surviving tail only
+
+
+def test_max_versions_per_batch_tracks_commits(spark, tmp_path):
+    """maxVersionsPerBatch is a PER-BATCH cap relative to the last
+    committed offset (Flink's per-poll changes cap), not a one-time cap
+    at the start position — commit() advances the floor."""
+    from pyspark.sql.types import StructType
+
+    src = tmp_path / "src"
+    _mk_table(spark, src, versions=5)
+    r = DeltaVersionStreamReader(
+        StructType(), {"path": str(src), "startingversion": "0",
+                       "maxversionsperbatch": "2"})
+    assert r.latestOffset() == {"version": 1}     # batch 1: versions 0-1
+    r.commit({"version": 1})
+    assert r.latestOffset() == {"version": 3}     # batch 2: versions 2-3
+    r.commit({"version": 3})
+    assert r.latestOffset() == {"version": 4}     # batch 3: the tail
+    r.commit({"version": 4})
+    assert r.latestOffset() == {"version": 4}     # caught up: no change
