@@ -361,3 +361,67 @@ def test_checkpoint_missing_metadata_raises(spark, tmp_path):
     t2.log._snapshot = None
     with pytest.raises(ValueError, match="protocol/metadata"):
         t2.snapshot().metadata
+
+
+def test_time_travel_schema_changes(spark, tmp_path):
+    """Golden ``time-travel-schema-changes-a/b``: a snapshot at an older
+    version exposes THAT version's schema and data, not the current one
+    — Metadata is versioned state like files are."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    t = DeltaTable.for_path(spark, path)
+    t.write(spark.range(0, 5).toDF("id"))                      # v0
+    t.write(spark.range(5, 10).select(
+        F.col("id"),
+        F.when(F.col("id") >= 0, F.lit("x")).alias("extra")),
+        mode="append")                                         # v1
+    # (append with a wider schema evolves Metadata under the
+    # write-compatibility rules — the new column must be nullable,
+    # which the plain non-null lit() is not)
+    cur = t.to_df()
+    assert set(cur.columns) == {"id", "extra"}
+    old = t.to_df(version=0)
+    assert old.columns == ["id"]
+    assert old.count() == 5
+    snap0 = t.log.snapshot_for_version(0)
+    assert [f.name for f in snap0.metadata.schema.fields] == ["id"]
+
+
+def test_partition_value_codec_roundtrip():
+    """Property: encode→decode is identity for every partition-able type
+    (PartitionRowRecord.scala:41-160's cast table), including the
+    characters the escaped-chars golden tables exercise."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import types as T
+
+    from connectors_spark.partition_values import decode, encode
+
+    cases = st.one_of(
+        st.tuples(st.just(T.StringType()), st.text(
+            alphabet=st.characters(codec="utf-8",
+                                   exclude_characters="\x00"),
+            max_size=40)),
+        st.tuples(st.just(T.LongType()),
+                  st.integers(-2**63, 2**63 - 1)),
+        st.tuples(st.just(T.IntegerType()), st.integers(-2**31, 2**31 - 1)),
+        st.tuples(st.just(T.BooleanType()), st.booleans()),
+        st.tuples(st.just(T.DateType()),
+                  st.dates(dt.date(1, 1, 1), dt.date(9999, 12, 31))),
+        st.tuples(st.just(T.DecimalType(18, 4)),
+                  st.decimals(allow_nan=False, allow_infinity=False,
+                              places=4, min_value=Decimal("-1e13"),
+                              max_value=Decimal("1e13"))),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(cases)
+    def check(case):
+        dtype, value = case
+        assert decode(encode(value), dtype) == value
+        assert decode(encode(None), dtype) is None
+
+    check()
