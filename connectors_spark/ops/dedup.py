@@ -136,28 +136,36 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     ex = (sh.select("_id", "_sz", F.explode("_sh").alias("_gs"))
           .select("_id", "_sz", hash64("_gs").alias("_g")))
     # Both join sides read ex; persist so shingling+hashing runs once.
-    ex = ex.persist()
-    if max_shingle_freq is not None:
-        hot = (ex.groupBy("_g").count()
-               .filter(F.col("count") > max_shingle_freq).select("_g"))
-        ex = ex.join(hot, "_g", "left_anti")
-    a = ex.select(F.col("_id").alias("a_id"), F.col("_sz").alias("_asz"),
-                  "_g")
-    b = ex.select(F.col("_id").alias("b_id"), F.col("_sz").alias("_bsz"),
-                  "_g")
-    out = (a.join(b, "_g")
-           .filter((F.col("a_id") < F.col("b_id")) &
-                   (F.greatest("_asz", "_bsz") * F.lit(threshold) <=
-                    F.least("_asz", "_bsz")))
-           .groupBy("a_id", "b_id", "_asz", "_bsz")
-           .agg(F.count(F.lit(1)).alias("_shared"))
-           .withColumn("jaccard",
-                       F.col("_shared").cast("double") /
-                       (F.col("_asz") + F.col("_bsz") - F.col("_shared"))
-                       .cast("double"))
-           .filter(F.col("jaccard") >= threshold)
-           .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard")))
-    return out
+    # The cache is op-owned: the (small, pairs-sized) result is
+    # materialized eagerly while the cache is held, then the cache is
+    # RELEASED — a long-lived session must not accumulate every shingle
+    # relation ever persisted (executor storage eviction pressure).
+    ex = cached = ex.persist()
+    try:
+        if max_shingle_freq is not None:
+            hot = (ex.groupBy("_g").count()
+                   .filter(F.col("count") > max_shingle_freq).select("_g"))
+            ex = ex.join(hot, "_g", "left_anti")
+        a = ex.select(F.col("_id").alias("a_id"),
+                      F.col("_sz").alias("_asz"), "_g")
+        b = ex.select(F.col("_id").alias("b_id"),
+                      F.col("_sz").alias("_bsz"), "_g")
+        out = (a.join(b, "_g")
+               .filter((F.col("a_id") < F.col("b_id")) &
+                       (F.greatest("_asz", "_bsz") * F.lit(threshold) <=
+                        F.least("_asz", "_bsz")))
+               .groupBy("a_id", "b_id", "_asz", "_bsz")
+               .agg(F.count(F.lit(1)).alias("_shared"))
+               .withColumn("jaccard",
+                           F.col("_shared").cast("double") /
+                           (F.col("_asz") + F.col("_bsz") - F.col("_shared"))
+                           .cast("double"))
+               .filter(F.col("jaccard") >= threshold)
+               .select("a_id", "b_id",
+                       F.round("jaccard", 6).alias("jaccard")))
+        return out.localCheckpoint(eager=True)
+    finally:
+        cached.unpersist()
 
 
 # --------------------------------------------------------------------------
@@ -196,6 +204,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     rows = num_perm // bands
     # Shingle arrays feed both signature generation and candidate verify;
     # persist so the (pandas-UDF) shingling runs once, not three times.
+    # Op-owned cache: result materialized under the cache, cache released
+    # (see ngram_jaccard_pairs).
     sh = shingle_sets(df, id_col, text_col, n).persist()
     ex = (sh.select("_id", F.explode("_sh").alias("_g"))
           .withColumn("_h", hash64(F.col("_g")) % MINHASH_PRIME))
@@ -232,7 +242,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                      .cast("double"))
          .filter(F.col("jaccard") >= threshold)
          .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard")))
-    return j
+    try:
+        return j.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
 
 
 # --------------------------------------------------------------------------

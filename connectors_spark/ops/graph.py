@@ -58,6 +58,12 @@ def connected_components(edges: DataFrame, a_col: str = "a_id",
         labels = new_labels
         if changed == 0:
             break
-    sym.unpersist()
-    return labels.select(F.col("_n").alias("node"),
+    # Materialize the result while the final labels cache is live, then
+    # release every op-owned cache: a pipeline calling this repeatedly
+    # must not accumulate label relations in executor storage.
+    out = (labels.select(F.col("_n").alias("node"),
                          F.col("_lbl").alias("component"))
+           .localCheckpoint(eager=True))
+    labels.unpersist()
+    sym.unpersist()
+    return out

@@ -34,6 +34,29 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine_d, dot_d, norm_d
 
 
+# The query side of the exact/IVF paths is collected to the driver by
+# documented contract ("same contract as a broadcast"). Enforce it: a
+# silently oversized query side would OOM the driver and ship a huge
+# closure to every task. Large query sets belong on the ANN paths
+# (ann_lsh_topk / ann_query_indexed), which keep both sides distributed.
+MAX_DRIVER_QUERY_ROWS = 10_000
+
+
+def _collect_query_side(queries: DataFrame, query_id_col: str,
+                        vec_col: str, max_rows: int = MAX_DRIVER_QUERY_ROWS):
+    rows = (queries.select(F.col(query_id_col).alias("_qid"),
+                           F.col(vec_col).alias("_qv"))
+            .take(max_rows + 1))
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"query side exceeds {max_rows} rows; the exact/IVF top-k "
+            f"paths collect queries to the driver (broadcast contract). "
+            f"Use the distributed ANN paths (ann_lsh_topk / "
+            f"ann_query_indexed) for large query sets, or raise max_rows "
+            f"explicitly.")
+    return rows
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Widen narrow inputs to cluster parallelism (no-op at scale)."""
     sc = df.sparkSession.sparkContext
@@ -60,8 +83,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """
     from pyspark.sql.types import (DoubleType, LongType, StructField,
                                    StructType)
-    qrows = queries.select(F.col(query_id_col).alias("_qid"),
-                           F.col(vec_col).alias("_qv")).collect()
+    qrows = _collect_query_side(queries, query_id_col, vec_col)
     qids = [r["_qid"] for r in qrows]
     qmat = np.array([r["_qv"] for r in qrows], dtype=np.float64)
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))
@@ -409,8 +431,7 @@ def ivf_query_indexed(spark, index_path: str, queries: DataFrame,
     cluster, LSH guarantees per-query bucket locality."""
     from ..expressions import Col, Lit
     from ..table import DeltaTable
-    qrows = queries.select(F.col(query_id_col).alias("_qid"),
-                           F.col(vec_col).alias("_qv")).collect()
+    qrows = _collect_query_side(queries, query_id_col, vec_col)
     qmat = np.array([r["_qv"] for r in qrows], dtype=np.float64)
     qn = np.linalg.norm(qmat, axis=1, keepdims=True)
     sims = (qmat / np.where(qn == 0, 1.0, qn)) @ cents.T

@@ -217,6 +217,11 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
     # ------------------------------------------------------------ offsets
 
     def initialOffset(self) -> dict:
+        # Only a FRESH query reaches here (a restart restores offsets
+        # from the engine checkpoint) — so start_after is the true
+        # consumed floor and rate limiting may cap relative to it.
+        self._committed = max(getattr(self, "_committed", -1),
+                              self.start_after)
         if self.snapshot_first:
             # "snap" marks the pending initial-snapshot batch; it differs
             # from every later offset, so the engine plans the first
@@ -229,12 +234,23 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
         # back to the start position): the poll cost is O(uncommitted
         # tail), not O(log history) — the listFrom contract object-store
         # log stores push down (TableMonitor.java polling shape).
-        floor = max(self.start_after, getattr(self, "_committed", -1))
+        committed = getattr(self, "_committed", None)
+        floor = max(self.start_after,
+                    committed if committed is not None else -1)
         vs = _list_versions(self.store, self.log_path, floor)
         latest = vs[-1] if vs else floor
-        if self.max_versions is not None and latest > floor:
-            # rate limit: at most N versions per microbatch, relative to
-            # the last COMMITTED batch (commit() advances the floor)
+        if self.max_versions is not None and committed is not None \
+                and latest > floor:
+            # Rate limit: at most N versions per microbatch, relative to
+            # the last processed batch. The cap is SKIPPED until a floor
+            # is established in-process — initialOffset() (fresh query)
+            # or partitions()/commit() (engine-persisted offsets on
+            # restart) set it. A restarted reader that has seen neither
+            # knows only the recomputed start_after, and capping
+            # relative to that could return an offset BELOW the
+            # engine's checkpointed offset — Spark would record the
+            # regression and replay already-committed versions,
+            # breaking exactly-once.
             latest = min(latest, floor + self.max_versions)
         return {"version": max(latest, floor)}
 
@@ -263,13 +279,23 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict
                    ) -> List[DeltaFilePartition]:
+        # start/end are engine-persisted offsets: establish the
+        # rate-limit floor from them so a restarted reader's
+        # latestOffset() never regresses below the checkpointed offset
+        # (see latestOffset) and re-run batches re-establish the floor.
+        self._committed = max(getattr(self, "_committed", -1),
+                              start["version"])
         out: List[DeltaFilePartition] = []
         if start.get("snap"):
-            # ST4 initial snapshot: all active files at start["version"],
-            # attributed to that version. Recomputed from the PERSISTED
-            # offset (not reader state) so a checkpoint restart plans the
-            # identical batch.
-            v0 = start["version"]
+            # ST4 initial snapshot: all active files at the snapshot
+            # version, attributed to that version. Recomputed from the
+            # PERSISTED offsets (not reader state) so a checkpoint
+            # restart plans the identical batch. Clamped to end: a
+            # restart after batch 0's end offset was persisted would
+            # otherwise recompute the snapshot at the CURRENT latest
+            # (reader __init__), emit rows beyond the persisted end, and
+            # the next batch would deliver those versions again as tail.
+            v0 = min(start["version"], end["version"])
             _, adds = _snapshot_adds(self.store, self.log_path, v0)
             for a in sorted(adds, key=lambda a: a.path):
                 out.append(DeltaFilePartition(self._fs_path(a.path), v0,

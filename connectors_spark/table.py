@@ -516,6 +516,18 @@ class DeltaTable:
             txn.read_whole_table()
             scoped_files = None         # whole table
         else:
+            # The scoping contract is partition-level: a data-column
+            # predicate can't prune files by partitionValues, and its
+            # J2 conflict evaluation would be three-valued-unknown on
+            # every concurrent add. Reject it here with a clear error
+            # rather than silently degrading the conflict footprint.
+            part_cols = set(snap.metadata.partitionColumns)
+            extra = predicate.references() - part_cols
+            if extra:
+                raise ValueError(
+                    f"merge predicate may only reference partition columns "
+                    f"{sorted(part_cols)}; got non-partition column(s) "
+                    f"{sorted(extra)}")
             from .scan import DeltaScan
             txn.mark_files_as_read(predicate)
             scoped_files = DeltaScan(snap, predicate).files()
@@ -539,14 +551,19 @@ class DeltaTable:
         with_file = with_file.withColumn(
             "__file", canonical_path_col("__fn", snap.table_path)).drop("__fn")
         touched = (with_file.alias("t").join(src, cond, "inner")
-                   .select("__file").distinct().collect())
-        touched_paths = {r["__file"] for r in touched}
-
-        files_subset = snap.files_df.where(
-            F.col("path").isin(list(touched_paths)) if touched_paths
-            else F.lit(False))
-        touched_adds = addfiles_from_rows(files_subset.collect())
-        touched_df = snap.to_df(files=files_subset).alias("t")
+                   .select(F.col("__file").alias("path")).distinct())
+        # Semi-join, not an isin literal: a merge touching 100k+ files
+        # must not embed a 100k-element In() in the plan (driver memory
+        # + plan-size blowup). The collect below is inherent — the
+        # touched subset becomes the commit's RemoveFile list — and its
+        # rows are fed back as a LOCAL DataFrame so the discovery join
+        # runs exactly once.
+        files_subset = snap.files_df.join(touched, "path", "left_semi")
+        touched_rows = files_subset.collect()
+        touched_adds = addfiles_from_rows(touched_rows)
+        local_subset = snap.files_df.sparkSession.createDataFrame(
+            touched_rows, snap.files_df.schema)
+        touched_df = snap.to_df(files=local_subset).alias("t")
 
         matched = touched_df.join(src, cond, "inner")
         tcols = [f.name for f in meta.schema.fields]
@@ -1021,12 +1038,24 @@ class TableMaintenance:
         ensure_shipped_by_value()
 
         # every child subtree except the log itself — _change_data /
-        # _deletion_vectors / stale _staging dirs hold reclaimable files
+        # _deletion_vectors dirs hold reclaimable files. Concurrent
+        # writers' in-flight _staging_* dirs are excluded entirely:
+        # staged files are seconds old, never past the retention
+        # horizon, and their publish rename would race the listing.
         seeds = [""] + [n for n in store.list_dir(local_root)
                         if n != "_delta_log" and not n.startswith(".")
+                        and not n.startswith("_staging")
                         and store.is_dir(os.path.join(local_root, n))]
 
         def list_subtree(batches):
+            def stat_or_skip(path):
+                # A file can vanish between listing and stat (a
+                # concurrent commit publishing/renaming staged files);
+                # a vanished file is by definition not vacuumable.
+                try:
+                    return store.stat(path)
+                except FileNotFoundError:
+                    return None
             for pdf in batches:
                 rels, mts = [], []
                 for seed in pdf["seed"]:
@@ -1035,17 +1064,21 @@ class TableMaintenance:
                             full = os.path.join(local_root, n)
                             if n.startswith(("_", ".")) or store.is_dir(full):
                                 continue
-                            _sz, mt = store.stat(full)
+                            st = stat_or_skip(full)
+                            if st is None:
+                                continue
                             rels.append(n)
-                            mts.append(mt)
+                            mts.append(st[1])
                     else:
                         base = os.path.join(local_root, seed)
                         for rel in store.list_files_recursive(base):
                             if os.path.basename(rel).startswith(("_", ".")):
                                 continue
-                            _sz, mt = store.stat(os.path.join(base, rel))
+                            st = stat_or_skip(os.path.join(base, rel))
+                            if st is None:
+                                continue
                             rels.append(os.path.join(seed, rel))
-                            mts.append(mt)
+                            mts.append(st[1])
                 yield pd.DataFrame({"rel": rels, "mtime": mts})
 
         n_seed_parts = min(len(seeds),

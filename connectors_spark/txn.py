@@ -299,7 +299,13 @@ class OptimisticTransaction:
                         f"file added by version {winning_version}: {a.path}")
                 row = decode_row(a.partitionValues, pschema) if pschema else {}
                 for pred in self.read_predicates:
-                    if pred.eval(row) is True:
+                    # Conservative three-valued resolution: eval() is None
+                    # when the predicate references a column absent from
+                    # partitionValues (a data-column predicate) — unknown
+                    # overlap MUST conflict, else two overlapping merges
+                    # both commit (lost update). Matches the reference's
+                    # unknown-as-conflict treatment.
+                    if pred.eval(row) is not False:
                         raise ConcurrentAppendException(
                             f"file added by version {winning_version} matches "
                             f"a read predicate: {a.path}")

@@ -272,3 +272,36 @@ def test_overlapping_merges_conflict_without_predicate(spark, tmp_path):
         table_mod.stage_and_collect = orig_stage
     assert len(errors) == 1, errors
     assert isinstance(errors[0][1], ConcurrentAppendException), errors
+
+
+def test_merge_predicate_must_be_partition_scoped(spark, tmp_path):
+    """A merge ``predicate`` over a NON-partition column cannot prune
+    files by partitionValues and would evaluate three-valued-unknown in
+    the J2 conflict check — it must be rejected at the API, not allowed
+    to silently shrink the conflict footprint (lost update)."""
+    t, orders = _partitioned_table(spark, tmp_path / "mrgval")
+    src = (orders.limit(3).select("o_orderkey", "o_orderstatus")
+           .withColumn("new_price", F.lit(9.0)))
+    with pytest.raises(ValueError, match="partition columns"):
+        t.merge(src, "t.o_orderkey = s.o_orderkey",
+                when_matched_update={"o_totalprice": "s.new_price"},
+                when_not_matched_insert=False,
+                predicate=(Col("o_totalprice") > 0.0))
+
+
+def test_unknown_predicate_eval_conflicts_conservatively(spark, tmp_path):
+    """J2 three-valued resolution: a concurrent AddFile whose
+    partitionValues can't resolve a read predicate's column (a
+    data-column predicate) evaluates to unknown — unknown overlap MUST
+    abort, matching the reference's conservative treatment; silently
+    passing it would let two overlapping writers both commit."""
+    t, orders = _partitioned_table(spark, tmp_path / "mrgunk")
+    txn = t.log.start_transaction()
+    txn.mark_files_as_read(Col("o_totalprice") > 0.0)
+    # concurrent winner rewrites files (non-blind-append: its AddFiles
+    # must pass our J2 check) while our txn is in flight
+    DeltaTable.for_path(spark, str(tmp_path / "mrgunk")).update(
+        {"o_totalprice": "o_totalprice + 0.0"},
+        predicate=(Col("o_orderstatus") == "F"))
+    with pytest.raises(ConcurrentAppendException):
+        txn.commit([], "TEST", {})

@@ -498,3 +498,51 @@ def test_unigram_nll_orders_rare_above_common(spark):
     exp1 = (3 * -math.log(p_a) + -math.log(p_r)) / 4
     assert abs(got[1]["nll"] - round(exp1, 6)) < 1e-6
     assert got[1]["nll"] > got[0]["nll"]
+
+
+def _persistent_rdd_count(spark):
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_dedup_ops_release_their_caches(spark):
+    """The persist()ed intermediates inside the dedup/graph ops are
+    op-owned: after the op returns (result materialized eagerly under
+    the cache), the cache must be RELEASED. A 100-query pipeline session
+    must not accumulate every shingle relation ever persisted. The
+    localCheckpoint of the (small) result may remain — hence the +1
+    tolerance per op call."""
+    from connectors_spark.ops.graph import connected_components
+
+    docs = _docs(spark)
+    base = _persistent_rdd_count(spark)
+
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5)
+    pairs.count()
+    assert _persistent_rdd_count(spark) <= base + 1
+
+    base2 = _persistent_rdd_count(spark)
+    lsh = dd.minhash_lsh_pairs(docs, threshold=0.5)
+    lsh.count()
+    assert _persistent_rdd_count(spark) <= base2 + 1
+
+    base3 = _persistent_rdd_count(spark)
+    comp = connected_components(pairs)
+    comp.count()
+    assert _persistent_rdd_count(spark) <= base3 + 1
+
+
+def test_exact_topk_query_side_guard(spark):
+    """cosine_topk collects the query side to the driver by documented
+    (broadcast) contract; the guard turns the contract into an error
+    instead of a silent driver OOM on an oversized query set."""
+    from connectors_spark.ops.similarity import _collect_query_side
+
+    big = spark.range(6).select(
+        F.col("id").alias("query_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"))
+    with pytest.raises(ValueError, match="ann_lsh_topk"):
+        _collect_query_side(big, "query_id", "embedding", max_rows=5)
+    # under the cap: passes through
+    rows = _collect_query_side(big.limit(3), "query_id", "embedding",
+                               max_rows=5)
+    assert len(rows) == 3

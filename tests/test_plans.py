@@ -8,6 +8,7 @@ import contextlib
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 from connectors_spark.queries import REGISTRY
 
@@ -176,3 +177,41 @@ def test_commit_publish_is_distributed(spark, tmp_path):
     adds = stage_and_collect(df, str(tmp_path / "tbl2"), ["grp"])
     assert sum(_json.loads(a.stats)["numRecords"] for a in adds) == 1000
     assert all(a.partitionValues.get("grp") is not None for a in adds)
+
+
+def test_merge_no_isin_literal_in_touched_filter(spark, tmp_path):
+    """The merge path must scope the rewrite to touched files with a
+    semi-join, never an In(path, [..]) literal — a merge touching 100k+
+    files would otherwise embed a 100k-element literal in the plan
+    (driver memory + plan-size blowup at scale)."""
+    import pyspark.sql.column as colmod
+
+    from connectors_spark import DeltaTable
+    from tests.conftest import read_table
+
+    cust = read_table(spark, "customer")
+    t = DeltaTable.for_path(spark, str(tmp_path / "mrg_plan"))
+    t.write(cust.repartition(4))
+
+    isin_sizes = []
+    orig_isin = colmod.Column.isin
+
+    def spy(self, *cols):
+        if len(cols) == 1 and isinstance(cols[0], (list, tuple, set)):
+            isin_sizes.append(len(cols[0]))
+        else:
+            isin_sizes.append(len(cols))
+        return orig_isin(self, *cols)
+
+    colmod.Column.isin = spy
+    try:
+        src = (cust.limit(10)
+               .withColumn("c_acctbal", F.lit(123.0)))
+        t.merge(src, "t.c_custkey = s.c_custkey",
+                when_matched_update={"c_acctbal": "s.c_acctbal"},
+                when_not_matched_insert=False)
+    finally:
+        colmod.Column.isin = orig_isin
+    # No file-list-sized In() literal anywhere in the merge path.
+    assert all(n <= 8 for n in isin_sizes), isin_sizes
+    assert t.to_df().where("c_acctbal = 123.0").count() == 10

@@ -366,6 +366,7 @@ def test_max_versions_per_batch_tracks_commits(spark, tmp_path):
     r = DeltaVersionStreamReader(
         StructType(), {"path": str(src), "startingversion": "0",
                        "maxversionsperbatch": "2"})
+    r.initialOffset()   # fresh query: the engine asks this first
     assert r.latestOffset() == {"version": 1}     # batch 1: versions 0-1
     r.commit({"version": 1})
     assert r.latestOffset() == {"version": 3}     # batch 2: versions 2-3
@@ -373,3 +374,54 @@ def test_max_versions_per_batch_tracks_commits(spark, tmp_path):
     assert r.latestOffset() == {"version": 4}     # batch 3: the tail
     r.commit({"version": 4})
     assert r.latestOffset() == {"version": 4}     # caught up: no change
+
+
+def test_restart_rate_limit_never_regresses_offset(spark, tmp_path):
+    """A RESTARTED reader (no initialOffset call — offsets come from the
+    engine checkpoint) must not let maxVersionsPerBatch cap latestOffset
+    below the engine's checkpointed offset: the cap is skipped until a
+    floor is established from persisted offsets via partitions()."""
+    from pyspark.sql.types import StructType
+
+    src = tmp_path / "src"
+    _mk_table(spark, src, versions=6)
+    # Simulate: first run committed through version 4, then restart.
+    # The fresh reader only knows startingversion=0; the engine holds
+    # checkpointed offset {"version": 4}.
+    r = DeltaVersionStreamReader(
+        StructType(), {"path": str(src), "startingversion": "0",
+                       "maxversionsperbatch": "2"})
+    # No initialOffset() on restart: the first poll must NOT return a
+    # capped version (0+2=2 < 4 would regress the stream).
+    assert r.latestOffset() == {"version": 5}
+    # The engine replans the in-flight batch from persisted offsets —
+    # this establishes the floor in-process.
+    r.partitions({"version": 4}, {"version": 5})
+    r.commit({"version": 5})
+    assert r.latestOffset() == {"version": 5}     # caught up
+
+
+def test_restart_snapshot_batch_clamped_to_persisted_end(spark, tmp_path):
+    """Replanned snapshot-first batch 0 after a restart: the snapshot
+    version comes from min(start, end) of the PERSISTED offsets, not the
+    reader's recomputed latest — otherwise rows of versions between the
+    persisted end and the new latest are emitted twice (once in the
+    replayed snapshot, again as the next batch's tail)."""
+    from pyspark.sql.types import StructType
+
+    src = tmp_path / "src"
+    t = _mk_table(spark, src, versions=3)        # versions 0..2
+    r = DeltaVersionStreamReader(StructType(), {"path": str(src)})
+    # First run: batch 0 planned as snapshot@2, end {"version": 2}
+    # persisted. Restart happens after two MORE commits:
+    _mk_table(spark, src, versions=2, rows_per=5)  # now versions 0..4
+    r2 = DeltaVersionStreamReader(StructType(), {"path": str(src)})
+    assert r2.start_after == 4                   # recomputed at latest
+    parts = r2.partitions({"version": 2, "snap": True}, {"version": 2})
+    # Snapshot clamped to the persisted end: exactly the files active at
+    # version 2, attributed to version 2 — NOT the version-4 snapshot.
+    assert parts and all(p.version == 2 for p in parts)
+    active_v2 = {r["path"].split("/")[-1]
+                 for r in t.log.snapshot_for_version(2)
+                 .files_df.select("path").collect()}
+    assert {p.file_path.split("/")[-1] for p in parts} == active_v2
