@@ -263,9 +263,17 @@ def _memory_store_for(path: str) -> InMemoryLogStore:
     return _memory_stores.setdefault(auth, InMemoryLogStore())
 
 
+def _s3_store_for(path: str) -> LogStore:
+    # Lazy import: boto3 is only required when an s3:// table is opened.
+    from .s3store import s3_log_store_for
+    return s3_log_store_for(path)
+
+
 _SCHEME_STORES: Dict[str, Callable[[str], LogStore]] = {
     "file": lambda _p: LogStore(),
     "memory": _memory_store_for,
+    "s3": _s3_store_for,
+    "s3a": _s3_store_for,
 }
 
 

@@ -57,7 +57,7 @@ def test_scheme_dispatch_shares_one_store_per_authority():
     assert s1 is s2
     assert s1 is not s3
     with pytest.raises(NotImplementedError):
-        default_log_store("s3://bucket/table")
+        default_log_store("gs://bucket/table")   # no GCS binding (yet)
 
 
 def test_commit_protocol_on_memory_store(spark):
