@@ -41,17 +41,23 @@ def read_jdbc_in_parallel(spark: SparkSession, url: str, table: str,
     so each Spark partition fetches one range chunk.
     """
     props = dict(properties or {})
+    # ANSI-quote the split column: Spark's JDBC writer creates tables with
+    # quoted (case-preserved) identifiers, so an unquoted probe would be
+    # case-folded by the database and miss the column. MySQL-style engines
+    # need `identifierQuote` in properties (consumed here, not passed on).
+    q = props.pop("identifierQuote", '"')
+    qcol = f"{q}{split_by}{q}"
     bounds = (spark.read
               .jdbc(url,
-                    f"(SELECT min({split_by}) AS lo, max({split_by}) AS hi "
-                    f"FROM {table}) AS b",
+                    f"(SELECT min({qcol}) AS {q}lo{q}, max({qcol}) AS "
+                    f"{q}hi{q} FROM {table}) AS b",
                     properties=props)
               .first())
-    if bounds is None or bounds["lo"] is None:
+    if bounds is None or bounds[0] is None:
         return spark.read.jdbc(url, table, properties=props)
     return spark.read.jdbc(
         url, table, column=split_by,
-        lowerBound=int(bounds["lo"]), upperBound=int(bounds["hi"]) + 1,
+        lowerBound=int(bounds[0]), upperBound=int(bounds[1]) + 1,
         numPartitions=num_chunks, properties=props)
 
 

@@ -65,6 +65,58 @@ def test_jdbc_transforms(spark, sf_dir):
                                   for r in rows)
 
 
+def _derby_url(tmp_path):
+    """Embedded Derby (ships in pyspark/jars) — a real in-process JDBC
+    endpoint, so S9 (JDBCImport.scala:76-105) is testable end-to-end."""
+    return f"jdbc:derby:{tmp_path}/derbydb;create=true"
+
+
+DERBY_PROPS = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+
+
+def test_jdbc_parallel_read_roundtrip(spark, tmp_path, sf_dir):
+    from connectors_spark.sources.jdbc_import import read_jdbc_in_parallel
+
+    spark._jvm.java.lang.System.setProperty(
+        "derby.system.home", str(tmp_path))
+    url = _derby_url(tmp_path)
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet") \
+        .select("n_nationkey", "n_name", "n_regionkey")
+    src.write.jdbc(url, "nation_src", properties=DERBY_PROPS)
+
+    out = read_jdbc_in_parallel(spark, url, "nation_src",
+                                split_by="n_nationkey", num_chunks=4,
+                                properties=DERBY_PROPS)
+    # the range split actually produced 4 JDBC partitions
+    assert out.rdd.getNumPartitions() == 4
+    got = {(r.N_NATIONKEY if hasattr(r, "N_NATIONKEY") else r.n_nationkey)
+           for r in out.collect()}
+    assert got == {r.n_nationkey for r in src.collect()}
+
+
+def test_jdbc_import_to_delta_e2e(spark, tmp_path, sf_dir):
+    from connectors_spark.sources.jdbc_import import import_to_delta
+
+    spark._jvm.java.lang.System.setProperty(
+        "derby.system.home", str(tmp_path))
+    url = _derby_url(tmp_path)
+    src = spark.read.parquet(f"{sf_dir}/region.parquet")
+    src.write.jdbc(url, "region_src", properties=DERBY_PROPS)
+
+    target = str(tmp_path / "region_delta")
+    v = import_to_delta(
+        spark, url, "region_src", split_by="r_regionkey",
+        target_path=target, num_chunks=2,
+        transforms=[lambda d: d.toDF(*[c.lower() for c in d.columns]),
+                    lambda d: d.withColumn("r_name", F.lower("r_name"))],
+        properties=DERBY_PROPS)
+    assert v == 0
+    t = DeltaTable.for_path(spark, target)
+    rows = t.to_df().collect()
+    assert len(rows) == src.count()
+    assert all(r.r_name == r.r_name.lower() for r in rows)
+
+
 def test_catalog_sql_and_time_travel(spark, tmp_path, sf_dir):
     d = str(tmp_path / "cat")
     t = DeltaTable.for_path(spark, d)
