@@ -127,6 +127,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     max(|a|,|b|)/min(|a|,|b|) ≤ 1/t) prunes impossible pairs before the
     groupBy shuffle.
     """
+    from pyspark.sql.window import Window
+
     sh = shingle_sets(df, id_col, text_col, n)
     # Join on the 60-bit md5 hash of the shingle, not the string: the
     # self-join shuffle carries 8-byte keys instead of ~25-byte strings
@@ -135,37 +137,33 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     # (up to md5 collisions, ~1e-12 for millions of shingles).
     ex = (sh.select("_id", "_sz", F.explode("_sh").alias("_gs"))
           .select("_id", "_sz", hash64("_gs").alias("_g")))
-    # Both join sides read ex; persist so shingling+hashing runs once.
-    # The cache is op-owned: the (small, pairs-sized) result is
-    # materialized eagerly while the cache is held, then the cache is
-    # RELEASED — a long-lived session must not accumulate every shingle
-    # relation ever persisted (executor storage eviction pressure).
-    ex = cached = ex.persist()
-    try:
-        if max_shingle_freq is not None:
-            hot = (ex.groupBy("_g").count()
-                   .filter(F.col("count") > max_shingle_freq).select("_g"))
-            ex = ex.join(hot, "_g", "left_anti")
-        a = ex.select(F.col("_id").alias("a_id"),
-                      F.col("_sz").alias("_asz"), "_g")
-        b = ex.select(F.col("_id").alias("b_id"),
-                      F.col("_sz").alias("_bsz"), "_g")
-        out = (a.join(b, "_g")
-               .filter((F.col("a_id") < F.col("b_id")) &
-                       (F.greatest("_asz", "_bsz") * F.lit(threshold) <=
-                        F.least("_asz", "_bsz")))
-               .groupBy("a_id", "b_id", "_asz", "_bsz")
-               .agg(F.count(F.lit(1)).alias("_shared"))
-               .withColumn("jaccard",
-                           F.col("_shared").cast("double") /
-                           (F.col("_asz") + F.col("_bsz") - F.col("_shared"))
-                           .cast("double"))
-               .filter(F.col("jaccard") >= threshold)
-               .select("a_id", "b_id",
-                       F.round("jaccard", 6).alias("jaccard")))
-        return out.localCheckpoint(eager=True)
-    finally:
-        cached.unpersist()
+    # LAZY single-pass plan, no op-owned caches: both self-join sides are
+    # the identical subtree, so Spark plans ONE shuffle of `ex` and a
+    # ReusedExchange for the other side (pinned in test_plans.py) — the
+    # pandas-UDF shingling runs exactly once without persist(). The hot
+    # cap is a window count over that SAME by-`_g` shuffle rather than a
+    # separate aggregate+anti-join, so capping adds zero extra passes.
+    if max_shingle_freq is not None:
+        ex = (ex.withColumn("_freq",
+                            F.count(F.lit(1)).over(Window.partitionBy("_g")))
+              .filter(F.col("_freq") <= max_shingle_freq).drop("_freq"))
+    a = ex.select(F.col("_id").alias("a_id"),
+                  F.col("_sz").alias("_asz"), "_g")
+    b = ex.select(F.col("_id").alias("b_id"),
+                  F.col("_sz").alias("_bsz"), "_g")
+    return (a.join(b, "_g")
+            .filter((F.col("a_id") < F.col("b_id")) &
+                    (F.greatest("_asz", "_bsz") * F.lit(threshold) <=
+                     F.least("_asz", "_bsz")))
+            .groupBy("a_id", "b_id", "_asz", "_bsz")
+            .agg(F.count(F.lit(1)).alias("_shared"))
+            .withColumn("jaccard",
+                        F.col("_shared").cast("double") /
+                        (F.col("_asz") + F.col("_bsz") - F.col("_shared"))
+                        .cast("double"))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a_id", "b_id",
+                    F.round("jaccard", 6).alias("jaccard")))
 
 
 # --------------------------------------------------------------------------
@@ -202,11 +200,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     docs' shingle arrays — only for candidate pairs, never all pairs).
     """
     rows = num_perm // bands
-    # Shingle arrays feed both signature generation and candidate verify;
-    # persist so the (pandas-UDF) shingling runs once, not three times.
-    # Op-owned cache: result materialized under the cache, cache released
-    # (see ngram_jaccard_pairs).
-    sh = shingle_sets(df, id_col, text_col, n).persist()
+    # LAZY plan, no op-owned caches. The full-corpus pandas-UDF shingling
+    # feeds ONLY signature generation (one pass); the exact-Jaccard
+    # verify re-shingles just the candidate docs (a tiny fraction of the
+    # corpus) by joining candidate ids back to the source text — cheaper
+    # than caching corpus-wide shingle arrays across three consumers,
+    # and nothing is pinned in executor storage after the op returns.
+    sh = shingle_sets(df, id_col, text_col, n)
     ex = (sh.select("_id", F.explode("_sh").alias("_g"))
           .withColumn("_h", hash64(F.col("_g")) % MINHASH_PRIME))
     perms = MINHASH_PERMS[:num_perm]
@@ -227,13 +227,23 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     cand = (left.join(right, ["band", "key"])
             .filter(F.col("a_id") < F.col("b_id"))
             .select("a_id", "b_id").distinct())
+    # Re-shingle ONLY the candidate docs: join the (small, by LSH
+    # construction) candidate pair list against the raw text relation and
+    # run the shingle UDF post-join, so it sees candidate rows — a tiny
+    # fraction of the corpus — instead of caching corpus-wide shingle
+    # arrays across three consumers. `cand` is computed once (AQE
+    # broadcasts it into both text scans); nothing is pinned in executor
+    # storage after the op returns.
+    ta = df.select(F.col(id_col).alias("a_id"),
+                   F.col(text_col).alias("_atxt"))
+    tb = df.select(F.col(id_col).alias("b_id"),
+                   F.col(text_col).alias("_btxt"))
     j = (cand
-         .join(sh.select(F.col("_id").alias("a_id"),
-                         F.col("_sh").alias("_ash"),
-                         F.col("_sz").alias("_asz")), "a_id")
-         .join(sh.select(F.col("_id").alias("b_id"),
-                         F.col("_sh").alias("_bsh"),
-                         F.col("_sz").alias("_bsz")), "b_id")
+         .join(ta, "a_id").join(tb, "b_id")
+         .withColumn("_ash", ngram_shingles("_atxt", n))
+         .withColumn("_bsh", ngram_shingles("_btxt", n))
+         .withColumn("_asz", F.size("_ash"))
+         .withColumn("_bsz", F.size("_bsh"))
          .withColumn("_shared",
                      F.size(F.array_intersect("_ash", "_bsh")))
          .withColumn("jaccard",
@@ -242,10 +252,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                      .cast("double"))
          .filter(F.col("jaccard") >= threshold)
          .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard")))
-    try:
-        return j.localCheckpoint(eager=True)
-    finally:
-        sh.unpersist()
+    return j
 
 
 # --------------------------------------------------------------------------

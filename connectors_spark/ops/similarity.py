@@ -44,17 +44,21 @@ MAX_DRIVER_QUERY_ROWS = 10_000
 
 def _collect_query_side(queries: DataFrame, query_id_col: str,
                         vec_col: str, max_rows: int = MAX_DRIVER_QUERY_ROWS):
-    rows = (queries.select(F.col(query_id_col).alias("_qid"),
-                           F.col(vec_col).alias("_qv"))
-            .take(max_rows + 1))
-    if len(rows) > max_rows:
+    # count() guard first, then collect(): two fully-parallel jobs. A
+    # take(max+1) would run Spark's incremental limit (1 partition, then
+    # 4x scale-up rounds) — several SEQUENTIAL jobs re-running the query
+    # subplan whenever the side has fewer than max rows, which is the
+    # common case.
+    narrow = queries.select(F.col(query_id_col).alias("_qid"),
+                            F.col(vec_col).alias("_qv"))
+    if narrow.count() > max_rows:
         raise ValueError(
             f"query side exceeds {max_rows} rows; the exact/IVF top-k "
             f"paths collect queries to the driver (broadcast contract). "
             f"Use the distributed ANN paths (ann_lsh_topk / "
             f"ann_query_indexed) for large query sets, or raise max_rows "
             f"explicitly.")
-    return rows
+    return narrow.collect()
 
 
 def _spread(df: DataFrame) -> DataFrame:

@@ -833,18 +833,14 @@ def q11(spark, sf_dir):
     val = (li.groupBy("l_partkey")
            .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2)
                 .alias("part_value")))
-    # Op-owned cache: evaluate the (small) result under the cache, then
-    # release it — repeated query runs in one session must not stack
-    # cached part-value relations in executor storage.
-    val = val.persist()
-    try:
-        thr = val.agg((F.avg("part_value") * 1.5).alias("_thr"))
-        return (val.crossJoin(F.broadcast(thr))
-                .filter(F.col("part_value") > F.col("_thr"))
-                .select("l_partkey", "part_value")
-                .localCheckpoint(eager=True))
-    finally:
-        val.unpersist()
+    # LAZY, cache-free: `val` is consumed twice (scalar threshold and
+    # filter side), each a scan+partial-agg of lineitem — embarrassingly
+    # parallel recompute with nothing pinned in executor storage, the
+    # trade every scale-out engine makes for scalar-subquery shapes.
+    thr = val.agg((F.avg("part_value") * 1.5).alias("_thr"))
+    return (val.crossJoin(F.broadcast(thr))
+            .filter(F.col("part_value") > F.col("_thr"))
+            .select("l_partkey", "part_value"))
 
 
 # --------------------------------------------------------------------------
@@ -887,26 +883,25 @@ def q21(spark, sf_dir):
                   F.when(F.col("l_shipdate") >
                          F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
                          1).otherwise(0).alias("late")))
-    # Op-owned cache released after the top-20 result materializes.
-    li = li.persist()
-    try:
-        ord_stats = (li.groupBy("l_orderkey")
-                     .agg(F.countDistinct("l_suppkey").alias("n_supp"),
-                          F.countDistinct(F.when(F.col("late") == 1,
-                                                 F.col("l_suppkey")))
-                          .alias("n_late")))
-        su = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-        return (li.filter(F.col("late") == 1)
-                .join(ord_stats.filter((F.col("n_supp") > 1) &
-                                       (F.col("n_late") == 1)), "l_orderkey")
-                .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
-                .groupBy("s_name")
-                .agg(F.count(F.lit(1)).alias("numwait"))
-                .orderBy(F.desc("numwait"), F.asc("s_name"))
-                .limit(20)
-                .localCheckpoint(eager=True))
-    finally:
-        li.unpersist()
+    # LAZY, cache-free: `li` is consumed twice (per-order stats and the
+    # late-row probe side), both shuffling on l_orderkey. The second
+    # evaluation is a re-scan of lineitem+orders — embarrassingly
+    # parallel, no state pinned in executor storage, and the join
+    # co-partitions both sides on the same key so no third shuffle runs.
+    ord_stats = (li.groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                      F.countDistinct(F.when(F.col("late") == 1,
+                                             F.col("l_suppkey")))
+                      .alias("n_late")))
+    su = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (li.filter(F.col("late") == 1)
+            .join(ord_stats.filter((F.col("n_supp") > 1) &
+                                   (F.col("n_late") == 1)), "l_orderkey")
+            .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), F.asc("s_name"))
+            .limit(20))
 
 
 # --------------------------------------------------------------------------

@@ -84,6 +84,15 @@ def test_dedup_jaccard_no_cartesian(plans):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_dedup_suite_holds_no_caches(spark, sf_dir):
+    # The dedup ops are fully lazy: running them must not leave
+    # anything pinned in executor storage (earlier rounds leaked
+    # persisted shingle relations across a long-lived session).
+    for name in ("doc_ngram_jaccard_pairs", "doc_minhash_lsh_pairs"):
+        REGISTRY[name].fn(spark, sf_dir).count()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
 def test_q1_partial_aggregation(plans):
     # Map-side combine: the shuffle must carry pre-aggregated partials
     # (6 groups/partition), never raw lineitem rows.
