@@ -222,11 +222,27 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                                   key.alias("key")).alias(f"b{bi}"))
     buckets = (sig.select("_id", F.explode(F.array(*band_cols)).alias("bk"))
                .select("_id", "bk.band", "bk.key"))
-    left = buckets.select(F.col("_id").alias("a_id"), "band", "key")
-    right = buckets.select(F.col("_id").alias("b_id"), "band", "key")
-    cand = (left.join(right, ["band", "key"])
-            .filter(F.col("a_id") < F.col("b_id"))
-            .select("a_id", "b_id").distinct())
+    # Candidate pairs via per-bucket collect_list + in-bucket pair
+    # expansion, NOT a bucket self-join: the self-join's two sides are
+    # the whole signature subtree, and Spark cannot dedupe subtrees
+    # containing higher-order-function lambdas (their canonical forms
+    # differ), so the join shape computed every signature TWICE. A
+    # same-band-key bucket holds near-identical docs — a handful of ids
+    # by LSH construction — so the quadratic in-bucket expansion is
+    # trivially small per group and the signature pipeline runs ONCE.
+    ids = F.col("ids")
+    pair_expand = F.flatten(F.transform(
+        ids,
+        lambda a, i: F.transform(
+            F.slice(ids, i + F.lit(2),
+                    F.greatest(F.size(ids) - i - 1, F.lit(0))),
+            lambda b: F.struct(F.least(a, b).alias("a_id"),
+                               F.greatest(a, b).alias("b_id")))))
+    cand = (buckets.groupBy("band", "key")
+            .agg(F.collect_list("_id").alias("ids"))
+            .filter(F.size("ids") >= 2)
+            .select(F.explode(pair_expand).alias("p"))
+            .select("p.a_id", "p.b_id").distinct())
     # Re-shingle ONLY the candidate docs: join the (small, by LSH
     # construction) candidate pair list against the raw text relation and
     # run the shingle UDF post-join, so it sees candidate rows — a tiny
