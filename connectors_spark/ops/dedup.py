@@ -16,9 +16,9 @@ Four families, each scale-first:
   candidates from 15-bit band buckets, verified with `bit_count(xor)`.
 
 All hashing is md5-derived (see functions.text.hash64) so every operator
-is reproducible in a double-entry SQL oracle. Shingle construction is an
-Arrow-batched pandas UDF (see ngram_shingles); every other expression is
-Catalyst-codegen'd JVM-side.
+is reproducible in a double-entry SQL oracle. Everything — including
+shingle construction (see ngram_shingles) — is JVM-side expressions; no
+Python workers anywhere in the dedup family.
 
 Reference parity note: delta-io/connectors has no dedup operators; these
 are the §7 extensions. The LSH shape follows the published MinHash/LSH
@@ -137,12 +137,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     # (up to md5 collisions, ~1e-12 for millions of shingles).
     ex = (sh.select("_id", "_sz", F.explode("_sh").alias("_gs"))
           .select("_id", "_sz", hash64("_gs").alias("_g")))
-    # LAZY single-pass plan, no op-owned caches: both self-join sides are
-    # the identical subtree, so Spark plans ONE shuffle of `ex` and a
-    # ReusedExchange for the other side (pinned in test_plans.py) — the
-    # pandas-UDF shingling runs exactly once without persist(). The hot
-    # cap is a window count over that SAME by-`_g` shuffle rather than a
-    # separate aggregate+anti-join, so capping adds zero extra passes.
+    # LAZY plan, no op-owned caches: each self-join side evaluates the
+    # (cheap, JVM-expression) shingle subtree independently — Spark
+    # cannot dedupe subtrees containing higher-order-function lambdas,
+    # and both caching and a bucket-local collect_list pair expansion
+    # measured slower than simply recomputing a scan-bound stage. The
+    # hot cap is a window count over the join's own by-`_g` shuffle
+    # rather than a separate aggregate+anti-join pass.
     if max_shingle_freq is not None:
         ex = (ex.withColumn("_freq",
                             F.count(F.lit(1)).over(Window.partitionBy("_g")))
