@@ -425,3 +425,89 @@ def test_partition_value_codec_roundtrip():
         assert decode(encode(None), dtype) is None
 
     check()
+
+
+def test_add_relative_remove_absolute_resolves(spark, tmp_path):
+    """DeltaLogSuite 'paths should be canonicalized': an AddFile written
+    with a table-relative path must be tombstoned by a RemoveFile whose
+    path is the absolute file: URI of the same file (and vice versa) —
+    replay keys on the CANONICAL path (SnapshotImpl.scala:349-362)."""
+    from connectors_spark.log.actions import AddFile, RemoveFile
+
+    import json
+    import os
+
+    t = _t(spark, tmp_path)
+    t.write(spark.range(5).select(F.col("id").cast("int").alias("x")))
+    adds = t.snapshot().all_files()
+    # the log stores table-relative paths (check the raw v0 JSON); the
+    # reconstruction canonicalizes to absolute
+    with open(os.path.join(str(tmp_path / "t"), "_delta_log",
+                           "%020d.json" % 0)) as f:
+        raw_adds = [json.loads(l)["add"]["path"] for l in f
+                    if '"add"' in l]
+    assert raw_adds and all(not p.startswith("/") for p in raw_adds)
+    victim = adds[0]
+    abs_uri = "file:" + victim.path
+    txn = t.log.start_transaction()
+    txn.commit([RemoveFile(path=abs_uri,
+                           deletionTimestamp=int(time.time() * 1000),
+                           dataChange=True)], "DELETE", {})
+    assert t.snapshot().files_df.count() == len(adds) - 1
+
+    # reverse direction: absolute add, relative remove
+    t2 = _t(spark, tmp_path, "t2")
+    t2.write(spark.range(3).select(F.col("id").cast("int").alias("x")))
+    fresh = t2.snapshot().all_files()[0]
+    ghost_rel = "ghost-part.parquet"
+    ghost_abs = "file:" + t2.log.table_path.rstrip("/") + "/" + ghost_rel
+    txn = t2.log.start_transaction()
+    txn.commit([AddFile(path=ghost_abs, partitionValues={}, size=1,
+                        modificationTime=1, dataChange=True)], "WRITE", {})
+    n_after_add = t2.snapshot().files_df.count()
+    txn = t2.log.start_transaction()
+    txn.commit([RemoveFile(path=ghost_rel,
+                           deletionTimestamp=int(time.time() * 1000),
+                           dataChange=True)], "DELETE", {})
+    assert t2.snapshot().files_df.count() == n_after_add - 1
+    assert fresh.path.split("/")[-1] in {
+        r.path.split("/")[-1] for r in t2.snapshot().files_df.collect()}
+
+
+def test_snapshot_ignores_pre_checkpoint_deltas(spark, tmp_path):
+    """DeltaLogSuite 'update shouldn't pick up delta files earlier than
+    checkpoint': once a checkpoint exists, loading the snapshot must
+    never read the delta JSONs it subsumes — corrupt every
+    pre-checkpoint JSON and the table must still load correctly
+    (SnapshotManagement.scala:116-214 bounded-replay contract)."""
+    import os
+    from connectors_spark import table as table_mod
+
+    t = _t(spark, tmp_path)
+    for i in range(12):
+        t.write(spark.range(i, i + 1).select(F.col("id").alias("x")),
+                mode="append")
+    log_dir = str(tmp_path / "t" / "_delta_log")
+    ckpts = [f for f in os.listdir(log_dir) if "checkpoint" in f
+             and f.endswith(".parquet")]
+    assert ckpts, "expected an auto-checkpoint after 12 commits"
+    ckpt_v = max(int(f.split(".")[0]) for f in ckpts)
+    for v in range(ckpt_v):
+        with open(os.path.join(log_dir, "%020d.json" % v), "w") as f:
+            f.write("THIS IS NOT JSON\n")
+    table_mod._log_cache.clear()
+    fresh = DeltaTable.for_path(spark, str(tmp_path / "t"))
+    assert fresh.to_df().count() == 12
+
+
+def test_write_requires_partition_columns_in_schema(spark, tmp_path):
+    """DeltaLogSuite 'schema must contain all partition columns': a
+    write partitioned by a column absent from the data must fail and
+    commit nothing."""
+    t = _t(spark, tmp_path)
+    t.write(spark.range(3).select(F.col("id").alias("x")))
+    v_before = t.snapshot().version
+    with pytest.raises(Exception):
+        t.write(spark.range(3).select(F.col("id").alias("x")),
+                mode="append", partition_by=["not_a_column"])
+    assert t.snapshot().version == v_before
