@@ -186,6 +186,12 @@ class OptimisticTransaction:
         raise DeltaError("commit retry budget exhausted")
 
     def _prepare_commit(self, actions: List[Any]) -> List[Any]:
+        if any(isinstance(a, CommitInfo) for a in actions):
+            # The transaction writes its own CommitInfo as the first log
+            # line; a second one would violate the one-per-commit
+            # protocol shape (OptimisticTransactionImpl.scala:253-255).
+            raise DeltaError("User-provided CommitInfo is not committable; "
+                             "pass operation/operationParameters instead")
         metadatas = [a for a in actions if isinstance(a, Metadata)]
         if len(metadatas) > 1:
             raise DeltaError("Cannot change the metadata more than once per commit")

@@ -511,3 +511,17 @@ def test_write_requires_partition_columns_in_schema(spark, tmp_path):
         t.write(spark.range(3).select(F.col("id").alias("x")),
                 mode="append", partition_by=["not_a_column"])
     assert t.snapshot().version == v_before
+
+
+def test_user_commit_info_rejected(spark, tmp_path):
+    """OptimisticTransactionLegacySuite 'user cannot commit their own
+    CommitInfo': the txn writes its own CommitInfo line; a user-supplied
+    one would put two in one commit."""
+    from connectors_spark.log.actions import CommitInfo
+
+    t = _t(spark, tmp_path)
+    t.write(spark.range(3).select(F.col("id").alias("x")))
+    txn = t.log.start_transaction()
+    with pytest.raises(DeltaError):
+        txn.commit([CommitInfo(timestamp=0, operation="SNEAKY",
+                               operationParameters={})], "WRITE", {})
