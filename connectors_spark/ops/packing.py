@@ -89,3 +89,46 @@ def packing_summary(df: DataFrame, ctx: int = 256, id_col: str = "doc_id",
                  F.sum("n_tok").alias("n_tokens_started"),
                  F.sum(F.col("crosses_boundary").cast("long"))
                  .alias("n_crossing")))
+
+
+def chunk_token_windows(df: DataFrame, window: int = 32, stride: int = 24,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Per-document sliding token windows (RAG / context-window chunking):
+    (doc_id, chunk_idx, chunk_text, n_tokens), chunk i covering tokens
+    [i*stride, i*stride + window). The final chunk may be partial; docs
+    with fewer than `window` tokens yield exactly one chunk; empty docs
+    yield none.
+
+    Pure JVM map-side expression — the token array is bound once as a
+    higher-order-function lambda variable and every chunk is a `slice` +
+    `concat_ws` over it; `posexplode` fans out to one row per chunk. No
+    shuffle anywhere: at 100 TB this runs at scan speed and partitions
+    like the input. `stride < window` gives overlapping chunks
+    (retrieval-friendly); `stride == window` gives a partition of the
+    token stream.
+    """
+    from ..functions.text import tokens
+
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+
+    def build(tk):
+        z = F.size(tk)
+        n_chunks = (F.when(z > window,
+                           F.floor((z - window + stride - 1) / stride) + 1)
+                    .otherwise(1))
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                F.concat_ws(" ", F.slice(tk, i * stride + 1, window))
+                .alias("txt"),
+                F.least(F.lit(window), z - i * stride).alias("n")))
+    chunks = F.element_at(
+        F.transform(F.array(tokens(F.col(text_col))), build), 1)
+    return (df.filter(F.size(tokens(F.col(text_col))) > 0)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.posexplode(chunks).alias("chunk_idx", "c"))
+            .select("doc_id", F.col("chunk_idx").cast("long"),
+                    F.col("c.txt").alias("chunk_text"),
+                    F.col("c.n").cast("long").alias("n_tokens")))

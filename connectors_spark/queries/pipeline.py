@@ -1257,6 +1257,29 @@ def doc_pack(spark, sf_dir):
     return packing_summary(load(spark, sf_dir, "documents"), ctx=256)
 
 
+@register("doc_chunk_windows", sql=f"""
+WITH {_TOKS},
+nz AS (SELECT doc_id, t, len(t) AS z FROM toks WHERE len(t) > 0),
+idx AS (
+  SELECT doc_id, t, z,
+         unnest(range(0, CASE WHEN z > 32
+                              THEN (z - 32 + 24 - 1) // 24 + 1
+                              ELSE 1 END)) AS chunk_idx
+  FROM nz)
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+       array_to_string(t[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+           AS chunk_text,
+       least(32, z - chunk_idx * 24)::BIGINT AS n_tokens
+FROM idx
+""")
+def doc_chunks(spark, sf_dir):
+    # Sliding 32-token windows, stride 24 (8-token overlap) — RAG /
+    # context-window chunking. Map-side only; partitions like the scan.
+    from ..ops.packing import chunk_token_windows
+    return chunk_token_windows(load(spark, sf_dir, "documents"),
+                               window=32, stride=24)
+
+
 # --------------------------------------------------------------------------
 # K-means clustering on embeddings (ops/clustering.py)
 # --------------------------------------------------------------------------

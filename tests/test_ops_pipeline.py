@@ -546,3 +546,24 @@ def test_exact_topk_query_side_guard(spark):
     rows = _collect_query_side(big.limit(3), "query_id", "embedding",
                                max_rows=5)
     assert len(rows) == 3
+
+
+def test_chunk_token_windows_edges(spark):
+    from connectors_spark.ops.packing import chunk_token_windows
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"),   # 7 toks: [a b c][c d e][e f g]
+         (2, "x y"),             # shorter than window: one partial chunk
+         (3, ""), (4, " "),      # empty: no chunks
+         (5, "p q r s")],        # [p q r][r s]
+        "doc_id: long, text: string")
+    got = [tuple(r) for r in
+           chunk_token_windows(df, window=3, stride=2)
+           .orderBy("doc_id", "chunk_idx").collect()]
+    assert got == [
+        (1, 0, "a b c", 3), (1, 1, "c d e", 3), (1, 2, "e f g", 3),
+        (2, 0, "x y", 2),
+        (5, 0, "p q r", 3), (5, 1, "r s", 2)]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_token_windows(df, window=0)
