@@ -487,7 +487,7 @@ def contamination_report(train: DataFrame, eval_df: DataFrame, n: int = 3,
     TRAIN document, how many distinct n-grams it shares with the eval
     set and how many distinct eval documents those grams appear in.
 
-    Scale shape: distinct n-grams per doc on both sides (Arrow-batched
+    Scale shape: distinct n-grams per doc on both sides (JVM-expression
     shingle pass), then an equi-join on the gram. The eval side is a
     benchmark suite — thousands of docs, not billions — so its gram
     relation is broadcast: the train corpus is scanned once with a
