@@ -497,6 +497,29 @@ def doc_domain_cap(spark, sf_dir):
         .select("doc_id", "source", "n_chars")
 
 
+@register("doc_salted_stats_join", sql="""
+WITH stats AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         round(avg(n_chars), 6) AS avg_chars
+  FROM documents GROUP BY 1)
+SELECT d.doc_id, d.source, s.n_docs, s.avg_chars
+FROM documents d JOIN stats s ON d.source = s.source
+""")
+def doc_salted_join(spark, sf_dir):
+    # Skew-mitigated join (ops/skew.py): the docs→per-source-stats join
+    # keys on a low-cardinality `source` column — the textbook hot-key
+    # shape. salted_join spreads each key over 16 shuffle partitions;
+    # output is identical to the plain join the oracle runs.
+    from ..ops.skew import salted_join
+    docs = load(spark, sf_dir, "documents")
+    stats = (docs.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.round(F.avg("n_chars"), 6).alias("avg_chars")))
+    return (salted_join(docs.select("doc_id", "source"), stats,
+                        on=["source"], n_salts=16)
+            .select("doc_id", "source", "n_docs", "avg_chars"))
+
+
 @register("doc_incremental_ingest", sql=r"""
 WITH fp AS (
   SELECT doc_id, source,
