@@ -398,15 +398,29 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
         for i in range(SIMHASH_BITS // SIMHASH_BAND_BITS)])
     b = (sh.select("_id", "simhash", F.explode(chunks).alias("c"))
          .select("_id", "simhash", "c.band", "c.key"))
-    left = b.select(F.col("_id").alias("a_id"),
-                    F.col("simhash").alias("a_sim"), "band", "key")
-    right = b.select(F.col("_id").alias("b_id"),
-                     F.col("simhash").alias("b_sim"), "band", "key")
-    return (left.join(right, ["band", "key"])
-            .filter(F.col("a_id") < F.col("b_id"))
-            .select("a_id", "b_id",
-                    F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
-                    .alias("hamming"))
+    # Candidates via per-bucket collect_list + in-bucket pair expansion
+    # (see minhash_lsh_pairs): a band self-join's two sides are the
+    # whole signature subtree, which contains higher-order-function
+    # lambdas (tokens()) that Spark cannot canonicalize — the join shape
+    # computed every signature twice. Same-chunk buckets hold few,
+    # near-identical docs, so the quadratic expansion is tiny per group
+    # and the signature aggregation runs ONCE.
+    ds = F.col("ds")
+    pair_expand = F.flatten(F.transform(
+        ds,
+        lambda a, i: F.transform(
+            F.slice(ds, i + F.lit(2),
+                    F.greatest(F.size(ds) - i - 1, F.lit(0))),
+            lambda x: F.struct(
+                F.least(a["_id"], x["_id"]).alias("a_id"),
+                F.greatest(a["_id"], x["_id"]).alias("b_id"),
+                F.bit_count(a["simhash"].bitwiseXOR(x["simhash"]))
+                .alias("hamming")))))
+    return (b.groupBy("band", "key")
+            .agg(F.collect_list(F.struct("_id", "simhash")).alias("ds"))
+            .filter(F.size("ds") >= 2)
+            .select(F.explode(pair_expand).alias("p"))
+            .select("p.a_id", "p.b_id", "p.hamming")
             .distinct()
             .filter(F.col("hamming") <= max_hamming))
 
