@@ -567,3 +567,43 @@ def test_chunk_token_windows_edges(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         chunk_token_windows(df, window=0)
+
+
+def test_chunk_token_windows_matches_python_reference(spark):
+    """Randomized (seeded) cross-check of the chunking expression against
+    a straightforward Python implementation, over several (window,
+    stride) shapes including stride == window (disjoint) and stride <
+    window (overlap)."""
+    import random
+
+    from connectors_spark.ops.packing import chunk_token_windows
+
+    rnd = random.Random(7)
+    docs = [(i, " ".join(f"t{rnd.randrange(50)}"
+                         for _ in range(rnd.randrange(0, 40))))
+            for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+
+    def ref(text, w, s):
+        tk = [x for x in text.split(" ") if x]
+        if not tk:
+            return []
+        out = []
+        i = 0
+        idx = 0
+        while True:
+            chunk = tk[i:i + w]
+            out.append((idx, " ".join(chunk), len(chunk)))
+            if i + w >= len(tk):
+                break
+            i += s
+            idx += 1
+        return out
+
+    for w, s in [(8, 8), (8, 6), (5, 2), (3, 3)]:
+        got = sorted(tuple(r) for r in
+                     chunk_token_windows(df, window=w, stride=s).collect())
+        want = sorted((d, idx, txt, n)
+                      for d, text in docs
+                      for idx, txt, n in ref(text, w, s))
+        assert got == want, (w, s)
