@@ -27,8 +27,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ordered_names puts the relational + delta_* + headline pipeline
-    # suites first so the driver's 50-query sample spans all of them.
+    # ordered_names rotates the round-3-unsampled pipeline/temporal
+    # queries to the front so the driver's 50-query sample gives every
+    # registry query a driver-recorded row across rounds 3+4.
     return {name: REGISTRY[name].fn for name in ordered_names()}
 
 
