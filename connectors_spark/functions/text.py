@@ -42,7 +42,9 @@ def token_count(text: ColumnOrName) -> Column:
 
 def ngram_shingles(text: ColumnOrName, n: int = 3) -> Column:
     """Distinct word n-gram shingles (array<string>), first-occurrence
-    order. Docs shorter than n words yield an empty array.
+    order. Docs shorter than n words — and NULL text — yield an empty
+    array (the NULL case is coalesced so `size()` is 0, never NULL,
+    preserving the contract of the pandas UDF this replaced).
 
     Pure JVM expression — no Python workers in the dedup hot path. The
     token array is bound ONCE as a lambda variable (single-element-array
@@ -62,7 +64,8 @@ def ngram_shingles(text: ColumnOrName, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
         return (F.when(F.size(tk) >= n, F.array_distinct(grams))
                 .otherwise(F.slice(tk, 1, 0)))
-    return F.element_at(F.transform(F.array(tokens(_c(text))), _build), 1)
+    built = F.element_at(F.transform(F.array(tokens(_c(text))), _build), 1)
+    return F.coalesce(built, F.array().cast("array<string>"))
 
 
 # --------------------------------------------------------------------------

@@ -127,8 +127,6 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     max(|a|,|b|)/min(|a|,|b|) ≤ 1/t) prunes impossible pairs before the
     groupBy shuffle.
     """
-    from pyspark.sql.window import Window
-
     sh = shingle_sets(df, id_col, text_col, n)
     # Join on the 60-bit md5 hash of the shingle, not the string: the
     # self-join shuffle carries 8-byte keys instead of ~25-byte strings
@@ -142,12 +140,17 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     # cannot dedupe subtrees containing higher-order-function lambdas,
     # and both caching and a bucket-local collect_list pair expansion
     # measured slower than simply recomputing a scan-bound stage. The
-    # hot cap is a window count over the join's own by-`_g` shuffle
-    # rather than a separate aggregate+anti-join pass.
+    # hot cap is a MAP-SIDE-COMBINED aggregate + broadcast anti-join,
+    # NOT a window count: a window over partitionBy(_g) has no partial
+    # aggregation, so every row of the hottest gram would funnel into
+    # one task just to be counted — the cap itself becoming a straggler
+    # on exactly the skewed keys it exists to remove. The agg shrinks
+    # hot keys map-side; the surviving hot-key relation is tiny (only
+    # grams above the cap) and broadcasts.
     if max_shingle_freq is not None:
-        ex = (ex.withColumn("_freq",
-                            F.count(F.lit(1)).over(Window.partitionBy("_g")))
-              .filter(F.col("_freq") <= max_shingle_freq).drop("_freq"))
+        hot = (ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_freq"))
+               .filter(F.col("_freq") > max_shingle_freq).select("_g"))
+        ex = ex.join(F.broadcast(hot), "_g", "left_anti")
     a = ex.select(F.col("_id").alias("a_id"),
                   F.col("_sz").alias("_asz"), "_g")
     b = ex.select(F.col("_id").alias("b_id"),
@@ -192,21 +195,36 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       num_perm: int = 16, bands: int = 4,
-                      threshold: float = 0.8) -> DataFrame:
+                      threshold: float = 0.8,
+                      max_bucket_size: int = 64) -> DataFrame:
     """Near-dup pairs: LSH candidate generation + exact Jaccard verify.
 
     Bands of rows=k/b signature values form bucket keys; docs sharing any
     band bucket become candidates (shuffle O(docs×bands)); candidates are
     verified with exact shingle-set Jaccard (array_intersect on the two
     docs' shingle arrays — only for candidate pairs, never all pairs).
+
+    `max_bucket_size` bounds the per-bucket pair expansion: normal LSH
+    buckets hold a handful of near-identical docs, but a degenerate
+    real-corpus bucket — a million EXACT duplicates sharing every band —
+    would otherwise collect the whole cluster into one aggregation row
+    (executor OOM) before emitting O(n²) pairs. Buckets are clipped to
+    their `max_bucket_size` smallest ids (array_sort before slice, so
+    the kept subset is deterministic); pairs are lost only among docs
+    that provably already share a full band — i.e. near-identical docs
+    that exact-dedup-first (`dedup_exact`) or the transitive closure in
+    `ops.graph.components` recovers. Row width is bounded at
+    O(max_bucket_size), pair fan-out at O(max_bucket_size²) per bucket.
     """
     rows = num_perm // bands
-    # LAZY plan, no op-owned caches. The full-corpus pandas-UDF shingling
-    # feeds ONLY signature generation (one pass); the exact-Jaccard
-    # verify re-shingles just the candidate docs (a tiny fraction of the
-    # corpus) by joining candidate ids back to the source text — cheaper
-    # than caching corpus-wide shingle arrays across three consumers,
-    # and nothing is pinned in executor storage after the op returns.
+    # LAZY plan, no op-owned caches. The JVM-expression shingle pass
+    # (ngram_shingles — a lambda-bound higher-order function, no Python
+    # workers) feeds ONLY signature generation (one pass); the
+    # exact-Jaccard verify re-shingles just the candidate docs (a tiny
+    # fraction of the corpus) by joining candidate ids back to the
+    # source text — cheaper than caching corpus-wide shingle arrays
+    # across consumers, and nothing is pinned in executor storage after
+    # the op returns.
     sh = shingle_sets(df, id_col, text_col, n)
     ex = (sh.select("_id", F.explode("_sh").alias("_g"))
           .withColumn("_h", hash64(F.col("_g")) % MINHASH_PRIME))
@@ -239,16 +257,32 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                     F.greatest(F.size(ids) - i - 1, F.lit(0))),
             lambda b: F.struct(F.least(a, b).alias("a_id"),
                                F.greatest(a, b).alias("b_id")))))
-    cand = (buckets.groupBy("band", "key")
-            .agg(F.collect_list("_id").alias("ids"))
+    # Bucket-size cap as a two-phase distributed min-k: cap each
+    # bucket's ids WITHIN each input partition first, then merge the
+    # capped lists and cap again. min-k of the union of per-partition
+    # min-ks IS the global min-k, so the result is exact and
+    # deterministic under any partitioning — and, unlike a single
+    # collect_list + slice, no aggregation row ever materializes more
+    # than O(max_bucket_size × fan_in) ids even when a million exact
+    # duplicates share every band. A degenerate bucket's first-phase
+    # groups are spread across (band, key, partition) keys, so the cap
+    # never concentrates the cluster into one straggler task.
+    local = (buckets
+             .groupBy("band", "key",
+                      F.spark_partition_id().alias("_p"))
+             .agg(F.slice(F.array_sort(F.collect_list("_id")), 1,
+                          max_bucket_size).alias("_ids")))
+    cand = (local.groupBy("band", "key")
+            .agg(F.slice(F.array_sort(F.flatten(F.collect_list("_ids"))),
+                         1, max_bucket_size).alias("ids"))
             .filter(F.size("ids") >= 2)
             .select(F.explode(pair_expand).alias("p"))
             .select("p.a_id", "p.b_id").distinct())
     # Re-shingle ONLY the candidate docs: join the (small, by LSH
     # construction) candidate pair list against the raw text relation and
-    # run the shingle UDF post-join, so it sees candidate rows — a tiny
-    # fraction of the corpus — instead of caching corpus-wide shingle
-    # arrays across three consumers. `cand` is computed once (AQE
+    # evaluate the shingle expression post-join, so it sees candidate
+    # rows — a tiny fraction of the corpus — instead of caching
+    # corpus-wide shingle arrays across consumers. `cand` is computed once (AQE
     # broadcasts it into both text scans); nothing is pinned in executor
     # storage after the op returns.
     ta = df.select(F.col(id_col).alias("a_id"),
@@ -380,7 +414,8 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text",
-                  max_hamming: int = 9) -> DataFrame:
+                  max_hamming: int = 9,
+                  max_bucket_size: int = 64) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ max_hamming.
 
     Band join: 4 chunks of 15 bits; by pigeonhole any pair within
@@ -388,6 +423,12 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     recall at distance d you need d < bands; here bands=4 guarantees
     recall for d ≤ 3 and probabilistically catches larger d. Verification
     is exact bit_count(xor).
+
+    `max_bucket_size` clips degenerate buckets (a huge exact-duplicate
+    cluster sharing every 15-bit chunk) to their smallest ids via the
+    same two-phase distributed min-k as `minhash_lsh_pairs` — exact,
+    deterministic, and O(max_bucket_size)-bounded row width; pairs are
+    lost only among docs already provably chunk-identical.
     """
     sh = simhash(df, id_col, text_col)
     chunks = F.array(*[
@@ -416,8 +457,16 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                 F.greatest(a["_id"], x["_id"]).alias("b_id"),
                 F.bit_count(a["simhash"].bitwiseXOR(x["simhash"]))
                 .alias("hamming")))))
-    return (b.groupBy("band", "key")
-            .agg(F.collect_list(F.struct("_id", "simhash")).alias("ds"))
+    # Two-phase min-k bucket cap (struct arrays sort by _id first, so
+    # the kept subset is the smallest ids — see minhash_lsh_pairs).
+    local = (b.groupBy("band", "key",
+                       F.spark_partition_id().alias("_p"))
+             .agg(F.slice(F.array_sort(
+                 F.collect_list(F.struct("_id", "simhash"))), 1,
+                 max_bucket_size).alias("_ds")))
+    return (local.groupBy("band", "key")
+            .agg(F.slice(F.array_sort(F.flatten(F.collect_list("_ds"))),
+                         1, max_bucket_size).alias("ds"))
             .filter(F.size("ds") >= 2)
             .select(F.explode(pair_expand).alias("p"))
             .select("p.a_id", "p.b_id", "p.hamming")

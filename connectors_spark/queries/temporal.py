@@ -432,14 +432,19 @@ WITH d AS (
                                   ORDER BY ts, value)
              - epoch_us(ts) AS dur_us
   FROM events)
-SELECT key, sum(v * dur_us) / sum(dur_us) AS twa,
+SELECT key, round(sum(v * dur_us) / sum(dur_us), 6) AS twa,
        sum(dur_us) AS span_us, count(*) AS n
 FROM d GROUP BY 1
 """)
 def ev_twa(spark, sf_dir):
     # LOCF time-weighted mean: lead-window durations on the integer
     # microsecond grid, then one keyed aggregate that reuses the
-    # window's partitioning (no second exchange).
-    return tp.time_weighted_avg(load(spark, sf_dir, "events"),
-                                key_col="user_id", ts_col="ts",
-                                val_col="value")
+    # window's partitioning (no second exchange). The exposed double is
+    # rounded to 6 decimals in BOTH implementations per the registry
+    # determinism contract — sum(v*dur) is order-sensitive in the last
+    # ulp, and a full-precision hash compare must not see that
+    # (CORRECTNESS_r04's only unrounded computed double).
+    out = tp.time_weighted_avg(load(spark, sf_dir, "events"),
+                               key_col="user_id", ts_col="ts",
+                               val_col="value")
+    return out.withColumn("twa", F.round("twa", 6))

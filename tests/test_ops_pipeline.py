@@ -94,6 +94,45 @@ def test_simhash_near_dup(spark):
             assert ((a, b) in got) == (shares and d <= 20), (a, b, d, shares)
 
 
+def test_lsh_bucket_cap_bounds_degenerate_duplicate_cluster(spark):
+    # A large exact-duplicate cluster shares EVERY band — without the
+    # bucket cap, candidate generation collects the whole cluster into
+    # one aggregation row and emits O(n²) pairs. With the two-phase
+    # min-k cap, pairs involving cluster members are confined to the
+    # cap smallest ids, and distinct docs are unaffected.
+    text = " ".join(f"tok{i}" for i in range(40))
+    other = " ".join(f"zz{i}" for i in range(40))
+    rows = [(i, text) for i in range(1000)] + [(5000, other)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    cap = 8
+    pairs = dd.minhash_lsh_pairs(df, threshold=0.8,
+                                 max_bucket_size=cap).collect()
+    ids_in_pairs = {r.a_id for r in pairs} | {r.b_id for r in pairs}
+    # Deterministic clip: only the cap smallest cluster ids appear.
+    assert ids_in_pairs == set(range(cap))
+    assert len(pairs) == cap * (cap - 1) // 2
+
+    spairs = dd.simhash_pairs(df, max_hamming=3,
+                              max_bucket_size=cap).collect()
+    s_ids = {r.a_id for r in spairs} | {r.b_id for r in spairs}
+    assert s_ids == set(range(cap))
+    assert all(r.hamming == 0 for r in spairs)
+
+
+def test_lsh_bucket_cap_noop_on_normal_corpus(spark, sf_dir):
+    # On a corpus whose buckets are all under the cap, the capped plan
+    # must produce exactly the uncapped output (the clip is a no-op).
+    docs = read_table(spark, "documents", sf_dir)
+    capped = {(r.a_id, r.b_id) for r in
+              dd.minhash_lsh_pairs(docs, threshold=0.8,
+                                   max_bucket_size=64).collect()}
+    uncapped = {(r.a_id, r.b_id) for r in
+                dd.minhash_lsh_pairs(docs, threshold=0.8,
+                                     max_bucket_size=1 << 30).collect()}
+    assert capped == uncapped
+
+
 def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     emb = read_table(spark, "embeddings", sf_dir)
     queries = (emb.filter(F.col("vec_id") < 10)
