@@ -243,16 +243,20 @@ ORDER BY totalprice DESC, o_orderkey
 LIMIT 100
 """, bench=True)
 def q18(spark, sf_dir):
-    # Aggregate-then-join: the HAVING collapses lineitem to a tiny key
-    # set which then BROADCASTS into orders — at 100 TB this inverts a
-    # giant join into agg + broadcast.
+    # Aggregate-then-join: the HAVING collapses lineitem to a small key
+    # set. No explicit broadcast hint on it — `big` is FACT-derived, so
+    # its size grows with SF (~100 MB of keys at TPC-H-100TB): a forced
+    # broadcast that is right at bench scale becomes an OOM at 100×.
+    # AQE measures the post-aggregation size at runtime and converts the
+    # join to a broadcast exactly when it actually fits
+    # (plan-pinned: test_plans.test_q18_aqe_broadcasts_agg).
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (li.groupBy("l_orderkey")
            .agg(F.sum("l_quantity").alias("_sq"))
            .filter(F.col("_sq") > 300))
     od = load(spark, sf_dir, "orders")
     cu = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    return (od.join(F.broadcast(big), od.o_orderkey == big.l_orderkey)
+    return (od.join(big, od.o_orderkey == big.l_orderkey)
             .join(cu, od.o_custkey == cu.c_custkey)
             .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
                     F.round("o_totalprice", 2).alias("totalprice"),

@@ -368,7 +368,7 @@ class DeltaTable:
         else:
             cand_paths = [canonical_path(f.path, snap.table_path)
                           for f in candidates]
-            files_subset = snap.files_df.where(F.col("path").isin(cand_paths))
+            files_subset = _semi_by_paths(snap.files_df, cand_paths)
             df = snap.to_df(files=files_subset)
             hit = F.coalesce(predicate.to_column(F.col), F.lit(False))
             keep = df.where(~hit)
@@ -427,7 +427,7 @@ class DeltaTable:
                              F.col("__ri").alias("row_index"))
         if prior is not None:
             new_dv = new_dv.unionByName(
-                prior.where(F.col("file_path").isin(sorted(touched))))
+                _semi_by_paths(prior, sorted(touched), col="file_path"))
         rel, counts = stage_dv(self.spark, snap.table_path, new_dv)
         actions: List[Any] = []
         for p in sorted(touched):
@@ -462,7 +462,7 @@ class DeltaTable:
             return txn.commit([], "UPDATE", {})
         cand_paths = [canonical_path(f.path, snap.table_path)
                       for f in candidates]
-        files_subset = snap.files_df.where(F.col("path").isin(cand_paths))
+        files_subset = _semi_by_paths(snap.files_df, cand_paths)
         df = snap.to_df(files=files_subset)
         cond = predicate.to_column(F.col) if predicate is not None else F.lit(True)
         cond = F.coalesce(cond, F.lit(False))
@@ -779,6 +779,20 @@ def _canonical(path: str, table_path: str) -> str:
     return canonical_path(path, table_path)
 
 
+def _semi_by_paths(df: DataFrame, paths: Sequence[str],
+                   col: str = "path") -> DataFrame:
+    """Subset of ``df`` whose ``col`` is in ``paths``, via a left-semi
+    join against a paths DataFrame — never an ``isin`` literal. A wide
+    DML/OPTIMIZE over 100k files must not embed a 100k-element In() in
+    the plan (driver memory + plan-size blowup); the candidate list is
+    already driver-side (it becomes the commit's RemoveFile list), so
+    feeding it back as a local relation costs nothing extra. Same shape
+    as merge's touched-file scoping (see merge())."""
+    pdf = df.sparkSession.createDataFrame(
+        [(p,) for p in paths], f"{col}: string")
+    return df.join(pdf, col, "left_semi")
+
+
 def _enforce_constraints(df: DataFrame, configuration: Dict[str, str],
                          what: str) -> None:
     """Reject the commit if any row violates a CHECK constraint. SQL
@@ -884,7 +898,7 @@ class TableMaintenance:
             return {"filesRemoved": 0, "filesAdded": 0,
                     "version": snap.version}
         cand_paths = [_canonical(f.path, snap.table_path) for f in victims]
-        subset = snap.files_df.where(F.col("path").isin(cand_paths))
+        subset = _semi_by_paths(snap.files_df, cand_paths)
         df = snap.to_df(files=subset)
         total = sum(f.size for f in victims)
         n_out = max(1, -(-total // target_file_size))

@@ -64,6 +64,20 @@ def test_q9_single_fact_shuffle(plans):
     assert "StringContains(p_name,gear)" in p
 
 
+def test_q18_aqe_broadcasts_agg(spark, sf_dir):
+    # q18 carries NO broadcast hint on the fact-derived HAVING aggregate
+    # (it grows with SF — forcing it would OOM at 100×); AQE must still
+    # convert the join to a broadcast at bench scale from the measured
+    # post-agg size. The final adaptive plan is only known after
+    # execution, so run the query, then inspect the executed plan.
+    df = REGISTRY["q18_large_volume_customer"].fn(spark, sf_dir)
+    df.collect()
+    p = plan_of(df)
+    assert "isFinalPlan=true" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
 def test_range_join_is_hash_join(plans):
     p = plans("ev_range_error_context")
     # The binned rewrite must produce an equi-join, never a nested loop
@@ -224,3 +238,43 @@ def test_merge_no_isin_literal_in_touched_filter(spark, tmp_path):
     # No file-list-sized In() literal anywhere in the merge path.
     assert all(n <= 8 for n in isin_sizes), isin_sizes
     assert t.to_df().where("c_acctbal = 123.0").count() == 10
+
+
+def test_dml_no_isin_literal_in_candidate_filters(spark, tmp_path):
+    """UPDATE / DELETE-with-residual / OPTIMIZE must scope their file
+    rewrites with a semi-join against a paths DataFrame, like merge —
+    never an In(path, [...]) literal sized by the candidate file list
+    (plan-size blowup when a wide DML touches 100k files)."""
+    import pyspark.sql.column as colmod
+
+    from connectors_spark import DeltaTable
+    from connectors_spark.expressions import Col, Lit
+    from tests.conftest import read_table
+
+    cust = read_table(spark, "customer")
+    t = DeltaTable.for_path(spark, str(tmp_path / "dml_plan"))
+    t.write(cust.repartition(4))
+
+    isin_sizes = []
+    orig_isin = colmod.Column.isin
+
+    def spy(self, *cols):
+        if len(cols) == 1 and isinstance(cols[0], (list, tuple, set)):
+            isin_sizes.append(len(cols[0]))
+        else:
+            isin_sizes.append(len(cols))
+        return orig_isin(self, *cols)
+
+    colmod.Column.isin = spy
+    try:
+        # Residual (non-partition) predicates force the rewrite path
+        # through the candidate-file scoping in each operation.
+        t.update({"c_acctbal": "c_acctbal + 1.0"},
+                 predicate=Col("c_custkey") < Lit(50))
+        t.delete(Col("c_custkey") < Lit(10))
+        from connectors_spark.table import TableMaintenance
+        TableMaintenance(t).optimize(target_file_size=1 << 30)
+    finally:
+        colmod.Column.isin = orig_isin
+    assert all(n <= 8 for n in isin_sizes), isin_sizes
+    assert t.to_df().where("c_custkey < 10").count() == 0
