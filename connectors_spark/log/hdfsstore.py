@@ -1,0 +1,256 @@
+"""HDFS LogStore: the commit protocol's put-if-absent via temp-file +
+atomic exclusive rename — ``HDFSLogStore.scala:35-55`` semantics.
+
+HDFS gives the two guarantees the reference store builds from
+(HDFSLogStore.scala class doc): ``FileContext.rename`` is atomic, and
+with ``Options.Rename.NONE`` it FAILS when the destination exists; file
+listings are consistent. Put-if-absent is therefore: write the commit
+body to a unique temp name in the log directory, then rename it to
+``N.json`` without overwrite — the namenode arbitrates concurrent
+committers, exactly like the reference (and unlike S3, where the
+arbiter is a conditional PUT — see s3store.py).
+
+The store talks to HDFS through a small Hadoop-FileSystem-shaped client
+interface (:class:`HadoopFsClient`); the real binding wraps
+``pyarrow.fs.HadoopFileSystem`` (import-guarded — libhdfs is not in
+every environment), and tests drive the identical store logic through a
+local-filesystem client whose rename has true HDFS semantics (atomic,
+exclusive via hard-link). The LogStore seam is the point: everything
+above the store — optimistic commit, retry, conflict detection, P&M
+replay, checkpoints — runs unchanged on ``hdfs://`` URIs.
+
+Scope mirrors s3store.py: this serves the METADATA plane and the
+engine-side file-plane helpers; DATA files still go through Spark's own
+Hadoop client (``spark.read.parquet("hdfs://...")``).
+"""
+
+from __future__ import annotations
+
+import posixpath
+import uuid
+from typing import Callable, Dict, Iterable, List, Optional, Tuple
+
+from .logstore import FileAlreadyExistsError, LogStore
+
+
+class HadoopFsClient:
+    """Minimal Hadoop-FileSystem-shaped surface the store needs. Paths
+    are full ``hdfs://authority/...`` URIs. ``rename`` must be ATOMIC
+    and, with ``overwrite=False``, raise :class:`FileExistsError` when
+    the destination exists (FileContext.rename + Options.Rename.NONE).
+    """
+
+    def create(self, path: str, data: bytes) -> None:
+        raise NotImplementedError
+
+    def read(self, path: str) -> bytes:
+        raise NotImplementedError
+
+    def rename(self, src: str, dst: str, overwrite: bool = False) -> None:
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def delete(self, path: str) -> None:
+        raise NotImplementedError
+
+    def delete_tree(self, dir_path: str) -> None:
+        raise NotImplementedError
+
+    def list_dir(self, dir_path: str) -> List[str]:
+        raise NotImplementedError
+
+    def list_files_recursive(self, dir_path: str) -> List[str]:
+        raise NotImplementedError
+
+    def is_dir(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def stat(self, path: str) -> Tuple[int, int]:
+        """(size_bytes, mtime_ms)."""
+        raise NotImplementedError
+
+
+class PyArrowHdfsClient(HadoopFsClient):
+    """Real binding over ``pyarrow.fs.HadoopFileSystem`` (requires
+    libhdfs at runtime). ``rename`` maps to ``FileSystem.move``, which
+    on HDFS fails when the destination exists — the exclusive-rename
+    contract — so put-if-absent needs no extra locking."""
+
+    def __init__(self, authority: str) -> None:
+        from pyarrow import fs as pafs  # ImportError surfaces to caller
+        host, _, port = authority.partition(":")
+        self._fs = pafs.HadoopFileSystem(host or "default",
+                                         int(port) if port else 8020)
+        self._authority = authority
+
+    def _p(self, path: str) -> str:
+        # hdfs://auth/a/b -> /a/b (the pyarrow fs is already bound to
+        # the authority)
+        rest = path.split("://", 1)[1]
+        slash = rest.find("/")
+        return rest[slash:] if slash >= 0 else "/"
+
+    def create(self, path: str, data: bytes) -> None:
+        p = self._p(path)
+        parent = posixpath.dirname(p)
+        self._fs.create_dir(parent, recursive=True)
+        with self._fs.open_output_stream(p) as f:
+            f.write(data)
+
+    def read(self, path: str) -> bytes:
+        with self._fs.open_input_stream(self._p(path)) as f:
+            return f.read()
+
+    def rename(self, src: str, dst: str, overwrite: bool = False) -> None:
+        if not overwrite and self.exists(dst):
+            # HDFS move refuses an existing destination; surface the
+            # typed error without depending on the wrapped message.
+            raise FileExistsError(dst)
+        self._fs.move(self._p(src), self._p(dst))
+
+    def exists(self, path: str) -> bool:
+        from pyarrow import fs as pafs
+        info = self._fs.get_file_info(self._p(path))
+        return info.type != pafs.FileType.NotFound
+
+    def delete(self, path: str) -> None:
+        self._fs.delete_file(self._p(path))
+
+    def delete_tree(self, dir_path: str) -> None:
+        from pyarrow import fs as pafs
+        info = self._fs.get_file_info(self._p(dir_path))
+        if info.type != pafs.FileType.NotFound:
+            self._fs.delete_dir(self._p(dir_path))
+
+    def list_dir(self, dir_path: str) -> List[str]:
+        from pyarrow import fs as pafs
+        sel = pafs.FileSelector(self._p(dir_path), recursive=False,
+                                allow_not_found=True)
+        return sorted(posixpath.basename(i.path)
+                      for i in self._fs.get_file_info(sel))
+
+    def list_files_recursive(self, dir_path: str) -> List[str]:
+        from pyarrow import fs as pafs
+        base = self._p(dir_path).rstrip("/") + "/"
+        sel = pafs.FileSelector(self._p(dir_path), recursive=True,
+                                allow_not_found=True)
+        return sorted(i.path[len(base):]
+                      for i in self._fs.get_file_info(sel)
+                      if i.type == pafs.FileType.File)
+
+    def is_dir(self, path: str) -> bool:
+        from pyarrow import fs as pafs
+        return (self._fs.get_file_info(self._p(path)).type
+                == pafs.FileType.Directory)
+
+    def stat(self, path: str) -> Tuple[int, int]:
+        from pyarrow import fs as pafs
+        info = self._fs.get_file_info(self._p(path))
+        if info.type == pafs.FileType.NotFound:
+            raise FileNotFoundError(path)
+        return info.size, int(info.mtime.timestamp() * 1000)
+
+
+class HdfsLogStore(LogStore):
+    """``hdfs://`` log store: temp-file + exclusive-rename put-if-absent
+    over a :class:`HadoopFsClient` (HDFSLogStore.scala:35-55)."""
+
+    def __init__(self, client: HadoopFsClient) -> None:
+        self._client = client
+
+    # ---------------------------------------------------------- log files
+
+    def read(self, path: str) -> List[str]:
+        body = self._client.read(path)
+        return [ln for ln in body.decode("utf-8").split("\n")
+                if ln.strip()]
+
+    def write(self, path: str, lines: Iterable[str],
+              overwrite: bool = False) -> None:
+        body = "".join(ln + "\n" for ln in lines).encode("utf-8")
+        parent = posixpath.dirname(path)
+        tmp = f"{parent}/.tmp_{uuid.uuid4().hex}.json"
+        self._client.create(tmp, body)
+        renamed = False
+        try:
+            try:
+                self._client.rename(tmp, path, overwrite=overwrite)
+                renamed = True
+            except FileExistsError as e:
+                raise FileAlreadyExistsError(path) from e
+        finally:
+            if not renamed and self._client.exists(tmp):
+                self._client.delete(tmp)
+
+    def list_from(self, dir_path: str, start_name: str = "") -> List[str]:
+        return sorted(n for n in self._client.list_dir(dir_path)
+                      if n >= start_name and not n.startswith(".tmp_"))
+
+    def exists(self, path: str) -> bool:
+        return self._client.exists(path)
+
+    def delete(self, path: str) -> None:
+        self._client.delete(path)
+
+    def mtime_ms(self, path: str) -> int:
+        return self._client.stat(path)[1]
+
+    # ------------------------------------------------- file-plane publish
+
+    def rename(self, src: str, dst: str) -> None:
+        self._client.rename(src, dst, overwrite=True)
+
+    def list_dir(self, dir_path: str) -> List[str]:
+        return sorted(self._client.list_dir(dir_path))
+
+    def remove_tree(self, dir_path: str) -> None:
+        self._client.delete_tree(dir_path)
+
+    def list_files_recursive(self, dir_path: str) -> List[str]:
+        return sorted(self._client.list_files_recursive(dir_path))
+
+    def is_dir(self, path: str) -> bool:
+        return self._client.is_dir(path)
+
+    def copy_file(self, src: str, dst: str) -> None:
+        self._client.create(dst, self._client.read(src))
+
+    def stat(self, path: str) -> Tuple[int, int]:
+        return self._client.stat(path)
+
+
+# One store per authority (namenode); dict.setdefault is atomic under
+# the GIL — no module lock, same rationale as the s3/memory stores.
+_hdfs_stores: Dict[str, HdfsLogStore] = {}
+_client_factory: Optional[Callable[[str], HadoopFsClient]] = None
+
+
+def register_hdfs_client_factory(
+        factory: Optional[Callable[[str], HadoopFsClient]]) -> None:
+    """Override how ``hdfs://<authority>`` resolves to a client — the
+    test seam (a local-FS fake) and the hook for alternative bindings
+    (e.g. a WebHDFS client). ``None`` restores the pyarrow default.
+    Clears the per-authority store cache so the next open rebinds."""
+    global _client_factory
+    _client_factory = factory
+    _hdfs_stores.clear()
+
+
+def hdfs_log_store_for(path: str) -> HdfsLogStore:
+    authority = path.split("://", 1)[1].split("/", 1)[0]
+    store = _hdfs_stores.get(authority)
+    if store is None:
+        if _client_factory is not None:
+            client = _client_factory(authority)
+        else:
+            try:
+                client = PyArrowHdfsClient(authority)
+            except ImportError as e:
+                raise NotImplementedError(
+                    "hdfs:// log store needs pyarrow's HadoopFileSystem "
+                    "(libhdfs) or a client registered via "
+                    "register_hdfs_client_factory()") from e
+        store = _hdfs_stores.setdefault(authority, HdfsLogStore(client))
+    return store

@@ -269,11 +269,19 @@ def _s3_store_for(path: str) -> LogStore:
     return s3_log_store_for(path)
 
 
+def _hdfs_store_for(path: str) -> LogStore:
+    # Lazy import: libhdfs (or a registered client) is only required
+    # when an hdfs:// table is opened.
+    from .hdfsstore import hdfs_log_store_for
+    return hdfs_log_store_for(path)
+
+
 _SCHEME_STORES: Dict[str, Callable[[str], LogStore]] = {
     "file": lambda _p: LogStore(),
     "memory": _memory_store_for,
     "s3": _s3_store_for,
     "s3a": _s3_store_for,
+    "hdfs": _hdfs_store_for,
 }
 
 
