@@ -267,14 +267,23 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # duplicates share every band. A degenerate bucket's first-phase
     # groups are spread across (band, key, partition) keys, so the cap
     # never concentrates the cluster into one straggler task.
-    local = (buckets
-             .groupBy("band", "key",
-                      F.spark_partition_id().alias("_p"))
-             .agg(F.slice(F.array_sort(F.collect_list("_id")), 1,
-                          max_bucket_size).alias("_ids")))
-    cand = (local.groupBy("band", "key")
-            .agg(F.slice(F.array_sort(F.flatten(F.collect_list("_ids"))),
-                         1, max_bucket_size).alias("ids"))
+    if max_bucket_size is None:
+        # Uncapped single-phase shape: one shuffle, but a degenerate
+        # bucket materializes whole in one aggregation row — only for
+        # corpora already exact-deduped (see docstring).
+        grouped = (buckets.groupBy("band", "key")
+                   .agg(F.collect_list("_id").alias("ids")))
+    else:
+        local = (buckets
+                 .groupBy("band", "key",
+                          F.spark_partition_id().alias("_p"))
+                 .agg(F.slice(F.array_sort(F.collect_list("_id")), 1,
+                              max_bucket_size).alias("_ids")))
+        grouped = (local.groupBy("band", "key")
+                   .agg(F.slice(
+                       F.array_sort(F.flatten(F.collect_list("_ids"))),
+                       1, max_bucket_size).alias("ids")))
+    cand = (grouped
             .filter(F.size("ids") >= 2)
             .select(F.explode(pair_expand).alias("p"))
             .select("p.a_id", "p.b_id").distinct())
@@ -459,14 +468,21 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                 .alias("hamming")))))
     # Two-phase min-k bucket cap (struct arrays sort by _id first, so
     # the kept subset is the smallest ids — see minhash_lsh_pairs).
-    local = (b.groupBy("band", "key",
-                       F.spark_partition_id().alias("_p"))
-             .agg(F.slice(F.array_sort(
-                 F.collect_list(F.struct("_id", "simhash"))), 1,
-                 max_bucket_size).alias("_ds")))
-    return (local.groupBy("band", "key")
-            .agg(F.slice(F.array_sort(F.flatten(F.collect_list("_ds"))),
-                         1, max_bucket_size).alias("ds"))
+    if max_bucket_size is None:
+        grouped = (b.groupBy("band", "key")
+                   .agg(F.collect_list(F.struct("_id", "simhash"))
+                        .alias("ds")))
+    else:
+        local = (b.groupBy("band", "key",
+                           F.spark_partition_id().alias("_p"))
+                 .agg(F.slice(F.array_sort(
+                     F.collect_list(F.struct("_id", "simhash"))), 1,
+                     max_bucket_size).alias("_ds")))
+        grouped = (local.groupBy("band", "key")
+                   .agg(F.slice(
+                       F.array_sort(F.flatten(F.collect_list("_ds"))),
+                       1, max_bucket_size).alias("ds")))
+    return (grouped
             .filter(F.size("ds") >= 2)
             .select(F.explode(pair_expand).alias("p"))
             .select("p.a_id", "p.b_id", "p.hamming")
