@@ -140,3 +140,94 @@ def unigram_nll_scores(df: DataFrame, id_col: str = "doc_id",
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_tok"),
                  F.round(F.avg("_nll"), 6).alias("nll")))
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution entropy (lexical-diversity quality signal)
+# ---------------------------------------------------------------------------
+
+def token_entropy(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document Shannon entropy (bits) of the token distribution —
+    the standard lexical-diversity filter: word-soup and template spam
+    (one token repeated) score near 0, natural prose scores high.
+    Returns (doc_id, n_tok, entropy) for documents with ≥1 token.
+
+    Computed as H = log2(n) − (Σ c·log2 c)/n — one formula over integer
+    counts instead of n per-token divisions, so the floating-point op
+    order is short and identical in the SQL oracle (and rounded to 6).
+
+    Scale shape: explode tokens → (doc, token) count (map-side
+    combined) → one doc-keyed aggregation. Shuffle volume O(total
+    tokens) then O(distinct (doc, token)); no joins, no windows.
+    """
+    cnt = (df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(tokens(F.col(text_col))).alias("w"))
+           .groupBy("doc_id", "w").count())
+    return (cnt.groupBy("doc_id")
+            .agg(F.sum("count").alias("n_tok"),
+                 F.sum(F.col("count") * F.log2("count")).alias("_sc"))
+            .select("doc_id", "n_tok",
+                    F.round(F.log2("n_tok") -
+                            F.col("_sc") / F.col("n_tok"), 6)
+                    .alias("entropy")))
+
+
+# ---------------------------------------------------------------------------
+# PMI bigram collocations (corpus phrase mining)
+# ---------------------------------------------------------------------------
+
+def pmi_bigrams(df: DataFrame, min_count: int = 5, top: int = 50,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Top collocations by pointwise mutual information: bigrams whose
+    observed frequency beats the independence assumption of their
+    unigrams — PMI(a,b) = ln(p(ab) / (p(a)·p(b))) (Church & Hanks
+    1990), the classic phrase-mining / tokenizer-seed pass over a
+    pre-training corpus. Only bigrams with ≥ ``min_count`` occurrences
+    rank (PMI's low-count bias), top ``top`` by (pmi DESC, bigram).
+
+    Returns (bigram, n, pmi) with pmi rounded to 6 and the probability
+    expression mirroring the SQL oracle's op order exactly.
+
+    Scale shape: one tokenize pass feeds both relations — bigram counts
+    (explode adjacent pairs, map-side-combined count) and unigram
+    counts. Both are vocabulary-bounded (Heaps' law), so the
+    bigram→unigram joins broadcast the unigram relation; the corpus
+    totals ride on the count relations via tiny single-partition
+    windows over VOCAB rows, never data rows (same shape as
+    unigram_nll_scores). The final top-k sorts a min_count-filtered
+    vocabulary relation, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(text_col).alias("_text"))
+    uni = (base.select(F.explode(tokens(F.col("_text"))).alias("w"))
+           .groupBy("w").count())
+    w_all = Window.partitionBy()
+    p_uni = uni.select(
+        "w", (F.col("count") / F.sum("count").over(w_all)).alias("_p"))
+    bi = (base.select(F.explode(ngram_list("_text", 2)).alias("bigram"))
+          .groupBy("bigram").agg(F.count(F.lit(1)).alias("n")))
+    # p(ab)'s denominator is the total over ALL bigrams — the window
+    # must run before the min_count filter, not over the filtered
+    # relation.
+    p_bi = (bi.select("bigram", "n",
+                      (F.col("n") / F.sum("n").over(w_all)).alias("_pab"))
+            .filter(F.col("n") >= min_count))
+    parts = F.split(F.col("bigram"), " ")
+    scored = (p_bi
+              .withColumn("_a", parts.getItem(0))
+              .withColumn("_b", parts.getItem(1))
+              .join(F.broadcast(p_uni.select(F.col("w").alias("_a"),
+                                             F.col("_p").alias("_pa"))),
+                    "_a")
+              .join(F.broadcast(p_uni.select(F.col("w").alias("_b"),
+                                             F.col("_p").alias("_pb"))),
+                    "_b")
+              .select("bigram", "n",
+                      F.round(F.log(F.col("_pab") /
+                                    (F.col("_pa") * F.col("_pb"))), 6)
+                      .alias("pmi")))
+    return (scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(top))

@@ -1280,6 +1280,53 @@ def doc_pack(spark, sf_dir):
     return packing_summary(load(spark, sf_dir, "documents"), ctx=256)
 
 
+@register("doc_token_entropy", sql=f"""
+WITH {_TOKS},
+uni AS (SELECT doc_id, unnest(t) AS w FROM toks),
+cnt AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM uni GROUP BY 1, 2)
+SELECT doc_id, sum(c)::BIGINT AS n_tok,
+       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy
+FROM cnt GROUP BY 1
+""")
+def doc_entropy(spark, sf_dir):
+    # Lexical-diversity quality signal: Shannon entropy of each doc's
+    # token distribution — H = log2(n) − (Σ c·log2 c)/n over integer
+    # counts, identical op order in both engines.
+    from ..ops.quality import token_entropy
+    return token_entropy(load(spark, sf_dir, "documents"))
+
+
+@register("doc_pmi_bigrams", sql=f"""
+WITH {_TOKS},
+uni AS (SELECT unnest(t) AS w FROM toks),
+ucnt AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY 1),
+utot AS (SELECT sum(c)::BIGINT AS tot FROM ucnt),
+bl AS (SELECT CASE WHEN len(t) >= 2
+                   THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+                   ELSE [] END AS bs
+       FROM toks),
+bic AS (SELECT unnest(bs) AS bigram FROM bl),
+bcnt AS (SELECT bigram, count(*)::BIGINT AS n FROM bic GROUP BY 1),
+btot AS (SELECT sum(n)::BIGINT AS tot FROM bcnt)
+SELECT b.bigram, b.n,
+       round(ln((b.n / bt.tot) /
+                ((ca.c / ut.tot) * (cb.c / ut.tot))), 6) AS pmi
+FROM bcnt b, btot bt, utot ut, ucnt ca, ucnt cb
+WHERE ca.w = string_split(b.bigram, ' ')[1]
+  AND cb.w = string_split(b.bigram, ' ')[2]
+  AND b.n >= 5
+ORDER BY pmi DESC, b.bigram
+LIMIT 50
+""")
+def doc_pmi(spark, sf_dir):
+    # Corpus phrase mining: top-50 bigram collocations by PMI with a
+    # min-count-5 floor (Church & Hanks 1990). Both count relations are
+    # vocabulary-bounded; the unigram side broadcasts.
+    from ..ops.quality import pmi_bigrams
+    return pmi_bigrams(load(spark, sf_dir, "documents"),
+                       min_count=5, top=50)
+
+
 @register("doc_chunk_windows", sql=f"""
 WITH {_TOKS},
 nz AS (SELECT doc_id, t, len(t) AS z FROM toks WHERE len(t) > 0),

@@ -133,6 +133,38 @@ def test_lsh_bucket_cap_noop_on_normal_corpus(spark, sf_dir):
     assert capped == uncapped
 
 
+def test_token_entropy_known_values(spark):
+    from connectors_spark.ops.quality import token_entropy
+    df = spark.createDataFrame(
+        [(1, "x x x x"),              # one distinct token -> H = 0
+         (2, "a b c d"),              # uniform over 4 -> H = 2 bits
+         (3, "a a b b"),              # uniform over 2 -> H = 1 bit
+         (4, "")],                    # empty -> no row
+        "doc_id: long, text: string")
+    got = {r.doc_id: (r.n_tok, r.entropy)
+           for r in token_entropy(df).collect()}
+    assert got[1] == (4, 0.0)
+    assert got[2] == (4, 2.0)
+    assert got[3] == (4, 1.0)
+    assert 4 not in got
+
+
+def test_pmi_bigrams_ranks_true_collocation(spark):
+    from connectors_spark.ops.quality import pmi_bigrams
+    # "new york" always co-occurs; "the the" pairs arise only from
+    # independent repetition of the commonest token -> PMI must rank
+    # the true collocation first.
+    rows = [(i, "the quick fox saw new york " + "the " * 5) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = pmi_bigrams(df, min_count=5, top=10).collect()
+    assert out, "expected collocations above the count floor"
+    by_name = {r.bigram: r.pmi for r in out}
+    assert "new york" in by_name
+    assert by_name["new york"] == max(by_name.values())
+    if "the the" in by_name:
+        assert by_name["the the"] < by_name["new york"]
+
+
 def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     emb = read_table(spark, "embeddings", sf_dir)
     queries = (emb.filter(F.col("vec_id") < 10)
