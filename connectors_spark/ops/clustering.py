@@ -113,6 +113,140 @@ def cluster_summary(assignments: DataFrame) -> DataFrame:
                  F.round(F.avg("dist"), 6).alias("mean_dist")))
 
 
+def pq_fit(df: DataFrame, m: int = 4, k: int = 8, iters: int = 1,
+           id_col: str = "vec_id",
+           vec_col: str = "embedding") -> List[np.ndarray]:
+    """Train product-quantization codebooks (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"): split each
+    vector into ``m`` contiguous subvectors and run an independent
+    ``k``-centroid deterministic Lloyd per subspace (k lowest-id init,
+    round-6 distances/centroids, ties to the lowest code). Returns the
+    m codebooks, each k×(dim/m).
+
+    At 100 TB, train on a sample — codebooks are tiny and converge long
+    before the full corpus; encoding (pq_encode) is the full-corpus
+    pass."""
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    books: List[np.ndarray] = []
+    for j in range(m):
+        sub = df.select(F.col(id_col),
+                        F.slice(F.col(vec_col), j * d + 1, d).alias("_sub"))
+        cents, _ = kmeans_fit(sub, k=k, iters=iters, id_col=id_col,
+                              vec_col="_sub")
+        books.append(cents)
+    return books
+
+
+def pq_encode(df: DataFrame, books: List[np.ndarray],
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode every vector as its ``m`` nearest-centroid codes under
+    ``books``. A dim-d float vector compresses to m small ints
+    (64 floats → 4 codes here) while distances stay approximable from
+    the codebooks — the memory-bound ANN scale path (IVF partitions
+    the corpus; PQ shrinks what each partition stores).
+
+    Returns (id_col, code_0..code_{m-1}, err): per-vector codes plus
+    total squared quantization error (sum of the m per-subspace
+    round-6 distances, re-rounded).
+
+    Scale shape: ONE Arrow-batched map pass with all m codebooks
+    closed over — one scan, no joins, no shuffle; per-batch work is m
+    tiny (batch × k × dim/m) matmuls."""
+    from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                                   StructType)
+
+    m = len(books)
+    d = books[0].shape[1]
+    bk = [b.copy() for b in books]
+
+    fields = [StructField(f"code_{j}", IntegerType()) for j in range(m)]
+    out_t = StructType(fields + [StructField("err", DoubleType())])
+
+    @F.pandas_udf(out_t)
+    def _encode(vs: pd.Series) -> pd.DataFrame:
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        cols = {}
+        err = np.zeros(len(mat))
+        for j in range(m):
+            sub = mat[:, j * d:(j + 1) * d]
+            dist = ((sub[:, None, :] - bk[j][None, :, :]) ** 2
+                    ).sum(axis=2).round(6)
+            code = dist.argmin(axis=1)
+            cols[f"code_{j}"] = code.astype("int32")
+            err += dist[np.arange(len(code)), code]
+        cols["err"] = err.round(6)
+        return pd.DataFrame(cols)
+
+    enc = df.select(F.col(id_col), _encode(F.col(vec_col)).alias("_e"))
+    return enc.select(
+        id_col, *[F.col(f"_e.code_{j}").alias(f"code_{j}")
+                  for j in range(m)],
+        F.col("_e.err").alias("err"))
+
+
+def pq_codes(df: DataFrame, m: int = 4, k: int = 8, iters: int = 1,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """pq_fit + pq_encode in one call (see both for the scale story)."""
+    return pq_encode(df, pq_fit(df, m, k, iters, id_col, vec_col),
+                     id_col, vec_col)
+
+
+def pq_adc_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                m: int = 4, codebook_k: int = 8, iters: int = 1,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance computation (ADC):
+    dist(q, x) ≈ Σ_j ||q_j − book_j[code_j(x)]||². Each query
+    precomputes an m×k table of round-6 subspace distances on the
+    driver (tiny: queries are a bounded set, same contract as
+    cosine_topk's broadcast query side); scoring the corpus is then m
+    literal-array lookups per encoded row — NO floating math against
+    the raw vectors, which is the point: the scored relation is the
+    4-byte code table, not the 256-byte float corpus.
+
+    Returns (query_id, vec_id, adist, rank) — rank 1..k per query by
+    (adist ASC, vec_id), deterministic.
+
+    Scale shape: codes come from one encode pass (pq_encode); per-query
+    scoring branches union over a small Q and share the single code
+    scan; for large Q, turn the tables into a broadcast (qid, j, code,
+    d) relation and score with m broadcast joins instead of literal
+    arrays."""
+    from pyspark.sql import Window
+
+    books = pq_fit(corpus, m, codebook_k, iters, id_col, vec_col)
+    d = books[0].shape[1]
+    codes = pq_encode(corpus, books, id_col, vec_col).drop("err")
+    qrows = queries.select(query_id_col, vec_col).collect()
+    branches = []
+    for r in qrows:
+        qid = r[query_id_col]
+        qv = np.array(r[vec_col], dtype=np.float64)
+        score = F.lit(0.0)
+        for j in range(m):
+            tab = np.round(((qv[j * d:(j + 1) * d][None, :]
+                             - books[j]) ** 2).sum(axis=1), 6)
+            arr = F.array(*[F.lit(float(x)) for x in tab])
+            score = score + F.element_at(arr, F.col(f"code_{j}") + 1)
+        branches.append(
+            codes.filter(F.col(id_col) != F.lit(qid))
+            .select(F.lit(qid).alias(query_id_col), F.col(id_col),
+                    F.round(score, 6).alias("adist")))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adist"),
+                                                 F.asc(id_col))
+    return (out.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def semdedup(df: DataFrame, k: int = 8, iters: int = 2,
              threshold: float = 0.4, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:

@@ -1422,6 +1422,129 @@ def emb_kmeans(spark, sf_dir):
 # SemDeDup (ops/clustering.py semdedup)
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# Product quantization (ops/clustering.py pq_codes)
+# --------------------------------------------------------------------------
+
+def _pq_subspace_cte(j: int, lo: int, hi: int) -> str:
+    """One subspace's unrolled deterministic k-means (1 Lloyd iteration
+    + final labeling), mirroring kmeans_fit(iters=1) on the sliced
+    subvector: init from the 8 lowest-id vectors, round-6 distances and
+    centroid means, argmin ties to the lowest code, empty clusters keep
+    their previous centroid."""
+    return f"""
+u{j} AS (SELECT vec_id, i, v FROM u WHERE i BETWEEN {lo} AND {hi}),
+c0_{j} AS (SELECT ids.cl, u.i, u.v AS c FROM ids JOIN u{j} u USING (vec_id)),
+d0_{j} AS (
+  SELECT u.vec_id, c.cl, round(sum((u.v - c.c) * (u.v - c.c)), 6) AS d
+  FROM u{j} u JOIN c0_{j} c ON u.i = c.i GROUP BY 1, 2),
+a0_{j} AS (
+  SELECT vec_id, cl FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+    FROM d0_{j}) WHERE rn = 1),
+m1_{j} AS (SELECT a.cl, u.i, round(avg(u.v), 6) AS c
+           FROM a0_{j} a JOIN u{j} u USING (vec_id) GROUP BY 1, 2),
+c1_{j} AS (SELECT c0.cl, c0.i, coalesce(m.c, c0.c) AS c
+           FROM c0_{j} c0 LEFT JOIN m1_{j} m
+           ON c0.cl = m.cl AND c0.i = m.i),
+d1_{j} AS (
+  SELECT u.vec_id, c.cl, round(sum((u.v - c.c) * (u.v - c.c)), 6) AS d
+  FROM u{j} u JOIN c1_{j} c ON u.i = c.i GROUP BY 1, 2),
+a1_{j} AS (
+  SELECT vec_id, cl, d FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+    FROM d1_{j}) WHERE rn = 1)"""
+
+
+# dim=64 / m=4 → 16-dim subspaces; the Spark side derives dim from the
+# data and raises if it stops dividing evenly.
+_PQ_SQL = ("""
+WITH
+u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings),
+ids AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),"""
+           + ",".join(_pq_subspace_cte(j, j * 16 + 1, (j + 1) * 16)
+                      for j in range(4)) + """
+SELECT a1_0.vec_id,
+       a1_0.cl::INT AS code_0, a1_1.cl::INT AS code_1,
+       a1_2.cl::INT AS code_2, a1_3.cl::INT AS code_3,
+       round(a1_0.d + a1_1.d + a1_2.d + a1_3.d, 6) AS err
+FROM a1_0 JOIN a1_1 USING (vec_id) JOIN a1_2 USING (vec_id)
+          JOIN a1_3 USING (vec_id)
+""")
+
+
+_PQ_ADC_SQL = ("""
+WITH
+u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings),
+ids AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),"""
+               + ",".join(_pq_subspace_cte(j, j * 16 + 1, (j + 1) * 16)
+                          for j in range(4)) + ","
+               + ",".join(f"""
+qd_{j} AS (
+  SELECT u.vec_id AS qid, c.cl,
+         round(sum((u.v - c.c) * (u.v - c.c)), 6) AS d
+  FROM u{j} u JOIN c1_{j} c ON u.i = c.i
+  WHERE u.vec_id < 3 GROUP BY 1, 2)""" for j in range(4)) + """,
+sc AS (
+  SELECT q0.qid, a1_0.vec_id AS cid,
+         round(q0.d + q1.d + q2.d + q3.d, 6) AS adist
+  FROM a1_0 JOIN a1_1 USING (vec_id) JOIN a1_2 USING (vec_id)
+            JOIN a1_3 USING (vec_id)
+  JOIN qd_0 q0 ON q0.cl = a1_0.cl
+  JOIN qd_1 q1 ON q1.cl = a1_1.cl AND q1.qid = q0.qid
+  JOIN qd_2 q2 ON q2.cl = a1_2.cl AND q2.qid = q0.qid
+  JOIN qd_3 q3 ON q3.cl = a1_3.cl AND q3.qid = q0.qid
+  WHERE a1_0.vec_id <> q0.qid)
+SELECT qid AS query_id, cid AS vec_id, adist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY adist, cid) AS rank
+  FROM sc) WHERE rank <= 5
+""")
+
+
+@register("emb_pq_adc_topk", sql=_PQ_ADC_SQL)
+def emb_pq_adc(spark, sf_dir):
+    # PQ asymmetric-distance top-k: queries score the 4-code corpus
+    # relation via per-query m×k lookup tables — no float math against
+    # raw vectors. The oracle recomputes the per-(query, centroid)
+    # subspace distances against the same final codebooks.
+    from ..ops.clustering import pq_adc_topk
+    emb = load(spark, sf_dir, "embeddings").cache()
+    try:
+        queries = (emb.filter(F.col("vec_id") < 3)
+                   .select(F.col("vec_id").alias("query_id"), "embedding"))
+        out = pq_adc_topk(emb, queries, k=5, m=4, codebook_k=8, iters=1)
+        return out.select("query_id", "vec_id", "adist",
+                          F.col("rank").cast("long").alias("rank"))
+    finally:
+        emb.unpersist()
+
+
+@register("emb_pq_codes", sql=_PQ_SQL)
+def emb_pq(spark, sf_dir):
+    # Product quantization (Jégou et al. 2011): 4 independent 16-dim
+    # codebooks (deterministic Lloyd, 1 iteration), every vector encoded
+    # in ONE Arrow pass with all codebooks closed over — 64 floats → 4
+    # codes + quantization error. The oracle unrolls all 4 subspace
+    # k-means in SQL.
+    from ..ops.clustering import pq_codes
+    emb = load(spark, sf_dir, "embeddings").cache()
+    try:
+        return pq_codes(emb, m=4, k=8, iters=1)
+    finally:
+        emb.unpersist()
+
+
 @register("emb_semdedup", sql=f"""
 WITH {_KMEANS_CTES},
 nr AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),

@@ -109,6 +109,8 @@ GATE_SORT: Dict[str, list] = {
     "doc_chunk_windows": ["doc_id", "chunk_idx"],
     "emb_kmeans_clusters": ["vec_id"],
     "emb_semdedup": ["vec_id"],
+    "emb_pq_codes": ["vec_id"],
+    "emb_pq_adc_topk": ["query_id", "rank", "vec_id"],
     "ev_asof_click_attribution": ["view_id"],
     "ev_range_error_context": ["event_id"],
     "ev_kmv_distinct": ["event_type"],
@@ -224,6 +226,8 @@ GATE_COLUMNS: Dict[str, list] = {
     "doc_chunk_windows": ["doc_id", "chunk_idx", "chunk_text", "n_tokens"],
     "emb_kmeans_clusters": ["vec_id", "cluster", "dist"],
     "emb_semdedup": ["vec_id", "cluster", "dropped"],
+    "emb_pq_codes": ["vec_id", "code_0", "code_1", "code_2", "code_3", "err"],
+    "emb_pq_adc_topk": ["query_id", "vec_id", "adist", "rank"],
     "ev_asof_click_attribution": ["view_id", "user_id", "click_id", "gap_us"],
     "ev_range_error_context": ["event_id", "user_id", "n_following", "sum_value"],
     "ev_kmv_distinct": ["event_type", "n_exact", "kmv_est"],

@@ -133,6 +133,36 @@ def test_lsh_bucket_cap_noop_on_normal_corpus(spark, sf_dir):
     assert capped == uncapped
 
 
+def test_pq_codes_and_adc_ranking(spark):
+    from connectors_spark.ops.clustering import pq_adc_topk, pq_codes
+    import random
+    rng = random.Random(7)
+    # Two well-separated 8-dim poles + noise; PQ-ADC must rank same-pole
+    # vectors above cross-pole ones for a pole-A query.
+    def vec(base):
+        return [base + rng.uniform(-0.05, 0.05) for _ in range(8)]
+    rows = [(i, vec(0.0)) for i in range(10)] + \
+           [(100 + i, vec(5.0)) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    codes = pq_codes(df, m=2, k=4).collect()
+    assert len(codes) == 20
+    for r in codes:
+        assert 0 <= r.code_0 < 4 and 0 <= r.code_1 < 4
+        assert r.err >= 0.0
+    # same-pole vectors quantize much tighter than the pole separation
+    assert max(r.err for r in codes) < 25.0    # << 8 * 5^2 = 200
+
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    top = pq_adc_topk(df, q, k=9, m=2, codebook_k=4).collect()
+    assert len(top) == 9
+    assert {r.vec_id for r in top} == set(range(1, 10))  # all pole-A
+    ranks = sorted((r.rank, r.adist) for r in top)
+    assert [r for r, _ in ranks] == list(range(1, 10))
+    assert all(a <= b for (_, a), (_, b) in zip(ranks, ranks[1:]))
+
+
 def test_token_entropy_known_values(spark):
     from connectors_spark.ops.quality import token_entropy
     df = spark.createDataFrame(
