@@ -1,5 +1,10 @@
-"""HDFS LogStore: the commit protocol's put-if-absent via temp-file +
-atomic exclusive rename — ``HDFSLogStore.scala:35-55`` semantics.
+"""Rename-based LogStore (HDFS + Azure): the commit protocol's
+put-if-absent via temp-file + atomic exclusive rename —
+``HDFSLogStore.scala:35-55`` semantics, shared by Azure blob/ADLS
+(``AzureLogStore.scala``: "Rename without overwrite is atomic;
+list-after-write is consistent" — its write IS ``writeWithRename``),
+so ``hdfs://``, ``abfs(s)://`` and ``wasb(s)://`` all bind here
+through per-scheme client factories.
 
 HDFS gives the two guarantees the reference store builds from
 (HDFSLogStore.scala class doc): ``FileContext.rename`` is atomic, and
@@ -221,36 +226,66 @@ class HdfsLogStore(LogStore):
         return self._client.stat(path)
 
 
-# One store per authority (namenode); dict.setdefault is atomic under
+# The same temp-file + atomic-exclusive-rename store serves every
+# Hadoop-FileSystem scheme whose rename is atomic and exclusive — HDFS
+# (HDFSLogStore.scala:35-55) and Azure blob/ADLS (AzureLogStore.scala:
+# "Rename without overwrite is atomic; list-after-write is consistent",
+# writeWithRename) — so azure schemes bind to HdfsLogStore through the
+# same client seam; a deployment plugs its Hadoop client per scheme.
+RENAME_SCHEMES = ("hdfs", "abfs", "abfss", "wasb", "wasbs")
+
+# One store per (scheme, authority); dict.setdefault is atomic under
 # the GIL — no module lock, same rationale as the s3/memory stores.
-_hdfs_stores: Dict[str, HdfsLogStore] = {}
-_client_factory: Optional[Callable[[str], HadoopFsClient]] = None
+_rename_stores: Dict[Tuple[str, str], HdfsLogStore] = {}
+_client_factories: Dict[str, Callable[[str], HadoopFsClient]] = {}
+
+
+def register_rename_client_factory(
+        scheme: str,
+        factory: Optional[Callable[[str], HadoopFsClient]]) -> None:
+    """Bind how ``<scheme>://<authority>`` resolves to a Hadoop-FS
+    client — the test seam (a local-FS fake) and the hook for real
+    bindings (WebHDFS, azure-storage, ...). ``None`` unbinds. Clears
+    the store cache so the next open rebinds."""
+    if factory is None:
+        _client_factories.pop(scheme, None)
+    else:
+        _client_factories[scheme] = factory
+    _rename_stores.clear()
 
 
 def register_hdfs_client_factory(
         factory: Optional[Callable[[str], HadoopFsClient]]) -> None:
-    """Override how ``hdfs://<authority>`` resolves to a client — the
-    test seam (a local-FS fake) and the hook for alternative bindings
-    (e.g. a WebHDFS client). ``None`` restores the pyarrow default.
-    Clears the per-authority store cache so the next open rebinds."""
-    global _client_factory
-    _client_factory = factory
-    _hdfs_stores.clear()
+    """Back-compat alias for register_rename_client_factory("hdfs")."""
+    register_rename_client_factory("hdfs", factory)
 
 
-def hdfs_log_store_for(path: str) -> HdfsLogStore:
+def rename_log_store_for(path: str) -> HdfsLogStore:
+    scheme = path.split("://", 1)[0]
     authority = path.split("://", 1)[1].split("/", 1)[0]
-    store = _hdfs_stores.get(authority)
+    store = _rename_stores.get((scheme, authority))
     if store is None:
-        if _client_factory is not None:
-            client = _client_factory(authority)
-        else:
+        factory = _client_factories.get(scheme)
+        if factory is not None:
+            client = factory(authority)
+        elif scheme == "hdfs":
             try:
                 client = PyArrowHdfsClient(authority)
             except ImportError as e:
                 raise NotImplementedError(
                     "hdfs:// log store needs pyarrow's HadoopFileSystem "
                     "(libhdfs) or a client registered via "
-                    "register_hdfs_client_factory()") from e
-        store = _hdfs_stores.setdefault(authority, HdfsLogStore(client))
+                    "register_rename_client_factory('hdfs', ...)") from e
+        else:
+            raise NotImplementedError(
+                f"{scheme}:// log store needs a Hadoop-FS client "
+                f"registered via register_rename_client_factory"
+                f"({scheme!r}, factory)")
+        store = _rename_stores.setdefault((scheme, authority),
+                                          HdfsLogStore(client))
     return store
+
+
+def hdfs_log_store_for(path: str) -> HdfsLogStore:
+    """Back-compat alias for rename_log_store_for."""
+    return rename_log_store_for(path)

@@ -269,11 +269,13 @@ def _s3_store_for(path: str) -> LogStore:
     return s3_log_store_for(path)
 
 
-def _hdfs_store_for(path: str) -> LogStore:
-    # Lazy import: libhdfs (or a registered client) is only required
-    # when an hdfs:// table is opened.
-    from .hdfsstore import hdfs_log_store_for
-    return hdfs_log_store_for(path)
+def _rename_store_for(path: str) -> LogStore:
+    # Lazy import: libhdfs / a registered client is only required when
+    # an hdfs:// (or azure) table is opened. HDFS and Azure share the
+    # temp-file + atomic-exclusive-rename store (HDFSLogStore.scala /
+    # AzureLogStore.scala both build on writeWithRename semantics).
+    from .hdfsstore import rename_log_store_for
+    return rename_log_store_for(path)
 
 
 _SCHEME_STORES: Dict[str, Callable[[str], LogStore]] = {
@@ -281,7 +283,11 @@ _SCHEME_STORES: Dict[str, Callable[[str], LogStore]] = {
     "memory": _memory_store_for,
     "s3": _s3_store_for,
     "s3a": _s3_store_for,
-    "hdfs": _hdfs_store_for,
+    "hdfs": _rename_store_for,
+    "abfs": _rename_store_for,
+    "abfss": _rename_store_for,
+    "wasb": _rename_store_for,
+    "wasbs": _rename_store_for,
 }
 
 

@@ -174,6 +174,38 @@ def test_commit_protocol_on_hdfs_store(spark, hdfs_root):
         t2.commit([rm], "DELETE")
 
 
+def test_azure_schemes_bind_to_rename_store(spark, tmp_path):
+    """AzureLogStore.scala: Azure's Hadoop FileSystems give atomic
+    exclusive rename + consistent listing — the same contract as HDFS —
+    so abfss:// (and wasbs://) bind to the identical rename store
+    through a per-scheme client factory."""
+    from connectors_spark.log.hdfsstore import (
+        register_rename_client_factory)
+
+    root = str(tmp_path / "abfs_ns")
+    os.makedirs(root, exist_ok=True)
+    register_rename_client_factory(
+        "abfss", lambda _auth: LocalHadoopFsClient(root))
+    try:
+        log = DeltaLog.for_table(
+            spark, "abfss://container@acct.dfs.example/tblA")
+        assert isinstance(log.store, HdfsLogStore)
+        txn = log.start_transaction()
+        txn.update_metadata(_metadata())
+        assert txn.commit([Protocol(), _add("part=a/f0.parquet", "a")],
+                          "WRITE") == 0
+        stale = log.start_transaction()
+        winner = log.start_transaction()
+        winner.commit([_add("part=b/f1.parquet", "b")], "WRITE")
+        assert stale.commit([_add("part=c/f2.parquet", "c")],
+                            "WRITE") == 2
+        # unbound azure scheme still raises with a registration hint
+        with pytest.raises(NotImplementedError):
+            default_log_store("wasbs://c@a.blob.example/t")
+    finally:
+        register_rename_client_factory("abfss", None)
+
+
 def test_hdfs_store_thread_race_loses_no_commit(spark, hdfs_root):
     """8 threads race blind appends through exclusive rename: every
     commit lands at a distinct version, none lost."""
