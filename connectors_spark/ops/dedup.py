@@ -518,9 +518,10 @@ def boilerplate_chunks(df: DataFrame, id_col: str = "doc_id",
                        min_docs: int = 2) -> DataFrame:
     """(chunk, n_docs): chunks occurring in ≥ min_docs DISTINCT documents
     — corpus-level boilerplate (headers, footers, license banners). The
-    aggregate is distinct-doc counting per chunk: one shuffle keyed by
-    the chunk text; at scale, key by hash64(chunk) instead of the raw
-    string to bound shuffle width."""
+    aggregate is distinct-doc counting per chunk; this REPORTING variant
+    keys by the chunk text so callers see the strings —
+    `remove_boilerplate` keys its internal pipeline by hash64(chunk)
+    instead (8-byte shuffle keys)."""
     ch = doc_chunks(df, id_col, text_col, chunk_tokens).dropDuplicates(
         ["doc_id", "chunk"])
     return (ch.groupBy("chunk")
@@ -538,10 +539,17 @@ def remove_boilerplate(df: DataFrame, id_col: str = "doc_id",
     Plan shape: chunk explode → left_anti join against the (small)
     boilerplate relation → groupBy doc reassembly ordered by pos. The
     boilerplate side is a corpus-frequency aggregate, broadcast when it
-    fits; the reassembly is one shuffle by doc_id."""
-    ch = doc_chunks(df, id_col, text_col, chunk_tokens)
-    bp = boilerplate_chunks(df, id_col, text_col, chunk_tokens, min_docs)
-    kept = ch.join(F.broadcast(bp.select("chunk")), "chunk", "left_anti")
+    fits; the reassembly is one shuffle by doc_id. Every chunk-keyed
+    step (the distinct, the frequency aggregate, the anti-join) is
+    keyed by hash64(chunk) — 8-byte md5-derived keys instead of
+    ~50-byte chunk strings, deterministic across engines; the strings
+    themselves only travel in the doc_id-keyed reassembly shuffle."""
+    ch = doc_chunks(df, id_col, text_col, chunk_tokens).withColumn(
+        "_ck", hash64("chunk"))
+    bp = (ch.dropDuplicates(["doc_id", "_ck"])
+          .groupBy("_ck").agg(F.count(F.lit(1)).alias("_n"))
+          .where(F.col("_n") >= min_docs))
+    kept = ch.join(F.broadcast(bp.select("_ck")), "_ck", "left_anti")
     return (kept.groupBy("doc_id")
             .agg(F.concat_ws(
                 " ", F.transform(
