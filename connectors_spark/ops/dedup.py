@@ -605,16 +605,27 @@ def cap_per_group(df: DataFrame, group_col: str = "source",
     (``rank_col`` DESC, ``id_col`` ASC) — the standard corpus-composition
     guard against any single domain dominating training data.
 
-    One window over a shuffle keyed by the group column. At 100 TB the
-    shuffle carries only (group, rank, id) after column pruning; a
-    pathological mega-domain still bounds its partition at the domain's
-    row count — for those, pre-aggregate a per-partition local top-cap
-    first (same trick as similarity.cosine_topk) before the window.
+    Two-phase top-cap (same exactness argument as the LSH bucket min-k):
+    a per-INPUT-partition window keeps each group's local top ``cap``
+    first, then the global window ranks only the survivors. The global
+    top-cap of a group is a subset of the union of its per-partition
+    top-caps, so the result is exactly the single-window answer — but a
+    mega-domain (a billion rows of one source) contributes at most
+    ``cap × partitions`` rows to the group-keyed shuffle instead of its
+    full row count, and no single task ever sorts the whole domain: the
+    phase-1 exchange is keyed (group, input-partition-id) — the salted
+    shape, evenly spread — and phase 2 shuffles only survivors.
     Reference parity: none — §7 extension.
     """
+    pid = F.spark_partition_id()
+    w_local = Window.partitionBy(group_col, pid.alias("_p")).orderBy(
+        F.desc(rank_col), F.asc(id_col))
+    pre = (df.withColumn("_lrk", F.row_number().over(w_local))
+           .where(F.col("_lrk") <= cap)
+           .drop("_lrk"))
     w = Window.partitionBy(group_col).orderBy(
         F.desc(rank_col), F.asc(id_col))
-    return (df.withColumn("_rk", F.row_number().over(w))
+    return (pre.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") <= cap)
             .drop("_rk"))
 

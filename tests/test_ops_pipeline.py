@@ -133,6 +133,23 @@ def test_lsh_bucket_cap_noop_on_normal_corpus(spark, sf_dir):
     assert capped == uncapped
 
 
+def test_cap_per_group_two_phase_matches_global_ranking(spark):
+    # The salted two-phase top-cap must equal the plain global-window
+    # answer on a skewed input spread over many partitions.
+    rows = [(i, "big", int(i % 97)) for i in range(500)] + \
+           [(1000 + i, "small", int(i)) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, source: string, n_chars: long").repartition(13)
+    got = {(r.source, r.doc_id)
+           for r in dd.cap_per_group(df, cap=10).collect()}
+    expected = set()
+    for grp in ("big", "small"):
+        members = [(c, i) for i, g, c in rows if g == grp]
+        top = sorted(members, key=lambda t: (-t[0], t[1]))[:10]
+        expected |= {(grp, i) for _, i in top}
+    assert got == expected
+
+
 def test_pq_codes_and_adc_ranking(spark):
     from connectors_spark.ops.clustering import pq_adc_topk, pq_codes
     import random
