@@ -29,10 +29,12 @@ _NGRAM_UDFS: dict = {}
 def ngram_list(text, n: int) -> Column:
     """ALL word n-grams of a document, in order, WITH multiplicity
     (unlike `text.ngram_shingles`, which is distinct-only for dedup).
-    Arrow-batched for the same measured reason as the shingle UDF:
-    Spark interprets nested higher-order functions, a linear Python
-    loop per Arrow batch is ~5x faster. Split matches `tokens()`
-    (single space, empties dropped) so string_split oracles agree."""
+    Arrow-batched: re-measured r5 against the lambda-bound JVM
+    expression (the shingle trick without array_distinct) — outputs
+    bit-identical, Arrow ~10% faster on the documents explode+count
+    path (0.43 vs 0.48 s min-of-4 at sf0.1), so the UDF stays. Split
+    matches `tokens()` (single space, empties dropped) so string_split
+    oracles agree."""
     from pyspark.sql.types import ArrayType, StringType
 
     if n not in _NGRAM_UDFS:
