@@ -76,8 +76,13 @@ class DeltaScan:
     # ----------------------------------------------------- data skipping
 
     def _stats_skip_column(self):
-        """Build a keep-this-file Column from min/max stats for the residual's
-        simple comparison conjuncts. NULL stats (older writers) keep the file
+        """Build a keep-this-file Column from min/max stats for the
+        residual. Handles simple comparisons, IS [NOT] NULL, IN lists,
+        AND — and OR recursively: ``keep(a OR b) = keep(a) | keep(b)``
+        is sound (a file can only satisfy the disjunction if some
+        disjunct's range admits it), which lets disjunctive scans
+        (q19-style brand/size alternatives) skip files too. NULL stats
+        (older writers) and unrecognized conjunct shapes keep the file
         (never skip on missing evidence)."""
         data_fields = {f.name: f.dataType
                        for f in self.snapshot.metadata.data_schema.fields}
@@ -85,42 +90,64 @@ class DeltaScan:
         def stat(kind: str, col: str, dtype):
             return F.get_json_object(F.col("stats"), f"$.{kind}.{col}").cast(dtype)
 
-        conds = []
-        for c in split_conjuncts(self.residual):
-            null_keep = self._null_check_keep(c, data_fields)
-            if null_keep is not None:
-                conds.append(null_keep)
-                continue
-            in_keep = self._in_list_keep(c, data_fields, stat)
-            if in_keep is not None:
-                conds.append(in_keep)
-                continue
-            col, lit, op = _simple_comparison(c)
-            if col is None or col not in data_fields:
-                continue
-            dtype = data_fields[col]
-            if dtype.simpleString() not in (
-                    "tinyint", "smallint", "int", "bigint", "float", "double",
-                    "date", "timestamp", "string") and \
-                    not dtype.simpleString().startswith("decimal"):
-                continue
-            lo, hi = stat("minValues", col, dtype), stat("maxValues", col, dtype)
-            v = F.lit(lit.value)
-            if op == "=":
-                keep = (lo <= v) & (hi >= v)
-            elif op in (">", ">="):
-                keep = hi >= v if op == ">=" else hi > v
-            elif op in ("<", "<="):
-                keep = lo <= v if op == "<=" else lo < v
-            else:
-                continue
-            conds.append(F.coalesce(keep, F.lit(True)))
+        conds = [k for k in
+                 (self._keep_condition(c, data_fields, stat)
+                  for c in split_conjuncts(self.residual))
+                 if k is not None]
         if not conds:
             return None
         out = conds[0]
         for c in conds[1:]:
             out = out & c
         return out
+
+    def _keep_condition(self, c, data_fields, stat):
+        """Keep-file Column for one predicate node, or None when the
+        node's shape carries no skippable evidence."""
+        from .expressions import And, Or
+        if isinstance(c, And):
+            # AND: evidence from either side narrows; missing side = True.
+            ks = [k for k in (self._keep_condition(s, data_fields, stat)
+                              for s in (c.left, c.right)) if k is not None]
+            if not ks:
+                return None
+            out = ks[0]
+            for k in ks[1:]:
+                out = out & k
+            return out
+        if isinstance(c, Or):
+            # OR: BOTH branches must be boundable, else no evidence.
+            k1 = self._keep_condition(c.left, data_fields, stat)
+            k2 = self._keep_condition(c.right, data_fields, stat)
+            if k1 is None or k2 is None:
+                return None
+            return k1 | k2
+        null_keep = self._null_check_keep(c, data_fields)
+        if null_keep is not None:
+            return null_keep
+        in_keep = self._in_list_keep(c, data_fields, stat)
+        if in_keep is not None:
+            return in_keep
+        col, lit, op = _simple_comparison(c)
+        if col is None or col not in data_fields:
+            return None
+        dtype = data_fields[col]
+        if dtype.simpleString() not in (
+                "tinyint", "smallint", "int", "bigint", "float", "double",
+                "date", "timestamp", "string") and \
+                not dtype.simpleString().startswith("decimal"):
+            return None
+        lo, hi = stat("minValues", col, dtype), stat("maxValues", col, dtype)
+        v = F.lit(lit.value)
+        if op == "=":
+            keep = (lo <= v) & (hi >= v)
+        elif op in (">", ">="):
+            keep = hi >= v if op == ">=" else hi > v
+        elif op in ("<", "<="):
+            keep = lo <= v if op == "<=" else lo < v
+        else:
+            return None
+        return F.coalesce(keep, F.lit(True))
 
     def _null_check_keep(self, c, data_fields):
         """Keep-file condition for ``col IS [NOT] NULL`` conjuncts from

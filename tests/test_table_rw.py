@@ -104,3 +104,33 @@ def test_null_stats_file_skipping(spark, tmp_path):
     assert not_null.files().count() == 2         # all_nulls file skipped
     assert sorted(r.id for r in not_null.to_df().collect()) == \
         list(range(0, 10)) + [20, 22, 24, 26, 28]
+
+
+def test_disjunctive_stats_skipping(spark, tmp_path):
+    """keep(a OR b) = keep(a) | keep(b): an OR of range predicates must
+    still skip files whose min/max admit NEITHER disjunct — q19-style
+    disjunctive scans prune instead of reading everything."""
+    from connectors_spark.expressions import And, Col, Lit, Or
+    from connectors_spark.scan import DeltaScan
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "disj"))
+    # 10 range-clustered files: file i covers k in [100i, 100i+100)
+    for i in range(10):
+        df = spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        t.write(df.coalesce(1), mode="append" if i else "overwrite")
+    snap = t.snapshot()
+    assert snap.files_df.count() == 10
+
+    pred = Or(And(Col("k") >= Lit(105), Col("k") < Lit(150)),
+              Col("k") >= Lit(950))
+    scan = DeltaScan(snap, pred)
+    # only file 1 ([100,200)) and file 9 ([900,1000)) can match
+    assert scan.files().count() == 2
+    got = sorted(r.k for r in scan.to_df().collect())
+    assert got == list(range(105, 150)) + list(range(950, 1000))
+
+    # an OR with an unboundable branch must NOT skip anything
+    from connectors_spark.expressions import Not
+    unbounded = Or(Col("k") >= Lit(950), Not(Col("v") < Lit(0)))
+    assert DeltaScan(snap, unbounded).files().count() == 10
