@@ -30,19 +30,43 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _epoch_sec(col: Column, dtype) -> Column:
+    """Epoch-seconds double for numeric or any timestamp/date flavor
+    (TIMESTAMP_NTZ/date don't cast to double directly; routing through
+    timestamp is monotonic, which is all bucketing/tolerance need)."""
+    from pyspark.sql import types as T
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return col.cast("timestamp").cast("double")
+    return col.cast("double")
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
               by: Optional[List[str]] = None,
               right_cols: Optional[List[str]] = None,
               strict: bool = False,
               tolerance_seconds: Optional[float] = None,
-              prefix: str = "asof_") -> DataFrame:
+              prefix: str = "asof_",
+              bucket_seconds: Optional[float] = None) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.on <= left.on`` (``<`` when ``strict``) within the same
     ``by`` group, or nulls when none exists.
 
-    Deterministic: right-side ties on `on` resolve by the largest
-    payload struct (stable given a unique column in `right_cols`).
+    Deterministic: right-side ties on `on` resolve to a fixed payload
+    struct (stable given a unique column in `right_cols`).
     `tolerance_seconds` nulls out matches older than the window.
+
+    **Un-keyed scale path**: with ``by=[]`` the single window is ONE
+    partition — the whole stream through one task. Pass
+    ``bucket_seconds`` to switch to the two-pass bucketed plan: rows
+    bucket by ``floor(epoch/on bucket)``; each bucket's last payload is
+    selected (a by-bucket window, evenly spread), the per-bucket lasts
+    get an exclusive running LOCF over BUCKETS (a window over one tiny
+    row per bucket, same shape as the sequence-packing block-offset
+    pass), and the carry-in joins back (broadcast) to seed per-bucket
+    windows. Buckets partition the time axis monotonically and equal
+    timestamps share a bucket, so the result is exactly the global
+    window's. Pick ``bucket_seconds`` so the bucket count stays ≪ rows
+    (e.g. a day over years of data).
     """
     by = by or []
     right_cols = right_cols or [c for c in right.columns
@@ -63,21 +87,73 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
                    for c in left.columns if c not in by and c != on],
                  *by, F.col("_t").alias(on), "_t", "_p", "_side"),
         allowMissingColumns=False)
-    w = (Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1)))
-    w = (w.orderBy("_t", "_side", F.desc("_p"))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    matched = (unioned
-               .withColumn("_m", F.last("_p", ignorenulls=True).over(w))
-               .filter(F.col("_side") == left_tag))
+    if not by and bucket_seconds is not None:
+        matched = _asof_bucketed(unioned, left_tag, bucket_seconds)
+    else:
+        w = (Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1)))
+        w = (w.orderBy("_t", "_side", F.desc("_p"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        matched = (unioned
+                   .withColumn("_m", F.last("_p", ignorenulls=True).over(w))
+                   .filter(F.col("_side") == left_tag))
     if tolerance_seconds is not None:
-        in_tol = (F.col("_t").cast("double") -
-                  F.col("_m._asof_ts").cast("double")) <= tolerance_seconds
+        tdt = unioned.schema["_t"].dataType
+        in_tol = (_epoch_sec(F.col("_t"), tdt) -
+                  _epoch_sec(F.col("_m._asof_ts"), tdt)) <= tolerance_seconds
         matched = matched.withColumn(
             "_m", F.when(in_tol, F.col("_m")))
     out_cols = [F.col(c) for c in left.columns]
     out_cols.append(F.col("_m._asof_ts").alias(f"{prefix}{on}"))
     out_cols += [F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right_cols]
     return matched.select(*out_cols)
+
+
+def _asof_bucketed(unioned: DataFrame, left_tag: int,
+                   bucket_seconds: float) -> DataFrame:
+    """Two-pass un-keyed as-of: identical result to the global window
+    (``last(_p, ignorenulls)`` over (_t, _side, _p desc) order) without
+    ever funneling the stream through one task. Equality argument: the
+    global last-payload at any row is the last payload WITHIN the row's
+    bucket if one precedes it there, else the last payload of any
+    earlier bucket — buckets partition the time axis monotonically, and
+    equal timestamps (the only ordering subtlety) always share a
+    bucket, so within-bucket order IS global order restricted to the
+    bucket. Same shape as sequence packing's two-pass prefix sum: the
+    only single-partition window runs over ONE row per distinct bucket.
+    """
+    sec = _epoch_sec(F.col("_t"), unioned.schema["_t"].dataType)
+    b = unioned.withColumn(
+        "_bk", F.floor(sec / F.lit(float(bucket_seconds))).cast("long"))
+    # Pass 1a: each bucket's LAST payload under the global sort order —
+    # payload rows all share one _side, so last = max _t, then min _p
+    # (the order is (_t asc, _p desc): the final row of an equal-_t run
+    # is the smallest payload). A by-bucket window — evenly spread.
+    wlast = (Window.partitionBy("_bk")
+             .orderBy(F.desc("_t"), F.asc("_p")))
+    lasts = (b.filter(F.col("_p").isNotNull())
+             .withColumn("_rn", F.row_number().over(wlast))
+             .filter(F.col("_rn") == 1)
+             .select("_bk", F.col("_p").alias("_bp")))
+    # Pass 1b: densify to every bucket that has ANY row, then exclusive
+    # running LOCF over buckets — one tiny row per bucket, so the
+    # single-partition window is harmless by construction.
+    wb = (Window.orderBy("_bk")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    carry = (b.select("_bk").distinct()
+             .join(lasts, "_bk", "left")
+             .select("_bk",
+                     F.last("_bp", ignorenulls=True).over(wb)
+                     .alias("_cin")))
+    # Pass 2: within-bucket running last, seeded by the carry-in.
+    wloc = (Window.partitionBy("_bk")
+            .orderBy("_t", "_side", F.desc("_p"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (b.join(F.broadcast(carry), "_bk")
+            .withColumn("_m", F.coalesce(
+                F.last("_p", ignorenulls=True).over(wloc),
+                F.col("_cin")))
+            .filter(F.col("_side") == left_tag)
+            .drop("_bk", "_cin"))
 
 
 def range_join_binned(left: DataFrame, right: DataFrame,

@@ -62,6 +62,32 @@ def test_asof_tolerance(spark, quotes_trades):
     assert out[(1, 20)] is None        # gap 54s > 10s
 
 
+def test_asof_unkeyed_bucketed_matches_global_window(spark, sf_dir):
+    # The two-pass bucketed plan for by=[] must equal the single global
+    # window exactly — across bucket boundaries, empty buckets, equal
+    # timestamps, strict mode, and tolerance — on real events data.
+    from tests.conftest import read_table
+    ev = read_table(spark, "events", sf_dir)
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(
+            (F.col("ts") / 1000).cast("long")))
+    left = (ev.filter(F.col("event_type") == "error")
+            .select("event_id", "ts"))
+    right = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("ts").agg(F.max("value").alias("pv")))
+    for kw in ({}, {"strict": True}, {"tolerance_seconds": 3600.0}):
+        glob = {r.event_id: (r.asof_ts, r.asof_pv)
+                for r in tp.asof_join(left, right, on="ts", by=[],
+                                      right_cols=["pv"], **kw).collect()}
+        buck = {r.event_id: (r.asof_ts, r.asof_pv)
+                for r in tp.asof_join(left, right, on="ts", by=[],
+                                      right_cols=["pv"],
+                                      bucket_seconds=86400.0,
+                                      **kw).collect()}
+        assert glob == buck, kw
+    assert len(glob) == left.count()
+
+
 def test_range_join_boundaries(spark):
     left = spark.createDataFrame(
         [(1, 100, _ts("2024-01-01T10:00:00"))],
