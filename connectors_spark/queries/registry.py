@@ -112,6 +112,7 @@ GATE_SORT: Dict[str, list] = {
     "emb_pq_codes": ["vec_id"],
     "emb_pq_adc_topk": ["query_id", "rank", "vec_id"],
     "ev_asof_click_attribution": ["view_id"],
+    "ev_asof_global_locf": ["event_id"],
     "ev_range_error_context": ["event_id"],
     "ev_kmv_distinct": ["event_type"],
     "ev_rollup_day_type": ["day", "event_type"],
@@ -229,6 +230,7 @@ GATE_COLUMNS: Dict[str, list] = {
     "emb_pq_codes": ["vec_id", "code_0", "code_1", "code_2", "code_3", "err"],
     "emb_pq_adc_topk": ["query_id", "vec_id", "adist", "rank"],
     "ev_asof_click_attribution": ["view_id", "user_id", "click_id", "gap_us"],
+    "ev_asof_global_locf": ["event_id", "gap_us", "pv"],
     "ev_range_error_context": ["event_id", "user_id", "n_following", "sum_value"],
     "ev_kmv_distinct": ["event_type", "n_exact", "kmv_est"],
     "ev_rollup_day_type": ["day", "event_type", "n_events", "sum_value"],

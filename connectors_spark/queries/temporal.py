@@ -57,6 +57,45 @@ def ev_asof(spark, sf_dir):
         (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("gap_us"))
 
 
+@register("ev_asof_global_locf", sql="""
+WITH p AS (
+  SELECT ts, max(value) AS pv FROM events
+  WHERE event_type = 'purchase' GROUP BY ts),
+e AS (SELECT event_id, ts FROM events WHERE event_type = 'error'),
+u AS (
+  SELECT NULL::BIGINT AS event_id, ts, 0 AS side,
+         {'ts': ts, 'pv': pv} AS p
+  FROM p
+  UNION ALL
+  SELECT event_id, ts, 1 AS side, NULL FROM e),
+m AS (
+  SELECT *, last_value(p IGNORE NULLS)
+            OVER (ORDER BY ts, side
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM u)
+SELECT event_id, epoch_us(ts) - epoch_us(c.ts) AS gap_us, c.pv AS pv
+FROM m WHERE side = 1
+""")
+def ev_asof_global(spark, sf_dir):
+    # UN-KEYED as-of at scale: every error event attributed to the
+    # corpus-wide latest purchase mark (purchases deduped per ts so the
+    # match is tie-free). The Spark side runs the bucketed two-pass
+    # plan (bucket_seconds) — per-bucket windows + a one-row-per-bucket
+    # carry — never a single global window partition; the oracle is the
+    # plain global LOCF it must equal.
+    ev = load(spark, sf_dir, "events")
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select("event_id", "ts"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .groupBy("ts").agg(F.max("value").alias("pv")))
+    out = tp.asof_join(errors, purchases, on="ts", by=[],
+                       right_cols=["pv"], bucket_seconds=86400.0)
+    return out.select(
+        "event_id",
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("gap_us"),
+        F.col("asof_pv").alias("pv"))
+
+
 # --------------------------------------------------------------------------
 # Range join: per error event, activity of the same user in the next 30 min
 # --------------------------------------------------------------------------

@@ -162,6 +162,27 @@ def test_pack_sequences_no_global_window(plans):
     assert "hashpartitioning(_blk" in p
 
 
+def test_asof_global_no_stream_through_one_task(plans):
+    # the bucketed un-keyed as-of: any SinglePartition exchange may
+    # carry only the one-row-per-bucket carry relation, never the
+    # event stream; the stream windows hash-partition by bucket
+    p = plans("ev_asof_global_locf")
+    blocks = p.split("\n\n")
+    single = [b for b in blocks
+              if b.startswith("(") and "SinglePartition" in b]
+    assert single, "expected the bucket-carry window's tiny exchange"
+    for b in single:
+        assert "event_id" not in b, f"event rows funneled to one task:\n{b}"
+    assert "hashpartitioning(_bk" in p
+
+
+def test_pmi_broadcasts_unigram_sides(plans):
+    p = plans("doc_pmi_bigrams")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_repetition_partial_aggregation(plans):
     # per-gram counts must partially aggregate before the exchange
     p = plans("doc_repetition_stats")
