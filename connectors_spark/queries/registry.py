@@ -316,11 +316,20 @@ _R3_DRIVER_CHECKED = frozenset([
 ])
 
 
+# The two CORRECTNESS_r04 hash-red rows (fixed in r5 by the determinism
+# sweep) jump the queue so the driver's 50-query sample re-records them
+# this round — the r5 additions would otherwise push ev_time_weighted_avg
+# past position 50.
+_R4_RED = frozenset(["doc_pack_sequences", "ev_time_weighted_avg"])
+
+
 def ordered_names() -> list:
     names = list(REGISTRY)
     return sorted(
         names,
-        key=lambda n: (1 if n in _R3_DRIVER_CHECKED else 0, names.index(n)))
+        key=lambda n: (0 if n in _R4_RED
+                       else 2 if n in _R3_DRIVER_CHECKED else 1,
+                       names.index(n)))
 
 
 def _epoch_divisor_to_micros(sf_dir: str) -> int:
