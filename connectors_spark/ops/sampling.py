@@ -69,3 +69,30 @@ def stratified_sample(df: DataFrame, strata_col: str, fractions,
     else:
         thresh = F.lit(int(float(fractions) * 10000))
     return df.where(bucket < thresh)
+
+
+def mixture_weights(df: DataFrame, group_col: str = "source",
+                    alpha: float = 0.5,
+                    budget: int = 1000) -> DataFrame:
+    """Temperature-based corpus mixing weights: per-group sampling
+    probability p_i ∝ n_i^alpha — the standard multilingual /
+    multi-source rebalancing (alpha=1 is proportional, alpha→0 uniform;
+    mBERT/XLM-R use alpha≈0.7, many pre-training mixes 0.5). Returns
+    (group, n_docs, weight, expected_docs) with weight = n^α / Σ n^α
+    and expected_docs = weight·budget, both rounded to 6.
+
+    Scale shape: one map-side-combined count per group; the normalizer
+    is a window over the GROUP relation (one row per source — tiny by
+    definition), never over data rows. Feed the weights to
+    `stratified_sample` (fractions = expected_docs / n_docs) to realize
+    the mix deterministically.
+    """
+    w_all = Window.partitionBy()
+    counts = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    pw = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    return counts.select(
+        "group", "n_docs",
+        F.round(pw / F.sum(pw).over(w_all), 6).alias("weight"),
+        F.round(pw / F.sum(pw).over(w_all) * F.lit(float(budget)), 6)
+        .alias("expected_docs"))

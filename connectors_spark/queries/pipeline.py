@@ -1280,6 +1280,25 @@ def doc_pack(spark, sf_dir):
     return packing_summary(load(spark, sf_dir, "documents"), ctx=256)
 
 
+@register("doc_mixture_weights", sql="""
+WITH c AS (
+  SELECT source AS "group", count(*)::BIGINT AS n_docs
+  FROM documents GROUP BY 1),
+t AS (SELECT sum(pow(n_docs, 0.5)) AS z FROM c)
+SELECT "group", n_docs,
+       round(pow(n_docs, 0.5) / t.z, 6) AS weight,
+       round(pow(n_docs, 0.5) / t.z * 1000.0, 6) AS expected_docs
+FROM c, t
+""")
+def doc_mixture(spark, sf_dir):
+    # Temperature-based source rebalancing (alpha=0.5): the standard
+    # multilingual-mix computation. Normalizer is a window over one row
+    # per source, never over data rows.
+    from ..ops.sampling import mixture_weights
+    return mixture_weights(load(spark, sf_dir, "documents"),
+                           group_col="source", alpha=0.5, budget=1000)
+
+
 @register("doc_token_entropy", sql=f"""
 WITH {_TOKS},
 uni AS (SELECT doc_id, unnest(t) AS w FROM toks),
