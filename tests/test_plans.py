@@ -176,6 +176,20 @@ def test_asof_global_no_stream_through_one_task(plans):
     assert "hashpartitioning(_bk" in p
 
 
+def test_pq_encode_is_single_map_pass(spark, sf_dir):
+    # encoding closes over all m codebooks: one Arrow-batched map pass,
+    # zero exchanges, zero joins — the full-corpus PQ pass at 100 TB is
+    # scan-bound by construction
+    from connectors_spark.ops.clustering import pq_encode, pq_fit
+    from tests.conftest import read_table
+    emb = read_table(spark, "embeddings", sf_dir)
+    enc = pq_encode(emb, pq_fit(emb, m=4, k=8, iters=1))
+    p = plan_of(enc)
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "ArrowEvalPython" in p
+
+
 def test_pmi_broadcasts_unigram_sides(plans):
     p = plans("doc_pmi_bigrams")
     assert "BroadcastHashJoin" in p
