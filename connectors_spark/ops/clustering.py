@@ -224,7 +224,11 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     d = books[0].shape[1]
     codes = pq_encode(corpus, books, id_col, vec_col).drop("err")
     qrows = queries.select(query_id_col, vec_col).collect()
-    branches = []
+    # ONE scan of the code relation: every query's ADC score is a
+    # separate struct in one projection (m literal-array lookups each),
+    # exploded to (query, candidate) rows — a union of per-query
+    # branches would re-evaluate the lazy encode pass Q times.
+    per_q = []
     for r in qrows:
         qid = r[query_id_col]
         qv = np.array(r[vec_col], dtype=np.float64)
@@ -234,13 +238,14 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                              - books[j]) ** 2).sum(axis=1), 6)
             arr = F.array(*[F.lit(float(x)) for x in tab])
             score = score + F.element_at(arr, F.col(f"code_{j}") + 1)
-        branches.append(
-            codes.filter(F.col(id_col) != F.lit(qid))
-            .select(F.lit(qid).alias(query_id_col), F.col(id_col),
-                    F.round(score, 6).alias("adist")))
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
+        per_q.append(F.struct(
+            F.lit(qid).alias("_qid"),
+            F.round(score, 6).alias("_adist")))
+    out = (codes.select(F.col(id_col),
+                        F.explode(F.array(*per_q)).alias("_s"))
+           .select(F.col("_s._qid").alias(query_id_col),
+                   F.col(id_col), F.col("_s._adist").alias("adist"))
+           .filter(F.col(id_col) != F.col(query_id_col)))
     w = Window.partitionBy(query_id_col).orderBy(F.asc("adist"),
                                                  F.asc(id_col))
     return (out.withColumn("rank", F.row_number().over(w))
