@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
+from ..functions.text import token_count, tokens
 
 _NGRAM_UDFS: dict = {}
 
@@ -142,6 +142,59 @@ def unigram_nll_scores(df: DataFrame, id_col: str = "doc_id",
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_tok"),
                  F.round(F.avg("_nll"), 6).alias("nll")))
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span coverage (exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+
+def dup_span_stats(df: DataFrame, L: int = 10, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document duplicated-span coverage — the deduplication signal
+    of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better", exact substring matching at 50-token granularity):
+    a position is COVERED when some length-``L`` token window starting
+    at or before it occurs at least twice in the corpus. Returns
+    (doc_id, n_tok, n_dup_grams, covered_tokens, dup_frac) — one row
+    per document that HAS at least one duplicated window (clean docs
+    emit nothing); dup_frac = covered/n_tok rounded to 6.
+
+    Coverage is an interval union computed by a sweep, not per-token
+    rows: duplicated windows at sorted positions p₁<p₂<… contribute
+    min(L, p_{i+1}−p_i) each and the last contributes L, so the
+    per-doc relation stays one row per duplicated window.
+
+    Scale shape: one tokenize+posexplode pass (keys are 8-byte md5
+    window hashes), one map-side-combined global count per hash, one
+    hash-keyed join back (uniform keys — no skew), one doc-keyed
+    window for the sweep. Everything is integer until the final
+    rounded fraction.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import hash64
+
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(text_col).alias("_text"),
+                     token_count(F.col(text_col)).alias("n_tok"))
+    grams = (base
+             .select("doc_id", "n_tok",
+                     F.posexplode(ngram_list("_text", L))
+                     .alias("pos", "_g"))
+             .select("doc_id", "n_tok", "pos", hash64("_g").alias("_h")))
+    counts = grams.groupBy("_h").agg(F.count(F.lit(1)).alias("_n"))
+    dup = (grams.join(counts.filter(F.col("_n") >= 2).select("_h"), "_h"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    contrib = F.least(F.lit(L), F.coalesce(F.lead("pos").over(w)
+                                           - F.col("pos"), F.lit(L)))
+    return (dup.withColumn("_c", contrib)
+            .groupBy("doc_id")
+            .agg(F.max("n_tok").alias("n_tok"),
+                 F.count(F.lit(1)).alias("n_dup_grams"),
+                 F.sum("_c").alias("covered_tokens"))
+            .select("doc_id", "n_tok", "n_dup_grams", "covered_tokens",
+                    F.round(F.col("covered_tokens") /
+                            F.col("n_tok"), 6).alias("dup_frac")))
 
 
 # ---------------------------------------------------------------------------

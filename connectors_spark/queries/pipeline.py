@@ -1280,6 +1280,35 @@ def doc_pack(spark, sf_dir):
     return packing_summary(load(spark, sf_dir, "documents"), ctx=256)
 
 
+@register("doc_dup_spans", sql=f"""
+WITH {_TOKS},
+g AS (
+  SELECT doc_id, len(t) AS n_tok, i - 1 AS pos,
+         array_to_string(t[i : i + 9], ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - 10 + 2)) AS u(i)
+  WHERE len(t) >= 10),
+c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+d AS (SELECT g.* FROM g JOIN c USING (gram)),
+s AS (
+  SELECT doc_id, n_tok, pos,
+         least(10, coalesce(lead(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) - pos, 10)) AS c
+  FROM d)
+SELECT doc_id, max(n_tok)::BIGINT AS n_tok,
+       count(*)::BIGINT AS n_dup_grams,
+       sum(c)::BIGINT AS covered_tokens,
+       round(sum(c) / max(n_tok), 6) AS dup_frac
+FROM s GROUP BY doc_id
+""")
+def doc_dup_spans(spark, sf_dir):
+    # Lee et al. 2021 exact-substring dedup signal at 10-token windows:
+    # per-doc fraction of tokens covered by corpus-duplicated windows,
+    # via an interval-union sweep (one row per duplicated window, never
+    # per-token rows).
+    from ..ops.quality import dup_span_stats
+    return dup_span_stats(load(spark, sf_dir, "documents"), L=10)
+
+
 @register("doc_mixture_weights", sql="""
 WITH c AS (
   SELECT source AS "group", count(*)::BIGINT AS n_docs

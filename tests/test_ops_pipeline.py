@@ -133,6 +133,24 @@ def test_lsh_bucket_cap_noop_on_normal_corpus(spark, sf_dir):
     assert capped == uncapped
 
 
+def test_dup_span_coverage_interval_union(spark):
+    from connectors_spark.ops.quality import dup_span_stats
+    shared = " ".join(f"s{i}" for i in range(12))     # 12-token shared prefix
+    a = shared + " " + " ".join(f"a{i}" for i in range(8))   # 20 tokens
+    b = shared + " " + " ".join(f"b{i}" for i in range(8))
+    c = " ".join(f"c{i}" for i in range(20))                 # clean doc
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)],
+                               "doc_id: long, text: string")
+    out = {r.doc_id: r for r in dup_span_stats(df, L=10).collect()}
+    # windows at pos 0,1,2 of each shared doc are corpus-duplicated:
+    # interval union = 1 + 1 + 10 = 12 covered tokens of 20
+    for d in (1, 2):
+        assert out[d].n_dup_grams == 3
+        assert out[d].covered_tokens == 12
+        assert out[d].dup_frac == 0.6
+    assert 3 not in out                                      # clean doc absent
+
+
 def test_cap_per_group_two_phase_matches_global_ranking(spark):
     # The salted two-phase top-cap must equal the plain global-window
     # answer on a skewed input spread over many partitions.
