@@ -197,6 +197,50 @@ def dup_span_stats(df: DataFrame, L: int = 10, id_col: str = "doc_id",
                             F.col("n_tok"), 6).alias("dup_frac")))
 
 
+def strip_dup_spans(df: DataFrame, L: int = 10, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """The Lee et al. 2021 dedup TRANSFORM: remove every token covered
+    by a corpus-duplicated L-token window, keep the rest in order.
+    Returns (doc_id, text) with fully-covered docs dropped.
+
+    Plan shape: the duplicated-window relation (see dup_span_stats)
+    explodes each window to its covered token positions (≤ L rows per
+    duplicated window — linear, and only for DUPLICATED windows), the
+    position-exploded corpus left-anti joins against it on
+    (doc, position), and survivors reassemble with one doc-keyed
+    aggregation. Docs with no duplicated window skip the anti-join via
+    the join's own hash partitioning; everything stays O(total tokens).
+    """
+    from ..functions.text import hash64
+
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(text_col).alias("_text"))
+    grams = (base
+             .select("doc_id",
+                     F.posexplode(ngram_list("_text", L))
+                     .alias("pos", "_g"))
+             .select("doc_id", "pos", hash64("_g").alias("_h")))
+    counts = grams.groupBy("_h").agg(F.count(F.lit(1)).alias("_n"))
+    covered = (grams
+               .join(counts.filter(F.col("_n") >= 2).select("_h"), "_h")
+               .select("doc_id",
+                       F.explode(F.sequence(
+                           F.col("pos"),
+                           F.col("pos") + F.lit(L - 1))).alias("tpos"))
+               .distinct())
+    toks = (base
+            .select("doc_id",
+                    F.posexplode(tokens(F.col("_text")))
+                    .alias("tpos", "tok")))
+    kept = toks.join(covered, ["doc_id", "tpos"], "left_anti")
+    return (kept.groupBy("doc_id")
+            .agg(F.concat_ws(
+                " ", F.transform(
+                    F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                    lambda s: s.getField("tok"))).alias("text"))
+            .where(F.length("text") > 0))
+
+
 # ---------------------------------------------------------------------------
 # Token-distribution entropy (lexical-diversity quality signal)
 # ---------------------------------------------------------------------------

@@ -1309,6 +1309,35 @@ def doc_dup_spans(spark, sf_dir):
     return dup_span_stats(load(spark, sf_dir, "documents"), L=10)
 
 
+@register("doc_strip_dup_spans", sql=f"""
+WITH {_TOKS},
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(t[i : i + 9], ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - 10 + 2)) AS u(i)
+  WHERE len(t) >= 10),
+c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.pos + x.i AS tpos
+  FROM g JOIN c USING (gram), unnest(range(0, 10)) AS x(i)),
+tk AS (SELECT doc_id, i - 1 AS tpos, t[i] AS tok
+       FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+kept AS (
+  SELECT tk.* FROM tk ANTI JOIN cov
+  ON tk.doc_id = cov.doc_id AND tk.tpos = cov.tpos)
+SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY tpos)) AS h
+FROM kept GROUP BY doc_id
+HAVING length(string_agg(tok, ' ' ORDER BY tpos)) > 0
+""")
+def doc_strip_dup(spark, sf_dir):
+    # The Lee et al. dedup transform: corpus-duplicated 10-token spans
+    # removed, survivors reassembled in order; md5 pins the rebuilt
+    # text exactly (same gate shape as doc_boilerplate_removal).
+    from ..ops.quality import strip_dup_spans
+    out = strip_dup_spans(load(spark, sf_dir, "documents"), L=10)
+    return out.select("doc_id", F.md5("text").alias("h"))
+
+
 @register("doc_mixture_weights", sql="""
 WITH c AS (
   SELECT source AS "group", count(*)::BIGINT AS n_docs

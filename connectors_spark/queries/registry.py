@@ -106,6 +106,7 @@ GATE_SORT: Dict[str, list] = {
     "doc_decontaminate": ["doc_id"],
     "doc_pack_sequences": ["seq_id"],
     "doc_dup_spans": ["doc_id"],
+    "doc_strip_dup_spans": ["doc_id"],
     "doc_mixture_weights": ["group"],
     "doc_token_entropy": ["doc_id"],
     "doc_chunk_windows": ["doc_id", "chunk_idx"],
@@ -226,6 +227,7 @@ GATE_COLUMNS: Dict[str, list] = {
     "doc_decontaminate": ["doc_id", "n_shared_ngrams", "n_eval_docs"],
     "doc_pack_sequences": ["seq_id", "n_docs", "n_tokens_started", "n_crossing"],
     "doc_dup_spans": ["doc_id", "n_tok", "n_dup_grams", "covered_tokens", "dup_frac"],
+    "doc_strip_dup_spans": ["doc_id", "h"],
     "doc_mixture_weights": ["group", "n_docs", "weight", "expected_docs"],
     "doc_token_entropy": ["doc_id", "n_tok", "entropy"],
     "doc_chunk_windows": ["doc_id", "chunk_idx", "chunk_text", "n_tokens"],

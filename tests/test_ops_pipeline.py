@@ -151,6 +151,22 @@ def test_dup_span_coverage_interval_union(spark):
     assert 3 not in out                                      # clean doc absent
 
 
+def test_strip_dup_spans_removes_shared_prefix_only(spark):
+    from connectors_spark.ops.quality import strip_dup_spans
+    shared = " ".join(f"s{i}" for i in range(12))
+    ua = " ".join(f"a{i}" for i in range(8))
+    ub = " ".join(f"b{i}" for i in range(8))
+    clean = " ".join(f"c{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, shared + " " + ua), (2, shared + " " + ub),
+         (3, clean), (4, shared), (5, shared)],   # 4,5: fully duplicated
+        "doc_id: long, text: string")
+    out = {r.doc_id: r.text for r in strip_dup_spans(df, L=10).collect()}
+    assert out[1] == ua and out[2] == ub          # shared prefix stripped
+    assert out[3] == clean                        # untouched
+    assert 4 not in out and 5 not in out          # fully covered -> dropped
+
+
 def test_cap_per_group_two_phase_matches_global_ranking(spark):
     # The salted two-phase top-cap must equal the plain global-window
     # answer on a skewed input spread over many partitions.
