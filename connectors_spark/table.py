@@ -816,20 +816,41 @@ def _enforce_constraints(df: DataFrame, configuration: Dict[str, str],
 _ZORDER_BITS = 16
 
 
+def _zorder_numeric(df: DataFrame, c: str) -> F.Column:
+    """Order-preserving numeric rank of any Z-orderable column. Strings
+    map to their first 7 UTF-8 bytes as a big-endian integer
+    (zero-right-padded so shorter strings don't leapfrog longer ones —
+    byte-wise order IS code-point order for UTF-8); dates route through
+    timestamp; numerics/timestamps cast directly. 7 bytes keeps the
+    value positive in a signed long and within double's exact-integer
+    range up to the precision the bucketing needs."""
+    dt = dict(df.dtypes)[c]
+    if dt == "string":
+        return F.conv(
+            F.hex(F.rpad(F.encode(F.col(c), "UTF-8"), 7,
+                         F.lit(b"\x00"))), 16, 10).cast("double")
+    if dt == "date":
+        return F.col(c).cast("timestamp").cast("double")
+    return F.col(c).cast("double")
+
+
 def _zorder_code(df: DataFrame, cols: List[str]) -> F.Column:
-    """Morton code over equi-width bucket ids of the given numeric
-    columns. Bucket bounds come from one min/max aggregate (driver-side,
-    2 numbers per column); the interleave is a codegen'd bit expression.
-    Nulls sort first (bucket 0)."""
-    bounds = df.agg(*[F.min(c).alias(f"_lo_{c}") for c in cols],
-                    *[F.max(c).alias(f"_hi_{c}") for c in cols]).first()
+    """Morton code over equi-width bucket ids of the given columns
+    (numeric, timestamp, date, or string — see _zorder_numeric). Bucket
+    bounds come from one min/max aggregate (driver-side, 2 numbers per
+    column); the interleave is a codegen'd bit expression. Nulls sort
+    first (bucket 0)."""
+    exprs = {c: _zorder_numeric(df, c) for c in cols}
+    bounds = df.agg(
+        *[F.min(exprs[c]).alias(f"_lo_{c}") for c in cols],
+        *[F.max(exprs[c]).alias(f"_hi_{c}") for c in cols]).first()
     n_buckets = 1 << _ZORDER_BITS
     bucket_cols = []
     for c in cols:
         lo = float(bounds[f"_lo_{c}"] or 0.0)
         hi = float(bounds[f"_hi_{c}"] or 0.0)
         width = (hi - lo) or 1.0
-        b = F.floor((F.col(c).cast("double") - F.lit(lo)) /
+        b = F.floor((exprs[c] - F.lit(lo)) /
                     F.lit(width) * n_buckets).cast("long")
         b = F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1))
         bucket_cols.append(F.coalesce(b, F.lit(0)))

@@ -149,6 +149,44 @@ def test_optimize_zorder_improves_stats_skipping(spark, tmp_path):
     assert got == n * (n - 1) // 2
 
 
+def test_zorder_string_column_clusters(spark, tmp_path):
+    """Z-order on a STRING column: the order-preserving byte-prefix
+    rank must cluster lexical ranges so string equality/range
+    predicates stats-skip files (a raw double-cast would null out and
+    put every string in bucket 0 — no clustering)."""
+    from pyspark.sql import functions as F
+
+    from connectors_spark.expressions import Col, Lit
+    from connectors_spark.table import DeltaTable, TableMaintenance
+
+    n = 8000
+    df = (spark.range(n)
+          .select(F.col("id").alias("rid"),
+                  F.concat(F.lit("cat_"),
+                           F.lpad((F.col("id") % 40).cast("string"),
+                                  2, "0")).alias("label"),
+                  (F.col("id") % 97).alias("v")))
+    t = DeltaTable.for_path(spark, str(tmp_path / "zs"))
+    t.write(df.repartitionByRange(8, "rid"))    # label spans every file
+
+    def files_read(pred):
+        return len(t.scan(pred).collect_files())
+
+    total_before = len(t.snapshot().all_files())
+    assert files_read(Col("label") == Lit("cat_07")) == total_before
+
+    TableMaintenance(t).optimize(target_file_size=16 * 1024,
+                                 zorder_by=["label", "v"])
+    total = len(t.snapshot().all_files())
+    eq_after = files_read(Col("label") == Lit("cat_07"))
+    rng_after = files_read((Col("label") >= Lit("cat_30")) &
+                           (Col("label") < Lit("cat_33")))
+    assert eq_after < total and rng_after < total
+    assert t.to_df().count() == n
+    assert (t.to_df().where("label = 'cat_07'").count()
+            == df.where("label = 'cat_07'").count())
+
+
 def test_join_key_pruning_skips_files(spark, tmp_path):
     """prune_by_join_keys must skip files whose min/max range contains
     none of the dimension keys (In-list stats skipping)."""
