@@ -88,6 +88,44 @@ def test_asof_unkeyed_bucketed_matches_global_window(spark, sf_dir):
     assert len(glob) == left.count()
 
 
+def test_asof_matches_pandas_merge_asof_property(spark):
+    # Independent oracle: pandas merge_asof (direction='backward').
+    # Random keyed series with unique right timestamps per key; both
+    # inclusive and strict modes must agree exactly.
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.data())
+    def run(data):
+        keys = [0, 1, 2]
+        lrows = data.draw(st.lists(
+            st.tuples(st.sampled_from(keys), st.integers(0, 50)),
+            min_size=1, max_size=25))
+        rrows = data.draw(st.lists(
+            st.tuples(st.sampled_from(keys), st.integers(0, 50),
+                      st.integers(-100, 100)),
+            min_size=1, max_size=25,
+            unique_by=lambda t: (t[0], t[1])))   # unique right ts per key
+        strict = data.draw(st.booleans())
+        ldf = spark.createDataFrame(
+            [(i, k, t) for i, (k, t) in enumerate(lrows)],
+            "lid long, k long, ts long")
+        rdf = spark.createDataFrame(rrows, "k long, ts long, v long")
+        got = {r.lid: r.asof_v for r in
+               tp.asof_join(ldf, rdf, on="ts", by=["k"],
+                            right_cols=["v"], strict=strict).collect()}
+        lp = pd.DataFrame([(i, k, t) for i, (k, t) in enumerate(lrows)],
+                          columns=["lid", "k", "ts"]).sort_values("ts")
+        rp = pd.DataFrame(rrows, columns=["k", "ts", "v"]).sort_values("ts")
+        ref = pd.merge_asof(lp, rp, on="ts", by="k",
+                            allow_exact_matches=not strict)
+        want = {int(r.lid): (None if pd.isna(r.v) else int(r.v))
+                for r in ref.itertuples()}
+        assert got == want
+    run()
+
+
 def test_range_join_boundaries(spark):
     left = spark.createDataFrame(
         [(1, 100, _ts("2024-01-01T10:00:00"))],
