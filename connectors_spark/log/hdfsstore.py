@@ -76,6 +76,11 @@ class HadoopFsClient:
         """(size_bytes, mtime_ms)."""
         raise NotImplementedError
 
+    def copy_file(self, src: str, dst: str) -> None:
+        """Default copy buffers whole files; clients backing real
+        remote filesystems should override with a streaming copy."""
+        self.create(dst, self.read(src))
+
 
 class PyArrowHdfsClient(HadoopFsClient):
     """Real binding over ``pyarrow.fs.HadoopFileSystem`` (requires
@@ -109,11 +114,33 @@ class PyArrowHdfsClient(HadoopFsClient):
             return f.read()
 
     def rename(self, src: str, dst: str, overwrite: bool = False) -> None:
-        if not overwrite and self.exists(dst):
-            # HDFS move refuses an existing destination; surface the
-            # typed error without depending on the wrapped message.
+        if overwrite:
+            # hdfsRename (FileSystem.rename) refuses an existing
+            # destination, so overwrite is delete-then-move — not
+            # atomic, matching the reference's Azure store contract
+            # ("create-with-overwrite ... caller must handle partial
+            # files", AzureLogStore.scala isPartialWriteVisible=true);
+            # the only overwrite callers are _last_checkpoint (a hint
+            # with corruption recovery) and unique-name publishes.
+            if self.exists(dst):
+                self._fs.delete_file(self._p(dst))
+            self._fs.move(self._p(src), self._p(dst))
+            return
+        if self.exists(dst):
+            # fast path: surface the typed error without an RPC failure
             raise FileExistsError(dst)
-        self._fs.move(self._p(src), self._p(dst))
+        try:
+            self._fs.move(self._p(src), self._p(dst))
+        except OSError as e:
+            # The exists() pre-check is NOT the mutual exclusion — the
+            # namenode's rename is. A concurrent committer can win
+            # between check and move, in which case pyarrow raises an
+            # untyped IO error; convert it so the optimistic-commit
+            # retry loop (txn.py, catches FileAlreadyExistsError only)
+            # treats the loss as a normal race, not a crash.
+            if self.exists(dst):
+                raise FileExistsError(dst) from e
+            raise
 
     def exists(self, path: str) -> bool:
         from pyarrow import fs as pafs
@@ -156,6 +183,20 @@ class PyArrowHdfsClient(HadoopFsClient):
         if info.type == pafs.FileType.NotFound:
             raise FileNotFoundError(path)
         return info.size, int(info.mtime.timestamp() * 1000)
+
+    def copy_file(self, src: str, dst: str) -> None:
+        # Chunked stream copy — deep CLONE copies multi-GB data files
+        # through this path, which must never materialize a whole file
+        # in worker memory.
+        p = self._p(dst)
+        self._fs.create_dir(posixpath.dirname(p), recursive=True)
+        with self._fs.open_input_stream(self._p(src)) as r, \
+                self._fs.open_output_stream(p) as w:
+            while True:
+                chunk = r.read(8 << 20)
+                if not chunk:
+                    break
+                w.write(chunk)
 
 
 class HdfsLogStore(LogStore):
@@ -220,7 +261,7 @@ class HdfsLogStore(LogStore):
         return self._client.is_dir(path)
 
     def copy_file(self, src: str, dst: str) -> None:
-        self._client.create(dst, self._client.read(src))
+        self._client.copy_file(src, dst)
 
     def stat(self, path: str) -> Tuple[int, int]:
         return self._client.stat(path)
@@ -254,12 +295,6 @@ def register_rename_client_factory(
     _rename_stores.clear()
 
 
-def register_hdfs_client_factory(
-        factory: Optional[Callable[[str], HadoopFsClient]]) -> None:
-    """Back-compat alias for register_rename_client_factory("hdfs")."""
-    register_rename_client_factory("hdfs", factory)
-
-
 def rename_log_store_for(path: str) -> HdfsLogStore:
     scheme = path.split("://", 1)[0]
     authority = path.split("://", 1)[1].split("/", 1)[0]
@@ -284,8 +319,3 @@ def rename_log_store_for(path: str) -> HdfsLogStore:
         store = _rename_stores.setdefault((scheme, authority),
                                           HdfsLogStore(client))
     return store
-
-
-def hdfs_log_store_for(path: str) -> HdfsLogStore:
-    """Back-compat alias for rename_log_store_for."""
-    return rename_log_store_for(path)

@@ -122,8 +122,14 @@ def _asof_bucketed(unioned: DataFrame, left_tag: int,
     only single-partition window runs over ONE row per distinct bucket.
     """
     sec = _epoch_sec(F.col("_t"), unioned.schema["_t"].dataType)
+    # NULL timestamps: the global window orders them FIRST (asc nulls
+    # first), so they belong in a sentinel bucket below every real one
+    # — a NULL bucket key would silently drop the rows at the carry
+    # join instead of emitting them with a null match.
     b = unioned.withColumn(
-        "_bk", F.floor(sec / F.lit(float(bucket_seconds))).cast("long"))
+        "_bk", F.coalesce(
+            F.floor(sec / F.lit(float(bucket_seconds))).cast("long"),
+            F.lit(-(1 << 62)).cast("long")))
     # Pass 1a: each bucket's LAST payload under the global sort order —
     # payload rows all share one _side, so last = max _t, then min _p
     # (the order is (_t asc, _p desc): the final row of an equal-_t run

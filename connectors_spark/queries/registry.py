@@ -148,16 +148,17 @@ GATE_SORT: Dict[str, list] = {
 }
 
 
-def _wrap_sorted(fn, keys):
+def _wrap_sorted(fn, cols):
     def sorted_fn(spark, sf_dir):
         df = fn(spark, sf_dir)
-        # Total order: the named keys first, then every remaining
-        # output column as tie-break (all asc, nulls first — Spark's
-        # default). The oracle wrapper sorts by the same full column
-        # list with NULLS FIRST pinned, so both engines deliver the
-        # same order even where the leading keys are not unique.
-        rest = [c for c in df.columns if c not in keys]
-        return df.orderBy(*(list(keys) + rest))
+        # Total order over the SAME column list (keys + tie-breaks)
+        # the oracle wrapper sorts by — one source, so the two engines
+        # can never disagree on tie priority. Columns the list doesn't
+        # know about (it's maintained by the audit script) append in
+        # DataFrame order as a final guard. All asc, nulls first —
+        # Spark's default, pinned as NULLS FIRST on the SQL side.
+        extra = [c for c in df.columns if c not in cols]
+        return df.orderBy(*(list(cols) + extra))
     sorted_fn.__name__ = getattr(fn, "__name__", "query")
     sorted_fn.__doc__ = fn.__doc__
     sorted_fn.__wrapped__ = fn
@@ -273,11 +274,15 @@ def register(name: str, sql: Optional[str], bench: bool = False):
     def deco(fn):
         keys = GATE_SORT.get(name)
         if keys:
-            gate_fn = _wrap_sorted(fn, keys)
+            # ONE ordered column list feeds BOTH sides (finding from
+            # the r5 self-review: deriving Spark's tie-breaks from
+            # df.columns while the oracle used GATE_COLUMNS left two
+            # unsynchronized orders).
+            cols = list(keys) + [
+                c for c in GATE_COLUMNS.get(name, []) if c not in keys]
+            gate_fn = _wrap_sorted(fn, cols)
             gate_sql = sql
             if sql is not None:
-                cols = list(keys) + [
-                    c for c in GATE_COLUMNS.get(name, []) if c not in keys]
                 order = ", ".join(f'"{k}" NULLS FIRST' for k in cols)
                 gate_sql = (f"SELECT * FROM (\n{sql}\n) __q "
                             f"ORDER BY {order}")

@@ -22,8 +22,8 @@ import pytest
 from connectors_spark.errors import ConcurrentDeleteDeleteException
 from connectors_spark.log.actions import AddFile, Metadata, Protocol
 from connectors_spark.log.hdfsstore import (HadoopFsClient, HdfsLogStore,
-                                            hdfs_log_store_for,
-                                            register_hdfs_client_factory)
+                                            register_rename_client_factory,
+                                            rename_log_store_for)
 from connectors_spark.log.logstore import (FileAlreadyExistsError,
                                            default_log_store)
 from connectors_spark.table import DeltaLog
@@ -105,9 +105,10 @@ class LocalHadoopFsClient(HadoopFsClient):
 def hdfs_root(tmp_path):
     root = str(tmp_path / "hdfs_ns")
     os.makedirs(root, exist_ok=True)
-    register_hdfs_client_factory(lambda _auth: LocalHadoopFsClient(root))
+    register_rename_client_factory(
+        "hdfs", lambda _auth: LocalHadoopFsClient(root))
     yield root
-    register_hdfs_client_factory(None)
+    register_rename_client_factory("hdfs", None)
 
 
 def _metadata():
@@ -140,8 +141,8 @@ def test_put_if_absent_via_exclusive_rename(hdfs_root):
 
 
 def test_store_shared_per_authority(hdfs_root):
-    s1 = hdfs_log_store_for("hdfs://nn1/t1")
-    s2 = hdfs_log_store_for("hdfs://nn1/t2")
+    s1 = rename_log_store_for("hdfs://nn1/t1")
+    s2 = rename_log_store_for("hdfs://nn1/t2")
     assert s1 is s2
 
 
@@ -179,9 +180,6 @@ def test_azure_schemes_bind_to_rename_store(spark, tmp_path):
     exclusive rename + consistent listing — the same contract as HDFS —
     so abfss:// (and wasbs://) bind to the identical rename store
     through a per-scheme client factory."""
-    from connectors_spark.log.hdfsstore import (
-        register_rename_client_factory)
-
     root = str(tmp_path / "abfs_ns")
     os.makedirs(root, exist_ok=True)
     register_rename_client_factory(

@@ -88,6 +88,21 @@ def test_asof_unkeyed_bucketed_matches_global_window(spark, sf_dir):
     assert len(glob) == left.count()
 
 
+def test_asof_bucketed_keeps_null_timestamp_rows(spark):
+    # Regression (r5 self-review): a NULL left timestamp produced a
+    # NULL bucket key and the carry join silently DROPPED the row; the
+    # global window emits it with a null match. Both paths must agree.
+    left = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 25.0)], "lid long, ts double")
+    right = spark.createDataFrame(
+        [(5.0, 100), (20.0, 200)], "ts double, v long")
+    for kw in ({}, {"bucket_seconds": 10.0}):
+        out = {r.lid: r.asof_v
+               for r in tp.asof_join(left, right, on="ts", by=[],
+                                     right_cols=["v"], **kw).collect()}
+        assert out == {1: 100, 2: None, 3: 200}, kw
+
+
 def test_asof_matches_pandas_merge_asof_property(spark):
     # Independent oracle: pandas merge_asof (direction='backward').
     # Random keyed series with unique right timestamps per key; both
