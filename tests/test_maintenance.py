@@ -108,6 +108,42 @@ def test_expired_log_cleanup_removes_deltas_and_checkpoints(spark, tmp_path):
     assert t2.to_df(version=4).count() == 50
 
 
+def test_log_cleanup_lagging_mtime_never_orphans_prefix(spark, tmp_path):
+    """BufferingLogDeletionIterator.scala:30-60 property: expiry walks
+    MONOTONIZED timestamps and stops at the first non-expired commit,
+    so deletions always form a version PREFIX — a commit whose raw
+    mtime lags (clock skew, object-store copy) behind a fresher
+    predecessor must never be deleted while the predecessor survives
+    (naive per-file expiry would punch a hole in the log)."""
+    import time as _time
+
+    path = str(tmp_path / "t")
+    t = DeltaTable.for_path(spark, path)
+    cfg = {"delta.checkpointInterval": "5",
+           "delta.logRetentionDuration": "interval 1 hours"}
+    for i in range(5):   # versions 0..4, no checkpoint yet (interval 5)
+        df = spark.range(i * 10, (i + 1) * 10).toDF("id")
+        t.write(df.coalesce(1), mode="append", configuration=cfg)
+    log_dir = os.path.join(path, "_delta_log")
+    now = _time.time()
+    mtimes = {0: now - 3 * 86400,   # genuinely expired
+              1: now,               # fresh — the prefix stops here
+              2: now - 2 * 86400,   # LAGGING mtime after a fresh commit
+              3: now, 4: now}
+    for v, mt in mtimes.items():
+        os.utime(os.path.join(log_dir, f"{v:020d}.json"), (mt, mt))
+    # version 5 triggers the checkpoint (interval 5) + cleanup
+    t.write(spark.range(50, 60).toDF("id").coalesce(1), mode="append",
+            configuration=cfg)
+    names = set(os.listdir(log_dir))
+    assert "00000000000000000000.json" not in names   # expired prefix
+    for v in (1, 2, 3, 4, 5):                         # v2 SURVIVES
+        assert f"{v:020d}.json" in names, v
+    # table stays fully readable from the new checkpoint
+    t2 = DeltaTable.for_path(spark, path)
+    assert t2.to_df().count() == 60
+
+
 def test_optimize_zorder_improves_stats_skipping(spark, tmp_path):
     """Z-order clustering makes per-file min/max selective on BOTH
     clustered columns: a point-ish predicate on either column must
