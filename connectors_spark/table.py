@@ -277,6 +277,25 @@ class DeltaTable:
     def history(self) -> List[Dict[str, Any]]:
         return self.log.history()
 
+    def set_properties(self, props: Dict[str, str]) -> int:
+        """ALTER TABLE SET TBLPROPERTIES: merge ``props`` into the
+        table configuration via a metadata-only commit (reference op
+        name ``Operation.java`` SET TABLE PROPERTIES; config registry
+        semantics DeltaConfig.scala:199-253). Enforcement picks up the
+        new values immediately — e.g. ``delta.appendOnly=true`` blocks
+        the next delete/update/overwrite."""
+        import dataclasses
+        txn = self.log.start_transaction()
+        snap = txn.snapshot
+        if snap is None:
+            raise FileNotFoundError("table does not exist")
+        conf = dict(snap.metadata.configuration or {})
+        conf.update(props)
+        txn.update_metadata(dataclasses.replace(
+            snap.metadata, configuration=conf))
+        return txn.commit([], "SET TBLPROPERTIES",
+                          {"properties": json.dumps(dict(props))})
+
     # ------------------------------------------------------------ writes
 
     def _make_metadata(self, df: DataFrame, partition_by: Sequence[str],

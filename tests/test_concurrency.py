@@ -305,3 +305,66 @@ def test_unknown_predicate_eval_conflicts_conservatively(spark, tmp_path):
         predicate=(Col("o_orderstatus") == "F"))
     with pytest.raises(ConcurrentAppendException):
         txn.commit([], "TEST", {})
+
+
+def test_optimize_concurrent_with_blind_append(spark, tmp_path):
+    """Compaction vs a blind append touching different files: both must
+    commit — OPTIMIZE's dataChange=false removes only its victims, the
+    append adds fresh files, no path intersects (the reference's
+    file-layout-vs-data-transaction separation)."""
+    from connectors_spark.table import TableMaintenance
+
+    t, orders = _partitioned_table(spark, tmp_path / "oa")
+    maint = TableMaintenance(t)
+    # start the optimize txn implicitly by racing: run a blind append
+    # between optimize's snapshot pin and commit — simplest faithful
+    # interleaving is append first THEN optimize over the stale cache,
+    # so optimize's retry loop sees the append as a winning commit.
+    v_before = t.snapshot().version
+    t2 = DeltaTable.for_path(spark, t.path)
+    t2.write(orders.limit(20), mode="append", partition_by=["o_orderstatus"])
+    res = maint.optimize(target_file_size=1 << 30)
+    assert res["version"] > v_before + 1   # committed after the append
+    assert t.to_df().count() == orders.count() + 20
+
+
+def test_optimize_conflicts_with_concurrent_delete_of_victims(spark,
+                                                              tmp_path):
+    """Compaction racing a DELETE that tombstones its victim files must
+    raise (delete/delete on the shared paths) — rewriting files another
+    transaction deleted would resurrect dead rows."""
+    from connectors_spark.log.snapshot import canonical_path
+    from connectors_spark.txn import OptimisticTransaction  # noqa: F401
+
+    t, orders = _partitioned_table(spark, tmp_path / "od")
+    txn1 = t.log.start_transaction()
+    victims = [f for f in txn1.snapshot.all_files()
+               if f.partitionValues.get("o_orderstatus") == "F"]
+    assert victims
+    now = int(time.time() * 1000)
+    # concurrent DELETE wins first
+    DeltaTable.for_path(spark, t.path).delete(Col("o_orderstatus") == "F")
+    removes = [f.remove(now, data_change=False) for f in victims]
+    with pytest.raises(ConcurrentDeleteDeleteException):
+        txn1.commit(removes, "OPTIMIZE")
+
+
+def test_set_properties_takes_effect_immediately(spark, tmp_path):
+    from connectors_spark.errors import DeltaError
+
+    orders = read_table(spark, "orders")
+    t = DeltaTable.for_path(spark, str(tmp_path / "props"))
+    t.write(orders.limit(50))
+    v = t.set_properties({"delta.appendOnly": "true",
+                          "custom.owner": "pipelines"})
+    assert v == 1
+    snap = t.snapshot()
+    assert snap.metadata.configuration["delta.appendOnly"] == "true"
+    assert snap.metadata.configuration["custom.owner"] == "pipelines"
+    hist = t.history()
+    assert hist[0]["operation"] == "SET TBLPROPERTIES"
+    # enforcement is live: removals now rejected, appends still fine
+    with pytest.raises(DeltaError):
+        t.delete(Col("o_orderkey") < 100)
+    t.write(orders.limit(5), mode="append")
+    assert t.to_df().count() == 55
