@@ -102,9 +102,21 @@ def test_dedup_suite_holds_no_caches(spark, sf_dir):
     # The dedup ops are fully lazy: running them must not leave
     # anything pinned in executor storage (earlier rounds leaked
     # persisted shingle relations across a long-lived session).
+    # Compare against a pre-run baseline rather than zero: other
+    # suites' localCheckpoint RDDs unpersist via the ContextCleaner on
+    # GC, so an absolute count races cleaner timing in a full run.
+    import gc
+    import time as _time
+
+    def persistent():
+        gc.collect()
+        _time.sleep(0.5)   # let the ContextCleaner drain
+        return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+    before = persistent()
     for name in ("doc_ngram_jaccard_pairs", "doc_minhash_lsh_pairs"):
         REGISTRY[name].fn(spark, sf_dir).count()
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    assert persistent() <= before
 
 
 def test_q1_partial_aggregation(plans):
