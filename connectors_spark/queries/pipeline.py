@@ -1266,7 +1266,7 @@ packed AS (
               THEN (tok_start + n_tok - 1) // 256 <> tok_start // 256
               ELSE FALSE END AS crossing
   FROM pos)
-SELECT seq_id, count(*)::BIGINT AS n_docs,
+SELECT seq_id::BIGINT AS seq_id, count(*)::BIGINT AS n_docs,
        sum(n_tok)::BIGINT AS n_tokens_started,
        sum(CASE WHEN crossing THEN 1 ELSE 0 END)::BIGINT AS n_crossing
 FROM packed GROUP BY 1

@@ -472,7 +472,7 @@ WITH d AS (
              - epoch_us(ts) AS dur_us
   FROM events)
 SELECT key, round(sum(v * dur_us) / sum(dur_us), 6) AS twa,
-       sum(dur_us) AS span_us, count(*) AS n
+       sum(dur_us)::BIGINT AS span_us, count(*) AS n
 FROM d GROUP BY 1
 """)
 def ev_twa(spark, sf_dir):

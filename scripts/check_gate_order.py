@@ -9,9 +9,12 @@ Usage: python scripts/check_gate_order.py [sf_dir] [name ...]
 """
 from __future__ import annotations
 
+import os
 import sys
 
-from tests.harness import TABLES, _norm
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.harness import TABLES, _norm, check_oracle_types
 
 
 def main():
@@ -44,12 +47,20 @@ def main():
             for t in TABLES:
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                             f"'{sf_dir}/{t}.parquet'")
-            res = con.execute(q.sql)
-            ocols_raw = [d[0] for d in res.description]
+            rel = con.sql(q.sql)
+            ocols_raw = list(rel.columns)
+            otypes = list(rel.types)
             oidx = [ocols_raw.index(c) for c in sorted(ocols_raw)]
             orows = [tuple(_norm(r[i]) for i in oidx)
-                     for r in res.fetchall()]
+                     for r in rel.fetchall()]
             con.close()
+            spark_types = {f.name: f.dataType.simpleString()
+                           for f in sdf.schema.fields}
+            tp = check_oracle_types(spark_types, ocols_raw, otypes)
+            if tp:
+                print(f"FAIL {name}: oracle type mismatch {tp}", flush=True)
+                bad.append(name)
+                continue
             if srows == orows:
                 print(f"PASS {name}: ordered-equal ({len(srows)} rows)",
                       flush=True)

@@ -24,6 +24,52 @@ def _norm(v):
     return str(v)
 
 
+# Oracle output types the driver's typed/Arrow canonicalization widens in
+# ways Python fetchall() silently masks: DuckDB exports HUGEINT/DECIMAL as
+# decimal128, unsigned ints as wider types — so an oracle emitting any of
+# these hashes differently from a bit-identical Spark int64/double even
+# though fetchall() returns plain ints (the CORRECTNESS_r04/r05 two-round
+# hash-red signature: rows green, schema green, hash red, zero local repro).
+_BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL",
+                        "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT")
+
+# Spark simpleString -> DuckDB type names that canonicalize identically.
+_SPARK_TO_DUCK = {
+    "bigint": {"BIGINT"},
+    "int": {"INTEGER"},
+    "smallint": {"SMALLINT"},
+    "tinyint": {"TINYINT"},
+    "double": {"DOUBLE"},
+    "float": {"FLOAT"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    "timestamp_ntz": {"TIMESTAMP"},
+}
+
+
+def check_oracle_types(spark_types, ocols, otypes):
+    """Cross-engine wire-type audit. spark_types maps column name ->
+    Spark simpleString; ocols/otypes come from a DuckDB relation
+    (.columns / .types). Returns a list of problem strings — empty
+    means every oracle column is hash-compatible with the Spark schema
+    under typed/Arrow canonicalization."""
+    problems = []
+    for c, t in zip(ocols, otypes):
+        ts = str(t).upper()
+        if any(b in ts for b in _BANNED_ORACLE_TYPES):
+            problems.append(
+                f"{c}: oracle type {ts} diverges under Arrow "
+                f"canonicalization — cast it (e.g. ::BIGINT)")
+            continue
+        st = spark_types.get(c)
+        allowed = _SPARK_TO_DUCK.get(st) if st is not None else None
+        if allowed is not None and ts not in allowed:
+            problems.append(f"{c}: spark {st} vs oracle {ts}")
+    return problems
+
+
 def compare(spark, sf_dir: str, name: str) -> Tuple[bool, str]:
     from connectors_spark.queries import REGISTRY
     q = REGISTRY[name]
@@ -37,14 +83,20 @@ def compare(spark, sf_dir: str, name: str) -> Tuple[bool, str]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"'{sf_dir}/{t}.parquet'")
     try:
-        res = con.execute(q.sql)
-        ocols_raw = [d[0] for d in res.description]
-        orows = res.fetchall()
+        rel = con.sql(q.sql)
+        ocols_raw = list(rel.columns)
+        otypes = list(rel.types)
+        orows = rel.fetchall()
     finally:
         con.close()
     ocols = sorted(ocols_raw)
     if scols != ocols:
         return False, f"schema mismatch: spark={scols} oracle={ocols}"
+    spark_types = {f.name: f.dataType.simpleString()
+                   for f in sdf.schema.fields}
+    type_problems = check_oracle_types(spark_types, ocols_raw, otypes)
+    if type_problems:
+        return False, "oracle type mismatch: " + "; ".join(type_problems)
     if len(srows) != len(orows):
         return False, f"rowcount mismatch: spark={len(srows)} oracle={len(orows)}"
     sset = sorted(tuple(_norm(r[c]) for c in scols) for r in srows)
