@@ -200,7 +200,8 @@ def pq_codes(df: DataFrame, m: int = 4, k: int = 8, iters: int = 1,
 def pq_adc_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 m: int = 4, codebook_k: int = 8, iters: int = 1,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                query_id_col: str = "query_id") -> DataFrame:
+                query_id_col: str = "query_id",
+                exclude_self: bool = True) -> DataFrame:
     """Approximate top-k by PQ asymmetric distance computation (ADC):
     dist(q, x) ≈ Σ_j ||q_j − book_j[code_j(x)]||². Each query
     precomputes an m×k table of round-6 subspace distances on the
@@ -223,6 +224,10 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     books = pq_fit(corpus, m, codebook_k, iters, id_col, vec_col)
     d = books[0].shape[1]
     codes = pq_encode(corpus, books, id_col, vec_col).drop("err")
+    # Rematerialized query-id literals must keep the SOURCE column's
+    # type — F.lit(python_int) alone is int32, silently narrowing a
+    # bigint id column's wire type.
+    qid_type = queries.schema[query_id_col].dataType
     qrows = queries.select(query_id_col, vec_col).collect()
     # ONE scan of the code relation: every query's ADC score is a
     # separate struct in one projection (m literal-array lookups each),
@@ -239,13 +244,18 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             arr = F.array(*[F.lit(float(x)) for x in tab])
             score = score + F.element_at(arr, F.col(f"code_{j}") + 1)
         per_q.append(F.struct(
-            F.lit(qid).alias("_qid"),
+            F.lit(qid).cast(qid_type).alias("_qid"),
             F.round(score, 6).alias("_adist")))
     out = (codes.select(F.col(id_col),
                         F.explode(F.array(*per_q)).alias("_s"))
            .select(F.col("_s._qid").alias(query_id_col),
-                   F.col(id_col), F.col("_s._adist").alias("adist"))
-           .filter(F.col(id_col) != F.col(query_id_col)))
+                   F.col(id_col), F.col("_s._adist").alias("adist")))
+    # Self-exclusion by id equality is only meaningful when the query
+    # relation is drawn from the corpus id space; for an unrelated
+    # query set a coincidental id collision must NOT drop a candidate,
+    # so the caller opts out with exclude_self=False.
+    if exclude_self:
+        out = out.filter(F.col(id_col) != F.col(query_id_col))
     w = Window.partitionBy(query_id_col).orderBy(F.asc("adist"),
                                                  F.asc(id_col))
     return (out.withColumn("rank", F.row_number().over(w))

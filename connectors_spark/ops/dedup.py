@@ -140,17 +140,20 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     # cannot dedupe subtrees containing higher-order-function lambdas,
     # and both caching and a bucket-local collect_list pair expansion
     # measured slower than simply recomputing a scan-bound stage. The
-    # hot cap is a MAP-SIDE-COMBINED aggregate + broadcast anti-join,
-    # NOT a window count: a window over partitionBy(_g) has no partial
+    # hot cap is a MAP-SIDE-COMBINED aggregate + anti-join, NOT a
+    # window count: a window over partitionBy(_g) has no partial
     # aggregation, so every row of the hottest gram would funnel into
     # one task just to be counted — the cap itself becoming a straggler
     # on exactly the skewed keys it exists to remove. The agg shrinks
-    # hot keys map-side; the surviving hot-key relation is tiny (only
-    # grams above the cap) and broadcasts.
+    # hot keys map-side; the hot-key relation is usually tiny (only
+    # grams above the cap), but it is corpus-derived and unbounded (a
+    # low cap over a big corpus can make it huge), so no forced
+    # broadcast hint — AQE converts the anti-join to broadcast from the
+    # MEASURED size when it fits, same reasoning as q18's dropped hint.
     if max_shingle_freq is not None:
         hot = (ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_freq"))
                .filter(F.col("_freq") > max_shingle_freq).select("_g"))
-        ex = ex.join(F.broadcast(hot), "_g", "left_anti")
+        ex = ex.join(hot, "_g", "left_anti")
     a = ex.select(F.col("_id").alias("a_id"),
                   F.col("_sz").alias("_asz"), "_g")
     b = ex.select(F.col("_id").alias("b_id"),

@@ -166,14 +166,115 @@ def fake_frame_sample(media_df: DataFrame, every_n: int = 10,
     return media_df.mapInPandas(sample, schema=FRAME_SCHEMA)
 
 
-def decode_image(media_df: DataFrame) -> DataFrame:  # pragma: no cover
-    """Real image decode → (doc_id, width, height, mode). Requires PIL,
-    which this container does not ship; the mapInPandas shape is
-    identical to fake_decode_features."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decoding requires Pillow; use fake_decode_features for "
-            "plumbing tests") from e
-    raise NotImplementedError("real decoder not wired in this environment")
+# ---------------------------------------------------------------------------
+# REAL image paths (PNG/BMP via the stdlib codec in ops/imagecodec.py).
+# jpeg/audio/video keep the NotImplementedError guard — those formats
+# need native codecs this container does not ship; the mapInPandas seam
+# is identical, so a native decoder drops in with zero plan changes.
+# ---------------------------------------------------------------------------
+
+IMAGE_STATS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("fmt", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("pix_sum", LongType()),
+    StructField("pix_xsum", LongType()),
+])
+
+THUMB_STATS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("tw", IntegerType()),
+    StructField("th", IntegerType()),
+    StructField("thumb_sum", LongType()),
+    StructField("thumb_xsum", LongType()),
+])
+
+
+def synth_image_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-image corpus: per doc, pixels follow the
+    closed-form rule
+
+        w = 4 + doc_id % 13,  h = 3 + doc_id % 7
+        bmp when doc_id % 5 == 0 (else png)
+        channels = 3 when bmp or doc_id odd, else 1 (grayscale)
+        byte[i] = (doc_id * 31 + i) % 256
+
+    encoded through the real stdlib encoders — PNGs with the per-row
+    mixed filter schedule (y % 5), BMPs bottom-up BGR-padded — so
+    decoding them back is a genuine parse, while an SQL oracle can
+    recompute the expected pixels from the rule alone."""
+    from . import imagecodec as codec
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = 4 + did % 13, 3 + did % 7
+                bmp = did % 5 == 0
+                c = 3 if (bmp or did % 2 == 1) else 1
+                px = bytes((did * 31 + i) % 256 for i in range(w * h * c))
+                data = (codec.encode_bmp(w, h, px) if bmp
+                        else codec.encode_png(w, h, px, c))
+                rows.append((did, data, "bmp" if bmp else "png"))
+            yield pd.DataFrame(rows, columns=["doc_id", "media", "fmt"])
+
+    return docs.select(id_col).mapInPandas(
+        gen, schema="doc_id long, media binary, fmt string")
+
+
+def decode_image(media_df: DataFrame, id_col: str = "doc_id",
+                 media_col: str = "media") -> DataFrame:
+    """REAL image decode via the stdlib PNG/BMP codec: Arrow-batched
+    mapInPandas over binary payloads → per-image stats
+    (width/height/channels from the parsed headers, pix_sum/pix_xsum
+    from the unfiltered pixel bytes — position-sensitive, so a filter
+    or row-order bug cannot cancel out). Non-PNG/BMP payloads raise
+    NotImplementedError (native-codec formats)."""
+    import numpy as np
+
+    from . import imagecodec as codec
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[media_col]):
+                fmt, w, h, c, px = codec.decode_any(bytes(blob))
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                rows.append((int(did), fmt, w, h, c, int(arr.sum()),
+                             int(((np.arange(len(arr)) + 1) * arr).sum())))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              IMAGE_STATS_SCHEMA.fields])
+
+    return media_df.mapInPandas(dec, schema=IMAGE_STATS_SCHEMA)
+
+
+def image_thumbnails(media_df: DataFrame, tw: int = 5, th: int = 4,
+                     id_col: str = "doc_id",
+                     media_col: str = "media") -> DataFrame:
+    """REAL thumbnail path: decode → nearest-neighbor resize →
+    re-encode as PNG → decode the thumbnail AGAIN and emit its pixel
+    sums. The double round-trip through the real encoder/decoder (with
+    the mixed filter schedule) is the point — the output stats are only
+    right if parse, unfilter, resample, refilter, and reparse all are."""
+    import numpy as np
+
+    from . import imagecodec as codec
+
+    def thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[media_col]):
+                _fmt, w, h, c, px = codec.decode_any(bytes(blob))
+                tpx = codec.resize_nearest(px, w, h, c, tw, th)
+                blob2 = codec.encode_png(tw, th, tpx, c)
+                _f2, w2, h2, _c2, px2 = codec.decode_png(blob2)
+                arr = np.frombuffer(px2, dtype=np.uint8).astype(np.int64)
+                rows.append((int(did), w2, h2, int(arr.sum()),
+                             int(((np.arange(len(arr)) + 1) * arr).sum())))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              THUMB_STATS_SCHEMA.fields])
+
+    return media_df.mapInPandas(thumbs, schema=THUMB_STATS_SCHEMA)

@@ -891,7 +891,7 @@ ranked AS (
   SELECT *, row_number() OVER (PARTITION BY component
                                ORDER BY n_toks DESC, doc_id) AS rn
   FROM sized)
-SELECT component, doc_id AS kept_doc, n_toks AS kept_toks,
+SELECT component, doc_id AS kept_doc, n_toks::INTEGER AS kept_toks,
        (SELECT count(*) FROM sized s2
         WHERE s2.component = ranked.component)::BIGINT AS n_members
 FROM ranked WHERE rn = 1
@@ -1196,7 +1196,7 @@ s3 AS (SELECT doc_id,
               round(coalesce(sum(c) FILTER (WHERE c > 1), 0)::DOUBLE
                     / sum(c), 6) AS dup3_frac
        FROM c3 GROUP BY 1)
-SELECT b.doc_id, len(b.t) AS n_tok,
+SELECT b.doc_id, len(b.t)::INTEGER AS n_tok,
        coalesce(s2.top2_frac, 0.0) AS top2_frac,
        coalesce(s2.dup2_frac, 0.0) AS dup2_frac,
        coalesce(s3.top3_frac, 0.0) AS top3_frac,
@@ -1294,7 +1294,7 @@ s AS (
          least(10, coalesce(lead(pos) OVER (PARTITION BY doc_id
                                             ORDER BY pos) - pos, 10)) AS c
   FROM d)
-SELECT doc_id, max(n_tok)::BIGINT AS n_tok,
+SELECT doc_id, max(n_tok)::INTEGER AS n_tok,
        count(*)::BIGINT AS n_dup_grams,
        sum(c)::BIGINT AS covered_tokens,
        round(sum(c) / max(n_tok), 6) AS dup_frac

@@ -153,12 +153,19 @@ def _wrap_sorted(fn, cols):
         df = fn(spark, sf_dir)
         # Total order over the SAME column list (keys + tie-breaks)
         # the oracle wrapper sorts by — one source, so the two engines
-        # can never disagree on tie priority. Columns the list doesn't
-        # know about (it's maintained by the audit script) append in
-        # DataFrame order as a final guard. All asc, nulls first —
-        # Spark's default, pinned as NULLS FIRST on the SQL side.
+        # can never disagree on tie priority. All asc, nulls first —
+        # Spark's default, pinned as NULLS FIRST on the SQL side. A
+        # column the list doesn't know about means GATE_COLUMNS is
+        # stale: fail loudly here, because silently appending it to
+        # only the Spark sort reintroduces the cross-engine tie-order
+        # divergence this wrapper exists to eliminate.
         extra = [c for c in df.columns if c not in cols]
-        return df.orderBy(*(list(cols) + extra))
+        if extra:
+            raise ValueError(
+                f"GATE_COLUMNS stale for {sorted_fn.__name__}: query "
+                f"emits {extra} not in gate sort list {cols} — "
+                f"regenerate via scripts/audit_determinism.py --sync")
+        return df.orderBy(*cols)
     sorted_fn.__name__ = getattr(fn, "__name__", "query")
     sorted_fn.__doc__ = fn.__doc__
     sorted_fn.__wrapped__ = fn

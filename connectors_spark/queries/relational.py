@@ -270,7 +270,8 @@ def q18(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 @register("w_top_orders_per_customer", sql="""
-SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rk
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+       rk::INTEGER AS rk
 FROM (SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rk

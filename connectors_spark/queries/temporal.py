@@ -70,7 +70,7 @@ u AS (
   SELECT event_id, ts, 1 AS side, NULL FROM e),
 m AS (
   SELECT *, last_value(p IGNORE NULLS)
-            OVER (ORDER BY ts, side
+            OVER (ORDER BY ts NULLS FIRST, side
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
   FROM u)
 SELECT event_id, epoch_us(ts) - epoch_us(c.ts) AS gap_us, c.pv AS pv
@@ -232,13 +232,17 @@ WITH g AS (
   FROM events)
 SELECT event_type, count(gap_us)::BIGINT AS n_gaps,
        min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
-       (sum(gap_us) / count(gap_us))::BIGINT AS mean_gap_us
+       (sum(gap_us) // count(gap_us))::BIGINT AS mean_gap_us
 FROM g GROUP BY 1
 """)
 def ev_interarrival(spark, sf_dir):
     # One shuffle on event_type serves both the lag window and the
-    # aggregation; the mean stays in integer microseconds (exact BIGINT
-    # division, no float drift).
+    # aggregation. The mean MUST be exact integer division on both
+    # sides: DuckDB's double::BIGINT cast rounds half-even while
+    # Spark's cast('long') truncates, so sum/count through doubles is
+    # off-by-one whenever the true quotient's fraction crosses .5
+    # (caught by the sf0.001 harness sweep in r6 — sf0.01 happened to
+    # dodge every .5 boundary for two rounds).
     from pyspark.sql import Window
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
@@ -249,8 +253,9 @@ def ev_interarrival(spark, sf_dir):
             .agg(F.count("gap_us").alias("n_gaps"),
                  F.min("gap_us").alias("min_gap_us"),
                  F.max("gap_us").alias("max_gap_us"),
-                 (F.sum("gap_us") / F.count("gap_us")).cast("long")
-                 .alias("mean_gap_us")))
+                 F.sum("gap_us").alias("_sum_gap"))
+            .withColumn("mean_gap_us", F.expr("_sum_gap div n_gaps"))
+            .drop("_sum_gap"))
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,49 @@
+"""GATE_COLUMNS drift guard (VERDICT r5 task #8 + ADVICE r5 #2).
+
+GATE_COLUMNS is a hand-maintained mirror of each gate query's output
+columns; the gate wrapper sorts BOTH engines by the same list, so a
+renamed/added column that desyncs the list from the actual schema would
+silently diverge the two engines' tie-break orders. _wrap_sorted now
+raises on any column absent from the list, and orderBy raises on any
+listed column the query no longer emits — so simply BUILDING each gate
+query's plan proves the list matches the schema. delta_* gate queries
+are exercised the same way by tests/harness.py and the delta suites
+(building them writes tables, too heavy to repeat here).
+"""
+
+import pytest
+
+from connectors_spark.queries import REGISTRY
+from connectors_spark.queries.registry import GATE_SORT, GATE_COLUMNS
+
+
+def _gate_names():
+    return [n for n in REGISTRY
+            if n in GATE_SORT and not n.startswith("delta_")]
+
+
+@pytest.mark.parametrize("name", _gate_names())
+def test_gate_columns_match_schema(spark, sf_dir, name):
+    # Plan analysis only — _wrap_sorted raises ValueError if the query
+    # emits a column missing from GATE_SORT+GATE_COLUMNS, and orderBy
+    # raises AnalysisException if the list names a dropped column.
+    df = REGISTRY[name].fn(spark, sf_dir)
+    assert df.columns  # plan resolved, list and schema agree
+
+
+def test_gate_columns_has_no_orphans():
+    # Every GATE_COLUMNS key must be a registered gate query.
+    orphans = [n for n in GATE_COLUMNS
+               if n not in REGISTRY or n not in GATE_SORT]
+    assert orphans == [], orphans
+
+
+def test_stale_gate_columns_fails_loudly(spark, sf_dir):
+    from connectors_spark.queries.registry import _wrap_sorted
+
+    def q(spark, sf_dir):
+        return spark.range(3).selectExpr("id", "id * 2 AS doubled")
+
+    wrapped = _wrap_sorted(q, ["id"])  # 'doubled' missing from list
+    with pytest.raises(ValueError, match="GATE_COLUMNS stale"):
+        wrapped(spark, sf_dir)
