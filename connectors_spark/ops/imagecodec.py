@@ -195,7 +195,7 @@ def decode_bmp(data: bytes):
         raise ValueError("not a BMP")
     (off,) = struct.unpack("<I", data[10:14])
     hdr_size, w, h, planes, bpp, comp = struct.unpack("<IiiHHI",
-                                                      data[14:32])
+                                                      data[14:34])
     if bpp != 24 or comp != 0:
         raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
     bottom_up = h > 0

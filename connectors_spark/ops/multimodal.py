@@ -270,7 +270,7 @@ def image_thumbnails(media_df: DataFrame, tw: int = 5, th: int = 4,
                 _fmt, w, h, c, px = codec.decode_any(bytes(blob))
                 tpx = codec.resize_nearest(px, w, h, c, tw, th)
                 blob2 = codec.encode_png(tw, th, tpx, c)
-                _f2, w2, h2, _c2, px2 = codec.decode_png(blob2)
+                w2, h2, _c2, px2 = codec.decode_png(blob2)
                 arr = np.frombuffer(px2, dtype=np.uint8).astype(np.int64)
                 rows.append((int(did), w2, h2, int(arr.sum()),
                              int(((np.arange(len(arr)) + 1) * arr).sum())))

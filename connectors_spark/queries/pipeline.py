@@ -588,6 +588,62 @@ def mm_frames(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# REAL image decode (stdlib PNG/BMP codec, ops/imagecodec.py): the corpus
+# is real encoded bytes (PNG with per-row mixed filters / bottom-up BMP)
+# whose pixels follow a closed-form rule of doc_id, so the oracle can
+# recompute the expected pixel sums from the rule while Spark must parse
+# actual image files to produce them. pix_xsum is position-weighted, so a
+# filter/row-order bug in the decoder cannot cancel out.
+# --------------------------------------------------------------------------
+
+_IMG_DIMS_CTE = """
+g AS (
+  SELECT doc_id,
+         4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+         CASE WHEN doc_id % 5 = 0 OR doc_id % 2 = 1 THEN 3 ELSE 1 END AS c,
+         CASE WHEN doc_id % 5 = 0 THEN 'bmp' ELSE 'png' END AS fmt
+  FROM documents)"""
+
+
+@register("mm_image_decode_real", sql=f"""
+WITH {_IMG_DIMS_CTE},
+px AS (
+  SELECT g.doc_id, g.fmt, g.w, g.h, g.c, r.i,
+         (g.doc_id * 31 + r.i) % 256 AS v
+  FROM g, LATERAL (SELECT unnest(range(0, g.w * g.h * g.c)) AS i) r)
+SELECT doc_id, fmt, w::INTEGER AS width, h::INTEGER AS height,
+       c::INTEGER AS channels,
+       sum(v)::BIGINT AS pix_sum,
+       sum((i + 1) * v)::BIGINT AS pix_xsum
+FROM px GROUP BY doc_id, fmt, w, h, c
+""")
+def mm_image_decode_real(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return mm.decode_image(mm.synth_image_media(docs))
+
+
+@register("mm_image_thumb_real", sql=f"""
+WITH {_IMG_DIMS_CTE},
+t AS (
+  SELECT g.doc_id, g.c, r.i,
+         ((r.i // (5 * g.c)) * g.h // 4 * g.w
+          + ((r.i % (5 * g.c)) // g.c) * g.w // 5) * g.c
+          + (r.i % g.c) AS src_i
+  FROM g, LATERAL (SELECT unnest(range(0, 5 * 4 * g.c)) AS i) r)
+SELECT doc_id, 5 AS tw, 4 AS th,
+       sum((doc_id * 31 + src_i) % 256)::BIGINT AS thumb_sum,
+       sum((i + 1) * ((doc_id * 31 + src_i) % 256))::BIGINT AS thumb_xsum
+FROM t GROUP BY doc_id
+""")
+def mm_image_thumb_real(spark, sf_dir):
+    # Double round-trip: decode real bytes -> nearest-neighbor 5x4 ->
+    # re-encode PNG (mixed filters) -> decode AGAIN for the sums. The
+    # oracle mirrors only the pixel rule + the resample index mapping.
+    docs = load(spark, sf_dir, "documents")
+    return mm.image_thumbnails(mm.synth_image_media(docs), tw=5, th=4)
+
+
+# --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
 

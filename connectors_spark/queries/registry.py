@@ -87,6 +87,8 @@ GATE_SORT: Dict[str, list] = {
     "doc_incremental_ingest": ["doc_id"],
     "mm_decode_features": ["doc_id"],
     "mm_frame_sample": ["doc_id", "frame_idx"],
+    "mm_image_decode_real": ["doc_id"],
+    "mm_image_thumb_real": ["doc_id"],
     "emb_cosine_topk": ["query_id", "rank", "vec_id"],
     "emb_norm_stats": ["label"],
     "emb_ann_lsh_topk": ["query_id", "rank", "vec_id"],
@@ -216,6 +218,10 @@ GATE_COLUMNS: Dict[str, list] = {
     "doc_incremental_ingest": ["doc_id", "source"],
     "mm_decode_features": ["doc_id", "kind", "n_bytes", "width", "height", "n_frames"],
     "mm_frame_sample": ["doc_id", "frame_idx", "frame_off"],
+    "mm_image_decode_real": ["doc_id", "fmt", "width", "height",
+                             "channels", "pix_sum", "pix_xsum"],
+    "mm_image_thumb_real": ["doc_id", "tw", "th", "thumb_sum",
+                            "thumb_xsum"],
     "emb_cosine_topk": ["query_id", "vec_id", "sim", "rank"],
     "emb_norm_stats": ["label", "n_vectors", "avg_norm", "min_norm", "max_norm"],
     "emb_ann_lsh_topk": ["query_id", "vec_id", "sim", "rank"],
@@ -340,13 +346,18 @@ _R3_DRIVER_CHECKED = frozenset([
 # past position 50.
 _R4_RED = frozenset(["doc_pack_sequences", "ev_time_weighted_avg"])
 
+# New in round 6 (no driver row yet) — jump the queue right behind the
+# re-recorded fixes so the driver's 50-query sample records them.
+_R6_NEW = frozenset(["mm_image_decode_real", "mm_image_thumb_real"])
+
 
 def ordered_names() -> list:
     names = list(REGISTRY)
     return sorted(
         names,
         key=lambda n: (0 if n in _R4_RED
-                       else 2 if n in _R3_DRIVER_CHECKED else 1,
+                       else 1 if n in _R6_NEW
+                       else 3 if n in _R3_DRIVER_CHECKED else 2,
                        names.index(n)))
 
 

@@ -1,0 +1,135 @@
+"""Stdlib image codec: round-trips, filter coverage, error paths,
+and the real-decode Spark queries (VERDICT r5 task #3)."""
+
+import struct
+import zlib
+
+import pytest
+
+from connectors_spark.ops import imagecodec as ic
+
+
+def _pixels(n, seed=7):
+    return bytes((seed * 31 + i) % 256 for i in range(n))
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+@pytest.mark.parametrize("mode", ["mixed", "none"])
+def test_png_roundtrip(channels, mode):
+    w, h = 11, 9
+    px = _pixels(w * h * channels)
+    blob = ic.encode_png(w, h, px, channels, filter_mode=mode)
+    rw, rh, rc, rpx = ic.decode_png(blob)
+    assert (rw, rh, rc) == (w, h, channels)
+    assert rpx == px
+
+
+def test_png_every_filter_type_exercised():
+    # 'mixed' uses filter y % 5: with h >= 5 all five branches run.
+    w, h, c = 7, 10, 3
+    px = _pixels(w * h * c, seed=13)
+    blob = ic.encode_png(w, h, px, c, filter_mode="mixed")
+    pos, idat = 8, b""
+    while pos < len(blob):
+        (ln,) = struct.unpack(">I", blob[pos:pos + 4])
+        if blob[pos + 4:pos + 8] == b"IDAT":
+            idat += blob[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    fts = {raw[y * (w * c + 1)] for y in range(h)}
+    assert fts == {0, 1, 2, 3, 4}
+    assert ic.decode_png(blob)[3] == px
+
+
+def test_png_crc_verified():
+    blob = bytearray(ic.encode_png(4, 4, _pixels(16), 1))
+    blob[40] ^= 0xFF  # corrupt a byte inside IDAT
+    with pytest.raises(ValueError, match="CRC"):
+        ic.decode_png(bytes(blob))
+
+
+def test_png_palette_expands_to_rgb():
+    # Hand-build a 2x2 paletted PNG (color type 3).
+    plte = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255))
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    raw = bytes((0, 0, 1, 0, 2, 0))  # filter 0 rows, indices 0,1 / 2,0
+    blob = (ic.PNG_SIG + ic._chunk(b"IHDR", ihdr)
+            + ic._chunk(b"PLTE", plte)
+            + ic._chunk(b"IDAT", zlib.compress(raw))
+            + ic._chunk(b"IEND", b""))
+    w, h, c, px = ic.decode_png(blob)
+    assert (w, h, c) == (2, 2, 3)
+    assert px == bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 0, 0))
+
+
+def test_png_interlace_raises():
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    blob = (ic.PNG_SIG + ic._chunk(b"IHDR", ihdr)
+            + ic._chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        ic.decode_png(blob)
+
+
+@pytest.mark.parametrize("w,h", [(3, 2), (4, 4), (5, 3)])
+def test_bmp_roundtrip_incl_padding(w, h):
+    # w=3 exercises nonzero 4-byte row padding (stride 9 -> pad 3).
+    px = _pixels(w * h * 3, seed=5)
+    blob = ic.encode_bmp(w, h, px)
+    rw, rh, rc, rpx = ic.decode_bmp(blob)
+    assert (rw, rh, rc) == (w, h, 3)
+    assert rpx == px
+
+
+def test_decode_any_sniffs_and_guards():
+    png = ic.encode_png(3, 3, _pixels(9), 1)
+    bmp = ic.encode_bmp(3, 3, _pixels(27))
+    assert ic.decode_any(png)[0] == "png"
+    assert ic.decode_any(bmp)[0] == "bmp"
+    with pytest.raises(NotImplementedError, match="native"):
+        ic.decode_any(b"\xff\xd8\xff\xe0JFIF....")  # jpeg magic
+
+
+def test_resize_nearest_mapping():
+    # 4x2 gray -> 2x1: picks source (0*4//2, 0*2//1)=(0,0) and (2,0).
+    px = bytes(range(8))
+    out = ic.resize_nearest(px, 4, 2, 1, 2, 1)
+    assert out == bytes((0, 2))
+
+
+def test_spark_real_decode_matches_rule(spark, sf_dir):
+    from connectors_spark.ops import multimodal as mm
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter("doc_id < 40"))
+    out = mm.decode_image(mm.synth_image_media(docs)).collect()
+    assert len(out) == 40
+    for r in out:
+        did = r.doc_id
+        w, h = 4 + did % 13, 3 + did % 7
+        c = 3 if (did % 5 == 0 or did % 2 == 1) else 1
+        n = w * h * c
+        vals = [(did * 31 + i) % 256 for i in range(n)]
+        assert (r.width, r.height, r.channels) == (w, h, c)
+        assert r.fmt == ("bmp" if did % 5 == 0 else "png")
+        assert r.pix_sum == sum(vals)
+        assert r.pix_xsum == sum((i + 1) * v for i, v in enumerate(vals))
+
+
+def test_spark_thumbnails_double_roundtrip(spark, sf_dir):
+    from connectors_spark.ops import multimodal as mm
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter("doc_id < 20"))
+    out = mm.image_thumbnails(mm.synth_image_media(docs),
+                              tw=5, th=4).collect()
+    assert len(out) == 20
+    for r in out:
+        did = r.doc_id
+        w, h = 4 + did % 13, 3 + did % 7
+        c = 3 if (did % 5 == 0 or did % 2 == 1) else 1
+        exp = []
+        for y in range(4):
+            for x in range(5):
+                so = ((y * h // 4) * w + (x * w // 5)) * c
+                exp.extend((did * 31 + so + ch) % 256 for ch in range(c))
+        assert (r.tw, r.th) == (5, 4)
+        assert r.thumb_sum == sum(exp)
+        assert r.thumb_xsum == sum((i + 1) * v for i, v in enumerate(exp))
