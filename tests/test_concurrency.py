@@ -129,6 +129,47 @@ def test_txn_overlap_conflicts(spark, tmp_path):
         txn1.commit(adds1 + [SetTransaction("app-1", 8)], "STREAMING UPDATE")
 
 
+def test_protocol_change_conflicts_with_any(spark, tmp_path):
+    # Reference OSSCompatibilitySuite.scala:216-421 — a winning commit
+    # that raises the protocol aborts EVERY overlapping txn, even a
+    # blind append that read nothing (no isolation-level carve-out,
+    # unlike J2's blind-append exemption).
+    t, orders = _partitioned_table(spark, tmp_path / "p1")
+    txn1 = t.log.start_transaction()  # blind append: no reads marked
+    txn2 = t.log.start_transaction()
+    txn2.commit([Protocol(1, 2)], "UPGRADE PROTOCOL")
+    adds1 = _stage(t, orders.limit(50), "F")
+    with pytest.raises(ProtocolChangedException):
+        txn1.commit(adds1, "WRITE")
+
+
+def test_read_whole_table_vs_delete_conflicts(spark, tmp_path):
+    # readWholeTable + ANY winning remove must abort (J3 whole-table
+    # arm), even when the deleted partition is disjoint from what the
+    # txn wrote — the read covered the whole table.
+    t, orders = _partitioned_table(spark, tmp_path / "p2")
+    txn1 = t.log.start_transaction()
+    txn1.read_whole_table()
+    DeltaTable.for_path(spark, t.path).delete(Col("o_orderstatus") == "F")
+    adds1 = _stage(t, orders.limit(50), "O")
+    with pytest.raises(ConcurrentDeleteReadException):
+        txn1.commit(adds1, "WRITE")
+
+
+def test_read_whole_table_vs_blind_append_conflicts(spark, tmp_path):
+    # The whole-table read also covers files a winning BLIND APPEND
+    # adds under serializable isolation (reference
+    # OptimisticTransactionSuite "readWholeTable" arms).
+    t, orders = _partitioned_table(spark, tmp_path / "p3")
+    txn1 = t.log.start_transaction()
+    txn1.read_whole_table()
+    DeltaTable.for_path(spark, t.path).write(
+        orders.where("o_orderstatus = 'O'").limit(20), mode="append")
+    adds1 = _stage(t, orders.limit(50), "F")
+    with pytest.raises(ConcurrentAppendException):
+        txn1.commit(adds1, "WRITE")
+
+
 def test_set_transaction_visible(spark, tmp_path):
     t, orders = _partitioned_table(spark, tmp_path / "i")
     txn = t.log.start_transaction()
