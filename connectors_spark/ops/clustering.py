@@ -262,6 +262,95 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .filter(F.col("rank") <= k))
 
 
+def pq_adc_dist_table(queries: DataFrame, books: List[np.ndarray],
+                      query_id_col: str = "query_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Per-query subspace distance tables as a RELATION:
+    (qid, j, code, d) with d = round6 ||q_j − book_j[code]||², computed
+    distributively (tiny codebooks closed over an Arrow batch pass) —
+    Q·m·k rows total, no driver collect of the query side."""
+    from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                                   StructType)
+
+    m = len(books)
+    d = books[0].shape[1]
+    k = books[0].shape[0]
+    bk = [b.copy() for b in books]
+    qid_type = queries.schema[query_id_col].dataType
+    out_t = StructType([StructField("qid", qid_type),
+                        StructField("j", IntegerType()),
+                        StructField("code", IntegerType()),
+                        StructField("d", DoubleType())])
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            nq = len(mat)
+            frames = []
+            for j in range(m):
+                sub = mat[:, j * d:(j + 1) * d]
+                dist = ((sub[:, None, :] - bk[j][None, :, :]) ** 2
+                        ).sum(axis=2).round(6)  # nq × k
+                frames.append(pd.DataFrame({
+                    "qid": np.repeat(pdf[query_id_col].values, k),
+                    "j": np.int32(j),
+                    "code": np.tile(np.arange(k, dtype=np.int32), nq),
+                    "d": dist.ravel(),
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    return queries.select(query_id_col, vec_col).mapInPandas(gen, out_t)
+
+
+def pq_adc_topk_broadcast(corpus: DataFrame, queries: DataFrame,
+                          k: int = 5, m: int = 4, codebook_k: int = 8,
+                          iters: int = 1, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          query_id_col: str = "query_id",
+                          exclude_self: bool = True) -> DataFrame:
+    """Large-Q ADC top-k: same semantics as pq_adc_topk, but the
+    per-query lookup tables are a broadcast (qid, j, code, d) RELATION
+    instead of per-query literal arrays — the plan has NO per-query
+    branches, so it is identical for 10 or 10,000 queries and the
+    query side is never collected to the driver.
+
+    Scoring: codes unpivot to (vec_id, j, code_j) — m rows per vector
+    — broadcast-join the distance table on (j, code) (every pair hits,
+    the table enumerates all k codes), then one map-side-combined sum
+    per (qid, vec_id). Summands are pre-rounded 1e-6 multiples, so the
+    re-round after the order-free sum is exact regardless of partial
+    aggregation order. Top-k by the same (adist, vec_id) window.
+
+    Scale: broadcast size is Q·m·k small rows; the corpus-side scan is
+    the 4-byte code relation. When Q·m·k outgrows a broadcast, drop
+    the hint — the join and aggregate are already shuffle-correct."""
+    from pyspark.sql import Window
+
+    books = pq_fit(corpus, m, codebook_k, iters, id_col, vec_col)
+    codes = pq_encode(corpus, books, id_col, vec_col).drop("err")
+    dtab = pq_adc_dist_table(queries, books, query_id_col, vec_col)
+    codes_long = (codes.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(j).cast("int").alias("j"),
+                     F.col(f"code_{j}").alias("code"))
+            for j in range(m)])).alias("_jc"))
+        .select(id_col, F.col("_jc.j").alias("j"),
+                F.col("_jc.code").alias("code")))
+    scored = (codes_long.join(F.broadcast(dtab), ["j", "code"])
+              .groupBy("qid", id_col)
+              .agg(F.round(F.sum("d"), 6).alias("adist"))
+              .withColumnRenamed("qid", query_id_col))
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adist"),
+                                                 F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def semdedup(df: DataFrame, k: int = 8, iters: int = 2,
              threshold: float = 0.4, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:

@@ -1611,7 +1611,10 @@ FROM a1_0 JOIN a1_1 USING (vec_id) JOIN a1_2 USING (vec_id)
 """)
 
 
-_PQ_ADC_SQL = ("""
+def _pq_adc_sql(q_max: int) -> str:
+    """ADC oracle over queries vec_id < q_max (shared by the literal
+    and broadcast-relation Spark paths — identical semantics)."""
+    return ("""
 WITH
 u AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -1620,14 +1623,14 @@ u AS (
 ids AS (
   SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
   FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),"""
-               + ",".join(_pq_subspace_cte(j, j * 16 + 1, (j + 1) * 16)
-                          for j in range(4)) + ","
-               + ",".join(f"""
+            + ",".join(_pq_subspace_cte(j, j * 16 + 1, (j + 1) * 16)
+                       for j in range(4)) + ","
+            + ",".join(f"""
 qd_{j} AS (
   SELECT u.vec_id AS qid, c.cl,
          round(sum((u.v - c.c) * (u.v - c.c)), 6) AS d
   FROM u{j} u JOIN c1_{j} c ON u.i = c.i
-  WHERE u.vec_id < 3 GROUP BY 1, 2)""" for j in range(4)) + """,
+  WHERE u.vec_id < {q_max} GROUP BY 1, 2)""" for j in range(4)) + """,
 sc AS (
   SELECT q0.qid, a1_0.vec_id AS cid,
          round(q0.d + q1.d + q2.d + q3.d, 6) AS adist
@@ -1645,6 +1648,9 @@ SELECT qid AS query_id, cid AS vec_id, adist, rank FROM (
 """)
 
 
+_PQ_ADC_SQL = _pq_adc_sql(3)
+
+
 @register("emb_pq_adc_topk", sql=_PQ_ADC_SQL)
 def emb_pq_adc(spark, sf_dir):
     # PQ asymmetric-distance top-k: queries score the 4-code corpus
@@ -1657,6 +1663,25 @@ def emb_pq_adc(spark, sf_dir):
         queries = (emb.filter(F.col("vec_id") < 3)
                    .select(F.col("vec_id").alias("query_id"), "embedding"))
         out = pq_adc_topk(emb, queries, k=5, m=4, codebook_k=8, iters=1)
+        return out.select("query_id", "vec_id", "adist",
+                          F.col("rank").cast("long").alias("rank"))
+    finally:
+        emb.unpersist()
+
+
+@register("emb_pq_adc_bcast_topk", sql=_pq_adc_sql(12))
+def emb_pq_adc_bcast(spark, sf_dir):
+    # Large-Q ADC: the per-query lookup tables are a broadcast
+    # (qid, j, code, d) RELATION — no per-query plan branches, no
+    # driver collect of the query side (the bounded-Q caveat on
+    # pq_adc_topk does not apply). Same oracle shape, 12 queries.
+    from ..ops.clustering import pq_adc_topk_broadcast
+    emb = load(spark, sf_dir, "embeddings").cache()
+    try:
+        queries = (emb.filter(F.col("vec_id") < 12)
+                   .select(F.col("vec_id").alias("query_id"), "embedding"))
+        out = pq_adc_topk_broadcast(emb, queries, k=5, m=4,
+                                    codebook_k=8, iters=1)
         return out.select("query_id", "vec_id", "adist",
                           F.col("rank").cast("long").alias("rank"))
     finally:

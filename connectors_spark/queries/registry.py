@@ -116,6 +116,7 @@ GATE_SORT: Dict[str, list] = {
     "emb_semdedup": ["vec_id"],
     "emb_pq_codes": ["vec_id"],
     "emb_pq_adc_topk": ["query_id", "rank", "vec_id"],
+    "emb_pq_adc_bcast_topk": ["query_id", "rank", "vec_id"],
     "ev_asof_click_attribution": ["view_id"],
     "ev_asof_global_locf": ["event_id"],
     "ev_range_error_context": ["event_id"],
@@ -249,6 +250,7 @@ GATE_COLUMNS: Dict[str, list] = {
     "emb_semdedup": ["vec_id", "cluster", "dropped"],
     "emb_pq_codes": ["vec_id", "code_0", "code_1", "code_2", "code_3", "err"],
     "emb_pq_adc_topk": ["query_id", "vec_id", "adist", "rank"],
+    "emb_pq_adc_bcast_topk": ["query_id", "vec_id", "adist", "rank"],
     "ev_asof_click_attribution": ["view_id", "user_id", "click_id", "gap_us"],
     "ev_asof_global_locf": ["event_id", "gap_us", "pv"],
     "ev_range_error_context": ["event_id", "user_id", "n_following", "sum_value"],
@@ -348,7 +350,8 @@ _R4_RED = frozenset(["doc_pack_sequences", "ev_time_weighted_avg"])
 
 # New in round 6 (no driver row yet) — jump the queue right behind the
 # re-recorded fixes so the driver's 50-query sample records them.
-_R6_NEW = frozenset(["mm_image_decode_real", "mm_image_thumb_real"])
+_R6_NEW = frozenset(["mm_image_decode_real", "mm_image_thumb_real",
+                     "emb_pq_adc_bcast_topk"])
 
 
 def ordered_names() -> list:

@@ -325,3 +325,29 @@ def test_dml_no_isin_literal_in_candidate_filters(spark, tmp_path):
         colmod.Column.isin = orig_isin
     assert all(n <= 8 for n in isin_sizes), isin_sizes
     assert t.to_df().where("c_custkey < 10").count() == 0
+
+
+def test_pq_adc_broadcast_plan_is_query_count_invariant(spark, sf_dir):
+    """The large-Q ADC path must have NO per-query plan branches: the
+    optimized plan is the same tree for 6 or 12 queries (only literals
+    differ), and the distance table joins in as a broadcast."""
+    from connectors_spark.ops.clustering import pq_adc_topk_broadcast
+
+    def build(q):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = (emb.filter(F.col("vec_id") < q)
+                   .select(F.col("vec_id").alias("query_id"), "embedding"))
+        return pq_adc_topk_broadcast(emb, queries, k=5, m=4,
+                                     codebook_k=8, iters=1)
+
+    p6, p12 = plan_of(build(6)), plan_of(build(12))
+
+    def shape(p):
+        # node-kind sequence, literals stripped with the plan details
+        return [ln.split("(")[-1].strip() for ln in p.splitlines()
+                if ln.strip().startswith(("*", "+", ":"))]
+
+    assert "BroadcastHashJoin" in p12 or "BroadcastNestedLoop" not in p12
+    assert "BroadcastExchange" in p12
+    assert shape(p6) == shape(p12)
+    assert "CartesianProduct" not in p12
