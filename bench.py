@@ -7,9 +7,12 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query is executed to completion (count() forces full evaluation
 without driver-side collect of the payload). Every query runs once
 untimed (JIT/codegen compilation, file listing, Python-worker spin-up —
-one-time costs a long-lived cluster amortizes to zero) and then twice
-timed; the headline number is the MINIMUM of the two timed runs, kept
-fixed since round 4 so round-over-round totals compare like-for-like.
+one-time costs a long-lived cluster amortizes to zero) and then three
+times timed; the headline number is the MINIMUM of the timed runs, kept
+fixed since round 4 so round-over-round totals compare like-for-like,
+with the per-query MEDIAN of 3 reported alongside
+(``value_median``/``queries_median``) as the noise-robust companion
+estimator (ADVICE r4 / VERDICT r5 task #7).
 Min-of-k is a noise-FLOOR estimator, not an average: single-run totals
 on this shared host swing ±40% with scheduling noise, and the minimum
 is the run least polluted by it (external load only ever adds time).
@@ -90,9 +93,11 @@ def main() -> None:
     # Fault isolation: one broken query must not lose the whole run's
     # numbers — record it under "errors" and keep timing the rest.
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     raw_runs: dict[str, list] = {}
     errors: dict[str, str] = {}
     total = 0.0
+    total_med = 0.0
     for name, q in REGISTRY.items():
         if not q.bench:
             continue
@@ -100,26 +105,31 @@ def main() -> None:
         try:
             fn(spark, sf_dir).count()            # warm (untimed)
             runs = []
-            for _ in range(2):                   # steady state: min of 2
+            for _ in range(3):                   # steady state: 3 timed
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).count()
                 runs.append(time.perf_counter() - t0)
-            dt = round(min(runs), 3)
+            dt = round(min(runs), 3)             # headline stays min
+            med = round(sorted(runs)[1], 3)      # r6: median alongside
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
         timings[name] = dt
+        medians[name] = med
         raw_runs[name] = [round(r, 3) for r in runs]
         total += dt
-        print(f"# {name}: {dt:.3f}s runs={raw_runs[name]}",
-              file=sys.stderr)
+        total_med += med
+        print(f"# {name}: {dt:.3f}s median={med:.3f}s "
+              f"runs={raw_runs[name]}", file=sys.stderr)
 
     out = {
         "metric": "headline_suite_wall_clock",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "value_median": round(total_med, 3),
+        "queries_median": medians,
         "raw_runs": raw_runs,
         "sf": float(sf),
     }
