@@ -6,12 +6,50 @@ For every registry query, report:
             the registry contract, queries/registry.py:9-11)
 
 Usage: python scripts/audit_determinism.py [sf_dir]
+       python scripts/audit_determinism.py --sync [sf_dir]
+
+--sync regenerates the GATE_COLUMNS literal from the ACTUAL output
+schema of every gate query (via fn.__wrapped__, so it works even while
+the registered wrapper is raising on a stale list) and prints it to
+stdout for pasting into queries/registry.py. The gate wrapper raises
+on any column missing from the list, so a drifted list fails loudly in
+tests (tests/test_registry_gate.py) and this is the repair tool.
 """
 from __future__ import annotations
 
+import os
 import sys
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+SYNC = "--sync" in sys.argv[1:]
+SF = ARGS[0] if ARGS else "/root/testdata/sf0.001"
+
+
+def sync():
+    from pyspark.sql import SparkSession
+    from connectors_spark.queries import REGISTRY
+    from connectors_spark.queries.registry import GATE_SORT
+
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print("GATE_COLUMNS: Dict[str, list] = {")
+    for name in REGISTRY:
+        if name not in GATE_SORT:
+            continue
+        fn = getattr(REGISTRY[name].fn, "__wrapped__", REGISTRY[name].fn)
+        try:
+            cols = fn(spark, SF).columns
+        except Exception as e:  # noqa: BLE001
+            print(f"    # {name}: ERROR {type(e).__name__}: {e}")
+            continue
+        print(f"    {name!r}: {list(cols)!r},")
+    print("}")
 
 
 def main():
@@ -58,4 +96,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sync() if SYNC else main()
