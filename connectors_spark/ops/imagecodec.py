@@ -161,8 +161,16 @@ def decode_png(data: bytes):
         out.extend(row)
         prev = bytes(row)
     if ctype == 3:
+        # Malformed palettes must fail as loudly as a bad CRC: a short
+        # slice would silently truncate the pixel buffer.
+        if not palette or len(palette) % 3:
+            raise ValueError("palette PNG without a valid PLTE chunk")
+        n_entries = len(palette) // 3
         rgb = bytearray()
         for idx in out:
+            if idx >= n_entries:
+                raise ValueError(
+                    f"palette index {idx} >= PLTE size {n_entries}")
             rgb.extend(palette[idx * 3:idx * 3 + 3])
         return w, h, 3, bytes(rgb)
     return w, h, channels, bytes(out)

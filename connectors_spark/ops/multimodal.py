@@ -219,10 +219,10 @@ def synth_image_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 data = (codec.encode_bmp(w, h, px) if bmp
                         else codec.encode_png(w, h, px, c))
                 rows.append((did, data, "bmp" if bmp else "png"))
-            yield pd.DataFrame(rows, columns=["doc_id", "media", "fmt"])
+            yield pd.DataFrame(rows, columns=[id_col, "media", "fmt"])
 
     return docs.select(id_col).mapInPandas(
-        gen, schema="doc_id long, media binary, fmt string")
+        gen, schema=f"{id_col} long, media binary, fmt string")
 
 
 def decode_image(media_df: DataFrame, id_col: str = "doc_id",
@@ -245,10 +245,12 @@ def decode_image(media_df: DataFrame, id_col: str = "doc_id",
                 arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
                 rows.append((int(did), fmt, w, h, c, int(arr.sum()),
                              int(((np.arange(len(arr)) + 1) * arr).sum())))
-            yield pd.DataFrame(rows, columns=[f.name for f in
-                                              IMAGE_STATS_SCHEMA.fields])
+            yield pd.DataFrame(rows, columns=cols)
 
-    return media_df.mapInPandas(dec, schema=IMAGE_STATS_SCHEMA)
+    cols = [id_col] + [f.name for f in IMAGE_STATS_SCHEMA.fields[1:]]
+    schema = StructType([StructField(id_col, LongType())]
+                        + IMAGE_STATS_SCHEMA.fields[1:])
+    return media_df.mapInPandas(dec, schema=schema)
 
 
 def image_thumbnails(media_df: DataFrame, tw: int = 5, th: int = 4,
@@ -274,7 +276,9 @@ def image_thumbnails(media_df: DataFrame, tw: int = 5, th: int = 4,
                 arr = np.frombuffer(px2, dtype=np.uint8).astype(np.int64)
                 rows.append((int(did), w2, h2, int(arr.sum()),
                              int(((np.arange(len(arr)) + 1) * arr).sum())))
-            yield pd.DataFrame(rows, columns=[f.name for f in
-                                              THUMB_STATS_SCHEMA.fields])
+            yield pd.DataFrame(rows, columns=cols)
 
-    return media_df.mapInPandas(thumbs, schema=THUMB_STATS_SCHEMA)
+    cols = [id_col] + [f.name for f in THUMB_STATS_SCHEMA.fields[1:]]
+    schema = StructType([StructField(id_col, LongType())]
+                        + THUMB_STATS_SCHEMA.fields[1:])
+    return media_df.mapInPandas(thumbs, schema=schema)

@@ -38,6 +38,7 @@ def sync():
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
+    failed = []
     print("GATE_COLUMNS: Dict[str, list] = {")
     for name in REGISTRY:
         if name not in GATE_SORT:
@@ -46,10 +47,21 @@ def sync():
         try:
             cols = fn(spark, SF).columns
         except Exception as e:  # noqa: BLE001
-            print(f"    # {name}: ERROR {type(e).__name__}: {e}")
+            # Keep the PREVIOUS entry rather than dropping it — pasting
+            # a partial regeneration must never delete a valid list.
+            from connectors_spark.queries.registry import GATE_COLUMNS
+            prev = GATE_COLUMNS.get(name)
+            if prev is not None:
+                print(f"    {name!r}: {list(prev)!r},  "
+                      f"# KEPT (regen failed: {type(e).__name__})")
+            failed.append(f"{name}: {type(e).__name__}: {e}")
             continue
         print(f"    {name!r}: {list(cols)!r},")
     print("}")
+    if failed:
+        for f in failed:
+            print(f"SYNC-ERROR {f}", file=sys.stderr)
+        sys.exit(1)
 
 
 def main():

@@ -78,7 +78,7 @@ def test_full_registry_oracles_are_type_clean():
     r4/r5 bug class. Uses sf0.001 for speed (types don't depend on
     data volume)."""
     from connectors_spark.queries import REGISTRY
-    from tests.harness import TABLES, _BANNED_ORACLE_TYPES
+    from tests.harness import TABLES
 
     sf_dir = "/root/testdata/sf0.001"
     con = duckdb.connect()
@@ -91,10 +91,11 @@ def test_full_registry_oracles_are_type_clean():
             if q.sql is None:
                 continue
             rel = con.sql(q.sql)
-            for c, t in zip(rel.columns, rel.types):
-                ts = str(t).upper()
-                if any(b in ts for b in _BANNED_ORACLE_TYPES):
-                    offenders.append(f"{name}.{c}: {ts}")
+            # Empty spark_types skips width checks: the census enforces
+            # exactly the SAME banned-type scan the harness runs (one
+            # implementation, so the two can't drift).
+            for p in check_oracle_types({}, rel.columns, rel.types):
+                offenders.append(f"{name}.{p}")
         assert offenders == [], offenders
     finally:
         con.close()
