@@ -1728,3 +1728,142 @@ def emb_semdedup(spark, sf_dir):
     from ..ops.clustering import semdedup
     emb = load(spark, sf_dir, "embeddings").cache()
     return semdedup(emb, k=8, iters=2, threshold=0.35)
+
+
+# --------------------------------------------------------------------------
+# Mergeable sketches (ops/sketches.py): CountMin / HyperLogLog / Bloom.
+# All hashing is md5-derived with no seeds, so the DuckDB oracles
+# compute bit-identical sketches — same determinism rationale as
+# ev_kmv_distinct.
+# --------------------------------------------------------------------------
+
+@register("doc_countmin_token_counts", sql=f"""
+WITH {_TOKS},
+tok AS (SELECT unnest(t) AS g FROM toks),
+cnt AS (SELECT g, count(*)::BIGINT AS exact_n FROM tok GROUP BY 1),
+top AS (SELECT g, exact_n FROM cnt ORDER BY exact_n DESC, g LIMIT 10),
+buck AS (
+  SELECT j.j,
+         ('0x' || substring(md5('cm' || j.j || ':' || tok.g), 1, 15))::BIGINT
+             % 256 AS bucket
+  FROM tok, range(0, 4) j(j)),
+sk AS (SELECT j, bucket, count(*)::BIGINT AS c FROM buck GROUP BY 1, 2),
+pe AS (
+  SELECT top.g, top.exact_n, j.j,
+         ('0x' || substring(md5('cm' || j.j || ':' || top.g), 1, 15))::BIGINT
+             % 256 AS bucket
+  FROM top, range(0, 4) j(j))
+SELECT pe.g AS token, pe.exact_n,
+       min(coalesce(sk.c, 0))::BIGINT AS cm_est
+FROM pe LEFT JOIN sk ON sk.j = pe.j AND sk.bucket = pe.bucket
+GROUP BY pe.g, pe.exact_n
+""")
+def doc_countmin(spark, sf_dir):
+    # CountMin (Cormode & Muthukrishnan 2005) over document tokens,
+    # probed with the exact top-10: cm_est >= exact_n always, overshoot
+    # = bucket collisions. The 4x256 counter relation is additive and
+    # map-side combined — the 100 TB heavy-hitter shape.
+    from ..functions.text import tokens
+    from ..ops.sketches import countmin_estimate, countmin_sketch
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("g"))
+    cnt = tok.groupBy("g").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = cnt.orderBy(F.desc("exact_n"), F.asc("g")).limit(10)
+    sk = countmin_sketch(tok, "g", depth=4, width=256)
+    est = countmin_estimate(sk, top.select("g"), "g", depth=4, width=256)
+    return (top.join(est, "g")
+            .select(F.col("g").alias("token"), "exact_n",
+                    F.col("cm_est").cast("long").alias("cm_est")))
+
+
+_HLL_RAW_NUM = repr(0.709 * 64 * 64)  # alpha_64 * m^2, identical literal
+
+
+@register("ev_hll_distinct", sql=f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+  FROM events),
+r AS (
+  SELECT event_type, hv % 64 AS bucket,
+         CASE WHEN hv // 64 = 0 THEN 55
+              ELSE (floor(log2(((hv // 64) & -(hv // 64))::DOUBLE))
+                    + 1)::INTEGER END AS rho
+  FROM h),
+g AS (SELECT event_type, bucket, max(rho) AS reg FROM r GROUP BY 1, 2),
+s AS (SELECT event_type, sum(power(2.0::DOUBLE, -reg)) AS sm,
+             count(*)::BIGINT AS n
+      FROM g GROUP BY 1),
+ex AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+       FROM events GROUP BY 1)
+SELECT ex.event_type, ex.n_exact,
+       round(CASE WHEN {_HLL_RAW_NUM} / (s.sm + (64 - s.n)) <= 160.0
+                       AND s.n < 64
+                  THEN 64.0 * ln(64.0 / (64 - s.n))
+                  ELSE {_HLL_RAW_NUM} / (s.sm + (64 - s.n)) END, 2)
+           AS hll_est,
+       (64 - s.n)::INTEGER AS n_zero_regs
+FROM ex JOIN s ON ex.event_type = s.event_type
+""")
+def ev_hll(spark, sf_dir):
+    # HyperLogLog (Flajolet et al. 2007), m=64, deterministic md5-based
+    # hashing + the small-range linear-counting correction. Register
+    # max is the mergeable combiner; vs ev_kmv_distinct this is the
+    # constant-memory (m registers) alternative to the k-minimum tree.
+    from ..ops.sketches import hll_estimate, hll_registers
+    ev = load(spark, sf_dir, "events")
+    est = (hll_estimate(hll_registers(ev, "event_type", "user_id"))
+           .withColumnRenamed("grp", "event_type"))
+    ex = (ev.groupBy("event_type")
+          .agg(F.countDistinct("user_id").alias("n_exact")))
+    return ex.join(est, "event_type").select(
+        "event_type", "n_exact", "hll_est", "n_zero_regs")
+
+
+@register("doc_bloom_decontaminate", sql=f"""
+WITH {_TOKS},
+sh AS (
+  SELECT doc_id, source,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in range(1, len(t) - 1)])
+              ELSE [] END AS s
+  FROM toks),
+tg AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh
+       WHERE source <> 'src0'),
+eg AS (SELECT unnest(s) AS g FROM sh WHERE source = 'src0'),
+bits AS (
+  SELECT DISTINCT
+         ('0x' || substring(md5('bl' || j.j || ':' || eg.g), 1, 15))::BIGINT
+             % 4096 AS bit
+  FROM eg, range(0, 3) j(j)),
+pb AS (
+  SELECT tg.doc_id, tg.g, j.j,
+         ('0x' || substring(md5('bl' || j.j || ':' || tg.g), 1, 15))::BIGINT
+             % 4096 AS bit
+  FROM tg, range(0, 3) j(j)),
+hit AS (
+  SELECT pb.doc_id, pb.g, count(bits.bit) = 3 AS _in
+  FROM pb LEFT JOIN bits USING (bit) GROUP BY 1, 2)
+SELECT doc_id, count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN _in THEN 1 ELSE 0 END)::BIGINT AS n_bloom_hits
+FROM hit GROUP BY 1
+""")
+def doc_bloom(spark, sf_dir):
+    # Bloom-filter decontamination: the eval set compresses to a
+    # <=4096-row bit relation (vs broadcasting its full gram set in
+    # doc_decontaminate) — constant size however large the benchmark
+    # suite, no false negatives, collision-bounded false positives.
+    from ..functions.text import ngram_shingles
+    from ..ops.sketches import bloom_bits, bloom_contains_counts
+    docs = load(spark, sf_dir, "documents")
+    train = (docs.filter(F.col("source") != "src0")
+             .select("doc_id",
+                     F.explode(ngram_shingles(F.col("text"), 3))
+                     .alias("g")))
+    evalg = (docs.filter(F.col("source") == "src0")
+             .select(F.explode(ngram_shingles(F.col("text"), 3))
+                     .alias("g")))
+    bits = bloom_bits(evalg, "g", k=3, mbits=4096)
+    return bloom_contains_counts(train, "doc_id", "g", bits,
+                                 k=3, mbits=4096)

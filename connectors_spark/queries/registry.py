@@ -106,6 +106,9 @@ GATE_SORT: Dict[str, list] = {
     "doc_priority_sample": ["source"],
     "doc_repetition_stats": ["doc_id"],
     "doc_decontaminate": ["doc_id"],
+    "doc_countmin_token_counts": ["token"],
+    "ev_hll_distinct": ["event_type"],
+    "doc_bloom_decontaminate": ["doc_id"],
     "doc_pack_sequences": ["seq_id"],
     "doc_dup_spans": ["doc_id"],
     "doc_strip_dup_spans": ["doc_id"],
@@ -251,6 +254,10 @@ GATE_COLUMNS: Dict[str, list] = {
     "emb_pq_codes": ["vec_id", "code_0", "code_1", "code_2", "code_3", "err"],
     "emb_pq_adc_topk": ["query_id", "vec_id", "adist", "rank"],
     "emb_pq_adc_bcast_topk": ["query_id", "vec_id", "adist", "rank"],
+    "doc_countmin_token_counts": ["token", "exact_n", "cm_est"],
+    "ev_hll_distinct": ["event_type", "n_exact", "hll_est",
+                        "n_zero_regs"],
+    "doc_bloom_decontaminate": ["doc_id", "n_grams", "n_bloom_hits"],
     "ev_asof_click_attribution": ["view_id", "user_id", "click_id", "gap_us"],
     "ev_asof_global_locf": ["event_id", "gap_us", "pv"],
     "ev_range_error_context": ["event_id", "user_id", "n_following", "sum_value"],
@@ -351,7 +358,8 @@ _R4_RED = frozenset(["doc_pack_sequences", "ev_time_weighted_avg"])
 # New in round 6 (no driver row yet) — jump the queue right behind the
 # re-recorded fixes so the driver's 50-query sample records them.
 _R6_NEW = frozenset(["mm_image_decode_real", "mm_image_thumb_real",
-                     "emb_pq_adc_bcast_topk"])
+                     "emb_pq_adc_bcast_topk", "doc_countmin_token_counts",
+                     "ev_hll_distinct", "doc_bloom_decontaminate"])
 
 
 def ordered_names() -> list:

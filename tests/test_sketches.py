@@ -1,0 +1,82 @@
+"""Sketch-family properties: the guarantees the estimates rest on,
+pinned independently of the oracle gates (which pin cross-engine
+determinism)."""
+
+from pyspark.sql import functions as F
+
+from connectors_spark.functions.text import tokens
+from connectors_spark.ops import sketches as sk
+from tests.conftest import read_table
+
+
+def _tok(spark):
+    return (read_table(spark, "documents")
+            .select(F.explode(tokens("text")).alias("g")))
+
+
+def test_countmin_never_underestimates(spark):
+    tok = _tok(spark)
+    exact = tok.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    sketch = sk.countmin_sketch(tok, "g", depth=4, width=256)
+    est = sk.countmin_estimate(sketch, exact.select("g"), "g",
+                               depth=4, width=256)
+    bad = (exact.join(est, "g")
+           .filter(F.col("cm_est") < F.col("n")).count())
+    assert bad == 0  # CountMin guarantee: estimate >= true count
+
+
+def test_countmin_sketches_merge(spark):
+    tok = _tok(spark)
+    a = sk.countmin_sketch(tok.filter(F.crc32(F.col("g")) % 2 == 0),
+                           "g", depth=4, width=256)
+    b = sk.countmin_sketch(tok.filter(F.crc32(F.col("g")) % 2 == 1),
+                           "g", depth=4, width=256)
+    merged = (a.unionByName(b).groupBy("j", "bucket")
+              .agg(F.sum("c").alias("c")))
+    full = sk.countmin_sketch(tok, "g", depth=4, width=256)
+    diff = (merged.join(full, ["j", "bucket"], "full")
+            .filter(~merged["c"].eqNullSafe(full["c"])).count())
+    assert diff == 0  # counters are additive: merge == rebuild
+
+
+def test_hll_registers_merge(spark):
+    ev = read_table(spark, "events")
+    full = sk.hll_registers(ev, "event_type", "user_id")
+    a = sk.hll_registers(ev.filter(F.col("user_id") % 2 == 0),
+                         "event_type", "user_id")
+    b = sk.hll_registers(ev.filter(F.col("user_id") % 2 == 1),
+                         "event_type", "user_id")
+    merged = (a.unionByName(b).groupBy("grp", "bucket")
+              .agg(F.max("reg").alias("reg")))
+    diff = (merged.join(full, ["grp", "bucket"], "full")
+            .filter(~merged["reg"].eqNullSafe(full["reg"])).count())
+    assert diff == 0  # register max is the mergeable combiner
+
+
+def test_hll_estimate_reasonable(spark):
+    ev = read_table(spark, "events")
+    est = sk.hll_estimate(
+        sk.hll_registers(ev, "event_type", "user_id"))
+    ex = (ev.groupBy("event_type")
+          .agg(F.countDistinct("user_id").alias("n"))
+          .withColumnRenamed("event_type", "grp"))
+    rows = ex.join(est, "grp").collect()
+    assert rows
+    for r in rows:
+        # m=64 HLL: ~13% standard error; 3 sigma envelope.
+        assert abs(r.hll_est - r.n) <= max(10.0, 0.4 * r.n), r
+
+
+def test_bloom_has_no_false_negatives(spark):
+    docs = read_table(spark, "documents")
+    from connectors_spark.functions.text import ngram_shingles
+    evalg = (docs.filter(F.col("source") == "src0")
+             .select("doc_id",
+                     F.explode(ngram_shingles(F.col("text"), 3))
+                     .alias("g")))
+    bits = sk.bloom_bits(evalg, "g", k=3, mbits=4096)
+    # Probing the eval set against its own filter: every gram contained.
+    res = sk.bloom_contains_counts(evalg, "doc_id", "g", bits,
+                                   k=3, mbits=4096)
+    missed = res.filter(F.col("n_bloom_hits") < F.col("n_grams")).count()
+    assert missed == 0
