@@ -96,3 +96,71 @@ def mixture_weights(df: DataFrame, group_col: str = "source",
         F.round(pw / F.sum(pw).over(w_all), 6).alias("weight"),
         F.round(pw / F.sum(pw).over(w_all) * F.lit(float(budget)), 6)
         .alias("expected_docs"))
+
+
+def mixture_allocate(df: DataFrame, group_col: str = "source",
+                     alpha: float = 0.5,
+                     budget: int = 1000) -> DataFrame:
+    """Integer quota per group summing EXACTLY to ``budget`` —
+    largest-remainder (Hamilton) apportionment over the temperature
+    weights: quota_i = floor(budget·w_i) plus one extra for the groups
+    with the largest fractional parts (ties to group name asc) until
+    the remainder is spent. Deterministic, and unlike expected_docs the
+    quotas are directly usable as per-source sample sizes.
+
+    Scale shape: every op after the initial count runs on the GROUP
+    relation (one row per source); the two windows (normalizer sum,
+    remainder rank) are over that tiny relation, never data rows."""
+    w_all = Window.partitionBy()
+    counts = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    pw = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    ex = counts.select(
+        "group", "n_docs",
+        (pw / F.sum(pw).over(w_all) * F.lit(float(budget)))
+        .alias("_exact"))
+    base = ex.select(
+        "group", "n_docs",
+        F.floor("_exact").cast("long").alias("_base"),
+        (F.col("_exact") - F.floor("_exact")).alias("_frac"))
+    rem = F.lit(budget) - F.sum("_base").over(w_all)
+    rk = F.row_number().over(
+        Window.partitionBy().orderBy(F.desc("_frac"), F.asc("group")))
+    return (base.withColumn("_rk", rk).withColumn("_rem", rem)
+            .select("group", "n_docs",
+                    (F.col("_base")
+                     + (F.col("_rk") <= F.col("_rem")).cast("long"))
+                    .alias("quota")))
+
+
+def epoch_shuffle(df: DataFrame, seed: int = 1, id_col: str = "doc_id",
+                  range_bits: int = 6) -> DataFrame:
+    """Deterministic global shuffle order for one training epoch:
+    pos = rank of (hash64('ep{seed}:'||id), id) — a reproducible
+    pseudo-random permutation of the corpus, identical on every rerun
+    and engine (the oracle is a plain ROW_NUMBER over the hash).
+
+    Scale shape: the global rank is computed WITHOUT a global sort.
+    The 60-bit hash is range-bucketed by its top ``range_bits`` bits
+    (buckets are contiguous hash ranges, so bucket-major order IS hash
+    order); pass 1 counts per bucket (tiny relation) and prefix-sums
+    the offsets, pass 2 ranks within each bucket in parallel and adds
+    the bucket offset — the same two-pass block-offset scheme as
+    pack_sequences, no SinglePartition exchange on data rows."""
+    hv = hash64(F.concat(F.lit(f"ep{seed}:"),
+                         F.col(id_col).cast("string")))
+    bucket = F.shiftright(hv, 60 - range_bits)
+    h = df.select(F.col(id_col), hv.alias("_hv"),
+                  bucket.alias("_bkt"))
+    counts = h.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    offs = counts.select(
+        "_bkt",
+        (F.sum("_n").over(Window.partitionBy().orderBy("_bkt"))
+         - F.col("_n")).alias("_off"))
+    local = F.row_number().over(
+        Window.partitionBy("_bkt").orderBy(F.asc("_hv"),
+                                           F.asc(id_col))) - 1
+    return (h.withColumn("_lrk", local)
+            .join(offs, "_bkt")
+            .select(id_col,
+                    (F.col("_off") + F.col("_lrk")).alias("pos")))

@@ -1867,3 +1867,54 @@ def doc_bloom(spark, sf_dir):
     bits = bloom_bits(evalg, "g", k=3, mbits=4096)
     return bloom_contains_counts(train, "doc_id", "g", bits,
                                  k=3, mbits=4096)
+
+
+# --------------------------------------------------------------------------
+# Mixture quotas + deterministic epoch shuffle (ops/sampling.py)
+# --------------------------------------------------------------------------
+
+@register("doc_mixture_quota", sql="""
+WITH c AS (
+  SELECT source AS "group", count(*)::BIGINT AS n_docs
+  FROM documents GROUP BY 1),
+e AS (
+  SELECT "group", n_docs,
+         pow(n_docs, 0.5) / sum(pow(n_docs, 0.5)) OVER () * 1000.0
+             AS _exact
+  FROM c),
+b AS (
+  SELECT "group", n_docs, floor(_exact)::BIGINT AS _base,
+         _exact - floor(_exact) AS _frac
+  FROM e),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY _frac DESC, "group") AS _rk,
+         1000 - sum(_base) OVER () AS _rem
+  FROM b)
+SELECT "group", n_docs,
+       (_base + CASE WHEN _rk <= _rem THEN 1 ELSE 0 END)::BIGINT AS quota
+FROM r
+""")
+def doc_mixture_quota(spark, sf_dir):
+    # Largest-remainder apportionment of the temperature mix: integer
+    # per-source quotas summing exactly to the budget — directly
+    # feedable to stratified sampling, unlike fractional expectations.
+    from ..ops.sampling import mixture_allocate
+    return mixture_allocate(load(spark, sf_dir, "documents"),
+                            group_col="source", alpha=0.5, budget=1000)
+
+
+@register("doc_epoch_shuffle", sql="""
+SELECT doc_id,
+       row_number() OVER (
+           ORDER BY ('0x' || substring(md5('ep1:' || doc_id), 1, 15))::BIGINT,
+                    doc_id) - 1 AS pos
+FROM documents
+""")
+def doc_epoch_shuffle(spark, sf_dir):
+    # Reproducible epoch permutation: the oracle is ONE global
+    # ROW_NUMBER over the hash; the Spark plan computes the identical
+    # rank with the two-pass range-bucket scheme — per-bucket windows
+    # plus a tiny prefix-summed offset relation — so no data row ever
+    # crosses a SinglePartition exchange (plan-pinned).
+    from ..ops.sampling import epoch_shuffle
+    return epoch_shuffle(load(spark, sf_dir, "documents"), seed=1)

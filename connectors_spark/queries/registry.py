@@ -109,6 +109,8 @@ GATE_SORT: Dict[str, list] = {
     "doc_countmin_token_counts": ["token"],
     "ev_hll_distinct": ["event_type"],
     "doc_bloom_decontaminate": ["doc_id"],
+    "doc_mixture_quota": ["group"],
+    "doc_epoch_shuffle": ["doc_id"],
     "doc_pack_sequences": ["seq_id"],
     "doc_dup_spans": ["doc_id"],
     "doc_strip_dup_spans": ["doc_id"],
@@ -258,6 +260,8 @@ GATE_COLUMNS: Dict[str, list] = {
     "ev_hll_distinct": ["event_type", "n_exact", "hll_est",
                         "n_zero_regs"],
     "doc_bloom_decontaminate": ["doc_id", "n_grams", "n_bloom_hits"],
+    "doc_mixture_quota": ["group", "n_docs", "quota"],
+    "doc_epoch_shuffle": ["doc_id", "pos"],
     "ev_asof_click_attribution": ["view_id", "user_id", "click_id", "gap_us"],
     "ev_asof_global_locf": ["event_id", "gap_us", "pv"],
     "ev_range_error_context": ["event_id", "user_id", "n_following", "sum_value"],
@@ -359,6 +363,7 @@ _R4_RED = frozenset(["doc_pack_sequences", "ev_time_weighted_avg"])
 # re-recorded fixes so the driver's 50-query sample records them.
 _R6_NEW = frozenset(["mm_image_decode_real", "mm_image_thumb_real",
                      "emb_pq_adc_bcast_topk", "doc_countmin_token_counts",
+                     "doc_mixture_quota", "doc_epoch_shuffle",
                      "ev_hll_distinct", "doc_bloom_decontaminate"])
 
 

@@ -359,3 +359,18 @@ def test_pq_adc_broadcast_plan_is_query_count_invariant(spark, sf_dir):
     assert "BroadcastExchange" in p12
     assert shape(p6) == shape(p12)
     assert "CartesianProduct" not in p12 and "NestedLoop" not in p12
+
+
+def test_epoch_shuffle_no_data_through_one_task(plans):
+    # doc_epoch_shuffle: global rank via the two-pass range-bucket
+    # scheme — any SinglePartition exchange may carry only the tiny
+    # per-bucket count relation, never the doc rows; doc-row windows
+    # hash-partition by bucket.
+    p = plans("doc_epoch_shuffle")
+    blocks = p.split("\n\n")
+    single = [b for b in blocks
+              if b.startswith("(") and "SinglePartition" in b]
+    assert single, "expected the bucket-offset window's tiny exchange"
+    for b in single:
+        assert "doc_id" not in b, f"doc rows funneled to one task:\n{b}"
+    assert "hashpartitioning(_bkt" in p
