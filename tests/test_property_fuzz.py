@@ -1,0 +1,93 @@
+"""Hypothesis property tests: the pure-Python codec (fast, many
+examples) and the deterministic sampling ops (few examples — each
+drives a Spark job)."""
+
+import hashlib
+
+from hypothesis import given, settings, strategies as st
+
+from connectors_spark.ops import imagecodec as ic
+
+
+@st.composite
+def _image(draw, max_side=12):
+    w = draw(st.integers(1, max_side))
+    h = draw(st.integers(1, max_side))
+    c = draw(st.sampled_from([1, 3, 4]))
+    px = draw(st.binary(min_size=w * h * c, max_size=w * h * c))
+    return w, h, c, px
+
+
+@given(_image(), st.sampled_from(["mixed", "none"]))
+@settings(max_examples=200, deadline=None)
+def test_png_roundtrip_any_pixels(img, mode):
+    w, h, c, px = img
+    assert ic.decode_png(ic.encode_png(w, h, px, c, mode))[3] == px
+
+
+@given(_image())
+@settings(max_examples=100, deadline=None)
+def test_bmp_roundtrip_any_rgb(img):
+    w, h, _c, _px = img
+    px = bytes((i * 37) % 256 for i in range(w * h * 3))
+    rw, rh, rc, rpx = ic.decode_bmp(ic.encode_bmp(w, h, px))
+    assert (rw, rh, rc, rpx) == (w, h, 3, px)
+
+
+@given(_image(), st.integers(1, 8), st.integers(1, 8))
+@settings(max_examples=100, deadline=None)
+def test_resize_nearest_mapping_property(img, tw, th):
+    w, h, c, px = img
+    out = ic.resize_nearest(px, w, h, c, tw, th)
+    assert len(out) == tw * th * c
+    for y in range(th):
+        for x in range(tw):
+            so = ((y * h // th) * w + (x * w // tw)) * c
+            do = (y * tw + x) * c
+            assert out[do:do + c] == px[so:so + c]
+
+
+def _hash64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_epoch_shuffle_is_exact_hash_rank_permutation(spark):
+    from connectors_spark.ops.sampling import epoch_shuffle
+    ids = [3, 17, 0, 999, 123456, 42, 7, 8, 9, 1000000007]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r.pos for r in epoch_shuffle(df, seed=1).collect()}
+    # bijection onto 0..n-1
+    assert sorted(got.values()) == list(range(len(ids)))
+    # and exactly the rank by (md5-hash, id) — the oracle's ROW_NUMBER
+    want = {i: p for p, i in enumerate(
+        sorted(ids, key=lambda i: (_hash64(f"ep1:{i}"), i)))}
+    assert got == want
+
+
+def test_epoch_shuffle_seed_changes_order(spark):
+    from connectors_spark.ops.sampling import epoch_shuffle
+    df = spark.range(64).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.pos for r in epoch_shuffle(df, seed=1).collect()}
+    b = {r.doc_id: r.pos for r in epoch_shuffle(df, seed=2).collect()}
+    assert sorted(a.values()) == sorted(b.values()) == list(range(64))
+    assert a != b
+
+
+def test_mixture_allocate_sums_to_budget_exactly(spark):
+    from pyspark.sql import functions as F
+    from connectors_spark.ops.sampling import mixture_allocate
+    # skewed group sizes whose temperature weights are all fractional
+    rows = [(f"s{g}",) for g, n in enumerate([1, 2, 3, 50, 400, 7])
+            for _ in range(n)]
+    df = spark.createDataFrame(rows, "source string")
+    for budget in (10, 97, 1000):
+        out = mixture_allocate(df, "source", alpha=0.5, budget=budget)
+        rowsq = out.collect()
+        assert sum(r.quota for r in rowsq) == budget
+        # largest-remainder property: each quota within 1 of its
+        # real-valued share
+        import math
+        tot = sum(math.sqrt(n) for n in [1, 2, 3, 50, 400, 7])
+        for r in rowsq:
+            exact = math.sqrt(r.n_docs) / tot * budget
+            assert abs(r.quota - exact) < 1.0 + 1e-9
