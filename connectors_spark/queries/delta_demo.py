@@ -504,3 +504,63 @@ def delta_dv_delete(spark, sf_dir):
             .select("o_orderkey", "o_custkey", "o_orderstatus",
                     F.round("o_totalprice", 2).alias("totalprice"),
                     "o_orderdate"))
+
+
+# --------------------------------------------------------------------------
+# Incremental derived-table maintenance from the Change Data Feed
+# --------------------------------------------------------------------------
+
+@register("delta_cdf_incremental_agg", sql="""
+WITH final AS (
+  SELECT o_orderstatus,
+         CAST(round((CASE WHEN o_orderkey <= 1500 THEN 0.0
+                          ELSE o_totalprice END) * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey <= 4500)
+SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+       round(sum(cents)::BIGINT / 100.0, 2) AS sum_total
+FROM final GROUP BY 1
+""")
+def delta_cdf_incremental_agg(spark, sf_dir):
+    # The canonical CDF consumer: a derived aggregate maintained
+    # INCREMENTALLY — base aggregate at v0 plus the change feed's
+    # signed deltas (insert/postimage add, delete/preimage subtract)
+    # must equal a direct recompute of the final state, which is what
+    # the oracle computes from the raw parquet alone. Money flows as
+    # integer cents so incremental == direct is exact, not
+    # float-accumulation-order luck. At 100 TB this is the point of
+    # CDF: the derived table updates from the (small) change relation,
+    # never by rescanning the base.
+    def build(d):
+        od = load(spark, sf_dir, "orders")
+        t = DeltaTable.for_path(spark, d)
+        t.write(od, configuration={"delta.enableChangeDataFeed": "true"})
+        t.update({"o_totalprice": "0.0"}, Col("o_orderkey") <= Lit(1500))
+        t.delete(Col("o_orderkey") > Lit(4500))
+    d = _built(sf_dir, "orders_cdf_incr", build)
+    t = DeltaTable.for_path(spark, d)
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = (t.to_df(version=0)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("_n0"),
+                 F.sum(cents).alias("_s0")))
+    ch = t.table_changes(1, 2).select(
+        "o_orderstatus",
+        F.when(F.col("_change_type") == "insert", F.lit(1))
+        .when(F.col("_change_type") == "delete", F.lit(-1))
+        .otherwise(F.lit(0)).alias("_dn"),
+        F.when(F.col("_change_type").isin("insert", "update_postimage"),
+               cents)
+        .when(F.col("_change_type").isin("delete", "update_preimage"),
+              -cents)
+        .otherwise(F.lit(0)).alias("_ds"))
+    delta = (ch.groupBy("o_orderstatus")
+             .agg(F.sum("_dn").alias("_dn"), F.sum("_ds").alias("_ds")))
+    return (base.join(delta, "o_orderstatus", "left")
+            .select("o_orderstatus",
+                    (F.col("_n0") + F.coalesce("_dn", F.lit(0)))
+                    .alias("n_orders"),
+                    F.round((F.col("_s0")
+                             + F.coalesce("_ds", F.lit(0))) / 100.0, 2)
+                    .alias("sum_total"))
+            .filter(F.col("n_orders") > 0))

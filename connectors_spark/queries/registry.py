@@ -153,6 +153,7 @@ GATE_SORT: Dict[str, list] = {
     "delta_manifest_read": ["l_orderkey", "l_linenumber"],
     "delta_clone_cow": ["o_orderkey"],
     "delta_dv_delete": ["o_orderkey"],
+    "delta_cdf_incremental_agg": ["o_orderstatus"],
 }
 
 
@@ -262,6 +263,8 @@ GATE_COLUMNS: Dict[str, list] = {
     "doc_bloom_decontaminate": ["doc_id", "n_grams", "n_bloom_hits"],
     "doc_mixture_quota": ["group", "n_docs", "quota"],
     "doc_epoch_shuffle": ["doc_id", "pos"],
+    "delta_cdf_incremental_agg": ["o_orderstatus", "n_orders",
+                                  "sum_total"],
     "ev_asof_click_attribution": ["view_id", "user_id", "click_id", "gap_us"],
     "ev_asof_global_locf": ["event_id", "gap_us", "pv"],
     "ev_range_error_context": ["event_id", "user_id", "n_following", "sum_value"],
@@ -364,6 +367,7 @@ _R4_RED = frozenset(["doc_pack_sequences", "ev_time_weighted_avg"])
 _R6_NEW = frozenset(["mm_image_decode_real", "mm_image_thumb_real",
                      "emb_pq_adc_bcast_topk", "doc_countmin_token_counts",
                      "doc_mixture_quota", "doc_epoch_shuffle",
+                     "delta_cdf_incremental_agg",
                      "ev_hll_distinct", "doc_bloom_decontaminate"])
 
 
