@@ -1,0 +1,91 @@
+"""Distributed BPE merge training (Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units").
+
+Classic byte-pair-encoding learns a merge table greedily: count
+adjacent symbol pairs across the (weighted) word vocabulary, merge the
+most frequent pair everywhere, repeat. This implements the training
+loop Spark-first:
+
+- the corpus collapses to the DISTINCT-word relation with counts (one
+  map-side-combined aggregate — the 100 TB corpus becomes a
+  vocabulary-sized relation, the same collapse every practical BPE
+  trainer does);
+- each round is one groupBy over exploded symbol pairs (weighted by
+  word count) + a global top-1 (freq DESC, pair lexicographic — fully
+  deterministic tie-break);
+- the merge applies as a single string `replace` per word: word state
+  is the symbol sequence encoded as \\x1f-wrapped symbols
+  ("\\x1fh\\x1f\\x1fe\\x1f..."), so replacing
+  "\\x1fl\\x1f\\x1fr\\x1f" -> "\\x1flr\\x1f" is exactly the
+  left-to-right non-overlapping pair merge (consecutive occurrences
+  keep their own delimiters, so "aaaa" merges to "aa","aa" in one
+  pass), with no cross-symbol false matches.
+
+The winning pair is collected per round (k tiny 1-row actions — the
+same driver-loop precedent as kmeans_fit's centroids); everything
+corpus-sized stays distributed. A DuckDB oracle unrolls the identical
+rounds in SQL (queries/pipeline.py), so the learned merge table is
+hash-compare-gated.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEP = "\x1f"  # unit separator: never appears in the text corpora
+
+
+def _word_states(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, c, state): distinct words with counts, state = each
+    character wrapped in SEP markers."""
+    from ..functions.text import tokens
+
+    words = (df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("c")))
+    state = F.regexp_replace(F.col("word"), "(.)", f"{SEP}$1{SEP}")
+    return words.withColumn("state", state)
+
+
+def _pair_freqs(states: DataFrame) -> DataFrame:
+    """(l, r, f): weighted adjacent-pair frequencies over word states."""
+    syms = F.split(F.expr("substring(state, 2, length(state) - 2)"),
+                   SEP + SEP)
+    pairs = F.arrays_zip(F.slice(syms, 1, F.size(syms) - 1),
+                         F.slice(syms, 2, F.size(syms) - 1))
+    ex = (states.filter(F.size(syms) >= 2)
+          .select("c", F.explode(pairs).alias("_p")))
+    return (ex.groupBy(F.col("_p.0").alias("l"), F.col("_p.1").alias("r"))
+            .agg(F.sum("c").alias("f")))
+
+
+def bpe_train(df: DataFrame, k: int = 4,
+              text_col: str = "text") -> List[Tuple[int, str, str, int]]:
+    """Learn the first ``k`` BPE merges; returns
+    [(step, left, right, pair_freq)] with step 1-based. Each round is
+    one distributed aggregate + a 1-row collect of the argmax."""
+    states = _word_states(df, text_col)
+    merges: List[Tuple[int, str, str, int]] = []
+    for step in range(1, k + 1):
+        best = (_pair_freqs(states)
+                .orderBy(F.desc("f"), F.asc("l"), F.asc("r"))
+                .limit(1).collect())
+        if not best:
+            break
+        l, r, f = best[0]["l"], best[0]["r"], int(best[0]["f"])
+        merges.append((step, l, r, f))
+        pat = f"{SEP}{l}{SEP}{SEP}{r}{SEP}"
+        rep = f"{SEP}{l}{r}{SEP}"
+        states = states.withColumn(
+            "state", F.replace(F.col("state"), F.lit(pat), F.lit(rep)))
+    return merges
+
+
+def bpe_merge_table(spark, df: DataFrame, k: int = 4,
+                    text_col: str = "text") -> DataFrame:
+    """bpe_train as a DataFrame: (step, left, right, pair_freq)."""
+    rows = bpe_train(df, k, text_col)
+    return spark.createDataFrame(
+        rows, "step int, left string, right string, pair_freq long")

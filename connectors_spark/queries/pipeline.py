@@ -1918,3 +1918,52 @@ def doc_epoch_shuffle(spark, sf_dir):
     # crosses a SinglePartition exchange (plan-pinned).
     from ..ops.sampling import epoch_shuffle
     return epoch_shuffle(load(spark, sf_dir, "documents"), seed=1)
+
+
+# --------------------------------------------------------------------------
+# Distributed BPE merge training (ops/bpe.py) — oracle unrolls k rounds
+# --------------------------------------------------------------------------
+
+def _bpe_sql(k: int) -> str:
+    rounds = []
+    for r in range(1, k + 1):
+        rounds.append(f"""
+y{r} AS (
+  SELECT c, string_split(substr(state, 2, length(state) - 2),
+                         chr(31) || chr(31)) AS syms
+  FROM s{r - 1}),
+p{r} AS (
+  SELECT pr[1] AS l, pr[2] AS r, sum(c)::BIGINT AS f
+  FROM (SELECT c, unnest([[syms[i], syms[i + 1]]
+                          for i in range(1, len(syms))]) AS pr
+        FROM y{r} WHERE len(syms) >= 2)
+  GROUP BY 1, 2),
+b{r} AS (SELECT l, r, f FROM p{r} ORDER BY f DESC, l, r LIMIT 1),
+s{r} AS (
+  SELECT w.word, w.c,
+         replace(w.state,
+                 chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+                 chr(31) || b.l || b.r || chr(31)) AS state
+  FROM s{r - 1} w, b{r} b)""")
+    union = "\nUNION ALL\n".join(
+        f'SELECT {r} AS step, l AS "left", r AS "right", f AS pair_freq '
+        f"FROM b{r}" for r in range(1, k + 1))
+    return (f"WITH {_TOKS},\n"
+            "w AS (SELECT u AS word, count(*)::BIGINT AS c\n"
+            "      FROM (SELECT unnest(t) AS u FROM toks) GROUP BY 1),\n"
+            "s0 AS (SELECT word, c,\n"
+            "       regexp_replace(word, '(.)',\n"
+            "                      chr(31) || '\\1' || chr(31), 'g')\n"
+            "           AS state\n"
+            "       FROM w)," + ",".join(rounds) + "\n" + union)
+
+
+@register("doc_bpe_merges", sql=_bpe_sql(6))
+def doc_bpe_merges(spark, sf_dir):
+    # BPE training (Sennrich et al. 2016): the corpus collapses to the
+    # distinct-word relation, each round is one weighted pair aggregate
+    # + a deterministic global top-1, merges apply as a delimiter-safe
+    # string replace. The oracle unrolls the identical 6 rounds in SQL,
+    # so the LEARNED MERGE TABLE itself is hash-gated.
+    from ..ops.bpe import bpe_merge_table
+    return bpe_merge_table(spark, load(spark, sf_dir, "documents"), k=6)

@@ -80,3 +80,26 @@ def test_bloom_has_no_false_negatives(spark):
                                    k=3, mbits=4096)
     missed = res.filter(F.col("n_bloom_hits") < F.col("n_grams")).count()
     assert missed == 0
+
+
+def test_bpe_learns_classic_merges(spark):
+    from connectors_spark.ops.bpe import bpe_train
+    df = spark.createDataFrame(
+        [("low low lower newest widest",)], "text string")
+    merges = bpe_train(df, k=4)
+    # Sennrich-style toy corpus: 'lo' (in low×3 + lower), then 'low',
+    # then the est pieces; ties broken (freq desc, pair lexicographic).
+    assert merges == [(1, "l", "o", 3), (2, "lo", "w", 3),
+                      (3, "e", "s", 2), (4, "es", "t", 2)]
+
+
+def test_bpe_merges_repeats_left_to_right(spark):
+    from connectors_spark.ops.bpe import bpe_train
+    # 'aaaa': pair (a,a) occurs 3 times overlapping, weight counts all
+    # adjacencies; the MERGE is non-overlapping left-to-right, so round
+    # 2's top pair is (aa, aa) — the delimiter-safe replace must merge
+    # both disjoint occurrences in one pass.
+    df = spark.createDataFrame([("aaaa aaaa",)], "text string")
+    merges = bpe_train(df, k=2)
+    assert merges[0][1:3] == ("a", "a")
+    assert merges[1][1:3] == ("aa", "aa")
