@@ -89,3 +89,29 @@ def bpe_merge_table(spark, df: DataFrame, k: int = 4,
     rows = bpe_train(df, k, text_col)
     return spark.createDataFrame(
         rows, "step int, left string, right string, pair_freq long")
+
+
+def bpe_subword_counts(df: DataFrame, merges: List[Tuple[int, str, str, int]],
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Apply a learned merge table to every document: per doc,
+    (n_words, n_subwords) after the merges — the encode side of BPE.
+    The k merges chain as k literal string replaces over the wrapped
+    symbol state: pure JVM expressions, map-side only, no shuffle
+    beyond the final per-doc aggregate. At 100 TB this runs at scan
+    speed with the merge table closed over as literals."""
+    from ..functions.text import tokens
+
+    state = F.regexp_replace(F.col("_w"), "(.)", f"{SEP}$1{SEP}")
+    for _step, l, r, _f in merges:
+        state = F.replace(state,
+                          F.lit(f"{SEP}{l}{SEP}{SEP}{r}{SEP}"),
+                          F.lit(f"{SEP}{l}{r}{SEP}"))
+    n_syms = F.size(F.split(F.expr("substring(_st, 2, length(_st) - 2)"),
+                            SEP + SEP))
+    ex = (df.select(F.col(id_col),
+                    F.explode(tokens(F.col(text_col))).alias("_w"))
+          .withColumn("_st", state))
+    return (ex.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum(n_syms).alias("n_subwords")))

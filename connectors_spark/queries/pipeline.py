@@ -1924,7 +1924,7 @@ def doc_epoch_shuffle(spark, sf_dir):
 # Distributed BPE merge training (ops/bpe.py) — oracle unrolls k rounds
 # --------------------------------------------------------------------------
 
-def _bpe_sql(k: int) -> str:
+def _bpe_ctes(k: int) -> str:
     rounds = []
     for r in range(1, k + 1):
         rounds.append(f"""
@@ -1945,9 +1945,6 @@ s{r} AS (
                  chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
                  chr(31) || b.l || b.r || chr(31)) AS state
   FROM s{r - 1} w, b{r} b)""")
-    union = "\nUNION ALL\n".join(
-        f'SELECT {r} AS step, l AS "left", r AS "right", f AS pair_freq '
-        f"FROM b{r}" for r in range(1, k + 1))
     return (f"WITH {_TOKS},\n"
             "w AS (SELECT u AS word, count(*)::BIGINT AS c\n"
             "      FROM (SELECT unnest(t) AS u FROM toks) GROUP BY 1),\n"
@@ -1955,7 +1952,14 @@ s{r} AS (
             "       regexp_replace(word, '(.)',\n"
             "                      chr(31) || '\\1' || chr(31), 'g')\n"
             "           AS state\n"
-            "       FROM w)," + ",".join(rounds) + "\n" + union)
+            "       FROM w)," + ",".join(rounds))
+
+
+def _bpe_sql(k: int) -> str:
+    union = "\nUNION ALL\n".join(
+        f'SELECT {r} AS step, l AS "left", r AS "right", f AS pair_freq '
+        f"FROM b{r}" for r in range(1, k + 1))
+    return _bpe_ctes(k) + "\n" + union
 
 
 @register("doc_bpe_merges", sql=_bpe_sql(6))
@@ -1967,3 +1971,23 @@ def doc_bpe_merges(spark, sf_dir):
     # so the LEARNED MERGE TABLE itself is hash-gated.
     from ..ops.bpe import bpe_merge_table
     return bpe_merge_table(spark, load(spark, sf_dir, "documents"), k=6)
+
+
+@register("doc_bpe_subword_counts", sql=_bpe_ctes(6) + """
+SELECT t.doc_id, count(*)::BIGINT AS n_words,
+       sum(len(string_split(substr(s.state, 2, length(s.state) - 2),
+                            chr(31) || chr(31))))::BIGINT AS n_subwords
+FROM (SELECT doc_id, unnest(t) AS word FROM toks) t
+JOIN s6 s USING (word)
+GROUP BY 1
+""")
+def doc_bpe_subwords(spark, sf_dir):
+    # The ENCODE side of BPE: apply the 6 learned merges to every doc
+    # (k literal replaces over wrapped symbol states — map-side JVM
+    # expressions, merge table closed over as literals) and count the
+    # resulting subwords. The oracle re-learns the identical merges in
+    # SQL and joins each doc's words to the final word states.
+    from ..ops.bpe import bpe_subword_counts, bpe_train
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_train(docs, k=6)
+    return bpe_subword_counts(docs, merges)

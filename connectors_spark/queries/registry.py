@@ -112,6 +112,7 @@ GATE_SORT: Dict[str, list] = {
     "doc_mixture_quota": ["group"],
     "doc_epoch_shuffle": ["doc_id"],
     "doc_bpe_merges": ["step"],
+    "doc_bpe_subword_counts": ["doc_id"],
     "doc_pack_sequences": ["seq_id"],
     "doc_dup_spans": ["doc_id"],
     "doc_strip_dup_spans": ["doc_id"],
@@ -265,6 +266,7 @@ GATE_COLUMNS: Dict[str, list] = {
     "doc_mixture_quota": ["group", "n_docs", "quota"],
     "doc_epoch_shuffle": ["doc_id", "pos"],
     "doc_bpe_merges": ["step", "left", "right", "pair_freq"],
+    "doc_bpe_subword_counts": ["doc_id", "n_words", "n_subwords"],
     "delta_cdf_incremental_agg": ["o_orderstatus", "n_orders",
                                   "sum_total"],
     "ev_asof_click_attribution": ["view_id", "user_id", "click_id", "gap_us"],
@@ -370,6 +372,7 @@ _R6_NEW = frozenset(["mm_image_decode_real", "mm_image_thumb_real",
                      "emb_pq_adc_bcast_topk", "doc_countmin_token_counts",
                      "doc_mixture_quota", "doc_epoch_shuffle",
                      "delta_cdf_incremental_agg", "doc_bpe_merges",
+                     "doc_bpe_subword_counts",
                      "ev_hll_distinct", "doc_bloom_decontaminate"])
 
 
