@@ -159,3 +159,51 @@ def bloom_contains_counts(probe: DataFrame, id_col: str, gram_col: str,
     return (per_gram.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_grams"),
                  F.sum(F.col("_in").cast("long")).alias("n_bloom_hits")))
+
+
+# ------------------------------------------------------- histogram quantiles
+
+def histogram_sketch(df: DataFrame, group_col: str,
+                     value_col: str) -> DataFrame:
+    """(grp, bin, cnt): mergeable log-histogram over positive 2-decimal
+    values. Values quantize to integer cents; the bin is EXACT bit
+    arithmetic — (bit_length-1)*2 + second-MSB — i.e. half-octave
+    buckets with no transcendental in sight, so Spark and DuckDB can
+    never disagree on a boundary (a log2()-based binning would be one
+    libm ulp away from a different bucket). Counts are additive:
+    sketches of different slices union + re-aggregate, same merge story
+    as CountMin."""
+    c = F.round(F.col(value_col) * 100).cast("long")
+    b = F.bin(c)
+    bin_id = ((F.length(b) - 1) * 2
+              + (F.substring(b, 2, 1) == F.lit("1")).cast("int"))
+    return (df.filter(F.col(value_col).isNotNull() & (c >= 1))
+            .select(F.col(group_col).alias("grp"), bin_id.alias("bin"))
+            .groupBy("grp", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def histogram_quantiles(sketch: DataFrame, ps=(0.5, 0.9, 0.99)) -> DataFrame:
+    """Per group: quantile estimates from the histogram — the smallest
+    bin whose cumulative count reaches ceil(p·n), reported as the bin's
+    lower edge in value units. Everything runs on the tiny (grp, bin)
+    relation; at 100 TB only the one binning aggregate sees data."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("grp").orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    fl = F.floor(F.col("bin") / 2)
+    edge = F.round((F.pow(F.lit(2.0), fl.cast("double"))
+                    + (F.col("bin") % 2).cast("double")
+                    * F.pow(F.lit(2.0), (fl - 1).cast("double")))
+                   / 100.0, 6)
+    cum = (sketch.withColumn("_cum", F.sum("cnt").over(w))
+           .withColumn("_n", F.sum("cnt").over(Window.partitionBy("grp")))
+           .withColumn("_edge", edge))
+    aggs = [F.max("_n").alias("n_values")]
+    for p in ps:
+        tag = f"p{int(p * 100)}_est"
+        rank = F.ceil(F.lit(p) * F.col("_n").cast("double"))
+        aggs.append(F.min(F.when(F.col("_cum") >= rank, F.col("_edge")))
+                    .alias(tag))
+    return (cum.groupBy("grp").agg(*aggs))

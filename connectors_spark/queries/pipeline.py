@@ -1991,3 +1991,42 @@ def doc_bpe_subwords(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     merges = bpe_train(docs, k=6)
     return bpe_subword_counts(docs, merges)
+
+
+@register("ev_value_histogram_quantiles", sql="""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL AND round(value * 100) >= 1),
+b AS (
+  SELECT event_type,
+         (length(bin(cents)) - 1) * 2 +
+         CASE WHEN substring(bin(cents), 2, 1) = '1' THEN 1 ELSE 0 END
+             AS bin
+  FROM c),
+h AS (SELECT event_type, bin, count(*)::BIGINT AS cnt FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin)::BIGINT
+             AS cum,
+         sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n,
+         round((pow(2.0::DOUBLE, bin // 2)
+                + (bin % 2) * pow(2.0::DOUBLE, bin // 2 - 1)) / 100.0, 6)
+             AS edge
+  FROM h)
+SELECT event_type, max(n)::BIGINT AS n_values,
+       min(CASE WHEN cum >= ceil(0.5 * n) THEN edge END) AS p50_est,
+       min(CASE WHEN cum >= ceil(0.9 * n) THEN edge END) AS p90_est,
+       min(CASE WHEN cum >= ceil(0.99 * n) THEN edge END) AS p99_est
+FROM cum GROUP BY 1
+""")
+def ev_hist_quantiles(spark, sf_dir):
+    # Mergeable approx-quantiles: half-octave histogram over integer
+    # cents with EXACT bit-arithmetic binning (a log2-based bin is one
+    # libm ulp from a different bucket; bit_length can't disagree
+    # between engines). The quantile read-out runs entirely on the tiny
+    # (group, bin) relation — the 100 TB path sees one binning
+    # aggregate, and slices merge by adding counts.
+    from ..ops.sketches import histogram_quantiles, histogram_sketch
+    ev = load(spark, sf_dir, "events")
+    out = histogram_quantiles(histogram_sketch(ev, "event_type", "value"))
+    return out.withColumnRenamed("grp", "event_type")

@@ -108,6 +108,7 @@ GATE_SORT: Dict[str, list] = {
     "doc_decontaminate": ["doc_id"],
     "doc_countmin_token_counts": ["token"],
     "ev_hll_distinct": ["event_type"],
+    "ev_value_histogram_quantiles": ["event_type"],
     "doc_bloom_decontaminate": ["doc_id"],
     "doc_mixture_quota": ["group"],
     "doc_epoch_shuffle": ["doc_id"],
@@ -267,6 +268,8 @@ GATE_COLUMNS: Dict[str, list] = {
     "doc_epoch_shuffle": ["doc_id", "pos"],
     "doc_bpe_merges": ["step", "left", "right", "pair_freq"],
     "doc_bpe_subword_counts": ["doc_id", "n_words", "n_subwords"],
+    "ev_value_histogram_quantiles": ["event_type", "n_values", "p50_est",
+                                     "p90_est", "p99_est"],
     "delta_cdf_incremental_agg": ["o_orderstatus", "n_orders",
                                   "sum_total"],
     "ev_asof_click_attribution": ["view_id", "user_id", "click_id", "gap_us"],
@@ -372,6 +375,7 @@ _R6_NEW = frozenset(["mm_image_decode_real", "mm_image_thumb_real",
                      "emb_pq_adc_bcast_topk", "doc_countmin_token_counts",
                      "doc_mixture_quota", "doc_epoch_shuffle",
                      "delta_cdf_incremental_agg", "doc_bpe_merges",
+                     "ev_value_histogram_quantiles",
                      "doc_bpe_subword_counts",
                      "ev_hll_distinct", "doc_bloom_decontaminate"])
 

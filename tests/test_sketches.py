@@ -103,3 +103,33 @@ def test_bpe_merges_repeats_left_to_right(spark):
     merges = bpe_train(df, k=2)
     assert merges[0][1:3] == ("a", "a")
     assert merges[1][1:3] == ("aa", "aa")
+
+
+def test_histogram_sketch_merges_and_bounds(spark):
+    from pyspark.sql import functions as F2
+    ev = read_table(spark, "events")
+    full = sk.histogram_sketch(ev, "event_type", "value")
+    a = sk.histogram_sketch(ev.filter(F2.col("event_id") % 2 == 0),
+                            "event_type", "value")
+    b = sk.histogram_sketch(ev.filter(F2.col("event_id") % 2 == 1),
+                            "event_type", "value")
+    merged = (a.unionByName(b).groupBy("grp", "bin")
+              .agg(F2.sum("cnt").alias("cnt")))
+    diff = (merged.join(full, ["grp", "bin"], "full")
+            .filter(~merged["cnt"].eqNullSafe(full["cnt"])).count())
+    assert diff == 0  # additive counts: merge == rebuild
+    # The estimate is the lower edge of the half-octave bin holding
+    # the ceil(p*n)-th ORDER STATISTIC, so edge <= stat < edge*1.5
+    # (bin widths alternate x1.5 / x4/3).
+    import math
+    q = {r.grp: r for r in sk.histogram_quantiles(full).collect()}
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    for grp, vs in vals.items():
+        vs.sort()
+        est = q[grp]
+        for p, e in ((0.5, est.p50_est), (0.99, est.p99_est)):
+            stat = vs[math.ceil(p * len(vs)) - 1]
+            assert e <= stat * 1.001, (grp, p, e, stat)
+            assert stat < e * 1.51, (grp, p, e, stat)
