@@ -282,3 +282,70 @@ def image_thumbnails(media_df: DataFrame, tw: int = 5, th: int = 4,
     schema = StructType([StructField(id_col, LongType())]
                         + THUMB_STATS_SCHEMA.fields[1:])
     return media_df.mapInPandas(thumbs, schema=schema)
+
+
+AUDIO_STATS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", IntegerType()),
+    StructField("amp_sum", LongType()),
+    StructField("amp_sq_sum", LongType()),
+    StructField("amp_xsum", LongType()),
+])
+
+
+def synth_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-audio corpus: per doc, PCM16 mono samples
+    follow the closed-form rule
+
+        n     = 64 + doc_id % 129
+        rate  = 8000 + (doc_id % 3) * 4000
+        s[i]  = (doc_id * 7919 + i * i) % 4001 - 2000
+
+    encoded through the real WAV encoder, so decoding is a genuine
+    RIFF-chunk parse while an SQL oracle recomputes expected sample
+    statistics from the rule alone."""
+    from . import audiocodec as ac
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                n = 64 + did % 129
+                rate = 8000 + (did % 3) * 4000
+                samples = [(did * 7919 + i * i) % 4001 - 2000
+                           for i in range(n)]
+                rows.append((did, ac.encode_wav(samples, rate)))
+            yield pd.DataFrame(rows, columns=[id_col, "media"])
+
+    return docs.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media binary")
+
+
+def decode_audio(media_df: DataFrame, id_col: str = "doc_id",
+                 media_col: str = "media") -> DataFrame:
+    """REAL audio decode via the stdlib WAV codec: per clip, sample
+    rate and count from the parsed header plus amplitude sums from the
+    PCM payload (amp_xsum is position-weighted, so a byte-order or
+    alignment bug cannot cancel out). Non-PCM formats raise
+    NotImplementedError (native-codec territory)."""
+    import numpy as np
+
+    from . import audiocodec as ac
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[media_col]):
+                rate, _ch, samples = ac.decode_wav(bytes(blob))
+                arr = np.array(samples, dtype=np.int64)
+                rows.append((int(did), rate, len(arr), int(arr.sum()),
+                             int((arr * arr).sum()),
+                             int(((np.arange(len(arr)) + 1) * arr).sum())))
+            yield pd.DataFrame(rows, columns=cols)
+
+    cols = [id_col] + [f.name for f in AUDIO_STATS_SCHEMA.fields[1:]]
+    schema = StructType([StructField(id_col, LongType())]
+                        + AUDIO_STATS_SCHEMA.fields[1:])
+    return media_df.mapInPandas(dec, schema=schema)

@@ -2030,3 +2030,29 @@ def ev_hist_quantiles(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     out = histogram_quantiles(histogram_sketch(ev, "event_type", "value"))
     return out.withColumnRenamed("grp", "event_type")
+
+
+@register("mm_audio_decode_real", sql="""
+WITH g AS (
+  SELECT doc_id, 64 + doc_id % 129 AS n,
+         (8000 + (doc_id % 3) * 4000)::INTEGER AS sample_rate
+  FROM documents),
+s AS (
+  SELECT g.doc_id, g.sample_rate, g.n, r.i,
+         (g.doc_id * 7919 + r.i * r.i) % 4001 - 2000 AS v
+  FROM g, LATERAL (SELECT unnest(range(0, g.n)) AS i) r)
+SELECT doc_id, sample_rate, n::INTEGER AS n_samples,
+       sum(v)::BIGINT AS amp_sum,
+       sum(v * v)::BIGINT AS amp_sq_sum,
+       sum((i + 1) * v)::BIGINT AS amp_xsum
+FROM s GROUP BY doc_id, sample_rate, n
+""")
+def mm_audio_decode_real(spark, sf_dir):
+    # REAL WAV decode (stdlib RIFF parser, ops/audiocodec.py): the
+    # corpus is genuine PCM16 WAV bytes whose samples follow a
+    # closed-form doc_id rule; the oracle recomputes the expected
+    # amplitude statistics from the rule, Spark must parse actual RIFF
+    # chunks to produce them. Closes the audio arm of the multimodal
+    # family the way mm_image_decode_real closed images.
+    docs = load(spark, sf_dir, "documents")
+    return mm.decode_audio(mm.synth_wav_media(docs))

@@ -133,3 +133,52 @@ def test_spark_thumbnails_double_roundtrip(spark, sf_dir):
         assert (r.tw, r.th) == (5, 4)
         assert r.thumb_sum == sum(exp)
         assert r.thumb_xsum == sum((i + 1) * v for i, v in enumerate(exp))
+
+
+# ---------------------------------------------------------------- WAV codec
+
+def test_wav_roundtrip_mono_and_stereo():
+    from connectors_spark.ops import audiocodec as ac
+    s = [0, 1000, -1000, 32767, -32768, 5]
+    for ch in (1, 2):
+        rate, rch, out = ac.decode_wav(ac.encode_wav(s, 22050, ch))
+        assert (rate, rch, out) == (22050, ch, s)
+
+
+def test_wav_skips_unknown_chunks():
+    import struct
+    from connectors_spark.ops import audiocodec as ac
+    blob = bytearray(ac.encode_wav([1, 2, 3], 8000))
+    # splice a LIST chunk (odd length -> word-alignment padding)
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\0"
+    out = blob[:12] + extra + blob[12:]
+    out[4:8] = struct.pack("<I", len(out) - 8)
+    rate, ch, samples = ac.decode_wav(bytes(out))
+    assert (rate, ch, samples) == (8000, 1, [1, 2, 3])
+
+
+def test_wav_guards_non_pcm():
+    import struct
+    import pytest as pt
+    from connectors_spark.ops import audiocodec as ac
+    blob = bytearray(ac.encode_wav([1], 8000))
+    blob[20:22] = struct.pack("<H", 85)  # mp3 format tag
+    with pt.raises(NotImplementedError, match="PCM"):
+        ac.decode_wav(bytes(blob))
+
+
+def test_spark_real_wav_decode_matches_rule(spark, sf_dir):
+    from connectors_spark.ops import multimodal as mm
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter("doc_id < 30"))
+    out = mm.decode_audio(mm.synth_wav_media(docs)).collect()
+    assert len(out) == 30
+    for r in out:
+        did = r.doc_id
+        n = 64 + did % 129
+        vals = [(did * 7919 + i * i) % 4001 - 2000 for i in range(n)]
+        assert r.sample_rate == 8000 + (did % 3) * 4000
+        assert r.n_samples == n
+        assert r.amp_sum == sum(vals)
+        assert r.amp_sq_sum == sum(v * v for v in vals)
+        assert r.amp_xsum == sum((i + 1) * v for i, v in enumerate(vals))
