@@ -349,3 +349,71 @@ def decode_audio(media_df: DataFrame, id_col: str = "doc_id",
     schema = StructType([StructField(id_col, LongType())]
                         + AUDIO_STATS_SCHEMA.fields[1:])
     return media_df.mapInPandas(dec, schema=schema)
+
+
+VIDEO_FRAME_STATS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("pix_sum", LongType()),
+    StructField("pix_xsum", LongType()),
+])
+
+
+def synth_avi_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-video corpus: per doc a raw-DIB AVI with
+
+        nf = 2 + doc_id % 4 frames,  w = 4 + doc_id % 5,
+        h = 2 + doc_id % 3,  pixel(f, i) = (doc_id*131 + f*977 + i) % 256
+
+    encoded through the real AVI encoder (RIFF lists, bottom-up padded
+    BGR DIB frames), so frame extraction is a genuine container parse
+    while an SQL oracle recomputes expected frame statistics from the
+    rule alone."""
+    from . import videocodec as vc
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                nf, w, h = 2 + did % 4, 4 + did % 5, 2 + did % 3
+                frames = [bytes((did * 131 + f * 977 + i) % 256
+                                for i in range(w * h * 3))
+                          for f in range(nf)]
+                rows.append((did, vc.encode_avi(w, h, frames)))
+            yield pd.DataFrame(rows, columns=[id_col, "media"])
+
+    return docs.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media binary")
+
+
+def frame_sample_real(media_df: DataFrame, every_n: int = 2,
+                      id_col: str = "doc_id",
+                      media_col: str = "media") -> DataFrame:
+    """REAL video frame sampling: parse the AVI container, keep every
+    ``every_n``-th frame, emit per-frame pixel stats (position-weighted
+    xsum — a row-order/BGR-swap bug cannot cancel). 1→N Arrow batch
+    shape, the contract a native keyframe extractor drops into."""
+    import numpy as np
+
+    from . import videocodec as vc
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[media_col]):
+                w, h, frames = vc.decode_avi(bytes(blob))
+                for fi in range(0, len(frames), every_n):
+                    arr = np.frombuffer(frames[fi],
+                                        dtype=np.uint8).astype(np.int64)
+                    rows.append((int(did), fi, w, h, int(arr.sum()),
+                                 int(((np.arange(len(arr)) + 1)
+                                      * arr).sum())))
+            yield pd.DataFrame(rows, columns=cols)
+
+    cols = [id_col] + [f.name for f in VIDEO_FRAME_STATS_SCHEMA.fields[1:]]
+    schema = StructType([StructField(id_col, LongType())]
+                        + VIDEO_FRAME_STATS_SCHEMA.fields[1:])
+    return media_df.mapInPandas(sample, schema=schema)

@@ -2056,3 +2056,32 @@ def mm_audio_decode_real(spark, sf_dir):
     # family the way mm_image_decode_real closed images.
     docs = load(spark, sf_dir, "documents")
     return mm.decode_audio(mm.synth_wav_media(docs))
+
+
+@register("mm_video_frames_real", sql="""
+WITH g AS (
+  SELECT doc_id, 2 + doc_id % 4 AS nf, 4 + doc_id % 5 AS w,
+         2 + doc_id % 3 AS h
+  FROM documents),
+fr AS (
+  SELECT g.doc_id, g.w, g.h, f.f
+  FROM g, LATERAL (SELECT unnest(range(0, g.nf, 2)) AS f) f),
+px AS (
+  SELECT fr.doc_id, fr.f, fr.w, fr.h, r.i,
+         (fr.doc_id * 131 + fr.f * 977 + r.i) % 256 AS v
+  FROM fr, LATERAL (SELECT unnest(range(0, fr.w * fr.h * 3)) AS i) r)
+SELECT doc_id, f::INTEGER AS frame_idx, w::INTEGER AS width,
+       h::INTEGER AS height,
+       sum(v)::BIGINT AS pix_sum, sum((i + 1) * v)::BIGINT AS pix_xsum
+FROM px GROUP BY doc_id, f, w, h
+""")
+def mm_video_frames_real(spark, sf_dir):
+    # REAL video frame sampling (stdlib raw-DIB AVI parser,
+    # ops/videocodec.py): the corpus is genuine RIFF-AVI containers
+    # whose frame pixels follow a closed-form rule; Spark must walk the
+    # container and un-DIB each sampled frame to match the oracle's
+    # rule-derived stats. Completes the multimodal trio — image, audio
+    # and video all have real stdlib decode paths; compressed codecs
+    # remain guarded.
+    docs = load(spark, sf_dir, "documents")
+    return mm.frame_sample_real(mm.synth_avi_media(docs), every_n=2)

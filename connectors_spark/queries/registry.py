@@ -90,6 +90,7 @@ GATE_SORT: Dict[str, list] = {
     "mm_image_decode_real": ["doc_id"],
     "mm_image_thumb_real": ["doc_id"],
     "mm_audio_decode_real": ["doc_id"],
+    "mm_video_frames_real": ["doc_id", "frame_idx"],
     "emb_cosine_topk": ["query_id", "rank", "vec_id"],
     "emb_norm_stats": ["label"],
     "emb_ann_lsh_topk": ["query_id", "rank", "vec_id"],
@@ -235,6 +236,8 @@ GATE_COLUMNS: Dict[str, list] = {
                             "thumb_xsum"],
     "mm_audio_decode_real": ["doc_id", "sample_rate", "n_samples",
                              "amp_sum", "amp_sq_sum", "amp_xsum"],
+    "mm_video_frames_real": ["doc_id", "frame_idx", "width", "height",
+                             "pix_sum", "pix_xsum"],
     "emb_cosine_topk": ["query_id", "vec_id", "sim", "rank"],
     "emb_norm_stats": ["label", "n_vectors", "avg_norm", "min_norm", "max_norm"],
     "emb_ann_lsh_topk": ["query_id", "vec_id", "sim", "rank"],
@@ -379,6 +382,7 @@ _R6_NEW = frozenset(["mm_image_decode_real", "mm_image_thumb_real",
                      "doc_mixture_quota", "doc_epoch_shuffle",
                      "delta_cdf_incremental_agg", "doc_bpe_merges",
                      "ev_value_histogram_quantiles", "mm_audio_decode_real",
+                     "mm_video_frames_real",
                      "doc_bpe_subword_counts",
                      "ev_hll_distinct", "doc_bloom_decontaminate"])
 

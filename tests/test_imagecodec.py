@@ -182,3 +182,42 @@ def test_spark_real_wav_decode_matches_rule(spark, sf_dir):
         assert r.amp_sum == sum(vals)
         assert r.amp_sq_sum == sum(v * v for v in vals)
         assert r.amp_xsum == sum((i + 1) * v for i, v in enumerate(vals))
+
+
+# ---------------------------------------------------------------- AVI codec
+
+def test_avi_roundtrip_shapes():
+    from connectors_spark.ops import videocodec as vc
+    for (w, h, nf) in [(5, 3, 4), (4, 2, 1), (1, 1, 2), (7, 5, 3)]:
+        frames = [bytes(((f * 977 + i) % 256) for i in range(w * h * 3))
+                  for f in range(nf)]
+        assert vc.decode_avi(vc.encode_avi(w, h, frames)) \
+            == (w, h, frames)
+
+
+def test_avi_guards_compressed_codecs():
+    import pytest as pt
+    from connectors_spark.ops import videocodec as vc
+    blob = bytearray(vc.encode_avi(2, 2, [bytes(12)]))
+    i = blob.find(b"vids") + 4
+    blob[i:i + 4] = b"h264"
+    with pt.raises(NotImplementedError, match="DIB"):
+        vc.decode_avi(bytes(blob))
+
+
+def test_spark_real_video_frames_match_rule(spark, sf_dir):
+    from connectors_spark.ops import multimodal as mm
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter("doc_id < 20"))
+    out = mm.frame_sample_real(mm.synth_avi_media(docs),
+                               every_n=2).collect()
+    for r in out:
+        did, f = r.doc_id, r.frame_idx
+        w, h = 4 + did % 5, 2 + did % 3
+        vals = [(did * 131 + f * 977 + i) % 256 for i in range(w * h * 3)]
+        assert (r.width, r.height) == (w, h)
+        assert f % 2 == 0
+        assert r.pix_sum == sum(vals)
+        assert r.pix_xsum == sum((i + 1) * v for i, v in enumerate(vals))
+    n_expected = sum((2 + did % 4 + 1) // 2 for did in range(20))
+    assert len(out) == n_expected
