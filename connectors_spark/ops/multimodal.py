@@ -5,12 +5,16 @@ The pattern for image/audio/video at 100 TB: media bytes live in a
 struct; decode / feature-extract runs as Arrow-batched `mapInPandas`
 so Python touches data in columnar batches, never row-at-a-time.
 
-The container has no image/audio libraries, so the real decoders are
-STUBS raising NotImplementedError behind import-guards; the *Spark-side
-plumbing* — schema, batch iteration, partition sizing, UDF signature —
-is real and tested. `fake_decode_features` is the deterministic stand-in
-the tests and the correctness oracle exercise (features are pure
-arithmetic on byte length, reproducible in SQL).
+The container has no native media libraries, but each modality has one
+format a pure-stdlib parser can decode, and those paths are REAL here:
+PNG/BMP images (ops/imagecodec.py), WAV/PCM audio (ops/audiocodec.py),
+raw-DIB AVI video (ops/videocodec.py) — all oracle-gated on
+closed-form pixel/sample statistics. Compressed formats (jpeg, mp3,
+h264, ...) raise NotImplementedError behind guards: the mapInPandas
+seam is identical, so a native decoder drops in with zero plan
+changes. `fake_decode_features`/`fake_resize`/`fake_frame_sample`
+remain as byte-length stand-ins exercising the batch contracts
+independently of any codec.
 """
 
 from __future__ import annotations
