@@ -43,6 +43,10 @@ def decode_wav(data: bytes) -> Tuple[int, int, List[int]]:
     while pos + 8 <= end:
         tag = bytes(data[pos:pos + 4])
         (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        if pos + 8 + ln > len(data):
+            raise ValueError(
+                f"truncated {tag!r} chunk: declares {ln} bytes, "
+                f"{len(data) - pos - 8} remain")
         body = data[pos + 8:pos + 8 + ln]
         if tag == b"fmt ":
             fmt_tag, channels, rate, _br, _ba, bits = struct.unpack(
@@ -58,5 +62,7 @@ def decode_wav(data: bytes) -> Tuple[int, int, List[int]]:
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
     if rate is None or pcm is None:
         raise ValueError("missing fmt or data chunk")
+    if len(pcm) % 2:
+        raise ValueError("PCM16 data chunk has odd byte length")
     samples = list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
     return rate, channels, samples

@@ -66,7 +66,12 @@ def bpe_train(df: DataFrame, k: int = 4,
     """Learn the first ``k`` BPE merges; returns
     [(step, left, right, pair_freq)] with step 1-based. Each round is
     one distributed aggregate + a 1-row collect of the argmax."""
-    states = _word_states(df, text_col)
+    # The corpus is scanned ONCE: the vocabulary-sized word relation is
+    # cached, and each round's replaces chain on top of it — without
+    # this, every round's collect() re-runs the corpus tokenize +
+    # distinct-word shuffle from raw input (k full scans for k merges).
+    base = _word_states(df, text_col).persist()
+    states = base
     merges: List[Tuple[int, str, str, int]] = []
     for step in range(1, k + 1):
         best = (_pair_freqs(states)
@@ -80,6 +85,7 @@ def bpe_train(df: DataFrame, k: int = 4,
         rep = f"{SEP}{l}{r}{SEP}"
         states = states.withColumn(
             "state", F.replace(F.col("state"), F.lit(pat), F.lit(rep)))
+    base.unpersist()
     return merges
 
 

@@ -291,6 +291,7 @@ def image_thumbnails(media_df: DataFrame, tw: int = 5, th: int = 4,
 AUDIO_STATS_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("sample_rate", IntegerType()),
+    StructField("channels", IntegerType()),
     StructField("n_samples", IntegerType()),
     StructField("amp_sum", LongType()),
     StructField("amp_sq_sum", LongType()),
@@ -342,9 +343,9 @@ def decode_audio(media_df: DataFrame, id_col: str = "doc_id",
         for pdf in batches:
             rows = []
             for did, blob in zip(pdf[id_col], pdf[media_col]):
-                rate, _ch, samples = ac.decode_wav(bytes(blob))
+                rate, ch, samples = ac.decode_wav(bytes(blob))
                 arr = np.array(samples, dtype=np.int64)
-                rows.append((int(did), rate, len(arr), int(arr.sum()),
+                rows.append((int(did), rate, ch, len(arr), int(arr.sum()),
                              int((arr * arr).sum()),
                              int(((np.arange(len(arr)) + 1) * arr).sum())))
             yield pd.DataFrame(rows, columns=cols)

@@ -115,9 +115,14 @@ def mixture_allocate(df: DataFrame, group_col: str = "source",
     counts = df.groupBy(F.col(group_col).alias("group")).agg(
         F.count(F.lit(1)).alias("n_docs"))
     pw = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    # _exact is rounded to 6 BEFORE floor/frac: pow and the unordered
+    # normalizer sum are doubles, and an unrounded value one ulp either
+    # side of an integer would flip floor() (and the remainder rank)
+    # between engines or runs — the same libm-boundary class the
+    # histogram sketch avoids with bit arithmetic.
     ex = counts.select(
         "group", "n_docs",
-        (pw / F.sum(pw).over(w_all) * F.lit(float(budget)))
+        F.round(pw / F.sum(pw).over(w_all) * F.lit(float(budget)), 6)
         .alias("_exact"))
     base = ex.select(
         "group", "n_docs",

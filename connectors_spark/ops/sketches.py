@@ -27,14 +27,26 @@ from ..functions.text import hash64
 
 def _bucket(col: Column, salt: str, width: int) -> Column:
     """Deterministic bucket: hash64 is a non-negative 60-bit value, so
-    plain % agrees between Spark and DuckDB (no negative-mod skew)."""
+    plain % agrees between Spark and DuckDB (no negative-mod skew).
+    DuckDB twin (inlined by the oracles in queries/pipeline.py):
+    ``('0x' || substring(md5('<salt>' || expr), 1, 15))::BIGINT % w``.
+    """
     return hash64(F.concat(F.lit(salt), col.cast("string"))) % width
 
 
-def bucket_sql(expr: str, salt: str, width: int) -> str:
-    """The DuckDB-side twin of _bucket, for oracle construction."""
-    return (f"('0x' || substring(md5('{salt}' || {expr}), 1, 15))::BIGINT"
-            f" % {width}")
+def _probe_array(col: Column, prefix: str, k: int, width: int,
+                 with_j: bool = True):
+    """The k per-hash probes for a key — ONE construction shared by
+    sketch build and estimate/probe sides, so the two can never drift
+    (a probe-side salt change would silently garble every estimate
+    while still passing >=0 sanity checks)."""
+    if with_j:
+        return F.array(*[
+            F.struct(F.lit(j).cast("int").alias("j"),
+                     _bucket(col, f"{prefix}{j}:", width).alias("bucket"))
+            for j in range(k)])
+    return F.array(*[_bucket(col, f"{prefix}{j}:", width)
+                     for j in range(k)])
 
 
 # ----------------------------------------------------------------- CountMin
@@ -46,10 +58,7 @@ def countmin_sketch(df: DataFrame, key_col: str, depth: int = 4,
     hashes explode from an array), one map-side-combined aggregate;
     counters are additive, so sketches of different data slices union +
     re-aggregate into the merged sketch."""
-    probes = F.array(*[
-        F.struct(F.lit(j).cast("int").alias("j"),
-                 _bucket(F.col(key_col), f"cm{j}:", width).alias("bucket"))
-        for j in range(depth)])
+    probes = _probe_array(F.col(key_col), "cm", depth, width)
     return (df.select(F.explode(probes).alias("_p"))
             .groupBy(F.col("_p.j").alias("j"),
                      F.col("_p.bucket").alias("bucket"))
@@ -64,11 +73,8 @@ def countmin_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
     the join is on (j, bucket) against the d*w-row sketch."""
     pr = (keys.select(
         F.col(key_col),
-        F.explode(F.array(*[
-            F.struct(F.lit(j).cast("int").alias("j"),
-                     _bucket(F.col(key_col), f"cm{j}:", width)
-                     .alias("bucket"))
-            for j in range(depth)])).alias("_p"))
+        F.explode(_probe_array(F.col(key_col), "cm", depth, width))
+        .alias("_p"))
         .select(key_col, F.col("_p.j").alias("j"),
                 F.col("_p.bucket").alias("bucket")))
     return (pr.join(sketch, ["j", "bucket"], "left")
@@ -135,8 +141,7 @@ def bloom_bits(df: DataFrame, gram_col: str, k: int = 3,
     Bloom filter as data. At 100 TB the bit relation is at most mbits
     rows regardless of corpus size (vs broadcasting the exact gram
     set), and ORs of two filters are a plain union+distinct."""
-    probes = F.array(*[_bucket(F.col(gram_col), f"bl{j}:", mbits)
-                       for j in range(k)])
+    probes = _probe_array(F.col(gram_col), "bl", k, mbits, with_j=False)
     return df.select(F.explode(probes).alias("bit")).distinct()
 
 
@@ -149,9 +154,8 @@ def bloom_contains_counts(probe: DataFrame, id_col: str, gram_col: str,
     by AQE; no corpus-sized shuffle beyond the per-gram distinct."""
     pr = (probe.select(id_col, gram_col).distinct()
           .select(id_col, gram_col,
-                  F.explode(F.array(*[
-                      _bucket(F.col(gram_col), f"bl{j}:", mbits)
-                      for j in range(k)])).alias("bit")))
+                  F.explode(_probe_array(F.col(gram_col), "bl", k, mbits,
+                                         with_j=False)).alias("bit")))
     marked = bits.withColumn("_hit", F.lit(1))
     per_gram = (pr.join(marked, "bit", "left")
                 .groupBy(id_col, gram_col)

@@ -1879,8 +1879,8 @@ WITH c AS (
   FROM documents GROUP BY 1),
 e AS (
   SELECT "group", n_docs,
-         pow(n_docs, 0.5) / sum(pow(n_docs, 0.5)) OVER () * 1000.0
-             AS _exact
+         round(pow(n_docs, 0.5) / sum(pow(n_docs, 0.5)) OVER () * 1000.0,
+               6) AS _exact
   FROM c),
 b AS (
   SELECT "group", n_docs, floor(_exact)::BIGINT AS _base,
@@ -1940,11 +1940,15 @@ p{r} AS (
   GROUP BY 1, 2),
 b{r} AS (SELECT l, r, f FROM p{r} ORDER BY f DESC, l, r LIMIT 1),
 s{r} AS (
+  -- LEFT JOIN ON TRUE: when pairs run dry before round k, b{r} is
+  -- empty and the state must pass through unchanged (matching the
+  -- Spark side's early break), not collapse to an empty relation.
   SELECT w.word, w.c,
-         replace(w.state,
+         CASE WHEN b.l IS NULL THEN w.state
+              ELSE replace(w.state,
                  chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
-                 chr(31) || b.l || b.r || chr(31)) AS state
-  FROM s{r - 1} w, b{r} b)""")
+                 chr(31) || b.l || b.r || chr(31)) END AS state
+  FROM s{r - 1} w LEFT JOIN b{r} b ON TRUE)""")
     return (f"WITH {_TOKS},\n"
             "w AS (SELECT u AS word, count(*)::BIGINT AS c\n"
             "      FROM (SELECT unnest(t) AS u FROM toks) GROUP BY 1),\n"
@@ -2041,7 +2045,8 @@ s AS (
   SELECT g.doc_id, g.sample_rate, g.n, r.i,
          (g.doc_id * 7919 + r.i * r.i) % 4001 - 2000 AS v
   FROM g, LATERAL (SELECT unnest(range(0, g.n)) AS i) r)
-SELECT doc_id, sample_rate, n::INTEGER AS n_samples,
+SELECT doc_id, sample_rate, 1::INTEGER AS channels,
+       n::INTEGER AS n_samples,
        sum(v)::BIGINT AS amp_sum,
        sum(v * v)::BIGINT AS amp_sq_sum,
        sum((i + 1) * v)::BIGINT AS amp_xsum

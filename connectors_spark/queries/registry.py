@@ -234,8 +234,9 @@ GATE_COLUMNS: Dict[str, list] = {
                              "channels", "pix_sum", "pix_xsum"],
     "mm_image_thumb_real": ["doc_id", "tw", "th", "thumb_sum",
                             "thumb_xsum"],
-    "mm_audio_decode_real": ["doc_id", "sample_rate", "n_samples",
-                             "amp_sum", "amp_sq_sum", "amp_xsum"],
+    "mm_audio_decode_real": ["doc_id", "sample_rate", "channels",
+                             "n_samples", "amp_sum", "amp_sq_sum",
+                             "amp_xsum"],
     "mm_video_frames_real": ["doc_id", "frame_idx", "width", "height",
                              "pix_sum", "pix_xsum"],
     "emb_cosine_topk": ["query_id", "vec_id", "sim", "rank"],

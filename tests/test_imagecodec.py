@@ -221,3 +221,11 @@ def test_spark_real_video_frames_match_rule(spark, sf_dir):
         assert r.pix_xsum == sum((i + 1) * v for i, v in enumerate(vals))
     n_expected = sum((2 + did % 4 + 1) // 2 for did in range(20))
     assert len(out) == n_expected
+
+
+def test_wav_truncated_data_raises():
+    import pytest as pt
+    from connectors_spark.ops import audiocodec as ac
+    blob = ac.encode_wav([1, 2, 3, 4], 8000)
+    with pt.raises(ValueError, match="truncated|RIFF"):
+        ac.decode_wav(blob[:-3])

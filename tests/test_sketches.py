@@ -133,3 +133,37 @@ def test_histogram_sketch_merges_and_bounds(spark):
             stat = vs[math.ceil(p * len(vs)) - 1]
             assert e <= stat * 1.001, (grp, p, e, stat)
             assert stat < e * 1.51, (grp, p, e, stat)
+
+
+def test_bpe_oracle_survives_pair_dryout(spark, tmp_path):
+    """Fewer learnable merges than k: the Spark side breaks early and
+    the oracle's LEFT JOIN ON TRUE passes states through unchanged —
+    doc_bpe_subword_counts-style encode must still agree per doc."""
+    import duckdb
+    from connectors_spark.queries.pipeline import _bpe_ctes
+    from connectors_spark.ops.bpe import bpe_subword_counts, bpe_train
+
+    pq = str(tmp_path / "docs.parquet")
+    docs = spark.createDataFrame(
+        [(0, "ab ab a", "en", "src0"), (1, "b a ab", "en", "src0")],
+        "doc_id long, text string, lang string, source string")
+    docs.toPandas().to_parquet(pq)
+
+    merges = bpe_train(docs, k=6)       # only 1 learnable merge: (a,b)
+    assert len(merges) == 1 and merges[0][1:3] == ("a", "b")
+    got = {(r.doc_id, r.n_words, r.n_subwords)
+           for r in bpe_subword_counts(docs, merges).collect()}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{pq}'")
+    sql = _bpe_ctes(6) + """
+SELECT t.doc_id, count(*)::BIGINT AS n_words,
+       sum(len(string_split(substr(s.state, 2, length(s.state) - 2),
+                            chr(31) || chr(31))))::BIGINT AS n_subwords
+FROM (SELECT doc_id, unnest(t) AS word FROM toks) t
+JOIN s6 s USING (word)
+GROUP BY 1
+"""
+    want = set(map(tuple, con.execute(sql).fetchall()))
+    con.close()
+    assert got == want
