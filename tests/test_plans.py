@@ -374,3 +374,25 @@ def test_epoch_shuffle_no_data_through_one_task(plans):
     for b in single:
         assert "doc_id" not in b, f"doc rows funneled to one task:\n{b}"
     assert "hashpartitioning(_bkt" in p
+
+
+@pytest.mark.parametrize("name", ["doc_countmin_token_counts",
+                                  "doc_bloom_decontaminate",
+                                  "doc_epoch_shuffle",
+                                  "ev_hll_distinct",
+                                  "ev_value_histogram_quantiles",
+                                  "doc_mixture_quota"])
+def test_sketch_family_no_cartesian_or_nlj(plans, name):
+    # Sketch/sampling relations are tiny by construction (counters,
+    # bits, per-bucket offsets): their joins must resolve as hash
+    # joins — never a nested loop or cartesian on any side.
+    p = plans(name)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bloom_bits_join_is_broadcast(plans):
+    # The <=mbits bit relation must broadcast against the corpus probe
+    # side (the whole point of the sketch vs an exact gram set).
+    p = plans("doc_bloom_decontaminate")
+    assert "BroadcastHashJoin" in p

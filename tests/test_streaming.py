@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from connectors_spark import DeltaTable
+from tests.conftest import SF_DIR
 from connectors_spark.errors import DeltaError
 from connectors_spark.streaming import DeltaStreamSink, register_stream_source
 from connectors_spark.streaming.source import DeltaVersionStreamReader
@@ -425,3 +426,41 @@ def test_restart_snapshot_batch_clamped_to_persisted_end(spark, tmp_path):
                  for r in t.log.snapshot_for_version(2)
                  .files_df.select("path").collect()}
     assert {p.file_path.split("/")[-1] for p in parts} == active_v2
+
+
+def test_streaming_countmin_sketch_maintenance(spark, tmp_path):
+    """The CountMin counter relation is additive, so Structured
+    Streaming maintains it with a plain update-mode aggregate: after
+    the stream drains, the streamed sketch equals a batch rebuild over
+    the same rows — the live-ingest counterpart to the batch
+    merge test in tests/test_sketches.py."""
+    from pyspark.sql import functions as F
+    from connectors_spark.ops.sketches import countmin_sketch, _probe_array
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text").limit(200))
+    src_dir, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    docs.write.parquet(src_dir)
+
+    from connectors_spark.functions.text import tokens
+    stream = (spark.readStream.schema(docs.schema).parquet(src_dir)
+              .select(F.explode(tokens("text")).alias("g"))
+              .select(F.explode(_probe_array(F.col("g"), "cm", 4, 256))
+                      .alias("_p"))
+              .groupBy(F.col("_p.j").alias("j"),
+                       F.col("_p.bucket").alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    q = (stream.writeStream.format("memory").queryName("cm_live")
+         .outputMode("complete").option("checkpointLocation", ckpt)
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+    live = {(r.j, r.bucket): r.c
+            for r in spark.sql("SELECT * FROM cm_live").collect()}
+    batch = {(r.j, r.bucket): r.c
+             for r in countmin_sketch(
+                 spark.read.parquet(src_dir)
+                 .select(F.explode(tokens("text")).alias("g")),
+                 "g", depth=4, width=256).collect()}
+    assert live == batch
