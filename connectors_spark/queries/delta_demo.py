@@ -564,3 +564,31 @@ def delta_cdf_incremental_agg(spark, sf_dir):
                              + F.coalesce("_ds", F.lit(0))) / 100.0, 2)
                     .alias("sum_total"))
             .filter(F.col("n_orders") > 0))
+
+
+# --------------------------------------------------------------------------
+# Metadata-only aggregates (no Parquet scan)
+# --------------------------------------------------------------------------
+
+@register("delta_metadata_aggregates", sql="""
+SELECT count(*)::BIGINT AS n_rows,
+       min(o_orderkey) AS min_o_orderkey,
+       max(o_orderkey) AS max_o_orderkey,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders
+""")
+def delta_metadata_aggregates(spark, sf_dir):
+    # COUNT/MIN/MAX from AddFile stats alone — the one-row answer comes
+    # from the log's stats JSON; no data Parquet opens (pinned by a
+    # test that deletes the data files and still gets the answer).
+    def build(d):
+        od = load(spark, sf_dir, "orders")
+        DeltaTable.for_path(spark, d).write(od.repartition(8))
+    d = _built(sf_dir, "orders_meta_agg", build)
+    t = DeltaTable.for_path(spark, d)
+    out = t.metadata_aggregates(cols=["o_orderkey", "o_totalprice"])
+    return out.select(
+        "n_rows", "min_o_orderkey", "max_o_orderkey",
+        F.round("min_o_totalprice", 2).alias("min_price"),
+        F.round("max_o_totalprice", 2).alias("max_price"))

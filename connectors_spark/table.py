@@ -277,6 +277,55 @@ class DeltaTable:
     def history(self) -> List[Dict[str, Any]]:
         return self.log.history()
 
+    def metadata_aggregates(self, cols: Sequence[str] = (),
+                            version: Optional[int] = None) -> DataFrame:
+        """COUNT(*) (and MIN/MAX of ``cols``) answered from AddFile
+        statistics alone — the metadata-only aggregate optimization
+        (delta-spark's OptimizeMetadataOnlyDeltaQuery): the plan reads
+        the log's stats JSON, never a data Parquet. Sound because the
+        writer records EXACT per-file footer stats (writer.py:57-92,
+        not truncated), MIN/MAX ignore per-file all-null columns the
+        same way SQL MIN/MAX ignore null rows, and the fast path is
+        refused — falling back to a real scan — when any active file
+        lacks stats or carries a deletion vector (a DV removes rows
+        from data but not from stats, so both the count and an
+        extremal row could be stale).
+
+        Returns one row: (n_rows, min_<c>, max_<c>...). At 100 TB this
+        is a metadata-sized job over the file inventory; the validity
+        probe is one tiny aggregate over the same relation."""
+        from .dv import DV_TAG
+        snap = self._resolve(version, None)
+        files = snap.files_df
+        nrec = F.get_json_object(F.col("stats"), "$.numRecords") \
+            .cast("long")
+        invalid = files.filter(
+            nrec.isNull() |
+            F.col("tags").getItem(DV_TAG).isNotNull()).limit(1).count()
+        dtypes = {f.name: f.dataType
+                  for f in snap.metadata.data_schema.fields}
+        for c in cols:
+            if c not in dtypes:
+                raise DeltaError(f"no such data column: {c}")
+        if invalid:
+            # Fall back to the real scan — still one aggregate, just
+            # over data rows instead of file stats.
+            df = snap.to_df()
+            aggs = [F.count(F.lit(1)).alias("n_rows")]
+            for c in cols:
+                aggs += [F.min(c).alias(f"min_{c}"),
+                         F.max(c).alias(f"max_{c}")]
+            return df.agg(*aggs)
+        aggs = [F.sum(nrec).alias("n_rows")]
+        for c in cols:
+            lo = F.get_json_object(F.col("stats"),
+                                   f"$.minValues.{c}").cast(dtypes[c])
+            hi = F.get_json_object(F.col("stats"),
+                                   f"$.maxValues.{c}").cast(dtypes[c])
+            aggs += [F.min(lo).alias(f"min_{c}"),
+                     F.max(hi).alias(f"max_{c}")]
+        return files.agg(*aggs)
+
     def set_properties(self, props: Dict[str, str]) -> int:
         """ALTER TABLE SET TBLPROPERTIES: merge ``props`` into the
         table configuration via a metadata-only commit (reference op

@@ -380,3 +380,46 @@ def test_shallow_clone_partitioned_reads_and_prunes(spark, tmp_path):
     assert sorted(r.id for r in cl.to_df().collect()) == list(range(20))
     pruned = cl.scan(Col("p") == Lit("1")).to_df()
     assert sorted(r.id for r in pruned.collect()) == list(range(1, 20, 2))
+
+
+def test_metadata_aggregates_never_open_parquet(spark, tmp_path):
+    """The fast path answers from the log's stats JSON alone: delete
+    every data file and the aggregate still returns — a plan that
+    touched Parquet would throw."""
+    import glob
+    import os
+
+    from tests.conftest import read_table
+    d = str(tmp_path / "t")
+    od = read_table(spark, "orders")
+    t = DeltaTable.for_path(spark, d)
+    t.write(od.repartition(4))
+    want = od.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("lo"),
+        F.max("o_orderkey").alias("hi")).collect()[0]
+
+    for f in glob.glob(os.path.join(d, "*.parquet")):
+        os.remove(f)
+
+    got = t.metadata_aggregates(cols=["o_orderkey"]).collect()[0]
+    assert (got.n_rows, got.min_o_orderkey, got.max_o_orderkey) \
+        == (want.n, want.lo, want.hi)
+
+
+def test_metadata_aggregates_fall_back_on_dv(spark, tmp_path):
+    """A deletion vector invalidates stats-only answers (rows leave the
+    data but not the stats): the op must fall back to a real scan and
+    return the POST-delete truth."""
+    from tests.conftest import read_table
+    d = str(tmp_path / "t")
+    od = read_table(spark, "orders")
+    t = DeltaTable.for_path(spark, d)
+    t.write(od.repartition(2))
+    t.delete(Col("o_orderkey") <= Lit(100), deletion_vectors=True)
+
+    got = t.metadata_aggregates(cols=["o_orderkey"]).collect()[0]
+    kept = od.filter("o_orderkey > 100")
+    want = kept.agg(F.count(F.lit(1)).alias("n"),
+                    F.min("o_orderkey").alias("lo")).collect()[0]
+    assert (got.n_rows, got.min_o_orderkey) == (want.n, want.lo)
