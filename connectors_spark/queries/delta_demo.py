@@ -592,3 +592,37 @@ def delta_metadata_aggregates(spark, sf_dir):
         "n_rows", "min_o_orderkey", "max_o_orderkey",
         F.round("min_o_totalprice", 2).alias("min_price"),
         F.round("max_o_totalprice", 2).alias("max_price"))
+
+
+# --------------------------------------------------------------------------
+# replaceWhere: predicate-scoped atomic overwrite
+# --------------------------------------------------------------------------
+
+@register("delta_replace_where", sql="""
+WITH final AS (
+  SELECT o_orderstatus, o_orderkey FROM orders WHERE o_orderstatus <> 'F'
+  UNION ALL
+  SELECT o_orderstatus, o_orderkey FROM orders
+  WHERE o_orderstatus = 'F' AND o_orderkey <= 2000)
+SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+       sum(o_orderkey)::BIGINT AS sum_keys
+FROM final GROUP BY 1
+""")
+def delta_replace_where(spark, sf_dir):
+    # Delta replaceWhere: one transaction swaps exactly the predicate's
+    # rows for the incoming frame — here the 'F' partition is replaced
+    # by a strict subset, so stale F rows surviving OR non-F rows lost
+    # both flip the hash. Partition predicate -> files drop whole, no
+    # data read on the remove side.
+    def build(d):
+        od = load(spark, sf_dir, "orders")
+        t = DeltaTable.for_path(spark, d)
+        t.write(od, partition_by=["o_orderstatus"])
+        repl = od.where("o_orderstatus = 'F' AND o_orderkey <= 2000")
+        t.write(repl, mode="overwrite",
+                replace_where=Col("o_orderstatus") == Lit("F"))
+    d = _built(sf_dir, "orders_replace_where", build)
+    t = DeltaTable.for_path(spark, d)
+    return (t.to_df().groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("o_orderkey").alias("sum_keys")))

@@ -160,6 +160,7 @@ GATE_SORT: Dict[str, list] = {
     "delta_dv_delete": ["o_orderkey"],
     "delta_cdf_incremental_agg": ["o_orderstatus"],
     "delta_metadata_aggregates": ["n_rows"],
+    "delta_replace_where": ["o_orderstatus"],
 }
 
 
@@ -283,6 +284,7 @@ GATE_COLUMNS: Dict[str, list] = {
     "delta_metadata_aggregates": ["n_rows", "min_o_orderkey",
                                   "max_o_orderkey", "min_price",
                                   "max_price"],
+    "delta_replace_where": ["o_orderstatus", "n_orders", "sum_keys"],
     "ev_asof_click_attribution": ["view_id", "user_id", "click_id", "gap_us"],
     "ev_asof_global_locf": ["event_id", "gap_us", "pv"],
     "ev_range_error_context": ["event_id", "user_id", "n_following", "sum_value"],
@@ -388,6 +390,7 @@ _R6_NEW = frozenset(["mm_image_decode_real", "mm_image_thumb_real",
                      "delta_cdf_incremental_agg", "doc_bpe_merges",
                      "ev_value_histogram_quantiles", "mm_audio_decode_real",
                      "mm_video_frames_real", "delta_metadata_aggregates",
+                     "delta_replace_where",
                      "doc_bpe_subword_counts",
                      "ev_hll_distinct", "doc_bloom_decontaminate"])
 

@@ -361,10 +361,25 @@ class DeltaTable:
 
     def write(self, df: DataFrame, mode: str = "append",
               partition_by: Optional[Sequence[str]] = None,
-              configuration: Optional[Dict[str, str]] = None) -> int:
-        """Append/overwrite ``df``. Creates the table on first write."""
+              configuration: Optional[Dict[str, str]] = None,
+              replace_where: Optional[Expression] = None) -> int:
+        """Append/overwrite ``df``. Creates the table on first write.
+
+        ``replace_where`` (overwrite only): atomically replace EXACTLY
+        the rows matching the predicate with ``df`` — the Delta
+        replaceWhere contract. Every incoming row must satisfy the
+        predicate (raises otherwise, matching Delta's constraint
+        check); existing files are dropped whole when the predicate
+        fully covers them (partition/stats-pruned, no data read) and
+        rewritten keep-rows-only when it only partially covers them.
+        One transaction: readers never see a state with the old rows
+        gone and the new ones missing."""
         if mode not in ("append", "overwrite"):
             raise DeltaError(f"unsupported write mode {mode!r}")
+        if replace_where is not None and mode != "overwrite":
+            raise DeltaError("replace_where requires mode='overwrite'")
+        if replace_where is not None:
+            return self._replace_where(df, replace_where, configuration)
         txn = self.log.start_transaction()
         exists = txn.snapshot is not None and txn.read_version >= 0
         if exists:
@@ -400,6 +415,49 @@ class DeltaTable:
             operation_metrics={"numFiles": str(len(adds)),
                                "numOutputRows": str(n_rows)})
         return version
+
+    def _replace_where(self, df: DataFrame, predicate: Expression,
+                       configuration: Optional[Dict[str, str]]) -> int:
+        """replaceWhere body: validate-in, predicate-scoped remove (or
+        keep-rows rewrite for partially-covered files), staged adds —
+        one commit."""
+        txn = self.log.start_transaction()
+        snap = txn.snapshot
+        if snap is None:
+            raise FileNotFoundError(
+                "replace_where requires an existing table")
+        meta = snap.metadata
+        pred_col = predicate.to_column(F.col)
+        n_bad = df.where(~F.coalesce(pred_col, F.lit(False))) \
+            .limit(1).count()
+        if n_bad:
+            raise DeltaError(
+                "replaceWhere: incoming data contains rows that do not "
+                f"match the predicate {predicate}")
+        _enforce_constraints(df, meta.configuration, "written")
+        now = int(time.time() * 1000)
+        candidates = txn.mark_files_as_read(predicate)
+        scan = DeltaScan(snap, predicate)
+        actions: List[Any] = []
+        if scan.residual is None:
+            # predicate fully file-resolvable: drop candidates whole
+            actions += [f.remove(now) for f in candidates]
+        else:
+            cand_paths = [canonical_path(f.path, snap.table_path)
+                          for f in candidates]
+            files_subset = _semi_by_paths(snap.files_df, cand_paths)
+            old = snap.to_df(files=files_subset)
+            hit = F.coalesce(pred_col, F.lit(False))
+            keep = old.where(~hit)
+            actions += stage_and_collect(keep, self.log.table_path,
+                                         meta.partitionColumns)
+            actions += [f.remove(now) for f in candidates]
+        actions += stage_and_collect(df, self.log.table_path,
+                                     meta.partitionColumns)
+        return txn.commit(
+            actions, "WRITE",
+            operation_parameters={"mode": "overwrite",
+                                  "predicate": str(predicate)})
 
     # --------------------------------------------------------------- DML
 

@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from connectors_spark import DeltaTable
-from connectors_spark.expressions import Col
+from connectors_spark.expressions import Col, Lit
 from tests.conftest import read_table
 
 
@@ -134,3 +134,54 @@ def test_disjunctive_stats_skipping(spark, tmp_path):
     from connectors_spark.expressions import Not
     unbounded = Or(Col("k") >= Lit(950), Not(Col("v") < Lit(0)))
     assert DeltaScan(snap, unbounded).files().count() == 10
+
+
+def test_replace_where_partial_file_coverage(spark, tmp_path):
+    """Non-partition predicate on an unpartitioned table: touched files
+    are rewritten keep-rows-only, untouched rows survive byte-exact,
+    and the swap is one commit."""
+    from tests.conftest import read_table
+    d = str(tmp_path / "t")
+    od = read_table(spark, "orders").select("o_orderkey", "o_totalprice")
+    t = DeltaTable.for_path(spark, d)
+    t.write(od.repartition(3))
+    v0 = t.log.snapshot().version
+
+    repl = (od.where("o_orderkey <= 500")
+            .withColumn("o_totalprice", F.lit(0.0)))
+    t.write(repl, mode="overwrite",
+            replace_where=Col("o_orderkey") <= Lit(500))
+    assert t.log.snapshot().version == v0 + 1   # ONE commit
+
+    got = t.to_df()
+    assert got.where("o_orderkey <= 500 AND o_totalprice <> 0.0") \
+        .count() == 0
+    keep = od.where("o_orderkey > 500")
+    assert got.where("o_orderkey > 500").count() == keep.count()
+    assert got.count() == od.count()
+
+
+def test_replace_where_rejects_nonmatching_rows(spark, tmp_path):
+    from tests.conftest import read_table
+    import pytest as pt
+    from connectors_spark.errors import DeltaError
+    d = str(tmp_path / "t")
+    od = read_table(spark, "orders")
+    t = DeltaTable.for_path(spark, d)
+    t.write(od, partition_by=["o_orderstatus"])
+    with pt.raises(DeltaError, match="do not match"):
+        t.write(od.limit(50), mode="overwrite",
+                replace_where=Col("o_orderstatus") == Lit("F"))
+
+
+def test_replace_where_requires_overwrite(spark, tmp_path):
+    from tests.conftest import read_table
+    import pytest as pt
+    from connectors_spark.errors import DeltaError
+    d = str(tmp_path / "t")
+    od = read_table(spark, "orders")
+    t = DeltaTable.for_path(spark, d)
+    t.write(od)
+    with pt.raises(DeltaError, match="overwrite"):
+        t.write(od, mode="append",
+                replace_where=Col("o_orderkey") <= Lit(10))
