@@ -82,14 +82,43 @@ def convert_to_delta(spark: SparkSession, path: str,
     txn.update_metadata(table._make_metadata(
         spark.createDataFrame([], schema), pcols))
     now = int(time.time() * 1000)
+    # Footer stats are read DISTRIBUTED (one mapInPandas over the file
+    # list, same shape as commit publication) — a 100k-file convert
+    # must not read 100k footers serially on the driver; the driver
+    # collects only the action fields. size is the FILE byte size
+    # (an earlier version recorded the row count here, corrupting every
+    # size-based decision — OPTIMIZE bin-packing, size summaries — on
+    # converted tables).
+    import pandas as pd
+
+    from ..shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()
+
+    def footer_pass(batches):
+        for pdf in batches:
+            rows = []
+            for f in pdf["path"]:
+                stats, _nrows = file_stats_json(f)
+                rows.append((f, stats, os.path.getsize(f)))
+            yield pd.DataFrame(rows, columns=["path", "stats", "size"])
+
+    par = min(len(files),
+              spark.sparkContext.defaultParallelism) or 1
+    stat_rows = (spark.createDataFrame([(f,) for f in files],
+                                       "path string")
+                 .repartition(par)
+                 .mapInPandas(footer_pass,
+                              "path string, stats string, size long")
+                 .collect())
     adds = []
-    for f in files:
-        rel = os.path.relpath(f, root)
-        stats, size = file_stats_json(f)
+    for r in stat_rows:
+        rel = os.path.relpath(r["path"], root)
         adds.append(AddFile(
             path="/".join(rel.split(os.sep)),
             partitionValues=_partition_values_from_path(rel, pcols),
-            size=size, modificationTime=now, dataChange=True, stats=stats))
+            size=int(r["size"]), modificationTime=now, dataChange=True,
+            stats=r["stats"]))
+    adds.sort(key=lambda a: a.path)  # deterministic commit order
     return txn.commit(adds, operation="CONVERT",
                       operation_parameters={"numFiles": str(len(adds)),
                                             "partitionBy": str(pcols)})

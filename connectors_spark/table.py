@@ -1169,6 +1169,65 @@ class TableMaintenance:
         return {"filesAdded": len(to_add), "filesRemoved": len(to_remove),
                 "version": ver}
 
+    def compute_stats(self) -> Dict[str, int]:
+        """ANALYZE-style stats backfill: re-commit every active file
+        that lacks ``stats`` with exact footer statistics attached
+        (dataChange=False add replacing the stats-less add — readers
+        see identical data; change feeds skip it like OPTIMIZE). Files
+        written by engines that don't record Delta stats regain file
+        skipping and the metadata-only aggregate fast path.
+
+        Scale shape: the footer reads run as one mapInPandas over the
+        stats-less file list (never a per-file driver loop); the driver
+        collects only the action fields; commit is one transaction that
+        conflict-checks like any other writer. Returns
+        {filesUpdated, version} (version -1 when nothing lacked stats)."""
+        import pandas as pd
+
+        from .shipping import ensure_shipped_by_value
+        from .writer import file_stats_json
+        t = self.table
+        spark = t.log.spark
+        txn = t.log.start_transaction()
+        snap = txn.snapshot
+        if snap is None:
+            raise FileNotFoundError("table does not exist")
+        root = t.path
+        local_root = root[len("file:"):] if root.startswith("file:") else root
+        missing = [f for f in snap.all_files() if not f.stats]
+        if not missing:
+            return {"filesUpdated": 0, "version": -1}
+        ensure_shipped_by_value()
+
+        def footer_pass(batches):
+            for pdf in batches:
+                rows = []
+                for rel in pdf["rel"]:
+                    full = os.path.join(local_root, rel)
+                    stats, _n = file_stats_json(full)
+                    rows.append((rel, stats, os.path.getsize(full)))
+                yield pd.DataFrame(rows,
+                                   columns=["rel", "stats", "size"])
+
+        par = min(len(missing),
+                  spark.sparkContext.defaultParallelism) or 1
+        stat_rows = {r["rel"]: r for r in
+                     (spark.createDataFrame(
+                         [(f.path,) for f in missing], "rel string")
+                      .repartition(par)
+                      .mapInPandas(footer_pass,
+                                   "rel string, stats string, size long")
+                      .collect())}
+        import dataclasses
+        actions = [dataclasses.replace(
+            f, stats=stat_rows[f.path]["stats"],
+            size=int(stat_rows[f.path]["size"]), dataChange=False)
+            for f in missing]
+        version = txn.commit(
+            actions, "COMPUTE STATS",
+            operation_metrics={"numFilesUpdated": str(len(actions))})
+        return {"filesUpdated": len(actions), "version": version}
+
     def vacuum(self, retention_ms: Optional[int] = None,
                dry_run: bool = False) -> List[str]:
         """Delete data files that are neither active nor within the

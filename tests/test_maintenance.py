@@ -423,3 +423,61 @@ def test_metadata_aggregates_fall_back_on_dv(spark, tmp_path):
     want = kept.agg(F.count(F.lit(1)).alias("n"),
                     F.min("o_orderkey").alias("lo")).collect()[0]
     assert (got.n_rows, got.min_o_orderkey) == (want.n, want.lo)
+
+
+def test_compute_stats_backfills_and_restores_fast_paths(spark, tmp_path):
+    """Simulate a foreign writer: strip stats off every AddFile, watch
+    the metadata fast path refuse, then COMPUTE STATS and watch it
+    return — with exact byte sizes, not row counts."""
+    import dataclasses
+    import glob
+    import os as _os
+    from tests.conftest import read_table
+
+    d = str(tmp_path / "t")
+    od = read_table(spark, "orders").select("o_orderkey", "o_totalprice")
+    t = DeltaTable.for_path(spark, d)
+    t.write(od.repartition(3))
+
+    # foreign-writer simulation: replace adds with stats-less twins
+    snap = t.log.snapshot()
+    txn = t.log.start_transaction()
+    txn.commit([dataclasses.replace(f, stats=None, dataChange=False)
+                for f in snap.all_files()], "MANUAL")
+    assert all(not f.stats for f in t.log.snapshot().all_files())
+
+    want = od.agg(F.count(F.lit(1)).alias("n"),
+                  F.min("o_orderkey").alias("lo")).collect()[0]
+    # fast path must REFUSE (falls back to scan — still correct)
+    got = t.metadata_aggregates(cols=["o_orderkey"]).collect()[0]
+    assert (got.n_rows, got.min_o_orderkey) == (want.n, want.lo)
+
+    res = TableMaintenance(t).compute_stats()
+    assert res["filesUpdated"] == 3
+    files = t.log.snapshot().all_files()
+    assert all(f.stats for f in files)
+    for f in files:
+        assert f.size == _os.path.getsize(os.path.join(d, f.path))
+
+    # now the metadata-only path answers with the data files GONE
+    for p in glob.glob(os.path.join(d, "*.parquet")):
+        os.remove(p)
+    got = t.metadata_aggregates(cols=["o_orderkey"]).collect()[0]
+    assert (got.n_rows, got.min_o_orderkey) == (want.n, want.lo)
+
+    # idempotent: second run is a no-op
+    assert TableMaintenance(t).compute_stats() == \
+        {"filesUpdated": 0, "version": -1}
+
+
+def test_convert_records_byte_sizes(spark, tmp_path):
+    from connectors_spark.sources.convert import convert_to_delta
+    from tests.conftest import read_table
+    import os as _os
+    d = str(tmp_path / "plain")
+    read_table(spark, "region").repartition(2).write.parquet(d)
+    convert_to_delta(spark, d)
+    t = DeltaTable.for_path(spark, d)
+    for f in t.log.snapshot().all_files():
+        assert f.size == _os.path.getsize(os.path.join(d, f.path))
+        assert f.stats  # footer stats attached distributed
