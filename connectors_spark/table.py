@@ -304,9 +304,11 @@ class DeltaTable:
             F.col("tags").getItem(DV_TAG).isNotNull()).limit(1).count()
         dtypes = {f.name: f.dataType
                   for f in snap.metadata.data_schema.fields}
+        ptypes = {f.name: f.dataType
+                  for f in snap.metadata.partition_schema.fields}
         for c in cols:
-            if c not in dtypes:
-                raise DeltaError(f"no such data column: {c}")
+            if c not in dtypes and c not in ptypes:
+                raise DeltaError(f"no such column: {c}")
         if invalid:
             # Fall back to the real scan — still one aggregate, just
             # over data rows instead of file stats.
@@ -318,10 +320,17 @@ class DeltaTable:
             return df.agg(*aggs)
         aggs = [F.sum(nrec).alias("n_rows")]
         for c in cols:
-            lo = F.get_json_object(F.col("stats"),
-                                   f"$.minValues.{c}").cast(dtypes[c])
-            hi = F.get_json_object(F.col("stats"),
-                                   f"$.maxValues.{c}").cast(dtypes[c])
+            if c in ptypes:
+                # Partition columns live in partitionValues, not the
+                # stats JSON — every row of a file shares the value, so
+                # min == max == the decoded partition value.
+                v = F.col("partitionValues")[c].cast(ptypes[c])
+                lo = hi = v
+            else:
+                lo = F.get_json_object(F.col("stats"),
+                                       f"$.minValues.{c}").cast(dtypes[c])
+                hi = F.get_json_object(F.col("stats"),
+                                       f"$.maxValues.{c}").cast(dtypes[c])
             aggs += [F.min(lo).alias(f"min_{c}"),
                      F.max(hi).alias(f"max_{c}")]
         return files.agg(*aggs)

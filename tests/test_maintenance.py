@@ -481,3 +481,26 @@ def test_convert_records_byte_sizes(spark, tmp_path):
     for f in t.log.snapshot().all_files():
         assert f.size == _os.path.getsize(os.path.join(d, f.path))
         assert f.stats  # footer stats attached distributed
+
+
+def test_metadata_aggregates_partition_columns(spark, tmp_path):
+    """Partition-column MIN/MAX comes from partitionValues (not the
+    stats JSON) — still metadata-only: answers survive data deletion."""
+    import glob
+    from tests.conftest import read_table
+    d = str(tmp_path / "t")
+    od = read_table(spark, "orders")
+    t = DeltaTable.for_path(spark, d)
+    t.write(od, partition_by=["o_orderstatus"])
+    for p in glob.glob(os.path.join(d, "*", "*.parquet")):
+        os.remove(p)
+    got = t.metadata_aggregates(
+        cols=["o_orderstatus", "o_orderkey"]).collect()[0]
+    want = od.agg(F.count(F.lit(1)).alias("n"),
+                  F.min("o_orderstatus").alias("slo"),
+                  F.max("o_orderstatus").alias("shi"),
+                  F.min("o_orderkey").alias("klo"),
+                  F.max("o_orderkey").alias("khi")).collect()[0]
+    assert (got.n_rows, got.min_o_orderstatus, got.max_o_orderstatus,
+            got.min_o_orderkey, got.max_o_orderkey) \
+        == (want.n, want.slo, want.shi, want.klo, want.khi)
