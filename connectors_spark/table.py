@@ -299,9 +299,6 @@ class DeltaTable:
         files = snap.files_df
         nrec = F.get_json_object(F.col("stats"), "$.numRecords") \
             .cast("long")
-        invalid = files.filter(
-            nrec.isNull() |
-            F.col("tags").getItem(DV_TAG).isNotNull()).limit(1).count()
         dtypes = {f.name: f.dataType
                   for f in snap.metadata.data_schema.fields}
         ptypes = {f.name: f.dataType
@@ -309,6 +306,26 @@ class DeltaTable:
         for c in cols:
             if c not in dtypes and c not in ptypes:
                 raise DeltaError(f"no such column: {c}")
+        invalid_cond = (nrec.isNull() |
+                        F.col("tags").getItem(DV_TAG).isNotNull())
+        for c in cols:
+            if c in ptypes:
+                continue
+            # A file may legitimately lack a min/max entry for a column
+            # only when the column is all-null in that file (nullCount
+            # == numRecords) — then MIN/MAX skip it like SQL skips null
+            # rows. Count-only stats (foreign writers) or omitted
+            # min/max (binary/decimal, writer.py) would make the fast
+            # path silently wrong, so they force the real scan.
+            ncnt = F.get_json_object(F.col("stats"),
+                                     f"$.nullCount.{c}").cast("long")
+            has = (F.get_json_object(
+                       F.col("stats"), f"$.minValues.{c}").isNotNull() &
+                   F.get_json_object(
+                       F.col("stats"), f"$.maxValues.{c}").isNotNull())
+            all_null = ncnt.isNotNull() & (ncnt == nrec)
+            invalid_cond = invalid_cond | (~has & ~all_null)
+        invalid = files.filter(invalid_cond).limit(1).count()
         if invalid:
             # Fall back to the real scan — still one aggregate, just
             # over data rows instead of file stats.
@@ -318,7 +335,8 @@ class DeltaTable:
                 aggs += [F.min(c).alias(f"min_{c}"),
                          F.max(c).alias(f"max_{c}")]
             return df.agg(*aggs)
-        aggs = [F.sum(nrec).alias("n_rows")]
+        aggs = [F.coalesce(F.sum(nrec), F.lit(0)).cast("long")
+                .alias("n_rows")]
         for c in cols:
             if c in ptypes:
                 # Partition columns live in partitionValues, not the
@@ -436,6 +454,15 @@ class DeltaTable:
             raise FileNotFoundError(
                 "replace_where requires an existing table")
         meta = snap.metadata
+        # replaceWhere never evolves the schema: a frame whose field
+        # set/types differ from table metadata would commit Parquet
+        # files silently diverging from the table schema.
+        want = {f.name: f.dataType for f in meta.schema.fields}
+        got = {f.name: f.dataType for f in df.schema.fields}
+        if want != got:
+            raise DeltaError(
+                "replaceWhere: incoming schema does not match table "
+                f"schema (table {sorted(want)}, data {sorted(got)})")
         pred_col = predicate.to_column(F.col)
         n_bad = df.where(~F.coalesce(pred_col, F.lit(False))) \
             .limit(1).count()
@@ -1209,10 +1236,15 @@ class TableMaintenance:
         ensure_shipped_by_value()
 
         def footer_pass(batches):
+            import urllib.parse
             for pdf in batches:
                 rows = []
                 for rel in pdf["rel"]:
-                    full = os.path.join(local_root, rel)
+                    # AddFile.path is URL-quoted in the log (partition
+                    # dirs like 'st%3DF'); decode before touching the
+                    # filesystem.
+                    full = os.path.join(local_root,
+                                        urllib.parse.unquote(rel))
                     stats, _n = file_stats_json(full)
                     rows.append((rel, stats, os.path.getsize(full)))
                 yield pd.DataFrame(rows,

@@ -504,3 +504,93 @@ def test_metadata_aggregates_partition_columns(spark, tmp_path):
     assert (got.n_rows, got.min_o_orderstatus, got.max_o_orderstatus,
             got.min_o_orderkey, got.max_o_orderkey) \
         == (want.n, want.slo, want.shi, want.klo, want.khi)
+
+
+def test_metadata_aggregates_zero_file_table(spark, tmp_path):
+    """A table whose every file was deleted has n_rows == 0 (matching a
+    real scan and delta-spark), not NULL from SUM over no rows."""
+    d = str(tmp_path / "t")
+    t = DeltaTable.for_path(spark, d)
+    t.write(spark.range(10).select(F.col("id").alias("k")))
+    t.delete()  # drops every file whole
+    got = t.metadata_aggregates(cols=["k"]).collect()[0]
+    assert got.n_rows == 0
+    assert got.min_k is None and got.max_k is None
+
+
+def test_metadata_aggregates_refuse_count_only_stats(spark, tmp_path):
+    """A foreign writer recording numRecords but no minValues/maxValues
+    must force the real scan for MIN/MAX — a stats-only answer would be
+    NULL or too narrow. COUNT alone may still use the fast path."""
+    import dataclasses
+    import glob
+    import json as _json
+    d = str(tmp_path / "t")
+    t = DeltaTable.for_path(spark, d)
+    t.write(spark.range(1, 101).select(F.col("id").alias("k"))
+            .repartition(2))
+
+    snap = t.log.snapshot()
+    stripped = []
+    for f in snap.all_files():
+        s = _json.loads(f.stats)
+        stripped.append(dataclasses.replace(
+            f, stats=_json.dumps({"numRecords": s["numRecords"]}),
+            dataChange=False))
+    t.log.start_transaction().commit(stripped, "MANUAL")
+
+    # MIN/MAX requested -> falls back to a real scan and is right
+    got = t.metadata_aggregates(cols=["k"]).collect()[0]
+    assert (got.n_rows, got.min_k, got.max_k) == (100, 1, 100)
+
+    # COUNT-only still metadata-only: survives data-file deletion
+    for p in glob.glob(os.path.join(d, "*.parquet")):
+        os.remove(p)
+    assert t.metadata_aggregates().collect()[0].n_rows == 100
+
+
+def test_metadata_aggregates_all_null_column_fast_path(spark, tmp_path):
+    """A file where the requested column is entirely null records no
+    min/max — that is VALID for the fast path (MIN/MAX skip nulls), and
+    the answer must come from the other files' stats."""
+    import glob
+    d = str(tmp_path / "t")
+    t = DeltaTable.for_path(spark, d)
+    t.write(spark.range(1, 51).select(
+        F.col("id").alias("k"),
+        F.when(F.lit(False), F.lit(1)).alias("v")).coalesce(1))
+    t.write(spark.range(1, 51).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("int").alias("v")).coalesce(1), mode="append")
+    for p in glob.glob(os.path.join(d, "*.parquet")):
+        os.remove(p)  # prove no data file is opened
+    got = t.metadata_aggregates(cols=["v"]).collect()[0]
+    assert (got.n_rows, got.min_v, got.max_v) == (100, 1, 50)
+
+
+def test_compute_stats_partitioned_table(spark, tmp_path):
+    """Partition dirs are URL-quoted in AddFile.path (e.g. 'st%3DF');
+    the distributed footer pass must decode before opening files."""
+    import dataclasses
+    import glob
+    from tests.conftest import read_table
+    d = str(tmp_path / "t")
+    od = read_table(spark, "orders")
+    t = DeltaTable.for_path(spark, d)
+    t.write(od, partition_by=["o_orderstatus"])
+
+    snap = t.log.snapshot()
+    txn = t.log.start_transaction()
+    txn.commit([dataclasses.replace(f, stats=None, dataChange=False)
+                for f in snap.all_files()], "MANUAL")
+    res = TableMaintenance(t).compute_stats()
+    assert res["filesUpdated"] == len(snap.all_files())
+    assert all(f.stats for f in t.log.snapshot().all_files())
+
+    # the restored stats power the metadata fast path, data files gone
+    want = od.agg(F.count(F.lit(1)).alias("n"),
+                  F.min("o_orderkey").alias("lo")).collect()[0]
+    for p in glob.glob(os.path.join(d, "*", "*.parquet")):
+        os.remove(p)
+    got = t.metadata_aggregates(cols=["o_orderkey"]).collect()[0]
+    assert (got.n_rows, got.min_o_orderkey) == (want.n, want.lo)

@@ -185,3 +185,25 @@ def test_replace_where_requires_overwrite(spark, tmp_path):
     with pt.raises(DeltaError, match="overwrite"):
         t.write(od, mode="append",
                 replace_where=Col("o_orderkey") <= Lit(10))
+
+
+def test_replace_where_rejects_schema_mismatch(spark, tmp_path):
+    """replaceWhere never evolves the schema: a frame with a renamed or
+    retyped column must raise, not commit divergent Parquet."""
+    import pytest
+    from connectors_spark.errors import DeltaError
+    d = str(tmp_path / "t")
+    t = DeltaTable.for_path(spark, d)
+    t.write(spark.range(10).select(
+        F.col("id").alias("k"), F.lit("a").alias("s")))
+    bad_name = spark.range(3).select(
+        F.col("id").alias("k2"), F.lit("a").alias("s"))
+    with pytest.raises(DeltaError, match="schema"):
+        t.write(bad_name, mode="overwrite",
+                replace_where=Col("s") == Lit("a"))
+    bad_type = spark.range(3).select(
+        F.col("id").cast("int").alias("k"), F.lit("a").alias("s"))
+    with pytest.raises(DeltaError, match="schema"):
+        t.write(bad_type, mode="overwrite",
+                replace_where=Col("s") == Lit("a"))
+    assert t.to_df().count() == 10  # untouched
