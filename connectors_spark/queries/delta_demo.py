@@ -506,6 +506,36 @@ def delta_dv_delete(spark, sf_dir):
                     "o_orderdate"))
 
 
+@register("delta_reorg_purge", sql="""
+SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2)
+       AS totalprice, o_orderdate
+FROM orders WHERE NOT (o_totalprice < 100000)
+""")
+def delta_reorg_purge(spark, sf_dir):
+    # REORG TABLE APPLY (PURGE): after a DV delete, rewrite exactly the
+    # DV-carrying files without their deleted rows and drop the sidecar
+    # tags (dataChange=False, like OPTIMIZE). The build asserts no DV
+    # tag survives, so the gate's hash match proves the PURGED files —
+    # not a lingering anti-join — produce the logical table.
+    from ..dv import DV_TAG
+    from ..table import TableMaintenance
+
+    def build(d):
+        t = DeltaTable.for_path(spark, d)
+        t.write(load(spark, sf_dir, "orders"), mode="append")
+        t.delete(Col("o_totalprice") < Lit(100000.0),
+                 deletion_vectors=True)
+        TableMaintenance(t).reorg_purge()
+        assert not any((f.tags or {}).get(DV_TAG)
+                       for f in t.log.snapshot().all_files())
+    d = _built(sf_dir, "orders_purge", build)
+    t = DeltaTable.for_path(spark, d)
+    return (t.to_df()
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+                    F.round("o_totalprice", 2).alias("totalprice"),
+                    "o_orderdate"))
+
+
 # --------------------------------------------------------------------------
 # Incremental derived-table maintenance from the Change Data Feed
 # --------------------------------------------------------------------------

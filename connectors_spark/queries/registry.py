@@ -161,6 +161,7 @@ GATE_SORT: Dict[str, list] = {
     "delta_cdf_incremental_agg": ["o_orderstatus"],
     "delta_metadata_aggregates": ["n_rows"],
     "delta_replace_where": ["o_orderstatus"],
+    "delta_reorg_purge": ["o_orderkey"],
 }
 
 
@@ -316,6 +317,7 @@ GATE_COLUMNS: Dict[str, list] = {
     "delta_manifest_read": ["l_discount", "l_extendedprice", "l_linenumber", "l_linestatus", "l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate", "l_suppkey", "l_tax"],
     "delta_clone_cow": ["o_orderkey", "o_custkey", "o_orderstatus", "totalprice", "o_orderdate"],
     "delta_dv_delete": ["o_orderkey", "o_custkey", "o_orderstatus", "totalprice", "o_orderdate"],
+    "delta_reorg_purge": ["o_orderkey", "o_custkey", "o_orderstatus", "totalprice", "o_orderdate"],
 }
 
 
@@ -395,13 +397,21 @@ _R6_NEW = frozenset(["mm_image_decode_real", "mm_image_thumb_real",
                      "ev_hll_distinct", "doc_bloom_decontaminate"])
 
 
+# New in round 7 (no driver row yet) — first in the 50-query sample.
+# r4/r6 priority sets drop back to their base class: every one of them
+# has a green driver row from CORRECTNESS_r06.
+_R7_NEW = frozenset(["delta_reorg_purge", "doc_dsir_weights",
+                     "doc_quality_logreg", "emb_ivf_pq_topk"])
+
+
 def ordered_names() -> list:
     names = list(REGISTRY)
     return sorted(
         names,
-        key=lambda n: (0 if n in _R4_RED
-                       else 1 if n in _R6_NEW
-                       else 3 if n in _R3_DRIVER_CHECKED else 2,
+        key=lambda n: (0 if n in _R7_NEW
+                       else 1 if n in _R4_RED
+                       else 2 if n in _R6_NEW
+                       else 4 if n in _R3_DRIVER_CHECKED else 3,
                        names.index(n)))
 
 

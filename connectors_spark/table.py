@@ -1106,6 +1106,50 @@ class TableMaintenance:
         return {"filesRemoved": len(victims), "filesAdded": len(adds),
                 "version": version}
 
+    def reorg_purge(self) -> Dict[str, int]:
+        """REORG TABLE ... APPLY (PURGE): rewrite exactly the files
+        carrying deletion vectors, materializing their surviving rows
+        and dropping the sidecar references; DV-free files are not
+        touched. Rewrites are ``dataChange=False`` like OPTIMIZE — the
+        logical table is unchanged, so change feeds skip them — and
+        once the soft-deleted adds age past retention, VACUUM reclaims
+        both the old data files and the now-unreferenced sidecars.
+
+        Scale shape: read + write cost is proportional to the
+        DV-carrying files only (the normal case after a row-level
+        delete wave is a small fraction of the table); the survivors
+        scan is the same pruned DV anti-join plan as any read, and the
+        commit is one transaction that conflict-checks like any other
+        writer. Returns {filesPurged, filesAdded, version}."""
+        from .dv import DV_TAG
+        t = self.table
+        txn = t.log.start_transaction()
+        snap = txn.snapshot
+        if snap is None:
+            raise FileNotFoundError("table does not exist")
+        victims = [f for f in snap.all_files()
+                   if (f.tags or {}).get(DV_TAG)]
+        if not victims:
+            return {"filesPurged": 0, "filesAdded": 0,
+                    "version": snap.version}
+        cand_paths = [_canonical(f.path, snap.table_path)
+                      for f in victims]
+        subset = _semi_by_paths(snap.files_df, cand_paths)
+        df = snap.to_df(files=subset)  # DV anti-join applied here
+        adds = stage_and_collect(df, t.path,
+                                 snap.metadata.partitionColumns,
+                                 data_change=False)
+        now = int(time.time() * 1000)
+        actions: List[Any] = list(adds) + [
+            f.remove(now, data_change=False) for f in victims]
+        version = txn.commit(
+            actions, operation="REORG",
+            operation_parameters={"applyPurge": "true"},
+            operation_metrics={"numRemovedFiles": str(len(victims)),
+                               "numAddedFiles": str(len(adds))})
+        return {"filesPurged": len(victims), "filesAdded": len(adds),
+                "version": version}
+
     def restore(self, version: Optional[int] = None,
                 timestamp_ms: Optional[int] = None) -> Dict[str, int]:
         """RESTORE the table to an earlier version (or the version active

@@ -594,3 +594,61 @@ def test_compute_stats_partitioned_table(spark, tmp_path):
         os.remove(p)
     got = t.metadata_aggregates(cols=["o_orderkey"]).collect()[0]
     assert (got.n_rows, got.min_o_orderkey) == (want.n, want.lo)
+
+
+def test_reorg_purge_rewrites_only_dv_files(spark, tmp_path):
+    """REORG PURGE materializes DV survivors into fresh files, drops
+    the sidecar tags, and leaves DV-free files physically untouched."""
+    from connectors_spark.dv import DV_TAG
+    from tests.conftest import read_table
+    d = str(tmp_path / "t")
+    od = read_table(spark, "orders")
+    t = DeltaTable.for_path(spark, d)
+    t.write(od.repartition(4))
+    t.delete(Col("o_orderkey") <= Lit(200), deletion_vectors=True)
+    before = {f.path: f for f in t.log.snapshot().all_files()}
+    dv_paths = {p for p, f in before.items()
+                if (f.tags or {}).get(DV_TAG)}
+    assert dv_paths, "delete must have produced deletion vectors"
+    untouched = set(before) - dv_paths
+
+    res = TableMaintenance(t).reorg_purge()
+    assert res["filesPurged"] == len(dv_paths)
+    after = {f.path: f for f in t.log.snapshot().all_files()}
+    assert not any((f.tags or {}).get(DV_TAG) for f in after.values())
+    # DV-free files survive with identical identity
+    assert untouched <= set(after)
+
+    want = od.filter("o_orderkey > 200")
+    got = t.to_df()
+    assert got.count() == want.count()
+    assert got.agg(F.sum("o_orderkey")).collect()[0][0] == \
+        want.agg(F.sum("o_orderkey")).collect()[0][0]
+
+    # the rewrite is dataChange=False (change feeds skip it)
+    info = t.log.commit_info_at(res["version"])
+    assert info.operation == "REORG"
+    # idempotent: nothing left to purge
+    assert TableMaintenance(t).reorg_purge()["filesPurged"] == 0
+
+
+def test_reorg_purge_partitioned_roundtrip(spark, tmp_path):
+    """Purge on a partitioned table: partition values reassemble into
+    the rewritten files and pruning still works afterwards."""
+    from connectors_spark.dv import DV_TAG
+    from tests.conftest import read_table
+    d = str(tmp_path / "t")
+    od = read_table(spark, "orders")
+    t = DeltaTable.for_path(spark, d)
+    t.write(od, partition_by=["o_orderstatus"])
+    t.delete((Col("o_orderstatus") == Lit("F")) &
+             (Col("o_orderkey") <= Lit(300)), deletion_vectors=True)
+    res = TableMaintenance(t).reorg_purge()
+    assert res["filesPurged"] >= 1
+    assert not any((f.tags or {}).get(DV_TAG)
+                   for f in t.log.snapshot().all_files())
+    want = od.filter("NOT (o_orderstatus = 'F' AND o_orderkey <= 300)")
+    assert t.to_df().count() == want.count()
+    pruned = t.scan(Col("o_orderstatus") == Lit("F")).to_df()
+    assert pruned.count() == \
+        want.filter("o_orderstatus = 'F'").count()
