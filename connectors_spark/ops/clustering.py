@@ -27,12 +27,13 @@ cluster id.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _assign_col(vec_col: str, cents: np.ndarray):
@@ -143,7 +144,8 @@ def pq_fit(df: DataFrame, m: int = 4, k: int = 8, iters: int = 1,
 
 def pq_encode(df: DataFrame, books: List[np.ndarray],
               id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding",
+              keep: Sequence[str] = ()) -> DataFrame:
     """Encode every vector as its ``m`` nearest-centroid codes under
     ``books``. A dim-d float vector compresses to m small ints
     (64 floats → 4 codes here) while distances stay approximable from
@@ -182,10 +184,11 @@ def pq_encode(df: DataFrame, books: List[np.ndarray],
         cols["err"] = err.round(6)
         return pd.DataFrame(cols)
 
-    enc = df.select(F.col(id_col), _encode(F.col(vec_col)).alias("_e"))
+    enc = df.select(F.col(id_col), *[F.col(c) for c in keep],
+                    _encode(F.col(vec_col)).alias("_e"))
     return enc.select(
-        id_col, *[F.col(f"_e.code_{j}").alias(f"code_{j}")
-                  for j in range(m)],
+        id_col, *keep, *[F.col(f"_e.code_{j}").alias(f"code_{j}")
+                         for j in range(m)],
         F.col("_e.err").alias("err"))
 
 
@@ -343,6 +346,110 @@ def pq_adc_topk_broadcast(corpus: DataFrame, queries: DataFrame,
               .groupBy("qid", id_col)
               .agg(F.round(F.sum("d"), 6).alias("adist"))
               .withColumnRenamed("qid", query_id_col))
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adist"),
+                                                 F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def build_ivf_pq_index(corpus: DataFrame, index_path: str,
+                       nlist: int = 16, m: int = 4, codebook_k: int = 8,
+                       iters: int = 1, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       mode: str = "overwrite"
+                       ) -> Tuple[np.ndarray, List[np.ndarray]]:
+    """Composite IVF+PQ index — the FAISS ``IVFPQ`` layout (Jégou et
+    al. 2011 §V): a Delta table storing ONLY
+    ``(list_id, id, code_0..code_{m-1})``, partitioned by the IVF
+    coarse list. The raw float vectors are NOT stored: the index's
+    per-row payload is m small ints, so a 100 TB float corpus indexes
+    into ~m/(4·dim) of its size, and a probe reads `nprobe` list
+    partitions of 4-byte codes — partition-pruned in the metadata
+    plane before any Parquet opens, then ADC-scored without touching
+    floats.
+
+    One Arrow pass computes both the coarse assignment and the m PQ
+    codes (no corpus-size join). Returns (centroids, codebooks) — both
+    tiny and deterministically re-derivable from the corpus."""
+    from ..table import DeltaTable
+    from .similarity import _ivf_assign_col, _ivf_centroids
+    cents = _ivf_centroids(corpus, nlist, id_col, vec_col)
+    books = pq_fit(corpus, m, codebook_k, iters, id_col, vec_col)
+    with_list = corpus.withColumn(
+        "list_id", _ivf_assign_col(vec_col, cents))
+    codes = pq_encode(with_list, books, id_col, vec_col,
+                      keep=("list_id",)).drop("err")
+    t = DeltaTable.for_path(corpus.sparkSession, index_path)
+    t.write(codes, mode=mode, partition_by=["list_id"])
+    return cents, books
+
+
+def ivf_pq_adc_topk(spark, index_path: str, queries: DataFrame,
+                    cents: np.ndarray, books: List[np.ndarray],
+                    k: int = 5, nprobe: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id",
+                    exclude_self: bool = True) -> DataFrame:
+    """Probe a :func:`build_ivf_pq_index` table: rank coarse centroids
+    per query (driver-side numpy on the bounded query set — the same
+    contract as ivf_query_indexed), partition-prune the code scan to
+    the union of probed lists, then ADC-score candidates against a
+    broadcast ``(qid, j, code, d)`` distance relation
+    (pq_adc_dist_table — computed distributively, never collected) and
+    take per-query top-k by (adist ASC, id).
+
+    A candidate counts for a query only if its list is among THAT
+    query's probes. Scale shape: scan = nprobe/nlist of the CODE table
+    (not the float corpus); scoring = one broadcast join on (qid, j,
+    code) + one map-side-combined sum per (qid, id); summands are
+    pre-rounded 1e-6 multiples so the re-round after the order-free
+    sum is exact."""
+    from pyspark.sql import Window
+
+    from ..expressions import Col, Lit
+    from ..table import DeltaTable
+    from .similarity import _collect_query_side
+
+    m = len(books)
+    qrows = _collect_query_side(queries, query_id_col, vec_col)
+    qmat = np.array([r["_qv"] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    sims = (qmat / np.where(qn == 0, 1.0, qn)) @ cents.T
+    probes = {}
+    for i, r in enumerate(qrows):
+        order = sorted(range(cents.shape[0]),
+                       key=lambda j: (-sims[i, j], j))
+        probes[r["_qid"]] = order[:nprobe]
+    probe_lists = sorted({l for ls in probes.values() for l in ls})
+    pred = None
+    for l in probe_lists:
+        term = Col("list_id") == Lit(l)
+        pred = term if pred is None else (pred | term)
+    cand = DeltaTable.for_path(spark, index_path).scan(pred).to_df()
+    qid_type = queries.schema[query_id_col].dataType
+    pp_rows = [(qid, l) for qid, ls in probes.items() for l in ls]
+    pp_schema = T.StructType([T.StructField("_qid", qid_type),
+                              T.StructField("list_id", T.IntegerType())])
+    pp = F.broadcast(spark.createDataFrame(pp_rows, pp_schema))
+    dtab = pq_adc_dist_table(queries, books, query_id_col, vec_col)
+    codes_long = (cand.join(pp, "list_id")
+                  .select(F.col("_qid"), F.col(id_col),
+                          F.explode(F.array(*[
+                              F.struct(F.lit(j).cast("int").alias("j"),
+                                       F.col(f"code_{j}").alias("code"))
+                              for j in range(m)])).alias("_jc"))
+                  .select("_qid", id_col, F.col("_jc.j").alias("j"),
+                          F.col("_jc.code").alias("code")))
+    scored = (codes_long.join(
+        F.broadcast(dtab),
+        (codes_long["_qid"] == dtab["qid"])
+        & (codes_long["j"] == dtab["j"])
+        & (codes_long["code"] == dtab["code"]))
+        .groupBy("_qid", id_col)
+        .agg(F.round(F.sum("d"), 6).alias("adist"))
+        .withColumnRenamed("_qid", query_id_col))
     if exclude_self:
         scored = scored.filter(F.col(id_col) != F.col(query_id_col))
     w = Window.partitionBy(query_id_col).orderBy(F.asc("adist"),

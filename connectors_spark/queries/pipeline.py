@@ -1688,6 +1688,115 @@ def emb_pq_adc_bcast(spark, sf_dir):
         emb.unpersist()
 
 
+# Composite IVF+PQ oracle: the PQ preamble (1-based u, ids, 4 unrolled
+# subspace k-means) + the IVF coarse-quantizer CTEs from the
+# emb_ann_ivf_topk oracle (rebased onto the 1-based u — dot products
+# only need index CONSISTENCY) + ADC scoring restricted to each
+# query's probed lists.
+_IVFPQ_SQL = ("""
+WITH
+u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings),
+ids AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),"""
+              + ",".join(_pq_subspace_cte(j, j * 16 + 1, (j + 1) * 16)
+                         for j in range(4)) + """,
+n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+cent_sel AS (
+  SELECT vec_id AS cvid,
+         row_number() OVER (
+           ORDER BY ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+                    vec_id) - 1 AS list_id
+  FROM embeddings),
+cents AS (SELECT cvid, list_id FROM cent_sel WHERE list_id < 16),
+cw AS (
+  SELECT c.list_id, u.i,
+         u.v / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END) AS w
+  FROM cents c JOIN u ON u.vec_id = c.cvid JOIN n ON n.vec_id = c.cvid),
+adot AS (
+  SELECT u.vec_id, cw.list_id, sum(u.v * cw.w) AS d
+  FROM u JOIN cw USING (i) GROUP BY 1, 2),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d DESC, list_id) AS rn
+    FROM adot) WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS qid, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d DESC, list_id) AS rn
+    FROM adot WHERE vec_id < 5) WHERE rn <= 6),
+cand AS (
+  SELECT DISTINCT q.qid, a.vec_id AS cid
+  FROM qprobe q JOIN assign a USING (list_id)
+  WHERE a.vec_id <> q.qid),"""
+              + ",".join(f"""
+qd_{j} AS (
+  SELECT u.vec_id AS qid, c.cl,
+         round(sum((u.v - c.c) * (u.v - c.c)), 6) AS d
+  FROM u{j} u JOIN c1_{j} c ON u.i = c.i
+  WHERE u.vec_id < 5 GROUP BY 1, 2)""" for j in range(4)) + """,
+sc AS (
+  SELECT c.qid, c.cid,
+         round(q0.d + q1.d + q2.d + q3.d, 6) AS adist
+  FROM cand c
+  JOIN a1_0 ON a1_0.vec_id = c.cid
+  JOIN a1_1 ON a1_1.vec_id = c.cid
+  JOIN a1_2 ON a1_2.vec_id = c.cid
+  JOIN a1_3 ON a1_3.vec_id = c.cid
+  JOIN qd_0 q0 ON q0.cl = a1_0.cl AND q0.qid = c.qid
+  JOIN qd_1 q1 ON q1.cl = a1_1.cl AND q1.qid = c.qid
+  JOIN qd_2 q2 ON q2.cl = a1_2.cl AND q2.qid = c.qid
+  JOIN qd_3 q3 ON q3.cl = a1_3.cl AND q3.qid = c.qid)
+SELECT qid AS query_id, cid AS vec_id, adist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY adist, cid) AS rank
+  FROM sc) WHERE rank <= 5
+""")
+
+
+_IVFPQ_INDEX: dict = {}
+
+
+def _ivfpq_index(spark, sf_dir: str):
+    import hashlib
+    import tempfile
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/connectors_spark_ivfpq_index_{tag}"
+    if path not in _IVFPQ_INDEX:
+        from ..ops.clustering import build_ivf_pq_index
+        emb = load(spark, sf_dir, "embeddings").cache()
+        try:
+            _IVFPQ_INDEX[path] = build_ivf_pq_index(
+                emb, path, nlist=16, m=4, codebook_k=8, iters=1)
+        finally:
+            emb.unpersist()
+    return path, _IVFPQ_INDEX[path]
+
+
+@register("emb_ivf_pq_topk", sql=_IVFPQ_SQL)
+def emb_ivf_pq(spark, sf_dir):
+    # The FAISS-style IVFPQ composite: a list-partitioned Delta index
+    # storing ONLY 4-byte PQ codes; probes partition-prune to each
+    # query's top-6 lists and ADC-score against a broadcast distance
+    # relation — floats are never read at query time. Not benched:
+    # first call pays the one-time index build.
+    from ..ops.clustering import ivf_pq_adc_topk
+    emb = load(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    path, (cents, books) = _ivfpq_index(spark, sf_dir)
+    out = ivf_pq_adc_topk(spark, path, queries, cents, books,
+                          k=5, nprobe=6)
+    return out.select("query_id", "vec_id", "adist",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 @register("emb_pq_codes", sql=_PQ_SQL)
 def emb_pq(spark, sf_dir):
     # Product quantization (Jégou et al. 2011): 4 independent 16-dim

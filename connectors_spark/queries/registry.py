@@ -127,6 +127,7 @@ GATE_SORT: Dict[str, list] = {
     "emb_pq_codes": ["vec_id"],
     "emb_pq_adc_topk": ["query_id", "rank", "vec_id"],
     "emb_pq_adc_bcast_topk": ["query_id", "rank", "vec_id"],
+    "emb_ivf_pq_topk": ["query_id", "rank", "vec_id"],
     "ev_asof_click_attribution": ["view_id"],
     "ev_asof_global_locf": ["event_id"],
     "ev_range_error_context": ["event_id"],
@@ -270,6 +271,7 @@ GATE_COLUMNS: Dict[str, list] = {
     "emb_pq_codes": ["vec_id", "code_0", "code_1", "code_2", "code_3", "err"],
     "emb_pq_adc_topk": ["query_id", "vec_id", "adist", "rank"],
     "emb_pq_adc_bcast_topk": ["query_id", "vec_id", "adist", "rank"],
+    "emb_ivf_pq_topk": ["query_id", "vec_id", "adist", "rank"],
     "doc_countmin_token_counts": ["token", "exact_n", "cm_est"],
     "ev_hll_distinct": ["event_type", "n_exact", "hll_est",
                         "n_zero_regs"],
