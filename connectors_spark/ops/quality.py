@@ -145,6 +145,69 @@ def unigram_nll_scores(df: DataFrame, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance weights (hashed n-gram importance resampling)
+# ---------------------------------------------------------------------------
+
+def dsir_importance_weights(df: DataFrame, target_cond,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            buckets: int = 256) -> DataFrame:
+    """DSIR log importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed n-gram profile is, so a
+    pretraining pipeline can importance-resample a web-scale corpus
+    toward a quality/domain target without an external model.
+
+    Features are unigrams + adjacent bigrams hashed into ``buckets``
+    buckets (md5-derived hash64 % buckets — seedless, so a DuckDB
+    oracle reproduces it bit-for-bit). Target (rows satisfying
+    ``target_cond``, a boolean Column over ``df``'s columns) and raw
+    (all rows) bucket histograms become add-1-smoothed multinomials;
+    a document's weight is the sum over its feature INSTANCES of the
+    round-6 per-bucket log-likelihood ratio ln(p_target/p_raw).
+
+    Returns (doc_id, n_feat, logw), logw rounded to 6; documents with
+    zero tokens drop out (no feature instances).
+
+    Scale shape: two passes over the tokenized corpus — one map-side-
+    combined histogram aggregate emitting ``buckets`` rows (the target
+    flag rides the rows, so target + raw histograms are ONE agg), and
+    one feature explode joined to the BROADCAST λ-table (buckets rows)
+    then combined per doc. No corpus-sized shuffle carries strings:
+    the explode keys are 8-byte bucket ids."""
+    from pyspark.sql import Window
+
+    from ..functions.text import hash64
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    big = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     target_cond.alias("_t"),
+                     F.concat(toks, big).alias("_f"))
+    fb = (base.select("doc_id", "_t", F.explode("_f").alias("_g"))
+          .select("doc_id", "_t",
+                  (hash64("_g") % buckets).alias("b")))
+    hist = fb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("c_t"))
+    w_all = Window.partitionBy()
+    lam = hist.select(
+        "b",
+        F.round(F.log((F.col("c_t") + 1) /
+                      (F.sum("c_t").over(w_all) + buckets)) -
+                F.log((F.col("c_raw") + 1) /
+                      (F.sum("c_raw").over(w_all) + buckets)),
+                6).alias("lam"))
+    return (fb.join(F.broadcast(lam), "b")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_feat"),
+                 F.round(F.sum("lam"), 6).alias("logw")))
+
+
+# ---------------------------------------------------------------------------
 # Duplicated-span coverage (exact-substring dedup signal)
 # ---------------------------------------------------------------------------
 

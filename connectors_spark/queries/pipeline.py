@@ -2199,3 +2199,131 @@ def mm_video_frames_real(spark, sf_dir):
     # remain guarded.
     docs = load(spark, sf_dir, "documents")
     return mm.frame_sample_real(mm.synth_avi_media(docs), every_n=2)
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (ops/quality.py dsir_importance_weights)
+# --------------------------------------------------------------------------
+
+@register("doc_dsir_weights", sql="""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+uni AS (SELECT doc_id, lang, unnest(t) AS f FROM toks),
+big AS (
+  SELECT doc_id, lang,
+         unnest([t[i] || ' ' || t[i+1]
+                 FOR i IN generate_series(1, len(t) - 1)]) AS f
+  FROM toks WHERE len(t) > 1),
+feats AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+fb AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(f), 1, 15))::BIGINT % 256 AS b
+  FROM feats),
+hist AS (
+  SELECT b, count(*)::BIGINT AS c_raw,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS c_t
+  FROM fb GROUP BY 1),
+tot AS (SELECT sum(c_raw)::DOUBLE AS t_raw, sum(c_t)::DOUBLE AS t_t
+        FROM hist),
+lam AS (
+  SELECT b, round(ln((c_t + 1) / (t_t + 256))
+                - ln((c_raw + 1) / (t_raw + 256)), 6) AS lam
+  FROM hist, tot)
+SELECT doc_id, count(*)::BIGINT AS n_feat,
+       round(sum(lam), 6) AS logw
+FROM fb JOIN lam USING (b) GROUP BY 1
+""")
+def doc_dsir_weights(spark, sf_dir):
+    # DSIR (Xie et al. 2023): hashed unigram+bigram importance weights
+    # of every document against the lang='en' target subset — the
+    # importance-resampling signal a pretraining pipeline uses to tilt
+    # a raw web corpus toward a target domain without an external
+    # model. The oracle recomputes the same md5-hashed buckets,
+    # add-1-smoothed histograms and round-6 log-ratios in SQL.
+    from ..ops.quality import dsir_importance_weights
+    docs = load(spark, sf_dir, "documents")
+    return dsir_importance_weights(docs, F.col("lang") == "en",
+                                   buckets=256)
+
+
+# --------------------------------------------------------------------------
+# In-engine quality classifier (ops/regression.py logistic regression)
+# --------------------------------------------------------------------------
+
+def _logreg_sql(iters: int = 3) -> str:
+    """Unroll full-batch GD in SQL: g{i} aggregates the round-6 per-doc
+    gradient contributions under the previous weights, w{i} carries the
+    round-6 updated weights (a0..a3); scoring applies the final w."""
+    xs = ["x0", "x1", "x2", "x3"]
+    z0 = "0"
+    parts = []
+    prev_w = None
+    for i in range(1, iters + 1):
+        z = z0 if prev_w is None else \
+            " + ".join(f"{prev_w}.a{k} * {x}" for k, x in enumerate(xs))
+        p = f"1.0 / (1.0 + exp(-({z})))"
+        g = ", ".join(
+            f"round(avg(round((y - {p}) * {x}, 6)), 6) AS g{k}"
+            for k, x in enumerate(xs))
+        src = "feat" if prev_w is None else f"feat, {prev_w}"
+        parts.append(f"g{i} AS (SELECT {g} FROM {src})")
+        base = "0.0" if prev_w is None else None
+        upd = ", ".join(
+            (f"round(0.0 + g{k}, 6) AS a{k}" if base else
+             f"round({prev_w}.a{k} + g{k}, 6) AS a{k}")
+            for k in range(len(xs)))
+        wsrc = f"g{i}" if prev_w is None else f"{prev_w}, g{i}"
+        parts.append(f"w{i} AS (SELECT {upd} FROM {wsrc})")
+        prev_w = f"w{i}"
+    zf = " + ".join(f"{prev_w}.a{k} * {x}" for k, x in enumerate(xs))
+    joined = ",\n".join(parts)
+    return f"""
+WITH feat AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         1.0 AS x0,
+         len(t)::DOUBLE / 100 AS x1,
+         n_chars::DOUBLE / 1000 AS x2,
+         round(len(list_distinct(t))::DOUBLE / len(t), 6) AS x3
+  FROM (SELECT doc_id, lang, n_chars,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents)
+  WHERE len(t) > 0),
+{joined}
+SELECT doc_id, round(1.0 / (1.0 + exp(-({zf}))), 6) AS score,
+       round(1.0 / (1.0 + exp(-({zf}))), 6) >= 0.5 AS pred
+FROM feat, {prev_w}
+"""
+
+
+@register("doc_quality_logreg", sql=_logreg_sql(3))
+def doc_quality_logreg(spark, sf_dir):
+    # In-engine quality classifier: full-batch GD logistic regression
+    # (3 iterations, one map-side-combined gradient aggregate each)
+    # over cheap per-doc features, predicting the lang='en' target;
+    # scoring is a pure JVM expression. The oracle unrolls the
+    # identical iterations in SQL, so the gate hashes both the LEARNED
+    # weights (through every score) and the scoring math.
+    from ..functions.text import tokens
+    from ..ops.regression import logreg_fit, logreg_score
+    docs = load(spark, sf_dir, "documents")
+    xs = ["x0", "x1", "x2", "x3"]
+    feat = (docs.withColumn("_t", tokens(F.col("text")))
+            .filter(F.size("_t") > 0)
+            .select("doc_id",
+                    (F.col("lang") == "en").cast("double").alias("y"),
+                    F.lit(1.0).alias("x0"),
+                    (F.size("_t") / F.lit(100.0)).alias("x1"),
+                    (F.col("n_chars") / F.lit(1000.0)).alias("x2"),
+                    F.round(F.size(F.array_distinct("_t")) /
+                            F.size("_t"), 6).alias("x3"))
+            .cache())
+    try:
+        w = logreg_fit(feat, xs, label_col="y", iters=3, lr=1.0)
+        score = logreg_score(w, xs)
+        return feat.select("doc_id", score.alias("score"),
+                           (score >= 0.5).alias("pred"))
+    finally:
+        feat.unpersist()

@@ -121,6 +121,8 @@ GATE_SORT: Dict[str, list] = {
     "doc_strip_dup_spans": ["doc_id"],
     "doc_mixture_weights": ["group"],
     "doc_token_entropy": ["doc_id"],
+    "doc_dsir_weights": ["doc_id"],
+    "doc_quality_logreg": ["doc_id"],
     "doc_chunk_windows": ["doc_id", "chunk_idx"],
     "emb_kmeans_clusters": ["vec_id"],
     "emb_semdedup": ["vec_id"],
@@ -299,6 +301,8 @@ GATE_COLUMNS: Dict[str, list] = {
     "ev_funnel_view_click_purchase": ["n_view", "n_view_click", "n_full_funnel", "mean_convert_us"],
     "ev_gapfill_daily_locf": ["key", "day", "value", "filled"],
     "doc_unigram_nll": ["doc_id", "n_tok", "nll"],
+    "doc_dsir_weights": ["doc_id", "n_feat", "logw"],
+    "doc_quality_logreg": ["doc_id", "score", "pred"],
     "ev_gapfill_daily_interp": ["key", "day", "value", "filled"],
     "ev_ohlc_daily": ["key", "day", "open", "high", "low", "close", "n"],
     "ev_time_weighted_avg": ["key", "twa", "span_us", "n"],

@@ -824,3 +824,44 @@ def test_chunk_token_windows_matches_python_reference(spark):
                       for d, text in docs
                       for idx, txt, n in ref(text, w, s))
         assert got == want, (w, s)
+
+
+def test_dsir_weights_favor_target_like_docs(spark, sf_dir):
+    from connectors_spark.ops.quality import dsir_importance_weights
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dsir_importance_weights(docs, F.col("lang") == "en",
+                                  buckets=256)
+    joined = out.join(docs.select("doc_id", "lang"), "doc_id")
+    means = {r["l"]: r["m"] for r in
+             joined.groupBy((F.col("lang") == "en").alias("l"))
+             .agg(F.avg("logw").alias("m")).collect()}
+    # target docs must average a higher importance weight than the rest
+    assert means[True] > means[False]
+    # every doc with >= 1 token appears
+    assert out.count() == docs.filter(
+        F.size(F.split("text", " ")) > 0).count()
+
+
+def test_logreg_fit_deterministic_and_learns_majority(spark, sf_dir):
+    from connectors_spark.functions.text import tokens
+    from connectors_spark.ops.regression import logreg_fit, logreg_score
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feat = (docs.withColumn("_t", tokens(F.col("text")))
+            .filter(F.size("_t") > 0)
+            .select("doc_id",
+                    (F.col("lang") == "en").cast("double").alias("y"),
+                    F.lit(1.0).alias("x0"),
+                    (F.size("_t") / F.lit(100.0)).alias("x1")))
+    w1 = logreg_fit(feat, ["x0", "x1"], label_col="y", iters=3)
+    w2 = logreg_fit(feat, ["x0", "x1"], label_col="y", iters=3)
+    assert w1 == w2  # weights are round-6 exact, any partitioning
+    assert all(round(x, 6) == x for x in w1)
+    scores = feat.select(
+        logreg_score(w1, ["x0", "x1"]).alias("s")).collect()
+    assert all(0.0 < r["s"] < 1.0 for r in scores)
+    # full-batch GD on an imbalanced label must move the bias toward
+    # the empirical log-odds direction (en is a minority -> negative)
+    frac = feat.agg(F.avg("y")).collect()[0][0]
+    assert (w1[0] < 0) == (frac < 0.5)
