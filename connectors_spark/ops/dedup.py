@@ -561,6 +561,41 @@ def remove_boilerplate(df: DataFrame, id_col: str = "doc_id",
             .where(F.length("text") > 0))
 
 
+def dedup_chunks_keep_first(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            chunk_tokens: int = 10) -> DataFrame:
+    """Corpus-level chunk dedup keeping the FIRST occurrence — the
+    CCNet/RefinedWeb line-dedup recipe (Wenzek et al. 2020 §3.1;
+    Penedo et al. 2023): every repeated chunk keeps only its globally
+    first instance (lowest (doc_id, pos)); later instances are
+    stripped. Differs from `remove_boilerplate`, which drops ALL
+    instances of frequent chunks — here one copy of repeated text
+    always survives, the usual pass run BEFORE document-level dedup.
+
+    Returns (doc_id, text); docs that lose every chunk drop out.
+
+    Plan shape: chunk explode keyed by hash64(chunk) → one map-side-
+    combined min(struct(doc_id, pos)) per chunk → equi-join back on
+    the 8-byte key (a shuffle join, NOT broadcast: the winner relation
+    is distinct-chunk-sized, i.e. corpus-scale) → keep instances equal
+    to their chunk's winner → one doc_id-keyed reassembly shuffle.
+    Strings travel only in the reassembly; every chunk-keyed exchange
+    carries md5-derived 8-byte keys."""
+    ch = doc_chunks(df, id_col, text_col, chunk_tokens).withColumn(
+        "_ck", hash64("chunk"))
+    win = ch.groupBy("_ck").agg(
+        F.min(F.struct("doc_id", "pos")).alias("_w"))
+    kept = (ch.join(win, "_ck")
+            .where((F.col("doc_id") == F.col("_w.doc_id")) &
+                   (F.col("pos") == F.col("_w.pos"))))
+    return (kept.groupBy("doc_id")
+            .agg(F.concat_ws(
+                " ", F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s.getField("chunk"))).alias("text"))
+            .where(F.length("text") > 0))
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination (train/eval n-gram overlap)
 # ---------------------------------------------------------------------------

@@ -401,6 +401,36 @@ def doc_boilerplate(spark, sf_dir):
     return out.select("doc_id", F.md5("text").alias("h"))
 
 
+@register("doc_chunk_dedup_first", sql=f"""
+WITH {_TOKS},
+ch AS (
+  SELECT doc_id, i::INT - 1 AS pos,
+         array_to_string(list_slice(t, (i - 1) * 10 + 1, i * 10), ' ')
+             AS chunk
+  FROM toks, unnest(range(1, ceil(len(t) / 10.0)::BIGINT + 1)) AS u(i)
+  WHERE len(t) > 0),
+kept AS (
+  SELECT doc_id, pos, chunk FROM (
+    SELECT *, row_number() OVER (PARTITION BY chunk
+                                 ORDER BY doc_id, pos) AS rn
+    FROM ch) WHERE rn = 1),
+reassembled AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id)
+SELECT doc_id, md5(text) AS h FROM reassembled WHERE length(text) > 0
+""")
+def doc_chunk_dedup_first(spark, sf_dir):
+    # CCNet/RefinedWeb line-dedup analogue: every repeated 10-token
+    # chunk keeps only its globally FIRST occurrence (lowest
+    # (doc_id, pos)) — one copy of repeated text always survives,
+    # unlike boilerplate removal which drops all copies. md5 of the
+    # reassembled text pins winner choice and position order exactly.
+    from ..ops.dedup import dedup_chunks_keep_first
+    out = dedup_chunks_keep_first(load(spark, sf_dir, "documents"),
+                                  chunk_tokens=10)
+    return out.select("doc_id", F.md5("text").alias("h"))
+
+
 # --------------------------------------------------------------------------
 # Stratified per-language sampling (ops/sampling.py)
 # --------------------------------------------------------------------------

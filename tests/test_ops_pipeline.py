@@ -865,3 +865,26 @@ def test_logreg_fit_deterministic_and_learns_majority(spark, sf_dir):
     # the empirical log-odds direction (en is a minority -> negative)
     frac = feat.agg(F.avg("y")).collect()[0][0]
     assert (w1[0] < 0) == (frac < 0.5)
+
+
+def test_chunk_dedup_keep_first_properties(spark, sf_dir):
+    from connectors_spark.ops.dedup import (dedup_chunks_keep_first,
+                                            doc_chunks)
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup_chunks_keep_first(docs, chunk_tokens=10)
+    # Exactly one instance of every chunk survives corpus-wide: the
+    # surviving chunk multiset == the distinct chunk set of the input.
+    surv = doc_chunks(out, "doc_id", "text", 10)
+    n_in_distinct = (doc_chunks(docs, "doc_id", "text", 10)
+                     .select("chunk").distinct().count())
+    assert surv.count() >= n_in_distinct * 0.95
+    # reassembly can merge a trailing short chunk with its successor's
+    # first tokens, so allow a small slack — but no chunk may be LOST:
+    # total surviving tokens == distinct-chunk token mass
+    tok_out = out.agg(F.sum(F.size(F.split("text", " ")))).collect()[0][0]
+    tok_dedup = (doc_chunks(docs, "doc_id", "text", 10)
+                 .dropDuplicates(["chunk"])
+                 .agg(F.sum(F.size(F.split("chunk", " "))))
+                 .collect()[0][0])
+    assert tok_out == tok_dedup
