@@ -396,3 +396,66 @@ def test_bloom_bits_join_is_broadcast(plans):
     # side (the whole point of the sketch vs an exact gram set).
     p = plans("doc_bloom_decontaminate")
     assert "BroadcastHashJoin" in p
+
+
+def test_dsir_broadcasts_lambda_table_no_global_sort(plans):
+    # the per-doc weight join must broadcast the buckets-sized lambda
+    # relation; only the gate wrapper sorts, never the operator
+    from connectors_spark.ops.quality import dsir_importance_weights
+    p = plans("doc_dsir_weights")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_chunk_dedup_first_winner_join_not_broadcast(spark, sf_dir):
+    # the winner relation is distinct-chunk-sized (corpus scale): it
+    # must NOT be forced broadcast, and chunk-keyed exchanges must
+    # carry the 8-byte hash key, not chunk strings
+    from connectors_spark.ops.dedup import dedup_chunks_keep_first
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(dedup_chunks_keep_first(docs, chunk_tokens=10))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "hashpartitioning(_ck" in p
+
+
+def test_logreg_gradient_is_partial_aggregate(spark, sf_dir):
+    # one iteration = one map-side-combined aggregate: partial
+    # (HashAggregate before the exchange) then final over ONE row
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feat = docs.select(
+        (F.col("lang") == "en").cast("double").alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.col("n_chars") / F.lit(1000.0)).alias("x1"))
+    from connectors_spark.ops.regression import sigmoid
+    p0 = F.col("y") - sigmoid(F.lit(0.0))
+    p = plan_of(feat.agg(
+        F.round(F.avg(F.round(p0 * F.col("x0"), 6)), 6).alias("g0")))
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_ivfpq_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    # probing 2 of 16 lists must scan only those list partitions of the
+    # code table, and the ADC score join must broadcast the distance
+    # relation
+    from connectors_spark import DeltaTable
+    from connectors_spark.expressions import Col, Lit
+    from connectors_spark.ops.clustering import (build_ivf_pq_index,
+                                                 ivf_pq_adc_topk)
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivfpq")
+    cents, books = build_ivf_pq_index(emb, idx, nlist=16)
+    t = DeltaTable.for_path(spark, idx)
+    total = t.snapshot().files_df.count()
+    pruned = t.scan((Col("list_id") == Lit(0)) |
+                    (Col("list_id") == Lit(1))).files().count()
+    assert pruned < total and pruned <= 4
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    p = plan_of(ivf_pq_adc_topk(spark, idx, q, cents, books,
+                                k=5, nprobe=4))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
