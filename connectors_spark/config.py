@@ -43,6 +43,12 @@ DEFAULTS: Dict[str, str] = {
     "delta.appendOnly": "false",
     "delta.enableExpiredLogCleanup": "true",
     "delta.enableChangeDataFeed": "false",
+    # Post-commit small-file compaction (delta-spark's
+    # delta.autoOptimize.autoCompact table property; min-file knob
+    # mirrors spark.databricks.delta.autoCompact.minNumFiles).
+    "delta.autoOptimize.autoCompact": "false",
+    "connectors.autoCompact.minNumFiles": "8",
+    "connectors.autoCompact.targetFileSize": str(128 * 1024 * 1024),
 }
 
 
@@ -77,6 +83,18 @@ class TableConfig:
     @property
     def enable_change_data_feed(self) -> bool:
         return self.get("delta.enableChangeDataFeed").lower() == "true"
+
+    @property
+    def auto_compact(self) -> bool:
+        return self.get("delta.autoOptimize.autoCompact").lower() == "true"
+
+    @property
+    def auto_compact_min_files(self) -> int:
+        return int(self.get("connectors.autoCompact.minNumFiles"))
+
+    @property
+    def auto_compact_target_size(self) -> int:
+        return int(self.get("connectors.autoCompact.targetFileSize"))
 
     @property
     def check_constraints(self) -> Dict[str, str]:

@@ -389,7 +389,9 @@ class DeltaTable:
     def write(self, df: DataFrame, mode: str = "append",
               partition_by: Optional[Sequence[str]] = None,
               configuration: Optional[Dict[str, str]] = None,
-              replace_where: Optional[Expression] = None) -> int:
+              replace_where: Optional[Expression] = None,
+              txn_app_id: Optional[str] = None,
+              txn_version: Optional[int] = None) -> int:
         """Append/overwrite ``df``. Creates the table on first write.
 
         ``replace_where`` (overwrite only): atomically replace EXACTLY
@@ -400,15 +402,35 @@ class DeltaTable:
         fully covers them (partition/stats-pruned, no data read) and
         rewritten keep-rows-only when it only partially covers them.
         One transaction: readers never see a state with the old rows
-        gone and the new ones missing."""
+        gone and the new ones missing.
+
+        ``txn_app_id``/``txn_version`` (set together): IDEMPOTENT
+        write — the delta-spark txnAppId/txnVersion option pair over
+        the reference's SetTransaction watermark (actions.scala:88-94,
+        txnVersion OptimisticTransactionImpl.scala:221-224). The
+        commit records SetTransaction(app_id, version); a write whose
+        version is ≤ the table's recorded watermark for that app is
+        SKIPPED (returns -1), so a retried job can never double-append.
+        The conflict checker already fails concurrent commits touching
+        the same appId, making the check-then-commit race-safe."""
         if mode not in ("append", "overwrite"):
             raise DeltaError(f"unsupported write mode {mode!r}")
         if replace_where is not None and mode != "overwrite":
             raise DeltaError("replace_where requires mode='overwrite'")
+        if (txn_app_id is None) != (txn_version is None):
+            raise DeltaError(
+                "txn_app_id and txn_version must be set together")
         if replace_where is not None:
+            if txn_app_id is not None:
+                raise DeltaError(
+                    "idempotent writes are not supported with "
+                    "replace_where")
             return self._replace_where(df, replace_where, configuration)
         txn = self.log.start_transaction()
         exists = txn.snapshot is not None and txn.read_version >= 0
+        if txn_app_id is not None and exists \
+                and txn.txn_version(txn_app_id) >= txn_version:
+            return -1
         if exists:
             meta = txn.snapshot.metadata
             pcols = list(partition_by) if partition_by is not None \
@@ -433,6 +455,11 @@ class DeltaTable:
             actions += [f.remove(now) for f in txn.snapshot.all_files()]
         adds = stage_and_collect(df, self.log.table_path, pcols)
         actions += adds
+        if txn_app_id is not None:
+            from .log.actions import SetTransaction
+            actions.append(SetTransaction(
+                appId=txn_app_id, version=int(txn_version),
+                lastUpdated=int(time.time() * 1000)))
         n_rows = sum(json.loads(a.stats)["numRecords"] for a in adds
                      if a.stats)
         version = txn.commit(
@@ -441,7 +468,32 @@ class DeltaTable:
                                   "partitionBy": json.dumps(list(pcols))},
             operation_metrics={"numFiles": str(len(adds)),
                                "numOutputRows": str(n_rows)})
+        self._maybe_auto_compact(
+            (eff_meta.configuration if eff_meta else None))
         return version
+
+    def _maybe_auto_compact(self,
+                            configuration: Optional[Dict[str, str]]
+                            ) -> None:
+        """Post-commit small-file compaction when the
+        ``delta.autoOptimize.autoCompact`` table property is on: if at
+        least ``connectors.autoCompact.minNumFiles`` active files are
+        below the target size, bin-pack them in a follow-up OPTIMIZE
+        commit (dataChange=False — change feeds skip it). Keeps
+        many-small-append workloads from accreting a file-per-commit
+        layout without a scheduled OPTIMIZE job; the probe is one
+        metadata-plane count, no data read."""
+        conf = TableConfig(configuration or {})
+        if not conf.auto_compact:
+            return
+        target = conf.auto_compact_target_size
+        n_small = (self.snapshot().files_df
+                   .where(F.col("size") < target).limit(
+                       conf.auto_compact_min_files).count())
+        if n_small >= conf.auto_compact_min_files:
+            TableMaintenance(self).optimize(
+                target_file_size=target,
+                min_files_per_group=2)
 
     def _replace_where(self, df: DataFrame, predicate: Expression,
                        configuration: Optional[Dict[str, str]]) -> int:

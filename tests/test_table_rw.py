@@ -207,3 +207,54 @@ def test_replace_where_rejects_schema_mismatch(spark, tmp_path):
         t.write(bad_type, mode="overwrite",
                 replace_where=Col("s") == Lit("a"))
     assert t.to_df().count() == 10  # untouched
+
+
+def test_idempotent_write_txn_app_version(spark, tmp_path):
+    """delta-spark txnAppId/txnVersion semantics: a retried write with
+    the same (app, version) is a no-op; a later version appends."""
+    d = str(tmp_path / "t")
+    t = DeltaTable.for_path(spark, d)
+    df = spark.range(10).select(F.col("id").alias("k"))
+    v0 = t.write(df, txn_app_id="job", txn_version=1)
+    assert v0 == 0 and t.to_df().count() == 10
+    # retry of the SAME logical write: skipped
+    assert t.write(df, txn_app_id="job", txn_version=1) == -1
+    assert t.to_df().count() == 10
+    assert t.log.snapshot().version == 0
+    # an OLDER version is also skipped; a NEWER one commits
+    assert t.write(df, txn_app_id="job", txn_version=0) == -1
+    assert t.write(df, txn_app_id="job", txn_version=2) == 1
+    assert t.to_df().count() == 20
+    # a different app id is independent
+    assert t.write(df, txn_app_id="other", txn_version=1) == 2
+    assert t.to_df().count() == 30
+    import pytest as _pytest
+    from connectors_spark.errors import DeltaError
+    with _pytest.raises(DeltaError, match="together"):
+        t.write(df, txn_app_id="job")
+
+
+def test_auto_compact_bounds_small_files(spark, tmp_path):
+    """delta.autoOptimize.autoCompact: many small appends trigger a
+    follow-up OPTIMIZE commit once minNumFiles small files accrete."""
+    d = str(tmp_path / "t")
+    t = DeltaTable.for_path(spark, d)
+    conf = {"delta.autoOptimize.autoCompact": "true",
+            "connectors.autoCompact.minNumFiles": "5"}
+    for i in range(6):
+        t.write(spark.range(i * 10, (i + 1) * 10)
+                .select(F.col("id").alias("k")).coalesce(1),
+                mode="append", configuration=conf if i == 0 else None)
+    snap = t.log.snapshot()
+    assert snap.files_df.count() < 6  # compaction fired
+    ops = [h["operation"] for h in t.history()]
+    assert "OPTIMIZE" in ops
+    assert sorted(r.k for r in t.to_df().collect()) == list(range(60))
+    # disabled table never compacts
+    d2 = str(tmp_path / "t2")
+    t2 = DeltaTable.for_path(spark, d2)
+    for i in range(6):
+        t2.write(spark.range(i * 10, (i + 1) * 10)
+                 .select(F.col("id").alias("k")).coalesce(1),
+                 mode="append")
+    assert t2.log.snapshot().files_df.count() == 6
