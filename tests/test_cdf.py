@@ -115,3 +115,19 @@ def test_partitioned_update_cdc_carries_partition_columns(spark, tmp_path):
     t.update({"k": "k + 10"}, Col("k") == Lit(1))
     assert _changes(t, 1) == {(1, "x", "update_preimage", 1),
                               (11, "x", "update_postimage", 1)}
+
+
+def test_reorg_purge_emits_nothing_and_dv_deletes_survive(spark, tmp_path):
+    """REORG PURGE is dataChange=False end to end: the change feed
+    shows the DV delete at its own version and NOTHING for the purge,
+    and post-purge reads equal pre-purge reads."""
+    rows = [Row(k=i, v=chr(97 + i % 3)) for i in range(20)]
+    t = _mk(spark, tmp_path, rows)
+    t.delete(Col("k") < Lit(5), deletion_vectors=True)
+    before = {(r["k"], r["v"]) for r in t.to_df().collect()}
+    res = TableMaintenance(t).reorg_purge()
+    pv = res["version"]
+    assert t.table_changes(pv, pv).count() == 0
+    assert _changes(t, 1, 1) == {(i, chr(97 + i % 3), "delete", 1)
+                                 for i in range(5)}
+    assert {(r["k"], r["v"]) for r in t.to_df().collect()} == before

@@ -464,3 +464,21 @@ def test_streaming_countmin_sketch_maintenance(spark, tmp_path):
                  .select(F.explode(tokens("text")).alias("g")),
                  "g", depth=4, width=256).collect()}
     assert live == batch
+
+
+def test_stream_tail_skips_reorg_purge(spark, tmp_path):
+    """A continuous reader consuming the tail must treat a REORG PURGE
+    commit like OPTIMIZE: no new rows, no delete/changes error even
+    without ignore flags (dataChange=False on both sides)."""
+    from connectors_spark.expressions import Col, Lit
+    from connectors_spark.streaming.changes import (
+        validated_adds_per_version)
+    from connectors_spark.table import TableMaintenance
+    d = str(tmp_path / "t")
+    t = DeltaTable.for_path(spark, d)
+    t.write(spark.range(50).select(F.col("id").alias("k")))
+    t.delete(Col("k") < Lit(10), deletion_vectors=True)
+    res = TableMaintenance(t).reorg_purge()
+    out = validated_adds_per_version(t, res["version"],
+                                     allow_initial_changes=False)
+    assert out == [(res["version"], [])]
