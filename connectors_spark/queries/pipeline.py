@@ -2357,3 +2357,32 @@ def doc_quality_logreg(spark, sf_dir):
                            (score >= 0.5).alias("pred"))
     finally:
         feat.unpersist()
+
+
+# --------------------------------------------------------------------------
+# Skew-safe grouped top-k (ops/skew.py grouped_topk)
+# --------------------------------------------------------------------------
+
+@register("ord_topk_per_status", sql="""
+SELECT o_orderstatus, o_orderkey, totalprice, rank FROM (
+  SELECT o_orderstatus, o_orderkey,
+         round(o_totalprice, 2) AS totalprice,
+         row_number() OVER (
+             PARTITION BY o_orderstatus
+             ORDER BY round(o_totalprice, 2) DESC, o_orderkey) AS rank
+  FROM orders) WHERE rank <= 3
+""")
+def ord_topk_per_status(spark, sf_dir):
+    # Exact top-3 orders by value per status via the TWO-PHASE top-k
+    # (no partitionBy window): per-partition k-best structs merge to
+    # the global k-best — the skew-safe shape for mega-groups. The
+    # oracle is the conventional row_number window, proving the
+    # two-phase plan is output-identical.
+    from ..ops.skew import grouped_topk
+    od = load(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"))
+    out = grouped_topk(od, ["o_orderstatus"], "totalprice", k=3,
+                       descending=True, tie_cols=["o_orderkey"])
+    return out.select("o_orderstatus", "o_orderkey", "totalprice",
+                      F.col("rank").cast("long").alias("rank"))

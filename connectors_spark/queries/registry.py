@@ -139,6 +139,7 @@ GATE_SORT: Dict[str, list] = {
     "ev_cube_type_day": ["day", "event_type"],
     "ev_interarrival_stats": ["event_type"],
     "ord_totalprice_percentiles": ["o_orderpriority"],
+    "ord_topk_per_status": ["o_orderstatus", "rank", "o_orderkey"],
     "ev_funnel_view_click_purchase": ["n_view"],
     "ev_gapfill_daily_locf": ["key", "day"],
     "doc_unigram_nll": ["doc_id"],
@@ -300,6 +301,7 @@ GATE_COLUMNS: Dict[str, list] = {
     "ev_cube_type_day": ["day", "event_type", "n_events", "sum_value"],
     "ev_interarrival_stats": ["event_type", "n_gaps", "min_gap_us", "max_gap_us", "mean_gap_us"],
     "ord_totalprice_percentiles": ["o_orderpriority", "p50", "p95"],
+    "ord_topk_per_status": ["o_orderstatus", "o_orderkey", "totalprice", "rank"],
     "ev_funnel_view_click_purchase": ["n_view", "n_view_click", "n_full_funnel", "mean_convert_us"],
     "ev_gapfill_daily_locf": ["key", "day", "value", "filled"],
     "doc_unigram_nll": ["doc_id", "n_tok", "nll"],
@@ -410,7 +412,7 @@ _R6_NEW = frozenset(["mm_image_decode_real", "mm_image_thumb_real",
 # has a green driver row from CORRECTNESS_r06.
 _R7_NEW = frozenset(["delta_reorg_purge", "doc_dsir_weights",
                      "doc_quality_logreg", "emb_ivf_pq_topk",
-                     "doc_chunk_dedup_first"])
+                     "doc_chunk_dedup_first", "ord_topk_per_status"])
 
 
 def ordered_names() -> list:

@@ -888,3 +888,28 @@ def test_chunk_dedup_keep_first_properties(spark, sf_dir):
                  .agg(F.sum(F.size(F.split("chunk", " "))))
                  .collect()[0][0])
     assert tok_out == tok_dedup
+
+
+def test_grouped_topk_matches_window_even_with_mega_group(spark):
+    from connectors_spark.ops.skew import grouped_topk
+    from pyspark.sql import Window, functions as F
+    import pytest
+    # one mega-group (90%) + small groups; values with heavy ties
+    df = (spark.range(20000)
+          .select(F.when(F.col("id") % 10 < 9, F.lit("hot"))
+                  .otherwise((F.col("id") % 10).cast("string"))
+                  .alias("g"),
+                  (F.col("id") % 97).cast("double").alias("v"),
+                  F.col("id").alias("k"))
+          .repartition(16))
+    got = sorted(map(tuple, grouped_topk(
+        df, ["g"], "v", k=7, descending=True,
+        tie_cols=["k"]).collect()))
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("k"))
+    want = sorted(map(tuple, df.withColumn(
+        "rank", F.row_number().over(w)).filter("rank <= 7")
+        .select("g", "k", "v", F.col("rank").cast("int")).collect()))
+    # same column layout: (g, k, v, rank)
+    assert got == want
+    with pytest.raises(ValueError, match="numeric"):
+        grouped_topk(df.withColumn("s", F.lit("x")), ["g"], "s", k=2)

@@ -459,3 +459,18 @@ def test_ivfpq_probe_prunes_partitions(spark, sf_dir, tmp_path):
                                 k=5, nprobe=4))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_grouped_topk_no_window_no_single_partition(spark, sf_dir):
+    # the two-phase top-k must contain NO Window operator and no
+    # SinglePartition exchange over data rows — that is its reason to
+    # exist (a partitionBy window funnels a mega-group into one task)
+    from connectors_spark.ops.skew import grouped_topk
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderstatus", "o_orderkey",
+        F.round("o_totalprice", 2).alias("tp"))
+    p = plan_of(grouped_topk(od, ["o_orderstatus"], "tp", k=3,
+                             tie_cols=["o_orderkey"]))
+    assert "Window" not in p
+    assert "SinglePartition" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final per phase
