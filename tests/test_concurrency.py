@@ -409,3 +409,37 @@ def test_set_properties_takes_effect_immediately(spark, tmp_path):
         t.delete(Col("o_orderkey") < 100)
     t.write(orders.limit(5), mode="append")
     assert t.to_df().count() == 55
+
+
+def test_reorg_purge_conflicts_with_concurrent_dv_delete(spark, tmp_path):
+    """PURGE racing a DV delete that re-adds its victim files must
+    raise: committing the purge would clobber the newer deletion vector
+    and resurrect the freshly deleted rows."""
+    from connectors_spark.table import TableMaintenance
+
+    t, orders = _partitioned_table(spark, tmp_path / "rp")
+    t.delete((Col("o_orderstatus") == "F") & (Col("o_orderkey") <= 200),
+             deletion_vectors=True)
+    maint = TableMaintenance(t)
+    # pin purge's snapshot by starting it manually: compute victims
+    # from the stale view, let a second DV delete win, then commit
+    txn1 = t.log.start_transaction()
+    from connectors_spark.dv import DV_TAG
+    victims = [f for f in txn1.snapshot.all_files()
+               if (f.tags or {}).get(DV_TAG)]
+    assert victims
+    DeltaTable.for_path(spark, t.path).delete(
+        (Col("o_orderstatus") == "F") & (Col("o_orderkey") <= 400),
+        deletion_vectors=True)
+    now = int(time.time() * 1000)
+    removes = [f.remove(now, data_change=False) for f in victims]
+    with pytest.raises(ConcurrentDeleteDeleteException):
+        txn1.commit(removes, "REORG")
+    # the retried purge (fresh snapshot) succeeds and drops every DV
+    res = TableMaintenance(t).reorg_purge()
+    assert res["filesPurged"] >= 1
+    assert not any((f.tags or {}).get(DV_TAG)
+                   for f in t.log.snapshot().all_files())
+    want = orders.filter(
+        "NOT (o_orderstatus = 'F' AND o_orderkey <= 400)").count()
+    assert t.to_df().count() == want
