@@ -2386,3 +2386,45 @@ def ord_topk_per_status(spark, sf_dir):
                        descending=True, tie_cols=["o_orderkey"])
     return out.select("o_orderstatus", "o_orderkey", "totalprice",
                       F.col("rank").cast("long").alias("rank"))
+
+
+# --------------------------------------------------------------------------
+# Adaptive per-group length filtering (corpus-derived quantile floors)
+# --------------------------------------------------------------------------
+
+@register("doc_adaptive_length_filter", sql="""
+WITH n AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+             AS n_tok
+  FROM documents),
+th AS (
+  SELECT lang, round(quantile_cont(n_tok, 0.1), 6) AS th
+  FROM n GROUP BY 1)
+SELECT n.lang, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN n.n_tok >= th.th THEN 1 ELSE 0 END)::BIGINT
+           AS n_kept,
+       th.th
+FROM n JOIN th ON n.lang = th.lang
+GROUP BY n.lang, th.th
+""")
+def doc_adaptive_length_filter(spark, sf_dir):
+    # Adaptive curation floor: instead of one corpus-wide minimum
+    # length (which over-prunes terse languages), each language derives
+    # its own p10 token-count floor from the corpus — exact interpolated
+    # percentile (Spark `percentile` == DuckDB `quantile_cont`), tiny
+    # per-group relation broadcast back onto the docs. Reports per-lang
+    # keep counts against the derived threshold.
+    from ..functions.text import token_count
+    docs = load(spark, sf_dir, "documents")
+    n = docs.select("doc_id", "lang",
+                    token_count(F.col("text")).cast("long")
+                    .alias("n_tok"))
+    th = (n.groupBy("lang")
+          .agg(F.round(F.expr("percentile(n_tok, 0.1)"), 6).alias("th")))
+    return (n.join(F.broadcast(th), "lang")
+            .groupBy("lang", "th")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("n_tok") >= F.col("th"), 1)
+                       .otherwise(0)).alias("n_kept"))
+            .select("lang", "n_docs", "n_kept", "th"))
