@@ -482,3 +482,46 @@ def test_stream_tail_skips_reorg_purge(spark, tmp_path):
     out = validated_adds_per_version(t, res["version"],
                                      allow_initial_changes=False)
     assert out == [(res["version"], [])]
+
+
+def test_streaming_ingest_dedup_cross_batch(spark, tmp_path):
+    """End-to-end streaming curation: a delta-source stream feeds
+    foreachBatch(ingest_dedup) into a curated table; duplicate content
+    arriving in LATER commits is dropped against the persistent
+    fingerprint index, exactly once per distinct content."""
+    from connectors_spark.ops import dedup as dd
+
+    src, cur, idx = (str(tmp_path / n) for n in ("src", "cur", "idx"))
+    t = DeltaTable.for_path(spark, src)
+    mk = lambda i: f"text body number {i} with shared tokens"  # noqa: E731
+    t.write(spark.createDataFrame(
+        [(i, mk(i)) for i in range(10)], "doc_id long, text string")
+        .coalesce(1))
+    dd.build_fingerprint_index(
+        spark.createDataFrame([], "doc_id long, text string"), idx)
+
+    curated = DeltaTable.for_path(spark, cur)
+
+    def batchfn(df, _bid):
+        accepted = dd.ingest_dedup(df.select("doc_id", "text"), idx)
+        if accepted.count():
+            curated.write(accepted, mode="append")
+
+    def drain():
+        q = (spark.readStream.format("delta_stream")
+             .option("path", src).load()
+             .writeStream.foreachBatch(batchfn)
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    assert curated.to_df().count() == 10
+    # commit 2: 3 repeats of earlier content + 2 new docs
+    t.write(spark.createDataFrame(
+        [(100, mk(1)), (101, mk(2)), (102, mk(3)),
+         (103, mk(90)), (104, mk(91))],
+        "doc_id long, text string").coalesce(1), mode="append")
+    drain()
+    got = sorted(r.doc_id for r in curated.to_df().collect())
+    assert got == list(range(10)) + [103, 104]
