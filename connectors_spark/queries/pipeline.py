@@ -2373,11 +2373,11 @@ SELECT o_orderstatus, o_orderkey, totalprice, rank FROM (
   FROM orders) WHERE rank <= 3
 """)
 def ord_topk_per_status(spark, sf_dir):
-    # Exact top-3 orders by value per status via the TWO-PHASE top-k
-    # (no partitionBy window): per-partition k-best structs merge to
-    # the global k-best — the skew-safe shape for mega-groups. The
-    # oracle is the conventional row_number window, proving the
-    # two-phase plan is output-identical.
+    # Exact top-3 orders by value per status. Skew-safe because the
+    # plan carries a PARTIAL WindowGroupLimit before the shuffle
+    # (Catalyst builds the two-phase top-k from the declarative
+    # window; a hand-rolled variant measured 2.7x slower — see
+    # ops/skew.py grouped_topk and the plan pin in test_plans.py).
     from ..ops.skew import grouped_topk
     od = load(spark, sf_dir, "orders").select(
         "o_orderstatus", "o_orderkey",

@@ -893,7 +893,6 @@ def test_chunk_dedup_keep_first_properties(spark, sf_dir):
 def test_grouped_topk_matches_window_even_with_mega_group(spark):
     from connectors_spark.ops.skew import grouped_topk
     from pyspark.sql import Window, functions as F
-    import pytest
     # one mega-group (90%) + small groups; values with heavy ties
     df = (spark.range(20000)
           .select(F.when(F.col("id") % 10 < 9, F.lit("hot"))
@@ -911,5 +910,3 @@ def test_grouped_topk_matches_window_even_with_mega_group(spark):
         .select("g", "k", "v", F.col("rank").cast("int")).collect()))
     # same column layout: (g, k, v, rank)
     assert got == want
-    with pytest.raises(ValueError, match="numeric"):
-        grouped_topk(df.withColumn("s", F.lit("x")), ["g"], "s", k=2)
