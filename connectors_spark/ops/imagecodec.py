@@ -229,9 +229,13 @@ def decode_any(data: bytes):
         return ("png",) + decode_png(data)
     if head[:2] == b"BM":
         return ("bmp",) + decode_bmp(data)
+    if head[:2] == b"\xff\xd8":
+        from .jpegcodec import decode_jpeg
+        return ("jpeg",) + decode_jpeg(data)
     raise NotImplementedError(
-        "only PNG and BMP have stdlib decoders; jpeg/video need native "
-        "codecs absent from this container")
+        "no stdlib decoder for this format (PNG/BMP/baseline-JPEG "
+        "are supported; other formats need native codecs absent from "
+        "this container)")
 
 
 def resize_nearest(pixels: bytes, w: int, h: int, channels: int,

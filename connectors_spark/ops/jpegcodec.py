@@ -1,0 +1,337 @@
+"""Stdlib-only baseline JPEG codec (grayscale, ITU-T.81 sequential DCT).
+
+Closes the "compressed codecs remain guarded" gap left after round 6's
+PNG/BMP/WAV/AVI stdlib codecs: baseline JPEG needs nothing beyond
+`struct` + numpy (Huffman is pure Python, the 8×8 DCT/IDCT is two tiny
+matmuls), so the `decode_image` seam in ops/multimodal.py can run a
+REAL compressed-format pixel path.
+
+Scope (documented, raises outside it):
+- decode: baseline sequential DCT (SOF0), 8-bit, ONE component
+  (grayscale), no restart intervals (DRI), Huffman tables read from
+  the file's DHT segments (any valid tables, not just Annex K);
+  progressive (SOF2) / multi-component / arithmetic coding raise.
+- encode: real pipeline — level shift, float 2-D DCT-II, quantize
+  (round-to-nearest), zigzag, DC-diff + AC run-length Huffman with
+  byte stuffing — emitting a spec-conformant JFIF stream whose DQT /
+  DHT / SOF0 / SOS segments the decoder (or any JPEG reader) parses.
+
+Determinism: the corpus generator (ops/multimodal.synth_jpeg_media)
+feeds piecewise-constant blocks whose DC coefficients quantize and
+reconstruct EXACTLY (values chosen so S00 = 8·(p−128) is a multiple of
+the quantizer), so decoded pixels equal the closed-form rule bit-for-
+bit and a DuckDB oracle can recompute them; arbitrary images round-trip
+lossily like any JPEG (tested with tolerance).
+
+Scale note: same as imagecodec.py — this runs inside Arrow-batched
+mapInPandas; swap in libjpeg-turbo via the identical seam for a real
+100 TB corpus.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# DCT basis (orthonormal 8-point DCT-II; JPEG's FDCT/IDCT pair)
+# ---------------------------------------------------------------------------
+
+_T = np.zeros((8, 8))
+for _k in range(8):
+    _a = np.sqrt(0.125) if _k == 0 else 0.5
+    for _n in range(8):
+        _T[_k, _n] = _a * np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+
+
+def _zigzag_order() -> List[Tuple[int, int]]:
+    """The spec's zigzag scan, generated (not hardcoded): walk the 15
+    anti-diagonals, alternating direction, upper-left to lower-right."""
+    out = []
+    for s in range(15):
+        cells = [(r, s - r) for r in range(8) if 0 <= s - r < 8]
+        out.extend(cells if s % 2 else cells[::-1])
+    return out
+
+
+_ZZ = _zigzag_order()
+
+# Spec-conformant custom Huffman tables (JPEG permits any canonical
+# tables carried in DHT; the decoder reads them from the file, so
+# Annex-K files decode too). DC: 12 categories, all 4-bit codes.
+# AC: EOB, ZRL and every (run 0-15, size 1-10) at 8 bits (162 ≤ 256).
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_DC_VALS = list(range(12))
+_AC_VALS = ([0x00, 0xF0]
+            + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+_AC_BITS = [0] * 7 + [len(_AC_VALS)] + [0] * 8
+
+
+def _canonical_codes(bits: List[int],
+                     vals: List[int]) -> Dict[int, Tuple[int, int]]:
+    """value -> (code, length) via the JPEG canonical algorithm."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_DC_ENC = _canonical_codes(_DC_BITS, _DC_VALS)
+_AC_ENC = _canonical_codes(_AC_BITS, _AC_VALS)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            b = (self._acc >> (self._n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:           # byte stuffing
+                self.buf.append(0x00)
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:                 # pad to byte boundary with 1-bits
+            pad = 8 - self._n
+            self.put((1 << pad) - 1, pad)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def encode_jpeg_gray(width: int, height: int, pixels: bytes,
+                     quant: int = 16) -> bytes:
+    """Encode an 8-bit grayscale image (dimensions must be multiples
+    of 8) as a baseline JFIF stream with a flat quantization table of
+    ``quant``."""
+    if width % 8 or height % 8:
+        raise ValueError("encode_jpeg_gray needs multiple-of-8 dims")
+    img = np.frombuffer(bytes(pixels), dtype=np.uint8) \
+        .reshape(height, width).astype(np.float64) - 128.0
+    q = np.full((8, 8), float(quant))
+    out = bytearray(b"\xff\xd8")                        # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz = bytes(int(q[r][c]) for r, c in _ZZ)
+    out += _seg(0xFFDB, b"\x00" + zz)                   # DQT, 8-bit, id 0
+    out += _seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1)
+                + bytes([1, 0x11, 0]))                  # SOF0, 1 comp
+    out += _seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+    w = _BitWriter()
+    prev_dc = 0
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            blk = img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            coef = _T @ blk @ _T.T
+            cq = np.round(coef / q).astype(np.int64)
+            zzc = [int(cq[r, c]) for r, c in _ZZ]
+            diff = zzc[0] - prev_dc
+            prev_dc = zzc[0]
+            s = _category(diff)
+            code, length = _DC_ENC[s]
+            w.put(code, length)
+            if s:
+                w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zzc[i]), default=0)
+            for i in range(1, last_nz + 1):
+                v = zzc[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c16, l16 = _AC_ENC[0xF0]
+                    w.put(c16, l16)
+                    run -= 16
+                s = _category(v)
+                if s > 10:
+                    raise ValueError("AC coefficient too large")
+                code, length = _AC_ENC[(run << 4) | s]
+                w.put(code, length)
+                w.put(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                code, length = _AC_ENC[0x00]            # EOB
+                w.put(code, length)
+    w.flush()
+    out += w.buf
+    out += b"\xff\xd9"                                  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+class _HuffTable:
+    """Canonical Huffman decode table built from a DHT (BITS, VALS)."""
+
+    def __init__(self, bits: List[int], vals: List[int]):
+        self.lookup: Dict[Tuple[int, int], int] = {}
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lookup[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def read(self, br: "_BitReader") -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.bit()
+            v = self.lookup.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid Huffman code")
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1           # stuffed byte
+                else:
+                    raise ValueError(f"marker 0xFF{nxt:02x} mid-scan")
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def receive_extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.bit()
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
+    """Decode a baseline grayscale JPEG → (width, height, 1, pixels).
+
+    Real entropy decode: canonical Huffman from the file's DHT, DC
+    prediction, AC run-length/EOB/ZRL, dequantize from DQT, inverse
+    zigzag, float IDCT, level shift + clamp."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: Dict[int, np.ndarray] = {}
+    dc_tabs: Dict[int, _HuffTable] = {}
+    ac_tabs: Dict[int, _HuffTable] = {}
+    width = height = -1
+    comp_q = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = struct.unpack(">H", data[pos:pos + 2])[0]
+        pos += 2
+        if marker == 0xFFD9:                            # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2:pos + seglen]
+        if marker == 0xFFDB:                            # DQT
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit DQT unsupported")
+                tab = np.zeros((8, 8))
+                for i, (r, c) in enumerate(_ZZ):
+                    tab[r, c] = body[o + 1 + i]
+                qt[tq] = tab
+                o += 65
+        elif marker == 0xFFC4:                          # DHT
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0x0F
+                bits = list(body[o + 1:o + 17])
+                n = sum(bits)
+                vals = list(body[o + 17:o + 17 + n])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = \
+                    _HuffTable(bits, vals)
+                o += 17 + n
+        elif marker == 0xFFC0:                          # SOF0 baseline
+            prec, height, width, ncomp = struct.unpack(
+                ">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise NotImplementedError(
+                    "only 8-bit grayscale baseline supported")
+            if body[7] != 0x11:
+                raise NotImplementedError("subsampling unsupported")
+            comp_q = body[8]
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC9, 0xFFCA):
+            raise NotImplementedError(
+                f"non-baseline SOF 0x{marker:04x} unsupported")
+        elif marker == 0xFFDD:                          # DRI
+            if struct.unpack(">H", body[:2])[0] != 0:
+                raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xFFDA:                          # SOS
+            ns = body[0]
+            if ns != 1:
+                raise NotImplementedError("one scan component only")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            br = _BitReader(data, pos + seglen)
+            q = qt[comp_q]
+            dct, act = dc_tabs[dc_id], ac_tabs[ac_id]
+            bw, bh = (width + 7) // 8, (height + 7) // 8
+            img = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+            prev_dc = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    zzc = [0] * 64
+                    s = dct.read(br)
+                    prev_dc += br.receive_extend(s)
+                    zzc[0] = prev_dc
+                    i = 1
+                    while i < 64:
+                        rs = act.read(br)
+                        if rs == 0x00:                  # EOB
+                            break
+                        if rs == 0xF0:                  # ZRL
+                            i += 16
+                            continue
+                        i += rs >> 4
+                        if i > 63:
+                            raise ValueError("AC index overflow")
+                        zzc[i] = br.receive_extend(rs & 0x0F)
+                        i += 1
+                    coef = np.zeros((8, 8))
+                    for i, (r, c) in enumerate(_ZZ):
+                        coef[r, c] = zzc[i]
+                    blk = _T.T @ (coef * q) @ _T
+                    img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
+            px = np.clip(np.round(img[:height, :width]) + 128,
+                         0, 255).astype(np.uint8)
+            return width, height, 1, px.tobytes()
+        pos += seglen
+    raise ValueError("no scan data found")

@@ -171,10 +171,11 @@ def fake_frame_sample(media_df: DataFrame, every_n: int = 10,
 
 
 # ---------------------------------------------------------------------------
-# REAL image paths (PNG/BMP via the stdlib codec in ops/imagecodec.py).
-# jpeg/audio/video keep the NotImplementedError guard — those formats
-# need native codecs this container does not ship; the mapInPandas seam
-# is identical, so a native decoder drops in with zero plan changes.
+# REAL image paths (PNG/BMP via ops/imagecodec.py; baseline JPEG via
+# ops/jpegcodec.py — Huffman + dequant + IDCT in stdlib/numpy). Other
+# compressed formats keep the NotImplementedError guard; the
+# mapInPandas seam is identical, so a native decoder drops in with
+# zero plan changes.
 # ---------------------------------------------------------------------------
 
 IMAGE_STATS_SCHEMA = StructType([
@@ -223,6 +224,41 @@ def synth_image_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 data = (codec.encode_bmp(w, h, px) if bmp
                         else codec.encode_png(w, h, px, c))
                 rows.append((did, data, "bmp" if bmp else "png"))
+            yield pd.DataFrame(rows, columns=[id_col, "media", "fmt"])
+
+    return docs.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media binary, fmt string")
+
+
+def synth_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-JPEG corpus: per doc, a grayscale baseline
+    JPEG whose pixels are piecewise-constant per 8×8 block under the
+    closed-form rule
+
+        w = 8 * (1 + doc_id % 3),  h = 8 * (1 + doc_id % 2)
+        block b (raster order):  p = 128 + 2·(((doc_id·7 + b·13) % 64) − 32)
+
+    encoded through the real encoder (float DCT, quantize, Huffman,
+    byte stuffing). The even offsets make S00 = 8·(p−128) an exact
+    multiple of the flat quantizer 16, so decode reproduces the rule
+    BIT-FOR-BIT — a DuckDB oracle recomputes the pixels from the rule
+    while Spark must run real entropy decode + IDCT to match."""
+    from . import jpegcodec as codec
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = 8 * (1 + did % 3), 8 * (1 + did % 2)
+                px = bytearray(w * h)
+                for y in range(h):
+                    for x in range(w):
+                        b = (y // 8) * (w // 8) + (x // 8)
+                        px[y * w + x] = 128 + 2 * (
+                            ((did * 7 + b * 13) % 64) - 32)
+                rows.append((did, codec.encode_jpeg_gray(w, h, bytes(px)),
+                             "jpeg"))
             yield pd.DataFrame(rows, columns=[id_col, "media", "fmt"])
 
     return docs.select(id_col).mapInPandas(

@@ -90,6 +90,7 @@ GATE_SORT: Dict[str, list] = {
     "mm_decode_features": ["doc_id"],
     "mm_frame_sample": ["doc_id", "frame_idx"],
     "mm_image_decode_real": ["doc_id"],
+    "mm_jpeg_decode_real": ["doc_id"],
     "mm_image_thumb_real": ["doc_id"],
     "mm_audio_decode_real": ["doc_id"],
     "mm_video_frames_real": ["doc_id", "frame_idx"],
@@ -243,6 +244,8 @@ GATE_COLUMNS: Dict[str, list] = {
     "mm_frame_sample": ["doc_id", "frame_idx", "frame_off"],
     "mm_image_decode_real": ["doc_id", "fmt", "width", "height",
                              "channels", "pix_sum", "pix_xsum"],
+    "mm_jpeg_decode_real": ["doc_id", "fmt", "width", "height",
+                            "channels", "pix_sum", "pix_xsum"],
     "mm_image_thumb_real": ["doc_id", "tw", "th", "thumb_sum",
                             "thumb_xsum"],
     "mm_audio_decode_real": ["doc_id", "sample_rate", "channels",
@@ -415,7 +418,7 @@ _R6_NEW = frozenset(["mm_image_decode_real", "mm_image_thumb_real",
 _R7_NEW = frozenset(["delta_reorg_purge", "doc_dsir_weights",
                      "doc_quality_logreg", "emb_ivf_pq_topk",
                      "doc_chunk_dedup_first", "ord_topk_per_status",
-                     "doc_adaptive_length_filter"])
+                     "doc_adaptive_length_filter", "mm_jpeg_decode_real"])
 
 
 def ordered_names() -> list:

@@ -5,6 +5,7 @@ import struct
 import zlib
 
 import pytest
+import struct
 
 from connectors_spark.ops import imagecodec as ic
 
@@ -85,8 +86,13 @@ def test_decode_any_sniffs_and_guards():
     bmp = ic.encode_bmp(3, 3, _pixels(27))
     assert ic.decode_any(png)[0] == "png"
     assert ic.decode_any(bmp)[0] == "bmp"
+    # jpeg magic now DISPATCHES (stdlib baseline codec); a truncated
+    # stream is a parse error, not a missing-codec guard
+    with pytest.raises((ValueError, IndexError, struct.error)):
+        ic.decode_any(b"\xff\xd8\xff\xe0JFIF....")
+    # genuinely unknown formats still guard loudly
     with pytest.raises(NotImplementedError, match="native"):
-        ic.decode_any(b"\xff\xd8\xff\xe0JFIF....")  # jpeg magic
+        ic.decode_any(b"GIF89a......")
 
 
 def test_resize_nearest_mapping():
@@ -229,3 +235,65 @@ def test_wav_truncated_data_raises():
     blob = ac.encode_wav([1, 2, 3, 4], 8000)
     with pt.raises(ValueError, match="truncated|RIFF"):
         ac.decode_wav(blob[:-3])
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ops/jpegcodec.py)
+# ---------------------------------------------------------------------------
+
+def test_jpeg_block_constant_roundtrip_exact():
+    import numpy as np
+    from connectors_spark.ops.jpegcodec import (decode_jpeg,
+                                                encode_jpeg_gray)
+    for did in (0, 3, 17, 42):
+        w, h = 8 * (1 + did % 3), 8 * (1 + did % 2)
+        px = bytearray(w * h)
+        for y in range(h):
+            for x in range(w):
+                b = (y // 8) * (w // 8) + (x // 8)
+                px[y * w + x] = 128 + 2 * (((did * 7 + b * 13) % 64) - 32)
+        w2, h2, c2, out = decode_jpeg(encode_jpeg_gray(w, h, bytes(px)))
+        assert (w2, h2, c2) == (w, h, 1)
+        assert out == bytes(px)  # exact by quantizer construction
+
+
+def test_jpeg_lossy_roundtrip_and_ac_paths():
+    import numpy as np
+    from connectors_spark.ops.jpegcodec import (decode_jpeg,
+                                                encode_jpeg_gray)
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(16, 24), dtype=np.uint8)
+    _, _, _, out = decode_jpeg(
+        encode_jpeg_gray(24, 16, img.tobytes(), quant=4))
+    arr = np.frombuffer(out, dtype=np.uint8).reshape(16, 24).astype(int)
+    assert np.abs(arr - img.astype(int)).max() <= 8  # lossy, bounded
+    # a horizontal gradient has long zero runs -> exercises ZRL/EOB
+    gy = np.tile(np.arange(16, dtype=np.uint8) * 8, (16, 1))
+    _, _, _, out2 = decode_jpeg(
+        encode_jpeg_gray(16, 16, gy.tobytes(), quant=2))
+    a2 = np.frombuffer(out2, dtype=np.uint8).reshape(16, 16).astype(int)
+    assert np.abs(a2 - gy.astype(int)).max() == 0
+
+
+def test_jpeg_rejects_out_of_scope_streams():
+    import pytest
+    import struct
+    from connectors_spark.ops.jpegcodec import (decode_jpeg,
+                                                encode_jpeg_gray)
+    data = bytearray(encode_jpeg_gray(8, 8, bytes(range(64, 128))))
+    # flip SOF0 -> SOF2 (progressive) and expect a loud refusal
+    i = bytes(data).find(b"\xff\xc0")
+    prog = data[:i] + b"\xff\xc2" + data[i + 2:]
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(bytes(prog))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02")
+
+
+def test_decode_any_dispatches_jpeg():
+    from connectors_spark.ops.imagecodec import decode_any
+    from connectors_spark.ops.jpegcodec import encode_jpeg_gray
+    px = bytes([130] * 64)
+    fmt, w, h, c, out = decode_any(encode_jpeg_gray(8, 8, px))
+    assert (fmt, w, h, c) == ("jpeg", 8, 8, 1)
+    assert out == px
