@@ -3,7 +3,9 @@
 Closes the one capability gap VERDICT r5 left open: the container has
 no PIL/pyav/cv2, but PNG and BMP are decodable with nothing beyond the
 standard library, so the `decode_image` seam in ops/multimodal.py can
-run a REAL pixel path for those formats (jpeg/video stay guarded).
+run a REAL pixel path for those formats. `decode_any` also dispatches
+baseline JPEG to ops/jpegcodec.py (round 7), so the compressed-format
+arm is real too; remaining exotic formats guard loudly.
 
 PNG support: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
 4 (gray+alpha), 6 (RGBA); all five scanline filters (None/Sub/Up/
@@ -27,6 +29,8 @@ from __future__ import annotations
 
 import struct
 import zlib
+
+from . import jpegcodec
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -230,8 +234,11 @@ def decode_any(data: bytes):
     if head[:2] == b"BM":
         return ("bmp",) + decode_bmp(data)
     if head[:2] == b"\xff\xd8":
-        from .jpegcodec import decode_jpeg
-        return ("jpeg",) + decode_jpeg(data)
+        # module-level reference (not a runtime relative import): the
+        # by-value shipping that makes these closures self-contained on
+        # Python workers cannot satisfy an `import connectors_spark...`
+        # executed worker-side
+        return ("jpeg",) + jpegcodec.decode_jpeg(data)
     raise NotImplementedError(
         "no stdlib decoder for this format (PNG/BMP/baseline-JPEG "
         "are supported; other formats need native codecs absent from "

@@ -211,6 +211,8 @@ def synth_image_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     decoding them back is a genuine parse, while an SQL oracle can
     recompute the expected pixels from the rule alone."""
     from . import imagecodec as codec
+    from ..shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -244,6 +246,8 @@ def synth_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     BIT-FOR-BIT — a DuckDB oracle recomputes the pixels from the rule
     while Spark must run real entropy decode + IDCT to match."""
     from . import jpegcodec as codec
+    from ..shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -276,6 +280,8 @@ def decode_image(media_df: DataFrame, id_col: str = "doc_id",
     import numpy as np
 
     from . import imagecodec as codec
+    from ..shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -304,6 +310,8 @@ def image_thumbnails(media_df: DataFrame, tw: int = 5, th: int = 4,
     import numpy as np
 
     from . import imagecodec as codec
+    from ..shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()
 
     def thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -347,6 +355,8 @@ def synth_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     RIFF-chunk parse while an SQL oracle recomputes expected sample
     statistics from the rule alone."""
     from . import audiocodec as ac
+    from ..shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -374,6 +384,8 @@ def decode_audio(media_df: DataFrame, id_col: str = "doc_id",
     import numpy as np
 
     from . import audiocodec as ac
+    from ..shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -413,6 +425,8 @@ def synth_avi_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     while an SQL oracle recomputes expected frame statistics from the
     rule alone."""
     from . import videocodec as vc
+    from ..shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -440,6 +454,8 @@ def frame_sample_real(media_df: DataFrame, every_n: int = 2,
     import numpy as np
 
     from . import videocodec as vc
+    from ..shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
