@@ -7,10 +7,11 @@ matmuls), so the `decode_image` seam in ops/multimodal.py can run a
 REAL compressed-format pixel path.
 
 Scope (documented, raises outside it):
-- decode: baseline sequential DCT (SOF0), 8-bit, ONE component
-  (grayscale), no restart intervals (DRI), Huffman tables read from
-  the file's DHT segments (any valid tables, not just Annex K);
-  progressive (SOF2) / multi-component / arithmetic coding raise.
+- decode: baseline sequential DCT (SOF0), 8-bit, grayscale or 4:4:4
+  color (interleaved MCUs, JFIF YCbCr→RGB), no restart intervals
+  (DRI), Huffman tables read from the file's DHT segments (any valid
+  tables, not just Annex K); progressive (SOF2) / chroma subsampling /
+  arithmetic coding raise.
 - encode: real pipeline — level shift, float 2-D DCT-II, quantize
   (round-to-nearest), zigzag, DC-diff + AC run-length Huffman with
   byte stuffing — emitting a spec-conformant JFIF stream whose DQT /
@@ -117,6 +118,62 @@ def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">HH", marker, len(body) + 2) + body
 
 
+def _encode_block(w: _BitWriter, blk: "np.ndarray", q: "np.ndarray",
+                  prev_dc: int) -> int:
+    """FDCT + quantize + Huffman-encode one 8×8 block; returns its
+    quantized DC (the next block's predictor)."""
+    coef = _T @ blk @ _T.T
+    cq = np.round(coef / q).astype(np.int64)
+    zzc = [int(cq[r, c]) for r, c in _ZZ]
+    diff = zzc[0] - prev_dc
+    s = _category(diff)
+    code, length = _DC_ENC[s]
+    w.put(code, length)
+    if s:
+        w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zzc[i]), default=0)
+    for i in range(1, last_nz + 1):
+        v = zzc[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c16, l16 = _AC_ENC[0xF0]
+            w.put(c16, l16)
+            run -= 16
+        s = _category(v)
+        if s > 10:
+            raise ValueError("AC coefficient too large")
+        code, length = _AC_ENC[(run << 4) | s]
+        w.put(code, length)
+        w.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, length = _AC_ENC[0x00]                    # EOB
+        w.put(code, length)
+    return zzc[0]
+
+
+def _headers(width: int, height: int, q: "np.ndarray",
+             ncomp: int) -> bytearray:
+    out = bytearray(b"\xff\xd8")                        # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz = bytes(int(q[r][c]) for r, c in _ZZ)
+    out += _seg(0xFFDB, b"\x00" + zz)                   # DQT, 8-bit, id 0
+    comps = b"".join(bytes([cid, 0x11, 0])
+                     for cid in range(1, ncomp + 1))
+    out += _seg(0xFFC0, struct.pack(">BHHB", 8, height, width, ncomp)
+                + comps)                                # SOF0
+    out += _seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    sos = bytes([ncomp]) + b"".join(bytes([cid, 0x00])
+                                    for cid in range(1, ncomp + 1)) \
+        + bytes([0, 63, 0])
+    out += _seg(0xFFDA, sos)                            # SOS
+    return out
+
+
 def encode_jpeg_gray(width: int, height: int, pixels: bytes,
                      quant: int = 16) -> bytes:
     """Encode an 8-bit grayscale image (dimensions must be multiples
@@ -127,51 +184,45 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes,
     img = np.frombuffer(bytes(pixels), dtype=np.uint8) \
         .reshape(height, width).astype(np.float64) - 128.0
     q = np.full((8, 8), float(quant))
-    out = bytearray(b"\xff\xd8")                        # SOI
-    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    zz = bytes(int(q[r][c]) for r, c in _ZZ)
-    out += _seg(0xFFDB, b"\x00" + zz)                   # DQT, 8-bit, id 0
-    out += _seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1)
-                + bytes([1, 0x11, 0]))                  # SOF0, 1 comp
-    out += _seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
-    out += _seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
-    out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+    out = _headers(width, height, q, 1)
     w = _BitWriter()
     prev_dc = 0
     for by in range(height // 8):
         for bx in range(width // 8):
-            blk = img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-            coef = _T @ blk @ _T.T
-            cq = np.round(coef / q).astype(np.int64)
-            zzc = [int(cq[r, c]) for r, c in _ZZ]
-            diff = zzc[0] - prev_dc
-            prev_dc = zzc[0]
-            s = _category(diff)
-            code, length = _DC_ENC[s]
-            w.put(code, length)
-            if s:
-                w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
-            run = 0
-            last_nz = max((i for i in range(1, 64) if zzc[i]), default=0)
-            for i in range(1, last_nz + 1):
-                v = zzc[i]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c16, l16 = _AC_ENC[0xF0]
-                    w.put(c16, l16)
-                    run -= 16
-                s = _category(v)
-                if s > 10:
-                    raise ValueError("AC coefficient too large")
-                code, length = _AC_ENC[(run << 4) | s]
-                w.put(code, length)
-                w.put(v if v > 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last_nz < 63:
-                code, length = _AC_ENC[0x00]            # EOB
-                w.put(code, length)
+            prev_dc = _encode_block(
+                w, img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8], q, prev_dc)
+    w.flush()
+    out += w.buf
+    out += b"\xff\xd9"                                  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_color(width: int, height: int, rgb: bytes,
+                      quant: int = 16) -> bytes:
+    """Encode 8-bit interleaved RGB (w*h*3 bytes, multiple-of-8 dims)
+    as a baseline 4:4:4 color JFIF stream: JFIF RGB→YCbCr, then one
+    interleaved MCU (Y, Cb, Cr block) per 8×8 tile with independent DC
+    predictors per component (ITU-T.81 §A.2)."""
+    if width % 8 or height % 8:
+        raise ValueError("encode_jpeg_color needs multiple-of-8 dims")
+    arr = np.frombuffer(bytes(rgb), dtype=np.uint8) \
+        .reshape(height, width, 3).astype(np.float64)
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b - 128.0,          # Y (shifted)
+        -0.168736 * r - 0.331264 * g + 0.5 * b,             # Cb - 128
+        0.5 * r - 0.418688 * g - 0.081312 * b,              # Cr - 128
+    ]
+    q = np.full((8, 8), float(quant))
+    out = _headers(width, height, q, 3)
+    w = _BitWriter()
+    prev = [0, 0, 0]
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            for ci, plane in enumerate(planes):
+                prev[ci] = _encode_block(
+                    w, plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8],
+                    q, prev[ci])
     w.flush()
     out += w.buf
     out += b"\xff\xd9"                                  # EOI
@@ -249,7 +300,7 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
     dc_tabs: Dict[int, _HuffTable] = {}
     ac_tabs: Dict[int, _HuffTable] = {}
     width = height = -1
-    comp_q = 0
+    comps: List[Tuple[int, int]] = []
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -283,12 +334,16 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
         elif marker == 0xFFC0:                          # SOF0 baseline
             prec, height, width, ncomp = struct.unpack(
                 ">BHHB", body[:6])
-            if prec != 8 or ncomp != 1:
+            if prec != 8 or ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "only 8-bit grayscale baseline supported")
-            if body[7] != 0x11:
-                raise NotImplementedError("subsampling unsupported")
-            comp_q = body[8]
+                    "only 8-bit 1- or 3-component baseline supported")
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling unsupported (4:4:4 only)")
+                comps.append((cid, tq))
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC9, 0xFFCA):
             raise NotImplementedError(
                 f"non-baseline SOF 0x{marker:04x} unsupported")
@@ -297,41 +352,61 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
                 raise NotImplementedError("restart intervals unsupported")
         elif marker == 0xFFDA:                          # SOS
             ns = body[0]
-            if ns != 1:
-                raise NotImplementedError("one scan component only")
-            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "scan must cover every frame component")
+            scan_tabs = {}                              # cid -> (dc, ac)
+            for ci in range(ns):
+                cid = body[1 + 2 * ci]
+                tb = body[2 + 2 * ci]
+                scan_tabs[cid] = (dc_tabs[tb >> 4], ac_tabs[tb & 0x0F])
             br = _BitReader(data, pos + seglen)
-            q = qt[comp_q]
-            dct, act = dc_tabs[dc_id], ac_tabs[ac_id]
             bw, bh = (width + 7) // 8, (height + 7) // 8
-            img = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-            prev_dc = 0
+            planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64)
+                      for _ in comps]
+            prev = [0] * len(comps)
             for by in range(bh):
                 for bx in range(bw):
-                    zzc = [0] * 64
-                    s = dct.read(br)
-                    prev_dc += br.receive_extend(s)
-                    zzc[0] = prev_dc
-                    i = 1
-                    while i < 64:
-                        rs = act.read(br)
-                        if rs == 0x00:                  # EOB
-                            break
-                        if rs == 0xF0:                  # ZRL
-                            i += 16
-                            continue
-                        i += rs >> 4
-                        if i > 63:
-                            raise ValueError("AC index overflow")
-                        zzc[i] = br.receive_extend(rs & 0x0F)
-                        i += 1
-                    coef = np.zeros((8, 8))
-                    for i, (r, c) in enumerate(_ZZ):
-                        coef[r, c] = zzc[i]
-                    blk = _T.T @ (coef * q) @ _T
-                    img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
-            px = np.clip(np.round(img[:height, :width]) + 128,
-                         0, 255).astype(np.uint8)
-            return width, height, 1, px.tobytes()
+                    # one interleaved MCU: one 8×8 block per component
+                    for ci, (cid, tq) in enumerate(comps):
+                        dct, act = scan_tabs[cid]
+                        zzc = [0] * 64
+                        s = dct.read(br)
+                        prev[ci] += br.receive_extend(s)
+                        zzc[0] = prev[ci]
+                        i = 1
+                        while i < 64:
+                            rs = act.read(br)
+                            if rs == 0x00:              # EOB
+                                break
+                            if rs == 0xF0:              # ZRL
+                                i += 16
+                                continue
+                            i += rs >> 4
+                            if i > 63:
+                                raise ValueError("AC index overflow")
+                            zzc[i] = br.receive_extend(rs & 0x0F)
+                            i += 1
+                        coef = np.zeros((8, 8))
+                        for i, (r, c) in enumerate(_ZZ):
+                            coef[r, c] = zzc[i]
+                        blk = _T.T @ (coef * qt[tq]) @ _T
+                        planes[ci][by * 8:by * 8 + 8,
+                                   bx * 8:bx * 8 + 8] = blk
+            if len(comps) == 1:
+                px = np.clip(np.round(planes[0][:height, :width]) + 128,
+                             0, 255).astype(np.uint8)
+                return width, height, 1, px.tobytes()
+            # JFIF YCbCr -> RGB (planes hold level-shifted values:
+            # Y-128, Cb-128, Cr-128)
+            y = planes[0][:height, :width] + 128.0
+            cb = planes[1][:height, :width]
+            cr = planes[2][:height, :width]
+            r = y + 1.402 * cr
+            g = y - 0.344136 * cb - 0.714136 * cr
+            b = y + 1.772 * cb
+            rgb = np.stack([r, g, b], axis=-1)
+            px = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+            return width, height, 3, px.tobytes()
         pos += seglen
     raise ValueError("no scan data found")

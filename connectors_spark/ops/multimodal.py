@@ -233,18 +233,21 @@ def synth_image_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def synth_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic REAL-JPEG corpus: per doc, a grayscale baseline
-    JPEG whose pixels are piecewise-constant per 8×8 block under the
-    closed-form rule
+    """Deterministic REAL-JPEG corpus: per doc, a baseline JPEG —
+    grayscale for even ids, 4:4:4 COLOR for odd ids (interleaved MCUs,
+    JFIF YCbCr) — whose pixels are piecewise-constant per 8×8 block
+    under the closed-form rule
 
         w = 8 * (1 + doc_id % 3),  h = 8 * (1 + doc_id % 2)
         block b (raster order):  p = 128 + 2·(((doc_id·7 + b·13) % 64) − 32)
+        color docs: R = G = B = p  (gray RGB ⇒ Cb = Cr = 128 exactly)
 
     encoded through the real encoder (float DCT, quantize, Huffman,
     byte stuffing). The even offsets make S00 = 8·(p−128) an exact
-    multiple of the flat quantizer 16, so decode reproduces the rule
-    BIT-FOR-BIT — a DuckDB oracle recomputes the pixels from the rule
-    while Spark must run real entropy decode + IDCT to match."""
+    multiple of the flat quantizer 16 and gray RGB zeroes the chroma
+    planes, so decode reproduces the rule BIT-FOR-BIT — a DuckDB
+    oracle recomputes the pixels from the rule while Spark must run
+    real entropy decode, IDCT and YCbCr→RGB to match."""
     from . import jpegcodec as codec
     from ..shipping import ensure_shipped_by_value
     ensure_shipped_by_value()
@@ -255,14 +258,17 @@ def synth_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for did in pdf[id_col]:
                 did = int(did)
                 w, h = 8 * (1 + did % 3), 8 * (1 + did % 2)
-                px = bytearray(w * h)
+                c = 3 if did % 2 else 1
+                px = bytearray(w * h * c)
                 for y in range(h):
                     for x in range(w):
                         b = (y // 8) * (w // 8) + (x // 8)
-                        px[y * w + x] = 128 + 2 * (
-                            ((did * 7 + b * 13) % 64) - 32)
-                rows.append((did, codec.encode_jpeg_gray(w, h, bytes(px)),
-                             "jpeg"))
+                        v = 128 + 2 * (((did * 7 + b * 13) % 64) - 32)
+                        for ch in range(c):
+                            px[(y * w + x) * c + ch] = v
+                enc = (codec.encode_jpeg_color if c == 3
+                       else codec.encode_jpeg_gray)
+                rows.append((did, enc(w, h, bytes(px)), "jpeg"))
             yield pd.DataFrame(rows, columns=[id_col, "media", "fmt"])
 
     return docs.select(id_col).mapInPandas(

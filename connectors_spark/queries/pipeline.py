@@ -2432,29 +2432,32 @@ def doc_adaptive_length_filter(spark, sf_dir):
 
 @register("mm_jpeg_decode_real", sql="""
 WITH g AS (
-  SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+  SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h,
+         CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS c
   FROM documents),
 px AS (
-  SELECT g.doc_id, g.w, g.h, r.i,
-         ((r.i // g.w) // 8) * (g.w // 8) + ((r.i % g.w) // 8) AS b
-  FROM g, LATERAL (SELECT unnest(range(0, g.w * g.h)) AS i) r),
+  SELECT g.doc_id, g.w, g.h, g.c, r.i,
+         (((r.i // g.c) // g.w) // 8) * (g.w // 8)
+             + (((r.i // g.c) % g.w) // 8) AS b
+  FROM g, LATERAL (SELECT unnest(range(0, g.w * g.h * g.c)) AS i) r),
 v AS (
-  SELECT doc_id, w, h, i,
+  SELECT doc_id, w, h, c, i,
          128 + 2 * (((doc_id * 7 + b * 13) % 64) - 32) AS v
   FROM px)
 SELECT doc_id, 'jpeg' AS fmt, w::INTEGER AS width, h::INTEGER AS height,
-       1::INTEGER AS channels,
+       c::INTEGER AS channels,
        sum(v)::BIGINT AS pix_sum, sum((i + 1) * v)::BIGINT AS pix_xsum
-FROM v GROUP BY doc_id, w, h
+FROM v GROUP BY doc_id, w, h, c
 """)
 def mm_jpeg_decode_real(spark, sf_dir):
     # REAL compressed-format decode (stdlib baseline-JPEG codec,
     # ops/jpegcodec.py): the corpus is genuine JFIF streams — DQT/DHT/
     # SOF0/SOS markers, canonical Huffman entropy data with byte
-    # stuffing — whose block-constant pixels follow a closed-form rule
-    # chosen to quantize exactly. The oracle recomputes the rule; Spark
-    # must run actual Huffman decode, dequantization and IDCT to match.
-    # Closes the "compressed codecs remain guarded" gap: jpeg now has a
-    # real decode path beside png/bmp/wav/avi.
+    # stuffing; odd ids are 4:4:4 COLOR (interleaved MCUs, YCbCr) —
+    # whose block-constant pixels follow a closed-form rule chosen to
+    # quantize exactly. The oracle recomputes the rule; Spark must run
+    # actual Huffman decode, dequantization, IDCT and YCbCr->RGB to
+    # match. Closes the "compressed codecs remain guarded" gap: jpeg
+    # now has a real decode path beside png/bmp/wav/avi.
     docs = load(spark, sf_dir, "documents")
     return mm.decode_image(mm.synth_jpeg_media(docs))

@@ -297,3 +297,28 @@ def test_decode_any_dispatches_jpeg():
     fmt, w, h, c, out = decode_any(encode_jpeg_gray(8, 8, px))
     assert (fmt, w, h, c) == ("jpeg", 8, 8, 1)
     assert out == px
+
+
+def test_jpeg_color_roundtrips():
+    import numpy as np
+    from connectors_spark.ops.jpegcodec import (decode_jpeg,
+                                                encode_jpeg_color)
+    # gray RGB, block-constant: chroma planes quantize to zero and
+    # the DC survives exactly -> bit-exact roundtrip per 8x8 block
+    rgb = bytearray()
+    for y in range(8):
+        for x in range(16):
+            v = 130 if x < 8 else 92     # two blocks, two values
+            rgb += bytes((v, v, v))
+    w, h, c, out = decode_jpeg(encode_jpeg_color(16, 8, bytes(rgb)))
+    assert (w, h, c) == (16, 8, 3)
+    assert out == bytes(rgb)
+    # arbitrary color: lossy within tolerance, exercises all 3
+    # interleaved component decoders + YCbCr->RGB
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(16, 8, 3), dtype=np.uint8)
+    w, h, c, out2 = decode_jpeg(
+        encode_jpeg_color(8, 16, img.tobytes(), quant=2))
+    assert (w, h, c) == (8, 16, 3)
+    arr = np.frombuffer(out2, dtype=np.uint8).reshape(16, 8, 3)
+    assert np.abs(arr.astype(int) - img.astype(int)).max() <= 8
