@@ -197,6 +197,17 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes,
     return bytes(out)
 
 
+def _ycbcr_planes(width: int, height: int, rgb: bytes):
+    arr = np.frombuffer(bytes(rgb), dtype=np.uint8) \
+        .reshape(height, width, 3).astype(np.float64)
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    return [
+        0.299 * r + 0.587 * g + 0.114 * b - 128.0,          # Y (shifted)
+        -0.168736 * r - 0.331264 * g + 0.5 * b,             # Cb - 128
+        0.5 * r - 0.418688 * g - 0.081312 * b,              # Cr - 128
+    ]
+
+
 def encode_jpeg_color(width: int, height: int, rgb: bytes,
                       quant: int = 16) -> bytes:
     """Encode 8-bit interleaved RGB (w*h*3 bytes, multiple-of-8 dims)
@@ -205,14 +216,7 @@ def encode_jpeg_color(width: int, height: int, rgb: bytes,
     predictors per component (ITU-T.81 §A.2)."""
     if width % 8 or height % 8:
         raise ValueError("encode_jpeg_color needs multiple-of-8 dims")
-    arr = np.frombuffer(bytes(rgb), dtype=np.uint8) \
-        .reshape(height, width, 3).astype(np.float64)
-    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
-    planes = [
-        0.299 * r + 0.587 * g + 0.114 * b - 128.0,          # Y (shifted)
-        -0.168736 * r - 0.331264 * g + 0.5 * b,             # Cb - 128
-        0.5 * r - 0.418688 * g - 0.081312 * b,              # Cr - 128
-    ]
+    planes = _ycbcr_planes(width, height, rgb)
     q = np.full((8, 8), float(quant))
     out = _headers(width, height, q, 3)
     w = _BitWriter()
@@ -223,6 +227,48 @@ def encode_jpeg_color(width: int, height: int, rgb: bytes,
                 prev[ci] = _encode_block(
                     w, plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8],
                     q, prev[ci])
+    w.flush()
+    out += w.buf
+    out += b"\xff\xd9"                                  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_color_420(width: int, height: int, rgb: bytes,
+                          quant: int = 16) -> bytes:
+    """Encode interleaved RGB as baseline 4:2:0 (the dominant
+    real-world layout): Y at full resolution (sampling 0x22), chroma
+    2×2-mean-subsampled (0x11); each MCU carries four Y blocks then
+    one Cb and one Cr (ITU-T.81 §A.2.3 interleave order). Dimensions
+    must be multiples of 16."""
+    if width % 16 or height % 16:
+        raise ValueError("encode_jpeg_color_420 needs multiple-of-16 dims")
+    y, cb, cr = _ycbcr_planes(width, height, rgb)
+    cb = cb.reshape(height // 2, 2, width // 2, 2).mean(axis=(1, 3))
+    cr = cr.reshape(height // 2, 2, width // 2, 2).mean(axis=(1, 3))
+    q = np.full((8, 8), float(quant))
+    out = bytearray(b"\xff\xd8")                        # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz = bytes(int(q[r][c]) for r, c in _ZZ)
+    out += _seg(0xFFDB, b"\x00" + zz)
+    out += _seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3)
+                + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0])
+                + bytes([3, 0x11, 0]))                  # SOF0 4:2:0
+    out += _seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    w = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(height // 16):
+        for mx in range(width // 16):
+            for sv in range(2):                         # four Y blocks
+                for sh in range(2):
+                    blk = y[my * 16 + sv * 8:my * 16 + sv * 8 + 8,
+                            mx * 16 + sh * 8:mx * 16 + sh * 8 + 8]
+                    prev[0] = _encode_block(w, blk, q, prev[0])
+            prev[1] = _encode_block(
+                w, cb[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8], q, prev[1])
+            prev[2] = _encode_block(
+                w, cr[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8], q, prev[2])
     w.flush()
     out += w.buf
     out += b"\xff\xd9"                                  # EOI
@@ -340,10 +386,13 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
             comps = []
             for ci in range(ncomp):
                 cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "chroma subsampling unsupported (4:4:4 only)")
-                comps.append((cid, tq))
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
+            samps = [(h, v) for _, h, v, _ in comps]
+            if not (all(hv == (1, 1) for hv in samps)
+                    or (len(samps) == 3 and samps[0] == (2, 2)
+                        and samps[1] == samps[2] == (1, 1))):
+                raise NotImplementedError(
+                    "only 4:4:4 / grayscale / 4:2:0 sampling supported")
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC9, 0xFFCA):
             raise NotImplementedError(
                 f"non-baseline SOF 0x{marker:04x} unsupported")
@@ -361,47 +410,65 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
                 tb = body[2 + 2 * ci]
                 scan_tabs[cid] = (dc_tabs[tb >> 4], ac_tabs[tb & 0x0F])
             br = _BitReader(data, pos + seglen)
-            bw, bh = (width + 7) // 8, (height + 7) // 8
-            planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64)
-                      for _ in comps]
+            hmax = max(h for _, h, _v, _ in comps)
+            vmax = max(v for _, _h, v, _ in comps)
+            mcu_w, mcu_h = 8 * hmax, 8 * vmax
+            mbw = (width + mcu_w - 1) // mcu_w
+            mbh = (height + mcu_h - 1) // mcu_h
+            planes = [np.zeros((mbh * v * 8, mbw * h * 8),
+                               dtype=np.float64)
+                      for _, h, v, _ in comps]
             prev = [0] * len(comps)
-            for by in range(bh):
-                for bx in range(bw):
-                    # one interleaved MCU: one 8×8 block per component
-                    for ci, (cid, tq) in enumerate(comps):
+            for my in range(mbh):
+                for mx in range(mbw):
+                    # one interleaved MCU: h×v blocks per component,
+                    # raster order within the MCU (ITU-T.81 §A.2.3)
+                    for ci, (cid, ch, cv, tq) in enumerate(comps):
                         dct, act = scan_tabs[cid]
-                        zzc = [0] * 64
-                        s = dct.read(br)
-                        prev[ci] += br.receive_extend(s)
-                        zzc[0] = prev[ci]
-                        i = 1
-                        while i < 64:
-                            rs = act.read(br)
-                            if rs == 0x00:              # EOB
-                                break
-                            if rs == 0xF0:              # ZRL
-                                i += 16
-                                continue
-                            i += rs >> 4
-                            if i > 63:
-                                raise ValueError("AC index overflow")
-                            zzc[i] = br.receive_extend(rs & 0x0F)
-                            i += 1
-                        coef = np.zeros((8, 8))
-                        for i, (r, c) in enumerate(_ZZ):
-                            coef[r, c] = zzc[i]
-                        blk = _T.T @ (coef * qt[tq]) @ _T
-                        planes[ci][by * 8:by * 8 + 8,
-                                   bx * 8:bx * 8 + 8] = blk
+                        for sv in range(cv):
+                            for sh in range(ch):
+                                zzc = [0] * 64
+                                s = dct.read(br)
+                                prev[ci] += br.receive_extend(s)
+                                zzc[0] = prev[ci]
+                                i = 1
+                                while i < 64:
+                                    rs = act.read(br)
+                                    if rs == 0x00:      # EOB
+                                        break
+                                    if rs == 0xF0:      # ZRL
+                                        i += 16
+                                        continue
+                                    i += rs >> 4
+                                    if i > 63:
+                                        raise ValueError(
+                                            "AC index overflow")
+                                    zzc[i] = br.receive_extend(
+                                        rs & 0x0F)
+                                    i += 1
+                                coef = np.zeros((8, 8))
+                                for i, (r, c) in enumerate(_ZZ):
+                                    coef[r, c] = zzc[i]
+                                blk = _T.T @ (coef * qt[tq]) @ _T
+                                py = (my * cv + sv) * 8
+                                px_ = (mx * ch + sh) * 8
+                                planes[ci][py:py + 8,
+                                           px_:px_ + 8] = blk
             if len(comps) == 1:
                 px = np.clip(np.round(planes[0][:height, :width]) + 128,
                              0, 255).astype(np.uint8)
                 return width, height, 1, px.tobytes()
-            # JFIF YCbCr -> RGB (planes hold level-shifted values:
-            # Y-128, Cb-128, Cr-128)
-            y = planes[0][:height, :width] + 128.0
-            cb = planes[1][:height, :width]
-            cr = planes[2][:height, :width]
+            # upsample subsampled chroma by pixel replication, then
+            # JFIF YCbCr -> RGB (planes hold level-shifted values)
+            full = []
+            for ci, (cid, ch, cv, _tq) in enumerate(comps):
+                pl = planes[ci]
+                if ch != hmax or cv != vmax:
+                    pl = np.repeat(np.repeat(pl, vmax // cv, axis=0),
+                                   hmax // ch, axis=1)
+                full.append(pl[:height, :width])
+            y = full[0] + 128.0
+            cb, cr = full[1], full[2]
             r = y + 1.402 * cr
             g = y - 0.344136 * cb - 0.714136 * cr
             b = y + 1.772 * cb

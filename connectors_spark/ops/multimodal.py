@@ -238,16 +238,19 @@ def synth_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     JFIF YCbCr) — whose pixels are piecewise-constant per 8×8 block
     under the closed-form rule
 
-        w = 8 * (1 + doc_id % 3),  h = 8 * (1 + doc_id % 2)
+        doc_id % 4 == 3:  16 × 16, 4:2:0 color (2×2 Y blocks per MCU)
+        otherwise:        w = 8·(1 + doc_id % 3), h = 8·(1 + doc_id % 2),
+                          4:4:4 color when odd, grayscale when even
         block b (raster order):  p = 128 + 2·(((doc_id·7 + b·13) % 64) − 32)
         color docs: R = G = B = p  (gray RGB ⇒ Cb = Cr = 128 exactly)
 
     encoded through the real encoder (float DCT, quantize, Huffman,
     byte stuffing). The even offsets make S00 = 8·(p−128) an exact
     multiple of the flat quantizer 16 and gray RGB zeroes the chroma
-    planes, so decode reproduces the rule BIT-FOR-BIT — a DuckDB
-    oracle recomputes the pixels from the rule while Spark must run
-    real entropy decode, IDCT and YCbCr→RGB to match."""
+    planes — including the 2×2-subsampled-then-replicated 4:2:0 ones —
+    so decode reproduces the rule BIT-FOR-BIT — a DuckDB oracle
+    recomputes the pixels from the rule while Spark must run real
+    entropy decode, IDCT, chroma upsampling and YCbCr→RGB to match."""
     from . import jpegcodec as codec
     from ..shipping import ensure_shipped_by_value
     ensure_shipped_by_value()
@@ -257,7 +260,11 @@ def synth_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             rows = []
             for did in pdf[id_col]:
                 did = int(did)
-                w, h = 8 * (1 + did % 3), 8 * (1 + did % 2)
+                sub420 = did % 4 == 3
+                if sub420:
+                    w = h = 16
+                else:
+                    w, h = 8 * (1 + did % 3), 8 * (1 + did % 2)
                 c = 3 if did % 2 else 1
                 px = bytearray(w * h * c)
                 for y in range(h):
@@ -266,7 +273,8 @@ def synth_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         v = 128 + 2 * (((did * 7 + b * 13) % 64) - 32)
                         for ch in range(c):
                             px[(y * w + x) * c + ch] = v
-                enc = (codec.encode_jpeg_color if c == 3
+                enc = (codec.encode_jpeg_color_420 if sub420
+                       else codec.encode_jpeg_color if c == 3
                        else codec.encode_jpeg_gray)
                 rows.append((did, enc(w, h, bytes(px)), "jpeg"))
             yield pd.DataFrame(rows, columns=[id_col, "media", "fmt"])
