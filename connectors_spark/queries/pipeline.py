@@ -2466,3 +2466,57 @@ def mm_jpeg_decode_real(spark, sf_dir):
     # now has a real decode path beside png/bmp/wav/avi.
     docs = load(spark, sf_dir, "documents")
     return mm.decode_image(mm.synth_jpeg_media(docs))
+
+
+@register("doc_ccnet_buckets", sql="""
+WITH toks AS (
+  SELECT d.doc_id, d.lang,
+         list_filter(string_split(d.text, ' '), x -> x <> '') AS t
+  FROM documents d),
+tok AS (SELECT doc_id, lang, unnest(t) AS w FROM toks),
+v AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT sum(c)::DOUBLE AS s FROM v),
+lp AS (SELECT w, -ln(c / s) AS nll FROM v, tot),
+scored AS (
+  SELECT tok.doc_id, tok.lang, round(avg(lp.nll), 6) AS nll
+  FROM tok JOIN lp USING (w) GROUP BY 1, 2),
+th AS (
+  SELECT lang, round(quantile_cont(nll, 1.0/3), 6) AS t1,
+         round(quantile_cont(nll, 2.0/3), 6) AS t2
+  FROM scored GROUP BY 1),
+b AS (
+  SELECT s.lang,
+         CASE WHEN s.nll <= th.t1 THEN 'head'
+              WHEN s.nll <= th.t2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         s.nll
+  FROM scored s JOIN th ON s.lang = th.lang)
+SELECT lang, bucket, count(*)::BIGINT AS n_docs,
+       round(avg(nll), 6) AS avg_nll
+FROM b GROUP BY 1, 2
+""")
+def doc_ccnet_buckets(spark, sf_dir):
+    # The CCNet head/middle/tail split (Wenzek et al. 2020 §4.3):
+    # score every doc under the corpus LM (unigram stand-in,
+    # doc_unigram_nll), cut each language at its own NLL terciles
+    # (exact interpolated percentiles, tiny per-lang relation
+    # broadcast back), and report per-(lang, bucket) counts — the
+    # standard quality-mixture signal a pretraining pipeline feeds to
+    # mixture weighting. Both engines round nll to 6 BEFORE the
+    # tercile cut, so the bucket boundaries are identical.
+    from ..ops.quality import unigram_nll_scores
+    from pyspark.sql import functions as F
+    docs = load(spark, sf_dir, "documents")
+    scored = (unigram_nll_scores(docs)
+              .join(docs.select("doc_id", "lang"), "doc_id"))
+    th = (scored.groupBy("lang")
+          .agg(F.round(F.expr("percentile(nll, 1.0D/3)"), 6).alias("t1"),
+               F.round(F.expr("percentile(nll, 2.0D/3)"), 6).alias("t2")))
+    b = (scored.join(F.broadcast(th), "lang")
+         .withColumn("bucket",
+                     F.when(F.col("nll") <= F.col("t1"), "head")
+                     .when(F.col("nll") <= F.col("t2"), "middle")
+                     .otherwise("tail")))
+    return (b.groupBy("lang", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("nll"), 6).alias("avg_nll")))
