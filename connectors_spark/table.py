@@ -353,6 +353,32 @@ class DeltaTable:
                      F.max(hi).alias(f"max_{c}")]
         return files.agg(*aggs)
 
+    def describe_detail(self) -> Dict[str, Any]:
+        """DESCRIBE DETAIL: one metadata-plane row about the table —
+        format, id, createdAt, lastModified, partitionColumns,
+        numFiles, sizeInBytes, properties, protocol versions (the
+        delta-spark `DESCRIBE DETAIL` surface). numFiles/sizeInBytes
+        come from one aggregate over the file inventory; no data
+        Parquet is opened."""
+        snap = self.snapshot()
+        agg = snap.files_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("size"), F.lit(0)).alias("b")).collect()[0]
+        hist = self.log.history()
+        return {
+            "format": "delta",
+            "id": snap.metadata.id,
+            "location": self.path,
+            "createdAt": snap.metadata.createdTime,
+            "lastModified": hist[0]["timestamp"] if hist else None,
+            "partitionColumns": list(snap.metadata.partitionColumns),
+            "numFiles": int(agg["n"]),
+            "sizeInBytes": int(agg["b"]),
+            "properties": dict(snap.metadata.configuration or {}),
+            "minReaderVersion": snap.protocol.minReaderVersion,
+            "minWriterVersion": snap.protocol.minWriterVersion,
+        }
+
     def set_properties(self, props: Dict[str, str]) -> int:
         """ALTER TABLE SET TBLPROPERTIES: merge ``props`` into the
         table configuration via a metadata-only commit (reference op

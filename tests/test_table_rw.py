@@ -258,3 +258,22 @@ def test_auto_compact_bounds_small_files(spark, tmp_path):
                  .select(F.col("id").alias("k")).coalesce(1),
                  mode="append")
     assert t2.log.snapshot().files_df.count() == 6
+
+
+def test_describe_detail(spark, tmp_path):
+    from tests.conftest import read_table
+    d = str(tmp_path / "t")
+    od = read_table(spark, "orders")
+    t = DeltaTable.for_path(spark, d)
+    t.write(od, partition_by=["o_orderstatus"],
+            configuration={"custom.owner": "pipelines"})
+    t.delete(Col("o_orderkey") <= Lit(10))
+    det = t.describe_detail()
+    snap = t.log.snapshot()
+    assert det["format"] == "delta"
+    assert det["partitionColumns"] == ["o_orderstatus"]
+    assert det["numFiles"] == snap.files_df.count()
+    assert det["sizeInBytes"] == sum(f.size for f in snap.all_files())
+    assert det["properties"]["custom.owner"] == "pipelines"
+    assert (det["minReaderVersion"], det["minWriterVersion"]) == (1, 2)
+    assert det["lastModified"] >= det["createdAt"]
