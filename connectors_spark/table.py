@@ -353,6 +353,24 @@ class DeltaTable:
                      F.max(hi).alias(f"max_{c}")]
         return files.agg(*aggs)
 
+    def show_partitions(self,
+                        version: Optional[int] = None) -> DataFrame:
+        """SHOW PARTITIONS: the distinct partition tuples of the
+        snapshot's ACTIVE files, decoded to the partition schema's
+        types — answered from the file inventory alone (no data
+        Parquet opened). Raises on an unpartitioned table, matching
+        delta-spark."""
+        snap = self._resolve(version, None)
+        pcols = snap.metadata.partitionColumns
+        if not pcols:
+            raise DeltaError("SHOW PARTITIONS on an unpartitioned table")
+        ptypes = {f.name: f.dataType
+                  for f in snap.metadata.partition_schema.fields}
+        return (snap.files_df
+                .select(*[F.col("partitionValues").getItem(c)
+                          .cast(ptypes[c]).alias(c) for c in pcols])
+                .distinct())
+
     def describe_detail(self) -> Dict[str, Any]:
         """DESCRIBE DETAIL: one metadata-plane row about the table —
         format, id, createdAt, lastModified, partitionColumns,

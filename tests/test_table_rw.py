@@ -277,3 +277,25 @@ def test_describe_detail(spark, tmp_path):
     assert det["properties"]["custom.owner"] == "pipelines"
     assert (det["minReaderVersion"], det["minWriterVersion"]) == (1, 2)
     assert det["lastModified"] >= det["createdAt"]
+
+
+def test_show_partitions_metadata_only(spark, tmp_path):
+    import glob
+    import pytest as _pytest
+    from connectors_spark.errors import DeltaError
+    from tests.conftest import read_table
+    d = str(tmp_path / "t")
+    od = read_table(spark, "orders")
+    t = DeltaTable.for_path(spark, d)
+    t.write(od, partition_by=["o_orderstatus"])
+    t.delete(Col("o_orderstatus") == Lit("P"))  # whole-partition drop
+    for p in glob.glob(os.path.join(d, "*", "*.parquet")):
+        os.remove(p)  # prove no data file is opened
+    got = sorted(r.o_orderstatus for r in t.show_partitions().collect())
+    assert got == ["F", "O"]  # P's files are gone from the snapshot
+
+    d2 = str(tmp_path / "u")
+    t2 = DeltaTable.for_path(spark, d2)
+    t2.write(od.limit(5))
+    with _pytest.raises(DeltaError, match="unpartitioned"):
+        t2.show_partitions()
