@@ -2520,3 +2520,56 @@ def doc_ccnet_buckets(spark, sf_dir):
     return (b.groupBy("lang", "bucket")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.round(F.avg("nll"), 6).alias("avg_nll")))
+
+
+@register("doc_split_leakage", sql=f"""
+WITH {_TOKS},
+s AS (
+  SELECT doc_id,
+         CASE WHEN {_H64.format(v='doc_id::VARCHAR')} % 100 < 80
+              THEN 'train'
+              WHEN {_H64.format(v='doc_id::VARCHAR')} % 100 < 90
+              THEN 'val' ELSE 'test' END AS split,
+         CASE WHEN len(t) >= 5
+              THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  || ' ' || t[i+3] || ' ' || t[i+4]
+                                  for i in range(1, len(t) - 3)])
+              ELSE [] END AS s5
+  FROM toks),
+ex AS (SELECT DISTINCT split, unnest(s5) AS g FROM s
+       WHERE split <> 'val'),
+flags AS (
+  SELECT g, max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS tr,
+         max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS te
+  FROM ex GROUP BY 1)
+SELECT sum(tr)::BIGINT AS n_train_grams,
+       sum(te)::BIGINT AS n_test_grams,
+       sum(tr * te)::BIGINT AS n_shared,
+       round(sum(tr * te)::DOUBLE / sum(te), 6) AS leak_frac
+FROM flags
+""")
+def doc_split_leakage(spark, sf_dir):
+    # Split-leakage QA: after the deterministic hash split, how much
+    # 5-gram mass does the test split share with train? The GPT-3-
+    # style pre-training health check run BEFORE training (shared
+    # n-grams between splits inflate eval scores). Gram-keyed work
+    # rides 8-byte md5 hashes; the flag aggregate is map-side combined
+    # and gram-count-sized; the final rollup is one row.
+    from ..functions.text import hash64, hash_split, ngram_shingles
+    docs = load(spark, sf_dir, "documents")
+    ex = (docs.select(hash_split("doc_id").alias("split"),
+                      F.explode(ngram_shingles("text", 5)).alias("g"))
+          .filter(F.col("split") != "val")
+          .select("split", hash64("g").alias("h"))
+          .distinct())
+    flags = ex.groupBy("h").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0))
+        .alias("tr"),
+        F.max(F.when(F.col("split") == "test", 1).otherwise(0))
+        .alias("te"))
+    return flags.agg(
+        F.sum("tr").alias("n_train_grams"),
+        F.sum("te").alias("n_test_grams"),
+        F.sum(F.col("tr") * F.col("te")).alias("n_shared"),
+        F.round(F.sum(F.col("tr") * F.col("te")) /
+                F.sum("te").cast("double"), 6).alias("leak_frac"))

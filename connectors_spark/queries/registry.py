@@ -82,6 +82,7 @@ GATE_SORT: Dict[str, list] = {
     "doc_chunk_dedup_first": ["doc_id"],
     "doc_adaptive_length_filter": ["lang"],
     "doc_ccnet_buckets": ["lang", "bucket"],
+    "doc_split_leakage": ["n_train_grams"],
     "doc_stratified_sample": ["doc_id"],
     "doc_tfidf_terms": ["term"],
     "doc_bm25_scores": ["doc_id"],
@@ -236,6 +237,7 @@ GATE_COLUMNS: Dict[str, list] = {
     "doc_chunk_dedup_first": ["doc_id", "h"],
     "doc_adaptive_length_filter": ["lang", "n_docs", "n_kept", "th"],
     "doc_ccnet_buckets": ["lang", "bucket", "n_docs", "avg_nll"],
+    "doc_split_leakage": ["n_train_grams", "n_test_grams", "n_shared", "leak_frac"],
     "doc_stratified_sample": ["doc_id", "lang"],
     "doc_tfidf_terms": ["term", "df", "total_tf", "total_tfidf"],
     "doc_bm25_scores": ["doc_id", "score"],
@@ -421,7 +423,7 @@ _R7_NEW = frozenset(["delta_reorg_purge", "doc_dsir_weights",
                      "doc_quality_logreg", "emb_ivf_pq_topk",
                      "doc_chunk_dedup_first", "ord_topk_per_status",
                      "doc_adaptive_length_filter", "mm_jpeg_decode_real",
-                     "doc_ccnet_buckets"])
+                     "doc_ccnet_buckets", "doc_split_leakage"])
 
 
 def ordered_names() -> list:
