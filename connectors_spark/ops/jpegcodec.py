@@ -10,8 +10,9 @@ Scope (documented, raises outside it):
 - decode: baseline sequential DCT (SOF0), 8-bit, grayscale or 4:4:4
   color (interleaved MCUs, JFIF YCbCr→RGB), no restart intervals
   (DRI), Huffman tables read from the file's DHT segments (any valid
-  tables, not just Annex K); progressive (SOF2) / chroma subsampling /
-  arithmetic coding raise.
+  tables, not just Annex K), restart intervals (DRI + RSTn);
+  progressive (SOF2), 4:2:2/4:1:1 sampling and arithmetic coding
+  raise.
 - encode: real pipeline — level shift, float 2-D DCT-II, quantize
   (round-to-nearest), zigzag, DC-diff + AC run-length Huffman with
   byte stuffing — emitting a spec-conformant JFIF stream whose DQT /
@@ -156,7 +157,7 @@ def _encode_block(w: _BitWriter, blk: "np.ndarray", q: "np.ndarray",
 
 
 def _headers(width: int, height: int, q: "np.ndarray",
-             ncomp: int) -> bytearray:
+             ncomp: int, restart_interval: int = 0) -> bytearray:
     out = bytearray(b"\xff\xd8")                        # SOI
     out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     zz = bytes(int(q[r][c]) for r, c in _ZZ)
@@ -167,6 +168,8 @@ def _headers(width: int, height: int, q: "np.ndarray",
                 + comps)                                # SOF0
     out += _seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += _seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp]) + b"".join(bytes([cid, 0x00])
                                     for cid in range(1, ncomp + 1)) \
         + bytes([0, 63, 0])
@@ -175,20 +178,32 @@ def _headers(width: int, height: int, q: "np.ndarray",
 
 
 def encode_jpeg_gray(width: int, height: int, pixels: bytes,
-                     quant: int = 16) -> bytes:
+                     quant: int = 16,
+                     restart_interval: int = 0) -> bytes:
     """Encode an 8-bit grayscale image (dimensions must be multiples
     of 8) as a baseline JFIF stream with a flat quantization table of
-    ``quant``."""
+    ``quant``. ``restart_interval`` > 0 emits a DRI segment and RSTn
+    markers every that many MCUs (predictors reset, ITU-T.81 §E.1.2) —
+    the error-resilience device most real encoders use."""
     if width % 8 or height % 8:
         raise ValueError("encode_jpeg_gray needs multiple-of-8 dims")
     img = np.frombuffer(bytes(pixels), dtype=np.uint8) \
         .reshape(height, width).astype(np.float64) - 128.0
     q = np.full((8, 8), float(quant))
-    out = _headers(width, height, q, 1)
+    out = _headers(width, height, q, 1, restart_interval)
     w = _BitWriter()
     prev_dc = 0
+    mcu = 0
+    rst = 0
     for by in range(height // 8):
         for bx in range(width // 8):
+            if restart_interval and mcu \
+                    and mcu % restart_interval == 0:
+                w.flush()
+                w.buf += bytes((0xFF, 0xD0 + (rst & 7)))
+                rst += 1
+                prev_dc = 0
+            mcu += 1
             prev_dc = _encode_block(
                 w, img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8], q, prev_dc)
     w.flush()
@@ -324,6 +339,19 @@ class _BitReader:
         self._n -= 1
         return (self._acc >> self._n) & 1
 
+    def restart(self, expect: int) -> None:
+        """Consume an RSTn marker at a byte boundary (ITU-T.81 §E.1.2):
+        discard pad bits, verify the marker modulo-8 sequence number,
+        advance past it."""
+        self._n = 0
+        if self.data[self.pos] != 0xFF:
+            raise ValueError("expected restart marker")
+        m = self.data[self.pos + 1]
+        if m != 0xD0 + (expect & 7):
+            raise ValueError(
+                f"restart marker out of sequence: 0xFF{m:02x}")
+        self.pos += 2
+
     def receive_extend(self, s: int) -> int:
         if s == 0:
             return 0
@@ -346,7 +374,8 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
     dc_tabs: Dict[int, _HuffTable] = {}
     ac_tabs: Dict[int, _HuffTable] = {}
     width = height = -1
-    comps: List[Tuple[int, int]] = []
+    comps: list = []
+    restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -397,8 +426,7 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
             raise NotImplementedError(
                 f"non-baseline SOF 0x{marker:04x} unsupported")
         elif marker == 0xFFDD:                          # DRI
-            if struct.unpack(">H", body[:2])[0] != 0:
-                raise NotImplementedError("restart intervals unsupported")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xFFDA:                          # SOS
             ns = body[0]
             if ns != len(comps):
@@ -419,8 +447,16 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
                                dtype=np.float64)
                       for _, h, v, _ in comps]
             prev = [0] * len(comps)
+            mcu_count = 0
+            rst_seq = 0
             for my in range(mbh):
                 for mx in range(mbw):
+                    if restart_interval and mcu_count \
+                            and mcu_count % restart_interval == 0:
+                        br.restart(rst_seq)
+                        rst_seq = (rst_seq + 1) & 7
+                        prev = [0] * len(comps)
+                    mcu_count += 1
                     # one interleaved MCU: h×v blocks per component,
                     # raster order within the MCU (ITU-T.81 §A.2.3)
                     for ci, (cid, ch, cv, tq) in enumerate(comps):

@@ -353,3 +353,21 @@ def test_jpeg_420_roundtrips():
     import pytest
     with pytest.raises(ValueError, match="16"):
         encode_jpeg_color_420(8, 8, bytes(8 * 8 * 3))
+
+
+def test_jpeg_restart_intervals():
+    import pytest
+    from connectors_spark.ops.jpegcodec import (decode_jpeg,
+                                                encode_jpeg_gray)
+    px = bytes([130] * 64 + [92] * 64 + [150] * 64 + [100] * 64)
+    for ri in (1, 2, 3):
+        data = encode_jpeg_gray(8, 32, px, restart_interval=ri)
+        assert any(bytes((0xFF, 0xD0 + i)) in data for i in range(8))
+        w, h, c, out = decode_jpeg(data)
+        assert (w, h, c, out) == (8, 32, 1, px)
+    # an out-of-sequence restart marker must fail loudly
+    data = bytearray(encode_jpeg_gray(8, 32, px, restart_interval=1))
+    i = bytes(data).find(bytes((0xFF, 0xD0)))
+    data[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(bytes(data))
