@@ -142,6 +142,7 @@ GATE_SORT: Dict[str, list] = {
     "ev_rollup_day_type": ["day", "event_type"],
     "ev_cube_type_day": ["day", "event_type"],
     "ev_interarrival_stats": ["event_type"],
+    "ev_retention_cohorts": ["cohort_day", "week_k"],
     "ord_totalprice_percentiles": ["o_orderpriority"],
     "ord_topk_per_status": ["o_orderstatus", "rank", "o_orderkey"],
     "ev_funnel_view_click_purchase": ["n_view"],
@@ -309,6 +310,7 @@ GATE_COLUMNS: Dict[str, list] = {
     "ev_rollup_day_type": ["day", "event_type", "n_events", "sum_value"],
     "ev_cube_type_day": ["day", "event_type", "n_events", "sum_value"],
     "ev_interarrival_stats": ["event_type", "n_gaps", "min_gap_us", "max_gap_us", "mean_gap_us"],
+    "ev_retention_cohorts": ["cohort_day", "week_k", "n_users"],
     "ord_totalprice_percentiles": ["o_orderpriority", "p50", "p95"],
     "ord_topk_per_status": ["o_orderstatus", "o_orderkey", "totalprice", "rank"],
     "ev_funnel_view_click_purchase": ["n_view", "n_view_click", "n_full_funnel", "mean_convert_us"],
@@ -423,7 +425,8 @@ _R7_NEW = frozenset(["delta_reorg_purge", "doc_dsir_weights",
                      "doc_quality_logreg", "emb_ivf_pq_topk",
                      "doc_chunk_dedup_first", "ord_topk_per_status",
                      "doc_adaptive_length_filter", "mm_jpeg_decode_real",
-                     "doc_ccnet_buckets", "doc_split_leakage"])
+                     "doc_ccnet_buckets", "doc_split_leakage",
+                     "ev_retention_cohorts"])
 
 
 def ordered_names() -> list:

@@ -492,3 +492,35 @@ def ev_twa(spark, sf_dir):
                                key_col="user_id", ts_col="ts",
                                val_col="value")
     return out.withColumn("twa", F.round("twa", 6))
+
+
+@register("ev_retention_cohorts", sql="""
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY 1),
+act AS (
+  SELECT DISTINCT e.user_id, f.first_day,
+         (CAST(e.ts AS DATE) - f.first_day) // 7 AS week_k
+  FROM events e JOIN firsts f USING (user_id))
+SELECT first_day AS cohort_day, week_k::BIGINT AS week_k,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM act GROUP BY 1, 2
+""")
+def ev_retention_cohorts(spark, sf_dir):
+    # Classic cohort retention: cohort = a user's first active day,
+    # week_k = whole weeks since it; n_users = distinct cohort members
+    # active in that week. Two aggregates: a per-user min (map-side
+    # combined) broadcast back onto the events, then the distinct
+    # count per (cohort, week) — no window over the event stream, so
+    # a power user's million events never funnel through one task.
+    ev = load(spark, sf_dir, "events")
+    firsts = (ev.groupBy("user_id")
+              .agg(F.min(F.to_date("ts")).alias("first_day")))
+    act = (ev.join(F.broadcast(firsts), "user_id")
+           .select("user_id", "first_day",
+                   F.floor(F.datediff(F.to_date("ts"),
+                                      F.col("first_day")) / 7)
+                   .alias("week_k"))
+           .distinct())
+    return (act.groupBy(F.col("first_day").alias("cohort_day"), "week_k")
+            .agg(F.countDistinct("user_id").alias("n_users")))
