@@ -91,3 +91,49 @@ def test_mixture_allocate_sums_to_budget_exactly(spark):
         for r in rowsq:
             exact = math.sqrt(r.n_docs) / tot * budget
             assert abs(r.quota - exact) < 1.0 + 1e-9
+
+
+@st.composite
+def _blocky_gray(draw, max_blocks=3):
+    """Multiple-of-8 dims, block-constant pixels on the exact-roundtrip
+    grid (even offsets from 128, |offset| <= 126)."""
+    bw = draw(st.integers(1, max_blocks))
+    bh = draw(st.integers(1, max_blocks))
+    vals = draw(st.lists(st.integers(-63, 63), min_size=bw * bh,
+                         max_size=bw * bh))
+    w, h = bw * 8, bh * 8
+    px = bytearray(w * h)
+    for y in range(h):
+        for x in range(w):
+            b = (y // 8) * bw + (x // 8)
+            px[y * w + x] = 128 + 2 * vals[b]
+    return w, h, bytes(px)
+
+
+@given(_blocky_gray(), st.integers(0, 3))
+@settings(max_examples=60, deadline=None)
+def test_jpeg_blocky_roundtrip_exact_any_restarts(img, ri):
+    from connectors_spark.ops import jpegcodec as jc
+    w, h, px = img
+    data = jc.encode_jpeg_gray(w, h, px, restart_interval=ri)
+    assert jc.decode_jpeg(data) == (w, h, 1, px)
+
+
+@given(st.integers(1, 2), st.integers(1, 2), st.binary(min_size=0),
+       st.integers(2, 8))
+@settings(max_examples=60, deadline=None)
+def test_jpeg_arbitrary_gray_bounded_error(bw, bh, seed, quant):
+    import numpy as np
+    from connectors_spark.ops import jpegcodec as jc
+    w, h = bw * 8, bh * 8
+    rng = np.random.RandomState(
+        int(hashlib.md5(seed).hexdigest()[:8], 16))
+    img = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    w2, h2, c2, out = jc.decode_jpeg(
+        jc.encode_jpeg_gray(w, h, img.tobytes(), quant=quant))
+    assert (w2, h2, c2) == (w, h, 1)
+    arr = np.frombuffer(out, dtype=np.uint8).reshape(h, w).astype(int)
+    # worst-case per-pixel error of a single 8x8 block is bounded by
+    # the total quantization error mass: sum_k |e_k| <= 64 * q/2 in
+    # coefficient space; empirically well under 4q for flat tables
+    assert np.abs(arr - img.astype(int)).max() <= 4 * quant
