@@ -195,6 +195,24 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     return ex.groupBy("_id").agg(*aggs)
 
 
+def band_buckets(sig: DataFrame, num_perm: int = 16, bands: int = 4,
+                 id_col: str = "_id") -> DataFrame:
+    """LSH band keys for a minhash signature relation: one
+    (id, band, md5(joined band values)) row per band — the bucket
+    identity both the batch pair-miner and the persistent incremental
+    index share."""
+    rows = num_perm // bands
+    band_cols = []
+    for bi in range(bands):
+        key = F.md5(F.concat_ws(
+            ",", *[F.col(f"mh_{bi * rows + r}").cast("string")
+                   for r in range(rows)]))
+        band_cols.append(F.struct(F.lit(bi).alias("band"),
+                                  key.alias("key")).alias(f"b{bi}"))
+    return (sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk"))
+            .select(id_col, "bk.band", "bk.key"))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       num_perm: int = 16, bands: int = 4,
@@ -235,15 +253,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     aggs = [F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MINHASH_PRIME)
             .alias(f"mh_{i}") for i, (a, b) in enumerate(perms)]
     sig = ex.groupBy("_id").agg(*aggs)
-    band_cols = []
-    for bi in range(bands):
-        key = F.md5(F.concat_ws(
-            ",", *[F.col(f"mh_{bi * rows + r}").cast("string")
-                   for r in range(rows)]))
-        band_cols.append(F.struct(F.lit(bi).alias("band"),
-                                  key.alias("key")).alias(f"b{bi}"))
-    buckets = (sig.select("_id", F.explode(F.array(*band_cols)).alias("bk"))
-               .select("_id", "bk.band", "bk.key"))
+    buckets = band_buckets(sig, num_perm, bands)
     # Candidate pairs via per-bucket collect_list + in-bucket pair
     # expansion, NOT a bucket self-join: the self-join's two sides are
     # the whole signature subtree, and Spark cannot dedupe subtrees
@@ -715,3 +725,87 @@ def ingest_dedup(new_docs: DataFrame, index_path: str,
             "fp", F.col(id_col).alias("first_" + id_col))
         DeltaTable.for_path(spark, index_path).write(new_fps, mode="append")
     return accepted.drop("fp")
+
+
+def build_minhash_index(docs: DataFrame, index_path: str,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3, num_perm: int = 16,
+                        mode: str = "overwrite") -> int:
+    """Seed the persistent near-dup index: one row per document with
+    its minhash signature (id, mh_0..mh_{k-1}) in a Delta table. The
+    index is O(corpus docs) x k small ints — the raw text never needs
+    re-reading to dedup future batches against history."""
+    from ..table import DeltaTable
+    sigs = minhash_signatures(docs, id_col, text_col, n, num_perm) \
+        .withColumnRenamed("_id", id_col)
+    t = DeltaTable.for_path(docs.sparkSession, index_path)
+    return t.write(sigs, mode=mode)
+
+
+def ingest_neardup(new_docs: DataFrame, index_path: str,
+                   threshold: float = 0.5, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = 3,
+                   num_perm: int = 16, bands: int = 4,
+                   update_index: bool = True) -> DataFrame:
+    """Incremental NEAR-dup ingestion against a persistent minhash
+    index (`build_minhash_index`) — the fuzzy sibling of
+    `ingest_dedup`: a new document is rejected when
+
+    - it shares an LSH band bucket with a HISTORICAL doc whose
+      signature agrees on ≥ ceil(threshold·num_perm) permutations
+      (the minhash Jaccard estimate — history's raw text is never
+      re-read, only the k-int signatures), or
+    - it est-matches an earlier (smaller-id) document of ITS OWN
+      batch the same way (deterministic keep-first; chains over-reject
+      slightly vs a sequential greedy pass, documented trade).
+
+    Accepted docs' signatures append to the index so the next batch
+    dedups against them — the continuous-curation loop at corpus
+    scale. Plan shape: candidate generation is bucket-equality joins
+    on (band, md5 key) — never all-pairs; verification joins tiny
+    signature relations; history text is never read.
+    Reference parity: none — §7 extension (MinHash: Broder 1997).
+    """
+    import math
+
+    from ..table import DeltaTable
+    spark = new_docs.sparkSession
+    min_match = math.ceil(threshold * num_perm)
+    sigs = minhash_signatures(new_docs, id_col, text_col, n, num_perm)
+    hist = DeltaTable.for_path(spark, index_path).to_df()
+    nb = band_buckets(sigs, num_perm, bands)
+    hb = band_buckets(hist.withColumnRenamed(id_col, "_id"),
+                      num_perm, bands).withColumnRenamed("_id", "_hid")
+    agree = sum(F.when(F.col(f"am_{j}") == F.col(f"bm_{j}"), 1)
+                .otherwise(0) for j in range(num_perm))
+    a_side = sigs.select(F.col("_id"),
+                         *[F.col(f"mh_{j}").alias(f"am_{j}")
+                           for j in range(num_perm)])
+    h_side = hist.select(F.col(id_col).alias("_hid"),
+                         *[F.col(f"mh_{j}").alias(f"bm_{j}")
+                           for j in range(num_perm)])
+    rej_hist = (nb.join(hb, ["band", "key"])
+                .select("_id", "_hid").distinct()
+                .join(a_side, "_id").join(h_side, "_hid")
+                .where(agree >= min_match)
+                .select("_id").distinct())
+    b_side = sigs.select(F.col("_id").alias("_bid"),
+                         *[F.col(f"mh_{j}").alias(f"bm_{j}")
+                           for j in range(num_perm)])
+    cand_b = (nb.join(nb.select(F.col("_id").alias("_bid"),
+                                "band", "key"), ["band", "key"])
+              .where(F.col("_id") < F.col("_bid"))
+              .select("_id", "_bid").distinct())
+    rej_batch = (cand_b.join(a_side, "_id")
+                 .join(b_side, "_bid")
+                 .where(agree >= min_match)
+                 .select(F.col("_bid").alias("_id")).distinct())
+    rejected = rej_hist.unionByName(rej_batch).distinct()
+    accepted = new_docs.join(
+        rejected.withColumnRenamed("_id", id_col), id_col, "left_anti")
+    if update_index:
+        acc_sigs = (sigs.join(rejected, "_id", "left_anti")
+                    .withColumnRenamed("_id", id_col))
+        DeltaTable.for_path(spark, index_path).write(acc_sigs,
+                                                     mode="append")
+    return accepted

@@ -2573,3 +2573,62 @@ def doc_split_leakage(spark, sf_dir):
         F.sum(F.col("tr") * F.col("te")).alias("n_shared"),
         F.round(F.sum(F.col("tr") * F.col("te")) /
                 F.sum("te").cast("double"), 6).alias("leak_frac"))
+
+
+@register("doc_incremental_neardup", sql=f"""
+WITH {_SHINGLES},
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+h AS (SELECT doc_id, {_H64.format(v='g')} % {dd.MINHASH_PRIME} AS hv FROM ex),
+perms(i, a, b) AS (VALUES {_perm_values()}),
+sig AS (
+  SELECT doc_id, i, min((a * hv + b) % {dd.MINHASH_PRIME}) AS m
+  FROM h CROSS JOIN perms GROUP BY 1, 2),
+bnd AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(string_agg(m::VARCHAR, ',' ORDER BY i)) AS key
+  FROM sig GROUP BY doc_id, i // 4),
+candh AS (
+  SELECT DISTINCT n.doc_id AS nid, hh.doc_id AS hid
+  FROM bnd n JOIN bnd hh ON n.band = hh.band AND n.key = hh.key
+  WHERE hh.doc_id % 2 = 0),
+esth AS (
+  SELECT c.nid, c.hid,
+         sum(CASE WHEN sn.m = sh2.m THEN 1 ELSE 0 END) AS agree
+  FROM candh c
+  JOIN sig sn ON sn.doc_id = c.nid
+  JOIN sig sh2 ON sh2.doc_id = c.hid AND sh2.i = sn.i
+  GROUP BY 1, 2),
+rejh AS (SELECT DISTINCT nid AS doc_id FROM esth WHERE agree >= 8),
+candb AS (
+  SELECT DISTINCT a.doc_id AS aid, b.doc_id AS bid
+  FROM bnd a JOIN bnd b ON a.band = b.band AND a.key = b.key
+                        AND a.doc_id < b.doc_id),
+estb AS (
+  SELECT c.aid, c.bid,
+         sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS agree
+  FROM candb c
+  JOIN sig sa ON sa.doc_id = c.aid
+  JOIN sig sb ON sb.doc_id = c.bid AND sb.i = sa.i
+  GROUP BY 1, 2),
+rejb AS (SELECT DISTINCT bid AS doc_id FROM estb WHERE agree >= 8)
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM rejh)
+  AND d.doc_id NOT IN (SELECT doc_id FROM rejb)
+""")
+def doc_incremental_neardup(spark, sf_dir):
+    # The fuzzy sibling of doc_incremental_ingest: batch 1 (even ids)
+    # seeds a persistent MINHASH index; batch 2 (the full corpus)
+    # ingests against it — rejected when >= 8/16 signature values
+    # agree with a bucket-sharing historical doc, or with a smaller-id
+    # batch doc the same way. History's raw text is never re-read;
+    # the oracle recomputes signatures, band buckets and agreement
+    # counts from scratch in SQL.
+    import hashlib
+    import tempfile
+    docs = load(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/connectors_spark_mh_index_{tag}"
+    dd.build_minhash_index(docs.where(F.col("doc_id") % 2 == 0), path)
+    return dd.ingest_neardup(docs, path, threshold=0.5,
+                             update_index=False) \
+        .select("doc_id", "source")

@@ -910,3 +910,30 @@ def test_grouped_topk_matches_window_even_with_mega_group(spark):
         .select("g", "k", "v", F.col("rank").cast("int")).collect()))
     # same column layout: (g, k, v, rank)
     assert got == want
+
+
+def test_ingest_neardup_cross_batch(spark, tmp_path):
+    """Near-dup incremental ingest: exact duplicates of history reject
+    (16/16 agreement); novel docs accept; accepted signatures extend
+    the index so the NEXT batch rejects their near-dups too."""
+    from connectors_spark.ops.dedup import (build_minhash_index,
+                                            ingest_neardup)
+    from pyspark.sql import functions as F
+    mk = lambda i: " ".join(  # noqa: E731
+        f"tok{i}x{j}" for j in range(30))
+    b1 = spark.createDataFrame([(i, mk(i)) for i in range(10)],
+                               "doc_id long, text string")
+    idx = str(tmp_path / "mhidx")
+    build_minhash_index(b1, idx)
+    # batch 2: 3 exact copies of history + 2 novel docs
+    b2 = spark.createDataFrame(
+        [(100, mk(1)), (101, mk(2)), (102, mk(3)),
+         (103, mk(500)), (104, mk(600))],
+        "doc_id long, text string")
+    acc = ingest_neardup(b2, idx, threshold=0.5)
+    assert sorted(r.doc_id for r in acc.collect()) == [103, 104]
+    # batch 3: near-dup of an ACCEPTED batch-2 doc must now reject
+    b3 = spark.createDataFrame([(200, mk(500)), (201, mk(700))],
+                               "doc_id long, text string")
+    acc3 = ingest_neardup(b3, idx, threshold=0.5)
+    assert sorted(r.doc_id for r in acc3.collect()) == [201]
