@@ -26,6 +26,7 @@ _ROUND7 = [
     "doc_ccnet_buckets",
     "doc_split_leakage",
     "ev_retention_cohorts",
+    "doc_incremental_neardup",
 ]
 
 
