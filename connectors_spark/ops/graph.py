@@ -67,3 +67,47 @@ def connected_components(edges: DataFrame, a_col: str = "a_id",
     labels.unpersist()
     sym.unpersist()
     return out
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 2,
+             damping: float = 0.85, node_col: str = "doc_id",
+             a_col: str = "a_id", b_col: str = "b_id") -> DataFrame:
+    """Deterministic PageRank over an undirected edge list (power
+    iteration, Brin & Page 1998): PR ← round(1−d + d·Σ PR(u)/deg(u),
+    6) over in-neighbors, PR₀ = 1, isolated nodes settle at 1−d.
+
+    Determinism (oracle-matchable): ranks are rounded to 6 after every
+    iteration and per-edge contributions are pre-rounded 1e-6
+    multiples, so the order-free neighbor sum re-rounds identically in
+    any engine/partitioning — the same device as kmeans/BPE/logreg.
+
+    Scale shape per iteration: one join of the rank relation onto the
+    symmetrized edge list (both keyed by node id — co-partitioned
+    after the first shuffle) + one map-side-combined sum per node.
+    Driver holds NOTHING (ranks stay distributed; contrast logreg's
+    k-double sync): iterations chain lazily and a localCheckpoint
+    every iteration keeps lineage bounded."""
+    sym = (edges.select(F.col(a_col).alias("src"),
+                        F.col(b_col).alias("dst"))
+           .unionByName(edges.select(F.col(b_col).alias("src"),
+                                     F.col(a_col).alias("dst")))
+           .distinct())
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = nodes.select(F.col(node_col).alias("id")).distinct()
+    pr = base.withColumn("pr", F.lit(1.0))
+    out_edges = sym.join(deg, "src")
+    for _ in range(iters):
+        contrib = (out_edges.join(
+            pr.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"),
+                    F.round(F.col("pr") / F.col("deg"), 6)
+                    .alias("_c")))
+        summed = contrib.groupBy("id").agg(F.sum("_c").alias("_s"))
+        pr = (base.join(summed, "id", "left")
+              .select("id",
+                      F.round(F.lit(1.0 - damping) +
+                              F.lit(damping) *
+                              F.coalesce(F.col("_s"), F.lit(0.0)),
+                              6).alias("pr"))
+              .localCheckpoint(eager=True))
+    return pr.select(F.col("id").alias(node_col), "pr")

@@ -2632,3 +2632,41 @@ def doc_incremental_neardup(spark, sf_dir):
     return dd.ingest_neardup(docs, path, threshold=0.5,
                              update_index=False) \
         .select("doc_id", "source")
+
+
+@register("doc_pagerank_neardup", sql=f"""
+WITH {_MINHASH_CTES},
+e0 AS (SELECT a_id, b_id FROM ver
+       WHERE c::DOUBLE / (za + zb - c) >= 0.8),
+sym AS (SELECT a_id AS src, b_id AS dst FROM e0
+        UNION
+        SELECT b_id AS src, a_id AS dst FROM e0),
+deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+n AS (SELECT doc_id AS id FROM documents),
+p0 AS (SELECT id, 1.0 AS pr FROM n),
+c1 AS (SELECT s.dst AS id, round(p.pr / d.deg, 6) AS c
+       FROM sym s JOIN deg d ON d.src = s.src
+                  JOIN p0 p ON p.id = s.src),
+s1 AS (SELECT id, sum(c) AS t FROM c1 GROUP BY 1),
+p1 AS (SELECT n.id, round(0.15 + 0.85 * coalesce(s1.t, 0), 6) AS pr
+       FROM n LEFT JOIN s1 USING (id)),
+c2 AS (SELECT s.dst AS id, round(p.pr / d.deg, 6) AS c
+       FROM sym s JOIN deg d ON d.src = s.src
+                  JOIN p1 p ON p.id = s.src),
+s2 AS (SELECT id, sum(c) AS t FROM c2 GROUP BY 1),
+p2 AS (SELECT n.id, round(0.15 + 0.85 * coalesce(s2.t, 0), 6) AS pr
+       FROM n LEFT JOIN s2 USING (id))
+SELECT id AS doc_id, pr FROM p2
+""")
+def doc_pagerank_neardup(spark, sf_dir):
+    # Deterministic PageRank (2 power iterations, d=0.85) over the
+    # MinHash near-dup graph: hub documents of duplicate clusters
+    # surface with high rank, singletons settle at 1-d — a centrality
+    # signal for choosing cluster representatives. Ranks stay
+    # DISTRIBUTED between iterations (no driver sync beyond the loop
+    # counter); the oracle unrolls both iterations in SQL over the
+    # same edge construction.
+    from ..ops.graph import pagerank
+    docs = load(spark, sf_dir, "documents")
+    edges = dd.minhash_lsh_pairs(docs, threshold=0.8)
+    return pagerank(docs, edges, iters=2)

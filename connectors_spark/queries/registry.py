@@ -90,6 +90,7 @@ GATE_SORT: Dict[str, list] = {
     "doc_salted_stats_join": ["doc_id"],
     "doc_incremental_ingest": ["doc_id"],
     "doc_incremental_neardup": ["doc_id"],
+    "doc_pagerank_neardup": ["doc_id"],
     "mm_decode_features": ["doc_id"],
     "mm_frame_sample": ["doc_id", "frame_idx"],
     "mm_image_decode_real": ["doc_id"],
@@ -247,6 +248,7 @@ GATE_COLUMNS: Dict[str, list] = {
     "doc_salted_stats_join": ["doc_id", "source", "n_docs", "avg_chars"],
     "doc_incremental_ingest": ["doc_id", "source"],
     "doc_incremental_neardup": ["doc_id", "source"],
+    "doc_pagerank_neardup": ["doc_id", "pr"],
     "mm_decode_features": ["doc_id", "kind", "n_bytes", "width", "height", "n_frames"],
     "mm_frame_sample": ["doc_id", "frame_idx", "frame_off"],
     "mm_image_decode_real": ["doc_id", "fmt", "width", "height",
@@ -428,7 +430,8 @@ _R7_NEW = frozenset(["delta_reorg_purge", "doc_dsir_weights",
                      "doc_chunk_dedup_first", "ord_topk_per_status",
                      "doc_adaptive_length_filter", "mm_jpeg_decode_real",
                      "doc_ccnet_buckets", "doc_split_leakage",
-                     "ev_retention_cohorts", "doc_incremental_neardup"])
+                     "ev_retention_cohorts", "doc_incremental_neardup",
+                     "doc_pagerank_neardup"])
 
 
 def ordered_names() -> list:

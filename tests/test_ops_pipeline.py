@@ -937,3 +937,22 @@ def test_ingest_neardup_cross_batch(spark, tmp_path):
                                "doc_id long, text string")
     acc3 = ingest_neardup(b3, idx, threshold=0.5)
     assert sorted(r.doc_id for r in acc3.collect()) == [201]
+
+
+def test_pagerank_properties(spark):
+    from connectors_spark.ops.graph import pagerank
+    # path graph 0-1-2 plus isolated 3: center node ranks highest,
+    # isolated settles at 1-d, total mass conserved-ish
+    nodes = spark.createDataFrame([(i,) for i in range(4)],
+                                  "doc_id long")
+    edges = spark.createDataFrame([(0, 1), (1, 2)],
+                                  "a_id long, b_id long")
+    pr = {r["doc_id"]: r["pr"]
+          for r in pagerank(nodes, edges, iters=10).collect()}
+    assert pr[3] == 0.15
+    assert pr[1] > pr[0] == pr[2] > pr[3]
+    # deterministic across partitionings
+    pr2 = {r["doc_id"]: r["pr"]
+           for r in pagerank(nodes.repartition(7),
+                             edges.repartition(5), iters=10).collect()}
+    assert pr == pr2

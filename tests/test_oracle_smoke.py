@@ -27,6 +27,7 @@ _ROUND7 = [
     "doc_split_leakage",
     "ev_retention_cohorts",
     "doc_incremental_neardup",
+    "doc_pagerank_neardup",
 ]
 
 
