@@ -49,6 +49,11 @@ DEFAULTS: Dict[str, str] = {
     "delta.autoOptimize.autoCompact": "false",
     "connectors.autoCompact.minNumFiles": "8",
     "connectors.autoCompact.targetFileSize": str(128 * 1024 * 1024),
+    # DeltaConfig DATA_SKIPPING_NUM_INDEXED_COLS (delta-spark default
+    # 32): per-file min/max/nullCount are recorded only for the first
+    # N schema columns — the log-size lever for wide tables at scale.
+    # -1 = index every column.
+    "delta.dataSkippingNumIndexedCols": "32",
 }
 
 
@@ -83,6 +88,10 @@ class TableConfig:
     @property
     def enable_change_data_feed(self) -> bool:
         return self.get("delta.enableChangeDataFeed").lower() == "true"
+
+    @property
+    def data_skipping_num_indexed_cols(self) -> int:
+        return int(self.get("delta.dataSkippingNumIndexedCols"))
 
     @property
     def auto_compact(self) -> bool:

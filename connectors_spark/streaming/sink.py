@@ -74,7 +74,13 @@ class DeltaStreamSink:
             txn.update_metadata(table._make_metadata(
                 df, pcols, self.configuration))
 
-        adds = stage_and_collect(df, self.table_path, pcols)
+        from ..config import TableConfig
+        conf = (txn.snapshot.metadata.configuration if exists
+                else self.configuration)
+        adds = stage_and_collect(
+            df, self.table_path, pcols,
+            num_indexed_cols=TableConfig(conf or {})
+            .data_skipping_num_indexed_cols)
         n_rows = sum(json.loads(a.stats)["numRecords"] for a in adds
                      if a.stats)
         actions: List[Any] = list(adds) + [

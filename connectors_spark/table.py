@@ -497,7 +497,10 @@ class DeltaTable:
             txn.read_whole_table()
             now = int(time.time() * 1000)
             actions += [f.remove(now) for f in txn.snapshot.all_files()]
-        adds = stage_and_collect(df, self.log.table_path, pcols)
+        adds = stage_and_collect(
+            df, self.log.table_path, pcols,
+            num_indexed_cols=_n_indexed(
+                eff_meta.configuration if eff_meta else None))
         actions += adds
         if txn_app_id is not None:
             from .log.actions import SetTransaction
@@ -581,11 +584,13 @@ class DeltaTable:
             old = snap.to_df(files=files_subset)
             hit = F.coalesce(pred_col, F.lit(False))
             keep = old.where(~hit)
-            actions += stage_and_collect(keep, self.log.table_path,
-                                         meta.partitionColumns)
+            actions += stage_and_collect(
+                keep, self.log.table_path, meta.partitionColumns,
+                num_indexed_cols=_n_indexed(meta.configuration))
             actions += [f.remove(now) for f in candidates]
-        actions += stage_and_collect(df, self.log.table_path,
-                                     meta.partitionColumns)
+        actions += stage_and_collect(
+            df, self.log.table_path, meta.partitionColumns,
+            num_indexed_cols=_n_indexed(meta.configuration))
         return txn.commit(
             actions, "WRITE",
             operation_parameters={"mode": "overwrite",
@@ -630,8 +635,11 @@ class DeltaTable:
             df = snap.to_df(files=files_subset)
             hit = F.coalesce(predicate.to_column(F.col), F.lit(False))
             keep = df.where(~hit)
-            adds = stage_and_collect(keep, self.log.table_path,
-                                     snap.metadata.partitionColumns)
+            adds = stage_and_collect(
+                keep, self.log.table_path,
+                snap.metadata.partitionColumns,
+                num_indexed_cols=_n_indexed(
+                    snap.metadata.configuration))
             actions += adds
             actions += [f.remove(now) for f in candidates]
             if TableConfig(snap.metadata.configuration) \
@@ -735,8 +743,10 @@ class DeltaTable:
                 col, F.when(F.col("__hit"), val).otherwise(F.col(col)))
         _enforce_constraints(out.where("__hit").drop("__hit"),
                              snap.metadata.configuration, "updated")
-        adds = stage_and_collect(out.drop("__hit"), self.log.table_path,
-                                 snap.metadata.partitionColumns)
+        adds = stage_and_collect(
+            out.drop("__hit"), self.log.table_path,
+            snap.metadata.partitionColumns,
+            num_indexed_cols=_n_indexed(snap.metadata.configuration))
         now = int(time.time() * 1000)
         actions: List[Any] = list(adds) + [f.remove(now) for f in candidates]
         if TableConfig(snap.metadata.configuration).enable_change_data_feed:
@@ -863,8 +873,9 @@ class DeltaTable:
         # carries new or rewritten values that can violate a constraint.
         for p in parts[1:]:
             _enforce_constraints(p, meta.configuration, "merged")
-        adds = stage_and_collect(out, self.log.table_path,
-                                 meta.partitionColumns)
+        adds = stage_and_collect(
+            out, self.log.table_path, meta.partitionColumns,
+            num_indexed_cols=_n_indexed(meta.configuration))
         now = int(time.time() * 1000)
         actions: List[Any] = list(adds) + [f.remove(now) for f in touched_adds]
         if cdc_parts and TableConfig(snap.metadata.configuration) \
@@ -1032,6 +1043,11 @@ class DeltaTable:
                 "filesCloned": len(actions), "bytesCloned": bytes_cloned}
 
 
+def _n_indexed(configuration) -> int:
+    """delta.dataSkippingNumIndexedCols for a metadata configuration."""
+    return TableConfig(configuration or {}).data_skipping_num_indexed_cols
+
+
 def _canonical(path: str, table_path: str) -> str:
     from .log.snapshot import canonical_path
     return canonical_path(path, table_path)
@@ -1187,7 +1203,9 @@ class TableMaintenance:
                   .sortWithinPartitions("_z").drop("_z"))
         else:
             df = df.repartition(n_out)
-        adds = stage_and_collect(df, t.path, pcols, data_change=False)
+        adds = stage_and_collect(
+            df, t.path, pcols, data_change=False,
+            num_indexed_cols=_n_indexed(snap.metadata.configuration))
         now = int(time.time() * 1000)
         actions: List[Any] = list(adds) + [
             f.remove(now, data_change=False) for f in victims]
@@ -1232,9 +1250,10 @@ class TableMaintenance:
                       for f in victims]
         subset = _semi_by_paths(snap.files_df, cand_paths)
         df = snap.to_df(files=subset)  # DV anti-join applied here
-        adds = stage_and_collect(df, t.path,
-                                 snap.metadata.partitionColumns,
-                                 data_change=False)
+        adds = stage_and_collect(
+            df, t.path, snap.metadata.partitionColumns,
+            data_change=False,
+            num_indexed_cols=_n_indexed(snap.metadata.configuration))
         now = int(time.time() * 1000)
         actions: List[Any] = list(adds) + [
             f.remove(now, data_change=False) for f in victims]

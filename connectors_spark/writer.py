@@ -179,14 +179,26 @@ def publish_plan(spark, staging: str, table_path: str,
 def stage_and_collect(df: DataFrame, table_path: str,
                       partition_by: Optional[List[str]] = None,
                       data_change: bool = True,
-                      collect_stats: bool = True) -> List[AddFile]:
+                      collect_stats: bool = True,
+                      num_indexed_cols: Optional[int] = None
+                      ) -> List[AddFile]:
     """Write ``df`` as Parquet under ``table_path`` and return the AddFile
     actions to commit. Files land in their final Hive-style layout.
+
+    ``num_indexed_cols`` (delta.dataSkippingNumIndexedCols): record
+    min/max/nullCount only for the first N schema columns (-1/None =
+    all) — numRecords is always kept, so COUNT fast paths survive
+    while the log stops growing O(width) per file on wide tables; the
+    MIN/MAX metadata fast path and stats skipping REFUSE (scan
+    instead) on non-indexed columns rather than answer wrong.
 
     The staged-file LISTING is a names-only walk (no data I/O); footer
     reads and moves run on executors via ``publish_plan``. Only the
     resulting action rows come back to the driver."""
     partition_by = partition_by or []
+    keep_cols = None
+    if num_indexed_cols is not None and num_indexed_cols >= 0:
+        keep_cols = set(df.schema.fieldNames()[:num_indexed_cols])
     staging = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if partition_by:
@@ -207,6 +219,13 @@ def stage_and_collect(df: DataFrame, table_path: str,
             rel_path = r["rel_path"]
             rel_dir = os.path.dirname(rel_path)
             pv = _parse_partition_dirs(rel_dir, partition_by)
+            stats = r["stats"]
+            if keep_cols is not None and stats:
+                d = json.loads(stats)
+                for k in ("minValues", "maxValues", "nullCount"):
+                    d[k] = {c: v for c, v in d.get(k, {}).items()
+                            if c in keep_cols}
+                stats = json.dumps(d, separators=(",", ":"))
             adds.append(AddFile(
                 path="/".join(urllib.parse.quote(s)
                               for s in rel_path.split("/")),
@@ -214,7 +233,7 @@ def stage_and_collect(df: DataFrame, table_path: str,
                 size=r["size"],
                 modificationTime=r["mtime"],
                 dataChange=data_change,
-                stats=r["stats"]))
+                stats=stats))
     finally:
         store.remove_tree(staging)
     # collect() order is partition-arbitrary; sort for reproducible logs.

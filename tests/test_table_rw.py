@@ -299,3 +299,38 @@ def test_show_partitions_metadata_only(spark, tmp_path):
     t2.write(od.limit(5))
     with _pytest.raises(DeltaError, match="unpartitioned"):
         t2.show_partitions()
+
+
+def test_data_skipping_num_indexed_cols(spark, tmp_path):
+    """delta.dataSkippingNumIndexedCols=2: per-file stats carry min/max/
+    nullCount for only the first two schema columns (numRecords always),
+    COUNT stays metadata-only, and MIN/MAX on a non-indexed column
+    refuses the fast path and scans — never answers wrong."""
+    import glob
+    import json as _json
+    d = str(tmp_path / "t")
+    t = DeltaTable.for_path(spark, d)
+    df = spark.range(1, 101).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b"),
+        (F.col("id") * 3).alias("c"))
+    t.write(df.repartition(2),
+            configuration={"delta.dataSkippingNumIndexedCols": "2"})
+    for f in t.log.snapshot().all_files():
+        st = _json.loads(f.stats)
+        assert st["numRecords"] > 0
+        assert set(st["minValues"]) == {"a", "b"}
+        assert set(st["maxValues"]) == {"a", "b"}
+        assert "c" not in st["nullCount"]
+    # non-indexed column: fast path refused, real scan still right
+    got = t.metadata_aggregates(cols=["c"]).collect()[0]
+    assert (got.n_rows, got.min_c, got.max_c) == (100, 3, 300)
+    # indexed column + COUNT: metadata-only (survives data deletion)
+    for p in glob.glob(os.path.join(d, "*.parquet")):
+        os.remove(p)
+    got = t.metadata_aggregates(cols=["a"]).collect()[0]
+    assert (got.n_rows, got.min_a, got.max_a) == (100, 1, 100)
+    # appends inherit the persisted property
+    t2 = DeltaTable.for_path(spark, d)
+    t2.write(df.limit(0), mode="append")  # no-op data, config persists
+    assert t2.snapshot().metadata.configuration[
+        "delta.dataSkippingNumIndexedCols"] == "2"
