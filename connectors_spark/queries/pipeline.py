@@ -140,7 +140,10 @@ def _perm_values() -> str:
                      for i, (a, b) in enumerate(dd.MINHASH_PERMS))
 
 
-_MINHASH_CTES = f"""{_SHINGLES},
+# Shared signature pipeline: shingles -> 60-bit hashes -> 16 permuted
+# minima -> 4 banded md5 bucket keys (also the persistent index's
+# identity in doc_incremental_neardup).
+_SIG_CTES = f"""{_SHINGLES},
 ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
 h AS (SELECT doc_id, {_H64.format(v='g')} % {dd.MINHASH_PRIME} AS hv FROM ex),
 perms(i, a, b) AS (VALUES {_perm_values()}),
@@ -150,7 +153,10 @@ sig AS (
 bnd AS (
   SELECT doc_id, i // 4 AS band,
          md5(string_agg(m::VARCHAR, ',' ORDER BY i)) AS key
-  FROM sig GROUP BY doc_id, i // 4),
+  FROM sig GROUP BY doc_id, i // 4)"""
+
+
+_MINHASH_CTES = f"""{_SIG_CTES},
 cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
   FROM bnd a JOIN bnd b ON a.band = b.band AND a.key = b.key
@@ -2576,17 +2582,7 @@ def doc_split_leakage(spark, sf_dir):
 
 
 @register("doc_incremental_neardup", sql=f"""
-WITH {_SHINGLES},
-ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-h AS (SELECT doc_id, {_H64.format(v='g')} % {dd.MINHASH_PRIME} AS hv FROM ex),
-perms(i, a, b) AS (VALUES {_perm_values()}),
-sig AS (
-  SELECT doc_id, i, min((a * hv + b) % {dd.MINHASH_PRIME}) AS m
-  FROM h CROSS JOIN perms GROUP BY 1, 2),
-bnd AS (
-  SELECT doc_id, i // 4 AS band,
-         md5(string_agg(m::VARCHAR, ',' ORDER BY i)) AS key
-  FROM sig GROUP BY doc_id, i // 4),
+WITH {_SIG_CTES},
 candh AS (
   SELECT DISTINCT n.doc_id AS nid, hh.doc_id AS hid
   FROM bnd n JOIN bnd hh ON n.band = hh.band AND n.key = hh.key
