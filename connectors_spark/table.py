@@ -952,6 +952,24 @@ class DeltaTable:
         from .streaming.cdf import table_changes
         return table_changes(self, start_version, end_version)
 
+    def table_changes_by_timestamp(
+            self, start_ts_ms: int,
+            end_ts_ms: Optional[int] = None) -> DataFrame:
+        """Change Data Feed bounded by TIMESTAMPS instead of versions
+        (delta-spark's startingTimestamp/endingTimestamp option pair):
+        start resolves to the first commit at-or-after it, end to the
+        last commit at-or-before it, against the monotonized history
+        (log/history.py) — well-defined even under commit-file
+        clock skew. An empty window returns an empty frame."""
+        start_v = self.log.version_at_or_after_timestamp(start_ts_ms)
+        if end_ts_ms is None:
+            return self.table_changes(start_v)
+        end_v = self.log.version_before_or_at_timestamp(end_ts_ms)
+        if end_v < start_v:
+            # empty window between two commits: right schema, no rows
+            return self.table_changes(start_v, start_v).limit(0)
+        return self.table_changes(start_v, end_v)
+
     # ------------------------------------------------------------- clone
 
     def clone_to(self, target_path: str, version: Optional[int] = None,

@@ -131,3 +131,23 @@ def test_reorg_purge_emits_nothing_and_dv_deletes_survive(spark, tmp_path):
     assert _changes(t, 1, 1) == {(i, chr(97 + i % 3), "delete", 1)
                                  for i in range(5)}
     assert {(r["k"], r["v"]) for r in t.to_df().collect()} == before
+
+
+def test_table_changes_by_timestamp(spark, tmp_path):
+    """Timestamp-bounded CDF: bounds resolve against the monotonized
+    history; a window covering only version 1 returns exactly its
+    changes, an empty between-commits window returns no rows."""
+    t = _mk(spark, tmp_path, [Row(k=1, v="a")])
+    t.write(spark.createDataFrame([Row(k=2, v="b")]))     # version 1
+    t.delete(Col("k") == Lit(1))                          # version 2
+    commits = {h["version"]: h["timestamp"] for h in t.history()}
+    ch = t.table_changes_by_timestamp(commits[1], commits[1])
+    assert {(r["k"], r["_change_type"], r["_commit_version"])
+            for r in ch.collect()} == {(2, "insert", 1)}
+    # open-ended start: versions 1..latest
+    ch2 = t.table_changes_by_timestamp(commits[1])
+    assert {r["_commit_version"] for r in ch2.collect()} == {1, 2}
+    # empty window strictly between two commits
+    if commits[2] - commits[1] > 1:
+        mid = commits[1] + 1
+        assert t.table_changes_by_timestamp(mid, mid).count() == 0
