@@ -478,3 +478,16 @@ def test_grouped_topk_partial_group_limit_before_shuffle(spark, sf_dir):
     pre_exchange = p.split("Exchange")[0]
     assert "WindowGroupLimit" in pre_exchange or \
         "WindowGroupLimit" in p[:p.index("Exchange")]
+
+
+def test_ingest_neardup_bucket_joins_no_cartesian(spark, sf_dir, tmp_path):
+    # candidate generation must be (band, key) equi-joins — never
+    # all-pairs — and verification equi-joins the signature relations
+    from connectors_spark.ops.dedup import (build_minhash_index,
+                                            ingest_neardup)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "mh")
+    build_minhash_index(docs.where(F.col("doc_id") % 2 == 0), idx)
+    p = plan_of(ingest_neardup(docs, idx, update_index=False))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
