@@ -86,13 +86,19 @@ class DeltaStreamSink:
         actions: List[Any] = list(adds) + [
             SetTransaction(appId=self.app_id, version=batch_id,
                            lastUpdated=int(time.time() * 1000))]
-        return txn.commit(
+        version = txn.commit(
             actions, operation="STREAMING UPDATE",
             operation_parameters={"outputMode": "Append",
                                   "queryId": self.app_id,
                                   "epochId": str(batch_id)},
             operation_metrics={"numFiles": str(len(adds)),
                                "numOutputRows": str(n_rows)})
+        # Micro-batches are where a file-per-commit layout accretes
+        # fastest; honor delta.autoOptimize.autoCompact here exactly
+        # like batch writes (follow-up dataChange=False OPTIMIZE, so
+        # downstream change readers skip it).
+        table._maybe_auto_compact(conf)
+        return version
 
     # foreachBatch wants a bare callable
     def foreach_batch(self, df: DataFrame, batch_id: int) -> None:

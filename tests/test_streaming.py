@@ -525,3 +525,24 @@ def test_streaming_ingest_dedup_cross_batch(spark, tmp_path):
     drain()
     got = sorted(r.doc_id for r in curated.to_df().collect())
     assert got == list(range(10)) + [103, 104]
+
+
+def test_sink_auto_compacts_micro_batches(spark, tmp_path):
+    """delta.autoOptimize.autoCompact applies to the exactly-once sink:
+    many small micro-batches trigger a follow-up OPTIMIZE; replayed
+    batch ids still skip; the change feed never sees the compaction."""
+    sink = DeltaStreamSink(
+        str(tmp_path / "t"), app_id="q1",
+        configuration={"delta.autoOptimize.autoCompact": "true",
+                       "connectors.autoCompact.minNumFiles": "4"})
+    for b in range(5):
+        df = spark.range(b * 10, (b + 1) * 10).coalesce(1)
+        sink.write_batch(df, b)
+    t = DeltaTable.for_path(spark, str(tmp_path / "t"))
+    assert t.snapshot().files_df.count() < 5
+    assert "OPTIMIZE" in [h["operation"] for h in t.history()]
+    assert sorted(r.id for r in t.to_df().collect()) == list(range(50))
+    # replay after compaction is still an idempotent no-op
+    v = t.log.snapshot().version
+    assert sink.write_batch(spark.range(0, 10).coalesce(1), 2) is None
+    assert t.log.snapshot().version == v
