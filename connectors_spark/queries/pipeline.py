@@ -2666,3 +2666,58 @@ def doc_pagerank_neardup(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     edges = dd.minhash_lsh_pairs(docs, threshold=0.8)
     return pagerank(docs, edges, iters=2)
+
+
+@register("emb_source_centroid_drift", sql="""
+WITH j AS (
+  SELECT d.source, e.vec_id, e.embedding
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+u AS (
+  SELECT source, vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM j),
+cent AS (
+  SELECT source, i, round(avg(v), 6) AS c FROM u GROUP BY 1, 2),
+dots AS (
+  SELECT u.source, u.vec_id, sum(u.v * cent.c) AS dot,
+         sum(u.v * u.v) AS na, sum(cent.c * cent.c) AS nc
+  FROM u JOIN cent ON cent.source = u.source AND cent.i = u.i
+  GROUP BY 1, 2),
+sims AS (
+  SELECT source, vec_id,
+         round(dot / sqrt(na) / sqrt(nc), 6) AS sim
+  FROM dots)
+SELECT source, count(*)::BIGINT AS n_vectors,
+       round(avg(sim), 6) AS avg_sim, round(min(sim), 6) AS min_sim
+FROM sims GROUP BY 1
+""")
+def emb_source_centroid_drift(spark, sf_dir):
+    # Cross-table curation signal (documents ⋈ embeddings by id): each
+    # source's round-6 centroid, then every member's cosine to it —
+    # low avg_sim / min_sim flags sources whose embeddings scatter
+    # (noisy or mixed-domain feeds). Plan: one posexplode aggregate
+    # for the centroids (map-side combined, sources × dim rows), the
+    # tiny centroid-array relation broadcast back, cosines as pure
+    # JVM lambda expressions — no Python, no corpus-sized shuffle of
+    # vectors beyond the one join to attach sources.
+    from ..functions.vectors import cosine_d
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load(spark, sf_dir, "embeddings")
+    j = (emb.join(docs, emb["vec_id"] == docs["doc_id"])
+         .select("source", "vec_id", "embedding"))
+    ex = j.select("source",
+                  F.posexplode("embedding").alias("i", "v"))
+    cent = (ex.groupBy("source", "i")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c")))
+    cent_arr = (cent.groupBy("source")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "c"))),
+                    lambda s: s.getField("c")).alias("_cent")))
+    scored = (j.join(F.broadcast(cent_arr), "source")
+              .select("source",
+                      F.round(cosine_d("embedding", "_cent"), 6)
+                      .alias("sim")))
+    return (scored.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 F.round(F.avg("sim"), 6).alias("avg_sim"),
+                 F.round(F.min("sim"), 6).alias("min_sim")))

@@ -137,6 +137,7 @@ GATE_SORT: Dict[str, list] = {
     "emb_pq_adc_topk": ["query_id", "rank", "vec_id"],
     "emb_pq_adc_bcast_topk": ["query_id", "rank", "vec_id"],
     "emb_ivf_pq_topk": ["query_id", "rank", "vec_id"],
+    "emb_source_centroid_drift": ["source"],
     "ev_asof_click_attribution": ["view_id"],
     "ev_asof_global_locf": ["event_id"],
     "ev_range_error_context": ["event_id"],
@@ -291,6 +292,7 @@ GATE_COLUMNS: Dict[str, list] = {
     "emb_pq_adc_topk": ["query_id", "vec_id", "adist", "rank"],
     "emb_pq_adc_bcast_topk": ["query_id", "vec_id", "adist", "rank"],
     "emb_ivf_pq_topk": ["query_id", "vec_id", "adist", "rank"],
+    "emb_source_centroid_drift": ["source", "n_vectors", "avg_sim", "min_sim"],
     "doc_countmin_token_counts": ["token", "exact_n", "cm_est"],
     "ev_hll_distinct": ["event_type", "n_exact", "hll_est",
                         "n_zero_regs"],
@@ -431,7 +433,7 @@ _R7_NEW = frozenset(["delta_reorg_purge", "doc_dsir_weights",
                      "doc_adaptive_length_filter", "mm_jpeg_decode_real",
                      "doc_ccnet_buckets", "doc_split_leakage",
                      "ev_retention_cohorts", "doc_incremental_neardup",
-                     "doc_pagerank_neardup"])
+                     "doc_pagerank_neardup", "emb_source_centroid_drift"])
 
 
 def ordered_names() -> list:

@@ -28,6 +28,7 @@ _ROUND7 = [
     "ev_retention_cohorts",
     "doc_incremental_neardup",
     "doc_pagerank_neardup",
+    "emb_source_centroid_drift",
 ]
 
 
