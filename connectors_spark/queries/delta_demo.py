@@ -656,3 +656,21 @@ def delta_replace_where(spark, sf_dir):
     return (t.to_df().groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum("o_orderkey").alias("sum_keys")))
+
+
+@register("delta_show_partitions", sql="""
+SELECT DISTINCT o_orderstatus FROM orders WHERE o_orderstatus <> 'P'
+""")
+def delta_show_partitions(spark, sf_dir):
+    # SHOW PARTITIONS answered from the file inventory alone: after a
+    # whole-partition DELETE, the dropped partition must vanish from
+    # the listing without any data Parquet being opened (the build
+    # wrote partitioned, deleted 'P', and the gate compares against
+    # the surviving raw distinct values).
+    def build(d):
+        t = DeltaTable.for_path(spark, d)
+        t.write(load(spark, sf_dir, "orders"),
+                partition_by=["o_orderstatus"])
+        t.delete(Col("o_orderstatus") == Lit("P"))
+    d = _built(sf_dir, "orders_parts", build)
+    return DeltaTable.for_path(spark, d).show_partitions()

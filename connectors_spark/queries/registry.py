@@ -175,6 +175,7 @@ GATE_SORT: Dict[str, list] = {
     "delta_metadata_aggregates": ["n_rows"],
     "delta_replace_where": ["o_orderstatus"],
     "delta_reorg_purge": ["o_orderkey"],
+    "delta_show_partitions": ["o_orderstatus"],
 }
 
 
@@ -345,6 +346,7 @@ GATE_COLUMNS: Dict[str, list] = {
     "delta_clone_cow": ["o_orderkey", "o_custkey", "o_orderstatus", "totalprice", "o_orderdate"],
     "delta_dv_delete": ["o_orderkey", "o_custkey", "o_orderstatus", "totalprice", "o_orderdate"],
     "delta_reorg_purge": ["o_orderkey", "o_custkey", "o_orderstatus", "totalprice", "o_orderdate"],
+    "delta_show_partitions": ["o_orderstatus"],
 }
 
 
@@ -433,7 +435,8 @@ _R7_NEW = frozenset(["delta_reorg_purge", "doc_dsir_weights",
                      "doc_adaptive_length_filter", "mm_jpeg_decode_real",
                      "doc_ccnet_buckets", "doc_split_leakage",
                      "ev_retention_cohorts", "doc_incremental_neardup",
-                     "doc_pagerank_neardup", "emb_source_centroid_drift"])
+                     "doc_pagerank_neardup", "emb_source_centroid_drift",
+                     "delta_show_partitions"])
 
 
 def ordered_names() -> list:

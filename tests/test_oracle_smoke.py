@@ -29,6 +29,7 @@ _ROUND7 = [
     "doc_incremental_neardup",
     "doc_pagerank_neardup",
     "emb_source_centroid_drift",
+    "delta_show_partitions",
 ]
 
 
