@@ -510,13 +510,16 @@ def ev_retention_cohorts(spark, sf_dir):
     # Classic cohort retention: cohort = a user's first active day,
     # week_k = whole weeks since it; n_users = distinct cohort members
     # active in that week. Two aggregates: a per-user min (map-side
-    # combined) broadcast back onto the events, then the distinct
+    # combined) joined back onto the events, then the distinct
     # count per (cohort, week) — no window over the event stream, so
     # a power user's million events never funnel through one task.
+    # The firsts relation is O(distinct users) — corpus-scale, not a
+    # bounded dimension — so no broadcast hint: AQE's size-based
+    # choice broadcasts it when small and shuffle-joins at scale.
     ev = load(spark, sf_dir, "events")
     firsts = (ev.groupBy("user_id")
               .agg(F.min(F.to_date("ts")).alias("first_day")))
-    act = (ev.join(F.broadcast(firsts), "user_id")
+    act = (ev.join(firsts, "user_id")
            .select("user_id", "first_day",
                    F.floor(F.datediff(F.to_date("ts"),
                                       F.col("first_day")) / 7)

@@ -500,7 +500,9 @@ class DeltaTable:
         adds = stage_and_collect(
             df, self.log.table_path, pcols,
             num_indexed_cols=_n_indexed(
-                eff_meta.configuration if eff_meta else None))
+                eff_meta.configuration if eff_meta else None),
+            schema_cols=[f.name for f in eff_meta.schema.fields]
+            if eff_meta is not None else None)
         actions += adds
         if txn_app_id is not None:
             from .log.actions import SetTransaction
@@ -529,18 +531,31 @@ class DeltaTable:
         commit (dataChange=False — change feeds skip it). Keeps
         many-small-append workloads from accreting a file-per-commit
         layout without a scheduled OPTIMIZE job; the probe is one
-        metadata-plane count, no data read."""
+        metadata-plane count, no data read.
+
+        Best-effort by contract (delta-spark parity): the data commit
+        is already durable when this runs, so ANY failure here — e.g.
+        a ConcurrentDeleteReadException from two auto-compacting
+        writers racing — is logged and swallowed. Propagating it would
+        make the caller believe the WRITE failed, and a retry of a
+        non-idempotent write would double-append."""
         conf = TableConfig(configuration or {})
         if not conf.auto_compact:
             return
-        target = conf.auto_compact_target_size
-        n_small = (self.snapshot().files_df
-                   .where(F.col("size") < target).limit(
-                       conf.auto_compact_min_files).count())
-        if n_small >= conf.auto_compact_min_files:
-            TableMaintenance(self).optimize(
-                target_file_size=target,
-                min_files_per_group=2)
+        try:
+            target = conf.auto_compact_target_size
+            n_small = (self.snapshot().files_df
+                       .where(F.col("size") < target).limit(
+                           conf.auto_compact_min_files).count())
+            if n_small >= conf.auto_compact_min_files:
+                TableMaintenance(self).optimize(
+                    target_file_size=target,
+                    min_files_per_group=2)
+        except Exception as exc:  # noqa: BLE001 — post-commit hook
+            import logging
+            logging.getLogger(__name__).warning(
+                "auto-compact after committed write failed (write "
+                "itself succeeded): %s", exc)
 
     def _replace_where(self, df: DataFrame, predicate: Expression,
                        configuration: Optional[Dict[str, str]]) -> int:
@@ -698,10 +713,24 @@ class DeltaTable:
         actions: List[Any] = []
         for p in sorted(touched):
             f = cand[p]
+            actions.append(f.remove(now))
+            # A DV that covers every physical row means the file is
+            # fully dead: drop it outright instead of re-adding a
+            # zero-live-row file (delta-spark removes fully-deleted
+            # files during DV deletes; keeping them would leave ghost
+            # partitions in SHOW PARTITIONS and dead entries in every
+            # later scan's DV anti-join).
+            n_phys = None
+            if f.stats:
+                try:
+                    n_phys = json.loads(f.stats).get("numRecords")
+                except (ValueError, TypeError):
+                    n_phys = None
+            if n_phys is not None and counts.get(p, 0) >= n_phys:
+                continue
             tags = dict(f.tags or {})
             tags[DV_TAG] = rel
             tags[DV_CARD_TAG] = str(counts.get(p, 0))
-            actions.append(f.remove(now))
             actions.append(dataclasses.replace(
                 f, tags=tags, dataChange=True))
         n_deleted = hits.count()

@@ -180,17 +180,23 @@ def stage_and_collect(df: DataFrame, table_path: str,
                       partition_by: Optional[List[str]] = None,
                       data_change: bool = True,
                       collect_stats: bool = True,
-                      num_indexed_cols: Optional[int] = None
+                      num_indexed_cols: Optional[int] = None,
+                      schema_cols: Optional[List[str]] = None
                       ) -> List[AddFile]:
     """Write ``df`` as Parquet under ``table_path`` and return the AddFile
     actions to commit. Files land in their final Hive-style layout.
 
     ``num_indexed_cols`` (delta.dataSkippingNumIndexedCols): record
-    min/max/nullCount only for the first N schema columns (-1/None =
+    min/max/nullCount only for the first N DATA columns (-1/None =
     all) — numRecords is always kept, so COUNT fast paths survive
     while the log stops growing O(width) per file on wide tables; the
     MIN/MAX metadata fast path and stats skipping REFUSE (scan
     instead) on non-indexed columns rather than answer wrong.
+    Partition columns never get file stats, so the first-N budget
+    skips them, and ``schema_cols`` (the TABLE schema's field order,
+    when the caller has metadata) pins the subset against frames whose
+    column order differs — matching delta-spark, which truncates the
+    data schema in table-schema order (StatisticsCollection).
 
     The staged-file LISTING is a names-only walk (no data I/O); footer
     reads and moves run on executors via ``publish_plan``. Only the
@@ -198,7 +204,10 @@ def stage_and_collect(df: DataFrame, table_path: str,
     partition_by = partition_by or []
     keep_cols = None
     if num_indexed_cols is not None and num_indexed_cols >= 0:
-        keep_cols = set(df.schema.fieldNames()[:num_indexed_cols])
+        order = schema_cols if schema_cols is not None \
+            else df.schema.fieldNames()
+        data_order = [c for c in order if c not in set(partition_by)]
+        keep_cols = set(data_order[:num_indexed_cols])
     staging = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if partition_by:

@@ -130,3 +130,34 @@ def test_dv_then_update_rewrites_live_rows_only(spark, tmp_path):
     assert rows[99] == 991 and rows[98] == 981 and rows[97] == 970
     # update rewrote the touched files; deleted rows must not resurrect
     assert min(rows) == 50
+
+
+def test_dv_full_coverage_removes_file_outright(spark, tmp_path):
+    """A DV that covers every physical row of a file drops the file
+    (plain remove, no re-add) instead of leaving a zero-live-row file
+    active (ADVICE r7; delta-spark removes fully-deleted files during
+    DV deletes). SHOW PARTITIONS must not list the dead partition."""
+    t = _make(spark, tmp_path / "t", partitioned=True)
+    # residual predicate (id >= 0) forces the DV path; it hits every
+    # row of partition p='1', so those files end up fully covered
+    t.delete((Col("p") == Lit("1")) & (Col("id") >= Lit(0)),
+             deletion_vectors=True)
+    snap = t.snapshot()
+    pvals = {dict(f.partitionValues)["p"] for f in snap.all_files()}
+    assert "1" not in pvals  # dead files dropped from the log
+    got = sorted(r.p for r in t.show_partitions().collect())
+    assert got == ["0", "2", "3"]  # no ghost partition
+    assert t.to_df().count() == 75
+    # layered: first DV leaves survivors, second kills the remainder
+    t2 = _make(spark, tmp_path / "u", partitioned=True)
+    t2.delete((Col("p") == Lit("2")) & (Col("id") < Lit(50)),
+              deletion_vectors=True)
+    files_mid = {dict(f.partitionValues)["p"]
+                 for f in t2.snapshot().all_files()}
+    assert "2" in files_mid  # partial coverage keeps the file (DV'd)
+    t2.delete((Col("p") == Lit("2")) & (Col("id") >= Lit(0)),
+              deletion_vectors=True)
+    assert "2" not in {dict(f.partitionValues)["p"]
+                       for f in t2.snapshot().all_files()}
+    assert sorted(r.id for r in t2.to_df().collect()) == \
+        [i for i in range(100) if i % 4 != 2]

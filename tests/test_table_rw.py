@@ -334,3 +334,55 @@ def test_data_skipping_num_indexed_cols(spark, tmp_path):
     t2.write(df.limit(0), mode="append")  # no-op data, config persists
     assert t2.snapshot().metadata.configuration[
         "delta.dataSkippingNumIndexedCols"] == "2"
+
+
+def test_auto_compact_failure_never_fails_write(spark, tmp_path,
+                                                monkeypatch):
+    """Auto-compact is a best-effort post-commit hook (ADVICE r7): an
+    optimize failure after the data commit is durable must NOT
+    propagate out of write() — the caller would believe the write
+    failed and a retry would double-append."""
+    from connectors_spark.table import TableMaintenance
+    d = str(tmp_path / "t")
+    t = DeltaTable.for_path(spark, d)
+    conf = {"delta.autoOptimize.autoCompact": "true",
+            "connectors.autoCompact.minNumFiles": "2"}
+
+    def boom(self, *a, **k):
+        raise RuntimeError("concurrent optimize lost the race")
+
+    monkeypatch.setattr(TableMaintenance, "optimize", boom)
+    for i in range(3):
+        v = t.write(spark.range(i * 10, (i + 1) * 10)
+                    .select(F.col("id").alias("k")).coalesce(1),
+                    mode="append", configuration=conf if i == 0 else None)
+        assert v == i  # write committed despite the failing hook
+    assert sorted(r.k for r in t.to_df().collect()) == list(range(30))
+
+
+def test_stats_budget_skips_partition_columns(spark, tmp_path):
+    """dataSkippingNumIndexedCols counts DATA columns only, in table-
+    schema order (ADVICE r7): a partitioned table with the partition
+    column first and N=1 must still index the first data column, and
+    an append whose frame column order differs must index the SAME
+    subset as the table schema dictates."""
+    import json as _json
+    d = str(tmp_path / "t")
+    t = DeltaTable.for_path(spark, d)
+    df = spark.range(1, 51).select(
+        (F.col("id") % 2).cast("string").alias("p"),
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b"))
+    t.write(df, partition_by=["p"],
+            configuration={"delta.dataSkippingNumIndexedCols": "1"})
+    for f in t.log.snapshot().all_files():
+        st = _json.loads(f.stats)
+        assert set(st["minValues"]) == {"a"}, st  # not spent on 'p'
+        assert set(st["maxValues"]) == {"a"}
+    v0_files = {f.path for f in t.log.snapshot().all_files()}
+    # append with columns reordered (b, a, p): subset must stay {'a'}
+    t.write(df.select("b", "a", "p"), mode="append")
+    for f in t.log.snapshot().all_files():
+        if f.path in v0_files:
+            continue
+        st = _json.loads(f.stats)
+        assert set(st["minValues"]) == {"a"}, st
