@@ -374,80 +374,69 @@ def register(name: str, sql: Optional[str], bench: bool = False):
 
 
 # The driver's correctness gate samples the FIRST 50 names from
-# queries(); with 90+ registered queries, plain insertion order decides
-# which operators get driver-recorded evidence. Round 3's gate recorded
-# green rows for the relational suite, the whole delta_* suite, and the
-# six headline pipeline extensions below — so round 4 ROTATES: the 44
-# queries with no driver row yet go first, the already-recorded 50 go
-# last. Across r3+r4 every registry query then has a driver-green row.
-# Everything still registers and is verified by tests/harness.py over
-# the full registry — this only chooses which rows land in the record.
-_R3_DRIVER_CHECKED = frozenset([
-    # relational (q*/w_*), delta_*, and the 6 headline extensions —
-    # exactly the keys present in CORRECTNESS_r03.json.
-    'delta_cdf_row_level', 'delta_changes_feed', 'delta_check_constraint',
-    'delta_clone_cow', 'delta_convert', 'delta_delete', 'delta_dv_delete',
-    'delta_history', 'delta_join_prune', 'delta_manifest_read',
-    'delta_merge_upsert', 'delta_restore', 'delta_scan_prune',
-    'delta_schema_evolution', 'delta_time_travel', 'delta_update',
-    'delta_zorder_prune', 'doc_exact_dup_stats', 'doc_minhash_lsh_pairs',
-    'emb_ann_indexed_topk', 'emb_ann_ivf_topk', 'emb_ann_lsh_topk',
-    'emb_cosine_neardup_lsh', 'ev_hourly_rollup', 'ev_props_json',
-    'ev_sessionize', 'q10_returned_items', 'q11_important_parts',
-    'q12_priority_lines', 'q13_customer_distribution', 'q14_promo_revenue',
-    'q15_top_supplier', 'q16_supplier_cnt', 'q17_small_quantity_revenue',
-    'q18_large_volume_customer', 'q19_disjunctive_revenue',
-    'q1_pricing_summary', 'q20_outsized_promo_suppliers',
-    'q21_waiting_suppliers', 'q22_global_sales_opportunity',
-    'q2_top_customer_per_nation', 'q3_shipping_priority',
-    'q4_priority_semijoin', 'q5_local_supplier_volume',
-    'q6_forecast_revenue', 'q7_volume_shipping', 'q8_market_share',
-    'q9_product_profit', 'w_monthly_running_revenue',
-    'w_top_orders_per_customer',
-])
+# queries(); with 135 registered queries, insertion order alone would
+# leave most operators riding on stale driver evidence forever. Rounds
+# 3-7 rotated the sample by hand-maintained frozensets — which needed
+# editing every round and would eventually mis-rotate. The ordering is
+# now computed from the evidence itself: the CORRECTNESS_r*.json files
+# checked in at the repo root ARE the record of which query was driver-
+# verified in which round, so sort oldest-evidence-first:
+#   0. never driver-recorded (new operators) — most urgent,
+#   1. latest record is RED (a fix needs re-recording),
+#   2. everything else, stalest latest-green round first,
+# ties broken by registry insertion order. Every registry query is
+# still verified every round by tests/harness.py over the full set;
+# this only chooses which 50 rows land in the driver's record.
+
+def _load_evidence(root=None) -> Dict[str, tuple]:
+    """name -> (latest_round, latest_row_green) from CORRECTNESS_r*.json."""
+    import glob
+    import json
+    import os
+    import re
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+    evidence: Dict[str, tuple] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rec, dict):
+            continue
+        for name, row in rec.items():
+            green = (isinstance(row, dict)
+                     and row.get("rows_match") is True
+                     and row.get("schema_match") is not False
+                     and row.get("hash_match") is not False
+                     and row.get("err") in (None, ""))
+            prev = evidence.get(name)
+            if prev is None or rnd > prev[0]:
+                evidence[name] = (rnd, green)
+    return evidence
 
 
-# The two CORRECTNESS_r04 hash-red rows (fixed in r5 by the determinism
-# sweep) jump the queue so the driver's 50-query sample re-records them
-# this round — the r5 additions would otherwise push ev_time_weighted_avg
-# past position 50.
-_R4_RED = frozenset(["doc_pack_sequences", "ev_time_weighted_avg"])
-
-# New in round 6 (no driver row yet) — jump the queue right behind the
-# re-recorded fixes so the driver's 50-query sample records them.
-_R6_NEW = frozenset(["mm_image_decode_real", "mm_image_thumb_real",
-                     "emb_pq_adc_bcast_topk", "doc_countmin_token_counts",
-                     "doc_mixture_quota", "doc_epoch_shuffle",
-                     "delta_cdf_incremental_agg", "doc_bpe_merges",
-                     "ev_value_histogram_quantiles", "mm_audio_decode_real",
-                     "mm_video_frames_real", "delta_metadata_aggregates",
-                     "delta_replace_where",
-                     "doc_bpe_subword_counts",
-                     "ev_hll_distinct", "doc_bloom_decontaminate"])
-
-
-# New in round 7 (no driver row yet) — first in the 50-query sample.
-# r4/r6 priority sets drop back to their base class: every one of them
-# has a green driver row from CORRECTNESS_r06.
-_R7_NEW = frozenset(["delta_reorg_purge", "doc_dsir_weights",
-                     "doc_quality_logreg", "emb_ivf_pq_topk",
-                     "doc_chunk_dedup_first", "ord_topk_per_status",
-                     "doc_adaptive_length_filter", "mm_jpeg_decode_real",
-                     "doc_ccnet_buckets", "doc_split_leakage",
-                     "ev_retention_cohorts", "doc_incremental_neardup",
-                     "doc_pagerank_neardup", "emb_source_centroid_drift",
-                     "delta_show_partitions"])
+def _evidence_order(names, evidence) -> list:
+    """Pure ordering: unrecorded first, then latest-red, then stalest."""
+    def key(n):
+        ev = evidence.get(n)
+        if ev is None:
+            return (0, 0, names.index(n))
+        rnd, green = ev
+        if not green:
+            return (1, rnd, names.index(n))
+        return (2, rnd, names.index(n))
+    return sorted(names, key=key)
 
 
 def ordered_names() -> list:
-    names = list(REGISTRY)
-    return sorted(
-        names,
-        key=lambda n: (0 if n in _R7_NEW
-                       else 1 if n in _R4_RED
-                       else 2 if n in _R6_NEW
-                       else 4 if n in _R3_DRIVER_CHECKED else 3,
-                       names.index(n)))
+    return _evidence_order(list(REGISTRY), _load_evidence())
 
 
 def _epoch_divisor_to_micros(sf_dir: str) -> int:

@@ -47,3 +47,41 @@ def test_stale_gate_columns_fails_loudly(spark, sf_dir):
     wrapped = _wrap_sorted(q, ["id"])  # 'doubled' missing from list
     with pytest.raises(ValueError, match="GATE_COLUMNS stale"):
         wrapped(spark, sf_dir)
+
+
+def test_evidence_age_ordering():
+    """Driver-sample rotation is computed from the CORRECTNESS record
+    files, not hand-maintained sets (VERDICT r7 #1): never-recorded
+    queries first, latest-red next, then stalest-green-first, with
+    registry insertion order as the tie-break."""
+    from connectors_spark.queries.registry import _evidence_order
+
+    names = ["a", "b", "c", "d", "e"]
+    evidence = {
+        "a": (7, True),    # freshest green -> last
+        "b": (3, True),    # stale green -> after red
+        "c": (6, False),   # latest row red -> re-record early
+        # d: never recorded -> first
+        "e": (3, True),    # stale green, later insertion than b
+    }
+    assert _evidence_order(names, evidence) == ["d", "c", "b", "e", "a"]
+    # no evidence at all -> pure insertion order
+    assert _evidence_order(names, {}) == names
+
+
+def test_load_evidence_reads_record_files(tmp_path):
+    import json
+    from connectors_spark.queries.registry import _load_evidence
+
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({
+        "q": {"rows_match": True, "schema_match": True,
+              "hash_match": True, "err": None},
+        "r": {"rows_match": True, "schema_match": True,
+              "hash_match": False, "err": None}}))
+    (tmp_path / "CORRECTNESS_r05.json").write_text(json.dumps({
+        "r": {"rows_match": True, "schema_match": True,
+              "hash_match": True, "err": None}}))
+    (tmp_path / "CORRECTNESS_rXX.json").write_text("not json")
+    ev = _load_evidence(root=str(tmp_path))
+    assert ev["q"] == (3, True)
+    assert ev["r"] == (5, True)   # latest round wins
