@@ -80,6 +80,28 @@ def main() -> None:
     # the first measured pandas-UDF query.
     spark.range(100000).repartition(int(cpus)).select(_warm("id")).count()
 
+    # Host-speed calibration probe (VERDICT r7 #4): a fixed synthetic
+    # shuffle+agg with ZERO repo code, timed in this same session.
+    # Two rounds of phantom suite-time "regressions" (r5 +5%, r7 +23%)
+    # were adjudicated as driver-host noise; this number lets any
+    # downstream comparison normalize suite time by host speed —
+    # suite_sec / calibration_sec is host-independent to first order.
+    def _calibration() -> float:
+        df = (spark.range(10_000_000)
+              .selectExpr("id % 1000 AS k", "id AS v")
+              .groupBy("k").agg(F.sum("v").alias("s"),
+                                F.count("*").alias("n")))
+        df.count()                               # warm (untimed)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.count()
+            runs.append(time.perf_counter() - t0)
+        return round(min(runs), 3)
+
+    calibration_sec = _calibration()
+    print(f"# calibration: {calibration_sec:.3f}s", file=sys.stderr)
+
     # Fixture setup (untimed): demo Delta tables are built on first use
     # inside the query fn; constructing the DataFrame here triggers the
     # build so the timed run measures the scan, not table creation.
@@ -131,6 +153,7 @@ def main() -> None:
         "value_median": round(total_med, 3),
         "queries_median": medians,
         "raw_runs": raw_runs,
+        "calibration_sec": calibration_sec,
         "sf": float(sf),
     }
     if errors:

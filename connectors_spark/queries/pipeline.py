@@ -201,10 +201,21 @@ chunks AS (
   SELECT doc_id, simhash, band,
          (simhash >> (band * 15)) & 32767 AS key
   FROM simh CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+capped AS (
+  -- mirror the operator's deterministic bucket cap: each (band, key)
+  -- bucket keeps only its 64 smallest doc_ids (degenerate buckets of
+  -- chunk-identical docs would otherwise expand quadratically). The
+  -- uncapped oracle matched at sf0.01 but diverged at sf0.1, where
+  -- buckets first exceed 64 docs.
+  SELECT doc_id, simhash, band, key FROM (
+    SELECT doc_id, simhash, band, key,
+           row_number() OVER (PARTITION BY band, key
+                              ORDER BY doc_id) AS rn
+    FROM chunks) WHERE rn <= 64),
 cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
                   a.simhash AS asim, b.simhash AS bsim
-  FROM chunks a JOIN chunks b ON a.band = b.band AND a.key = b.key
+  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
                               AND a.doc_id < b.doc_id)
 SELECT a_id, b_id, bit_count(xor(asim, bsim))::INTEGER AS hamming
 FROM cand WHERE bit_count(xor(asim, bsim)) <= 9

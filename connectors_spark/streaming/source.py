@@ -165,6 +165,15 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
         self.fail_on_data_loss = str(options.get("failondataloss",
                                                  "true")).lower() == "true"
         self.max_versions = int(options.get("maxversionsperbatch", "0")) or None
+        # maxFilesPerTrigger (delta-spark option; Flink pages its
+        # snapshot the same way via incremental split assignment,
+        # SnapshotAndChangesTableProcessor): bound the ST4 initial
+        # snapshot to N files per microbatch instead of planning the
+        # whole active file set — at 100 TB the unpaged first batch is
+        # the entire table in one transaction. Tail batches stay
+        # version-granular (bounded by maxVersionsPerBatch).
+        self.max_files = int(options.get("maxfilespertrigger", "0")) or None
+        self._snap_done = False
         self.schema_json = schema.json()
         starting = options.get("startingversion")
         starting_ts = options.get("startingtimestamp")
@@ -193,6 +202,16 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
             self.start_after = vs[-1] if vs else -1
         else:
             self.start_after = int(starting) - 1
+        if self.snapshot_first and self.max_files is not None:
+            # Seed the paging floor HERE, not in initialOffset: the
+            # engine's first latestOffset() call precedes
+            # initialOffset() on a fresh query, and the Python stream
+            # reader API gives latestOffset no view of persisted
+            # offsets. A restarted stream whose checkpoint is already
+            # past the snapshot is detected in partitions() (offset
+            # shape mismatch) and paging is disabled there.
+            self._snap_v0 = self.start_after
+            self._snap_pos = 0
         meta = _latest_metadata(self.store, self.log_path)
         self.partition_columns = list(meta.partitionColumns)
         self.meta_schema_json = meta.schemaString
@@ -226,10 +245,43 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
             # "snap" marks the pending initial-snapshot batch; it differs
             # from every later offset, so the engine plans the first
             # microbatch even when no new commits exist yet.
+            if self.max_files is not None:
+                # snap_idx = files of the sorted snapshot list consumed
+                # so far; latestOffset advances it one page at a time.
+                return {"version": self.start_after, "snap": True,
+                        "snap_idx": 0}
             return {"version": self.start_after, "snap": True}
         return {"version": self.start_after}
 
+    def _snap_files(self, v0: int) -> List[AddFile]:
+        """Sorted (deterministic) active file list at the snapshot
+        version — page boundaries are indices into THIS order, so a
+        restarted reader replans identical pages from the persisted
+        offsets."""
+        cached = getattr(self, "_snap_cache", None)
+        if cached is None or cached[0] != v0:
+            _, adds = _snapshot_adds(self.store, self.log_path, v0)
+            cached = (v0, sorted(adds, key=lambda a: a.path))
+            self._snap_cache = cached
+        return cached[1]
+
     def latestOffset(self) -> dict:
+        # Pending paged snapshot: emit the next page as its own offset
+        # and hold the version at v0 — tail versions only start flowing
+        # once every snapshot page is consumed. The floor is seeded in
+        # __init__ (fresh query) and advanced by partitions()/commit()
+        # from the engine-persisted offsets; partitions() sets
+        # _snap_done when those offsets show the stream is already past
+        # the snapshot (restart), after which a stray snap-marked end
+        # offset plans tail-only and paging stays off.
+        pos = getattr(self, "_snap_pos", None)
+        if pos is not None and self.max_files is not None \
+                and not self._snap_done:
+            files = self._snap_files(self._snap_v0)
+            if pos < len(files):
+                return {"version": self._snap_v0, "snap": True,
+                        "snap_idx": min(pos + self.max_files,
+                                        len(files))}
         # list only past the consumed floor (committed offset, falling
         # back to the start position): the poll cost is O(uncommitted
         # tail), not O(log history) — the listFrom contract object-store
@@ -287,7 +339,7 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
                               start["version"])
         out: List[DeltaFilePartition] = []
         if start.get("snap"):
-            # ST4 initial snapshot: all active files at the snapshot
+            # ST4 initial snapshot: active files at the snapshot
             # version, attributed to that version. Recomputed from the
             # PERSISTED offsets (not reader state) so a checkpoint
             # restart plans the identical batch. Clamped to end: a
@@ -295,11 +347,45 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
             # otherwise recompute the snapshot at the CURRENT latest
             # (reader __init__), emit rows beyond the persisted end, and
             # the next batch would deliver those versions again as tail.
+            # With maxFilesPerTrigger the offsets carry snap_idx page
+            # bounds into the sorted file list: this batch plans
+            # files[start.snap_idx : end.snap_idx], and an end offset
+            # with no snap marker (restart past the paging, or paging
+            # disabled) means the remainder of the snapshot.
             v0 = min(start["version"], end["version"])
-            _, adds = _snapshot_adds(self.store, self.log_path, v0)
-            for a in sorted(adds, key=lambda a: a.path):
+            adds = self._snap_files(v0)
+            s = int(start.get("snap_idx", 0))
+            if end.get("snap") and end["version"] == start["version"]:
+                e = int(end.get("snap_idx", len(adds)))
+            else:
+                # end is a plain version offset (paging off / legacy),
+                # or a snap offset computed against a DIFFERENT
+                # snapshot version (restart: __init__ recomputed the
+                # snapshot at the new latest while the persisted start
+                # still mid-pages the old one). Either way the safe,
+                # deterministic plan is: finish the persisted snapshot
+                # here, then stop paging — the tail below covers
+                # (v0, end.version].
+                e = len(adds)
+                self._snap_done = True
+            for a in adds[s:e]:
                 out.append(DeltaFilePartition(self._fs_path(a.path), v0,
                                               dict(a.partitionValues or {})))
+            # in-process paging floor for latestOffset: the engine
+            # persists (start, end) in its WAL before execution, so a
+            # failed batch replans this identical page — advancing the
+            # floor at plan time never skips files.
+            self._snap_v0 = v0
+            self._snap_pos = max(getattr(self, "_snap_pos", 0) or 0, e)
+        elif end.get("snap"):
+            # start is PAST the snapshot (plain committed offset) but
+            # this end offset carries a snap marker: it was computed by
+            # a freshly-restarted reader that seeded paging against the
+            # current latest while the checkpoint already consumed the
+            # snapshot long ago. Planning snapshot files would
+            # re-deliver rows — plan the version tail only and disable
+            # paging for good.
+            self._snap_done = True
         prev = start["version"]
         for v in _list_versions(self.store, self.log_path, start["version"]):
             if v > end["version"]:
@@ -365,6 +451,9 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
         # listing are relative to completed batches
         v = end.get("version", -1)
         self._committed = max(getattr(self, "_committed", -1), v)
+        if end.get("snap") and "snap_idx" in end:
+            self._snap_pos = max(getattr(self, "_snap_pos", 0) or 0,
+                                 int(end["snap_idx"]))
 
 
 def register_stream_source(spark) -> None:

@@ -443,3 +443,71 @@ def test_reorg_purge_conflicts_with_concurrent_dv_delete(spark, tmp_path):
     want = orders.filter(
         "NOT (o_orderstatus = 'F' AND o_orderkey <= 400)").count()
     assert t.to_df().count() == want
+
+
+# ---------------------------------------------------------------------------
+# Cross-PROCESS put-if-absent race (VERDICT r7 #5): the 8-thread races
+# above share one GIL, which can serialize the critical section and mask
+# a broken create-exclusive. Spawned processes race the POSIX store's
+# os.link create-exclusive for real. (The moto S3 mock is in-process
+# only — a cross-process S3 race needs a moto server — so the S3 store's
+# conditional-PUT contract stays covered by the threaded matrix.)
+
+def _race_writer(args):
+    """Each process commits `n_commits` payloads, racing for version
+    slots: on FileAlreadyExistsError it re-reads the winner and retries
+    at the next version — the reference's LogStore retry contract
+    (HadoopFileSystemLogStore.scala:37-63)."""
+    log_dir, writer_id, n_commits = args
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
+    from connectors_spark.log.logstore import (FileAlreadyExistsError,
+                                               LogStore)
+    store = LogStore()
+    committed = []
+    version = 0
+    for i in range(n_commits):
+        payload = f'{{"writer": {writer_id}, "seq": {i}}}'
+        while True:
+            path = _os.path.join(log_dir, "%020d.json" % version)
+            try:
+                store.write(path, [payload], overwrite=False)
+                committed.append(version)
+                version += 1
+                break
+            except FileAlreadyExistsError:
+                version += 1   # lost the slot: retry at the next one
+    return writer_id, committed
+
+
+def test_multiprocess_commit_race_one_winner_per_version(tmp_path):
+    import json
+    import multiprocessing as mp
+
+    log_dir = str(tmp_path / "_delta_log")
+    n_writers, n_commits = 4, 12
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(n_writers) as pool:
+        results = pool.map(_race_writer,
+                           [(log_dir, w, n_commits)
+                            for w in range(n_writers)])
+    # every commit landed, every version has exactly one winner
+    all_versions = [v for _, vs in results for v in vs]
+    assert len(all_versions) == n_writers * n_commits
+    assert sorted(all_versions) == list(range(n_writers * n_commits))
+    # file contents are intact single-writer payloads (no torn writes)
+    import os
+    names = sorted(os.listdir(log_dir))
+    assert len(names) == n_writers * n_commits
+    seen = set()
+    for v, name in enumerate(names):
+        assert name == "%020d.json" % v
+        with open(os.path.join(log_dir, name)) as fh:
+            rec = json.load(fh)
+        assert (rec["writer"], rec["seq"]) not in seen
+        seen.add((rec["writer"], rec["seq"]))
+    # per-writer sequences committed in order
+    for wid, vs in results:
+        assert vs == sorted(vs)

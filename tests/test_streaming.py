@@ -546,3 +546,143 @@ def test_sink_auto_compacts_micro_batches(spark, tmp_path):
     v = t.log.snapshot().version
     assert sink.write_batch(spark.range(0, 10).coalesce(1), 2) is None
     assert t.log.snapshot().version == v
+
+
+def test_max_files_per_trigger_pages_snapshot(spark, tmp_path):
+    """maxFilesPerTrigger (VERDICT r7 #3; delta-spark option, Flink
+    incremental split assignment): the ST4 initial snapshot is paged
+    across >1 microbatch instead of planned as one table-sized batch,
+    with exactly-once row totals, and the tail still flows after the
+    last page."""
+    src = tmp_path / "src"
+    t = _mk_table(spark, src, versions=6)        # 6 files, 30 rows
+    batches: list = []
+
+    def sink(df, bid):
+        batches.append((bid, df.collect()))
+
+    stream = (spark.readStream.format("delta_stream")
+              .option("path", str(src))
+              .option("maxFilesPerTrigger", "2").load()
+              .writeStream.foreachBatch(sink)
+              .option("checkpointLocation", str(tmp_path / "ck"))
+              .trigger(processingTime="1 seconds").start())
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and \
+                sum(len(r) for _, r in batches) < 30:
+            time.sleep(0.5)
+        rows = [r for _, rs in batches for r in rs]
+        assert sorted(r.id for r in rows) == list(range(30))  # exactly once
+        nonempty = [rs for _, rs in batches if rs]
+        assert len(nonempty) >= 3            # 6 files / 2 per trigger
+        assert max(len(rs) for rs in nonempty) <= 10  # ≤2 files × 5 rows
+        # tail after the snapshot pages drain
+        t.write(spark.range(100, 103).select(
+            F.col("id"), (F.col("id") * 10).alias("val")), mode="append")
+        deadline = time.time() + 60
+        while time.time() < deadline and \
+                sum(len(r) for _, r in batches) < 33:
+            time.sleep(0.5)
+        tail = [r for _, rs in batches for r in rs if r.id >= 100]
+        assert sorted(r.id for r in tail) == [100, 101, 102]
+    finally:
+        stream.stop()
+
+
+def test_snapshot_paging_restart_mid_snapshot(spark, tmp_path):
+    """A reader restarted mid-snapshot replans the SAME page from the
+    persisted offsets (deterministic sorted file order), and an end
+    offset with no snap marker plans exactly the remainder — no file
+    skipped, none delivered twice."""
+    from pyspark.sql.types import StructType
+
+    src = tmp_path / "src"
+    t = DeltaTable.for_path(spark, str(src))
+    for v in range(3):                           # snapshot @ v2: 3 files
+        t.write(spark.range(v * 5, (v + 1) * 5)
+                .select(F.col("id"), (F.col("id") * 10).alias("val"))
+                .coalesce(1), mode="append")
+    opts = {"path": str(src), "maxfilespertrigger": "1"}
+    r = DeltaVersionStreamReader(StructType(), opts)
+    o0 = r.initialOffset()
+    assert o0 == {"version": 2, "snap": True, "snap_idx": 0}
+    o1 = r.latestOffset()
+    assert o1 == {"version": 2, "snap": True, "snap_idx": 1}
+    p1 = r.partitions(o0, o1)
+    assert len(p1) == 1 and p1[0].version == 2
+    r.commit(o1)
+    o2 = r.latestOffset()
+    assert o2 == {"version": 2, "snap": True, "snap_idx": 2}
+    p2 = r.partitions(o1, o2)
+    assert len(p2) == 1 and p2[0].file_path != p1[0].file_path
+    r.commit(o2)
+    o3 = r.latestOffset()
+    assert o3 == {"version": 2, "snap": True, "snap_idx": 3}
+    r.partitions(o2, o3)
+    r.commit(o3)
+    # snapshot drained: next offset is a plain version (no new commits)
+    assert r.latestOffset() == {"version": 2}
+    # restart mid-snapshot: a FRESH reader (initialOffset never called)
+    # replans page [1,2) identically from the persisted offsets
+    r2 = DeltaVersionStreamReader(StructType(), opts)
+    p2b = r2.partitions(o1, o2)
+    assert [p.file_path for p in p2b] == [p.file_path for p in p2]
+    # restart where the engine's next end offset has no snap marker
+    # (paging disabled on restart): exactly the remainder files[1:],
+    # nothing redelivered from page 1, nothing skipped
+    r3 = DeltaVersionStreamReader(StructType(), opts)
+    rest = r3.partitions(o1, {"version": 2})
+    all_files = {p.file_path for p in p1} | {p.file_path for p in rest}
+    assert len(rest) == 2 and p1[0].file_path not in \
+        {p.file_path for p in rest}
+    assert len(all_files) == 3
+
+
+def test_snapshot_paging_engine_restart_exactly_once(spark, tmp_path):
+    """Stop a paged-snapshot stream mid-snapshot and restart it on the
+    same checkpoint: every snapshot row arrives exactly once across the
+    two runs (restart replans from persisted offsets; the post-restart
+    reader detects the offset shape and finishes the snapshot without
+    re-delivering consumed pages)."""
+    src = tmp_path / "src"
+    t = DeltaTable.for_path(spark, str(src))
+    for v in range(6):                           # 6 single-file commits
+        t.write(spark.range(v * 5, (v + 1) * 5)
+                .select(F.col("id"), (F.col("id") * 10).alias("val"))
+                .coalesce(1), mode="append")
+    # keyed by batch id: foreachBatch is at-least-once across restarts
+    # (the engine re-executes the last WAL'd-but-uncommitted batch with
+    # the SAME bid), so an idempotent sink replaces on redelivery —
+    # exactly-once then means each ROW lands in exactly one batch id.
+    got: dict = {}
+
+    def _rows():
+        return [r for rs in got.values() for r in rs]
+
+    def run(stop_after_rows):
+        def sink(df, bid):
+            got[bid] = df.collect()
+            # pace batch turnover so stop() below reliably lands
+            # mid-snapshot under suite load (6 pages ≥ 6 s)
+            if len(_rows()) < 30:
+                time.sleep(1.0)
+
+        stream = (spark.readStream.format("delta_stream")
+                  .option("path", str(src))
+                  .option("maxFilesPerTrigger", "1").load()
+                  .writeStream.foreachBatch(sink)
+                  .option("checkpointLocation", str(tmp_path / "ck"))
+                  .trigger(processingTime="1 seconds").start())
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline and len(_rows()) < stop_after_rows:
+                time.sleep(0.3)
+        finally:
+            stream.stop()
+
+    run(stop_after_rows=10)        # interrupt mid-snapshot (≥2 pages in)
+    n_first = len(_rows())
+    assert 5 <= n_first < 30       # genuinely mid-snapshot
+    run(stop_after_rows=30)        # resume on the same checkpoint
+    assert sorted(r.id for r in _rows()) == list(range(30))  # exactly once
