@@ -7,12 +7,12 @@ matmuls), so the `decode_image` seam in ops/multimodal.py can run a
 REAL compressed-format pixel path.
 
 Scope (documented, raises outside it):
-- decode: baseline sequential DCT (SOF0), 8-bit, grayscale or 4:4:4
-  color (interleaved MCUs, JFIF YCbCr→RGB), no restart intervals
-  (DRI), Huffman tables read from the file's DHT segments (any valid
+- decode: baseline sequential DCT (SOF0), 8-bit, grayscale or color
+  with any integer-ratio sampling (4:4:4, 4:2:0, 4:2:2, 4:4:0, 4:1:1 —
+  interleaved MCUs, replication chroma upsample, JFIF YCbCr→RGB),
+  Huffman tables read from the file's DHT segments (any valid
   tables, not just Annex K), restart intervals (DRI + RSTn);
-  progressive (SOF2), 4:2:2/4:1:1 sampling and arithmetic coding
-  raise.
+  progressive (SOF2) and arithmetic coding raise.
 - encode: real pipeline — level shift, float 2-D DCT-II, quantize
   (round-to-nearest), zigzag, DC-diff + AC run-length Huffman with
   byte stuffing — emitting a spec-conformant JFIF stream whose DQT /
@@ -248,6 +248,47 @@ def encode_jpeg_color(width: int, height: int, rgb: bytes,
     return bytes(out)
 
 
+def encode_jpeg_color_422(width: int, height: int, rgb: bytes,
+                          quant: int = 16) -> bytes:
+    """Encode interleaved RGB as baseline 4:2:2 (the common
+    video-derived layout): Y sampled 0x21 (two Y blocks per MCU, side
+    by side), chroma 0x11 and horizontally 1×2-mean-subsampled.
+    Width must be a multiple of 16, height of 8 (one MCU row = one
+    block row)."""
+    if width % 16 or height % 8:
+        raise ValueError("encode_jpeg_color_422 needs width %16, height %8")
+    y, cb, cr = _ycbcr_planes(width, height, rgb)
+    cb = cb.reshape(height, width // 2, 2).mean(axis=2)
+    cr = cr.reshape(height, width // 2, 2).mean(axis=2)
+    q = np.full((8, 8), float(quant))
+    out = bytearray(b"\xff\xd8")                        # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz = bytes(int(q[r][c]) for r, c in _ZZ)
+    out += _seg(0xFFDB, b"\x00" + zz)
+    out += _seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3)
+                + bytes([1, 0x21, 0]) + bytes([2, 0x11, 0])
+                + bytes([3, 0x11, 0]))                  # SOF0 4:2:2
+    out += _seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    w = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(height // 8):
+        for mx in range(width // 16):
+            for sh in range(2):                         # two Y blocks
+                blk = y[my * 8:my * 8 + 8,
+                        mx * 16 + sh * 8:mx * 16 + sh * 8 + 8]
+                prev[0] = _encode_block(w, blk, q, prev[0])
+            prev[1] = _encode_block(
+                w, cb[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8], q, prev[1])
+            prev[2] = _encode_block(
+                w, cr[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8], q, prev[2])
+    w.flush()
+    out += w.buf
+    out += b"\xff\xd9"                                  # EOI
+    return bytes(out)
+
+
 def encode_jpeg_color_420(width: int, height: int, rgb: bytes,
                           quant: int = 16) -> bytes:
     """Encode interleaved RGB as baseline 4:2:0 (the dominant
@@ -416,12 +457,18 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
             for ci in range(ncomp):
                 cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
-            samps = [(h, v) for _, h, v, _ in comps]
-            if not (all(hv == (1, 1) for hv in samps)
-                    or (len(samps) == 3 and samps[0] == (2, 2)
-                        and samps[1] == samps[2] == (1, 1))):
-                raise NotImplementedError(
-                    "only 4:4:4 / grayscale / 4:2:0 sampling supported")
+            # Sampling is generic in the MCU loop below: any per-
+            # component (h, v) in 1..4 whose ratios to (hmax, vmax)
+            # divide evenly (the replication upsample needs integer
+            # ratios). Covers grayscale, 4:4:4, 4:2:0 (2,2), 4:2:2
+            # (2,1), 4:4:0 (1,2) and 4:1:1 (4,1).
+            hm = max(h for _, h, _v, _ in comps)
+            vm = max(v for _, _h, v, _ in comps)
+            for _, h, v, _ in comps:
+                if not (1 <= h <= 4 and 1 <= v <= 4
+                        and hm % h == 0 and vm % v == 0):
+                    raise NotImplementedError(
+                        f"unsupported sampling factors ({h},{v})")
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC9, 0xFFCA):
             raise NotImplementedError(
                 f"non-baseline SOF 0x{marker:04x} unsupported")

@@ -239,6 +239,7 @@ def synth_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     under the closed-form rule
 
         doc_id % 4 == 3:  16 × 16, 4:2:0 color (2×2 Y blocks per MCU)
+        doc_id % 8 == 5:  16 × 8,  4:2:2 color (2×1 Y blocks per MCU)
         otherwise:        w = 8·(1 + doc_id % 3), h = 8·(1 + doc_id % 2),
                           4:4:4 color when odd, grayscale when even
         block b (raster order):  p = 128 + 2·(((doc_id·7 + b·13) % 64) − 32)
@@ -261,8 +262,11 @@ def synth_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for did in pdf[id_col]:
                 did = int(did)
                 sub420 = did % 4 == 3
+                sub422 = did % 8 == 5
                 if sub420:
                     w = h = 16
+                elif sub422:
+                    w, h = 16, 8
                 else:
                     w, h = 8 * (1 + did % 3), 8 * (1 + did % 2)
                 c = 3 if did % 2 else 1
@@ -274,6 +278,7 @@ def synth_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         for ch in range(c):
                             px[(y * w + x) * c + ch] = v
                 enc = (codec.encode_jpeg_color_420 if sub420
+                       else codec.encode_jpeg_color_422 if sub422
                        else codec.encode_jpeg_color if c == 3
                        else codec.encode_jpeg_gray)
                 rows.append((did, enc(w, h, bytes(px)), "jpeg"))

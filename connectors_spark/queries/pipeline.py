@@ -2451,8 +2451,10 @@ def doc_adaptive_length_filter(spark, sf_dir):
 WITH g AS (
   SELECT doc_id,
          CASE WHEN doc_id % 4 = 3 THEN 16
+              WHEN doc_id % 8 = 5 THEN 16
               ELSE 8 * (1 + doc_id % 3) END AS w,
          CASE WHEN doc_id % 4 = 3 THEN 16
+              WHEN doc_id % 8 = 5 THEN 8
               ELSE 8 * (1 + doc_id % 2) END AS h,
          CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS c
   FROM documents),
@@ -2474,8 +2476,8 @@ def mm_jpeg_decode_real(spark, sf_dir):
     # REAL compressed-format decode (stdlib baseline-JPEG codec,
     # ops/jpegcodec.py): the corpus is genuine JFIF streams — DQT/DHT/
     # SOF0/SOS markers, canonical Huffman entropy data with byte
-    # stuffing; odd ids are COLOR (4:4:4, and 4:2:0 with 2x2-per-MCU
-    # Y sampling for ids % 4 == 3) —
+    # stuffing; odd ids are COLOR (4:4:4; 4:2:0 with 2x2-per-MCU Y
+    # sampling for ids % 4 == 3; 4:2:2 with 2x1 for ids % 8 == 5) —
     # whose block-constant pixels follow a closed-form rule chosen to
     # quantize exactly. The oracle recomputes the rule; Spark must run
     # actual Huffman decode, dequantization, IDCT and YCbCr->RGB to

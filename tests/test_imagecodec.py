@@ -355,6 +355,37 @@ def test_jpeg_420_roundtrips():
         encode_jpeg_color_420(8, 8, bytes(8 * 8 * 3))
 
 
+def test_jpeg_422_roundtrips():
+    import numpy as np
+    from connectors_spark.ops.jpegcodec import (decode_jpeg,
+                                                encode_jpeg_color_422)
+    # block-constant gray RGB: exact through 1x2 subsample + replicate
+    W, H = 16, 8
+    rgb = bytearray(W * H * 3)
+    for y in range(H):
+        for x in range(W):
+            b = (y // 8) * (W // 8) + (x // 8)
+            v = 128 + 2 * (((13 * 7 + b * 13) % 64) - 32)
+            o = (y * W + x) * 3
+            rgb[o] = rgb[o + 1] = rgb[o + 2] = v
+    w, h, c, out = decode_jpeg(encode_jpeg_color_422(W, H, bytes(rgb)))
+    assert (w, h, c) == (W, H, 3)
+    assert out == bytes(rgb)
+    # smooth gradients: 4:2:2 chroma loss stays small
+    img = np.zeros((16, 32, 3), dtype=np.uint8)
+    for y in range(16):
+        for x in range(32):
+            img[y, x] = (x * 255 // 31, y * 255 // 15,
+                         (x + y) * 255 // 46)
+    w, h, c, out2 = decode_jpeg(
+        encode_jpeg_color_422(32, 16, img.tobytes(), quant=2))
+    arr = np.frombuffer(out2, dtype=np.uint8).reshape(16, 32, 3)
+    assert np.abs(arr.astype(int) - img.astype(int)).max() <= 16
+    import pytest
+    with pytest.raises(ValueError, match="16"):
+        encode_jpeg_color_422(8, 8, bytes(8 * 8 * 3))
+
+
 def test_jpeg_restart_intervals():
     import pytest
     from connectors_spark.ops.jpegcodec import (decode_jpeg,

@@ -137,3 +137,35 @@ def test_jpeg_arbitrary_gray_bounded_error(bw, bh, seed, quant):
     # the total quantization error mass: sum_k |e_k| <= 64 * q/2 in
     # coefficient space; empirically well under 4q for flat tables
     assert np.abs(arr - img.astype(int)).max() <= 4 * quant
+
+
+@given(st.integers(1, 2), st.integers(1, 2), st.binary(min_size=0),
+       st.sampled_from(["420", "422"]))
+@settings(max_examples=40, deadline=None)
+def test_jpeg_subsampled_color_bounded_error(bw, bh, seed, mode):
+    """Arbitrary RGB through the 4:2:0 / 4:2:2 encoders decodes with
+    bounded error: luma within quantization error, chroma additionally
+    within the subsample-replicate band (adjacent-pixel chroma drift).
+    Guards the MCU interleave order and per-component DC predictors
+    across sampling layouts."""
+    import numpy as np
+    from connectors_spark.ops import jpegcodec as jc
+    w, h = bw * 16, bh * 16
+    rng = np.random.RandomState(
+        int(hashlib.md5(seed + mode.encode()).hexdigest()[:8], 16))
+    # smooth field (random corners, bilinear): subsampling error stays
+    # bounded by local variation instead of full-range chroma jumps
+    corners = rng.randint(0, 256, size=(2, 2, 3)).astype(float)
+    ys = np.linspace(0, 1, h)[:, None, None]
+    xs = np.linspace(0, 1, w)[None, :, None]
+    img = ((1 - ys) * (1 - xs) * corners[0, 0]
+           + (1 - ys) * xs * corners[0, 1]
+           + ys * (1 - xs) * corners[1, 0]
+           + ys * xs * corners[1, 1])
+    img = np.clip(np.round(img), 0, 255).astype(np.uint8)
+    enc = (jc.encode_jpeg_color_420 if mode == "420"
+           else jc.encode_jpeg_color_422)
+    w2, h2, c2, out = jc.decode_jpeg(enc(w, h, img.tobytes(), quant=2))
+    assert (w2, h2, c2) == (w, h, 3)
+    arr = np.frombuffer(out, dtype=np.uint8).reshape(h, w, 3).astype(int)
+    assert np.abs(arr - img.astype(int)).max() <= 24
