@@ -24,6 +24,8 @@ Usage:
     (spark.readStream.format("delta_stream")
         .option("path", table_path)
         .option("startingVersion", "0")          # or "latest"
+        .option("readChangeFeed", "true")        # row-level CDF mode
+        .option("maxFilesPerTrigger", "1000")    # page the snapshot
         .load())
 """
 
@@ -37,10 +39,11 @@ from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
                                     InputPartition)
 from pyspark.sql.types import LongType, StructField, StructType
 
+from ..dv import DV_TAG
 from ..errors import DeltaError
 from ..log import filenames as fn
-from ..log.actions import (AddFile, Format, Metadata, Protocol,
-                           RemoveFile, from_json_line)
+from ..log.actions import (AddCDCFile, AddFile, Format, Metadata,
+                           Protocol, RemoveFile, from_json_line)
 # Module-scope imports only (no lazy `from ..x import` inside methods
 # that workers execute): this module ships to data-source workers by
 # value (shipping.py), which covers objects referenced at pickle time
@@ -146,11 +149,22 @@ def _snapshot_adds(store, log_path: str,
 
 
 class DeltaFilePartition(InputPartition):
+    """One input file of one microbatch.
+
+    ``kind``: "data" (plain row feed), or the CDF kinds — "cdc" (a
+    physical change file carrying its own ``_change_type`` column),
+    "insert"/"delete" (a data file synthesized to that change type).
+    ``dv_rel``: deletion-vector sidecar rel path to apply — only the
+    file's LIVE rows under that DV are emitted."""
+
     def __init__(self, file_path: str, version: int,
-                 partition_values: dict):
+                 partition_values: dict, kind: str = "data",
+                 dv_rel: Optional[str] = None):
         self.file_path = file_path
         self.version = version
         self.partition_values = partition_values
+        self.kind = kind
+        self.dv_rel = dv_rel
 
 
 class DeltaVersionStreamReader(DataSourceStreamReader):
@@ -174,6 +188,15 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
         # version-granular (bounded by maxVersionsPerBatch).
         self.max_files = int(options.get("maxfilespertrigger", "0")) or None
         self._snap_done = False
+        # readChangeFeed (delta-spark option): emit ROW-LEVEL changes —
+        # the table's columns plus _change_type — instead of the plain
+        # appended-rows feed. Versions with physical change files
+        # (AddCDCFile, DML under delta.enableChangeDataFeed) replay
+        # them exactly; other versions synthesize insert/delete from
+        # their dataChange actions, the same rules as the batch reader
+        # (streaming/cdf.py). The initial snapshot arrives as inserts.
+        self.cdf = str(options.get("readchangefeed",
+                                   "false")).lower() == "true"
         self.schema_json = schema.json()
         starting = options.get("startingversion")
         starting_ts = options.get("startingtimestamp")
@@ -369,8 +392,15 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
                 e = len(adds)
                 self._snap_done = True
             for a in adds[s:e]:
-                out.append(DeltaFilePartition(self._fs_path(a.path), v0,
-                                              dict(a.partitionValues or {})))
+                # apply each active file's deletion vector (live rows
+                # only — a DV-deleted table must not redeliver its
+                # deleted rows in the snapshot); CDF mode tags the
+                # snapshot rows as inserts (delta-spark semantics).
+                out.append(DeltaFilePartition(
+                    self._fs_path(a.path), v0,
+                    dict(a.partitionValues or {}),
+                    kind="insert" if self.cdf else "data",
+                    dv_rel=(a.tags or {}).get(DV_TAG)))
             # in-process paging floor for latestOffset: the engine
             # persists (start, end) in its WAL before execution, so a
             # failed batch replans this identical page — advancing the
@@ -399,9 +429,48 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
                     f"log (expired cleanup?); set failOnDataLoss=false "
                     f"to continue from version {v}")
             prev = v
-            for a in self._validated_adds(v):
-                out.append(DeltaFilePartition(self._fs_path(a.path), v,
-                                              dict(a.partitionValues or {})))
+            if self.cdf:
+                out.extend(self._cdf_partitions(v))
+            else:
+                for a in self._validated_adds(v):
+                    out.append(DeltaFilePartition(
+                        self._fs_path(a.path), v,
+                        dict(a.partitionValues or {}),
+                        dv_rel=(a.tags or {}).get(DV_TAG)))
+        return out
+
+    def _cdf_partitions(self, version: int) -> List[DeltaFilePartition]:
+        """Row-level change plan for one version (batch-reader rules,
+        streaming/cdf.py): physical AddCDCFile files when the commit
+        wrote them, else synthesized insert (added files) + delete
+        (removed files, parquet still readable until VACUUM); each
+        side under its own deletion vector so a DV commit nets out to
+        exactly the changed rows. dataChange=false commits (OPTIMIZE)
+        emit nothing. Metadata/protocol changes mid-stream still
+        error (ST3) — the feed's schema is pinned at start."""
+        actions = _read_version_actions(self.store, self.log_path, version)
+        if version > 0 and any(isinstance(a, (Metadata, Protocol))
+                               for a in actions):
+            raise DeltaError(
+                f"metadata/protocol change at version {version} "
+                f"mid-stream")
+        cdcs = [a for a in actions if isinstance(a, AddCDCFile)]
+        if cdcs:
+            return [DeltaFilePartition(self._fs_path(a.path), version,
+                                       {}, kind="cdc")
+                    for a in cdcs]
+        out: List[DeltaFilePartition] = []
+        for a in actions:
+            if isinstance(a, AddFile) and a.dataChange:
+                out.append(DeltaFilePartition(
+                    self._fs_path(a.path), version,
+                    dict(a.partitionValues or {}), kind="insert",
+                    dv_rel=(a.tags or {}).get(DV_TAG)))
+            elif isinstance(a, RemoveFile) and a.dataChange:
+                out.append(DeltaFilePartition(
+                    self._fs_path(a.path), version,
+                    dict(a.partitionValues or {}), kind="delete",
+                    dv_rel=(a.tags or {}).get(DV_TAG)))
         return out
 
     def _fs_path(self, log_path_value: str) -> str:
@@ -416,6 +485,35 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
 
     # ------------------------------------------------------------ reading
 
+    def _dv_mask(self, partition: DeltaFilePartition, n: int):
+        """Boolean keep-mask (numpy, length n) for the partition's
+        deletion vector: True = live row. The sidecar is a small
+        (file_path, row_index) parquet; only this file's rows apply.
+        Paths are compared canonically (scheme stripped, as
+        SnapshotImpl.canonicalizePath does)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        def canon(p: str) -> str:
+            if "://" in p:
+                rest = p.split("://", 1)[1]
+                slash = rest.find("/")
+                return rest[slash:] if slash >= 0 else "/"
+            return p
+
+        import urllib.parse
+        side = os.path.join(strip_scheme(self.table_path),
+                            urllib.parse.unquote(partition.dv_rel))
+        tbl = pq.read_table(side, columns=["file_path", "row_index"])
+        me = canon(partition.file_path)
+        keep = np.ones(n, dtype=bool)
+        fp = tbl.column("file_path").to_pylist()
+        ri = tbl.column("row_index").to_pylist()
+        for p, i in zip(fp, ri):
+            if canon(p) == me and 0 <= i < n:
+                keep[i] = False
+        return keep
+
     def read(self, partition: DeltaFilePartition) -> Iterator:
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -425,15 +523,29 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
         full = StructType.fromJson(json.loads(self.schema_json))
         meta = StructType.fromJson(json.loads(self.meta_schema_json))
         pcols = set(self.partition_columns)
-        data_fields = [f for f in meta.fields if f.name not in pcols]
-        tbl = pq.read_table(partition.file_path,
-                            columns=[f.name for f in data_fields])
+        kind = getattr(partition, "kind", "data")
+        if kind == "cdc":
+            # a physical change file: every table column (partition
+            # cols included, stored as ordinary data columns) plus the
+            # _change_type column — nothing synthesized but the version
+            file_cols = [f.name for f in meta.fields] + ["_change_type"]
+            pcols = set()
+        else:
+            file_cols = [f.name for f in meta.fields
+                         if f.name not in pcols]
+        tbl = pq.read_table(partition.file_path, columns=file_cols)
+        if getattr(partition, "dv_rel", None):
+            tbl = tbl.filter(pa.array(
+                self._dv_mask(partition, tbl.num_rows)))
         n = tbl.num_rows
         arrays, names = [], []
         for f in full.fields:
             if f.name == "_commit_version":
                 arrays.append(pa.array([partition.version] * n,
                                        type=pa.int64()))
+            elif f.name == "_change_type" and kind != "cdc":
+                ct = "delete" if kind == "delete" else "insert"
+                arrays.append(pa.array([ct] * n, type=pa.string()))
             elif f.name in pcols:
                 val = decode_partition_value(
                     partition.partition_values.get(f.name), f.dataType)
@@ -481,8 +593,12 @@ class DeltaStreamDataSource(DataSource):
     def schema(self) -> StructType:
         store = default_log_store(self.options["path"])
         meta = _latest_metadata(store, _log_path(self.options["path"]))
-        return StructType(meta.schema.fields
-                          + [StructField("_commit_version", LongType())])
+        extra = [StructField("_commit_version", LongType())]
+        if str(self.options.get("readchangefeed",
+                                "false")).lower() == "true":
+            from pyspark.sql.types import StringType
+            extra = [StructField("_change_type", StringType())] + extra
+        return StructType(meta.schema.fields + extra)
 
     def streamReader(self, schema: StructType) -> DeltaVersionStreamReader:
         return DeltaVersionStreamReader(schema, dict(self.options))

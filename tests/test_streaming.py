@@ -686,3 +686,115 @@ def test_snapshot_paging_engine_restart_exactly_once(spark, tmp_path):
     assert 5 <= n_first < 30       # genuinely mid-snapshot
     run(stop_after_rows=30)        # resume on the same checkpoint
     assert sorted(r.id for r in _rows()) == list(range(30))  # exactly once
+
+
+# ---------------------------------------------------------------------------
+# readChangeFeed mode (VERDICT r7 #7): row-level CDF through the
+# structured-streaming source — a downstream incremental-view consumer
+# can maintain an aggregate continuously from the _change_type feed.
+
+def test_cdf_stream_maintains_incremental_view(spark, tmp_path):
+    """DML commits → CDF stream → maintained key→value view equals a
+    direct recompute of the final table. Exercises all three plan
+    kinds: synthesized inserts (plain appends), physical AddCDCFile
+    replay (UPDATE/DELETE under delta.enableChangeDataFeed), and the
+    per-version attribution."""
+    from pyspark.sql import Row
+    from connectors_spark.expressions import Col, Lit
+
+    src = tmp_path / "src"
+    t = DeltaTable.for_path(spark, str(src))
+    t.write(spark.createDataFrame([Row(k=1, v=10), Row(k=2, v=20)]),
+            configuration={"delta.enableChangeDataFeed": "true"})
+    t.write(spark.createDataFrame([Row(k=3, v=30), Row(k=4, v=40)]))
+
+    view: dict = {}
+    types_seen: set = set()
+
+    def sink(df, bid):
+        # within a version, removals (preimage/delete) apply before
+        # upserts so an update nets to its postimage
+        for r in sorted(df.collect(),
+                        key=lambda r: (r._commit_version,
+                                       r._change_type not in
+                                       ("delete", "update_preimage"))):
+            types_seen.add(r._change_type)
+            if r._change_type in ("insert", "update_postimage"):
+                view[r.k] = r.v
+            elif r._change_type in ("delete", "update_preimage"):
+                view.pop(r.k, None)
+
+    stream = (spark.readStream.format("delta_stream")
+              .option("path", str(src))
+              .option("readChangeFeed", "true")
+              .option("startingVersion", "0").load()
+              .writeStream.foreachBatch(sink)
+              .option("checkpointLocation", str(tmp_path / "ck"))
+              .trigger(processingTime="1 seconds").start())
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(view) < 4:
+            time.sleep(0.5)
+        assert view == {1: 10, 2: 20, 3: 30, 4: 40}
+        # DML: physical CDC files replayed row-for-row
+        t.update({"v": "v + 1"}, Col("k") == Lit(2))
+        t.delete(Col("k") == Lit(3))
+        deadline = time.time() + 60
+        while time.time() < deadline and \
+                not (view.get(2) == 21 and 3 not in view):
+            time.sleep(0.5)
+    finally:
+        stream.stop()
+    want = {r.k: r.v for r in t.to_df().collect()}
+    assert view == want
+    assert {"insert", "update_preimage", "update_postimage",
+            "delete"} <= types_seen
+
+
+def test_cdf_stream_synthesizes_without_cdc_files(spark, tmp_path):
+    """Tables WITHOUT delta.enableChangeDataFeed still stream changes:
+    appends synthesize inserts, a whole-file delete synthesizes
+    deletes from the removed parquet (batch-reader rules)."""
+    from pyspark.sql import Row
+    from connectors_spark.expressions import Col, Lit
+
+    src = tmp_path / "src"
+    t = DeltaTable.for_path(spark, str(src))
+    t.write(spark.createDataFrame([Row(k=1, v=10), Row(k=2, v=20)])
+            .coalesce(1))
+    t.write(spark.createDataFrame([Row(k=5, v=50)]).coalesce(1))
+    t.delete(Col("k") == Lit(5))           # drops v1's whole file
+    q = (spark.readStream.format("delta_stream")
+         .option("path", str(src))
+         .option("readChangeFeed", "true")
+         .option("startingVersion", "0").load()
+         .writeStream.format("memory").queryName("t_cdf_synth")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.k, r.v, r._change_type, r._commit_version)
+           for r in spark.sql("select * from t_cdf_synth").collect()}
+    assert got == {(1, 10, "insert", 0), (2, 20, "insert", 0),
+                   (5, 50, "insert", 1), (5, 50, "delete", 2)}
+
+
+def test_stream_snapshot_applies_deletion_vectors(spark, tmp_path):
+    """The ST4 initial snapshot must not redeliver DV-deleted rows:
+    files stream their LIVE rows under the active deletion vector."""
+    from pyspark.sql import Row
+    from connectors_spark.expressions import Col, Lit
+
+    src = tmp_path / "src"
+    t = DeltaTable.for_path(spark, str(src))
+    t.write(spark.createDataFrame(
+        [Row(k=i, v=i * 10) for i in range(8)]).coalesce(1))
+    t.delete(Col("k") < Lit(3), deletion_vectors=True)
+    q = (spark.readStream.format("delta_stream")
+         .option("path", str(src)).load()     # default: snapshot-first
+         .writeStream.format("memory").queryName("t_dv_snap")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r.k for r in spark.sql(
+        "select * from t_dv_snap").collect())
+    assert got == [3, 4, 5, 6, 7]
