@@ -1,39 +1,39 @@
-"""Oracle-parity smoke for the round-7 query additions.
+"""Oracle-parity smoke for the least-proven registry queries.
 
 The full registry↔DuckDB sweep (tests/harness.py CLI) is too slow for
 every pytest run, so the driver gate and per-round sweeps carry it;
-this file keeps the NEWEST queries' cross-engine parity pinned in the
-suite at sf0.001, where each compare is seconds. If a refactor breaks
-an oracle or a determinism contract, this fails before the driver
-round does.
+this file keeps cross-engine parity pinned in the suite at sf0.001,
+where each compare is seconds. The selection is INCREMENTAL, not a
+hand-maintained list (the frozenset-rotation lesson, registry.py): it
+takes the queries with the weakest driver evidence — never recorded in
+any CORRECTNESS_r*.json first, then latest-red — capped at a fixed
+budget, so the default pytest wall-clock stays bounded as the registry
+grows. New-round queries are exactly the unrecorded ones, so every
+addition is smoke-covered until the driver proves it; once green in a
+record file it rolls off. If nothing is unproven (mid-round, all
+green), the stalest-evidence queries fill the budget instead — the
+suite always smoke-checks something.
 """
 
 from __future__ import annotations
 
 import pytest
 
+from connectors_spark.queries.registry import (_evidence_order,
+                                               _load_evidence)
+from connectors_spark.queries.registry import REGISTRY
 from tests.harness import compare
 
-_ROUND7 = [
-    "delta_reorg_purge",
-    "doc_dsir_weights",
-    "doc_quality_logreg",
-    "emb_ivf_pq_topk",
-    "doc_chunk_dedup_first",
-    "ord_topk_per_status",
-    "doc_adaptive_length_filter",
-    "mm_jpeg_decode_real",
-    "doc_ccnet_buckets",
-    "doc_split_leakage",
-    "ev_retention_cohorts",
-    "doc_incremental_neardup",
-    "doc_pagerank_neardup",
-    "emb_source_centroid_drift",
-    "delta_show_partitions",
-]
+_BUDGET = 16
 
 
-@pytest.mark.parametrize("name", _ROUND7)
-def test_round7_query_matches_oracle(spark, sf_dir, name):
+def _smoke_names() -> list:
+    evidence = _load_evidence()
+    ordered = _evidence_order(list(REGISTRY), evidence)
+    return ordered[:_BUDGET]
+
+
+@pytest.mark.parametrize("name", _smoke_names())
+def test_least_proven_query_matches_oracle(spark, sf_dir, name):
     ok, msg = compare(spark, sf_dir, name)
     assert ok, f"{name}: {msg}"
