@@ -7,12 +7,14 @@ matmuls), so the `decode_image` seam in ops/multimodal.py can run a
 REAL compressed-format pixel path.
 
 Scope (documented, raises outside it):
-- decode: baseline sequential DCT (SOF0), 8-bit, grayscale or color
-  with any integer-ratio sampling (4:4:4, 4:2:0, 4:2:2, 4:4:0, 4:1:1 —
+- decode: baseline sequential DCT (SOF0) AND progressive DCT (SOF2,
+  ITU-T.81 Annex G: spectral selection, successive approximation,
+  EOBn runs, DC/AC refinement scans), 8-bit, grayscale or color with
+  any integer-ratio sampling (4:4:4, 4:2:0, 4:2:2, 4:4:0, 4:1:1 —
   interleaved MCUs, replication chroma upsample, JFIF YCbCr→RGB),
   Huffman tables read from the file's DHT segments (any valid
   tables, not just Annex K), restart intervals (DRI + RSTn);
-  progressive (SOF2) and arithmetic coding raise.
+  arithmetic coding and lossless/extended SOFs raise.
 - encode: real pipeline — level shift, float 2-D DCT-II, quantize
   (round-to-nearest), zigzag, DC-diff + AC run-length Huffman with
   byte stuffing — emitting a spec-conformant JFIF stream whose DQT /
@@ -332,6 +334,237 @@ def encode_jpeg_color_420(width: int, height: int, rgb: bytes,
 
 
 # ---------------------------------------------------------------------------
+# Progressive encoder (SOF2, ITU-T.81 Annex G)
+# ---------------------------------------------------------------------------
+
+# Progressive AC table: every (run 0-15, size 0-10) symbol — size 0 is
+# EOBn for run 0-14 (end-of-band run category) and ZRL for run 15 —
+# all at 8 bits (176 ≤ 256, canonical).
+_ACP_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
+_ACP_BITS = [0] * 7 + [len(_ACP_VALS)] + [0] * 8
+_ACP_ENC = _canonical_codes(_ACP_BITS, _ACP_VALS)
+
+
+def _coef_blocks(plane: "np.ndarray", q: "np.ndarray") -> "np.ndarray":
+    """FDCT + quantize every 8×8 block of a (level-shifted) plane →
+    (bh, bw, 64) int array in zigzag order."""
+    h, w = plane.shape
+    bh, bw = h // 8, w // 8
+    tiles = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    # batched matmul in the SAME association as the sequential
+    # encoder's _T @ blk @ _T.T — float contraction order changes
+    # round-at-.5 results, and progressive must quantize identically
+    coefs = np.matmul(np.matmul(_T, tiles), _T.T)
+    cq = np.round(coefs / q).astype(np.int64)
+    zz = np.array([r * 8 + c for r, c in _ZZ])
+    return cq.reshape(bh, bw, 64)[:, :, zz]
+
+
+class _ProgressiveWriter:
+    """Emits the entropy data of progressive scans over pre-computed
+    zigzag coefficient blocks — the libjpeg encode_mcu_{DC,AC}_{first,
+    refine} algorithms (jcphuff.c), including EOBn runs and buffered
+    correction bits."""
+
+    def __init__(self):
+        self.w = _BitWriter()
+        self.eobrun = 0
+        # TWO correction-bit buffers (jcphuff.c BE vs BR): bits owned
+        # by the pending EOB run (completed blocks) flush with the EOBn
+        # code; bits of the CURRENT block since the last symbol flush
+        # right after that block's next symbol. Merging them re-orders
+        # bits across the block boundary and desyncs the decoder.
+        self.corr_run: List[int] = []
+        self.corr_cur: List[int] = []
+
+    def _emit_eobrun(self) -> None:
+        if self.eobrun > 0:
+            n = self.eobrun.bit_length() - 1
+            code, length = _ACP_ENC[n << 4]
+            self.w.put(code, length)
+            if n:
+                self.w.put(self.eobrun - (1 << n), n)
+            self.eobrun = 0
+            for b in self.corr_run:
+                self.w.put(b, 1)
+            self.corr_run = []
+
+    def _emit_cur(self) -> None:
+        for b in self.corr_cur:
+            self.w.put(b, 1)
+        self.corr_cur = []
+
+    def dc_first(self, blocks_iter, al: int) -> None:
+        """Interleaved DC scan, Ah=0: point-transformed DC diffs.
+        ``blocks_iter`` yields (comp_index, zigzag block)."""
+        preds: Dict[int, int] = {}
+        for ci, blk in blocks_iter:
+            v = int(blk[0]) >> al                # arithmetic shift (§G.1.2.1)
+            diff = v - preds.get(ci, 0)
+            preds[ci] = v
+            s = _category(diff)
+            code, length = _DC_ENC[s]
+            self.w.put(code, length)
+            if s:
+                self.w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+    def dc_refine(self, blocks_iter, al: int) -> None:
+        for _ci, blk in blocks_iter:
+            self.w.put((int(blk[0]) >> al) & 1, 1)
+
+    def ac_first(self, blocks, ss: int, se: int, al: int) -> None:
+        def pt(v: int) -> int:                   # toward-zero (§G.1.2.2)
+            return v >> al if v >= 0 else -((-v) >> al)
+
+        for blk in blocks:
+            r = 0
+            for k in range(ss, se + 1):
+                t = pt(int(blk[k]))
+                if t == 0:
+                    r += 1
+                    continue
+                self._emit_eobrun()
+                while r > 15:
+                    code, length = _ACP_ENC[0xF0]
+                    self.w.put(code, length)
+                    r -= 16
+                s = _category(t)
+                code, length = _ACP_ENC[(r << 4) | s]
+                self.w.put(code, length)
+                self.w.put(t if t > 0 else t + (1 << s) - 1, s)
+                r = 0
+            if r:
+                self.eobrun += 1
+                if self.eobrun == 0x7FFF:
+                    self._emit_eobrun()
+
+    def ac_refine(self, blocks, ss: int, se: int, al: int) -> None:
+        for blk in blocks:
+            absv = [(abs(int(blk[k])) >> al) for k in range(ss, se + 1)]
+            eob = ss - 1                         # last newly-significant
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob = ss + i
+            r = 0
+            for k in range(ss, se + 1):
+                t = absv[k - ss]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    self._emit_eobrun()
+                    code, length = _ACP_ENC[0xF0]
+                    self.w.put(code, length)
+                    r -= 16
+                    self._emit_cur()
+                if t > 1:                        # already significant
+                    self.corr_cur.append(t & 1)
+                    continue
+                self._emit_eobrun()
+                code, length = _ACP_ENC[(r << 4) | 1]
+                self.w.put(code, length)
+                self.w.put(1 if int(blk[k]) > 0 else 0, 1)
+                self._emit_cur()
+                r = 0
+            if r or self.corr_cur:
+                self.eobrun += 1
+                self.corr_run += self.corr_cur
+                self.corr_cur = []
+                if self.eobrun == 0x7FFF or len(self.corr_run) > 900:
+                    self._emit_eobrun()
+
+    def finish_scan(self) -> bytes:
+        self._emit_eobrun()
+        self.w.flush()
+        out = bytes(self.w.buf)
+        self.w = _BitWriter()
+        return out
+
+
+def encode_jpeg_progressive(width: int, height: int, pixels: bytes,
+                            channels: int = 1,
+                            quant: int = 16) -> bytes:
+    """Encode as PROGRESSIVE JPEG (SOF2): grayscale or 4:4:4 color,
+    multiple-of-8 dims, flat quantizer. Scan script (the common
+    spectral-selection + successive-approximation shape):
+
+        1. DC, all components, Al=1
+        2. DC refinement, Ah=1 → Al=0 (raw bits)
+        3. per component: AC band 1-5 then 6-63, Al=1 (EOBn runs)
+        4. per component: the same bands refined Ah=1 → Al=0
+           (correction bits)
+
+    After every scan the coefficients are bit-exact equal to the
+    sequential encoder's, so the closed-form-exact corpus rule decodes
+    identically through either path."""
+    if width % 8 or height % 8:
+        raise ValueError("encode_jpeg_progressive needs multiple-of-8 dims")
+    if channels == 1:
+        img = np.frombuffer(bytes(pixels), dtype=np.uint8) \
+            .reshape(height, width).astype(np.float64) - 128.0
+        planes = [img]
+    elif channels == 3:
+        planes = _ycbcr_planes(width, height, pixels)
+    else:
+        raise ValueError("channels must be 1 or 3")
+    q = np.full((8, 8), float(quant))
+    coefs = [_coef_blocks(p, q) for p in planes]
+    bh, bw = coefs[0].shape[:2]
+
+    ncomp = len(planes)
+    out = bytearray(b"\xff\xd8")                 # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz = bytes(int(q[r][c]) for r, c in _ZZ)
+    out += _seg(0xFFDB, b"\x00" + zz)
+    comps = b"".join(bytes([cid, 0x11, 0]) for cid in range(1, ncomp + 1))
+    out += _seg(0xFFC2, struct.pack(">BHHB", 8, height, width, ncomp)
+                + comps)                         # SOF2
+    out += _seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xFFC4, b"\x10" + bytes(_ACP_BITS)
+                + bytes(bytearray(_ACP_VALS)))
+
+    def sos(comp_ids: List[int], ss: int, se: int, ah: int,
+            al: int) -> bytes:
+        hdr = bytes([len(comp_ids)]) \
+            + b"".join(bytes([cid, 0x00]) for cid in comp_ids) \
+            + bytes([ss, se, (ah << 4) | al])
+        return _seg(0xFFDA, hdr)
+
+    pw = _ProgressiveWriter()
+
+    def mcu_blocks():
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(ncomp):
+                    yield ci, coefs[ci][by, bx]
+
+    def comp_blocks(ci: int):
+        for by in range(bh):
+            for bx in range(bw):
+                yield coefs[ci][by, bx]
+
+    all_ids = list(range(1, ncomp + 1))
+    out += sos(all_ids, 0, 0, 0, 1)              # scan 1: DC, Al=1
+    pw.dc_first(mcu_blocks(), 1)
+    out += pw.finish_scan()
+    out += sos(all_ids, 0, 0, 1, 0)              # scan 2: DC refine
+    pw.dc_refine(mcu_blocks(), 0)
+    out += pw.finish_scan()
+    for ci in range(ncomp):                      # AC first, Al=1
+        for lo, hi in ((1, 5), (6, 63)):
+            out += sos([ci + 1], lo, hi, 0, 1)
+            pw.ac_first(comp_blocks(ci), lo, hi, 1)
+            out += pw.finish_scan()
+    for ci in range(ncomp):                      # AC refine, Al=0
+        for lo, hi in ((1, 5), (6, 63)):
+            out += sos([ci + 1], lo, hi, 1, 0)
+            pw.ac_refine(comp_blocks(ci), lo, hi, 0)
+            out += pw.finish_scan()
+    out += b"\xff\xd9"                           # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
 
@@ -393,12 +626,16 @@ class _BitReader:
                 f"restart marker out of sequence: 0xFF{m:02x}")
         self.pos += 2
 
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
     def receive_extend(self, s: int) -> int:
         if s == 0:
             return 0
-        v = 0
-        for _ in range(s):
-            v = (v << 1) | self.bit()
+        v = self.receive(s)
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
@@ -417,6 +654,8 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
     width = height = -1
     comps: list = []
     restart_interval = 0
+    progressive = False
+    coef: list = []          # per-comp (bh_pad, bw_pad, 64) zigzag coeffs
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -447,7 +686,8 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
                 (dc_tabs if tc == 0 else ac_tabs)[th] = \
                     _HuffTable(bits, vals)
                 o += 17 + n
-        elif marker == 0xFFC0:                          # SOF0 baseline
+        elif marker in (0xFFC0, 0xFFC2):        # SOF0 baseline / SOF2
+            progressive = marker == 0xFFC2
             prec, height, width, ncomp = struct.unpack(
                 ">BHHB", body[:6])
             if prec != 8 or ncomp not in (1, 3):
@@ -469,11 +709,24 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
                         and hm % h == 0 and vm % v == 0):
                     raise NotImplementedError(
                         f"unsupported sampling factors ({h},{v})")
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC9, 0xFFCA):
+        elif marker in (0xFFC1, 0xFFC3, 0xFFC9, 0xFFCA):
             raise NotImplementedError(
-                f"non-baseline SOF 0x{marker:04x} unsupported")
+                f"unsupported SOF 0x{marker:04x} (extended sequential "
+                f"/ lossless / arithmetic coding)")
         elif marker == 0xFFDD:                          # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xFFDA and progressive:          # SOS (one of many)
+            hmax = max(h for _, h, _v, _ in comps)
+            vmax = max(v for _, _h, v, _ in comps)
+            mbw = (width + 8 * hmax - 1) // (8 * hmax)
+            mbh = (height + 8 * vmax - 1) // (8 * vmax)
+            if not coef:
+                coef = [np.zeros((mbh * v, mbw * h, 64), dtype=np.int32)
+                        for _, h, v, _ in comps]
+            pos = _progressive_scan(
+                data, pos, seglen, body, comps, dc_tabs, ac_tabs, coef,
+                width, height, hmax, vmax, mbw, mbh, restart_interval)
+            continue
         elif marker == 0xFFDA:                          # SOS
             ns = body[0]
             if ns != len(comps):
@@ -537,26 +790,227 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
                                 px_ = (mx * ch + sh) * 8
                                 planes[ci][py:py + 8,
                                            px_:px_ + 8] = blk
-            if len(comps) == 1:
-                px = np.clip(np.round(planes[0][:height, :width]) + 128,
-                             0, 255).astype(np.uint8)
-                return width, height, 1, px.tobytes()
-            # upsample subsampled chroma by pixel replication, then
-            # JFIF YCbCr -> RGB (planes hold level-shifted values)
-            full = []
-            for ci, (cid, ch, cv, _tq) in enumerate(comps):
-                pl = planes[ci]
-                if ch != hmax or cv != vmax:
-                    pl = np.repeat(np.repeat(pl, vmax // cv, axis=0),
-                                   hmax // ch, axis=1)
-                full.append(pl[:height, :width])
-            y = full[0] + 128.0
-            cb, cr = full[1], full[2]
-            r = y + 1.402 * cr
-            g = y - 0.344136 * cb - 0.714136 * cr
-            b = y + 1.772 * cb
-            rgb = np.stack([r, g, b], axis=-1)
-            px = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-            return width, height, 3, px.tobytes()
+            return _assemble(comps, planes, width, height, hmax, vmax)
         pos += seglen
+    if progressive and coef:
+        # all scans accumulated: dequantize, un-zigzag, IDCT every
+        # block of every component in one vectorized pass each
+        hmax = max(h for _, h, _v, _ in comps)
+        vmax = max(v for _, _h, v, _ in comps)
+        planes = []
+        for ci, (cid, ch, cv, tq) in enumerate(comps):
+            qzz = np.array([qt[tq][r, c] for r, c in _ZZ])
+            deq = coef[ci].astype(np.float64) * qzz[None, None, :]
+            bh, bw = deq.shape[:2]
+            cmat = np.zeros((bh, bw, 8, 8))
+            for i, (r, c) in enumerate(_ZZ):
+                cmat[:, :, r, c] = deq[:, :, i]
+            # same association as the baseline IDCT (_T.T @ X @ _T) so
+            # both paths round identical floats to identical pixels
+            blk = np.matmul(np.matmul(_T.T, cmat), _T)
+            planes.append(np.transpose(blk, (0, 2, 1, 3))
+                          .reshape(bh * 8, bw * 8))
+        return _assemble(comps, planes, width, height, hmax, vmax)
     raise ValueError("no scan data found")
+
+
+def _next_marker(data: bytes, p: int) -> int:
+    """Position of the next marker at/after ``p`` (skipping entropy
+    pad bits and stuffed 0xFF00 pairs)."""
+    while p < len(data) - 1:
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            return p
+        p += 1
+    return len(data)
+
+
+def _progressive_scan(data: bytes, pos: int, seglen: int, body: bytes,
+                      comps, dc_tabs, ac_tabs, coef, width: int,
+                      height: int, hmax: int, vmax: int, mbw: int,
+                      mbh: int, restart_interval: int) -> int:
+    """Decode ONE progressive scan (ITU-T.81 §G.2) into the
+    accumulated ``coef`` arrays and return the stream position of the
+    next marker.
+
+    Covers the full progressive feature set: interleaved or
+    single-component DC scans, DC successive-approximation refinement
+    (one raw bit per block), single-component AC scans with spectral
+    selection (Ss..Se), AC first scans with EOBn run codes, AC
+    refinement scans with correction bits (the libjpeg
+    decode_mcu_AC_refine algorithm), and restart intervals (predictors
+    and the EOB run reset)."""
+    ns = body[0]
+    scomps = []                                  # (ci, dc_id, ac_id)
+    for i in range(ns):
+        cid, tb = body[1 + 2 * i], body[2 + 2 * i]
+        ci = next(j for j, c in enumerate(comps) if c[0] == cid)
+        scomps.append((ci, tb >> 4, tb & 0x0F))
+    ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+    ah, al = a >> 4, a & 0x0F
+    br = _BitReader(data, pos + seglen)
+    state = {"eobrun": 0}
+
+    def comp_grid(ci: int) -> Tuple[int, int]:
+        # a non-interleaved scan covers the component's OWN block
+        # grid (§A.2.2), not the MCU-padded one
+        _, h, v, _ = comps[ci]
+        cw = (-(-width * h // hmax) + 7) // 8
+        chh = (-(-height * v // vmax) + 7) // 8
+        return cw, chh
+
+    def dc_first(ci: int, by: int, bx: int, pred: list, k: int,
+                 tab) -> None:
+        s = tab.read(br)
+        pred[k] += br.receive_extend(s)
+        coef[ci][by, bx, 0] = pred[k] << al
+
+    def dc_refine(ci: int, by: int, bx: int) -> None:
+        if br.bit():
+            coef[ci][by, bx, 0] |= (1 << al)
+
+    def ac_first(ci: int, by: int, bx: int, tab) -> None:
+        blk = coef[ci][by, bx]
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = tab.read(br)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:                      # ZRL
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.receive(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow in progressive scan")
+            blk[k] = br.receive_extend(s) << al
+            k += 1
+
+    def ac_refine(ci: int, by: int, bx: int, tab) -> None:
+        blk = coef[ci][by, bx]
+        p1, m1 = 1 << al, -(1 << al)
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = tab.read(br)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r != 15:
+                        state["eobrun"] = (1 << r)
+                        if r:
+                            state["eobrun"] += br.receive(r)
+                        break                    # remainder below
+                    s = 0                        # ZRL: skip 16 zeros
+                else:
+                    if s != 1:
+                        raise ValueError("bad AC refinement code")
+                    s = p1 if br.bit() else m1
+                # walk r zero-history coefficients, emitting a
+                # correction bit for every nonzero-history one passed
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0:
+                        if br.bit() and (c & p1) == 0:
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s and k <= se:
+                    blk[k] = s
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if br.bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            state["eobrun"] -= 1
+
+    def maybe_restart(count: int, rst_seq: int, pred: list) -> int:
+        if restart_interval and count and count % restart_interval == 0:
+            br.restart(rst_seq)
+            pred[:] = [0] * len(pred)
+            state["eobrun"] = 0
+            return (rst_seq + 1) & 7
+        return rst_seq
+
+    if ss == 0:                                  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        pred = [0] * len(scomps)
+        rst_seq, count = 0, 0
+        if ns > 1:                               # interleaved MCU order
+            for my in range(mbh):
+                for mx in range(mbw):
+                    rst_seq = maybe_restart(count, rst_seq, pred)
+                    count += 1
+                    for k, (ci, dci, _aci) in enumerate(scomps):
+                        _, h, v, _ = comps[ci]
+                        for sv in range(v):
+                            for sh in range(h):
+                                by, bx = my * v + sv, mx * h + sh
+                                if ah == 0:
+                                    dc_first(ci, by, bx, pred, k,
+                                             dc_tabs[dci])
+                                else:
+                                    dc_refine(ci, by, bx)
+        else:
+            ci, dci, _aci = scomps[0]
+            cw, chh = comp_grid(ci)
+            for by in range(chh):
+                for bx in range(cw):
+                    rst_seq = maybe_restart(count, rst_seq, pred)
+                    count += 1
+                    if ah == 0:
+                        dc_first(ci, by, bx, pred, 0, dc_tabs[dci])
+                    else:
+                        dc_refine(ci, by, bx)
+    else:                                        # AC scan
+        if ns != 1:
+            raise ValueError("progressive AC scan must be one component")
+        ci, _dci, aci = scomps[0]
+        cw, chh = comp_grid(ci)
+        rst_seq, count = 0, 0
+        pred: list = []
+        for by in range(chh):
+            for bx in range(cw):
+                rst_seq = maybe_restart(count, rst_seq, pred)
+                count += 1
+                if ah == 0:
+                    ac_first(ci, by, bx, ac_tabs[aci])
+                else:
+                    ac_refine(ci, by, bx, ac_tabs[aci])
+    return _next_marker(data, br.pos)
+
+
+def _assemble(comps, planes, width: int, height: int,
+              hmax: int, vmax: int) -> Tuple[int, int, int, bytes]:
+    """Spatial planes (level-shifted) → pixel bytes: replication
+    chroma upsample + JFIF YCbCr→RGB (or grayscale clamp)."""
+    if len(comps) == 1:
+        px = np.clip(np.round(planes[0][:height, :width]) + 128,
+                     0, 255).astype(np.uint8)
+        return width, height, 1, px.tobytes()
+    full = []
+    for ci, (cid, ch, cv, _tq) in enumerate(comps):
+        pl = planes[ci]
+        if ch != hmax or cv != vmax:
+            pl = np.repeat(np.repeat(pl, vmax // cv, axis=0),
+                           hmax // ch, axis=1)
+        full.append(pl[:height, :width])
+    y = full[0] + 128.0
+    cb, cr = full[1], full[2]
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    px = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return width, height, 3, px.tobytes()

@@ -240,10 +240,17 @@ def synth_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         doc_id % 4 == 3:  16 × 16, 4:2:0 color (2×2 Y blocks per MCU)
         doc_id % 8 == 5:  16 × 8,  4:2:2 color (2×1 Y blocks per MCU)
+        doc_id % 8 == 1:  PROGRESSIVE (SOF2) 4:4:4 color, regular dims
+        doc_id % 8 == 6:  PROGRESSIVE (SOF2) grayscale, regular dims
         otherwise:        w = 8·(1 + doc_id % 3), h = 8·(1 + doc_id % 2),
                           4:4:4 color when odd, grayscale when even
         block b (raster order):  p = 128 + 2·(((doc_id·7 + b·13) % 64) − 32)
         color docs: R = G = B = p  (gray RGB ⇒ Cb = Cr = 128 exactly)
+
+    The progressive ids keep the regular-dims pixel rule, so the
+    oracle is UNCHANGED — only the entropy layout differs (multi-scan
+    spectral selection + successive approximation), and Spark must run
+    the full Annex-G decode to reproduce the same bits.
 
     encoded through the real encoder (float DCT, quantize, Huffman,
     byte stuffing). The even offsets make S00 = 8·(p−128) an exact
@@ -277,11 +284,16 @@ def synth_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         v = 128 + 2 * (((did * 7 + b * 13) % 64) - 32)
                         for ch in range(c):
                             px[(y * w + x) * c + ch] = v
-                enc = (codec.encode_jpeg_color_420 if sub420
-                       else codec.encode_jpeg_color_422 if sub422
-                       else codec.encode_jpeg_color if c == 3
-                       else codec.encode_jpeg_gray)
-                rows.append((did, enc(w, h, bytes(px)), "jpeg"))
+                if did % 8 in (1, 6):
+                    blob = codec.encode_jpeg_progressive(
+                        w, h, bytes(px), channels=c)
+                else:
+                    enc = (codec.encode_jpeg_color_420 if sub420
+                           else codec.encode_jpeg_color_422 if sub422
+                           else codec.encode_jpeg_color if c == 3
+                           else codec.encode_jpeg_gray)
+                    blob = enc(w, h, bytes(px))
+                rows.append((did, blob, "jpeg"))
             yield pd.DataFrame(rows, columns=[id_col, "media", "fmt"])
 
     return docs.select(id_col).mapInPandas(

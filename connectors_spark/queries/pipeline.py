@@ -2476,8 +2476,9 @@ def mm_jpeg_decode_real(spark, sf_dir):
     # REAL compressed-format decode (stdlib baseline-JPEG codec,
     # ops/jpegcodec.py): the corpus is genuine JFIF streams — DQT/DHT/
     # SOF0/SOS markers, canonical Huffman entropy data with byte
-    # stuffing; odd ids are COLOR (4:4:4; 4:2:0 with 2x2-per-MCU Y
-    # sampling for ids % 4 == 3; 4:2:2 with 2x1 for ids % 8 == 5) —
+    # stuffing; odd ids are COLOR (4:4:4; 4:2:0 for ids % 4 == 3;
+    # 4:2:2 for ids % 8 == 5); ids % 8 in (1, 6) are PROGRESSIVE
+    # (SOF2 multi-scan, same pixel rule so the oracle is unchanged) —
     # whose block-constant pixels follow a closed-form rule chosen to
     # quantize exactly. The oracle recomputes the rule; Spark must run
     # actual Huffman decode, dequantization, IDCT and YCbCr->RGB to

@@ -281,11 +281,11 @@ def test_jpeg_rejects_out_of_scope_streams():
     from connectors_spark.ops.jpegcodec import (decode_jpeg,
                                                 encode_jpeg_gray)
     data = bytearray(encode_jpeg_gray(8, 8, bytes(range(64, 128))))
-    # flip SOF0 -> SOF2 (progressive) and expect a loud refusal
+    # flip SOF0 -> SOF9 (arithmetic coding) and expect a loud refusal
     i = bytes(data).find(b"\xff\xc0")
-    prog = data[:i] + b"\xff\xc2" + data[i + 2:]
+    arith = data[:i] + b"\xff\xc9" + data[i + 2:]
     with pytest.raises(NotImplementedError, match="SOF"):
-        decode_jpeg(bytes(prog))
+        decode_jpeg(bytes(arith))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01\x02")
 
@@ -384,6 +384,45 @@ def test_jpeg_422_roundtrips():
     import pytest
     with pytest.raises(ValueError, match="16"):
         encode_jpeg_color_422(8, 8, bytes(8 * 8 * 3))
+
+
+def test_jpeg_progressive_roundtrips():
+    """SOF2 progressive: DC Al=1 + refinement, spectral-selection AC
+    bands with EOBn runs, AC refinement correction bits — decodes
+    BIT-IDENTICAL to the sequential encoder's output for the same
+    pixels (the scans refine to the same quantized coefficients)."""
+    import numpy as np
+    import pytest
+    from connectors_spark.ops.jpegcodec import (decode_jpeg,
+                                                encode_jpeg_gray,
+                                                encode_jpeg_color,
+                                                encode_jpeg_progressive)
+    # block-constant gray: exact closed form through the multi-scan path
+    w, h = 24, 16
+    px = bytearray(w * h)
+    for y in range(h):
+        for x in range(w):
+            b = (y // 8) * (w // 8) + (x // 8)
+            px[y * w + x] = 128 + 2 * (((9 * 7 + b * 13) % 64) - 32)
+    assert decode_jpeg(encode_jpeg_progressive(w, h, bytes(px))) \
+        == (w, h, 1, bytes(px))
+    # arbitrary images: progressive == sequential, gray and color
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(16, 32), dtype=np.uint8)
+    assert decode_jpeg(encode_jpeg_progressive(32, 16, img.tobytes(),
+                                               1, quant=4)) \
+        == decode_jpeg(encode_jpeg_gray(32, 16, img.tobytes(), quant=4))
+    rgb = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    assert decode_jpeg(encode_jpeg_progressive(16, 16, rgb.tobytes(),
+                                               3, quant=4)) \
+        == decode_jpeg(encode_jpeg_color(16, 16, rgb.tobytes(), quant=4))
+    # mostly-flat image: long EOB runs spanning many blocks
+    flat = np.full((32, 32), 200, dtype=np.uint8)
+    flat[:4, :4] = rng.randint(0, 256, size=(4, 4))
+    assert decode_jpeg(encode_jpeg_progressive(32, 32, flat.tobytes())) \
+        == decode_jpeg(encode_jpeg_gray(32, 32, flat.tobytes()))
+    with pytest.raises(ValueError, match="multiple-of-8"):
+        encode_jpeg_progressive(7, 8, bytes(56))
 
 
 def test_jpeg_restart_intervals():

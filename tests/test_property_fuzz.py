@@ -169,3 +169,31 @@ def test_jpeg_subsampled_color_bounded_error(bw, bh, seed, mode):
     assert (w2, h2, c2) == (w, h, 3)
     arr = np.frombuffer(out, dtype=np.uint8).reshape(h, w, 3).astype(int)
     assert np.abs(arr - img.astype(int)).max() <= 24
+
+
+@given(st.integers(1, 4), st.integers(1, 4), st.binary(min_size=0),
+       st.integers(2, 16), st.booleans())
+@settings(max_examples=50, deadline=None)
+def test_jpeg_progressive_equals_sequential(bw, bh, seed, quant, color):
+    """Any image encoded progressively (SOF2, spectral selection +
+    successive approximation + EOB runs) decodes bit-identical to the
+    sequential (SOF0) encoding of the same pixels — the scans must
+    refine to exactly the sequential coefficients."""
+    import numpy as np
+    from connectors_spark.ops import jpegcodec as jc
+    w, h = bw * 8, bh * 8
+    rng = np.random.RandomState(
+        int(hashlib.md5(seed).hexdigest()[:8], 16))
+    if color:
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        seq = jc.decode_jpeg(
+            jc.encode_jpeg_color(w, h, img.tobytes(), quant=quant))
+        pro = jc.decode_jpeg(jc.encode_jpeg_progressive(
+            w, h, img.tobytes(), 3, quant=quant))
+    else:
+        img = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+        seq = jc.decode_jpeg(
+            jc.encode_jpeg_gray(w, h, img.tobytes(), quant=quant))
+        pro = jc.decode_jpeg(jc.encode_jpeg_progressive(
+            w, h, img.tobytes(), 1, quant=quant))
+    assert pro == seq
