@@ -226,6 +226,223 @@ def decode_bmp(data: bytes):
     return w, h, 3, bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# GIF (LZW) — GIF87a/89a, real LZW both ways
+# ---------------------------------------------------------------------------
+
+
+def _lzw_compress(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable-width codes LSB-first, clear/end
+    codes, dictionary grows to 4096 then a clear code resets it.
+
+    Code widening mirrors the DECODER's table, not the encoder's: the
+    decoder installs one entry per data code read EXCEPT the first
+    after a clear, and keeps installing on the encoder's final flush
+    code — so the widen counter must track emissions, or the END code
+    desyncs by one bit-width exactly at power-of-two table sizes."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = n = 0
+    width = min_code_size + 1
+    nf = clear + 2                  # decoder's mirrored next-free slot
+    first = True                    # first data code since clear
+
+    def put_raw(code: int) -> None:
+        nonlocal acc, n
+        acc |= code << n
+        n += width
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+
+    def put_data(code: int) -> None:
+        nonlocal nf, width, first
+        put_raw(code)
+        if first:
+            first = False
+            return
+        nf += 1
+        if nf == (1 << width) and width < 12:
+            width += 1
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    put_raw(clear)
+    prefix = b""
+    for b in bytes(indices):
+        cand = prefix + bytes([b])
+        if cand in table:
+            prefix = cand
+            continue
+        put_data(table[prefix])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+        else:
+            put_raw(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+            nf = clear + 2
+            first = True
+        prefix = bytes([b])
+    if prefix:
+        put_data(table[prefix])
+    put_raw(end)
+    if n:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = n = pos = 0
+    width = min_code_size + 1
+
+    def get() -> int:
+        nonlocal acc, n, pos
+        while n < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated")
+            acc |= data[pos] << n
+            pos += 1
+            n += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n -= width
+        return code
+
+    table: list = []
+    prev: bytes = b""
+    while True:
+        code = get()
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = b""
+            continue
+        if code == end:
+            break
+        if not prev:                             # first code after clear
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]              # KwKwK case
+            table.append(entry)
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        # widen AFTER appending: the encoder widens when the next code
+        # to assign reaches the width limit
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out)
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif(width: int, height: int, indices: bytes,
+               palette: bytes, interlace: bool = False) -> bytes:
+    """Encode an indexed image as a single-frame GIF89a: global color
+    table (padded to a power of two ≥ 2 entries), real LZW-compressed
+    pixel data in 255-byte sub-blocks, optional interlacing."""
+    n_colors = len(palette) // 3
+    if n_colors < 1 or n_colors > 256:
+        raise ValueError("palette must hold 1..256 RGB entries")
+    bits = max(1, (n_colors - 1).bit_length())
+    table = bytes(palette) + b"\x00" * ((3 << bits) - len(palette))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0])
+    out += table
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+    out += bytes([0x40 if interlace else 0x00])
+    if interlace:
+        rows = []
+        for first, step in _GIF_INTERLACE:
+            rows.extend(range(first, height, step))
+        indices = b"".join(bytes(indices[y * width:(y + 1) * width])
+                           for y in rows)
+    min_code = max(2, bits)
+    out += bytes([min_code])
+    lzw = _lzw_compress(indices, min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"                           # terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(data: bytes):
+    """Decode the FIRST frame of a GIF87a/89a -> (width, height, 3,
+    RGB pixels): logical screen + global/local color tables, extension
+    blocks skipped, real LZW decompression, 4-pass de-interlacing."""
+    if bytes(data[:6]) not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack("<HH", data[6:10])
+    packed, _bg, _aspect = data[10], data[11], data[12]
+    pos = 13
+    global_table = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_table = bytes(data[pos:pos + 3 * n])
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:                            # trailer
+            break
+        if b == 0x21:                            # extension: skip blocks
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, w, h = struct.unpack("<HHHH", data[pos + 1:pos + 9])
+        ipacked = data[pos + 9]
+        pos += 10
+        table = global_table
+        if ipacked & 0x80:                       # local color table
+            n = 2 << (ipacked & 0x07)
+            table = bytes(data[pos:pos + 3 * n])
+            pos += 3 * n
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            lzw += data[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decompress(bytes(lzw), min_code)
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel data short")
+        if ipacked & 0x40:                       # de-interlace
+            de = bytearray(w * h)
+            src = 0
+            for first, step in _GIF_INTERLACE:
+                for y in range(first, h, step):
+                    de[y * w:(y + 1) * w] = idx[src:src + w]
+                    src += w
+            idx = bytes(de)
+        out = bytearray(w * h * 3)
+        for i in range(w * h):
+            c = idx[i] * 3
+            out[3 * i:3 * i + 3] = table[c:c + 3]
+        return w, h, 3, bytes(out)
+    raise ValueError("no image data in GIF")
+
+
 def decode_any(data: bytes):
     """Sniff and decode -> (fmt, width, height, channels, pixels)."""
     head = bytes(data[:8])
@@ -233,6 +450,8 @@ def decode_any(data: bytes):
         return ("png",) + decode_png(data)
     if head[:2] == b"BM":
         return ("bmp",) + decode_bmp(data)
+    if head[:6] in (b"GIF87a", b"GIF89a"):
+        return ("gif",) + decode_gif(data)
     if head[:2] == b"\xff\xd8":
         # module-level reference (not a runtime relative import): the
         # by-value shipping that makes these closures self-contained on

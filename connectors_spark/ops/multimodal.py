@@ -300,6 +300,47 @@ def synth_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         gen, schema=f"{id_col} long, media binary, fmt string")
 
 
+def synth_gif_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-GIF corpus: per doc, a single-frame GIF89a
+    with real LZW-compressed pixel data under the closed-form rule
+
+        w = 1 + doc_id % 19,  h = 1 + doc_id % 13
+        ncol = 2 + doc_id % 255
+        palette[i] = ((i·7 + doc_id) % 256, (i·11 + 3·doc_id) % 256,
+                      (i·13 + 5·doc_id) % 256)
+        index at pixel p (raster) = (doc_id·3 + p·5) % ncol
+        odd doc_ids are INTERLACED (4-pass row order)
+
+    GIF is lossless, so the DuckDB oracle recomputes the exact RGB
+    bytes from the rule while Spark must run real LZW decompression,
+    palette lookup and de-interlacing to match."""
+    from . import imagecodec as codec
+    from ..shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = 1 + did % 19, 1 + did % 13
+                ncol = 2 + did % 255
+                pal = bytes(b for i in range(ncol)
+                            for b in ((i * 7 + did) % 256,
+                                      (i * 11 + 3 * did) % 256,
+                                      (i * 13 + 5 * did) % 256))
+                idx = bytes((did * 3 + p * 5) % ncol
+                            for p in range(w * h))
+                rows.append((did,
+                             codec.encode_gif(w, h, idx, pal,
+                                              interlace=bool(did % 2)),
+                             "gif"))
+            yield pd.DataFrame(rows, columns=[id_col, "media", "fmt"])
+
+    return docs.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media binary, fmt string")
+
+
 def decode_image(media_df: DataFrame, id_col: str = "doc_id",
                  media_col: str = "media") -> DataFrame:
     """REAL image decode via the stdlib PNG/BMP codec: Arrow-batched

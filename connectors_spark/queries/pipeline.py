@@ -2488,6 +2488,40 @@ def mm_jpeg_decode_real(spark, sf_dir):
     return mm.decode_image(mm.synth_jpeg_media(docs))
 
 
+@register("mm_gif_decode_real", sql="""
+WITH g AS (
+  SELECT doc_id, 1 + doc_id % 19 AS w, 1 + doc_id % 13 AS h,
+         2 + doc_id % 255 AS ncol
+  FROM documents),
+px AS (
+  SELECT g.doc_id, g.w, g.h, r.i,
+         ((g.doc_id * 3 + (r.i // 3) * 5) % g.ncol) AS idx,
+         r.i % 3 AS ch
+  FROM g, LATERAL (SELECT unnest(range(0, g.w * g.h * 3)) AS i) r),
+v AS (
+  SELECT doc_id, w, h, i,
+         CASE ch WHEN 0 THEN (idx * 7 + doc_id) % 256
+                 WHEN 1 THEN (idx * 11 + 3 * doc_id) % 256
+                 ELSE (idx * 13 + 5 * doc_id) % 256 END AS v
+  FROM px)
+SELECT doc_id, 'gif' AS fmt, w::INTEGER AS width, h::INTEGER AS height,
+       3 AS channels,
+       sum(v)::BIGINT AS pix_sum, sum((i + 1) * v)::BIGINT AS pix_xsum
+FROM v GROUP BY doc_id, w, h
+""")
+def mm_gif_decode_real(spark, sf_dir):
+    # REAL LZW decode (stdlib GIF codec, ops/imagecodec.py): the
+    # corpus is genuine GIF89a streams — logical screen descriptor,
+    # global color table, variable-width LSB-first LZW codes with
+    # clear/end handling and 4096-entry dictionary resets, 255-byte
+    # sub-blocks, 4-pass interlacing on odd ids. GIF is lossless, so
+    # the oracle recomputes exact RGB bytes from the closed-form
+    # palette/index rule; Spark must run the actual decompression,
+    # palette lookup and de-interlace to match byte-for-byte.
+    docs = load(spark, sf_dir, "documents")
+    return mm.decode_image(mm.synth_gif_media(docs))
+
+
 @register("doc_ccnet_buckets", sql="""
 WITH toks AS (
   SELECT d.doc_id, d.lang,

@@ -95,6 +95,7 @@ GATE_SORT: Dict[str, list] = {
     "mm_frame_sample": ["doc_id", "frame_idx"],
     "mm_image_decode_real": ["doc_id"],
     "mm_jpeg_decode_real": ["doc_id"],
+    "mm_gif_decode_real": ["doc_id"],
     "mm_image_thumb_real": ["doc_id"],
     "mm_audio_decode_real": ["doc_id"],
     "mm_video_frames_real": ["doc_id", "frame_idx"],
@@ -257,6 +258,8 @@ GATE_COLUMNS: Dict[str, list] = {
                              "channels", "pix_sum", "pix_xsum"],
     "mm_jpeg_decode_real": ["doc_id", "fmt", "width", "height",
                             "channels", "pix_sum", "pix_xsum"],
+    "mm_gif_decode_real": ["doc_id", "fmt", "width", "height",
+                           "channels", "pix_sum", "pix_xsum"],
     "mm_image_thumb_real": ["doc_id", "tw", "th", "thumb_sum",
                             "thumb_xsum"],
     "mm_audio_decode_real": ["doc_id", "sample_rate", "channels",

@@ -90,9 +90,13 @@ def test_decode_any_sniffs_and_guards():
     # stream is a parse error, not a missing-codec guard
     with pytest.raises((ValueError, IndexError, struct.error)):
         ic.decode_any(b"\xff\xd8\xff\xe0JFIF....")
+    # gif magic now DISPATCHES (stdlib LZW codec); a truncated stream
+    # is a parse error, not a missing-codec guard
+    with pytest.raises((ValueError, IndexError, struct.error)):
+        ic.decode_any(b"GIF89a......")
     # genuinely unknown formats still guard loudly
     with pytest.raises(NotImplementedError, match="native"):
-        ic.decode_any(b"GIF89a......")
+        ic.decode_any(b"II*\x00........")
 
 
 def test_resize_nearest_mapping():
@@ -441,3 +445,57 @@ def test_jpeg_restart_intervals():
     data[i + 1] = 0xD5
     with pytest.raises(ValueError, match="restart"):
         decode_jpeg(bytes(data))
+
+
+def test_gif_lzw_roundtrip_and_dict_reset():
+    import random
+    rng = random.Random(11)
+    for mcs in (2, 3, 5, 8):
+        for n in (0, 1, 255, 256, 5000):
+            data = bytes(rng.randrange(1 << mcs) for _ in range(n))
+            assert ic._lzw_decompress(ic._lzw_compress(data, mcs),
+                                      mcs) == data
+    # low-entropy stream: dictionary grows to 4096 and resets (clear
+    # code mid-stream), plus the KwKwK decoder case
+    data = b"\x00\x01\x02\x03" * 3000 + b"\x00" * 64
+    assert ic._lzw_decompress(ic._lzw_compress(data, 2), 2) == data
+
+
+def test_gif_roundtrip_incl_interlace_and_palette():
+    for did in (0, 1, 5, 12, 254, 255, 256, 511):
+        w, h = 1 + did % 19, 1 + did % 13
+        ncol = 2 + did % 255
+        pal = bytes(b for i in range(ncol)
+                    for b in ((i * 7 + did) % 256,
+                              (i * 11 + 3 * did) % 256,
+                              (i * 13 + 5 * did) % 256))
+        idx = bytes((did * 3 + p * 5) % ncol for p in range(w * h))
+        blob = ic.encode_gif(w, h, idx, pal, interlace=bool(did % 2))
+        fmt, rw, rh, rc, px = ic.decode_any(blob)
+        assert (fmt, rw, rh, rc) == ("gif", w, h, 3)
+        exp = bytes(v for i in idx for v in ((i * 7 + did) % 256,
+                                             (i * 11 + 3 * did) % 256,
+                                             (i * 13 + 5 * did) % 256))
+        assert px == exp
+
+
+def test_gif_skips_extensions_and_guards():
+    pal = bytes(range(6))
+    blob = bytearray(ic.encode_gif(2, 2, bytes([0, 1, 1, 0]), pal))
+    # splice a graphic-control extension before the image descriptor
+    i = blob.index(0x2C)
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    blob = bytes(blob[:i]) + ext + bytes(blob[i:])
+    fmt, w, h, c, px = ic.decode_any(blob)
+    assert (fmt, w, h, c) == ("gif", 2, 2, 3)
+    assert px == bytes((0, 1, 2, 3, 4, 5, 3, 4, 5, 0, 1, 2))
+    with pytest.raises(ValueError, match="not a GIF"):
+        ic.decode_gif(b"NOTGIF" + bytes(20))
+    with pytest.raises(ValueError, match="palette"):
+        ic.encode_gif(1, 1, b"\x00", b"")
+
+
+def test_spark_real_gif_decode_matches_rule(spark, sf_dir):
+    from tests.harness import compare
+    ok, msg = compare(spark, str(sf_dir), "mm_gif_decode_real")
+    assert ok, msg
