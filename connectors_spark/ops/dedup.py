@@ -809,3 +809,90 @@ def ingest_neardup(new_docs: DataFrame, index_path: str,
         DeltaTable.for_path(spark, index_path).write(acc_sigs,
                                                      mode="append")
     return accepted
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (shift-resistant sub-document dedup)
+# ---------------------------------------------------------------------------
+
+def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", divisor: int = 8) -> DataFrame:
+    """(doc_id, cid, chunk, n_tok): content-defined chunks — a token
+    CLOSES its chunk when hash64(token) % divisor == 0, so boundaries
+    follow content, not position (LBFS/FastCDC rationale: an insertion
+    near the head of a document shifts every fixed-width chunk but
+    leaves every content-defined chunk after the next boundary
+    byte-identical, which is what makes sub-document dedup survive
+    edits). Expected chunk length is ``divisor`` tokens; no min/max
+    clamp, so the rule stays a pure per-token predicate both engines
+    evaluate identically.
+
+    Plan shape: ZERO shuffles — boundary positions, chunk spans, and
+    chunk strings are all one narrow array expression over the token
+    array (slice per span), posexploded into chunk rows. The
+    explode+window+reassemble formulation this replaces would shuffle
+    the whole corpus by doc_id twice just to rebuild strings that
+    were adjacent in the source row all along. No Python."""
+    def _build(tk):
+        bpos = F.filter(
+            F.sequence(F.lit(1), F.size(tk)),
+            lambda i: hash64(F.element_at(tk, i)) % divisor == 0)
+        starts = F.concat(F.array(F.lit(1)),
+                          F.transform(bpos, lambda b: b + 1))
+        ends = F.concat(bpos, F.array(F.size(tk)))
+        spans = F.filter(
+            F.zip_with(starts, ends,
+                       lambda s, e: F.struct(s.alias("s"),
+                                             e.alias("e"))),
+            lambda p: p.getField("s") <= p.getField("e"))
+        return F.transform(
+            spans,
+            lambda p: F.struct(
+                F.concat_ws(" ", F.slice(
+                    tk, p.getField("s"),
+                    p.getField("e") - p.getField("s") + 1))
+                .alias("chunk"),
+                (p.getField("e") - p.getField("s") + 1).cast("bigint")
+                .alias("n_tok")))
+
+    tk = tokens(F.col(text_col))
+    chunks = F.when(
+        F.size(tk) >= 1,   # sequence(1, 0) counts DOWN, guard empties
+        F.element_at(F.transform(F.array(tk), _build), 1))
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.posexplode(chunks).alias("cid", "c"))
+            .select("doc_id", F.col("cid").cast("bigint").alias("cid"),
+                    "c.chunk", "c.n_tok"))
+
+
+def cdc_dedup_stats(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    divisor: int = 8) -> DataFrame:
+    """Per-document duplicate-content accounting at content-defined
+    chunk granularity: a chunk instance is a duplicate when an
+    identical chunk occurs earlier in global (doc_id, cid) order — the
+    storage-dedup / ExactSubstr-style signal (Lee et al. 2021) at
+    chunk resolution, robust to token insertions unlike fixed-width
+    chunks. Returns (doc_id, n_chunks, dup_chunks, n_tok, dup_tok,
+    dup_token_ratio).
+
+    Plan shape: chunk fingerprints are hash64 8-byte keys; first
+    occurrence is one row_number window per key (per-key row counts
+    are duplicate multiplicities — bounded skew, same profile as
+    dedup_chunks_keep_first's min-struct), then one doc_id
+    re-aggregate. Chunk strings never leave the reassembly stage."""
+    ch = cdc_chunks(df, id_col, text_col, divisor).withColumn(
+        "_ck", hash64("chunk"))
+    rn = F.row_number().over(
+        Window.partitionBy("_ck").orderBy("doc_id", "cid"))
+    flagged = ch.select(
+        "doc_id", "n_tok", (rn > 1).cast("int").alias("_dup"))
+    return (flagged.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum("_dup").cast("bigint").alias("dup_chunks"),
+                 F.sum("n_tok").alias("n_tok"),
+                 F.sum(F.col("_dup") * F.col("n_tok"))
+                 .cast("bigint").alias("dup_tok"),
+                 F.round(F.sum(F.col("_dup") * F.col("n_tok"))
+                         .cast("double") / F.sum("n_tok"), 6)
+                 .alias("dup_token_ratio")))

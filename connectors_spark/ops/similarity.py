@@ -467,3 +467,72 @@ def ivf_query_indexed(spark, index_path: str, queries: DataFrame,
             .filter(F.col("rank") <= k)
             .select(F.col("_qid").alias(query_id_col),
                     F.col("_cid").alias(id_col), "sim", "rank"))
+
+
+def hard_negative_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       group_col: str = "source",
+                       query_id_col: str = "query_id") -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the exact top-k most-similar corpus vectors whose ``group_col``
+    DIFFERS from the query's (highest-cosine out-of-group = hardest
+    negatives; in-group rows — including the query itself — are
+    positives and excluded).
+
+    Same scale contract as cosine_topk: bounded query side (collected
+    closure constant, broadcast-equivalent), one numpy matmul per Arrow
+    batch with LOCAL per-partition top-k, so the final ranking window
+    shuffles O(partitions · q · k) rows, never corpus × queries.
+    Deterministic ranking (rounded sim DESC, id ASC)."""
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+    narrow = queries.select(F.col(query_id_col).alias("_qid"),
+                            F.col(vec_col).alias("_qv"),
+                            F.col(group_col).alias("_qg"))
+    if narrow.count() > MAX_DRIVER_QUERY_ROWS:
+        raise ValueError(
+            f"query side exceeds {MAX_DRIVER_QUERY_ROWS} rows; "
+            f"hard_negative_topk collects queries to the driver "
+            f"(broadcast contract)")
+    qrows = narrow.collect()
+    qids = [r["_qid"] for r in qrows]
+    qgroups = [r["_qg"] for r in qrows]
+    qmat = np.array([r["_qv"] for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    qnorm = np.where(qnorm == 0, 1.0, qnorm)
+    out_schema = StructType([
+        StructField("_qid", LongType()),
+        StructField("_cid", LongType()),
+        StructField("neg_group", StringType()),
+        StructField("sim", DoubleType()),
+    ])
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cids = pdf[id_col].to_numpy()
+            groups = pdf[group_col].to_numpy()
+            cnorm = np.sqrt((mat * mat).sum(axis=1))
+            cnorm = np.where(cnorm == 0, 1.0, cnorm)
+            dots = mat @ qmat.T                       # n × q
+            out = {"_qid": [], "_cid": [], "neg_group": [], "sim": []}
+            for j, qid in enumerate(qids):
+                sims = np.round(dots[:, j] / qnorm[j] / cnorm, 6)
+                mask = groups != qgroups[j]
+                order = np.lexsort((cids[mask], -sims[mask]))[:k]
+                out["_qid"] += [qid] * len(order)
+                out["_cid"] += list(cids[mask][order])
+                out["neg_group"] += list(groups[mask][order])
+                out["sim"] += list(sims[mask][order])
+            yield pd.DataFrame(out)
+
+    c = _spread(corpus).select(id_col, vec_col, group_col)
+    scored = c.mapInPandas(local_topk, out_schema)
+    w = Window.partitionBy("_qid").orderBy(F.desc("sim"), F.asc("_cid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("_qid").alias(query_id_col),
+                    F.col("_cid").alias(id_col), "neg_group", "sim",
+                    F.col("rank").cast("long").alias("rank")))

@@ -2769,3 +2769,159 @@ def emb_source_centroid_drift(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_vectors"),
                  F.round(F.avg("sim"), 6).alias("avg_sim"),
                  F.round(F.min("sim"), 6).alias("min_sim")))
+
+
+@register("doc_stupid_backoff_nll", sql="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+tok AS (
+  SELECT doc_id, i.i AS pos, t[i.i + 1] AS w
+  FROM toks, LATERAL (SELECT unnest(range(0, len(t))) AS i) i),
+lagd AS (
+  SELECT doc_id, pos, w,
+         lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w_p,
+         lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w_pp
+  FROM tok),
+tr AS (SELECT * FROM lagd WHERE doc_id % 10 <> 0),
+c1 AS (SELECT w, count(*)::DOUBLE AS c FROM tr GROUP BY 1),
+nv AS (SELECT sum(c) AS n, count(*)::DOUBLE AS v FROM c1),
+c2 AS (SELECT w_p, w, count(*)::DOUBLE AS c FROM tr
+       WHERE w_p IS NOT NULL GROUP BY 1, 2),
+c3 AS (SELECT w_pp, w_p, w, count(*)::DOUBLE AS c FROM tr
+       WHERE w_pp IS NOT NULL GROUP BY 1, 2, 3),
+sc AS (
+  SELECT l.doc_id, l.pos,
+         (coalesce(u.c, 0) + 1) / (nv.n + nv.v) AS su,
+         CASE WHEN b.c IS NOT NULL THEN b.c / up.c
+              ELSE 0.4 * (coalesce(u.c, 0) + 1) / (nv.n + nv.v)
+         END AS sb,
+         t3.c AS ct, cb.c AS cctx
+  FROM lagd l
+  CROSS JOIN nv
+  LEFT JOIN c1 u  ON u.w = l.w
+  LEFT JOIN c1 up ON up.w = l.w_p
+  LEFT JOIN c2 b  ON b.w_p = l.w_p AND b.w = l.w
+  LEFT JOIN c2 cb ON cb.w_p = l.w_pp AND cb.w = l.w_p
+  LEFT JOIN c3 t3 ON t3.w_pp = l.w_pp AND t3.w_p = l.w_p
+                 AND t3.w = l.w),
+s AS (
+  SELECT doc_id,
+         CASE WHEN pos = 0 THEN su
+              WHEN pos = 1 THEN sb
+              WHEN ct IS NOT NULL THEN ct / cctx
+              ELSE 0.4 * sb END AS s,
+         CASE WHEN pos >= 2 AND ct IS NULL THEN 1 ELSE 0 END AS bk
+  FROM sc)
+SELECT doc_id, count(*)::BIGINT AS n_tok,
+       round(avg(-ln(s)), 6) AS sb_nll,
+       sum(bk)::BIGINT AS n_backoff
+FROM s GROUP BY 1
+""")
+def doc_stupid_backoff_nll(spark, sf_dir):
+    # Distributed trigram LM perplexity filter (ops/lm.py): Stupid
+    # Backoff (Brants et al. 2007) trained on the doc_id % 10 != 0
+    # split, scoring EVERY document — the held-out tenth exercises the
+    # full backoff chain (unseen trigram -> bigram -> add-one unigram
+    # floor), which is the real CCNet-style quality gate: perplexity
+    # under a target-corpus LM plus a backoff-rate coverage signal.
+    # Count relations are map-side-combined groupBys; the unigram
+    # relation broadcasts (Heaps-bounded), bigram/trigram relations
+    # join sort-merge on their gram keys and are never collected.
+    from ..ops.lm import stupid_backoff_scores
+    return stupid_backoff_scores(load(spark, sf_dir, "documents"),
+                                 F.col("doc_id") % 10 != 0)
+
+
+@register("doc_cdc_dedup_stats", sql="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+tok AS (
+  SELECT doc_id, i.i AS pos, t[i.i + 1] AS w
+  FROM toks, LATERAL (SELECT unnest(range(0, len(t))) AS i) i),
+b AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN ('0x' || substring(md5(w), 1, 15))::BIGINT % 8 = 0
+              THEN 1 ELSE 0 END AS f
+  FROM tok),
+c AS (
+  SELECT doc_id, pos, w,
+         coalesce(sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cid
+  FROM b),
+ch AS (
+  SELECT doc_id, cid, string_agg(w, ' ' ORDER BY pos) AS chunk,
+         count(*)::BIGINT AS n_tok
+  FROM c GROUP BY 1, 2),
+k AS (
+  SELECT doc_id, cid, n_tok,
+         ('0x' || substring(md5(chunk), 1, 15))::BIGINT AS ck
+  FROM ch),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY ck
+                               ORDER BY doc_id, cid) AS rn
+  FROM k)
+SELECT doc_id, count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks,
+       sum(n_tok)::BIGINT AS n_tok,
+       sum(CASE WHEN rn > 1 THEN n_tok ELSE 0 END)::BIGINT AS dup_tok,
+       round(sum(CASE WHEN rn > 1 THEN n_tok ELSE 0 END)
+             / sum(n_tok)::DOUBLE, 6) AS dup_token_ratio
+FROM r GROUP BY 1
+""")
+def doc_cdc_dedup_stats(spark, sf_dir):
+    # Content-defined chunking dedup (ops/dedup.py cdc_chunks): chunk
+    # boundaries follow token content (hash64(w) % 8 == 0 closes a
+    # chunk), so sub-document duplicate detection survives insertions
+    # that shift every fixed-width window — the LBFS/FastCDC property
+    # fixed chunking lacks. A chunk instance is duplicate when an
+    # identical chunk exists at an earlier global (doc_id, cid); the
+    # per-doc duplicate-token ratio is the curation signal. All chunk
+    # exchanges ride 8-byte md5-derived keys; strings only travel in
+    # the doc-keyed reassembly.
+    from ..ops.dedup import cdc_dedup_stats
+    return cdc_dedup_stats(load(spark, sf_dir, "documents"))
+
+
+@register("emb_hard_negatives", sql="""
+WITH src AS (
+  SELECT e.vec_id, d.source, e.embedding
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+u AS (
+  SELECT vec_id, source, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM src),
+n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+d AS (
+  SELECT uq.vec_id AS qid, uc.vec_id AS cid,
+         any_value(uc.source) AS neg_group, sum(uq.v * uc.v) AS dot
+  FROM u uq JOIN u uc ON uq.i = uc.i AND uq.source <> uc.source
+  WHERE uq.vec_id < 5
+  GROUP BY 1, 2),
+s AS (
+  SELECT qid, cid, neg_group,
+         round(dot / nq.nrm / nc.nrm, 6) AS sim
+  FROM d JOIN n nq ON nq.vec_id = qid JOIN n nc ON nc.vec_id = cid)
+SELECT qid AS query_id, cid AS vec_id, neg_group, sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY sim DESC, cid) AS rank
+  FROM s) WHERE rank <= 5
+""")
+def emb_hard_negatives(spark, sf_dir):
+    # Contrastive-training hard negatives (ops/similarity.py
+    # hard_negative_topk): per query vector, exact top-5 cosine among
+    # vectors from a DIFFERENT source — in-group rows are positives
+    # and excluded, so the result is the hardest out-of-group
+    # negatives. Bounded query side broadcast as a closure constant;
+    # per-partition numpy matmul with local top-k means the ranking
+    # window shuffles O(partitions x q x k), never corpus x queries.
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source")
+    corpus = emb.join(docs, "vec_id")
+    queries = (corpus.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"),
+                       "embedding", "source"))
+    return sim.hard_negative_topk(corpus, queries, k=5)

@@ -152,6 +152,9 @@ GATE_SORT: Dict[str, list] = {
     "ev_funnel_view_click_purchase": ["n_view"],
     "ev_gapfill_daily_locf": ["key", "day"],
     "doc_unigram_nll": ["doc_id"],
+    "doc_stupid_backoff_nll": ["doc_id"],
+    "doc_cdc_dedup_stats": ["doc_id"],
+    "emb_hard_negatives": ["query_id", "rank"],
     "ev_gapfill_daily_interp": ["key", "day"],
     "ev_ohlc_daily": ["key", "day"],
     "ev_time_weighted_avg": ["key"],
@@ -326,6 +329,12 @@ GATE_COLUMNS: Dict[str, list] = {
     "ev_funnel_view_click_purchase": ["n_view", "n_view_click", "n_full_funnel", "mean_convert_us"],
     "ev_gapfill_daily_locf": ["key", "day", "value", "filled"],
     "doc_unigram_nll": ["doc_id", "n_tok", "nll"],
+    "doc_stupid_backoff_nll": ["doc_id", "n_tok", "sb_nll",
+                               "n_backoff"],
+    "doc_cdc_dedup_stats": ["doc_id", "n_chunks", "dup_chunks",
+                            "n_tok", "dup_tok", "dup_token_ratio"],
+    "emb_hard_negatives": ["query_id", "vec_id", "neg_group", "sim",
+                           "rank"],
     "doc_dsir_weights": ["doc_id", "n_feat", "logw"],
     "doc_quality_logreg": ["doc_id", "score", "pred"],
     "ev_gapfill_daily_interp": ["key", "day", "value", "filled"],

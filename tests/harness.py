@@ -123,11 +123,19 @@ def run_all(spark, sf_dir: str,
 
 
 if __name__ == "__main__":
+    import os
+
     from pyspark.sql import SparkSession
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or None
-    spark = (SparkSession.builder.master("local[8]")
-             .config("spark.sql.shuffle.partitions", "8")
+    # The CLI sweep runs at arbitrary sf, including sf0.1 where the
+    # JVM default 1g driver heap OOMs mid-sweep and takes every later
+    # query down with it — size the heap like bench.py/conftest do.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .config("spark.sql.shuffle.partitions", cpus)
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")

@@ -956,3 +956,102 @@ def test_pagerank_properties(spark):
            for r in pagerank(nodes.repartition(7),
                              edges.repartition(5), iters=10).collect()}
     assert pr == pr2
+
+
+def test_cdc_chunks_shift_resistant(spark):
+    # The CDC property fixed-width chunking lacks: prepending a token
+    # shifts every position, yet every chunk after the first boundary
+    # is byte-identical — so sub-document dedup survives edits.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lam mu nu xi omicron pi rho sigma tau upsilon"
+    df = spark.createDataFrame(
+        [(0, base), (1, "INSERTED " + base)],
+        "doc_id: long, text: string")
+    ch = {(r.doc_id, r.chunk) for r in dd.cdc_chunks(df).collect()}
+    c0 = {c for d, c in ch if d == 0}
+    c1 = {c for d, c in ch if d == 1}
+    shared = c0 & c1
+    # everything from the first boundary of doc 0 onward must be shared
+    assert shared, "no chunk survived the shift — not content-defined"
+    # the unshared part of doc 1 is exactly its (edited) head chunk
+    assert len(c1 - c0) == 1
+    # fixed-width chunking over the same pair shares nothing but
+    # (possibly) the trailing short chunk — the contrast the CDC op is
+    # for
+    fixed = {(r.doc_id, r.chunk)
+             for r in dd.doc_chunks(df, chunk_tokens=8).collect()}
+    f0 = {c for d, c in fixed if d == 0}
+    f1 = {c for d, c in fixed if d == 1}
+    assert len(f0 & f1) <= 1
+
+
+def test_cdc_dedup_stats_counts_duplicate_chunks(spark):
+    # doc 10 repeats doc 2's text verbatim: every one of its chunks is
+    # a duplicate (10 > 2 in global order), so dup_token_ratio == 1.
+    rows = [(2, "one two three four five six seven eight nine ten"),
+            (10, "one two three four five six seven eight nine ten"),
+            (7, "entirely fresh content with no repeats anywhere")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r.doc_id: r for r in dd.cdc_dedup_stats(df).collect()}
+    assert out[2].dup_chunks == 0
+    assert out[10].dup_chunks == out[10].n_chunks
+    assert out[10].dup_token_ratio == 1.0
+    assert out[7].dup_chunks == 0
+    assert out[2].n_tok == 10 and out[10].n_tok == 10
+
+
+def test_stupid_backoff_backoff_chain(spark):
+    # Train on docs 1-2 only; doc 0 is held out, but all its grams
+    # appear in training, so the trigram path never backs off.
+    from math import isclose, log
+
+    from connectors_spark.ops.lm import stupid_backoff_scores
+    rows = [(0, "a b c"), (1, "a b c a b d"), (2, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r.doc_id: r for r in
+           stupid_backoff_scores(df, F.col("doc_id") > 0).collect()}
+    # train corpus: "a b c a b d" + "a b c" -> N=9, V=4
+    # c1: a=3 b=3 c=2 d=1; c2: (a,b)=3 (b,c)=2 (c,a)=1 (b,d)=1
+    # c3: (a,b,c)=2 (b,c,a)=1 (c,a,b)=1 (a,b,d)=1
+    # doc 0 "a b c": pos0 u(a)=(3+1)/13; pos1 b(b|a)=3/3=1;
+    # pos2 t(c|a,b)=2/3 — all seen, no backoff
+    exp = -(log(4 / 13) + log(1.0) + log(2 / 3)) / 3
+    assert out[0].n_backoff == 0
+    assert isclose(out[0].sb_nll, round(exp, 6), abs_tol=1e-6)
+    # doc 1 contains trigram (c,a,b) and (a,b,d): trained on itself,
+    # so no backoff either; doc scores exist for all three docs
+    assert set(out) == {0, 1, 2}
+
+
+def test_stupid_backoff_unseen_falls_to_floor(spark):
+    from math import isclose, log
+
+    from connectors_spark.ops.lm import stupid_backoff_scores
+    rows = [(0, "x"), (1, "a b"), (2, "a b")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r.doc_id: r for r in
+           stupid_backoff_scores(df, F.col("doc_id") > 0).collect()}
+    # train: "a b" x2 -> N=4, V=2. doc 0 token "x" is OOV:
+    # u = (0+1)/(4+2) = 1/6 — the add-one floor, never -inf
+    assert isclose(out[0].sb_nll, round(-log(1 / 6), 6), abs_tol=1e-6)
+
+
+def test_hard_negative_topk_excludes_own_group(spark):
+    rows = [
+        (0, "a", [1.0, 0.0]),
+        (1, "a", [0.99, 0.14]),   # same group, most similar — excluded
+        (2, "b", [0.9, 0.43]),    # different group
+        (3, "b", [0.0, 1.0]),     # different group, orthogonal
+        (4, "c", [1.0, 0.01]),    # different group, near-identical
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, source: string, "
+                                     "embedding: array<double>")
+    q = (df.filter("vec_id = 0")
+         .select(F.col("vec_id").alias("query_id"), "embedding",
+                 "source"))
+    out = sim.hard_negative_topk(df, q, k=2).collect()
+    got = [(r.vec_id, r.neg_group, r.rank) for r in out]
+    # hardest out-of-group negatives in similarity order; vec 1 (own
+    # group) and vec 0 (self) never appear
+    assert got == [(4, "c", 1), (2, "b", 2)]
+    assert all(r.neg_group != "a" for r in out)

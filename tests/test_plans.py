@@ -491,3 +491,27 @@ def test_ingest_neardup_bucket_joins_no_cartesian(spark, sf_dir, tmp_path):
     p = plan_of(ingest_neardup(docs, idx, update_index=False))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_stupid_backoff_no_lag_window(plans):
+    # ops/lm.py builds (w, w_p, w_pp) as a narrow array expression;
+    # a lag-window formulation would shuffle the corpus by doc_id
+    # once per consumer (c1/c2/c3/scoring = 4x). Pin: no Window
+    # operator anywhere, no cartesian blowup (the single-row totals
+    # relation rides a broadcast nested loop, which is fine).
+    p = plans("doc_stupid_backoff_nll")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_cdc_chunking_is_fully_narrow(spark, sf_dir):
+    # cdc_chunks alone must be shuffle-free: chunk spans and strings
+    # come straight off each row's token array (slice per span), so
+    # the plan is scan -> project -> generate with NO exchange and NO
+    # window. The dedup ranking on top adds exactly the inherent
+    # fingerprint shuffle.
+    from connectors_spark.ops.dedup import cdc_chunks
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(cdc_chunks(docs))
+    assert "Exchange" not in p
+    assert "Window" not in p

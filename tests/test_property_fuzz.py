@@ -197,3 +197,36 @@ def test_jpeg_progressive_equals_sequential(bw, bh, seed, quant, color):
         pro = jc.decode_jpeg(jc.encode_jpeg_progressive(
             w, h, img.tobytes(), 1, quant=quant))
     assert pro == seq
+
+
+@st.composite
+def _gif(draw, max_side=12):
+    w = draw(st.integers(1, max_side))
+    h = draw(st.integers(1, max_side))
+    ncol = draw(st.integers(1, 256))
+    pal = draw(st.binary(min_size=3 * ncol, max_size=3 * ncol))
+    idx = bytes(b % ncol for b in
+                draw(st.binary(min_size=w * h, max_size=w * h)))
+    interlace = draw(st.booleans())
+    return w, h, pal, idx, interlace
+
+
+@given(_gif())
+@settings(max_examples=150, deadline=None)
+def test_gif_roundtrip_any_indices(g):
+    # Any palette/index stream round-trips byte-exact through real LZW
+    # (incl. dictionary resets on long low-entropy streams, KwKwK, and
+    # the 4-pass interlace) — GIF is lossless.
+    w, h, pal, idx, interlace = g
+    blob = ic.encode_gif(w, h, idx, pal, interlace=interlace)
+    fmt, rw, rh, rc, px = ic.decode_any(blob)
+    exp = b"".join(pal[3 * i:3 * i + 3] for i in idx)
+    assert (fmt, rw, rh, rc) == ("gif", w, h, 3)
+    assert px == exp
+
+
+@given(st.binary(min_size=0, max_size=4000), st.integers(2, 8))
+@settings(max_examples=150, deadline=None)
+def test_gif_lzw_roundtrip_any_bytes(data, mcs):
+    data = bytes(b % (1 << mcs) for b in data)
+    assert ic._lzw_decompress(ic._lzw_compress(data, mcs), mcs) == data
