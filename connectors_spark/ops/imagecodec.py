@@ -9,7 +9,8 @@ arm is real too; remaining exotic formats guard loudly.
 
 PNG support: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
 4 (gray+alpha), 6 (RGBA); all five scanline filters (None/Sub/Up/
-Average/Paeth, PNG spec §9); non-interlaced only (Adam7 raises). The
+Average/Paeth, PNG spec §9); both interlace methods (none + Adam7
+7-pass, spec §8.2, per-pass filtering). The
 encoder deliberately varies the filter per scanline (y % 5) so every
 round-trip test exercises every unfilter branch. CRCs are verified on
 decode.
@@ -91,26 +92,59 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2). Each
+# pass is an independent sub-image with its own scanline filters and
+# its own zero "previous row" at the top.
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _adam7_rows(width: int, height: int):
+    """Per pass: (pass_width, list of source row indices, x positions)."""
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        yield (pw, range(y0, height, dy), range(x0, width, dx))
+
+
 def encode_png(width: int, height: int, pixels: bytes,
-               channels: int = 1, filter_mode: str = "mixed") -> bytes:
+               channels: int = 1, filter_mode: str = "mixed",
+               interlace: bool = False) -> bytes:
     """Encode row-major 8-bit pixels (len == w*h*channels) as PNG.
     channels: 1=gray, 3=RGB, 4=RGBA. filter_mode 'mixed' uses filter
     y % 5 per scanline (exercises every decoder branch); 'none' uses 0.
+    interlace=True writes the 7-pass Adam7 layout (per-pass filtering).
     """
     stride = width * channels
     if len(pixels) != stride * height:
         raise ValueError(f"expected {stride * height} bytes, "
                          f"got {len(pixels)}")
     ihdr = struct.pack(">IIBBBBB", width, height, 8,
-                       _CHANNELS_CTYPE[channels], 0, 0, 0)
+                       _CHANNELS_CTYPE[channels], 0, 0,
+                       1 if interlace else 0)
     raw = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        row = bytes(pixels[y * stride:(y + 1) * stride])
-        ft = (y % 5) if filter_mode == "mixed" else 0
-        raw.append(ft)
-        raw.extend(_filter_row(ft, row, prev, channels))
-        prev = row
+    if interlace:
+        for pw, rows, xs in _adam7_rows(width, height):
+            prev = bytes(pw * channels)
+            for py, y in enumerate(rows):
+                row = b"".join(
+                    pixels[(y * width + x) * channels:
+                           (y * width + x) * channels + channels]
+                    for x in xs)
+                ft = (py % 5) if filter_mode == "mixed" else 0
+                raw.append(ft)
+                raw.extend(_filter_row(ft, row, prev, channels))
+                prev = row
+    else:
+        prev = bytes(stride)
+        for y in range(height):
+            row = bytes(pixels[y * stride:(y + 1) * stride])
+            ft = (y % 5) if filter_mode == "mixed" else 0
+            raw.append(ft)
+            raw.extend(_filter_row(ft, row, prev, channels))
+            prev = row
     return (PNG_SIG + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
             + _chunk(b"IEND", b""))
@@ -137,8 +171,8 @@ def decode_png(data: bytes):
                 ">IIBBBBB", body)
             if depth != 8:
                 raise NotImplementedError(f"bit depth {depth}")
-            if interlace:
-                raise NotImplementedError("Adam7 interlacing")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad interlace method {interlace}")
         elif tag == b"PLTE":
             palette = body
         elif tag == b"IDAT":
@@ -151,19 +185,41 @@ def decode_png(data: bytes):
     channels = _CTYPE_CHANNELS[ctype]
     stride = w * channels
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * h:
-        raise ValueError("IDAT size mismatch")
-    out = bytearray()
-    prev = bytes(stride)
-    p = 0
-    for _y in range(h):
-        ft = raw[p]
-        p += 1
-        row = bytearray(raw[p:p + stride])
-        p += stride
-        _unfilter_row(ft, row, prev, channels)
-        out.extend(row)
-        prev = bytes(row)
+    if interlace:
+        want = sum((1 + pw * channels) * len(rows)
+                   for pw, rows, _xs in _adam7_rows(w, h))
+        if len(raw) != want:
+            raise ValueError("IDAT size mismatch")
+        out = bytearray(stride * h)
+        p = 0
+        for pw, rows, xs in _adam7_rows(w, h):
+            pstride = pw * channels
+            prev = bytes(pstride)
+            for y in rows:
+                ft = raw[p]
+                p += 1
+                row = bytearray(raw[p:p + pstride])
+                p += pstride
+                _unfilter_row(ft, row, prev, channels)
+                for xi, x in enumerate(xs):
+                    o = (y * w + x) * channels
+                    out[o:o + channels] = row[xi * channels:
+                                              (xi + 1) * channels]
+                prev = bytes(row)
+    else:
+        if len(raw) != (stride + 1) * h:
+            raise ValueError("IDAT size mismatch")
+        out = bytearray()
+        prev = bytes(stride)
+        p = 0
+        for _y in range(h):
+            ft = raw[p]
+            p += 1
+            row = bytearray(raw[p:p + stride])
+            p += stride
+            _unfilter_row(ft, row, prev, channels)
+            out.extend(row)
+            prev = bytes(row)
     if ctype == 3:
         # Malformed palettes must fail as loudly as a bad CRC: a short
         # slice would silently truncate the pixel buffer.

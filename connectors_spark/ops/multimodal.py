@@ -207,9 +207,13 @@ def synth_image_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         byte[i] = (doc_id * 31 + i) % 256
 
     encoded through the real stdlib encoders — PNGs with the per-row
-    mixed filter schedule (y % 5), BMPs bottom-up BGR-padded — so
-    decoding them back is a genuine parse, while an SQL oracle can
-    recompute the expected pixels from the rule alone."""
+    mixed filter schedule (y % 5) and Adam7 INTERLACED when
+    doc_id % 3 == 0 (the oracle computes pixel stats from the rule, so
+    the layout difference is exactly what the gate pins: a
+    de-interlacing bug shifts pixels and breaks the position-weighted
+    pix_xsum), BMPs bottom-up BGR-padded — so decoding them back is a
+    genuine parse, while an SQL oracle can recompute the expected
+    pixels from the rule alone."""
     from . import imagecodec as codec
     from ..shipping import ensure_shipped_by_value
     ensure_shipped_by_value()
@@ -224,7 +228,8 @@ def synth_image_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 c = 3 if (bmp or did % 2 == 1) else 1
                 px = bytes((did * 31 + i) % 256 for i in range(w * h * c))
                 data = (codec.encode_bmp(w, h, px) if bmp
-                        else codec.encode_png(w, h, px, c))
+                        else codec.encode_png(w, h, px, c,
+                                              interlace=did % 3 == 0))
                 rows.append((did, data, "bmp" if bmp else "png"))
             yield pd.DataFrame(rows, columns=[id_col, "media", "fmt"])
 

@@ -63,12 +63,41 @@ def test_png_palette_expands_to_rgb():
     assert px == bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 0, 0))
 
 
-def test_png_interlace_raises():
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
-    blob = (ic.PNG_SIG + ic._chunk(b"IHDR", ihdr)
-            + ic._chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        ic.decode_png(blob)
+@pytest.mark.parametrize("channels", [1, 3, 4])
+@pytest.mark.parametrize("w,h", [(1, 1), (7, 5), (8, 8), (9, 10),
+                                 (16, 3), (3, 16)])
+def test_png_adam7_roundtrip(channels, w, h):
+    # Sizes straddle the 8x8 Adam7 grid: single-pixel (pass 1 only),
+    # sub-8 (several passes empty), exact tile, and >8 both ways.
+    px = _pixels(w * h * channels, seed=11)
+    blob = ic.encode_png(w, h, px, channels, filter_mode="mixed",
+                         interlace=True)
+    rw, rh, rc, rpx = ic.decode_png(blob)
+    assert (rw, rh, rc) == (w, h, channels)
+    assert rpx == px
+
+
+def test_png_adam7_layout_differs_and_size_checked():
+    px = _pixels(9 * 9 * 3, seed=3)
+    il = ic.encode_png(9, 9, px, 3, interlace=True)
+    seq = ic.encode_png(9, 9, px, 3)
+    assert il != seq and ic.decode_png(il)[3] == ic.decode_png(seq)[3]
+    # a truncated interlaced IDAT fails loudly, not with garbage pixels
+    import zlib as _z
+    pos, idat = 8, b""
+    while pos < len(il):
+        (ln,) = struct.unpack(">I", il[pos:pos + 4])
+        if il[pos + 4:pos + 8] == b"IDAT":
+            idat = il[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+    raw = _z.decompress(idat)[:-5]
+    bad = (ic.PNG_SIG
+           + ic._chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 9, 8, 2,
+                                            0, 0, 1))
+           + ic._chunk(b"IDAT", _z.compress(raw))
+           + ic._chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="IDAT size"):
+        ic.decode_png(bad)
 
 
 @pytest.mark.parametrize("w,h", [(3, 2), (4, 4), (5, 3)])

@@ -230,3 +230,11 @@ def test_gif_roundtrip_any_indices(g):
 def test_gif_lzw_roundtrip_any_bytes(data, mcs):
     data = bytes(b % (1 << mcs) for b in data)
     assert ic._lzw_decompress(ic._lzw_compress(data, mcs), mcs) == data
+
+
+@given(_image(), st.sampled_from(["mixed", "none"]))
+@settings(max_examples=150, deadline=None)
+def test_png_adam7_roundtrip_any_pixels(img, mode):
+    w, h, c, px = img
+    blob = ic.encode_png(w, h, px, c, filter_mode=mode, interlace=True)
+    assert ic.decode_png(blob) == (w, h, c, px)
