@@ -896,3 +896,50 @@ def cdc_dedup_stats(df: DataFrame, id_col: str = "doc_id",
                  F.round(F.sum(F.col("_dup") * F.col("n_tok"))
                          .cast("double") / F.sum("n_tok"), 6)
                  .alias("dup_token_ratio")))
+
+
+def neardup_decontaminate(train: DataFrame, eval_df: DataFrame,
+                          n: int = 3, num_perm: int = 16,
+                          bands: int = 4, threshold: float = 0.5,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: train documents whose
+    shingle-set Jaccard against any eval document clears ``threshold``
+    — the paraphrase-robust complement of `contamination_report`,
+    whose exact n-gram matching misses lightly reworded benchmark
+    leakage (the Llama/GPT-4 era decontamination reports run both).
+
+    Returns (doc_id, n_eval_matches, max_jaccard) per flagged TRAIN
+    doc, max_jaccard rounded to 6.
+
+    Scale shape: both sides run the shared MinHash pipeline
+    (minhash_signatures → band_buckets; map-side-combined signature
+    agg). Candidates come from a band-bucket equi-join where the EVAL
+    side is broadcast — a benchmark suite is thousands of docs, so its
+    bucket relation is dimension-sized; the 100 TB train side streams
+    through a map-side hash join and only candidate rows (bounded by
+    LSH construction) reach the exact-Jaccard verify, which
+    re-shingles just those docs. Never all-pairs, never a corpus
+    shuffle keyed by bucket."""
+    tb = band_buckets(
+        minhash_signatures(train, id_col, text_col, n, num_perm),
+        num_perm, bands).withColumnRenamed("_id", "_tid")
+    eb = band_buckets(
+        minhash_signatures(eval_df, id_col, text_col, n, num_perm),
+        num_perm, bands).withColumnRenamed("_id", "_eid")
+    cand = (tb.join(F.broadcast(eb), ["band", "key"])
+            .select("_tid", "_eid").distinct())
+    tt = train.select(F.col(id_col).alias("_tid"),
+                      ngram_shingles(F.col(text_col), n).alias("_tsh"))
+    et = eval_df.select(F.col(id_col).alias("_eid"),
+                        ngram_shingles(F.col(text_col), n).alias("_esh"))
+    j = (cand.join(tt, "_tid").join(F.broadcast(et), "_eid")
+         .withColumn("_c", F.size(F.array_intersect("_tsh", "_esh")))
+         .withColumn("jaccard",
+                     F.col("_c").cast("double") /
+                     (F.size("_tsh") + F.size("_esh") - F.col("_c"))
+                     .cast("double"))
+         .filter(F.col("jaccard") >= threshold))
+    return (j.groupBy(F.col("_tid").alias("doc_id"))
+            .agg(F.count(F.lit(1)).alias("n_eval_matches"),
+                 F.round(F.max("jaccard"), 6).alias("max_jaccard")))

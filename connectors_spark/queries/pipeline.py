@@ -2925,3 +2925,36 @@ def emb_hard_negatives(spark, sf_dir):
                .select(F.col("vec_id").alias("query_id"),
                        "embedding", "source"))
     return sim.hard_negative_topk(corpus, queries, k=5)
+
+
+@register("doc_neardup_decontaminate", sql=f"""
+WITH {_SIG_CTES},
+cand AS (
+  SELECT DISTINCT t.doc_id AS tid, e.doc_id AS eid
+  FROM bnd t JOIN bnd e ON t.band = e.band AND t.key = e.key
+  WHERE t.doc_id % 17 <> 0 AND e.doc_id % 17 = 0),
+ver AS (
+  SELECT tid, eid,
+         len(list_intersect(st.s, se.s))::BIGINT AS c,
+         len(st.s) AS zt, len(se.s) AS ze
+  FROM cand JOIN sh st ON st.doc_id = tid
+            JOIN sh se ON se.doc_id = eid)
+SELECT tid AS doc_id, count(*)::BIGINT AS n_eval_matches,
+       round(max(c::DOUBLE / (zt + ze - c)), 6) AS max_jaccard
+FROM ver WHERE c::DOUBLE / (zt + ze - c) >= 0.5
+GROUP BY 1
+""")
+def doc_neardup_decontaminate(spark, sf_dir):
+    # Paraphrase-robust decontamination (ops/dedup.py
+    # neardup_decontaminate): train docs (doc_id % 17 != 0) whose
+    # shingle Jaccard against any pseudo-benchmark doc (doc_id % 17
+    # == 0) clears 0.5 — the MinHash complement of the exact n-gram
+    # contamination_report. The eval side's band buckets and shingle
+    # arrays broadcast (benchmark-sized); the train corpus streams
+    # through map-side hash joins and only LSH candidates reach the
+    # exact verify.
+    docs = load(spark, sf_dir, "documents")
+    return dd.neardup_decontaminate(
+        docs.filter(F.col("doc_id") % 17 != 0),
+        docs.filter(F.col("doc_id") % 17 == 0),
+        threshold=0.5)

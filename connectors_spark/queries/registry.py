@@ -155,6 +155,7 @@ GATE_SORT: Dict[str, list] = {
     "doc_stupid_backoff_nll": ["doc_id"],
     "doc_cdc_dedup_stats": ["doc_id"],
     "emb_hard_negatives": ["query_id", "rank"],
+    "doc_neardup_decontaminate": ["doc_id"],
     "ev_gapfill_daily_interp": ["key", "day"],
     "ev_ohlc_daily": ["key", "day"],
     "ev_time_weighted_avg": ["key"],
@@ -335,6 +336,8 @@ GATE_COLUMNS: Dict[str, list] = {
                             "n_tok", "dup_tok", "dup_token_ratio"],
     "emb_hard_negatives": ["query_id", "vec_id", "neg_group", "sim",
                            "rank"],
+    "doc_neardup_decontaminate": ["doc_id", "n_eval_matches",
+                                  "max_jaccard"],
     "doc_dsir_weights": ["doc_id", "n_feat", "logw"],
     "doc_quality_logreg": ["doc_id", "score", "pred"],
     "ev_gapfill_daily_interp": ["key", "day", "value", "filled"],

@@ -1055,3 +1055,21 @@ def test_hard_negative_topk_excludes_own_group(spark):
     # group) and vec 0 (self) never appear
     assert got == [(4, "c", 1), (2, "b", 2)]
     assert all(r.neg_group != "a" for r in out)
+
+
+def test_neardup_decontaminate_catches_paraphrase(spark):
+    bench = " ".join(f"q{i}" for i in range(20))
+    para = " ".join(f"q{i}" if i != 19 else "reworded"
+                    for i in range(20))          # near-dup of bench
+    clean = " ".join(f"c{i}" for i in range(20))
+    train = spark.createDataFrame(
+        [(1, para), (2, clean), (3, bench)],     # 3 = verbatim leak
+        "doc_id: long, text: string")
+    ev = spark.createDataFrame([(100, bench)],
+                               "doc_id: long, text: string")
+    out = {r.doc_id: r for r in
+           dd.neardup_decontaminate(train, ev, threshold=0.5).collect()}
+    assert set(out) == {1, 3}
+    assert out[3].max_jaccard == 1.0             # verbatim
+    assert 0.5 <= out[1].max_jaccard < 1.0       # paraphrase caught
+    assert out[1].n_eval_matches == 1
