@@ -551,3 +551,48 @@ def frame_sample_real(media_df: DataFrame, every_n: int = 2,
     schema = StructType([StructField(id_col, LongType())]
                         + VIDEO_FRAME_STATS_SCHEMA.fields[1:])
     return media_df.mapInPandas(sample, schema=schema)
+
+
+def synth_mjpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL Motion-JPEG corpus: per doc an MJPG AVI with
+
+        nf = 1 + doc_id % 3 frames,  w = 8·(1 + doc_id % 3),
+        h = 8·(1 + doc_id % 2)
+        block b of frame f (raster order, 8×8):
+            p = 128 + 2·(((doc_id·7 + f·11 + b·13) % 64) − 32)
+        every pixel of the block is R = G = B = p
+
+    Each frame is a standalone baseline 4:4:4 JPEG inside a '00dc'
+    chunk (real DCT/quantize/Huffman per frame); the even-offset
+    block-constant rule makes decode bit-exact (S00 a multiple of the
+    flat quantizer, gray RGB zeroes chroma), so an SQL oracle
+    recomputes every pixel while Spark runs the full container parse
+    plus per-frame entropy decode, IDCT and YCbCr→RGB."""
+    from . import videocodec as vc
+    from ..shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = 8 * (1 + did % 3), 8 * (1 + did % 2)
+                nf, bw = 1 + did % 3, w // 8
+                frames = []
+                for f in range(nf):
+                    fr = bytearray(w * h * 3)
+                    for by in range(h // 8):
+                        for bx in range(bw):
+                            b = by * bw + bx
+                            p = 128 + 2 * (((did * 7 + f * 11
+                                             + b * 13) % 64) - 32)
+                            for yy in range(8):
+                                o = (((by * 8 + yy) * w) + bx * 8) * 3
+                                fr[o:o + 24] = bytes([p]) * 24
+                    frames.append(bytes(fr))
+                rows.append((did, vc.encode_avi_mjpeg(w, h, frames)))
+            yield pd.DataFrame(rows, columns=[id_col, "media"])
+
+    return docs.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media binary")

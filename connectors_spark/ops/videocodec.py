@@ -2,18 +2,23 @@
 ('RGB ' / BI_RGB) frames in a minimal RIFF-AVI container.
 
 Completes the multimodal trio (imagecodec: PNG/BMP, audiocodec: WAV):
-video too has one format a pure-Python parser can decode — raw-frame
-AVI. The encoder writes a spec-shaped container (avih main header,
-strl/strh/strf stream headers, movi list of '00db' DIB frames,
-bottom-up BGR rows padded to 4 bytes); the decoder is a chunk walker
-that descends LISTs, reads dimensions from 'avih', and yields frames
-as top-down RGB. Compressed codecs (h264 etc.) remain
-native-codec-guarded in ops/multimodal.py."""
+video too has formats a pure-Python parser can decode — raw-frame
+AVI, and (round 8) Motion-JPEG: each '00dc' frame is a standalone
+baseline JPEG routed through the real entropy/DCT codec in
+ops/jpegcodec.py, so MJPEG decode exercises the full compressed
+path per frame. The encoder writes a spec-shaped container (avih main
+header, strl/strh/strf stream headers, movi list of '00db' DIB or
+'00dc' JPEG frames, DIB rows bottom-up BGR padded to 4 bytes); the
+decoder is a chunk walker that descends LISTs, reads dimensions from
+'avih', and yields frames as top-down RGB. Inter-frame codecs (h264
+etc.) remain native-codec-guarded in ops/multimodal.py."""
 
 from __future__ import annotations
 
 import struct
 from typing import List, Tuple
+
+from . import jpegcodec
 
 
 def _dib_frame(width: int, height: int, rgb: bytes) -> bytes:
@@ -76,8 +81,9 @@ def encode_avi(width: int, height: int, frames: List[bytes],
 
 
 def decode_avi(data: bytes) -> Tuple[int, int, List[bytes]]:
-    """Decode raw-DIB AVI -> (width, height, frames as top-down RGB).
-    Walks the RIFF tree; raises on compressed streams."""
+    """Decode raw-DIB or Motion-JPEG AVI -> (width, height, frames as
+    top-down RGB). Walks the RIFF tree; '00db' chunks un-DIB, '00dc'
+    chunks run the full baseline-JPEG decode; inter-frame codecs raise."""
     if bytes(data[:4]) != b"RIFF" or bytes(data[8:12]) != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
     width = height = None
@@ -97,18 +103,59 @@ def decode_avi(data: bytes) -> Tuple[int, int, List[bytes]]:
             elif tag == b"strh":
                 handler = bytes(data[body_start + 4:body_start + 8])
                 if bytes(data[body_start:body_start + 4]) == b"vids" \
-                        and handler not in (b"DIB ", b"\0\0\0\0"):
+                        and handler not in (b"DIB ", b"\0\0\0\0",
+                                            b"MJPG"):
                     raise NotImplementedError(
-                        f"AVI codec {handler!r}: only raw DIB has a "
-                        f"stdlib decoder")
+                        f"AVI codec {handler!r}: only raw DIB and "
+                        f"MJPG have stdlib decoders")
             elif tag == b"00db":
                 if width is None:
                     raise ValueError("frame before avih header")
                 frames.append(_undib_frame(
                     width, height, data[body_start:body_start + ln]))
+            elif tag == b"00dc":
+                if width is None:
+                    raise ValueError("frame before avih header")
+                fw, fh, fc, px = jpegcodec.decode_jpeg(
+                    bytes(data[body_start:body_start + ln]))
+                if (fw, fh) != (width, height):
+                    raise ValueError(
+                        f"MJPEG frame {fw}x{fh} != header "
+                        f"{width}x{height}")
+                if fc == 1:   # gray frames widen to RGB for uniformity
+                    px = bytes(v for g in px for v in (g, g, g))
+                frames.append(px)
             pos = body_start + ln + (ln & 1)
 
     walk(12, 8 + struct.unpack("<I", data[4:8])[0])
     if width is None:
         raise ValueError("missing avih header")
     return width, height, frames
+
+
+def encode_avi_mjpeg(width: int, height: int, frames: List[bytes],
+                     fps: int = 10) -> bytes:
+    """Encode top-down RGB frames as a Motion-JPEG AVI: handler
+    'MJPG', each frame a standalone baseline 4:4:4 color JPEG in a
+    '00dc' (compressed) chunk. Dimensions must be multiples of 8 (the
+    block-exact contract of the stdlib JPEG encoder)."""
+    if any(len(f) != width * height * 3 for f in frames):
+        raise ValueError("every frame must be w*h*3 RGB bytes")
+    blobs = [jpegcodec.encode_jpeg_color(width, height, f)
+             for f in frames]
+    buf = max((len(b) for b in blobs), default=0)
+    avih = struct.pack("<IIIIIIIIII4I", 1_000_000 // fps, 0, 0, 0x10,
+                       len(frames), 0, 1, buf, width, height,
+                       0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG"
+            + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, fps, 0,
+                          len(frames), buf, -1, 0)
+            + struct.pack("<4H", 0, 0, width, height))
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
+                       0x47504A4D,  # biCompression 'MJPG'
+                       buf, 2835, 2835, 0, 0)
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih)
+                 + _list(b"strl", _chunk(b"strh", strh)
+                         + _chunk(b"strf", strf)))
+    movi = _list(b"movi", b"".join(_chunk(b"00dc", b) for b in blobs))
+    return _chunk(b"RIFF", b"AVI " + hdrl + movi)

@@ -2958,3 +2958,36 @@ def doc_neardup_decontaminate(spark, sf_dir):
         docs.filter(F.col("doc_id") % 17 != 0),
         docs.filter(F.col("doc_id") % 17 == 0),
         threshold=0.5)
+
+
+@register("mm_mjpeg_frames_real", sql="""
+WITH g AS (
+  SELECT doc_id, 1 + doc_id % 3 AS nf, 8 * (1 + doc_id % 3) AS w,
+         8 * (1 + doc_id % 2) AS h
+  FROM documents),
+fr AS (
+  SELECT g.doc_id, g.w, g.h, f.f
+  FROM g, LATERAL (SELECT unnest(range(0, g.nf)) AS f) f),
+px AS (
+  SELECT fr.doc_id, fr.f, fr.w, fr.h, r.i,
+         128 + 2 * (((fr.doc_id * 7 + fr.f * 11
+                      + (((r.i // 3) // fr.w) // 8 * (fr.w // 8)
+                         + ((r.i // 3) % fr.w) // 8) * 13) % 64)
+                    - 32) AS v
+  FROM fr, LATERAL (SELECT unnest(range(0, fr.w * fr.h * 3)) AS i) r)
+SELECT doc_id, f::INTEGER AS frame_idx, w::INTEGER AS width,
+       h::INTEGER AS height,
+       sum(v)::BIGINT AS pix_sum, sum((i + 1) * v)::BIGINT AS pix_xsum
+FROM px GROUP BY doc_id, f, w, h
+""")
+def mm_mjpeg_frames_real(spark, sf_dir):
+    # REAL Motion-JPEG video decode (ops/videocodec.py '00dc' path →
+    # ops/jpegcodec.py): every frame of every AVI is a standalone
+    # baseline 4:4:4 JPEG, so Spark runs the RIFF walk PLUS a full
+    # entropy decode / dequant / IDCT / YCbCr→RGB per frame; the
+    # block-constant even-offset rule makes the lossy codec bit-exact,
+    # so the oracle recomputes every pixel from the rule alone. The
+    # position-weighted pix_xsum pins frame order, row order and the
+    # chroma path simultaneously.
+    docs = load(spark, sf_dir, "documents")
+    return mm.frame_sample_real(mm.synth_mjpeg_media(docs), every_n=1)

@@ -96,6 +96,7 @@ GATE_SORT: Dict[str, list] = {
     "mm_image_decode_real": ["doc_id"],
     "mm_jpeg_decode_real": ["doc_id"],
     "mm_gif_decode_real": ["doc_id"],
+    "mm_mjpeg_frames_real": ["doc_id", "frame_idx"],
     "mm_image_thumb_real": ["doc_id"],
     "mm_audio_decode_real": ["doc_id"],
     "mm_video_frames_real": ["doc_id", "frame_idx"],
@@ -270,6 +271,8 @@ GATE_COLUMNS: Dict[str, list] = {
                              "n_samples", "amp_sum", "amp_sq_sum",
                              "amp_xsum"],
     "mm_video_frames_real": ["doc_id", "frame_idx", "width", "height",
+                             "pix_sum", "pix_xsum"],
+    "mm_mjpeg_frames_real": ["doc_id", "frame_idx", "width", "height",
                              "pix_sum", "pix_xsum"],
     "emb_cosine_topk": ["query_id", "vec_id", "sim", "rank"],
     "emb_norm_stats": ["label", "n_vectors", "avg_norm", "min_norm", "max_norm"],

@@ -528,3 +528,44 @@ def test_spark_real_gif_decode_matches_rule(spark, sf_dir):
     from tests.harness import compare
     ok, msg = compare(spark, str(sf_dir), "mm_gif_decode_real")
     assert ok, msg
+
+
+# ---------------------------------------------------------------- MJPEG
+
+def test_avi_mjpeg_roundtrip_and_guards():
+    import numpy as np
+    from connectors_spark.ops import videocodec as vc
+    rng = np.random.RandomState(5)
+    # block-constant frames round-trip bit-exact through the real
+    # per-frame JPEG codec
+    w, h, nf = 16, 8, 3
+    frames = []
+    for f in range(nf):
+        fr = np.zeros((h, w, 3), dtype=np.uint8)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                p = 128 + 2 * int(rng.randint(-32, 32))
+                fr[by*8:(by+1)*8, bx*8:(bx+1)*8, :] = p
+        frames.append(fr.tobytes())
+    blob = vc.encode_avi_mjpeg(w, h, frames)
+    assert b"MJPG" in blob and b"00dc" in blob
+    rw, rh, out = vc.decode_avi(blob)
+    assert (rw, rh) == (w, h) and out == frames
+    # arbitrary (non-block-constant) frames still decode to the same
+    # pixels the plain JPEG decoder yields — container adds nothing
+    from connectors_spark.ops.jpegcodec import (decode_jpeg,
+                                                encode_jpeg_color)
+    px = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8).tobytes()
+    _, _, fs = vc.decode_avi(vc.encode_avi_mjpeg(8, 8, [px]))
+    assert fs[0] == decode_jpeg(encode_jpeg_color(8, 8, px))[3]
+    # unknown inter-frame codecs still guard loudly
+    bad = blob.replace(b"vidsMJPG", b"vidsH264")
+    import pytest as pt
+    with pt.raises(NotImplementedError, match="MJPG"):
+        vc.decode_avi(bad)
+
+
+def test_spark_real_mjpeg_frames_match_rule(spark, sf_dir):
+    from tests.harness import compare
+    ok, msg = compare(spark, str(sf_dir), "mm_mjpeg_frames_real")
+    assert ok, msg
