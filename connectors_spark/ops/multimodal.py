@@ -596,3 +596,37 @@ def synth_mjpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     return docs.select(id_col).mapInPandas(
         gen, schema=f"{id_col} long, media binary")
+
+
+def synth_g711_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL compressed-audio corpus: per doc a G.711
+    WAV (mu-law for even doc_ids — format tag 7 — A-law for odd —
+    tag 6) whose pre-companding int16 samples follow
+
+        n    = 48 + doc_id % 97
+        s[i] = ((doc_id * 7919 + i * i * 31) % 65536) - 32768
+
+    spanning the full int16 range so every companding segment is
+    exercised. The codec is lossy but decode(encode(s)) is a
+    closed-form step function (CCITT algorithm), so an SQL oracle
+    reproduces the decoded samples exactly while Spark runs the real
+    RIFF parse + per-byte expansion."""
+    from . import audiocodec as ac
+    from ..shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                n = 48 + did % 97
+                samples = [((did * 7919 + i * i * 31) % 65536) - 32768
+                           for i in range(n)]
+                law = "ulaw" if did % 2 == 0 else "alaw"
+                rows.append((did,
+                             ac.encode_wav_g711(samples, 8000, 1, law)))
+            yield pd.DataFrame(rows, columns=[id_col, "media"])
+
+    return docs.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media binary")

@@ -2991,3 +2991,73 @@ def mm_mjpeg_frames_real(spark, sf_dir):
     # chroma path simultaneously.
     docs = load(spark, sf_dir, "documents")
     return mm.frame_sample_real(mm.synth_mjpeg_media(docs), every_n=1)
+
+
+@register("mm_g711_decode_real", sql="""
+WITH g AS (SELECT doc_id, 48 + doc_id % 97 AS n FROM documents),
+raw AS (
+  SELECT g.doc_id, r.i,
+         ((g.doc_id * 7919 + r.i * r.i * 31) % 65536) - 32768 AS s
+  FROM g, LATERAL (SELECT unnest(range(0, g.n)) AS i) r),
+uu AS (
+  SELECT doc_id, i, s, floor(s / 4.0)::BIGINT AS p0,
+         least(CASE WHEN floor(s / 4.0) < 0 THEN -floor(s / 4.0)
+                    ELSE floor(s / 4.0) END::BIGINT, 8159) + 33 AS pc
+  FROM raw WHERE doc_id % 2 = 0),
+useg AS (
+  SELECT doc_id, i, p0, pc,
+         CASE WHEN pc <= 63 THEN 0 WHEN pc <= 127 THEN 1
+              WHEN pc <= 255 THEN 2 WHEN pc <= 511 THEN 3
+              WHEN pc <= 1023 THEN 4 WHEN pc <= 2047 THEN 5
+              WHEN pc <= 4095 THEN 6 WHEN pc <= 8191 THEN 7
+              ELSE 8 END AS seg
+  FROM uu),
+ud AS (
+  SELECT doc_id, i,
+         CASE WHEN p0 < 0 THEN -1 ELSE 1 END
+         * (((CASE WHEN seg = 8 THEN 15
+                   ELSE (pc // (1 << (seg + 1))) % 16 END * 8 + 132)
+             * (1 << CASE WHEN seg = 8 THEN 7 ELSE seg END)) - 132) AS d
+  FROM useg),
+aa AS (
+  SELECT doc_id, i, floor(s / 8.0)::BIGINT AS p0,
+         CASE WHEN floor(s / 8.0) >= 0 THEN floor(s / 8.0)
+              ELSE -floor(s / 8.0) - 1 END::BIGINT AS pm
+  FROM raw WHERE doc_id % 2 = 1),
+aseg AS (
+  SELECT doc_id, i, p0, pm,
+         CASE WHEN pm <= 31 THEN 0 WHEN pm <= 63 THEN 1
+              WHEN pm <= 127 THEN 2 WHEN pm <= 255 THEN 3
+              WHEN pm <= 511 THEN 4 WHEN pm <= 1023 THEN 5
+              WHEN pm <= 2047 THEN 6 ELSE 7 END AS seg
+  FROM aa),
+amant AS (
+  SELECT doc_id, i, p0, seg,
+         CASE WHEN seg <= 1 THEN (pm // 2) % 16
+              ELSE (pm // (1 << seg)) % 16 END AS mant
+  FROM aseg),
+ad AS (
+  SELECT doc_id, i,
+         CASE WHEN p0 >= 0 THEN 1 ELSE -1 END
+         * CASE WHEN seg = 0 THEN mant * 16 + 8
+                WHEN seg = 1 THEN mant * 16 + 264
+                ELSE (mant * 16 + 264) * (1 << (seg - 1)) END AS d
+  FROM amant),
+dec AS (SELECT * FROM ud UNION ALL SELECT * FROM ad)
+SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
+       count(*)::INTEGER AS n_samples,
+       sum(d)::BIGINT AS amp_sum, sum(d * d)::BIGINT AS amp_sq_sum,
+       sum((i + 1) * d)::BIGINT AS amp_xsum
+FROM dec GROUP BY doc_id
+""")
+def mm_g711_decode_real(spark, sf_dir):
+    # REAL compressed audio (ops/audiocodec.py G.711): mu-law WAVs for
+    # even ids, A-law for odd — full-int16-range samples exercise every
+    # companding segment both ways. Spark parses the RIFF container and
+    # expands each companded byte through the CCITT algorithm
+    # (exhaustively validated against CPython's audioop); the codec is
+    # lossy but decode(encode(s)) is a closed-form step function, so
+    # the oracle reproduces the decoded samples exactly and the
+    # position-weighted amp_xsum pins sample order and sign handling.
+    docs = load(spark, sf_dir, "documents")
+    return mm.decode_audio(mm.synth_g711_media(docs))

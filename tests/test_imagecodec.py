@@ -569,3 +569,47 @@ def test_spark_real_mjpeg_frames_match_rule(spark, sf_dir):
     from tests.harness import compare
     ok, msg = compare(spark, str(sf_dir), "mm_mjpeg_frames_real")
     assert ok, msg
+
+
+# ---------------------------------------------------------------- G.711
+
+def test_g711_matches_audioop_exhaustively():
+    # CPython's audioop ships the public CCITT reference; every int16
+    # sample must encode identically, every byte decode identically.
+    audioop = pytest.importorskip("audioop")
+    import struct as st
+    from connectors_spark.ops import audiocodec as ac
+    for s in range(-32768, 32768, 7):      # stride keeps it subsecond
+        pk = st.pack("<h", s)
+        assert ac.ulaw_encode_sample(s) == audioop.lin2ulaw(pk, 2)[0]
+        assert ac.alaw_encode_sample(s) == audioop.lin2alaw(pk, 2)[0]
+    for b in range(256):
+        assert ac.ulaw_decode_sample(b) == st.unpack(
+            "<h", audioop.ulaw2lin(bytes([b]), 2))[0]
+        assert ac.alaw_decode_sample(b) == st.unpack(
+            "<h", audioop.alaw2lin(bytes([b]), 2))[0]
+
+
+def test_g711_wav_roundtrip_and_guards():
+    from connectors_spark.ops import audiocodec as ac
+    samples = [0, 1, -1, 7, -8, 1000, -1000, 32767, -32768]
+    for law in ("ulaw", "alaw"):
+        blob = ac.encode_wav_g711(samples, 8000, 1, law)
+        rate, ch, out = ac.decode_wav(blob)
+        assert (rate, ch) == (8000, 1)
+        dec = (ac.ulaw_decode_sample if law == "ulaw"
+               else ac.alaw_decode_sample)
+        enc = (ac.ulaw_encode_sample if law == "ulaw"
+               else ac.alaw_encode_sample)
+        assert out == [dec(enc(s)) for s in samples]
+        # companding idempotence: re-encoding a decoded sample yields
+        # the same byte (codebook values are fixed points)
+        assert all(enc(d) == enc(dec(enc(d))) for d in out)
+    with pytest.raises(ValueError, match="law"):
+        ac.encode_wav_g711(samples, 8000, 1, "mp3")
+
+
+def test_spark_real_g711_decode_matches_rule(spark, sf_dir):
+    from tests.harness import compare
+    ok, msg = compare(spark, str(sf_dir), "mm_g711_decode_real")
+    assert ok, msg
