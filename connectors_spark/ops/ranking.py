@@ -91,3 +91,141 @@ def bm25(docs: DataFrame, query_terms: Sequence[str],
 
 
 __all__ = ["term_postings", "tfidf", "bm25"]
+
+
+# ---------------------------------------------------------------------------
+# Trigram-index substring search (pg_trgm-style)
+# ---------------------------------------------------------------------------
+
+def char_trigram_hashes(text_col) -> F.Column:
+    """Distinct hash64 values of every 3-char substring (array<long>).
+    Texts shorter than 3 chars hash whole. The token array is bound
+    once via the single-element-transform trick (see ngram_shingles)."""
+    from ..functions.text import hash64
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+
+    def _build(t):
+        m = F.length(t) - 2
+        grams = F.transform(F.sequence(F.lit(1), m),
+                            lambda i: hash64(t.substr(i, F.lit(3))))
+        return (F.when(m >= 1, F.array_distinct(grams))
+                .otherwise(F.array(hash64(t))))
+
+    return F.element_at(F.transform(F.array(c), _build), 1)
+
+
+def substring_search(docs: DataFrame, patterns: Sequence[str],
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Literal substring search over the corpus, pg_trgm-shaped: a doc
+    can contain pattern P only if it contains EVERY char trigram of P,
+    so candidates come from a trigram equi-join (doc trigram relation
+    ⋈ broadcast pattern trigrams, count == |trigrams(P)|) and only
+    candidates are verified with a real `contains` + occurrence count.
+
+    Returns (pattern, doc_id, n_occurrences), occurrences ≥ 1
+    (non-overlapping count, replace semantics — identical in both
+    engines).
+
+    Scale shape: the corpus is scanned once to emit distinct doc
+    trigram hashes (8-byte keys); the pattern relation is query-sized
+    and broadcast; the only shuffle is the (pattern, doc) candidate
+    count, whose volume is bounded by index selectivity, not corpus
+    size. Verification re-reads only candidate docs via a semi-shaped
+    join on doc_id. With the persistent variant (build_trigram_index)
+    the scan itself is replaced by a bucket-pruned Delta probe."""
+    spark = docs.sparkSession
+    pats = spark.createDataFrame([(p,) for p in patterns],
+                                 "pattern: string")
+    pex = (pats.select("pattern",
+                       F.explode(char_trigram_hashes(F.col("pattern")))
+                       .alias("_g"))
+           .distinct())
+    pn = pex.groupBy("pattern").agg(F.count(F.lit(1)).alias("_need"))
+    dex = docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(char_trigram_hashes(F.col(text_col)))
+                      .alias("_g"))
+    cand = (dex.join(F.broadcast(pex), "_g")
+            .groupBy("pattern", "doc_id")
+            .agg(F.count(F.lit(1)).alias("_have"))
+            .join(F.broadcast(pn), "pattern")
+            .filter(F.col("_have") == F.col("_need"))
+            .select("pattern", "doc_id"))
+    txt = docs.select(F.col(id_col).alias("doc_id"),
+                      F.col(text_col).alias("_txt"))
+    return (cand.join(txt, "doc_id")
+            .withColumn("n_occurrences",
+                        ((F.length("_txt")
+                          - F.length(F.replace(F.col("_txt"),
+                                               F.col("pattern"))))
+                         / F.length("pattern")).cast("bigint"))
+            .filter(F.col("n_occurrences") >= 1)
+            .select("pattern", "doc_id", "n_occurrences"))
+
+
+def build_trigram_index(docs: DataFrame, index_path: str,
+                        n_buckets: int = 64, id_col: str = "doc_id",
+                        text_col: str = "text"):
+    """Materialize the trigram inverted index as a Delta table
+    partitioned by gram bucket (_g % n_buckets): a probe for a
+    pattern's trigrams partition-prunes to only those buckets, so
+    query cost scales with selectivity, not corpus size — the Delta
+    analogue of a pg_trgm GIN index."""
+    from ..table import DeltaTable
+    dex = (docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(char_trigram_hashes(F.col(text_col)))
+                       .alias("_g"))
+           .withColumn("bucket",
+                       (F.col("_g") % n_buckets).cast("int")))
+    t = DeltaTable.for_path(docs.sparkSession, index_path)
+    t.write(dex, mode="overwrite", partition_by=["bucket"])
+    return t
+
+
+def substring_search_indexed(spark, index_path: str, docs: DataFrame,
+                             patterns: Sequence[str],
+                             n_buckets: int = 64,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Index-probing variant of substring_search: candidates come from
+    the persistent trigram index with an explicit partition filter on
+    the (query-bounded) bucket list, so the probe reads only the
+    pattern's buckets. Verification joins back to the doc table."""
+    from ..expressions import Col
+    from ..table import DeltaTable
+    grams = set()
+    for p in patterns:
+        lp = [p[i:i + 3] for i in range(len(p) - 2)] or [p]
+        grams.update(lp)
+    buckets = sorted({_py_hash64(g) % n_buckets for g in grams})
+    t = DeltaTable.for_path(spark, index_path)
+    idx = t.scan(Col("bucket").isin(*buckets)).to_df()
+    spark_docs = docs.select(F.col(id_col).alias("doc_id"),
+                             F.col(text_col).alias("_txt"))
+    pats = spark.createDataFrame([(p,) for p in patterns],
+                                 "pattern: string")
+    pex = (pats.select("pattern",
+                       F.explode(char_trigram_hashes(F.col("pattern")))
+                       .alias("_g")).distinct())
+    pn = pex.groupBy("pattern").agg(F.count(F.lit(1)).alias("_need"))
+    cand = (idx.join(F.broadcast(pex), "_g")
+            .groupBy("pattern", "doc_id")
+            .agg(F.count(F.lit(1)).alias("_have"))
+            .join(F.broadcast(pn), "pattern")
+            .filter(F.col("_have") == F.col("_need"))
+            .select("pattern", "doc_id"))
+    return (cand.join(spark_docs, "doc_id")
+            .withColumn("n_occurrences",
+                        ((F.length("_txt")
+                          - F.length(F.replace(F.col("_txt"),
+                                               F.col("pattern"))))
+                         / F.length("pattern")).cast("bigint"))
+            .filter(F.col("n_occurrences") >= 1)
+            .select("pattern", "doc_id", "n_occurrences"))
+
+
+def _py_hash64(s: str) -> int:
+    """Driver-side mirror of functions.text.hash64 (md5 first 15 hex
+    chars) for computing the bounded bucket list of a query's grams."""
+    import hashlib
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)

@@ -3061,3 +3061,28 @@ def mm_g711_decode_real(spark, sf_dir):
     # position-weighted amp_xsum pins sample order and sign handling.
     docs = load(spark, sf_dir, "documents")
     return mm.decode_audio(mm.synth_g711_media(docs))
+
+
+@register("doc_substring_search", sql="""
+WITH pats(pattern) AS (VALUES ('fast table'), ('merge batch part'),
+                              ('spark a a'), ('zzzz missing'))
+SELECT pattern, doc_id,
+       ((length(text) - length(replace(text, pattern, '')))
+        / length(pattern))::BIGINT AS n_occurrences
+FROM documents, pats
+WHERE contains(text, pattern)
+""")
+def doc_substring_search(spark, sf_dir):
+    # pg_trgm-shaped literal substring search (ops/ranking.py): a doc
+    # can contain a pattern only if it contains every char trigram of
+    # it, so candidates come from a trigram equi-join (pattern side
+    # broadcast, 8-byte hashed keys) and only candidates get the real
+    # contains + occurrence-count verify. The oracle is the brute
+    # LIKE-scan the index path must agree with. The persistent
+    # bucket-partitioned Delta index variant (partition-pruned probes)
+    # is pinned in tests/test_ops_pipeline.py + test_plans.py.
+    from ..ops.ranking import substring_search
+    return substring_search(
+        load(spark, sf_dir, "documents"),
+        ["fast table", "merge batch part", "spark a a",
+         "zzzz missing"])

@@ -158,6 +158,7 @@ GATE_SORT: Dict[str, list] = {
     "doc_cdc_dedup_stats": ["doc_id"],
     "emb_hard_negatives": ["query_id", "rank"],
     "doc_neardup_decontaminate": ["doc_id"],
+    "doc_substring_search": ["pattern", "doc_id"],
     "ev_gapfill_daily_interp": ["key", "day"],
     "ev_ohlc_daily": ["key", "day"],
     "ev_time_weighted_avg": ["key"],
@@ -345,6 +346,7 @@ GATE_COLUMNS: Dict[str, list] = {
                            "rank"],
     "doc_neardup_decontaminate": ["doc_id", "n_eval_matches",
                                   "max_jaccard"],
+    "doc_substring_search": ["pattern", "doc_id", "n_occurrences"],
     "doc_dsir_weights": ["doc_id", "n_feat", "logw"],
     "doc_quality_logreg": ["doc_id", "score", "pred"],
     "ev_gapfill_daily_interp": ["key", "day", "value", "filled"],

@@ -515,3 +515,31 @@ def test_cdc_chunking_is_fully_narrow(spark, sf_dir):
     p = plan_of(cdc_chunks(docs))
     assert "Exchange" not in p
     assert "Window" not in p
+
+
+def test_trigram_index_probe_prunes_buckets(spark, sf_dir, tmp_path):
+    # A short pattern's trigrams land in a handful of the 64 gram
+    # buckets; the indexed probe must scan only those partitions and
+    # must agree exactly with the ad-hoc (full-scan) variant.
+    from connectors_spark import DeltaTable
+    from connectors_spark.expressions import Col
+    from connectors_spark.ops.ranking import (_py_hash64,
+                                              build_trigram_index,
+                                              substring_search,
+                                              substring_search_indexed)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "trgm")
+    build_trigram_index(docs, idx, n_buckets=64)
+    pats = ["fast table"]
+    grams = [pats[0][i:i + 3] for i in range(len(pats[0]) - 2)]
+    buckets = sorted({_py_hash64(g) % 64 for g in grams})
+    t = DeltaTable.for_path(spark, idx)
+    total = t.snapshot().files_df.count()
+    pruned = t.scan(Col("bucket").isin(*buckets)).files().count()
+    assert pruned < total
+    adhoc = {(r.pattern, r.doc_id, r.n_occurrences)
+             for r in substring_search(docs, pats).collect()}
+    indexed = {(r.pattern, r.doc_id, r.n_occurrences)
+               for r in substring_search_indexed(
+                   spark, idx, docs, pats).collect()}
+    assert indexed == adhoc and len(adhoc) > 0
