@@ -187,6 +187,13 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
         # the entire table in one transaction. Tail batches stay
         # version-granular (bounded by maxVersionsPerBatch).
         self.max_files = int(options.get("maxfilespertrigger", "0")) or None
+        # maxBytesPerTrigger (delta-spark option): soft byte cap per
+        # snapshot page — a page takes files until their cumulative
+        # size reaches the cap (always at least one), so batch size
+        # tracks data volume instead of file count when file sizes are
+        # uneven. Composes with maxFilesPerTrigger: whichever limit
+        # binds first ends the page.
+        self.max_bytes = int(options.get("maxbytespertrigger", "0")) or None
         self._snap_done = False
         # readChangeFeed (delta-spark option): emit ROW-LEVEL changes —
         # the table's columns plus _change_type — instead of the plain
@@ -225,7 +232,8 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
             self.start_after = vs[-1] if vs else -1
         else:
             self.start_after = int(starting) - 1
-        if self.snapshot_first and self.max_files is not None:
+        if self.snapshot_first and (self.max_files is not None
+                                    or self.max_bytes is not None):
             # Seed the paging floor HERE, not in initialOffset: the
             # engine's first latestOffset() call precedes
             # initialOffset() on a fresh query, and the Python stream
@@ -268,7 +276,7 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
             # "snap" marks the pending initial-snapshot batch; it differs
             # from every later offset, so the engine plans the first
             # microbatch even when no new commits exist yet.
-            if self.max_files is not None:
+            if self.max_files is not None or self.max_bytes is not None:
                 # snap_idx = files of the sorted snapshot list consumed
                 # so far; latestOffset advances it one page at a time.
                 return {"version": self.start_after, "snap": True,
@@ -288,6 +296,24 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
             self._snap_cache = cached
         return cached[1]
 
+    def _page_end(self, files: List[AddFile], pos: int) -> int:
+        """End index of the snapshot page starting at pos: bounded by
+        maxFilesPerTrigger (hard count) and maxBytesPerTrigger (soft
+        sum — include files until the cumulative size reaches the cap,
+        never fewer than one). Whichever limit binds first wins."""
+        cap = len(files)
+        if self.max_files is not None:
+            cap = min(cap, pos + self.max_files)
+        if self.max_bytes is None:
+            return cap
+        end, total = pos, 0
+        while end < cap:
+            total += files[end].size or 0
+            end += 1
+            if total >= self.max_bytes:
+                break
+        return max(end, pos + 1)
+
     def latestOffset(self) -> dict:
         # Pending paged snapshot: emit the next page as its own offset
         # and hold the version at v0 — tail versions only start flowing
@@ -298,13 +324,13 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
         # the snapshot (restart), after which a stray snap-marked end
         # offset plans tail-only and paging stays off.
         pos = getattr(self, "_snap_pos", None)
-        if pos is not None and self.max_files is not None \
-                and not self._snap_done:
+        if pos is not None and not self._snap_done \
+                and (self.max_files is not None
+                     or self.max_bytes is not None):
             files = self._snap_files(self._snap_v0)
             if pos < len(files):
                 return {"version": self._snap_v0, "snap": True,
-                        "snap_idx": min(pos + self.max_files,
-                                        len(files))}
+                        "snap_idx": self._page_end(files, pos)}
         # list only past the consumed floor (committed offset, falling
         # back to the start position): the poll cost is O(uncommitted
         # tail), not O(log history) — the listFrom contract object-store

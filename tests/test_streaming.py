@@ -798,3 +798,47 @@ def test_stream_snapshot_applies_deletion_vectors(spark, tmp_path):
     got = sorted(r.k for r in spark.sql(
         "select * from t_dv_snap").collect())
     assert got == [3, 4, 5, 6, 7]
+
+
+def test_max_bytes_per_trigger_pages_snapshot(spark, tmp_path):
+    """maxBytesPerTrigger (delta-spark option): snapshot pages end when
+    the cumulative file size reaches the cap — soft max, never fewer
+    than one file — and compose with maxFilesPerTrigger (whichever
+    limit binds first)."""
+    from pyspark.sql.types import StructType
+
+    src = tmp_path / "src"
+    t = DeltaTable.for_path(spark, str(src))
+    for v in range(4):                           # 4 one-file commits
+        t.write(spark.range(v * 5, (v + 1) * 5)
+                .select(F.col("id"), (F.col("id") * 10).alias("val"))
+                .coalesce(1), mode="append")
+    files = sorted(t.snapshot().all_files(), key=lambda a: a.path)
+    sizes = [f.size for f in files]
+    assert all(s > 0 for s in sizes)
+    # cap = 1.5 files' worth: soft max -> 2 files per page
+    cap = sizes[0] + sizes[1] // 2
+    opts = {"path": str(src), "maxbytespertrigger": str(cap)}
+    r = DeltaVersionStreamReader(StructType(), opts)
+    o0 = r.initialOffset()
+    assert o0 == {"version": 3, "snap": True, "snap_idx": 0}
+    o1 = r.latestOffset()
+    assert o1["snap_idx"] == 2          # sizes[0] < cap <= sizes[0:2]
+    r.partitions(o0, o1)
+    r.commit(o1)
+    o2 = r.latestOffset()
+    assert o2["snap_idx"] == 4
+    r.partitions(o1, o2)
+    r.commit(o2)
+    assert r.latestOffset() == {"version": 3}
+    # a cap below one file still takes one file per page (never stalls)
+    r2 = DeltaVersionStreamReader(
+        StructType(), {"path": str(src), "maxbytespertrigger": "1"})
+    r2.initialOffset()
+    assert r2.latestOffset()["snap_idx"] == 1
+    # composed: byte cap would allow 2 files, file cap binds at 1
+    r3 = DeltaVersionStreamReader(
+        StructType(), {"path": str(src), "maxbytespertrigger": str(cap),
+                       "maxfilespertrigger": "1"})
+    r3.initialOffset()
+    assert r3.latestOffset()["snap_idx"] == 1
