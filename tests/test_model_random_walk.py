@@ -1,0 +1,97 @@
+"""Model-based random-walk test of the DML layer: seeded random op
+sequences (append / delete / DV-delete / update / overwrite / optimize
+/ restore) run against both the real DeltaTable and a trivial
+in-memory model, with the table contents checked after EVERY op and
+time travel checked against the recorded model history at the end.
+
+This catches interaction bugs no single-op test sees (e.g. restore
+over a DV delete followed by an update, or optimize between delete
+and time travel), the same way the reference's OptimisticTransaction
+suites chain randomized scenarios. Deterministic seeds — no flaky
+shrinking, failures replay exactly.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from connectors_spark import DeltaTable
+from connectors_spark.expressions import Col, Lit
+from connectors_spark.table import TableMaintenance
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id: long, val: long")
+
+
+def _read(t):
+    return sorted((r.id, r.val) for r in t.to_df().collect())
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_random_walk_matches_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    t = DeltaTable.for_path(spark, str(tmp_path / f"walk{seed}"))
+    model: dict = {}          # id -> val
+    next_id = 0
+    history: list = []        # (version, sorted model items)
+
+    def snap():
+        history.append((t.snapshot().version,
+                        sorted(model.items())))
+
+    # op 0 must be an append (table must exist)
+    ops = ["append"] + [rng.choice(
+        ["append", "delete", "dv_delete", "update", "overwrite",
+         "optimize", "restore"]) for _ in range(9)]
+    for op in ops:
+        if op == "append":
+            n = rng.randint(1, 6)
+            rows = [(next_id + i, (next_id + i) * 10 + seed)
+                    for i in range(n)]
+            next_id += n
+            t.write(_df(spark, rows), mode="append")
+            model.update({i: v for i, v in rows})
+            snap()
+        elif op == "overwrite" and model:
+            n = rng.randint(1, 4)
+            rows = [(next_id + i, (next_id + i) * 10 + seed)
+                    for i in range(n)]
+            next_id += n
+            t.write(_df(spark, rows), mode="overwrite")
+            model = {i: v for i, v in rows}
+            snap()
+        elif op in ("delete", "dv_delete") and model:
+            ids = sorted(rng.sample(sorted(model),
+                                    rng.randint(1, len(model))))
+            t.delete(Col("id").isin(*ids),
+                     deletion_vectors=(op == "dv_delete"))
+            model = {i: v for i, v in model.items() if i not in ids}
+            snap()
+        elif op == "update" and model:
+            ids = sorted(rng.sample(sorted(model),
+                                    rng.randint(1, len(model))))
+            t.update({"val": F.col("val") + 1}, Col("id").isin(*ids))
+            model = {i: (v + 1 if i in ids else v)
+                     for i, v in model.items()}
+            snap()
+        elif op == "optimize" and model:
+            TableMaintenance(t).optimize(min_files_per_group=2)
+            snap()                      # layout-only: model unchanged
+        elif op == "restore" and len(history) >= 2:
+            v, items = history[rng.randrange(len(history) - 1)]
+            TableMaintenance(t).restore(version=v)
+            model = dict(items)
+            snap()
+        else:
+            continue
+        assert _read(t) == sorted(model.items()), f"after {op}"
+
+    # time travel: every recorded version must replay its model state
+    for v, items in history:
+        got = sorted((r.id, r.val)
+                     for r in t.to_df(version=v).collect())
+        assert got == items, f"time travel to v{v}"
