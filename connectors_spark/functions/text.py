@@ -31,6 +31,18 @@ def _c(c: ColumnOrName) -> Column:
 # Tokenization & shingling
 # --------------------------------------------------------------------------
 
+def bind_once(col: Column, fn) -> Column:
+    """Evaluate ``fn(col)`` with ``col`` bound ONCE as a lambda
+    variable — the single-element-array transform trick. Inside
+    higher-order functions Spark re-evaluates a repeated subexpression
+    per element; binding it via ``transform`` over a one-element array
+    makes it a lambda variable computed once per row. Caveat callers
+    must guard themselves: ``F.sequence(1, n)`` counts DOWN when
+    n < 1, so empty inputs need an explicit ``when`` around the bound
+    expression."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def tokens(text: ColumnOrName) -> Column:
     """Whitespace tokens with empties removed (array<string>)."""
     return F.filter(F.split(_c(text), " "), lambda t: t != F.lit(""))
@@ -64,8 +76,8 @@ def ngram_shingles(text: ColumnOrName, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
         return (F.when(F.size(tk) >= n, F.array_distinct(grams))
                 .otherwise(F.slice(tk, 1, 0)))
-    built = F.element_at(F.transform(F.array(tokens(_c(text))), _build), 1)
-    return F.coalesce(built, F.array().cast("array<string>"))
+    return F.coalesce(bind_once(tokens(_c(text)), _build),
+                      F.array().cast("array<string>"))
 
 
 # --------------------------------------------------------------------------
@@ -96,11 +108,16 @@ def kgram_hashes(text: ColumnOrName, k: int = 8) -> Column:
     a window function (see ops.dedup.winnow_overlap_pairs), NOT a nested
     array expression, which would re-evaluate the whole array per window
     (O(m²) hashing)."""
-    norm = F.regexp_replace(F.trim(F.lower(_c(text))), r"\s+", " ")
-    m = F.length(norm) - k + 1          # number of k-grams
-    grams = F.transform(F.sequence(F.lit(1), m),
-                        lambda i: hash64(norm.substr(i, F.lit(k))))
-    return F.when(m >= 1, grams).otherwise(F.array(hash64(norm)))
+    def _build(t: Column) -> Column:
+        m = F.length(t) - k + 1         # number of k-grams
+        grams = F.transform(F.sequence(F.lit(1), m),
+                            lambda i: hash64(t.substr(i, F.lit(k))))
+        return F.when(m >= 1, grams).otherwise(F.array(hash64(t)))
+    # bind_once: the normalized text is a regexp over the raw column —
+    # without binding it would be re-evaluated per gram
+    return bind_once(
+        F.regexp_replace(F.trim(F.lower(_c(text))), r"\s+", " "),
+        _build)
 
 
 # --------------------------------------------------------------------------

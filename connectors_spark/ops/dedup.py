@@ -32,8 +32,8 @@ from typing import List, Optional, Tuple
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import (fingerprint, hash64, kgram_hashes,
-                              ngram_shingles, tokens)
+from ..functions.text import (bind_once, fingerprint, hash64,
+                              kgram_hashes, ngram_shingles, tokens)
 
 # Prime modulus > 2^32 and multiplier bound 2^29 keep a*h+b < 2^62:
 # no BIGINT overflow in Spark OR the SQL oracle (DuckDB errors on
@@ -858,7 +858,7 @@ def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
     tk = tokens(F.col(text_col))
     chunks = F.when(
         F.size(tk) >= 1,   # sequence(1, 0) counts DOWN, guard empties
-        F.element_at(F.transform(F.array(tk), _build), 1))
+        bind_once(tk, _build))
     return (df.select(F.col(id_col).alias("doc_id"),
                       F.posexplode(chunks).alias("cid", "c"))
             .select("doc_id", F.col("cid").cast("bigint").alias("cid"),

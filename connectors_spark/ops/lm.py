@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
+from ..functions.text import bind_once, tokens
 
 ALPHA = 0.4
 
@@ -71,7 +71,7 @@ def _lagged_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tk = tokens(F.col(text_col))
     trip = F.when(
         F.size(tk) >= 1,   # sequence(1, 0) would count DOWN, not empty
-        F.element_at(F.transform(F.array(tk), _build), 1))
+        bind_once(tk, _build))
     return (df.select(F.col(id_col).alias("doc_id"),
                       F.posexplode(trip).alias("pos", "g"))
             .select("doc_id", "pos", "g.w", "g.w_p", "g.w_pp"))

@@ -101,7 +101,7 @@ def char_trigram_hashes(text_col) -> F.Column:
     """Distinct hash64 values of every 3-char substring (array<long>).
     Texts shorter than 3 chars hash whole. The token array is bound
     once via the single-element-transform trick (see ngram_shingles)."""
-    from ..functions.text import hash64
+    from ..functions.text import bind_once, hash64
     c = F.col(text_col) if isinstance(text_col, str) else text_col
 
     def _build(t):
@@ -111,7 +111,7 @@ def char_trigram_hashes(text_col) -> F.Column:
         return (F.when(m >= 1, F.array_distinct(grams))
                 .otherwise(F.array(hash64(t))))
 
-    return F.element_at(F.transform(F.array(c), _build), 1)
+    return bind_once(c, _build)
 
 
 def substring_search(docs: DataFrame, patterns: Sequence[str],
@@ -133,8 +133,24 @@ def substring_search(docs: DataFrame, patterns: Sequence[str],
     count, whose volume is bounded by index selectivity, not corpus
     size. Verification re-reads only candidate docs via a semi-shaped
     join on doc_id. With the persistent variant (build_trigram_index)
-    the scan itself is replaced by a bucket-pruned Delta probe."""
+    the scan itself is replaced by a bucket-pruned Delta probe.
+
+    Patterns shorter than 3 chars have no trigrams to prefilter on
+    (same limitation as pg_trgm): they fall back to a direct
+    contains scan of the corpus, unioned in — correct for every
+    pattern length, index-accelerated from 3 chars up."""
     spark = docs.sparkSession
+    short = [p for p in patterns if len(p) < 3]
+    patterns = [p for p in patterns if len(p) >= 3]
+    out_short = None
+    if short:
+        sp = spark.createDataFrame([(p,) for p in short],
+                                   "pattern: string")
+        txt0 = docs.select(F.col(id_col).alias("doc_id"),
+                           F.col(text_col).alias("_txt"))
+        out_short = _verify_contains(txt0.crossJoin(F.broadcast(sp)))
+    if not patterns:
+        return out_short
     pats = spark.createDataFrame([(p,) for p in patterns],
                                  "pattern: string")
     pex = (pats.select("pattern",
@@ -153,7 +169,14 @@ def substring_search(docs: DataFrame, patterns: Sequence[str],
             .select("pattern", "doc_id"))
     txt = docs.select(F.col(id_col).alias("doc_id"),
                       F.col(text_col).alias("_txt"))
-    return (cand.join(txt, "doc_id")
+    out = _verify_contains(cand.join(txt, "doc_id"))
+    return out.unionByName(out_short) if out_short is not None else out
+
+
+def _verify_contains(cand_with_txt: DataFrame) -> DataFrame:
+    """(pattern, doc_id, _txt) -> verified (pattern, doc_id,
+    n_occurrences ≥ 1), non-overlapping replace-count semantics."""
+    return (cand_with_txt
             .withColumn("n_occurrences",
                         ((F.length("_txt")
                           - F.length(F.replace(F.col("_txt"),
@@ -193,15 +216,24 @@ def substring_search_indexed(spark, index_path: str, docs: DataFrame,
     pattern's buckets. Verification joins back to the doc table."""
     from ..expressions import Col
     from ..table import DeltaTable
+    short = [p for p in patterns if len(p) < 3]
+    patterns = [p for p in patterns if len(p) >= 3]
+    spark_txt = docs.select(F.col(id_col).alias("doc_id"),
+                            F.col(text_col).alias("_txt"))
+    out_short = None
+    if short:
+        sp = spark.createDataFrame([(p,) for p in short],
+                                   "pattern: string")
+        out_short = _verify_contains(
+            spark_txt.crossJoin(F.broadcast(sp)))
+    if not patterns:
+        return out_short
     grams = set()
     for p in patterns:
-        lp = [p[i:i + 3] for i in range(len(p) - 2)] or [p]
-        grams.update(lp)
+        grams.update(p[i:i + 3] for i in range(len(p) - 2))
     buckets = sorted({_py_hash64(g) % n_buckets for g in grams})
     t = DeltaTable.for_path(spark, index_path)
     idx = t.scan(Col("bucket").isin(*buckets)).to_df()
-    spark_docs = docs.select(F.col(id_col).alias("doc_id"),
-                             F.col(text_col).alias("_txt"))
     pats = spark.createDataFrame([(p,) for p in patterns],
                                  "pattern: string")
     pex = (pats.select("pattern",
@@ -214,14 +246,8 @@ def substring_search_indexed(spark, index_path: str, docs: DataFrame,
             .join(F.broadcast(pn), "pattern")
             .filter(F.col("_have") == F.col("_need"))
             .select("pattern", "doc_id"))
-    return (cand.join(spark_docs, "doc_id")
-            .withColumn("n_occurrences",
-                        ((F.length("_txt")
-                          - F.length(F.replace(F.col("_txt"),
-                                               F.col("pattern"))))
-                         / F.length("pattern")).cast("bigint"))
-            .filter(F.col("n_occurrences") >= 1)
-            .select("pattern", "doc_id", "n_occurrences"))
+    out = _verify_contains(cand.join(spark_txt, "doc_id"))
+    return out.unionByName(out_short) if out_short is not None else out
 
 
 def _py_hash64(s: str) -> int:

@@ -43,14 +43,16 @@ MAX_DRIVER_QUERY_ROWS = 10_000
 
 
 def _collect_query_side(queries: DataFrame, query_id_col: str,
-                        vec_col: str, max_rows: int = MAX_DRIVER_QUERY_ROWS):
+                        vec_col: str, max_rows: int = MAX_DRIVER_QUERY_ROWS,
+                        extra_cols: tuple = ()):
     # count() guard first, then collect(): two fully-parallel jobs. A
     # take(max+1) would run Spark's incremental limit (1 partition, then
     # 4x scale-up rounds) — several SEQUENTIAL jobs re-running the query
     # subplan whenever the side has fewer than max rows, which is the
-    # common case.
+    # common case. extra_cols ride along unrenamed (e.g. the group
+    # column of hard_negative_topk).
     narrow = queries.select(F.col(query_id_col).alias("_qid"),
-                            F.col(vec_col).alias("_qv"))
+                            F.col(vec_col).alias("_qv"), *extra_cols)
     if narrow.count() > max_rows:
         raise ValueError(
             f"query side exceeds {max_rows} rows; the exact/IVF top-k "
@@ -486,15 +488,9 @@ def hard_negative_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Deterministic ranking (rounded sim DESC, id ASC)."""
     from pyspark.sql.types import (DoubleType, LongType, StringType,
                                    StructField, StructType)
-    narrow = queries.select(F.col(query_id_col).alias("_qid"),
-                            F.col(vec_col).alias("_qv"),
-                            F.col(group_col).alias("_qg"))
-    if narrow.count() > MAX_DRIVER_QUERY_ROWS:
-        raise ValueError(
-            f"query side exceeds {MAX_DRIVER_QUERY_ROWS} rows; "
-            f"hard_negative_topk collects queries to the driver "
-            f"(broadcast contract)")
-    qrows = narrow.collect()
+    qrows = _collect_query_side(
+        queries, query_id_col, vec_col,
+        extra_cols=(F.col(group_col).alias("_qg"),))
     qids = [r["_qid"] for r in qrows]
     qgroups = [r["_qg"] for r in qrows]
     qmat = np.array([r["_qv"] for r in qrows], dtype=np.float64)

@@ -55,29 +55,40 @@ def _list(kind: bytes, body: bytes) -> bytes:
     return _chunk(b"LIST", kind + body)
 
 
+def _avi_container(width: int, height: int, payloads: List[bytes],
+                   handler: bytes, compression: int, chunk_id: bytes,
+                   fps: int) -> bytes:
+    """Shared RIFF-AVI assembly: avih main header, strl/strh/strf
+    stream headers, movi list of per-frame payload chunks."""
+    buf = max((len(p) for p in payloads), default=0)
+    avih = struct.pack("<IIIIIIIIII4I", 1_000_000 // fps, 0, 0, 0x10,
+                       len(payloads), 0, 1, buf, width, height,
+                       0, 0, 0, 0)
+    # flags, priority, language, initialFrames, scale, rate, start,
+    # length, suggestedBufferSize, quality, sampleSize, rcFrame
+    strh = (b"vids" + handler
+            + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, fps, 0,
+                          len(payloads), buf, -1, 0)
+            + struct.pack("<4H", 0, 0, width, height))
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
+                       compression, buf, 2835, 2835, 0, 0)
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih)
+                 + _list(b"strl", _chunk(b"strh", strh)
+                         + _chunk(b"strf", strf)))
+    movi = _list(b"movi", b"".join(_chunk(chunk_id, p)
+                                   for p in payloads))
+    return _chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
 def encode_avi(width: int, height: int, frames: List[bytes],
                fps: int = 10) -> bytes:
     """Encode top-down RGB frames (each w*h*3 bytes) as raw-DIB AVI."""
     if any(len(f) != width * height * 3 for f in frames):
         raise ValueError("every frame must be w*h*3 RGB bytes")
-    frame_size = (width * 3 + (-(width * 3)) % 4) * height
-    avih = struct.pack("<IIIIIIIIII4I", 1_000_000 // fps, 0, 0, 0x10,
-                       len(frames), 0, 1, frame_size, width, height,
-                       0, 0, 0, 0)
-    # flags, priority, language, initialFrames, scale, rate, start,
-    # length, suggestedBufferSize, quality, sampleSize, rcFrame
-    strh = (b"vids" + b"DIB "
-            + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, fps, 0,
-                          len(frames), frame_size, -1, 0)
-            + struct.pack("<4H", 0, 0, width, height))
-    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
-                       frame_size, 2835, 2835, 0, 0)
-    hdrl = _list(b"hdrl", _chunk(b"avih", avih)
-                 + _list(b"strl", _chunk(b"strh", strh)
-                         + _chunk(b"strf", strf)))
-    movi = _list(b"movi", b"".join(
-        _chunk(b"00db", _dib_frame(width, height, f)) for f in frames))
-    return _chunk(b"RIFF", b"AVI " + hdrl + movi)
+    return _avi_container(
+        width, height,
+        [_dib_frame(width, height, f) for f in frames],
+        b"DIB ", 0, b"00db", fps)
 
 
 def decode_avi(data: bytes) -> Tuple[int, int, List[bytes]]:
@@ -141,21 +152,9 @@ def encode_avi_mjpeg(width: int, height: int, frames: List[bytes],
     block-exact contract of the stdlib JPEG encoder)."""
     if any(len(f) != width * height * 3 for f in frames):
         raise ValueError("every frame must be w*h*3 RGB bytes")
-    blobs = [jpegcodec.encode_jpeg_color(width, height, f)
-             for f in frames]
-    buf = max((len(b) for b in blobs), default=0)
-    avih = struct.pack("<IIIIIIIIII4I", 1_000_000 // fps, 0, 0, 0x10,
-                       len(frames), 0, 1, buf, width, height,
-                       0, 0, 0, 0)
-    strh = (b"vids" + b"MJPG"
-            + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, fps, 0,
-                          len(frames), buf, -1, 0)
-            + struct.pack("<4H", 0, 0, width, height))
-    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
-                       0x47504A4D,  # biCompression 'MJPG'
-                       buf, 2835, 2835, 0, 0)
-    hdrl = _list(b"hdrl", _chunk(b"avih", avih)
-                 + _list(b"strl", _chunk(b"strh", strh)
-                         + _chunk(b"strf", strf)))
-    movi = _list(b"movi", b"".join(_chunk(b"00dc", b) for b in blobs))
-    return _chunk(b"RIFF", b"AVI " + hdrl + movi)
+    return _avi_container(
+        width, height,
+        [jpegcodec.encode_jpeg_color(width, height, f)
+         for f in frames],
+        b"MJPG", 0x47504A4D, b"00dc", fps)  # biCompression 'MJPG'
+

@@ -167,6 +167,26 @@ class DeltaFilePartition(InputPartition):
         self.dv_rel = dv_rel
 
 
+def _parse_bytes(v, option: str) -> int:
+    """Byte-size option parse accepting the delta-spark suffix forms:
+    plain integers plus k/m/g(b) suffixes (binary multiples, matching
+    Spark's JavaUtils.byteStringAsBytes)."""
+    t = str(v).strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("tb", 1 << 40), ("k", 1 << 10), ("m", 1 << 20),
+                   ("g", 1 << 30), ("t", 1 << 40), ("b", 1)):
+        if t.endswith(suf):
+            t, mult = t[:-len(suf)], m
+            break
+    try:
+        return int(t) * mult
+    except ValueError:
+        raise DeltaError(
+            f"{option} must be a byte count (e.g. 1000000, 10m, 1g), "
+            f"got {v!r}") from None
+
+
 class DeltaVersionStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self.table_path = options["path"]
@@ -193,7 +213,9 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
         # tracks data volume instead of file count when file sizes are
         # uneven. Composes with maxFilesPerTrigger: whichever limit
         # binds first ends the page.
-        self.max_bytes = int(options.get("maxbytespertrigger", "0")) or None
+        self.max_bytes = _parse_bytes(
+            options.get("maxbytespertrigger", "0"),
+            "maxBytesPerTrigger") or None
         self._snap_done = False
         # readChangeFeed (delta-spark option): emit ROW-LEVEL changes —
         # the table's columns plus _change_type — instead of the plain

@@ -1073,3 +1073,27 @@ def test_neardup_decontaminate_catches_paraphrase(spark):
     assert out[3].max_jaccard == 1.0             # verbatim
     assert 0.5 <= out[1].max_jaccard < 1.0       # paraphrase caught
     assert out[1].n_eval_matches == 1
+
+
+def test_substring_search_short_patterns_fall_back(spark, tmp_path):
+    # Patterns under 3 chars have no trigrams to prefilter on; they
+    # must fall back to a direct contains scan (pg_trgm limitation,
+    # handled correctly instead of silently returning nothing).
+    from connectors_spark.ops.ranking import (build_trigram_index,
+                                              substring_search,
+                                              substring_search_indexed)
+    rows = [(0, "ab cd"), (1, "xyz"), (2, "cab")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {(r.pattern, r.doc_id, r.n_occurrences)
+           for r in substring_search(df, ["ab", "xyz"]).collect()}
+    assert got == {("ab", 0, 1), ("ab", 2, 1), ("xyz", 1, 1)}
+    idx = str(tmp_path / "trgm_short")
+    build_trigram_index(df, idx, n_buckets=8)
+    got2 = {(r.pattern, r.doc_id, r.n_occurrences)
+            for r in substring_search_indexed(
+                spark, idx, df, ["ab", "xyz"], n_buckets=8).collect()}
+    assert got2 == got
+    # short-only pattern lists work too
+    only = {(r.pattern, r.doc_id) for r in
+            substring_search(df, ["ab"]).collect()}
+    assert only == {("ab", 0), ("ab", 2)}

@@ -842,3 +842,25 @@ def test_max_bytes_per_trigger_pages_snapshot(spark, tmp_path):
                        "maxfilespertrigger": "1"})
     r3.initialOffset()
     assert r3.latestOffset()["snap_idx"] == 1
+
+
+def test_max_bytes_per_trigger_accepts_size_suffixes(spark, tmp_path):
+    from pyspark.sql.types import StructType
+
+    from connectors_spark.errors import DeltaError
+    from connectors_spark.streaming.source import _parse_bytes
+
+    assert _parse_bytes("1500", "x") == 1500
+    assert _parse_bytes("10m", "x") == 10 << 20
+    assert _parse_bytes("1g", "x") == 1 << 30
+    assert _parse_bytes("2KB", "x") == 2048
+    with pytest.raises(DeltaError, match="maxBytesPerTrigger"):
+        _parse_bytes("lots", "maxBytesPerTrigger")
+    src = tmp_path / "src"
+    t = DeltaTable.for_path(spark, str(src))
+    t.write(spark.range(3).select(F.col("id"),
+                                  (F.col("id") * 2).alias("val")),
+            mode="append")
+    r = DeltaVersionStreamReader(
+        StructType(), {"path": str(src), "maxbytespertrigger": "1m"})
+    assert r.max_bytes == 1 << 20
