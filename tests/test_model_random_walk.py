@@ -46,7 +46,7 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
     # op 0 must be an append (table must exist)
     ops = ["append"] + [rng.choice(
         ["append", "delete", "dv_delete", "update", "overwrite",
-         "optimize", "restore"]) for _ in range(9)]
+         "optimize", "restore", "merge"]) for _ in range(9)]
     for op in ops:
         if op == "append":
             n = rng.randint(1, 6)
@@ -77,6 +77,18 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
             t.update({"val": F.col("val") + 1}, Col("id").isin(*ids))
             model = {i: (v + 1 if i in ids else v)
                      for i, v in model.items()}
+            snap()
+        elif op == "merge" and model:
+            # upsert: half existing ids (val overwritten), half new
+            hit = rng.sample(sorted(model),
+                             max(1, len(model) // 2))
+            fresh = [next_id + i for i in range(rng.randint(1, 3))]
+            next_id += len(fresh)
+            rows = [(i, i * 100 + seed) for i in hit + fresh]
+            t.merge(_df(spark, rows), "t.id = s.id",
+                    when_matched_update={"val": F.col("s.val")},
+                    when_not_matched_insert=True)
+            model.update({i: v for i, v in rows})
             snap()
         elif op == "optimize" and model:
             TableMaintenance(t).optimize(min_files_per_group=2)
