@@ -5,14 +5,16 @@ The pattern for image/audio/video at 100 TB: media bytes live in a
 struct; decode / feature-extract runs as Arrow-batched `mapInPandas`
 so Python touches data in columnar batches, never row-at-a-time.
 
-The container has no native media libraries, but each modality has one
-format a pure-stdlib parser can decode, and those paths are REAL here:
-PNG/BMP images (ops/imagecodec.py), WAV/PCM audio (ops/audiocodec.py),
-raw-DIB AVI video (ops/videocodec.py) — all oracle-gated on
-closed-form pixel/sample statistics. Compressed formats (jpeg, mp3,
-h264, ...) raise NotImplementedError behind guards: the mapInPandas
-seam is identical, so a native decoder drops in with zero plan
-changes. `fake_decode_features`/`fake_resize`/`fake_frame_sample`
+The container has no native media libraries, but every modality has
+stdlib-decodable formats, and those paths are REAL here — including a
+compressed format per modality: PNG (incl. Adam7) / BMP / GIF-LZW /
+baseline+progressive JPEG images (ops/imagecodec.py, ops/jpegcodec.py),
+WAV/PCM and G.711 mu-law/A-law audio (ops/audiocodec.py), raw-DIB and
+Motion-JPEG AVI video (ops/videocodec.py) — all oracle-gated on
+closed-form pixel/sample statistics. The remaining native-only
+formats (mp3, h264, ...) raise NotImplementedError behind guards:
+the mapInPandas seam is identical, so a native decoder drops in with
+zero plan changes. `fake_decode_features`/`fake_resize`/`fake_frame_sample`
 remain as byte-length stand-ins exercising the batch contracts
 independently of any codec.
 """
@@ -351,9 +353,10 @@ def decode_image(media_df: DataFrame, id_col: str = "doc_id",
     """REAL image decode via the stdlib PNG/BMP codec: Arrow-batched
     mapInPandas over binary payloads → per-image stats
     (width/height/channels from the parsed headers, pix_sum/pix_xsum
-    from the unfiltered pixel bytes — position-sensitive, so a filter
-    or row-order bug cannot cancel out). Non-PNG/BMP payloads raise
-    NotImplementedError (native-codec formats)."""
+    from the decoded pixel bytes — position-sensitive, so a filter
+    or row-order bug cannot cancel out). PNG/BMP/GIF/JPEG dispatch to
+    the stdlib codecs; other formats raise NotImplementedError
+    (native-codec formats)."""
     import numpy as np
 
     from . import imagecodec as codec
@@ -455,9 +458,10 @@ def decode_audio(media_df: DataFrame, id_col: str = "doc_id",
                  media_col: str = "media") -> DataFrame:
     """REAL audio decode via the stdlib WAV codec: per clip, sample
     rate and count from the parsed header plus amplitude sums from the
-    PCM payload (amp_xsum is position-weighted, so a byte-order or
-    alignment bug cannot cancel out). Non-PCM formats raise
-    NotImplementedError (native-codec territory)."""
+    decoded payload — PCM16 or G.711 companded (amp_xsum is
+    position-weighted, so a byte-order or alignment bug cannot cancel
+    out). Other format tags raise NotImplementedError (native-codec
+    territory)."""
     import numpy as np
 
     from . import audiocodec as ac
