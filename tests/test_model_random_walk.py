@@ -107,3 +107,70 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
         got = sorted((r.id, r.val)
                      for r in t.to_df(version=v).collect())
         assert got == items, f"time travel to v{v}"
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_random_walk_cdf_replay_reconstructs_every_version(
+        spark, tmp_path, seed):
+    """Replaying the row-level change feed from version 0 must
+    reconstruct the exact table state at EVERY recorded version —
+    inserts/update_postimages upsert, deletes/update_preimages remove
+    — across a random mix of appends, rewrites, DV deletes, updates
+    and restores."""
+    rng = random.Random(seed)
+    t = DeltaTable.for_path(spark, str(tmp_path / f"cdf{seed}"))
+    model: dict = {}
+    next_id = 0
+    history = []
+    ops = ["append"] + [rng.choice(
+        ["append", "delete", "dv_delete", "update", "restore"])
+        for _ in range(7)]
+    for op in ops:
+        if op == "append":
+            n = rng.randint(1, 5)
+            rows = [(next_id + i, (next_id + i) * 10) for i in range(n)]
+            next_id += n
+            t.write(_df(spark, rows), mode="append")
+            model.update(dict(rows))
+        elif op in ("delete", "dv_delete") and model:
+            ids = sorted(rng.sample(sorted(model),
+                                    rng.randint(1, len(model))))
+            t.delete(Col("id").isin(*ids),
+                     deletion_vectors=(op == "dv_delete"))
+            model = {i: v for i, v in model.items() if i not in ids}
+        elif op == "update" and model:
+            ids = sorted(rng.sample(sorted(model),
+                                    rng.randint(1, len(model))))
+            t.update({"val": F.col("val") + 1}, Col("id").isin(*ids))
+            model = {i: (v + 1 if i in ids else v)
+                     for i, v in model.items()}
+        elif op == "restore" and len(history) >= 2:
+            v, items = history[rng.randrange(len(history) - 1)]
+            from connectors_spark.table import TableMaintenance
+            TableMaintenance(t).restore(version=v)
+            model = dict(items)
+        else:
+            continue
+        history.append((t.snapshot().version, sorted(model.items())))
+
+    changes = t.table_changes(0).collect()
+    by_version: dict = {}
+    for r in changes:
+        by_version.setdefault(r._commit_version, []).append(r)
+    state: dict = {}
+    replayed: dict = {}
+    last = max(v for v, _ in history)
+    for v in range(last + 1):
+        # removals first, then additions: an update's pre/postimage
+        # pair and a rewrite's delete+insert of an unchanged row both
+        # net correctly regardless of row order within the version;
+        # change-less versions carry the previous state forward
+        for r in by_version.get(v, ()):
+            if r._change_type in ("delete", "update_preimage"):
+                state.pop(r.id, None)
+        for r in by_version.get(v, ()):
+            if r._change_type in ("insert", "update_postimage"):
+                state[r.id] = r.val
+        replayed[v] = sorted(state.items())
+    for v, items in history:
+        assert replayed[v] == items, f"CDF replay diverges at v{v}"
