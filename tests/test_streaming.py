@@ -864,3 +864,64 @@ def test_max_bytes_per_trigger_accepts_size_suffixes(spark, tmp_path):
     r = DeltaVersionStreamReader(
         StructType(), {"path": str(src), "maxbytespertrigger": "1m"})
     assert r.max_bytes == 1 << 20
+
+
+def test_streaming_ingest_neardup_cross_batch(spark, tmp_path):
+    """Streaming NEAR-dup curation — the fuzzy sibling of the
+    fingerprint test above: a delta-source stream feeds
+    foreachBatch(ingest_neardup) so paraphrased repeats arriving in
+    later commits are rejected against the persistent minhash index
+    (history text never re-read), while genuinely new docs land and
+    extend the index."""
+    from connectors_spark.ops import dedup as dd
+
+    src, cur, idx = (str(tmp_path / n) for n in ("src", "cur", "idx"))
+    t = DeltaTable.for_path(spark, src)
+
+    def mk(i, tail="original closing words"):
+        return (" ".join(f"body{i} tok{j}" for j in range(6))
+                + " " + tail)
+
+    t.write(spark.createDataFrame(
+        [(i, mk(i)) for i in range(6)], "doc_id long, text string")
+        .coalesce(1))
+    dd.build_minhash_index(
+        spark.createDataFrame([], "doc_id long, text string"), idx)
+    curated = DeltaTable.for_path(spark, cur)
+
+    def batchfn(df, _bid):
+        accepted = dd.ingest_neardup(df.select("doc_id", "text"), idx,
+                                     threshold=0.5)
+        if accepted.count():
+            curated.write(accepted.select("doc_id", "text"),
+                          mode="append")
+
+    def drain():
+        q = (spark.readStream.format("delta_stream")
+             .option("path", src).load()
+             .writeStream.foreachBatch(batchfn)
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    assert curated.to_df().count() == 6
+    # commit 2: two PARAPHRASES of historical docs (one word changed —
+    # high Jaccard, not exact) + one genuinely new doc
+    t.write(spark.createDataFrame(
+        [(100, mk(1, tail="original closing terms")),
+         (101, mk(3, tail="original closing remarks")),
+         (102, " ".join(f"fresh{j} unseen{j}" for j in range(8)))],
+        "doc_id long, text string").coalesce(1), mode="append")
+    drain()
+    got = sorted(r.doc_id for r in curated.to_df().collect())
+    assert got == list(range(6)) + [102]
+    # commit 3: near-dup of the doc accepted IN COMMIT 2 — rejected
+    # against the index rows that batch appended
+    t.write(spark.createDataFrame(
+        [(200, " ".join(f"fresh{j} unseen{j}" for j in range(8))
+          + " extra")],
+        "doc_id long, text string").coalesce(1), mode="append")
+    drain()
+    assert sorted(r.doc_id for r in curated.to_df().collect()) == \
+        list(range(6)) + [102]
