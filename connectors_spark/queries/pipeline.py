@@ -3086,3 +3086,57 @@ def doc_substring_search(spark, sf_dir):
         load(spark, sf_dir, "documents"),
         ["fast table", "merge batch part", "spark a a",
          "zzzz missing"])
+
+
+@register("doc_corpus_report", sql="""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents),
+d AS (
+  SELECT lang, source, count(*)::BIGINT AS n_docs,
+         sum(len(t))::BIGINT AS n_tokens,
+         round(avg(len(t)), 6) AS avg_len,
+         min(len(t))::BIGINT AS min_len, max(len(t))::BIGINT AS max_len,
+         (count(*) - count(DISTINCT fp))::BIGINT AS n_exact_dups
+  FROM toks GROUP BY 1, 2),
+v AS (
+  SELECT lang, source, count(DISTINCT w)::BIGINT AS n_types
+  FROM (SELECT lang, source, unnest(t) AS w FROM toks) GROUP BY 1, 2)
+SELECT d.lang, d.source, d.n_docs, d.n_tokens, d.avg_len, d.min_len,
+       d.max_len, d.n_exact_dups, v.n_types,
+       round(v.n_types / d.n_tokens::DOUBLE, 6) AS ttr
+FROM d JOIN v USING (lang, source)
+""")
+def doc_corpus_report(spark, sf_dir):
+    # Corpus report card — the per-(lang, source) summary a curation
+    # run publishes: volume, token-length distribution bounds, exact-
+    # duplicate count (md5 fingerprint), vocabulary size and type-token
+    # ratio. Two map-side-combined aggregates over one tokenize pass
+    # (doc-level stats keyed (lang, source); type counts via one
+    # distinct-token aggregate) joined on the tiny group relation —
+    # no windows, no self-joins, O(tokens) total.
+    from ..functions.text import fingerprint, token_count, tokens
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang", "source", fingerprint("text").alias("fp"),
+        token_count("text").alias("n"),
+        tokens(F.col("text")).alias("t"))
+    d = (base.groupBy("lang", "source")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("n").cast("bigint").alias("n_tokens"),
+              F.round(F.avg("n"), 6).alias("avg_len"),
+              F.min("n").cast("bigint").alias("min_len"),
+              F.max("n").cast("bigint").alias("max_len"),
+              (F.count(F.lit(1)) - F.countDistinct("fp"))
+              .cast("bigint").alias("n_exact_dups")))
+    v = (base.select("lang", "source", F.explode("t").alias("w"))
+         .groupBy("lang", "source")
+         .agg(F.countDistinct("w").alias("n_types")))
+    return (d.join(v, ["lang", "source"])
+            .select("lang", "source", "n_docs", "n_tokens", "avg_len",
+                    "min_len", "max_len", "n_exact_dups", "n_types",
+                    F.round(F.col("n_types") /
+                            F.col("n_tokens").cast("double"), 6)
+                    .alias("ttr")))

@@ -159,6 +159,7 @@ GATE_SORT: Dict[str, list] = {
     "emb_hard_negatives": ["query_id", "rank"],
     "doc_neardup_decontaminate": ["doc_id"],
     "doc_substring_search": ["pattern", "doc_id"],
+    "doc_corpus_report": ["lang", "source"],
     "ev_gapfill_daily_interp": ["key", "day"],
     "ev_ohlc_daily": ["key", "day"],
     "ev_time_weighted_avg": ["key"],
@@ -347,6 +348,9 @@ GATE_COLUMNS: Dict[str, list] = {
     "doc_neardup_decontaminate": ["doc_id", "n_eval_matches",
                                   "max_jaccard"],
     "doc_substring_search": ["pattern", "doc_id", "n_occurrences"],
+    "doc_corpus_report": ["lang", "source", "n_docs", "n_tokens",
+                          "avg_len", "min_len", "max_len",
+                          "n_exact_dups", "n_types", "ttr"],
     "doc_dsir_weights": ["doc_id", "n_feat", "logw"],
     "doc_quality_logreg": ["doc_id", "score", "pred"],
     "ev_gapfill_daily_interp": ["key", "day", "value", "filled"],
