@@ -394,27 +394,40 @@ class Snapshot:
         out = data.join(F.broadcast(pv_df), "__file")
         return out if keep_file else out.drop("__file")
 
-    def _read_plain(self, rows: Sequence) -> DataFrame:
+    def _read_plain(self, rows: Sequence,
+                    keep_file: bool = False) -> DataFrame:
         """Scan for files with no deletion vector."""
         meta = self.metadata
         paths = [r["path"] for r in rows]
         pcols = meta.partitionColumns
         if not pcols:
-            return self.spark.read.schema(meta.schema).parquet(*paths)
+            df = self.spark.read.schema(meta.schema).parquet(*paths)
+            return self._with_file(df) if keep_file else df
         pvs = [dict(r["partitionValues"] or {}) for r in rows]
         if self._hive_layout_ok(paths, pvs):
-            return (self.spark.read
-                    .option("basePath", self.table_path)
-                    .schema(meta.schema)
-                    .parquet(*paths))
-        # input_file_name() must be normalized the same way as log paths
-        data = (self.spark.read.schema(meta.data_schema).parquet(*paths)
-                .withColumn("__fn", F.input_file_name()))
-        data = data.withColumn(
-            "__file", canonical_path_col("__fn", self.table_path)).drop("__fn")
-        return self._attach_partition_values(data, paths, pvs)
+            df = (self.spark.read
+                  .option("basePath", self.table_path)
+                  .schema(meta.schema)
+                  .parquet(*paths))
+            return self._with_file(df) if keep_file else df
+        # the scan-time file path must be normalized the same way as
+        # log paths (canonical_path_col)
+        data = self.spark.read.schema(meta.data_schema).parquet(*paths)
+        return self._attach_partition_values(
+            self._with_file(data), paths, pvs, keep_file=keep_file)
 
-    def _read_with_dv(self, rows: Sequence) -> DataFrame:
+    def _with_file(self, data: DataFrame) -> DataFrame:
+        """Attach the canonical per-row ``__file`` column via the
+        Parquet source's ``_metadata.file_path`` — unlike
+        ``input_file_name()`` it stays legal when the plan later joins
+        other sources (the DV anti-join, merge's source join)."""
+        return (data.withColumn("__fn", F.col("_metadata.file_path"))
+                .withColumn("__file",
+                            canonical_path_col("__fn", self.table_path))
+                .drop("__fn"))
+
+    def _read_with_dv(self, rows: Sequence,
+                      keep_file: bool = False) -> DataFrame:
         """Scan for files carrying a deletion vector: anti-join deleted
         ``(file, row_index)`` positions via the Parquet source's hidden
         ``_metadata`` columns — one extra hash join bounded by the
@@ -432,11 +445,12 @@ class Snapshot:
             "__file", canonical_path_col("__fn", self.table_path)).drop("__fn")
         data = apply_dv(data, dv).drop("__ri")
         if not meta.partitionColumns:
-            return data.drop("__file")
-        return self._attach_partition_values(data, paths, pvs)
+            return data if keep_file else data.drop("__file")
+        return self._attach_partition_values(data, paths, pvs,
+                                             keep_file=keep_file)
 
     def to_df(self, files: Optional[DataFrame] = None,
-              residual=None) -> DataFrame:
+              residual=None, with_file_col: bool = False) -> DataFrame:
         """DataFrame of table rows for the active (optionally pruned) files.
 
         Partition values come from the log. Fast path: when the on-disk
@@ -447,23 +461,35 @@ class Snapshot:
         on ``input_file_name()`` (single scan, no per-partition plan
         explosion at 100k+ partitions). Files carrying a deletion vector
         are scanned separately with the deleted positions anti-joined
-        out (dv.py)."""
+        out (dv.py). ``with_file_col=True`` keeps a canonical
+        ``__file`` column per row (the file that produced it) — DML
+        file-discovery needs it, and computing it here (from
+        ``_metadata.file_path`` inside each single-source scan) is the
+        only placement that stays legal once DV anti-joins make the
+        plan multi-source."""
         from ..dv import DV_TAG
         meta = self.metadata
         src = files if files is not None else self.files_df
         rows = src.select("path", "partitionValues", "tags").collect()
         if not rows:
             df = self.spark.createDataFrame([], meta.schema)
+            if with_file_col:
+                df = df.withColumn("__file",
+                                   F.lit(None).cast("string"))
             return df.where(residual) if residual is not None else df
         plain = [r for r in rows if not ((r["tags"] or {}).get(DV_TAG))]
         dvd = [r for r in rows if (r["tags"] or {}).get(DV_TAG)]
-        parts = [self._read_plain(plain)] if plain else []
+        parts = [self._read_plain(plain, keep_file=with_file_col)] \
+            if plain else []
         if dvd:
-            parts.append(self._read_with_dv(dvd))
+            parts.append(self._read_with_dv(dvd,
+                                            keep_file=with_file_col))
         # Schema-order projection: Spark's file source appends partition
         # columns after data columns; the table contract is metadata
         # schema order (Snapshot.open ≍ SnapshotImpl.scala:107-116).
-        parts = [p.select(*[F.col(f.name) for f in meta.schema.fields])
+        extra = [F.col("__file")] if with_file_col else []
+        parts = [p.select(*[F.col(f.name) for f in meta.schema.fields],
+                          *extra)
                  for p in parts]
         df = parts[0]
         for p in parts[1:]:

@@ -842,11 +842,12 @@ class DeltaTable:
         # driver (it becomes the commit's RemoveFile list) — the full
         # file inventory stays a DataFrame end-to-end.
         meta = snap.metadata
-        with_file = (snap.to_df(files=scoped_files)
-                     .withColumn("__fn", F.input_file_name()))
-        from .log.snapshot import addfiles_from_rows, canonical_path_col
-        with_file = with_file.withColumn(
-            "__file", canonical_path_col("__fn", snap.table_path)).drop("__fn")
+        # __file comes from to_df itself (_metadata.file_path inside
+        # each single-source scan): input_file_name() on the returned
+        # plan is illegal once a DV anti-join makes it multi-source —
+        # a merge on a DV-carrying table would fail analysis
+        from .log.snapshot import addfiles_from_rows
+        with_file = snap.to_df(files=scoped_files, with_file_col=True)
         touched = (with_file.alias("t").join(src, cond, "inner")
                    .select(F.col("__file").alias("path")).distinct())
         # Semi-join, not an isin literal: a merge touching 100k+ files
@@ -872,8 +873,13 @@ class DeltaTable:
         matched_t = matched.select(
             *[F.col(f"t.{c}").alias(c) for c in tcols])
         if when_matched_update is not None:
+            # SQL strings or Columns, same contract as update()'s
+            # set_exprs — str(Column) is NOT valid SQL, so Columns must
+            # pass through unstringified
+            def _set(v):
+                return F.expr(v) if isinstance(v, str) else v
             upd = matched.select(*[
-                (F.expr(str(when_matched_update[c]))
+                (_set(when_matched_update[c])
                  if c in when_matched_update else F.col(f"t.{c}")).alias(c)
                 for c in tcols])
             parts.append(upd)

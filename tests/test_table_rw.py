@@ -386,3 +386,41 @@ def test_stats_budget_skips_partition_columns(spark, tmp_path):
             continue
         st = _json.loads(f.stats)
         assert set(st["minValues"]) == {"a"}, st
+
+
+def test_merge_accepts_column_set_exprs(spark, tmp_path):
+    # str(Column) is not SQL: when_matched_update must take Columns
+    # unstringified (same contract as update()'s set_exprs). Flushed
+    # by the random-walk model test's extended seeds.
+    t = DeltaTable.for_path(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(0, 1), (1, 10)], "id long, val long"))
+    t.merge(spark.createDataFrame([(1, 99), (2, 20)], "id long, val long"),
+            "t.id = s.id",
+            when_matched_update={"val": F.col("s.val") + 1},
+            when_not_matched_insert=True)
+    got = sorted((r.id, r.val) for r in t.to_df().collect())
+    assert got == [(0, 1), (1, 100), (2, 20)]
+
+
+def test_merge_on_table_with_deletion_vectors(spark, tmp_path):
+    # Merge's touched-file discovery previously called
+    # input_file_name() on the to_df plan; with a DV anti-join in the
+    # plan that is multi-source and fails analysis — so ANY merge on a
+    # DV-carrying table errored. __file now comes from
+    # _metadata.file_path inside the single-source scans.
+    from connectors_spark.expressions import Col, Lit
+    t = DeltaTable.for_path(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(i, i * 10) for i in range(6)],
+                                  "id long, val long").coalesce(1))
+    t.delete(Col("id") == Lit(2), deletion_vectors=True)
+    t.merge(spark.createDataFrame([(4, 999), (100, 1000)],
+                                  "id long, val long"),
+            "t.id = s.id",
+            when_matched_update={"val": "s.val"},
+            when_not_matched_insert=True)
+    got = sorted((r.id, r.val) for r in t.to_df().collect())
+    # DV-deleted row 2 stays gone, 4 updated, 100 inserted
+    assert got == [(0, 0), (1, 10), (3, 30), (4, 999), (5, 50),
+                   (100, 1000)]
+    # and the DV-deleted row must NOT be resurrected by the rewrite
+    assert 2 not in {i for i, _ in got}
