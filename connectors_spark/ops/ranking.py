@@ -140,6 +140,9 @@ def substring_search(docs: DataFrame, patterns: Sequence[str],
     contains scan of the corpus, unioned in — correct for every
     pattern length, index-accelerated from 3 chars up."""
     spark = docs.sparkSession
+    empty = _guard_patterns(docs, patterns, id_col)
+    if empty is not None:
+        return empty
     short = [p for p in patterns if len(p) < 3]
     patterns = [p for p in patterns if len(p) >= 3]
     out_short = None
@@ -171,6 +174,27 @@ def substring_search(docs: DataFrame, patterns: Sequence[str],
                       F.col(text_col).alias("_txt"))
     out = _verify_contains(cand.join(txt, "doc_id"))
     return out.unionByName(out_short) if out_short is not None else out
+
+
+def _guard_patterns(docs: DataFrame, patterns: Sequence[str],
+                    id_col: str):
+    """Shared input guard for both search variants: an empty-string
+    pattern would reach _verify_contains and divide by
+    length(pattern)=0 (null count, row silently dropped) — reject it
+    loudly instead; an empty patterns LIST returns an empty result
+    frame with the search's exact schema rather than None."""
+    if any(p == "" for p in patterns):
+        raise ValueError("substring search patterns must be non-empty "
+                         "strings")
+    if patterns:
+        return None
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("pattern", T.StringType()),
+        T.StructField("doc_id", docs.schema[id_col].dataType),
+        T.StructField("n_occurrences", T.LongType()),
+    ])
+    return docs.sparkSession.createDataFrame([], schema)
 
 
 def _verify_contains(cand_with_txt: DataFrame) -> DataFrame:
@@ -216,6 +240,9 @@ def substring_search_indexed(spark, index_path: str, docs: DataFrame,
     pattern's buckets. Verification joins back to the doc table."""
     from ..expressions import Col
     from ..table import DeltaTable
+    empty = _guard_patterns(docs, patterns, id_col)
+    if empty is not None:
+        return empty
     short = [p for p in patterns if len(p) < 3]
     patterns = [p for p in patterns if len(p) >= 3]
     spark_txt = docs.select(F.col(id_col).alias("doc_id"),

@@ -51,6 +51,7 @@ from ..log.actions import (AddCDCFile, AddFile, Format, Metadata,
 from ..log import history as hist
 from ..log.logstore import default_log_store, strip_scheme
 from ..log.segment import get_log_segment
+from ..log.snapshot import canonical_path
 from ..partition_values import decode as decode_partition_value
 
 
@@ -187,6 +188,22 @@ def _parse_bytes(v, option: str) -> int:
             f"got {v!r}") from None
 
 
+def _positive_option(options: dict, key: str, name: str,
+                     parse=int) -> Optional[int]:
+    """Parse an explicitly-set rate-limit option, rejecting values < 1
+    (DeltaOptions.scala validates maxFilesPerTrigger the same way). A
+    non-positive cap would make the snapshot page slice run backwards —
+    trailing files silently never delivered — so it must error loudly.
+    Returns None when the option is absent."""
+    if key not in options:
+        return None
+    n = parse(options[key])
+    if n < 1:
+        raise DeltaError(f"{name} must be at least 1, "
+                         f"got {options[key]!r}")
+    return n
+
+
 class DeltaVersionStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self.table_path = options["path"]
@@ -198,7 +215,8 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
                                               "false")).lower() == "true"
         self.fail_on_data_loss = str(options.get("failondataloss",
                                                  "true")).lower() == "true"
-        self.max_versions = int(options.get("maxversionsperbatch", "0")) or None
+        self.max_versions = _positive_option(
+            options, "maxversionsperbatch", "maxVersionsPerBatch")
         # maxFilesPerTrigger (delta-spark option; Flink pages its
         # snapshot the same way via incremental split assignment,
         # SnapshotAndChangesTableProcessor): bound the ST4 initial
@@ -206,16 +224,17 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
         # whole active file set — at 100 TB the unpaged first batch is
         # the entire table in one transaction. Tail batches stay
         # version-granular (bounded by maxVersionsPerBatch).
-        self.max_files = int(options.get("maxfilespertrigger", "0")) or None
+        self.max_files = _positive_option(
+            options, "maxfilespertrigger", "maxFilesPerTrigger")
         # maxBytesPerTrigger (delta-spark option): soft byte cap per
         # snapshot page — a page takes files until their cumulative
         # size reaches the cap (always at least one), so batch size
         # tracks data volume instead of file count when file sizes are
         # uneven. Composes with maxFilesPerTrigger: whichever limit
         # binds first ends the page.
-        self.max_bytes = _parse_bytes(
-            options.get("maxbytespertrigger", "0"),
-            "maxBytesPerTrigger") or None
+        self.max_bytes = _positive_option(
+            options, "maxbytespertrigger", "maxBytesPerTrigger",
+            parse=lambda v: _parse_bytes(v, "maxBytesPerTrigger"))
         self._snap_done = False
         # readChangeFeed (delta-spark option): emit ROW-LEVEL changes —
         # the table's columns plus _change_type — instead of the plain
@@ -537,29 +556,34 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
         """Boolean keep-mask (numpy, length n) for the partition's
         deletion vector: True = live row. The sidecar is a small
         (file_path, row_index) parquet; only this file's rows apply.
-        Paths are compared canonically (scheme stripped, as
-        SnapshotImpl.canonicalizePath does)."""
+        Paths are compared canonically (shared canonical_path helper,
+        the SnapshotImpl.canonicalizePath rule). The column filter is
+        vectorized Arrow compute: Python canonicalization touches only
+        the DISTINCT sidecar paths (bounded by the files a commit
+        touched), never the per-deleted-row values."""
+        import urllib.parse
+
         import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        def canon(p: str) -> str:
-            if "://" in p:
-                rest = p.split("://", 1)[1]
-                slash = rest.find("/")
-                return rest[slash:] if slash >= 0 else "/"
-            return p
-
-        import urllib.parse
-        side = os.path.join(strip_scheme(self.table_path),
-                            urllib.parse.unquote(partition.dv_rel))
+        root = strip_scheme(self.table_path)
+        side = os.path.join(root, urllib.parse.unquote(partition.dv_rel))
         tbl = pq.read_table(side, columns=["file_path", "row_index"])
-        me = canon(partition.file_path)
+        me = canonical_path(partition.file_path, root)
+        uniq = pc.unique(tbl.column("file_path"))
+        mine = pa.array([v for v in uniq.to_pylist()
+                         if v is not None
+                         and canonical_path(v, root) == me],
+                        pa.string())
+        idx = pc.filter(tbl.column("row_index"),
+                        pc.is_in(tbl.column("file_path"),
+                                 value_set=mine))
+        ri = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        ri = ri[(ri >= 0) & (ri < n)]
         keep = np.ones(n, dtype=bool)
-        fp = tbl.column("file_path").to_pylist()
-        ri = tbl.column("row_index").to_pylist()
-        for p, i in zip(fp, ri):
-            if canon(p) == me and 0 <= i < n:
-                keep[i] = False
+        keep[ri] = False
         return keep
 
     def read(self, partition: DeltaFilePartition) -> Iterator:

@@ -1097,3 +1097,28 @@ def test_substring_search_short_patterns_fall_back(spark, tmp_path):
     only = {(r.pattern, r.doc_id) for r in
             substring_search(df, ["ab"]).collect()}
     assert only == {("ab", 0), ("ab", 2)}
+
+
+def test_substring_search_degenerate_patterns(spark, tmp_path):
+    """ADVICE r8: an empty patterns LIST must return an empty frame
+    with the search's exact schema (not None), and an empty-string
+    pattern must be rejected loudly (it would otherwise divide by
+    length(pattern)=0 and vanish silently)."""
+    import pytest
+    from connectors_spark.ops.ranking import (build_trigram_index,
+                                              substring_search,
+                                              substring_search_indexed)
+    rows = [(0, "ab cd"), (1, "xyz")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = substring_search(df, [])
+    assert out.columns == ["pattern", "doc_id", "n_occurrences"]
+    assert out.count() == 0
+    idx = str(tmp_path / "trgm_degen")
+    build_trigram_index(df, idx, n_buckets=8)
+    out2 = substring_search_indexed(spark, idx, df, [], n_buckets=8)
+    assert out2.columns == ["pattern", "doc_id", "n_occurrences"]
+    assert out2.count() == 0
+    with pytest.raises(ValueError, match="non-empty"):
+        substring_search(df, ["ok", ""])
+    with pytest.raises(ValueError, match="non-empty"):
+        substring_search_indexed(spark, idx, df, [""], n_buckets=8)

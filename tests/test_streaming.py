@@ -866,6 +866,81 @@ def test_max_bytes_per_trigger_accepts_size_suffixes(spark, tmp_path):
     assert r.max_bytes == 1 << 20
 
 
+def test_non_positive_rate_limits_rejected(spark, tmp_path):
+    """ADVICE r8: a non-positive maxFilesPerTrigger makes the snapshot
+    page slice run backwards — the stream stalls silently instead of
+    erroring. delta-spark rejects non-positive rate-limit options at
+    parse time (DeltaOptions); so do we, for all three."""
+    from pyspark.sql.types import StructType
+
+    from connectors_spark.errors import DeltaError
+
+    src = tmp_path / "src"
+    t = DeltaTable.for_path(spark, str(src))
+    t.write(spark.range(3).select(F.col("id"),
+                                  (F.col("id") * 2).alias("val")),
+            mode="append")
+    for key, bad, name in [
+            ("maxfilespertrigger", "0", "maxFilesPerTrigger"),
+            ("maxfilespertrigger", "-5", "maxFilesPerTrigger"),
+            ("maxbytespertrigger", "0", "maxBytesPerTrigger"),
+            ("maxbytespertrigger", "-1k", "maxBytesPerTrigger"),
+            ("maxversionsperbatch", "0", "maxVersionsPerBatch"),
+            ("maxversionsperbatch", "-2", "maxVersionsPerBatch")]:
+        with pytest.raises(DeltaError, match=name):
+            DeltaVersionStreamReader(
+                StructType(), {"path": str(src), key: bad})
+    # absent options still mean "unbounded", not an error
+    r = DeltaVersionStreamReader(StructType(), {"path": str(src)})
+    assert (r.max_files, r.max_bytes, r.max_versions) == (
+        None, None, None)
+
+
+def test_dv_mask_vectorized_multi_file_sidecar(spark, tmp_path):
+    """_dv_mask unit check (ADVICE r8 rewrite to vectorized Arrow
+    compute): a sidecar shared by several files must apply only THIS
+    file's deleted positions, out-of-range indices are ignored, and
+    path comparison goes through the shared canonical_path rule."""
+    from pyspark.sql import Row
+    from pyspark.sql.types import StructType
+    from connectors_spark.expressions import Col, Lit
+
+    src = tmp_path / "src"
+    t = DeltaTable.for_path(spark, str(src))
+    # two one-file commits so one DV delete touches two files
+    t.write(spark.createDataFrame(
+        [Row(k=i, v=i * 10) for i in range(6)]).coalesce(1))
+    t.write(spark.createDataFrame(
+        [Row(k=i, v=i * 10) for i in range(6, 12)]).coalesce(1),
+        mode="append")
+    t.delete((Col("k") == Lit(1)) | (Col("k") == Lit(7)),
+             deletion_vectors=True)
+    snap = t.snapshot()
+    dv_files = [f for f in snap.all_files()
+                if (f.tags or {}).get("deletionVector")]
+    assert len(dv_files) == 2            # both files carry the DV tag
+    r = DeltaVersionStreamReader(StructType(), {"path": str(src)})
+    from connectors_spark.streaming.source import DeltaFilePartition
+    masks = {}
+    for f in dv_files:
+        part = DeltaFilePartition(
+            r._fs_path(f.path), 0, {}, kind="insert",
+            dv_rel=(f.tags or {}).get("deletionVector"))
+        masks[f.path] = r._dv_mask(part, 6)
+    # exactly one row masked per file (not both files' rows)
+    assert sorted(int(m.sum()) for m in masks.values()) == [5, 5]
+    # streamed snapshot agrees end-to-end
+    q = (spark.readStream.format("delta_stream")
+         .option("path", str(src)).load()
+         .writeStream.format("memory").queryName("t_dv_vec")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r.k for r in spark.sql(
+        "select * from t_dv_vec").collect())
+    assert got == [0, 2, 3, 4, 5, 6, 8, 9, 10, 11]
+
+
 def test_streaming_ingest_neardup_cross_batch(spark, tmp_path):
     """Streaming NEAR-dup curation — the fuzzy sibling of the
     fingerprint test above: a delta-source stream feeds
