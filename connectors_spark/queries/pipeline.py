@@ -132,6 +132,31 @@ def doc_jaccard(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Fuzzy (edit-distance) self-join — q-gram count-filter candidates
+# --------------------------------------------------------------------------
+
+@register("doc_fuzzy_edit_pairs", sql="""
+WITH d AS (SELECT doc_id, substr(text, 1, 64) AS pre FROM documents)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       levenshtein(a.pre, b.pre)::BIGINT AS dist
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.pre, b.pre) <= 8
+""")
+def doc_fuzzy_edit(spark, sf_dir):
+    """All document pairs whose 64-char text prefixes are within
+    Levenshtein distance 8 — the entity-resolution primitive over a
+    title-ish key. The oracle is the O(n²) definition; the Spark plan
+    is the index-bounded q-gram count filter (ops/fuzzy.py), exact by
+    the Gravano bound, with the hot-gram cap engaged so the plan
+    exercised at the gate is the one you'd run at 100 TB."""
+    from ..ops.fuzzy import edit_distance_pairs
+    d = (load(spark, sf_dir, "documents")
+         .select("doc_id", F.substring("text", 1, 64).alias("pre")))
+    return edit_distance_pairs(d, k=8, id_col="doc_id", str_col="pre",
+                               max_gram_freq=1000)
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH near-dup pairs
 # --------------------------------------------------------------------------
 

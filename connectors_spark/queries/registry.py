@@ -73,6 +73,7 @@ GATE_SORT: Dict[str, list] = {
     "doc_exact_dup_stats": ["n_docs"],
     "doc_ngram_jaccard_pairs": ["a_id", "b_id"],
     "doc_minhash_lsh_pairs": ["a_id", "b_id"],
+    "doc_fuzzy_edit_pairs": ["a_id", "b_id"],
     "doc_simhash_pairs": ["a_id", "b_id"],
     "doc_winnow_overlap_pairs": ["a_id", "b_id"],
     "doc_text_stats": ["lang"],
@@ -242,6 +243,7 @@ GATE_COLUMNS: Dict[str, list] = {
     "doc_exact_dup_stats": ["n_docs", "n_unique", "n_exact_dups"],
     "doc_ngram_jaccard_pairs": ["a_id", "b_id", "jaccard"],
     "doc_minhash_lsh_pairs": ["a_id", "b_id", "jaccard"],
+    "doc_fuzzy_edit_pairs": ["a_id", "b_id", "dist"],
     "doc_simhash_pairs": ["a_id", "b_id", "hamming"],
     "doc_winnow_overlap_pairs": ["a_id", "b_id", "shared", "overlap"],
     "doc_text_stats": ["lang", "n_docs", "avg_tokens", "avg_stopword_ratio", "avg_punct_ratio"],

@@ -1099,6 +1099,46 @@ def test_substring_search_short_patterns_fall_back(spark, tmp_path):
     assert only == {("ab", 0), ("ab", 2)}
 
 
+def test_edit_distance_pairs_matches_brute_force(spark):
+    """edit_distance_pairs (q-gram count-filter candidates) must equal
+    the O(n²) definition on a corpus exercising every path: exact
+    dups, near dups, short strings below the gram bound (band-join
+    fallback), the empty string, and — under the cap — strings whose
+    grams are all hot."""
+    import itertools
+
+    from connectors_spark.ops.fuzzy import edit_distance_pairs
+
+    rows = [(0, "hello world"), (1, "hello worlds"), (2, "hallo world"),
+            (3, "xy"), (4, "xz"), (5, "completely different string"),
+            (6, "hello wrld"), (7, ""), (8, "x"), (9, "aaaaaaaaaa"),
+            (10, "aaaaaaaaab"), (11, "hello world")]
+    df = spark.createDataFrame(rows, "doc_id: long, s: string")
+
+    def lev(a, b):
+        import functools
+
+        @functools.lru_cache(None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(d(i - 1, j) + 1, d(i, j - 1) + 1,
+                       d(i - 1, j - 1) + (a[i - 1] != b[j - 1]))
+        return d(len(a), len(b))
+
+    for k in (1, 2):
+        exp = {(min(ia, ib), max(ia, ib), lev(sa, sb))
+               for (ia, sa), (ib, sb) in itertools.combinations(rows, 2)
+               if lev(sa, sb) <= k}
+        for cap in (None, 3):
+            got = {(r.a_id, r.b_id, r.dist) for r in
+                   edit_distance_pairs(df, k, max_gram_freq=cap)
+                   .collect()}
+            assert got == exp, (k, cap)
+
+
 def test_substring_search_degenerate_patterns(spark, tmp_path):
     """ADVICE r8: an empty patterns LIST must return an empty frame
     with the search's exact schema (not None), and an empty-string

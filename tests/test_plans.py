@@ -98,6 +98,14 @@ def test_dedup_jaccard_no_cartesian(plans):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_fuzzy_edit_pairs_no_cartesian(plans):
+    # candidates come from the q-gram inverted-index equi-join + the
+    # bounded short-string band join — never an all-pairs product
+    p = plans("doc_fuzzy_edit_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_dedup_suite_holds_no_caches(spark, sf_dir):
     # The dedup ops are fully lazy: running them must not leave
     # anything pinned in executor storage (earlier rounds leaked
