@@ -205,6 +205,39 @@ def delta_zorder_prune(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# OPTIMIZE hilbert_by: Hilbert-curve clustering (liquid-clustering style)
+# --------------------------------------------------------------------------
+
+@register("delta_hilbert_prune", sql="""
+SELECT l_orderkey, l_partkey, l_suppkey, round(l_extendedprice, 2)
+       AS extendedprice
+FROM lineitem WHERE l_suppkey >= 40 AND l_suppkey < 80
+""")
+def delta_hilbert_prune(spark, sf_dir):
+    # Same shape as delta_zorder_prune but clustered along the HILBERT
+    # curve (unit-step locality — see table._hilbert_code) and probed on
+    # the OTHER clustered column, so the two gates together pin that
+    # either curve leaves min/max selective on every clustered column.
+    # The oracle pins that re-clustering never changes query results;
+    # the file-skipping assertion lives in tests/test_maintenance.py.
+    from ..table import TableMaintenance
+
+    def build(d):
+        li = load(spark, sf_dir, "lineitem")
+        t = DeltaTable.for_path(spark, d)
+        t.write(li.repartition(8))
+        TableMaintenance(t).optimize(target_file_size=4 * 1024 * 1024,
+                                     hilbert_by=["l_partkey", "l_suppkey"])
+    d = _built(sf_dir, "lineitem_hilbert", build)
+    t = DeltaTable.for_path(spark, d)
+    pred = (Col("l_suppkey") >= Lit(40)) & (Col("l_suppkey") < Lit(80))
+    return (t.scan(pred).to_df()
+            .filter((F.col("l_suppkey") >= 40) & (F.col("l_suppkey") < 80))
+            .select("l_orderkey", "l_partkey", "l_suppkey",
+                    F.round("l_extendedprice", 2).alias("extendedprice")))
+
+
+# --------------------------------------------------------------------------
 # UPDATE DML (P6): conditional column rewrite under the oracle
 # --------------------------------------------------------------------------
 

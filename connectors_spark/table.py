@@ -1161,17 +1161,17 @@ def _zorder_numeric(df: DataFrame, c: str) -> F.Column:
     return F.col(c).cast("double")
 
 
-def _zorder_code(df: DataFrame, cols: List[str]) -> F.Column:
-    """Morton code over equi-width bucket ids of the given columns
+def _bucket_ids(df: DataFrame, cols: List[str],
+                n_bits: int) -> List[F.Column]:
+    """Equi-width bucket id (long, 0..2^n_bits-1) per clustering column
     (numeric, timestamp, date, or string — see _zorder_numeric). Bucket
     bounds come from one min/max aggregate (driver-side, 2 numbers per
-    column); the interleave is a codegen'd bit expression. Nulls sort
-    first (bucket 0)."""
+    column). Nulls sort first (bucket 0)."""
     exprs = {c: _zorder_numeric(df, c) for c in cols}
     bounds = df.agg(
         *[F.min(exprs[c]).alias(f"_lo_{c}") for c in cols],
         *[F.max(exprs[c]).alias(f"_hi_{c}") for c in cols]).first()
-    n_buckets = 1 << _ZORDER_BITS
+    n_buckets = 1 << n_bits
     bucket_cols = []
     for c in cols:
         lo = float(bounds[f"_lo_{c}"] or 0.0)
@@ -1181,6 +1181,13 @@ def _zorder_code(df: DataFrame, cols: List[str]) -> F.Column:
                     F.lit(width) * n_buckets).cast("long")
         b = F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1))
         bucket_cols.append(F.coalesce(b, F.lit(0)))
+    return bucket_cols
+
+
+def _zorder_code(df: DataFrame, cols: List[str]) -> F.Column:
+    """Morton code over equi-width bucket ids of the given columns;
+    the interleave is a codegen'd bit expression."""
+    bucket_cols = _bucket_ids(df, cols, _ZORDER_BITS)
     code = F.lit(0).cast("long")
     k = len(cols)
     for bit in range(_ZORDER_BITS):
@@ -1189,6 +1196,84 @@ def _zorder_code(df: DataFrame, cols: List[str]) -> F.Column:
                 F.shiftright(b, bit).bitwiseAND(F.lit(1)),
                 bit * k + j)
     return code
+
+
+def _hilbert_index_col(bucket_cols: List[F.Column],
+                       bits: int) -> F.Column:
+    """Hilbert index (long) of d bucket-id Columns, ``bits`` bits each —
+    Skilling's AxesToTranspose (AIP Conf. Proc. 707, 2004) as a pure
+    Column expression, entirely JVM-side.
+
+    The per-level rotation loop runs inside F.aggregate over the
+    descending Q-value array: each level's state is an array<long>
+    bound to a lambda variable, so re-referencing X[0] d times per
+    level costs a NamedLambdaVariable leaf, not a copy of the whole
+    subtree (an unrolled withColumn chain would re-inline and grow the
+    tree exponentially after CollapseProject). Gray encode + the final
+    bit interleave run in the aggregate's finish lambda for the same
+    reason."""
+    d = len(bucket_cols)
+
+    def merge(acc, q):
+        X = [F.element_at(acc, i + 1) for i in range(d)]
+        P = q - F.lit(1).cast("long")
+        for i in range(d):
+            cond = X[i].bitwiseAND(q) != F.lit(0)
+            if i == 0:
+                # t = (X[0]^X[0]) & P == 0: the else branch is a no-op
+                X[0] = F.when(cond, X[0].bitwiseXOR(P)).otherwise(X[0])
+                continue
+            t = X[0].bitwiseXOR(X[i]).bitwiseAND(P)
+            x0 = F.when(cond, X[0].bitwiseXOR(P)) \
+                .otherwise(X[0].bitwiseXOR(t))
+            xi = F.when(cond, X[i]).otherwise(X[i].bitwiseXOR(t))
+            X[0], X[i] = x0, xi
+        return F.array(*X)
+
+    def finish(acc):
+        X = [F.element_at(acc, i + 1) for i in range(d)]
+        for i in range(1, d):                  # Gray encode (prefix ^)
+            X[i] = X[i].bitwiseXOR(X[i - 1])
+        # t = XOR over e>0 of (2^e - 1 when bit e of X[d-1] is set).
+        # Closed form per output bit j: parity of X[d-1] >> (j+1) —
+        # expressed with bit_count so the tree is LINEAR in bits (the
+        # literal when-chain re-embeds t twice per level → 2^bits
+        # nodes; it OOMed analysis at 16 bits).
+        t = F.lit(0).cast("long")
+        for j in range(bits - 1):
+            par = F.bit_count(F.shiftright(X[d - 1], j + 1)) \
+                .cast("long").bitwiseAND(F.lit(1))
+            t = t + F.shiftleft(par, j)
+        X = [x.bitwiseXOR(t) for x in X]
+        h = F.lit(0).cast("long")
+        for p in range(bits - 1, -1, -1):      # transpose → index
+            for i in range(d):
+                h = F.shiftleft(h, 1) \
+                    + F.shiftright(X[i], p).bitwiseAND(F.lit(1))
+        return h
+
+    init = F.array(*[b.cast("long") for b in bucket_cols])
+    qs = F.array(*[F.lit(1 << e).cast("long")
+                   for e in range(bits - 1, 0, -1)])
+    return F.aggregate(qs, init, merge, finish)
+
+
+def _hilbert_code(df: DataFrame, cols: List[str]) -> F.Column:
+    """Hilbert-curve cluster code over equi-width bucket ids — the
+    same bucketing as Z-order but walked along the Hilbert curve.
+
+    Why offer both: Morton order has quadrant-boundary jumps (the code
+    teleports across the key space every power-of-two boundary), so a
+    contiguous code range — one output file — can cover two far-apart
+    rectangles and its min/max stats widen on every clustered column.
+    The Hilbert curve is a unit-step Hamiltonian path over the bucket
+    grid (adjacent codes are adjacent cells), so equal-size code
+    ranges cover tighter hyper-rectangles: measurably better per-file
+    min/max selectivity at the same rewrite cost — the reason
+    Databricks liquid clustering walks Hilbert, not Morton. Bits per
+    dimension shrink with d so the index stays in a signed long."""
+    bits = min(_ZORDER_BITS, 63 // max(len(cols), 1))
+    return _hilbert_index_col(_bucket_ids(df, cols, bits), bits)
 
 
 class TableMaintenance:
@@ -1210,7 +1295,8 @@ class TableMaintenance:
 
     def optimize(self, target_file_size: int = 128 * 1024 * 1024,
                  min_files_per_group: int = 2,
-                 zorder_by: Optional[List[str]] = None) -> Dict[str, int]:
+                 zorder_by: Optional[List[str]] = None,
+                 hilbert_by: Optional[List[str]] = None) -> Dict[str, int]:
         """Bin-pack files smaller than ``target_file_size``, grouped by
         partition tuple. With ``zorder_by``, ALL files are rewritten
         Z-order-clustered on the given numeric columns instead: rows are
@@ -1220,7 +1306,14 @@ class TableMaintenance:
         EVERY clustered column — stats-based skipping (scan.py) then
         prunes on any of them, the multi-column layout the reference
         carries stats for but never exploits (actions.scala:116-117).
-        Returns {filesRemoved, filesAdded, version}."""
+        ``hilbert_by`` clusters along the Hilbert curve instead of
+        Morton (see _hilbert_code for why that tightens per-file
+        min/max at the same rewrite cost). Returns {filesRemoved,
+        filesAdded, version}."""
+        if zorder_by and hilbert_by:
+            raise DeltaError("zorder_by and hilbert_by are mutually "
+                             "exclusive")
+        cluster_by = zorder_by or hilbert_by
         t = self.table
         txn = t.log.start_transaction()
         snap = txn.snapshot
@@ -1231,14 +1324,14 @@ class TableMaintenance:
         # files (or, for Z-order, the full rewrite set — inherent) are
         # collected; a mostly-compacted table collects near-nothing.
         from .log.snapshot import addfiles_from_rows
-        cand_df = snap.files_df if zorder_by is not None \
+        cand_df = snap.files_df if cluster_by is not None \
             else snap.files_df.where(F.col("size") < target_file_size)
         groups: Dict[Tuple, List[Any]] = {}
         for f in addfiles_from_rows(cand_df.collect()):
             key = tuple((c, (f.partitionValues or {}).get(c)) for c in pcols)
             groups.setdefault(key, []).append(f)
         victims: List[Any] = []
-        min_group = 1 if zorder_by else min_files_per_group
+        min_group = 1 if cluster_by else min_files_per_group
         for key, fs in groups.items():
             if len(fs) >= min_group:
                 victims.extend(fs)
@@ -1250,8 +1343,10 @@ class TableMaintenance:
         df = snap.to_df(files=subset)
         total = sum(f.size for f in victims)
         n_out = max(1, -(-total // target_file_size))
-        if zorder_by:
-            df = df.withColumn("_z", _zorder_code(df, zorder_by))
+        if cluster_by:
+            code = (_zorder_code(df, zorder_by) if zorder_by
+                    else _hilbert_code(df, hilbert_by))
+            df = df.withColumn("_z", code)
             df = (df.repartitionByRange(n_out, F.col("_z"))
                   .sortWithinPartitions("_z").drop("_z"))
         else:
@@ -1265,6 +1360,9 @@ class TableMaintenance:
         params = {"targetSize": str(target_file_size)}
         if zorder_by:
             params["zOrderBy"] = ",".join(zorder_by)
+        if hilbert_by:
+            params["clusterBy"] = ",".join(hilbert_by)
+            params["curve"] = "hilbert"
         version = txn.commit(
             actions, operation="OPTIMIZE",
             operation_parameters=params,

@@ -185,6 +185,123 @@ def test_optimize_zorder_improves_stats_skipping(spark, tmp_path):
     assert got == n * (n - 1) // 2
 
 
+def _hilbert_index_py(coords, b):
+    """Skilling AxesToTranspose reference (AIP Conf. Proc. 707, 2004) —
+    the oracle the Column expression must match bit-for-bit."""
+    X = list(coords)
+    d = len(X)
+    Q = 1 << (b - 1)
+    while Q > 1:
+        P = Q - 1
+        for i in range(d):
+            if X[i] & Q:
+                X[0] ^= P
+            else:
+                t = (X[0] ^ X[i]) & P
+                X[0] ^= t
+                X[i] ^= t
+        Q >>= 1
+    for i in range(1, d):
+        X[i] ^= X[i - 1]
+    t, Q = 0, 1 << (b - 1)
+    while Q > 1:
+        if X[d - 1] & Q:
+            t ^= Q - 1
+        Q >>= 1
+    X = [x ^ t for x in X]
+    h = 0
+    for p in range(b - 1, -1, -1):
+        for i in range(d):
+            h = (h << 1) | ((X[i] >> p) & 1)
+    return h
+
+
+def test_hilbert_index_column_matches_reference(spark):
+    """The JVM-expression Hilbert index equals the Skilling reference,
+    and small grids walk a true Hilbert curve: the index is a
+    bijection and consecutive indices are grid neighbors (unit step in
+    exactly one coordinate) — the locality property Morton lacks."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from connectors_spark.table import _hilbert_index_col
+
+    # exhaustive small grids: bijection + adjacency
+    for d, b in [(2, 4), (3, 3)]:
+        coords = list(itertools.product(range(1 << b), repeat=d))
+        df = spark.createDataFrame(
+            [(i,) + c for i, c in enumerate(coords)],
+            ", ".join(["i: long"] + [f"x{j}: long" for j in range(d)]))
+        col = _hilbert_index_col([F.col(f"x{j}") for j in range(d)], b)
+        got = {r.i: r.h for r in df.select("i", col.alias("h"))
+               .collect()}
+        assert got == {i: _hilbert_index_py(c, b)
+                       for i, c in enumerate(coords)}
+        by_h = {got[i]: coords[i] for i in got}
+        assert len(by_h) == len(coords)          # bijection
+        assert all(sum(abs(a - bb) for a, bb in
+                       zip(by_h[i], by_h[i + 1])) == 1
+                   for i in range(len(coords) - 1))
+    # random spot-check at production width
+    random.seed(11)
+    for d, b in [(2, 16), (3, 16), (4, 15)]:
+        coords = [tuple(random.randrange(1 << b) for _ in range(d))
+                  for _ in range(300)]
+        df = spark.createDataFrame(
+            [(i,) + c for i, c in enumerate(coords)],
+            ", ".join(["i: long"] + [f"x{j}: long" for j in range(d)]))
+        col = _hilbert_index_col([F.col(f"x{j}") for j in range(d)], b)
+        got = {r.i: r.h for r in df.select("i", col.alias("h"))
+               .collect()}
+        assert got == {i: _hilbert_index_py(c, b)
+                       for i, c in enumerate(coords)}
+
+
+def test_optimize_hilbert_improves_stats_skipping(spark, tmp_path):
+    """OPTIMIZE ... hilbert_by clusters like Z-order — point-ish
+    predicates on EITHER clustered column stats-skip most files — and
+    re-clustering never changes table contents."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from connectors_spark.errors import DeltaError
+    from connectors_spark.expressions import Col, Lit
+    from connectors_spark.table import DeltaTable, TableMaintenance
+
+    path = str(tmp_path / "ht")
+    n = 20000
+    df = (spark.range(n)
+          .select(F.col("id").alias("rid"),
+                  (F.col("id") % 200).alias("x"),
+                  F.floor(F.col("id") / 100).alias("y")))
+    t = DeltaTable.for_path(spark, path)
+    t.write(df.repartitionByRange(8, "rid"))
+
+    def files_read(pred):
+        return len(t.scan(pred).collect_files())
+
+    total_before = len(t.snapshot().all_files())
+    x_before = files_read((Col("x") >= Lit(10)) & (Col("x") < Lit(20)))
+    assert x_before == total_before
+
+    with pytest.raises(DeltaError, match="mutually exclusive"):
+        TableMaintenance(t).optimize(zorder_by=["x"], hilbert_by=["y"])
+    res = TableMaintenance(t).optimize(target_file_size=16 * 1024,
+                                       hilbert_by=["x", "y"])
+    assert res["filesAdded"] > 1
+    total = len(t.snapshot().all_files())
+    x_after = files_read((Col("x") >= Lit(10)) & (Col("x") < Lit(20)))
+    y_after = files_read((Col("y") >= Lit(10)) & (Col("y") < Lit(20)))
+    assert x_after < total and y_after < total
+    assert t.to_df().count() == n
+    assert t.to_df().agg(F.sum("rid")).first()[0] == n * (n - 1) // 2
+    # history records the clustering operation
+    ops = {h["operation"]: h for h in t.history()}
+    assert ops["OPTIMIZE"]["operationParameters"]["curve"] == "hilbert"
+
+
 def test_zorder_string_column_clusters(spark, tmp_path):
     """Z-order on a STRING column: the order-preserving byte-prefix
     rank must cluster lexical ranges so string equality/range
