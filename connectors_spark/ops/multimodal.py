@@ -454,6 +454,59 @@ def synth_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         gen, schema=f"{id_col} long, media binary")
 
 
+def synth_adpcm_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL IMA-ADPCM corpus: per doc a mono 8 kHz WAV
+    (format tag 0x11, block_align 12 → 17 samples/block) built from
+    closed-form block headers and nibble stream
+
+        nb          = 2 + doc_id % 3                 blocks
+        pred0(b)    = ((doc_id*131 + b*4099) % 65536) - 32768
+        idx0(b)     = (doc_id + 11*b) % 89
+        nib(b, j)   = (doc_id*7 + b*5 + j*j*3) % 16,  j = 0..15
+
+    ADPCM decode is a sequential state machine (per-block state), so —
+    unlike G.711 — decode(encode(s)) has no per-sample closed form;
+    instead the CORPUS pins the encoded stream in closed form and the
+    DuckDB oracle replays the IMA step function with a recursive CTE
+    (17 steps/block), while Spark parses the real RIFF container and
+    runs the real blockwise decoder (ops/audiocodec.adpcm_decode,
+    whose step function is validated bit-exact against CPython's
+    audioop DVI implementation)."""
+    import struct as _struct
+
+    from . import audiocodec as ac
+    from ..shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                nb = 2 + did % 3
+                data = bytearray()
+                for b in range(nb):
+                    pred0 = ((did * 131 + b * 4099) % 65536) - 32768
+                    idx0 = (did + 11 * b) % 89
+                    data += _struct.pack("<hBB", pred0, idx0, 0)
+                    nibs = [(did * 7 + b * 5 + j * j * 3) % 16
+                            for j in range(16)]
+                    for m in range(8):          # 8 data bytes/block
+                        data.append(nibs[2 * m] | (nibs[2 * m + 1] << 4))
+                fmt = ac._adpcm_fmt(8000, 1, 12)
+                body = (b"WAVE"
+                        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                        + b"fact" + _struct.pack("<II", 4, 17 * nb)
+                        + b"data" + _struct.pack("<I", len(data))
+                        + bytes(data))
+                blob = b"RIFF" + _struct.pack("<I", len(body)) + body
+                rows.append((did, blob))
+            yield pd.DataFrame(rows, columns=[id_col, "media"])
+
+    return docs.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media binary")
+
+
 def decode_audio(media_df: DataFrame, id_col: str = "doc_id",
                  media_col: str = "media") -> DataFrame:
     """REAL audio decode via the stdlib WAV codec: per clip, sample

@@ -99,6 +99,7 @@ GATE_SORT: Dict[str, list] = {
     "mm_gif_decode_real": ["doc_id"],
     "mm_mjpeg_frames_real": ["doc_id", "frame_idx"],
     "mm_g711_decode_real": ["doc_id"],
+    "mm_adpcm_decode_real": ["doc_id"],
     "mm_image_thumb_real": ["doc_id"],
     "mm_audio_decode_real": ["doc_id"],
     "mm_video_frames_real": ["doc_id", "frame_idx"],
@@ -277,6 +278,9 @@ GATE_COLUMNS: Dict[str, list] = {
                              "n_samples", "amp_sum", "amp_sq_sum",
                              "amp_xsum"],
     "mm_g711_decode_real": ["doc_id", "sample_rate", "channels",
+                            "n_samples", "amp_sum", "amp_sq_sum",
+                            "amp_xsum"],
+    "mm_adpcm_decode_real": ["doc_id", "sample_rate", "channels",
                             "n_samples", "amp_sum", "amp_sq_sum",
                             "amp_xsum"],
     "mm_video_frames_real": ["doc_id", "frame_idx", "width", "height",

@@ -613,3 +613,98 @@ def test_spark_real_g711_decode_matches_rule(spark, sf_dir):
     from tests.harness import compare
     ok, msg = compare(spark, str(sf_dir), "mm_g711_decode_real")
     assert ok, msg
+
+
+def test_adpcm_step_matches_audioop_exhaustive():
+    """The IMA decode step must be bit-exact vs CPython's audioop DVI
+    implementation: every (code, step index) with predictor spot-
+    sweeps, plus random multi-byte streams driven through both."""
+    import random
+    import struct
+
+    import pytest
+
+    audioop = pytest.importorskip("audioop")
+    from connectors_spark.ops import audiocodec as ac
+
+    for idx in range(89):
+        for code in range(16):
+            for pred in (-32768, -1000, -1, 0, 1, 1000, 32767):
+                out, (p2, i2) = audioop.adpcm2lin(
+                    bytes([code << 4]), 2, (pred, idx))
+                s1 = struct.unpack("<hh", out)[0]
+                p1, i1 = ac.adpcm_step(code, pred, idx)
+                assert (s1, p2 if False else s1) == (p1, p1)
+                # audioop consumes TWO nibbles per byte (second is 0);
+                # compare the full two-step chain too
+                pa, ia = ac.adpcm_step(0, p1, i1)
+                assert struct.unpack("<hh", out)[1] == pa
+                assert (p2, i2) == (pa, ia)
+    random.seed(5)
+    for _ in range(50):
+        pred = random.randrange(-32768, 32768)
+        idx = random.randrange(89)
+        stream = bytes(random.randrange(256) for _ in range(64))
+        out, _ = audioop.adpcm2lin(stream, 2, (pred, idx))
+        mine = []
+        p, i = pred, idx
+        for byte in stream:
+            for code in (byte >> 4, byte & 0x0F):   # audioop: high 1st
+                p, i = ac.adpcm_step(code, p, i)
+                mine.append(p)
+        assert list(struct.unpack(f"<{len(mine)}h", out)) == mine
+
+
+def test_adpcm_wav_roundtrip_mono_stereo_padding():
+    """encode_wav_ima_adpcm → decode_wav: exact length recovery across
+    block boundaries and final-block padding (fact-chunk trim), exact
+    first-sample-per-block storage, bounded reconstruction error on a
+    smooth signal, mono and stereo."""
+    import math
+
+    from connectors_spark.ops import audiocodec as ac
+
+    for channels in (1, 2):
+        for frames in (1, 16, 17, 100, 121):
+            samples = [int(8000 * math.sin(i * 0.05))
+                       for i in range(frames * channels)]
+            blob = ac.encode_wav_ima_adpcm(samples, 8000, channels,
+                                           block_align=16 * channels)
+            rate, ch, dec = ac.decode_wav(blob)
+            assert (rate, ch) == (8000, channels)
+            assert len(dec) == len(samples)
+            spb = (16 * channels - 4 * channels) * 2 // channels + 1
+            for f0 in range(0, frames, spb):        # block firsts exact
+                for c in range(channels):
+                    assert dec[f0 * channels + c] == \
+                        samples[f0 * channels + c]
+            # slope-overload transient while the step size adapts from
+            # index 0 is inherent to IMA; bound the worst case and pin
+            # that the adapted tail tracks tightly
+            errs = [abs(a - b) for a, b in zip(samples, dec)]
+            assert max(errs) < 4100, (channels, frames, max(errs))
+            if frames >= 100:
+                tail = errs[len(errs) // 2:]
+                assert sum(tail) / len(tail) < 300, (channels, frames)
+
+
+def test_adpcm_decoder_guards():
+    import struct
+
+    import pytest
+
+    from connectors_spark.ops import audiocodec as ac
+
+    blob = ac.encode_wav_ima_adpcm([0] * 20, 8000, 1, block_align=16)
+    # corrupt the step index header past 88
+    data = bytearray(blob)
+    off = blob.index(b"data") + 8
+    data[off + 2] = 90
+    with pytest.raises(ValueError, match="step index"):
+        ac.decode_wav(bytes(data))
+    # 4-bit requirement pinned in fmt parsing
+    bad = bytearray(blob)
+    fmt_off = blob.index(b"fmt ") + 8
+    struct.pack_into("<H", bad, fmt_off + 14, 8)    # bits = 8
+    with pytest.raises(ValueError, match="4-bit"):
+        ac.decode_wav(bytes(bad))
