@@ -1,0 +1,152 @@
+"""Per-file Bloom-filter data skipping.
+
+Min/max stats answer range predicates; they are useless for point
+lookups on high-cardinality columns that are neither the partition nor
+the clustering key (every file's [min, max] spans the probe). A
+per-file Bloom filter over the column's distinct values answers
+``col = literal`` / ``col IN (...)`` probabilistically: a clean miss
+PROVES the file cannot contain the value, so the scan skips it; a hit
+keeps the file (false positives only cost I/O, never correctness —
+the same never-skip-on-missing-evidence stance as stats skipping).
+
+This is the Delta bloom-filter index re-expressed through the action
+model the reference already carries: the filter rides ``AddFile.tags``
+(``bloom.<col>`` → ``"<m>:<k>:<hex>"``), the file-level annotation
+channel the reference reserves for exactly this kind of metadata
+(actions.scala:109-132). Writers build filters during the SAME
+distributed publish pass that footer-reads stats (writer.publish_plan);
+the scan-side test is a pure Column expression over ``files_df`` —
+at 100 TB the file inventory is a DataFrame, so skipping must never
+collect it.
+
+Self-describing tags: m and k are stored per file, so a config change
+between writes never mis-tests old files — the probe recomputes each
+file's bit positions from ITS m (Column arithmetic), and files without
+a tag are kept.
+
+Sizing: with n distinct values per file, fpp ≈ (1 - e^(-kn/m))^k.
+The defaults (m=16384 bits → 2 KiB of hex per column per file, k=7)
+give ~1% fpp at n ≈ 1700 — tune delta.dataSkipping.bloomFilter.numBits
+to the table's file row width. The tag cost is metadata-plane:
+O(files × bloom'd columns), the same budget dataSkippingNumIndexedCols
+bounds for min/max width.
+
+Hashing is md5-derived double hashing (seedless — the same determinism
+doctrine as ops/sketches.py), over a canonical string key: integers as
+their decimal form, strings as their UTF-8 text. Other types are out
+of scope (no tag written, no test applied).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, Iterable, List, Optional, Tuple
+
+from pyspark.sql import functions as F
+
+BLOOM_COLUMNS_KEY = "delta.dataSkipping.bloomFilter.columns"
+BLOOM_BITS_KEY = "delta.dataSkipping.bloomFilter.numBits"
+BLOOM_HASHES_KEY = "delta.dataSkipping.bloomFilter.numHashes"
+TAG_PREFIX = "bloom."
+
+DEFAULT_BITS = 16384
+DEFAULT_HASHES = 7
+_MAX_HASHES = 16        # scan-side unroll bound (k per file may vary)
+
+
+def bloom_config(configuration: Optional[Dict[str, str]]
+                 ) -> Optional[Tuple[List[str], int, int]]:
+    """(columns, m, k) from a metadata configuration, or None when the
+    table has no bloom columns configured."""
+    conf = configuration or {}
+    cols = [c.strip() for c in conf.get(BLOOM_COLUMNS_KEY, "").split(",")
+            if c.strip()]
+    if not cols:
+        return None
+    m = int(conf.get(BLOOM_BITS_KEY, str(DEFAULT_BITS)))
+    k = int(conf.get(BLOOM_HASHES_KEY, str(DEFAULT_HASHES)))
+    if m < 8 or m % 4:
+        raise ValueError(f"{BLOOM_BITS_KEY} must be a multiple of 4 "
+                         f">= 8, got {m}")
+    if not 1 <= k <= _MAX_HASHES:
+        raise ValueError(f"{BLOOM_HASHES_KEY} must be in "
+                         f"[1, {_MAX_HASHES}], got {k}")
+    return cols, m, k
+
+
+def bloom_key(value) -> Optional[str]:
+    """Canonical hash key shared by writer and probe; None = out of
+    scope (no evidence either way)."""
+    if value is None or isinstance(value, bool):
+        return None
+    if isinstance(value, int):
+        return str(value)
+    if isinstance(value, str):
+        return value
+    return None
+
+
+def _hashes64(key: str) -> Tuple[int, int]:
+    h = hashlib.md5(key.encode("utf-8")).hexdigest()
+    return int(h[:15], 16), int(h[15:30], 16) | 1
+
+
+def build_bloom_hex(values: Iterable, m: int, k: int) -> Optional[str]:
+    """Hex filter over the values' canonical keys. Bit p lives in hex
+    char p//4 at bit p%4 (nibble-wise layout so the Column-side test
+    is one substr + conv per probe position). Returns None when no
+    value was hashable (no tag — the file is always kept)."""
+    nibbles = [0] * (m // 4)
+    any_set = False
+    for v in values:
+        key = bloom_key(v)
+        if key is None:
+            continue
+        any_set = True
+        h1, h2 = _hashes64(key)
+        for i in range(k):
+            p = (h1 + i * h2) % m
+            nibbles[p // 4] |= 1 << (p % 4)
+    if not any_set:
+        return None
+    return "".join("%x" % n for n in nibbles)
+
+
+def bloom_tag_value(hex_filter: str, m: int, k: int) -> str:
+    return f"{m}:{k}:{hex_filter}"
+
+
+def bloom_keep_column(tag_col, value) -> Optional[F.Column]:
+    """Keep-file Column testing ``value`` against a file's
+    self-describing bloom tag (``m:k:hex``). NULL tag → keep. The
+    file's own m and k drive the positions, so filters written under
+    older configs stay sound.
+
+    Built as ONE higher-order ``forall`` over the k probe positions
+    (lambda-bound index), not an unrolled when-chain: an IN list can
+    put dozens of these on a single scan, and unrolled trees made
+    ANALYSIS — not execution — the bottleneck (~1 s/probe). The
+    60-bit hashes are reduced mod the FILE's m before scaling by i
+    ((h1 + i*h2) % m == ((h1%m) + i*(h2%m)) % m), keeping every
+    intermediate far under long range in ANSI mode."""
+    key = bloom_key(value)
+    if key is None:
+        return None
+    h1, h2 = _hashes64(key)
+    parts = F.split(tag_col, ":")
+    m = parts.getItem(0).cast("long")
+    k = parts.getItem(1).cast("int")
+    hx = parts.getItem(2)
+    h1c, h2c = F.lit(h1) % m, F.lit(h2) % m
+    bit_of = F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8))
+
+    def probe(i):
+        p = (h1c + i.cast("long") * h2c) % m
+        ch = hx.substr((p / F.lit(4)).cast("long") + F.lit(1), F.lit(1))
+        nib = F.conv(ch, 16, 10).cast("long")
+        mask = F.element_at(bit_of, (p % F.lit(4)).cast("int")
+                            + F.lit(1)).cast("long")
+        return nib.bitwiseAND(mask) != F.lit(0)
+
+    keep = F.forall(F.sequence(F.lit(0), k - F.lit(1)), probe)
+    return F.coalesce(keep, F.lit(True))

@@ -238,6 +238,37 @@ def delta_hilbert_prune(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Bloom-filter data skipping: point lookups on a high-cardinality column
+# --------------------------------------------------------------------------
+
+@register("delta_bloom_prune", sql="""
+SELECT l_orderkey, l_partkey, l_linenumber,
+       round(l_extendedprice, 2) AS extendedprice
+FROM lineitem WHERE l_orderkey IN (7, 1000, 29154)
+""")
+def delta_bloom_prune(spark, sf_dir):
+    # l_orderkey is high-cardinality and insert-scattered, so min/max
+    # admits nearly every file for a point probe; the per-file bloom
+    # (connectors_spark/bloom.py, AddFile.tags) proves absence and
+    # skips. The oracle pins result equality; the files-read reduction
+    # is asserted in tests/test_bloom.py.
+    from ..bloom import BLOOM_COLUMNS_KEY
+
+    def build(d):
+        li = load(spark, sf_dir, "lineitem")
+        t = DeltaTable.for_path(spark, d)
+        t.write(li.repartition(8),
+                configuration={BLOOM_COLUMNS_KEY: "l_orderkey"})
+    d = _built(sf_dir, "lineitem_bloom", build)
+    t = DeltaTable.for_path(spark, d)
+    keys = [7, 1000, 29154]
+    return (t.scan(Col("l_orderkey").isin(*keys)).to_df()
+            .filter(F.col("l_orderkey").isin(keys))
+            .select("l_orderkey", "l_partkey", "l_linenumber",
+                    F.round("l_extendedprice", 2).alias("extendedprice")))
+
+
+# --------------------------------------------------------------------------
 # UPDATE DML (P6): conditional column rewrite under the oracle
 # --------------------------------------------------------------------------
 

@@ -3018,6 +3018,61 @@ def mm_mjpeg_frames_real(spark, sf_dir):
     return mm.frame_sample_real(mm.synth_mjpeg_media(docs), every_n=1)
 
 
+def _ima_steptab_sql() -> str:
+    from ..ops.audiocodec import IMA_STEP_TABLE
+    return "[" + ", ".join(str(v) for v in IMA_STEP_TABLE) + "]"
+
+
+@register("mm_adpcm_decode_real", sql=f"""
+WITH RECURSIVE
+g AS (SELECT doc_id, 2 + doc_id % 3 AS nb FROM documents),
+blks AS (SELECT g.doc_id, b.blk
+         FROM g, LATERAL (SELECT unnest(range(0, g.nb)) AS blk) b),
+st AS (
+  SELECT doc_id, blk, 0 AS j,
+         (((doc_id * 131 + blk * 4099) % 65536) - 32768)::BIGINT AS pred,
+         ((doc_id + 11 * blk) % 89)::BIGINT AS idx
+  FROM blks
+  UNION ALL
+  SELECT doc_id, blk, j + 1,
+         greatest(-32768, least(32767,
+             CASE WHEN code >= 8 THEN pred - diff
+                  ELSE pred + diff END))::BIGINT,
+         greatest(0, least(88, idx
+             + [-1, -1, -1, -1, 2, 4, 6, 8][(code % 8) + 1]))::BIGINT
+  FROM (
+    SELECT doc_id, blk, j, pred, idx, code,
+           stp // 8 + (code % 2) * (stp // 4)
+           + ((code // 2) % 2) * (stp // 2)
+           + ((code // 4) % 2) * stp AS diff
+    FROM (
+      SELECT doc_id, blk, j, pred, idx,
+             (doc_id * 7 + blk * 5 + j * j * 3) % 16 AS code,
+             {{STEPTAB}}[idx + 1] AS stp
+      FROM st WHERE j < 16) q1) q2)
+SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
+       count(*)::INTEGER AS n_samples,
+       sum(pred)::BIGINT AS amp_sum,
+       sum(pred * pred)::BIGINT AS amp_sq_sum,
+       sum((blk * 17 + j + 1) * pred)::BIGINT AS amp_xsum
+FROM st GROUP BY doc_id
+""".replace("{STEPTAB}", _ima_steptab_sql()))
+def mm_adpcm_decode_real(spark, sf_dir):
+    # REAL compressed audio, sequential-state edition: IMA ADPCM (WAV
+    # tag 0x11, ~4:1) — unlike the memoryless G.711 step function the
+    # decoder carries (predictor, step-index) state across samples, so
+    # the oracle replays the IMA step with a recursive CTE (17
+    # steps/block) over the corpus's closed-form nibble stream while
+    # Spark parses the real RIFF container and runs the real blockwise
+    # decoder (step function validated bit-exact against CPython's
+    # audioop DVI implementation; low-nibble-first per the IMA WAV
+    # layout). amp_xsum is position-weighted across block boundaries,
+    # so a block-order or nibble-order bug cannot cancel out.
+    docs = load(spark, sf_dir, "documents")
+    return mm.decode_audio(mm.synth_adpcm_media(docs))
+
+
+
 @register("mm_g711_decode_real", sql="""
 WITH g AS (SELECT doc_id, 48 + doc_id % 97 AS n FROM documents),
 raw AS (
@@ -3075,60 +3130,6 @@ SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
        sum((i + 1) * d)::BIGINT AS amp_xsum
 FROM dec GROUP BY doc_id
 """)
-def _ima_steptab_sql() -> str:
-    from ..ops.audiocodec import IMA_STEP_TABLE
-    return "[" + ", ".join(str(v) for v in IMA_STEP_TABLE) + "]"
-
-
-@register("mm_adpcm_decode_real", sql=f"""
-WITH RECURSIVE
-g AS (SELECT doc_id, 2 + doc_id % 3 AS nb FROM documents),
-blks AS (SELECT g.doc_id, b.blk
-         FROM g, LATERAL (SELECT unnest(range(0, g.nb)) AS blk) b),
-st AS (
-  SELECT doc_id, blk, 0 AS j,
-         (((doc_id * 131 + blk * 4099) % 65536) - 32768)::BIGINT AS pred,
-         ((doc_id + 11 * blk) % 89)::BIGINT AS idx
-  FROM blks
-  UNION ALL
-  SELECT doc_id, blk, j + 1,
-         greatest(-32768, least(32767,
-             CASE WHEN code >= 8 THEN pred - diff
-                  ELSE pred + diff END))::BIGINT,
-         greatest(0, least(88, idx
-             + [-1, -1, -1, -1, 2, 4, 6, 8][(code % 8) + 1]))::BIGINT
-  FROM (
-    SELECT doc_id, blk, j, pred, idx, code,
-           stp // 8 + (code % 2) * (stp // 4)
-           + ((code // 2) % 2) * (stp // 2)
-           + ((code // 4) % 2) * stp AS diff
-    FROM (
-      SELECT doc_id, blk, j, pred, idx,
-             (doc_id * 7 + blk * 5 + j * j * 3) % 16 AS code,
-             {{STEPTAB}}[idx + 1] AS stp
-      FROM st WHERE j < 16) q1) q2)
-SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
-       count(*)::INTEGER AS n_samples,
-       sum(pred)::BIGINT AS amp_sum,
-       sum(pred * pred)::BIGINT AS amp_sq_sum,
-       sum((blk * 17 + j + 1) * pred)::BIGINT AS amp_xsum
-FROM st GROUP BY doc_id
-""".replace("{STEPTAB}", _ima_steptab_sql()))
-def mm_adpcm_decode_real(spark, sf_dir):
-    # REAL compressed audio, sequential-state edition: IMA ADPCM (WAV
-    # tag 0x11, ~4:1) — unlike the memoryless G.711 step function the
-    # decoder carries (predictor, step-index) state across samples, so
-    # the oracle replays the IMA step with a recursive CTE (17
-    # steps/block) over the corpus's closed-form nibble stream while
-    # Spark parses the real RIFF container and runs the real blockwise
-    # decoder (step function validated bit-exact against CPython's
-    # audioop DVI implementation; low-nibble-first per the IMA WAV
-    # layout). amp_xsum is position-weighted across block boundaries,
-    # so a block-order or nibble-order bug cannot cancel out.
-    docs = load(spark, sf_dir, "documents")
-    return mm.decode_audio(mm.synth_adpcm_media(docs))
-
-
 def mm_g711_decode_real(spark, sf_dir):
     # REAL compressed audio (ops/audiocodec.py G.711): mu-law WAVs for
     # even ids, A-law for odd — full-int16-range samples exercise every

@@ -173,6 +173,7 @@ GATE_SORT: Dict[str, list] = {
     "delta_delete": ["o_orderkey"],
     "delta_zorder_prune": ["l_orderkey", "l_partkey", "l_suppkey"],
     "delta_hilbert_prune": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "delta_bloom_prune": ["l_orderkey", "l_partkey", "l_linenumber"],
     "delta_update": ["s_suppkey"],
     "delta_convert": ["r_regionkey"],
     "delta_schema_evolution": ["s_suppkey"],
@@ -371,6 +372,7 @@ GATE_COLUMNS: Dict[str, list] = {
     "delta_delete": ["o_orderkey", "totalprice"],
     "delta_zorder_prune": ["l_orderkey", "l_partkey", "l_suppkey", "extendedprice"],
     "delta_hilbert_prune": ["l_orderkey", "l_partkey", "l_suppkey", "extendedprice"],
+    "delta_bloom_prune": ["l_orderkey", "l_partkey", "l_linenumber", "extendedprice"],
     "delta_update": ["s_suppkey", "s_name", "acctbal"],
     "delta_convert": ["r_regionkey", "n"],
     "delta_schema_evolution": ["s_suppkey", "s_name", "acctbal"],

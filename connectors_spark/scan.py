@@ -147,7 +147,20 @@ class DeltaScan:
             keep = lo <= v if op == "<=" else lo < v
         else:
             return None
-        return F.coalesce(keep, F.lit(True))
+        keep = F.coalesce(keep, F.lit(True))
+        if op == "=":
+            bk = self._bloom_keep(col, lit.value)
+            if bk is not None:
+                keep = keep & bk
+        return keep
+
+    def _bloom_keep(self, col: str, value):
+        """Per-file bloom test for an equality probe (bloom.py): a
+        clean miss proves absence, a hit or a missing/out-of-scope tag
+        keeps the file. Pure Column expression over files_df.tags —
+        the file inventory is never collected to test it."""
+        from .bloom import TAG_PREFIX, bloom_keep_column
+        return bloom_keep_column(F.col("tags")[TAG_PREFIX + col], value)
 
     def _null_check_keep(self, c, data_fields):
         """Keep-file condition for ``col IS [NOT] NULL`` conjuncts from
@@ -201,10 +214,17 @@ class DeltaScan:
         if len(values) <= self._IN_SKIP_MAX_VALUES:
             keep = None
             for v in values:
-                term = (lo <= F.lit(v)) & (hi >= F.lit(v))
+                term = F.coalesce((lo <= F.lit(v)) & (hi >= F.lit(v)),
+                                  F.lit(True))
+                bk = self._bloom_keep(col, v)
+                if bk is not None:
+                    # per-value conjunction: the file can serve value v
+                    # only if BOTH its range admits v and its bloom
+                    # doesn't prove v absent
+                    term = term & bk
                 keep = term if keep is None else (keep | term)
-        else:
-            keep = (lo <= F.lit(max(values))) & (hi >= F.lit(min(values)))
+            return keep
+        keep = (lo <= F.lit(max(values))) & (hi >= F.lit(min(values)))
         return F.coalesce(keep, F.lit(True))
 
     # ------------------------------------------------------------- data

@@ -79,12 +79,14 @@ class DeltaStreamSink:
                 else self.configuration)
         eff_meta = txn.new_metadata or (txn.snapshot.metadata if exists
                                         else None)
+        from ..bloom import bloom_config
         adds = stage_and_collect(
             df, self.table_path, pcols,
             num_indexed_cols=TableConfig(conf or {})
             .data_skipping_num_indexed_cols,
             schema_cols=[f.name for f in eff_meta.schema.fields]
-            if eff_meta is not None else None)
+            if eff_meta is not None else None,
+            bloom_cfg=bloom_config(conf))
         n_rows = sum(json.loads(a.stats)["numRecords"] for a in adds
                      if a.stats)
         actions: List[Any] = list(adds) + [

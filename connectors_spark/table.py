@@ -502,7 +502,9 @@ class DeltaTable:
             num_indexed_cols=_n_indexed(
                 eff_meta.configuration if eff_meta else None),
             schema_cols=[f.name for f in eff_meta.schema.fields]
-            if eff_meta is not None else None)
+            if eff_meta is not None else None,
+            bloom_cfg=_bloom(
+                eff_meta.configuration if eff_meta else None))
         actions += adds
         if txn_app_id is not None:
             from .log.actions import SetTransaction
@@ -601,11 +603,13 @@ class DeltaTable:
             keep = old.where(~hit)
             actions += stage_and_collect(
                 keep, self.log.table_path, meta.partitionColumns,
-                num_indexed_cols=_n_indexed(meta.configuration))
+                num_indexed_cols=_n_indexed(meta.configuration),
+                bloom_cfg=_bloom(meta.configuration))
             actions += [f.remove(now) for f in candidates]
         actions += stage_and_collect(
             df, self.log.table_path, meta.partitionColumns,
-            num_indexed_cols=_n_indexed(meta.configuration))
+            num_indexed_cols=_n_indexed(meta.configuration),
+            bloom_cfg=_bloom(meta.configuration))
         return txn.commit(
             actions, "WRITE",
             operation_parameters={"mode": "overwrite",
@@ -654,7 +658,8 @@ class DeltaTable:
                 keep, self.log.table_path,
                 snap.metadata.partitionColumns,
                 num_indexed_cols=_n_indexed(
-                    snap.metadata.configuration))
+                    snap.metadata.configuration),
+                bloom_cfg=_bloom(snap.metadata.configuration))
             actions += adds
             actions += [f.remove(now) for f in candidates]
             if TableConfig(snap.metadata.configuration) \
@@ -775,7 +780,8 @@ class DeltaTable:
         adds = stage_and_collect(
             out.drop("__hit"), self.log.table_path,
             snap.metadata.partitionColumns,
-            num_indexed_cols=_n_indexed(snap.metadata.configuration))
+            num_indexed_cols=_n_indexed(snap.metadata.configuration),
+            bloom_cfg=_bloom(snap.metadata.configuration))
         now = int(time.time() * 1000)
         actions: List[Any] = list(adds) + [f.remove(now) for f in candidates]
         if TableConfig(snap.metadata.configuration).enable_change_data_feed:
@@ -910,7 +916,8 @@ class DeltaTable:
             _enforce_constraints(p, meta.configuration, "merged")
         adds = stage_and_collect(
             out, self.log.table_path, meta.partitionColumns,
-            num_indexed_cols=_n_indexed(meta.configuration))
+            num_indexed_cols=_n_indexed(meta.configuration),
+            bloom_cfg=_bloom(meta.configuration))
         now = int(time.time() * 1000)
         actions: List[Any] = list(adds) + [f.remove(now) for f in touched_adds]
         if cdc_parts and TableConfig(snap.metadata.configuration) \
@@ -1094,6 +1101,13 @@ class DeltaTable:
                                "clonedBytes": str(bytes_cloned)})
         return {"version": ver, "sourceVersion": src.version,
                 "filesCloned": len(actions), "bytesCloned": bytes_cloned}
+
+
+def _bloom(configuration):
+    """Bloom-skipping write config (columns, m, k) or None — see
+    connectors_spark/bloom.py."""
+    from .bloom import bloom_config
+    return bloom_config(configuration)
 
 
 def _n_indexed(configuration) -> int:
@@ -1353,7 +1367,8 @@ class TableMaintenance:
             df = df.repartition(n_out)
         adds = stage_and_collect(
             df, t.path, pcols, data_change=False,
-            num_indexed_cols=_n_indexed(snap.metadata.configuration))
+            num_indexed_cols=_n_indexed(snap.metadata.configuration),
+            bloom_cfg=_bloom(snap.metadata.configuration))
         now = int(time.time() * 1000)
         actions: List[Any] = list(adds) + [
             f.remove(now, data_change=False) for f in victims]
@@ -1404,7 +1419,8 @@ class TableMaintenance:
         adds = stage_and_collect(
             df, t.path, snap.metadata.partitionColumns,
             data_change=False,
-            num_indexed_cols=_n_indexed(snap.metadata.configuration))
+            num_indexed_cols=_n_indexed(snap.metadata.configuration),
+            bloom_cfg=_bloom(snap.metadata.configuration))
         now = int(time.time() * 1000)
         actions: List[Any] = list(adds) + [
             f.remove(now, data_change=False) for f in victims]

@@ -32,6 +32,10 @@ from typing import Any, Dict, List, Optional, Tuple
 
 from pyspark.sql import DataFrame
 
+# Module-scope import (bloom tags are built inside the executor-side
+# publish pass; this module ships to workers by value — shipping.py —
+# which covers pickle-time references but NOT runtime imports)
+from .bloom import TAG_PREFIX, bloom_tag_value, build_bloom_hex
 from .log.actions import AddCDCFile, AddFile
 
 CDC_DIR = "_change_data"
@@ -110,31 +114,62 @@ def _parse_partition_dirs(rel_dir: str, partition_columns: List[str]
     return values
 
 
+def _bloom_tags_json(path: str, bloom_cfg) -> Optional[str]:
+    """Per-file bloom tags ({'bloom.<col>': 'm:k:hex'}) for the
+    configured columns, from one columnar read of ONLY those columns
+    (runs in the same executor task that footer-reads stats). Columns
+    absent from the file (schema evolution) or with no hashable values
+    get no tag — the scan keeps such files."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    cols, m, k = bloom_cfg
+    pf = pq.ParquetFile(path)
+    present = [c for c in cols if c in pf.schema_arrow.names]
+    if not present:
+        return None
+    tbl = pf.read(columns=present)
+    tags = {}
+    for c in present:
+        vals = pc.unique(tbl.column(c)).to_pylist()
+        hx = build_bloom_hex((v for v in vals if v is not None), m, k)
+        if hx is not None:
+            tags[TAG_PREFIX + c] = bloom_tag_value(hx, m, k)
+    return json.dumps(tags, separators=(",", ":")) if tags else None
+
+
 def _publish_one(store, staging: str, table_path: str, rel_path: str,
-                 collect_stats: bool) -> Tuple[int, int, Optional[str]]:
+                 collect_stats: bool, bloom_cfg=None
+                 ) -> Tuple[int, int, Optional[str], Optional[str]]:
     """Extract stats from one staged file and move it into place (through
     the LogStore's file-plane ops — never raw os calls, so an
     object-store deployment swaps the store, not this code).
     Idempotent: a task retry that finds src gone but dest present reuses
-    the already-published file. Returns (size, mtime_ms, stats_json)."""
+    the already-published file. Returns (size, mtime_ms, stats_json,
+    bloom_tags_json)."""
     src = os.path.join(staging, rel_path)
     dest = os.path.join(table_path, rel_path)
-    stats = None
+    stats = tags = None
     if store.exists(src):
         if collect_stats:
             stats, _n = file_stats_json(src)
+        if bloom_cfg is not None:
+            tags = _bloom_tags_json(src, bloom_cfg)
         store.rename(src, dest)
     elif not store.exists(dest):
         raise FileNotFoundError(f"staged file vanished: {src}")
-    elif collect_stats:
-        stats, _n = file_stats_json(dest)
+    else:
+        if collect_stats:
+            stats, _n = file_stats_json(dest)
+        if bloom_cfg is not None:
+            tags = _bloom_tags_json(dest, bloom_cfg)
     size, mtime = store.stat(dest)
-    return size, mtime, stats
+    return size, mtime, stats, tags
 
 
 def publish_plan(spark, staging: str, table_path: str,
                  rel_paths: List[str], collect_stats: bool,
-                 store=None) -> DataFrame:
+                 store=None, bloom_cfg=None) -> DataFrame:
     """DataFrame plan that publishes the staged files distributedly: one
     ``mapInPandas`` stage where each task footer-reads + moves its slice
     and emits (rel_path, size, mtime, stats) — the commit's action list.
@@ -155,18 +190,22 @@ def publish_plan(spark, staging: str, table_path: str,
         T.StructField("size", T.LongType()),
         T.StructField("mtime", T.LongType()),
         T.StructField("stats", T.StringType()),
+        T.StructField("tags", T.StringType()),
     ])
 
     def _publish(batches):
         for pdf in batches:
-            rows = {"rel_path": [], "size": [], "mtime": [], "stats": []}
+            rows = {"rel_path": [], "size": [], "mtime": [],
+                    "stats": [], "tags": []}
             for rel in pdf["rel_path"]:
-                size, mtime, stats = _publish_one(
-                    store, staging, table_path, rel, collect_stats)
+                size, mtime, stats, tags = _publish_one(
+                    store, staging, table_path, rel, collect_stats,
+                    bloom_cfg)
                 rows["rel_path"].append(rel)
                 rows["size"].append(size)
                 rows["mtime"].append(mtime)
                 rows["stats"].append(stats)
+                rows["tags"].append(tags)
             yield pd.DataFrame(rows)
 
     n_parts = min(len(rel_paths),
@@ -181,8 +220,8 @@ def stage_and_collect(df: DataFrame, table_path: str,
                       data_change: bool = True,
                       collect_stats: bool = True,
                       num_indexed_cols: Optional[int] = None,
-                      schema_cols: Optional[List[str]] = None
-                      ) -> List[AddFile]:
+                      schema_cols: Optional[List[str]] = None,
+                      bloom_cfg=None) -> List[AddFile]:
     """Write ``df`` as Parquet under ``table_path`` and return the AddFile
     actions to commit. Files land in their final Hive-style layout.
 
@@ -223,7 +262,8 @@ def stage_and_collect(df: DataFrame, table_path: str,
         if not rel_paths:
             return []
         pub = publish_plan(df.sparkSession, staging, table_path,
-                           rel_paths, collect_stats, store=store).collect()
+                           rel_paths, collect_stats, store=store,
+                           bloom_cfg=bloom_cfg).collect()
         for r in pub:
             rel_path = r["rel_path"]
             rel_dir = os.path.dirname(rel_path)
@@ -242,7 +282,8 @@ def stage_and_collect(df: DataFrame, table_path: str,
                 size=r["size"],
                 modificationTime=r["mtime"],
                 dataChange=data_change,
-                stats=stats))
+                stats=stats,
+                tags=json.loads(r["tags"]) if r["tags"] else None))
     finally:
         store.remove_tree(staging)
     # collect() order is partition-arbitrary; sort for reproducible logs.
