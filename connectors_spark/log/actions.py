@@ -71,6 +71,57 @@ class Metadata:
         pcols = set(self.partitionColumns)
         return T.StructType([f for f in self.schema.fields if f.name not in pcols])
 
+    # ------------------------------------------- column mapping (name mode)
+    # delta.columnMapping.mode=name: every field carries a stable
+    # physical name (+ id) in its metadata; data files and
+    # partitionValues use PHYSICAL names, so RENAME/DROP COLUMN are
+    # metadata-only commits — no data rewrite (the Delta column-mapping
+    # protocol re-expressed on the reference's Metadata action,
+    # actions.scala:183-214). Mode "none": physical == logical
+    # everywhere, all helpers degenerate to identity.
+
+    @property
+    def column_mapping_mode(self) -> str:
+        return (self.configuration or {}).get(
+            "delta.columnMapping.mode", "none")
+
+    def physical_name(self, logical: str) -> str:
+        for f in self.schema.fields:
+            if f.name == logical:
+                return (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", logical)
+        return logical
+
+    def name_map(self) -> Dict[str, str]:
+        """logical -> physical for every schema field."""
+        return {f.name: (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name)
+                for f in self.schema.fields}
+
+    def _physical_fields(self, fields) -> List[T.StructField]:
+        return [T.StructField((f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name),
+                    f.dataType, f.nullable, f.metadata)
+                for f in fields]
+
+    @property
+    def physical_schema(self) -> T.StructType:
+        return T.StructType(self._physical_fields(self.schema.fields))
+
+    @property
+    def physical_data_schema(self) -> T.StructType:
+        return T.StructType(self._physical_fields(self.data_schema.fields))
+
+    @property
+    def physical_partition_columns(self) -> List[str]:
+        m = self.name_map()
+        return [m.get(c, c) for c in self.partitionColumns]
+
+    @property
+    def physical_partition_schema(self) -> T.StructType:
+        return T.StructType(
+            self._physical_fields(self.partition_schema.fields))
+
     def wrap(self) -> Dict[str, Any]:
         d: Dict[str, Any] = {
             "id": self.id,

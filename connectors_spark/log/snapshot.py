@@ -345,7 +345,9 @@ class Snapshot:
         discovery (basePath) is safe. Escaped-chars fidelity: we compare the
         DECODED dir value against the log value and fall back on mismatch
         (golden scenario data-reader-escaped-chars)."""
-        pcols = self.metadata.partitionColumns
+        # dir names and partitionValues keys live in the PHYSICAL name
+        # domain under column mapping (identity when mode=none)
+        pcols = self.metadata.physical_partition_columns
         for p, pv in zip(paths, pvs):
             # absolute-path adds (shallow clones) live outside the root:
             # basePath-relative partition discovery cannot see them
@@ -380,14 +382,14 @@ class Snapshot:
         values with the partition schema's types. Drops ``__file``
         unless ``keep_file``."""
         meta = self.metadata
-        pcols = meta.partitionColumns
+        pcols = meta.physical_partition_columns
         pv_rows = [tuple([p] + [pv.get(c) for c in pcols])
                    for p, pv in zip(paths, pvs)]
         pv_schema = T.StructType(
             [T.StructField("__file", T.StringType())]
             + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols])
         pv_df = self.spark.createDataFrame(pv_rows, pv_schema)
-        for f in meta.partition_schema.fields:
+        for f in meta.physical_partition_schema.fields:
             pv_df = pv_df.withColumn(
                 f.name, F.col(f"__pv_{f.name}").cast(f.dataType))
         pv_df = pv_df.drop(*[f"__pv_{c}" for c in pcols])
@@ -401,18 +403,20 @@ class Snapshot:
         paths = [r["path"] for r in rows]
         pcols = meta.partitionColumns
         if not pcols:
-            df = self.spark.read.schema(meta.schema).parquet(*paths)
+            df = self.spark.read.schema(meta.physical_schema) \
+                .parquet(*paths)
             return self._with_file(df) if keep_file else df
         pvs = [dict(r["partitionValues"] or {}) for r in rows]
         if self._hive_layout_ok(paths, pvs):
             df = (self.spark.read
                   .option("basePath", self.table_path)
-                  .schema(meta.schema)
+                  .schema(meta.physical_schema)
                   .parquet(*paths))
             return self._with_file(df) if keep_file else df
         # the scan-time file path must be normalized the same way as
         # log paths (canonical_path_col)
-        data = self.spark.read.schema(meta.data_schema).parquet(*paths)
+        data = self.spark.read.schema(meta.physical_data_schema) \
+            .parquet(*paths)
         return self._attach_partition_values(
             self._with_file(data), paths, pvs, keep_file=keep_file)
 
@@ -438,7 +442,8 @@ class Snapshot:
         pvs = [dict(r["partitionValues"] or {}) for r in rows]
         pairs = [(r["path"], dict(r["tags"])[DV_TAG]) for r in rows]
         dv = dv_relation(self.spark, self.table_path, pairs)
-        data = (self.spark.read.schema(meta.data_schema).parquet(*paths)
+        data = (self.spark.read.schema(meta.physical_data_schema)
+                .parquet(*paths)
                 .withColumn("__fn", F.col("_metadata.file_path"))
                 .withColumn("__ri", F.col("_metadata.row_index")))
         data = data.withColumn(
@@ -488,7 +493,12 @@ class Snapshot:
         # columns after data columns; the table contract is metadata
         # schema order (Snapshot.open ≍ SnapshotImpl.scala:107-116).
         extra = [F.col("__file")] if with_file_col else []
-        parts = [p.select(*[F.col(f.name) for f in meta.schema.fields],
+        # physical -> logical rename happens HERE, the one boundary
+        # between the file plane and the table contract (identity when
+        # column mapping is off)
+        nmap = meta.name_map()
+        parts = [p.select(*[F.col(nmap[f.name]).alias(f.name)
+                            for f in meta.schema.fields],
                           *extra)
                  for p in parts]
         df = parts[0]

@@ -686,7 +686,11 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
                 (dc_tabs if tc == 0 else ac_tabs)[th] = \
                     _HuffTable(bits, vals)
                 o += 17 + n
-        elif marker in (0xFFC0, 0xFFC2):        # SOF0 baseline / SOF2
+        elif marker in (0xFFC0, 0xFFC1, 0xFFC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2
+            # progressive. An 8-bit SOF1 stream decodes EXACTLY like
+            # SOF0 (T.81 §B.2.2 — the extension only widens precision
+            # to 12 bits and the table budget, both gated below).
             progressive = marker == 0xFFC2
             prec, height, width, ncomp = struct.unpack(
                 ">BHHB", body[:6])
@@ -709,10 +713,11 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
                         and hm % h == 0 and vm % v == 0):
                     raise NotImplementedError(
                         f"unsupported sampling factors ({h},{v})")
-        elif marker in (0xFFC1, 0xFFC3, 0xFFC9, 0xFFCA):
+        elif marker in (0xFFC3, 0xFFC9, 0xFFCA):
             raise NotImplementedError(
-                f"unsupported SOF 0x{marker:04x} (extended sequential "
-                f"/ lossless / arithmetic coding)")
+                f"unsupported SOF 0x{marker:04x} (lossless / "
+                f"arithmetic coding — the QM-coder state table is "
+                f"not reproducible from the spec text alone)")
         elif marker == 0xFFDD:                          # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xFFDA and progressive:          # SOS (one of many)

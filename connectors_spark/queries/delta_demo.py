@@ -269,6 +269,33 @@ def delta_bloom_prune(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Column mapping (name mode): rename/drop without rewrite
+# --------------------------------------------------------------------------
+
+@register("delta_column_mapping", sql="""
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS balance
+FROM supplier WHERE s_acctbal >= 0
+""")
+def delta_column_mapping(spark, sf_dir):
+    # enable mapping -> RENAME COLUMN (metadata-only; same physical
+    # files) -> DROP an unused column -> DELETE through the renamed
+    # name -> read back through the new logical schema. The oracle
+    # pins that the whole DDL+DML cycle is value-preserving.
+    def build(d):
+        su = load(spark, sf_dir, "supplier")
+        t = DeltaTable.for_path(spark, d)
+        t.write(su)
+        t.enable_column_mapping()
+        t.rename_column("s_acctbal", "balance")
+        t.drop_column("s_nationkey")
+        t.delete(Col("balance") < Lit(0.0))
+    d = _built(sf_dir, "supplier_colmap", build)
+    t = DeltaTable.for_path(spark, d)
+    return t.to_df().select("s_suppkey", "s_name",
+                            F.round("balance", 2).alias("balance"))
+
+
+# --------------------------------------------------------------------------
 # UPDATE DML (P6): conditional column rewrite under the oracle
 # --------------------------------------------------------------------------
 

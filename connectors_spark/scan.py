@@ -39,6 +39,10 @@ class DeltaScan:
         pcols = snapshot.metadata.partitionColumns
         self.pushed, self.residual = split_metadata_and_data(predicate, pcols)
         self.use_stats = use_stats
+        # logical -> physical (identity when column mapping is off):
+        # predicates arrive logical; partitionValues keys, stats JSON
+        # keys and bloom tag keys live in the physical domain
+        self._phys = snapshot.metadata.name_map()
 
     # ------------------------------------------------------------ files
 
@@ -47,7 +51,8 @@ class DeltaScan:
                    for f in self.snapshot.metadata.partition_schema.fields}
 
         def resolve(name: str):
-            return F.col("partitionValues")[name].cast(pschema[name])
+            return F.col("partitionValues")[
+                self._phys.get(name, name)].cast(pschema[name])
 
         return resolve
 
@@ -88,7 +93,9 @@ class DeltaScan:
                        for f in self.snapshot.metadata.data_schema.fields}
 
         def stat(kind: str, col: str, dtype):
-            return F.get_json_object(F.col("stats"), f"$.{kind}.{col}").cast(dtype)
+            p = self._phys.get(col, col)
+            return F.get_json_object(F.col("stats"),
+                                     f"$.{kind}.{p}").cast(dtype)
 
         conds = [k for k in
                  (self._keep_condition(c, data_fields, stat)
@@ -160,7 +167,8 @@ class DeltaScan:
         keeps the file. Pure Column expression over files_df.tags —
         the file inventory is never collected to test it."""
         from .bloom import TAG_PREFIX, bloom_keep_column
-        return bloom_keep_column(F.col("tags")[TAG_PREFIX + col], value)
+        return bloom_keep_column(
+            F.col("tags")[TAG_PREFIX + self._phys.get(col, col)], value)
 
     def _null_check_keep(self, c, data_fields):
         """Keep-file condition for ``col IS [NOT] NULL`` conjuncts from
@@ -177,7 +185,8 @@ class DeltaScan:
         if col not in data_fields:
             return None
         nulls = F.get_json_object(
-            F.col("stats"), f"$.nullCount.{col}").cast("long")
+            F.col("stats"),
+            f"$.nullCount.{self._phys.get(col, col)}").cast("long")
         nrec = F.get_json_object(
             F.col("stats"), "$.numRecords").cast("long")
         if isinstance(c, IsNull):

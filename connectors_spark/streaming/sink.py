@@ -66,6 +66,10 @@ class DeltaStreamSink:
                         f"stream schema {sorted(df.schema.fieldNames())} != "
                         f"table schema {sorted(table_cols)} "
                         f"(set merge_schema=True)")
+                if meta.column_mapping_mode != "none":
+                    raise ValueError(
+                        "schema merge is not supported on column-"
+                        "mapped tables — use add_column")
                 txn.update_metadata(table._make_metadata(
                     df, meta.partitionColumns, self.configuration, meta))
             pcols = meta.partitionColumns
@@ -86,7 +90,8 @@ class DeltaStreamSink:
             .data_skipping_num_indexed_cols,
             schema_cols=[f.name for f in eff_meta.schema.fields]
             if eff_meta is not None else None,
-            bloom_cfg=bloom_config(conf))
+            bloom_cfg=bloom_config(conf),
+            physical_meta=eff_meta)
         n_rows = sum(json.loads(a.stats)["numRecords"] for a in adds
                      if a.stats)
         actions: List[Any] = list(adds) + [

@@ -285,6 +285,11 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
             self._snap_v0 = self.start_after
             self._snap_pos = 0
         meta = _latest_metadata(self.store, self.log_path)
+        if (meta.configuration or {}).get(
+                "delta.columnMapping.mode", "none") != "none":
+            raise DeltaError(
+                "the streaming source does not support column-mapped "
+                "tables yet (physical-name translation is batch-only)")
         self.partition_columns = list(meta.partitionColumns)
         self.meta_schema_json = meta.schemaString
 

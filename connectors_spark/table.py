@@ -28,6 +28,7 @@ from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tupl
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .config import TableConfig
 from .errors import DeltaError
@@ -303,6 +304,8 @@ class DeltaTable:
                   for f in snap.metadata.data_schema.fields}
         ptypes = {f.name: f.dataType
                   for f in snap.metadata.partition_schema.fields}
+        # stats JSON / partitionValues keys are PHYSICAL names
+        phys = snap.metadata.name_map()
         for c in cols:
             if c not in dtypes and c not in ptypes:
                 raise DeltaError(f"no such column: {c}")
@@ -317,12 +320,13 @@ class DeltaTable:
             # rows. Count-only stats (foreign writers) or omitted
             # min/max (binary/decimal, writer.py) would make the fast
             # path silently wrong, so they force the real scan.
+            pc = phys.get(c, c)
             ncnt = F.get_json_object(F.col("stats"),
-                                     f"$.nullCount.{c}").cast("long")
+                                     f"$.nullCount.{pc}").cast("long")
             has = (F.get_json_object(
-                       F.col("stats"), f"$.minValues.{c}").isNotNull() &
+                       F.col("stats"), f"$.minValues.{pc}").isNotNull() &
                    F.get_json_object(
-                       F.col("stats"), f"$.maxValues.{c}").isNotNull())
+                       F.col("stats"), f"$.maxValues.{pc}").isNotNull())
             all_null = ncnt.isNotNull() & (ncnt == nrec)
             invalid_cond = invalid_cond | (~has & ~all_null)
         invalid = files.filter(invalid_cond).limit(1).count()
@@ -338,17 +342,18 @@ class DeltaTable:
         aggs = [F.coalesce(F.sum(nrec), F.lit(0)).cast("long")
                 .alias("n_rows")]
         for c in cols:
+            pc = phys.get(c, c)
             if c in ptypes:
                 # Partition columns live in partitionValues, not the
                 # stats JSON — every row of a file shares the value, so
                 # min == max == the decoded partition value.
-                v = F.col("partitionValues")[c].cast(ptypes[c])
+                v = F.col("partitionValues")[pc].cast(ptypes[c])
                 lo = hi = v
             else:
                 lo = F.get_json_object(F.col("stats"),
-                                       f"$.minValues.{c}").cast(dtypes[c])
+                                       f"$.minValues.{pc}").cast(dtypes[c])
                 hi = F.get_json_object(F.col("stats"),
-                                       f"$.maxValues.{c}").cast(dtypes[c])
+                                       f"$.maxValues.{pc}").cast(dtypes[c])
             aggs += [F.min(lo).alias(f"min_{c}"),
                      F.max(hi).alias(f"max_{c}")]
         return files.agg(*aggs)
@@ -366,8 +371,10 @@ class DeltaTable:
             raise DeltaError("SHOW PARTITIONS on an unpartitioned table")
         ptypes = {f.name: f.dataType
                   for f in snap.metadata.partition_schema.fields}
+        phys = snap.metadata.name_map()
         return (snap.files_df
-                .select(*[F.col("partitionValues").getItem(c)
+                .select(*[F.col("partitionValues")
+                          .getItem(phys.get(c, c))
                           .cast(ptypes[c]).alias(c) for c in pcols])
                 .distinct())
 
@@ -409,12 +416,181 @@ class DeltaTable:
         snap = txn.snapshot
         if snap is None:
             raise FileNotFoundError("table does not exist")
+        if snap.metadata.column_mapping_mode != "none" and \
+                str(props.get("delta.enableChangeDataFeed", "")
+                    ).lower() == "true":
+            raise DeltaError("change data feed cannot be enabled on a "
+                             "column-mapped table")
+        if "delta.columnMapping.mode" in props:
+            raise DeltaError("use enable_column_mapping(); the mode "
+                             "cannot be set directly")
         conf = dict(snap.metadata.configuration or {})
         conf.update(props)
         txn.update_metadata(dataclasses.replace(
             snap.metadata, configuration=conf))
         return txn.commit([], "SET TBLPROPERTIES",
                           {"properties": json.dumps(dict(props))})
+
+    # ------------------------------------------- column mapping (name mode)
+
+    _CM_ID = "delta.columnMapping.id"
+    _CM_PHYS = "delta.columnMapping.physicalName"
+    _CM_MODE = "delta.columnMapping.mode"
+    _CM_MAXID = "delta.columnMapping.maxColumnId"
+
+    def enable_column_mapping(self) -> int:
+        """Upgrade the table to column mapping mode ``name``: every
+        schema field gets a stable id and a physical name — for
+        EXISTING columns the physical name equals the current logical
+        name (the delta-spark upgrade rule), so every already-written
+        file stays readable with zero rewrite. After this,
+        rename_column / drop_column are metadata-only commits.
+
+        Refused while change data feed is enabled (CDC files are
+        written and replayed by logical name; mixing domains in the
+        same feed would corrupt downstream consumers — delta-spark
+        gates the same combination)."""
+        import dataclasses
+        txn = self.log.start_transaction()
+        snap = txn.snapshot
+        if snap is None:
+            raise FileNotFoundError("table does not exist")
+        meta = snap.metadata
+        if meta.column_mapping_mode == "name":
+            return snap.version
+        if TableConfig(meta.configuration).enable_change_data_feed:
+            raise DeltaError("column mapping cannot be enabled while "
+                             "delta.enableChangeDataFeed is true")
+        fields = []
+        for i, f in enumerate(meta.schema.fields):
+            md = dict(f.metadata or {})
+            md[self._CM_ID] = i + 1
+            md[self._CM_PHYS] = f.name
+            fields.append(T.StructField(f.name, f.dataType,
+                                        f.nullable, md))
+        conf = dict(meta.configuration or {})
+        conf[self._CM_MODE] = "name"
+        conf[self._CM_MAXID] = str(len(fields))
+        txn.update_metadata(dataclasses.replace(
+            meta,
+            schemaString=json.dumps(T.StructType(fields).jsonValue()),
+            configuration=conf))
+        return txn.commit([], "ALTER TABLE",
+                          {"columnMapping": "name"})
+
+    def _require_mapping(self, meta):
+        if meta.column_mapping_mode != "name":
+            raise DeltaError("requires column mapping: run "
+                             "enable_column_mapping() first")
+
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME COLUMN — metadata-only under column mapping: the
+        field keeps its id and physical name, so no data file is
+        touched and time travel still shows the old logical name at
+        old versions."""
+        import dataclasses
+        txn = self.log.start_transaction()
+        snap = txn.snapshot
+        if snap is None:
+            raise FileNotFoundError("table does not exist")
+        meta = snap.metadata
+        self._require_mapping(meta)
+        names = {f.name for f in meta.schema.fields}
+        if old not in names:
+            raise DeltaError(f"no such column: {old!r}")
+        if new in names:
+            raise DeltaError(f"column already exists: {new!r}")
+        for key, expr in (meta.configuration or {}).items():
+            if key.startswith("delta.constraints.") and old in expr:
+                raise DeltaError(
+                    f"column {old!r} is referenced by constraint "
+                    f"{key!r}; drop the constraint first")
+        fields = [T.StructField(new if f.name == old else f.name,
+                                f.dataType, f.nullable, f.metadata)
+                  for f in meta.schema.fields]
+        conf = self._rename_in_config(meta.configuration, old, new)
+        txn.update_metadata(dataclasses.replace(
+            meta,
+            schemaString=json.dumps(T.StructType(fields).jsonValue()),
+            partitionColumns=[new if c == old else c
+                              for c in meta.partitionColumns],
+            configuration=conf))
+        return txn.commit([], "RENAME COLUMN",
+                          {"oldName": old, "newName": new})
+
+    def drop_column(self, name: str) -> int:
+        """DROP COLUMN — metadata-only under column mapping: the data
+        stays in the files (time travel still reads it); current-
+        version scans simply never project it. The id is never reused,
+        so re-adding the same logical name later cannot resurrect old
+        values."""
+        import dataclasses
+        txn = self.log.start_transaction()
+        snap = txn.snapshot
+        if snap is None:
+            raise FileNotFoundError("table does not exist")
+        meta = snap.metadata
+        self._require_mapping(meta)
+        if name in meta.partitionColumns:
+            raise DeltaError(f"cannot drop partition column {name!r}")
+        names = {f.name for f in meta.schema.fields}
+        if name not in names:
+            raise DeltaError(f"no such column: {name!r}")
+        if len(names) == 1:
+            raise DeltaError("cannot drop the last column")
+        for key, expr in (meta.configuration or {}).items():
+            if key.startswith("delta.constraints.") and name in expr:
+                raise DeltaError(
+                    f"column {name!r} is referenced by constraint "
+                    f"{key!r}; drop the constraint first")
+        fields = [f for f in meta.schema.fields if f.name != name]
+        conf = self._rename_in_config(meta.configuration, name, None)
+        txn.update_metadata(dataclasses.replace(
+            meta,
+            schemaString=json.dumps(T.StructType(fields).jsonValue()),
+            configuration=conf))
+        return txn.commit([], "DROP COLUMNS", {"column": name})
+
+    def add_column(self, name: str, dtype, nullable: bool = True) -> int:
+        """ADD COLUMN under column mapping: a fresh id and physical
+        name (``col-<id>``) that no existing file contains — existing
+        rows read NULL, only future writes materialize it."""
+        import dataclasses
+        txn = self.log.start_transaction()
+        snap = txn.snapshot
+        if snap is None:
+            raise FileNotFoundError("table does not exist")
+        meta = snap.metadata
+        self._require_mapping(meta)
+        if name in {f.name for f in meta.schema.fields}:
+            raise DeltaError(f"column already exists: {name!r}")
+        if isinstance(dtype, str):
+            dtype = _parse_dtype(dtype)
+        conf = dict(meta.configuration or {})
+        next_id = int(conf.get(self._CM_MAXID, "0")) + 1
+        conf[self._CM_MAXID] = str(next_id)
+        md = {self._CM_ID: next_id, self._CM_PHYS: f"col-{next_id}"}
+        fields = list(meta.schema.fields) + [
+            T.StructField(name, dtype, nullable, md)]
+        txn.update_metadata(dataclasses.replace(
+            meta,
+            schemaString=json.dumps(T.StructType(fields).jsonValue()),
+            configuration=conf))
+        return txn.commit([], "ADD COLUMNS", {"column": name})
+
+    @staticmethod
+    def _rename_in_config(configuration, old: str, new: Optional[str]):
+        """Track a logical rename/drop in config values that list
+        logical column names (the bloom skipping column list)."""
+        from .bloom import BLOOM_COLUMNS_KEY
+        conf = dict(configuration or {})
+        if BLOOM_COLUMNS_KEY in conf:
+            cols = [c.strip() for c in
+                    conf[BLOOM_COLUMNS_KEY].split(",") if c.strip()]
+            cols = [new if c == old else c for c in cols]
+            conf[BLOOM_COLUMNS_KEY] = ",".join(
+                c for c in cols if c is not None)
+        return conf
 
     # ------------------------------------------------------------ writes
 
@@ -480,6 +656,11 @@ class DeltaTable:
             pcols = list(partition_by) if partition_by is not None \
                 else list(meta.partitionColumns)
             if set(df.schema.fieldNames()) != {f.name for f in meta.schema.fields}:
+                if meta.column_mapping_mode != "none":
+                    raise DeltaError(
+                        "write-time schema evolution is not supported "
+                        "under column mapping — use add_column / "
+                        "rename_column / drop_column")
                 new_meta = self._make_metadata(df, pcols, configuration, meta)
                 txn.update_metadata(new_meta)
         else:
@@ -504,7 +685,8 @@ class DeltaTable:
             schema_cols=[f.name for f in eff_meta.schema.fields]
             if eff_meta is not None else None,
             bloom_cfg=_bloom(
-                eff_meta.configuration if eff_meta else None))
+                eff_meta.configuration if eff_meta else None),
+            physical_meta=eff_meta)
         actions += adds
         if txn_app_id is not None:
             from .log.actions import SetTransaction
@@ -604,12 +786,14 @@ class DeltaTable:
             actions += stage_and_collect(
                 keep, self.log.table_path, meta.partitionColumns,
                 num_indexed_cols=_n_indexed(meta.configuration),
-                bloom_cfg=_bloom(meta.configuration))
+                bloom_cfg=_bloom(meta.configuration),
+                physical_meta=meta)
             actions += [f.remove(now) for f in candidates]
         actions += stage_and_collect(
             df, self.log.table_path, meta.partitionColumns,
             num_indexed_cols=_n_indexed(meta.configuration),
-            bloom_cfg=_bloom(meta.configuration))
+            bloom_cfg=_bloom(meta.configuration),
+            physical_meta=meta)
         return txn.commit(
             actions, "WRITE",
             operation_parameters={"mode": "overwrite",
@@ -659,7 +843,8 @@ class DeltaTable:
                 snap.metadata.partitionColumns,
                 num_indexed_cols=_n_indexed(
                     snap.metadata.configuration),
-                bloom_cfg=_bloom(snap.metadata.configuration))
+                bloom_cfg=_bloom(snap.metadata.configuration),
+                physical_meta=snap.metadata)
             actions += adds
             actions += [f.remove(now) for f in candidates]
             if TableConfig(snap.metadata.configuration) \
@@ -781,7 +966,8 @@ class DeltaTable:
             out.drop("__hit"), self.log.table_path,
             snap.metadata.partitionColumns,
             num_indexed_cols=_n_indexed(snap.metadata.configuration),
-            bloom_cfg=_bloom(snap.metadata.configuration))
+            bloom_cfg=_bloom(snap.metadata.configuration),
+            physical_meta=snap.metadata)
         now = int(time.time() * 1000)
         actions: List[Any] = list(adds) + [f.remove(now) for f in candidates]
         if TableConfig(snap.metadata.configuration).enable_change_data_feed:
@@ -917,7 +1103,8 @@ class DeltaTable:
         adds = stage_and_collect(
             out, self.log.table_path, meta.partitionColumns,
             num_indexed_cols=_n_indexed(meta.configuration),
-            bloom_cfg=_bloom(meta.configuration))
+            bloom_cfg=_bloom(meta.configuration),
+            physical_meta=meta)
         now = int(time.time() * 1000)
         actions: List[Any] = list(adds) + [f.remove(now) for f in touched_adds]
         if cdc_parts and TableConfig(snap.metadata.configuration) \
@@ -992,6 +1179,9 @@ class DeltaTable:
         synthesize inserts/deletes from their dataChange actions
         (streaming/cdf.py; reference action model actions.scala:164-172)."""
         from .streaming.cdf import table_changes
+        if self.snapshot().metadata.column_mapping_mode != "none":
+            raise DeltaError("the change feed does not support "
+                             "column-mapped tables yet")
         return table_changes(self, start_version, end_version)
 
     def table_changes_by_timestamp(
@@ -1108,6 +1298,14 @@ def _bloom(configuration):
     connectors_spark/bloom.py."""
     from .bloom import bloom_config
     return bloom_config(configuration)
+
+
+def _parse_dtype(ddl: str):
+    """DataType from a DDL string ('bigint', 'array<string>', ...)."""
+    try:
+        return T.DataType.fromDDL(ddl)
+    except AttributeError:                      # older pyspark
+        return T._parse_datatype_string(ddl)
 
 
 def _n_indexed(configuration) -> int:
@@ -1368,7 +1566,8 @@ class TableMaintenance:
         adds = stage_and_collect(
             df, t.path, pcols, data_change=False,
             num_indexed_cols=_n_indexed(snap.metadata.configuration),
-            bloom_cfg=_bloom(snap.metadata.configuration))
+            bloom_cfg=_bloom(snap.metadata.configuration),
+            physical_meta=snap.metadata)
         now = int(time.time() * 1000)
         actions: List[Any] = list(adds) + [
             f.remove(now, data_change=False) for f in victims]
@@ -1420,7 +1619,8 @@ class TableMaintenance:
             df, t.path, snap.metadata.partitionColumns,
             data_change=False,
             num_indexed_cols=_n_indexed(snap.metadata.configuration),
-            bloom_cfg=_bloom(snap.metadata.configuration))
+            bloom_cfg=_bloom(snap.metadata.configuration),
+            physical_meta=snap.metadata)
         now = int(time.time() * 1000)
         actions: List[Any] = list(adds) + [
             f.remove(now, data_change=False) for f in victims]

@@ -237,7 +237,9 @@ class OptimisticTransaction:
         meta = next((a for a in actions if isinstance(a, Metadata)), None)
         effective_meta = meta or (self.snapshot.metadata if self.snapshot else None)
         if effective_meta is not None:
-            pcols = list(effective_meta.partitionColumns)
+            # partitionValues keys live in the PHYSICAL name domain
+            # under column mapping (identity when mode=none)
+            pcols = list(effective_meta.physical_partition_columns)
             for a in actions:
                 if isinstance(a, AddFile):
                     if sorted(a.partitionValues.keys()) != sorted(pcols):
@@ -340,7 +342,41 @@ class OptimisticTransaction:
 
 def _check_schema_evolution(old: Metadata, new: Metadata) -> None:
     """Write-compatibility rules (SchemaUtils.scala:82-141): no dropped
-    columns, no type changes, no nullable->non-null; new columns nullable."""
+    columns, no type changes, no nullable->non-null; new columns nullable.
+
+    Under column mapping (mode=name) a field's identity is its
+    column-mapping ID, not its logical name — RENAME COLUMN keeps the
+    id, DROP COLUMN removes it — so fields are matched by id and drops
+    are permitted (they can only originate from the explicit DDL
+    methods: write-time evolution on mapped tables is refused before a
+    transaction ever starts, table.write/streaming.sink). Type changes
+    and nullability tightening stay forbidden per id — the files on
+    disk don't change."""
+    if new.column_mapping_mode == "name" \
+            and old.column_mapping_mode == "name":
+        def by_id(meta):
+            out = {}
+            for f in meta.schema.fields:
+                fid = (f.metadata or {}).get("delta.columnMapping.id")
+                if fid is not None:
+                    out[fid] = f
+            return out
+        old_ids, new_ids = by_id(old), by_id(new)
+        for fid, f in old_ids.items():
+            nf = new_ids.get(fid)
+            if nf is None:
+                continue                         # DROP COLUMN
+            if nf.dataType != f.dataType:
+                raise DeltaError(
+                    f"Schema evolution cannot change type of {f.name!r}")
+            if f.nullable and not nf.nullable:
+                raise DeltaError(
+                    f"Schema evolution cannot tighten nullability of "
+                    f"{f.name!r}")
+        for fid, nf in new_ids.items():
+            if fid not in old_ids and not nf.nullable:
+                raise DeltaError(f"New column {nf.name!r} must be nullable")
+        return
     old_fields = {f.name: f for f in old.schema.fields}
     new_fields = {f.name: f for f in new.schema.fields}
     if not old_fields:

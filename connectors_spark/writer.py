@@ -221,7 +221,7 @@ def stage_and_collect(df: DataFrame, table_path: str,
                       collect_stats: bool = True,
                       num_indexed_cols: Optional[int] = None,
                       schema_cols: Optional[List[str]] = None,
-                      bloom_cfg=None) -> List[AddFile]:
+                      bloom_cfg=None, physical_meta=None) -> List[AddFile]:
     """Write ``df`` as Parquet under ``table_path`` and return the AddFile
     actions to commit. Files land in their final Hive-style layout.
 
@@ -239,8 +239,28 @@ def stage_and_collect(df: DataFrame, table_path: str,
 
     The staged-file LISTING is a names-only walk (no data I/O); footer
     reads and moves run on executors via ``publish_plan``. Only the
-    resulting action rows come back to the driver."""
-    partition_by = partition_by or []
+    resulting action rows come back to the driver.
+
+    ``physical_meta`` (a Metadata under column mapping): callers stay
+    entirely in the LOGICAL name domain; this one seam renames the
+    frame's columns to their physical names and translates
+    partition_by / stats-width / bloom column lists, so data files,
+    partitionValues keys, footer stats and bloom tags all land in the
+    physical domain the read path maps back from. Identity when the
+    table has no mapping."""
+    partition_by = list(partition_by or [])
+    if physical_meta is not None \
+            and physical_meta.column_mapping_mode != "none":
+        from pyspark.sql import functions as F
+        nmap = physical_meta.name_map()
+        df = df.select(*[F.col(c).alias(nmap.get(c, c))
+                         for c in df.columns])
+        partition_by = [nmap.get(c, c) for c in partition_by]
+        if schema_cols is not None:
+            schema_cols = [nmap.get(c, c) for c in schema_cols]
+        if bloom_cfg is not None:
+            bcols, bm, bk = bloom_cfg
+            bloom_cfg = ([nmap.get(c, c) for c in bcols], bm, bk)
     keep_cols = None
     if num_indexed_cols is not None and num_indexed_cols >= 0:
         order = schema_cols if schema_cols is not None \

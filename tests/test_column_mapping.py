@@ -1,0 +1,159 @@
+"""Column mapping (name mode): RENAME/DROP/ADD COLUMN without data
+rewrite. The protocol rule under test: data files and partitionValues
+live in the PHYSICAL name domain (stable per field id); everything the
+user touches is logical; the boundary translations live in exactly
+three seams (writer.stage_and_collect, Snapshot.to_df, DeltaScan)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from connectors_spark import DeltaTable
+from connectors_spark.errors import DeltaError
+from connectors_spark.expressions import Col, Lit
+
+
+def _mk(spark, path, n=100):
+    t = DeltaTable.for_path(spark, path)
+    t.write(spark.createDataFrame(
+        [Row(k=i, status="A" if i % 2 else "B", v=i * 10)
+         for i in range(n)]), partition_by=["status"])
+    return t
+
+
+def test_enable_rename_read_write_cycle(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "cm"))
+    files_v0 = {f.path for f in t.snapshot().all_files()}
+    t.enable_column_mapping()
+    assert t.to_df().count() == 100            # old files stay readable
+    t.rename_column("v", "value")
+    # metadata-only: exact same physical files
+    assert {f.path for f in t.snapshot().all_files()} == files_v0
+    assert t.to_df().agg(F.sum("value")).first()[0] == \
+        sum(i * 10 for i in range(100))
+    # renaming a PARTITION column is also metadata-only
+    t.rename_column("status", "state")
+    assert {f.path for f in t.snapshot().all_files()} == files_v0
+    assert sorted(r.state for r in
+                  t.to_df().select("state").distinct().collect()) == \
+        ["A", "B"]
+    # appends after the rename write PHYSICAL names; reads merge both
+    # generations seamlessly
+    t.write(spark.createDataFrame(
+        [Row(k=100 + i, state="A", value=-5) for i in range(3)]),
+        mode="append")
+    assert t.to_df().count() == 103
+    assert t.to_df().filter("value = -5").count() == 3
+    # time travel still shows the OLD logical names at old versions
+    assert t._resolve(0, None).to_df().columns == ["k", "status", "v"]
+
+
+def test_scan_pruning_in_physical_domain(spark, tmp_path):
+    """Partition pruning, stats skipping and bloom probes must all
+    translate predicate names to the physical domain after renames."""
+    from connectors_spark.bloom import BLOOM_COLUMNS_KEY
+    t = DeltaTable.for_path(spark, str(tmp_path / "cmscan"))
+    t.write(spark.range(2000)
+            .select(F.col("id").alias("k"),
+                    (F.col("id") % 2).cast("string").alias("status"),
+                    (F.col("id") * 10).alias("v"))
+            .repartitionByRange(8, "k"),
+            partition_by=["status"],
+            configuration={BLOOM_COLUMNS_KEY: "k"})
+    t.enable_column_mapping()
+    t.rename_column("v", "value")
+    t.rename_column("status", "state")
+    t.rename_column("k", "key")
+    total = len(t.snapshot().all_files())
+    # partition prune on renamed partition column
+    npart = len(t.scan(Col("state") == Lit("1")).collect_files())
+    assert 0 < npart < total
+    # stats skip on renamed data column (range-clustered by k ≍ v)
+    nstats = len(t.scan(Col("value") >= Lit(19000)).collect_files())
+    assert 0 < nstats < total
+    # bloom probe on renamed column (tag keys are physical 'k');
+    # a value outside the domain must read zero files
+    assert t.scan(Col("key") == Lit(10 ** 9)).collect_files() == []
+    got = t.scan(Col("key") == Lit(7)).to_df().collect()
+    assert [(r.key, r.value) for r in got] == [(7, 70)]
+
+
+def test_dml_and_optimize_on_mapped_table(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "cmdml"))
+    t.enable_column_mapping()
+    t.rename_column("v", "value")
+    t.update({"value": "value + 1"}, Col("value") >= Lit(900))
+    assert t.to_df().filter("value % 10 = 1").count() == 10
+    t.delete(Col("value") < Lit(100))
+    assert t.to_df().count() == 90
+    from connectors_spark.table import TableMaintenance
+    res = TableMaintenance(t).optimize(target_file_size=1 << 20)
+    assert t.to_df().count() == 90
+    # Z-order on a renamed column resolves through the logical schema
+    TableMaintenance(t).optimize(target_file_size=1 << 20,
+                                 zorder_by=["value"])
+    assert t.to_df().agg(F.sum("k")).first()[0] == sum(
+        i for i in range(100) if i * 10 >= 100)
+
+
+def test_drop_add_and_id_stability(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "cmdrop"))
+    t.enable_column_mapping()
+    t.drop_column("v")
+    assert t.to_df().columns == ["k", "status"]
+    # files untouched: the data is still there for time travel
+    assert "v" in t._resolve(0, None).to_df().columns
+    # re-adding the same logical name gets a FRESH id/physical name:
+    # old values must NOT resurrect
+    t.add_column("v", "bigint")
+    assert t.to_df().filter("v is not null").count() == 0
+    # new writes fill it
+    t.write(spark.createDataFrame([Row(k=200, status="A", v=1)]),
+            mode="append")
+    assert t.to_df().filter("v = 1").count() == 1
+    with pytest.raises(DeltaError, match="partition column"):
+        t.drop_column("status")
+    with pytest.raises(DeltaError, match="no such column"):
+        t.rename_column("gone", "x")
+    with pytest.raises(DeltaError, match="already exists"):
+        t.rename_column("k", "status")
+
+
+def test_mapping_guards(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "cmguard"))
+    # DDL before enabling the mapping is refused
+    with pytest.raises(DeltaError, match="enable_column_mapping"):
+        t.rename_column("v", "x")
+    t.enable_column_mapping()
+    # write-time schema evolution must go through the DDL methods
+    with pytest.raises(DeltaError, match="column mapping"):
+        t.write(spark.createDataFrame(
+            [Row(k=1, status="A", v=1, extra=2)]), mode="append")
+    # CDF x mapping is mutually exclusive in both directions
+    with pytest.raises(DeltaError, match="change data feed|enableChange"):
+        t.set_properties({"delta.enableChangeDataFeed": "true"})
+    with pytest.raises(DeltaError, match="column-mapped"):
+        t.table_changes(0)
+    # constraints referencing a column pin its name
+    t.add_constraint("v_pos", "v >= 0")
+    with pytest.raises(DeltaError, match="constraint"):
+        t.rename_column("v", "value")
+    t.drop_constraint("v_pos")
+    t.rename_column("v", "value")
+    # streaming source refuses mapped tables (batch-only translation)
+    from pyspark.sql.types import StructType
+    from connectors_spark.streaming.source import DeltaVersionStreamReader
+    with pytest.raises(DeltaError, match="column-mapped"):
+        DeltaVersionStreamReader(StructType(), {"path": t.path})
+
+
+def test_metadata_aggregates_and_show_partitions_mapped(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "cmmeta"))
+    t.enable_column_mapping()
+    t.rename_column("v", "value")
+    t.rename_column("status", "state")
+    row = t.metadata_aggregates(["value", "state"]).first()
+    assert (row.n_rows, row.min_value, row.max_value) == (100, 0, 990)
+    assert row.min_state == "A" and row.max_state == "B"
+    parts = {r.state for r in t.show_partitions().collect()}
+    assert parts == {"A", "B"}

@@ -615,6 +615,25 @@ def test_spark_real_g711_decode_matches_rule(spark, sf_dir):
     assert ok, msg
 
 
+def test_jpeg_sof1_decodes_like_sof0():
+    """An 8-bit extended-sequential stream (SOF1) is bit-identical
+    entropy data to baseline; the decoder must accept it and produce
+    the same pixels (T.81 B.2.2). Lossless/arithmetic still raise."""
+    import pytest
+
+    from connectors_spark.ops import jpegcodec as jc
+
+    px = bytes((i * 7 + j * 3) % 255 & 0xF0
+               for i in range(16) for j in range(16))
+    blob = jc.encode_jpeg_gray(16, 16, px, quant=16)
+    i = blob.index(b"\xff\xc0")
+    sof1 = blob[:i] + b"\xff\xc1" + blob[i + 2:]
+    assert jc.decode_jpeg(sof1) == jc.decode_jpeg(blob)
+    for bad in (b"\xff\xc3", b"\xff\xc9", b"\xff\xca"):
+        with pytest.raises(NotImplementedError):
+            jc.decode_jpeg(blob[:i] + bad + blob[i + 2:])
+
+
 def test_adpcm_step_matches_audioop_exhaustive():
     """The IMA decode step must be bit-exact vs CPython's audioop DVI
     implementation: every (code, step index) with predictor spot-
