@@ -1008,6 +1008,65 @@ def doc_components(spark, sf_dir):
             .select(F.col("node").alias("doc_id"), "component"))
 
 
+@register("doc_fuzzy_er_clusters", sql="""
+WITH RECURSIVE
+d AS (SELECT doc_id, substr(text, 1, 64) AS pre, n_chars
+      FROM documents),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE levenshtein(a.pre, b.pre) <= 8),
+sym AS (SELECT a_id AS a, b_id AS b FROM pairs
+        UNION SELECT b_id, a_id FROM pairs),
+reach(n, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.n),
+comp AS (SELECT n AS doc_id, min(r) AS component FROM reach GROUP BY n),
+sized AS (
+  SELECT comp.component, comp.doc_id, d.n_chars
+  FROM comp JOIN d USING (doc_id)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY component
+                               ORDER BY n_chars DESC, doc_id) AS rn
+  FROM sized)
+SELECT component, doc_id AS canonical_doc,
+       n_chars::BIGINT AS canonical_chars,
+       (SELECT count(*) FROM sized s2
+        WHERE s2.component = ranked.component)::BIGINT AS n_members
+FROM ranked WHERE rn = 1
+""")
+def doc_fuzzy_er(spark, sf_dir):
+    """End-to-end entity resolution: fuzzy edit-distance blocking
+    (ops/fuzzy.py, index-bounded candidates) → connected components →
+    one canonical record per cluster (longest text, tie → lowest id)
+    with the member count. The composition the fuzzy join exists for;
+    every stage is the scale-shaped operator already gated on its
+    own."""
+    from pyspark.sql import Window
+
+    from ..ops.fuzzy import edit_distance_pairs
+    from ..ops.graph import connected_components
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.substring("text", 1, 64).alias("pre"),
+                    "n_chars")
+    edges = edit_distance_pairs(d, k=8, id_col="doc_id", str_col="pre",
+                                max_gram_freq=1000)
+    comp = (connected_components(edges.select("a_id", "b_id"))
+            .select(F.col("node").alias("doc_id"), "component"))
+    sized = comp.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id"))
+    members = sized.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"))
+    return (sized.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .join(members, "component")
+            .select("component", F.col("doc_id").alias("canonical_doc"),
+                    F.col("n_chars").cast("long")
+                    .alias("canonical_chars"), "n_members"))
+
+
 @register("doc_dedup_keep_best", sql=f"""
 WITH RECURSIVE {_CC_CTES},
 sized AS (
