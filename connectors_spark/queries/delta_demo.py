@@ -269,6 +269,35 @@ def delta_bloom_prune(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Generated columns: GENERATED ALWAYS AS + partition pruning
+# --------------------------------------------------------------------------
+
+@register("delta_generated_partition", sql="""
+SELECT o_orderkey, o_custkey, year(o_orderdate)::INT AS o_year,
+       round(o_totalprice, 2) AS totalprice
+FROM orders WHERE year(o_orderdate) = 1996
+""")
+def delta_generated_partition(spark, sf_dir):
+    # The table is PARTITIONED BY a generated column the source data
+    # doesn't carry (o_year GENERATED ALWAYS AS year(o_orderdate),
+    # field metadata delta.generationExpression). The write computes
+    # it, appends without it auto-fill, divergent values are rejected
+    # (tests/test_table_rw.py) — and an equality scan on it prunes
+    # whole year directories. The oracle recomputes the expression.
+    def build(d):
+        o = load(spark, sf_dir, "orders")
+        t = DeltaTable.for_path(spark, d)
+        t.write(o, partition_by=["o_year"],
+                generated_columns={"o_year": ("int",
+                                              "year(o_orderdate)")})
+    d = _built(sf_dir, "orders_generated", build)
+    t = DeltaTable.for_path(spark, d)
+    return (t.scan(Col("o_year") == Lit(1996)).to_df()
+            .select("o_orderkey", "o_custkey", "o_year",
+                    F.round("o_totalprice", 2).alias("totalprice")))
+
+
+# --------------------------------------------------------------------------
 # Column mapping (name mode): rename/drop without rewrite
 # --------------------------------------------------------------------------
 

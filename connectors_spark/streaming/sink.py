@@ -59,6 +59,8 @@ class DeltaStreamSink:
 
         if exists:
             meta = txn.snapshot.metadata
+            from ..table import _fill_and_check_generated
+            df = _fill_and_check_generated(df, meta, "streamed")
             table_cols = {f.name for f in meta.schema.fields}
             if set(df.schema.fieldNames()) != table_cols:
                 if not self.merge_schema:

@@ -611,7 +611,9 @@ class DeltaTable:
               configuration: Optional[Dict[str, str]] = None,
               replace_where: Optional[Expression] = None,
               txn_app_id: Optional[str] = None,
-              txn_version: Optional[int] = None) -> int:
+              txn_version: Optional[int] = None,
+              generated_columns: Optional[Dict[str, Tuple[str, str]]]
+              = None) -> int:
         """Append/overwrite ``df``. Creates the table on first write.
 
         ``replace_where`` (overwrite only): atomically replace EXACTLY
@@ -648,6 +650,18 @@ class DeltaTable:
             return self._replace_where(df, replace_where, configuration)
         txn = self.log.start_transaction()
         exists = txn.snapshot is not None and txn.read_version >= 0
+        if generated_columns is not None:
+            # GENERATED ALWAYS AS is a create-time property
+            # (delta-spark: DeltaTable.create builder only)
+            if exists:
+                raise DeltaError("generated_columns can only be set "
+                                 "when the table is created")
+            for name, (ddl, expr) in generated_columns.items():
+                dtype = _parse_dtype(ddl)
+                df = df.withColumn(name, F.expr(expr).cast(dtype))
+        elif exists:
+            df = _fill_and_check_generated(
+                df, txn.snapshot.metadata, "written")
         if txn_app_id is not None and exists \
                 and txn.txn_version(txn_app_id) >= txn_version:
             return -1
@@ -665,7 +679,21 @@ class DeltaTable:
                 txn.update_metadata(new_meta)
         else:
             pcols = list(partition_by or [])
-            txn.update_metadata(self._make_metadata(df, pcols, configuration))
+            new_meta = self._make_metadata(df, pcols, configuration)
+            if generated_columns:
+                fields = []
+                for f in new_meta.schema.fields:
+                    if f.name in generated_columns:
+                        md = dict(f.metadata or {})
+                        md[_GEN_KEY] = generated_columns[f.name][1]
+                        f = T.StructField(f.name, f.dataType,
+                                          f.nullable, md)
+                    fields.append(f)
+                import dataclasses
+                new_meta = dataclasses.replace(
+                    new_meta, schemaString=json.dumps(
+                        T.StructType(fields).jsonValue()))
+            txn.update_metadata(new_meta)
 
         eff_meta = txn.new_metadata or (txn.snapshot.metadata if exists
                                         else None)
@@ -752,6 +780,9 @@ class DeltaTable:
             raise FileNotFoundError(
                 "replace_where requires an existing table")
         meta = snap.metadata
+        # generated columns may be omitted by the caller — compute them
+        # BEFORE the field-set validation
+        df = _fill_and_check_generated(df, meta, "written")
         # replaceWhere never evolves the schema: a frame whose field
         # set/types differ from table metadata would commit Parquet
         # files silently diverging from the table schema.
@@ -962,6 +993,8 @@ class DeltaTable:
                 col, F.when(F.col("__hit"), val).otherwise(F.col(col)))
         _enforce_constraints(out.where("__hit").drop("__hit"),
                              snap.metadata.configuration, "updated")
+        _fill_and_check_generated(out.where("__hit").drop("__hit"),
+                                  snap.metadata, "updated")
         adds = stage_and_collect(
             out.drop("__hit"), self.log.table_path,
             snap.metadata.partitionColumns,
@@ -1100,6 +1133,7 @@ class DeltaTable:
         # carries new or rewritten values that can violate a constraint.
         for p in parts[1:]:
             _enforce_constraints(p, meta.configuration, "merged")
+            _fill_and_check_generated(p, meta, "merged")
         adds = stage_and_collect(
             out, self.log.table_path, meta.partitionColumns,
             num_indexed_cols=_n_indexed(meta.configuration),
@@ -1350,6 +1384,44 @@ def _enforce_constraints(df: DataFrame, configuration: Dict[str, str],
             raise DeltaError(
                 f"CHECK constraint {name} ({expr}) violated by {what} "
                 f"row: {row[0].asDict()}")
+
+
+_GEN_KEY = "delta.generationExpression"
+
+
+def _generated_exprs(meta) -> Dict[str, Tuple[Any, str]]:
+    """name -> (dataType, expression) for GENERATED ALWAYS AS columns
+    (field metadata key delta.generationExpression — the Delta
+    protocol's representation)."""
+    out: Dict[str, Tuple[Any, str]] = {}
+    for f in meta.schema.fields:
+        expr = (f.metadata or {}).get(_GEN_KEY)
+        if expr:
+            out[f.name] = (f.dataType, expr)
+    return out
+
+
+def _fill_and_check_generated(df: DataFrame, meta, what: str) -> DataFrame:
+    """Generated-column contract on a data-adding batch: an ABSENT
+    generated column is computed from its expression; a PRESENT one is
+    validated row-wise against it (null-safe equality — supplying a
+    divergent value is an error, exactly delta-spark's rule). One
+    limit-1 probe per supplied generated column, same cost stance as
+    CHECK constraints."""
+    gens = _generated_exprs(meta)
+    if not gens:
+        return df
+    for name, (dtype, expr) in gens.items():
+        val = F.expr(expr).cast(dtype)
+        if name not in df.columns:
+            df = df.withColumn(name, val)
+            continue
+        bad = df.where(~F.col(name).eqNullSafe(val)).limit(1).collect()
+        if bad:
+            raise DeltaError(
+                f"generated column {name!r} (GENERATED ALWAYS AS "
+                f"{expr}) violated by {what} row: {bad[0].asDict()}")
+    return df
 
 
 _ZORDER_BITS = 16
@@ -1794,6 +1866,63 @@ class TableMaintenance:
             actions, "COMPUTE STATS",
             operation_metrics={"numFilesUpdated": str(len(actions))})
         return {"filesUpdated": len(actions), "version": version}
+
+    def fsck_repair(self, dry_run: bool = False) -> List[str]:
+        """FSCK REPAIR TABLE: drop AddFile entries whose physical data
+        file no longer exists (external deletion, botched restore of a
+        bucket, retention mishap) so reads stop failing on the missing
+        file. One commit of RemoveFiles for exactly the missing paths;
+        the conflict checker treats it like any delete. Returns the
+        repaired (or would-repair, under dry_run) table-relative
+        paths — delta-spark's FSCK REPAIR TABLE semantics.
+
+        Scale shape: the existence probe fans the file inventory out
+        through the same distributed publish machinery as a write
+        (mapInPandas over paths; the driver only collects the MISSING
+        subset, normally empty or tiny)."""
+        import pandas as pd
+        from pyspark.sql import types as T2
+
+        from .shipping import ensure_shipped_by_value
+        t = self.table
+        spark = t.log.spark
+        store = t.log.store
+        txn = t.log.start_transaction()
+        snap = txn.snapshot
+        if snap is None:
+            raise FileNotFoundError("table does not exist")
+        files = [(f.path,
+                  canonical_path(f.path, snap.table_path))
+                 for f in snap.all_files()]
+        if not files:
+            return []
+        ensure_shipped_by_value()
+
+        def probe(batches):
+            for pdf in batches:
+                missing = [(p,) for p, fs in
+                           zip(pdf["path"], pdf["fs"])
+                           if not store.exists(fs)]
+                yield pd.DataFrame(missing or None,
+                                   columns=["path"])
+
+        n_parts = min(len(files),
+                      spark.sparkContext.defaultParallelism) or 1
+        missing = [r["path"] for r in
+                   spark.createDataFrame(files, "path string, fs string")
+                   .repartition(n_parts)
+                   .mapInPandas(probe, T2.StructType(
+                       [T2.StructField("path", T2.StringType())]))
+                   .collect()]
+        if dry_run or not missing:
+            return sorted(missing)
+        by_path = {f.path: f for f in snap.all_files()}
+        now = int(time.time() * 1000)
+        removes = [by_path[p].remove(now) for p in missing]
+        txn.commit(removes, "FSCK",
+                   operation_metrics={"numRemovedFiles":
+                                      str(len(removes))})
+        return sorted(missing)
 
     def vacuum(self, retention_ms: Optional[int] = None,
                dry_run: bool = False) -> List[str]:

@@ -185,6 +185,43 @@ def test_optimize_zorder_improves_stats_skipping(spark, tmp_path):
     assert got == n * (n - 1) // 2
 
 
+def test_fsck_repair_drops_missing_files(spark, tmp_path):
+    """FSCK: externally-deleted data files are dropped from the log in
+    one commit; intact files and their rows survive; dry_run reports
+    without committing; a healthy table repairs nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from connectors_spark.table import DeltaTable, TableMaintenance
+
+    path = str(tmp_path / "fsck")
+    t = DeltaTable.for_path(spark, path)
+    for v in range(4):
+        t.write(spark.range(v * 10, (v + 1) * 10)
+                .select(F.col("id").alias("k")).coalesce(1),
+                mode="append")
+    m = TableMaintenance(t)
+    assert m.fsck_repair() == []                 # healthy: no-op
+    victims = sorted(f.path for f in t.snapshot().all_files())[:2]
+    for p in victims:
+        os.remove(p if p.startswith("/") else os.path.join(path, p))
+    # reads on the damaged table fail before repair
+    import pytest
+    with pytest.raises(Exception):
+        t.to_df().count()
+    v_before = t.snapshot().version
+    assert sorted(m.fsck_repair(dry_run=True)) == victims
+    assert t.snapshot().version == v_before      # dry run: no commit
+    assert sorted(m.fsck_repair()) == victims
+    assert t.snapshot().version == v_before + 1
+    # survivors intact, missing rows gone
+    left = sorted(r.k for r in t.to_df().collect())
+    assert len(left) == 20
+    ops = {h["operation"] for h in t.history()}
+    assert "FSCK" in ops
+
+
 def _hilbert_index_py(coords, b):
     """Skilling AxesToTranspose reference (AIP Conf. Proc. 707, 2004) —
     the oracle the Column expression must match bit-for-bit."""

@@ -424,3 +424,57 @@ def test_merge_on_table_with_deletion_vectors(spark, tmp_path):
                    (100, 1000)]
     # and the DV-deleted row must NOT be resurrected by the rewrite
     assert 2 not in {i for i, _ in got}
+
+
+def test_generated_columns_contract(spark, tmp_path):
+    """GENERATED ALWAYS AS: computed at create, auto-filled when the
+    writer omits the column, validated (null-safe) when supplied,
+    rejected on divergence incl. through UPDATE, create-only, and the
+    generated PARTITION column prunes like any other."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from connectors_spark.errors import DeltaError
+    from connectors_spark.expressions import Col, Lit
+    from connectors_spark.table import DeltaTable
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "gen"))
+    df = spark.createDataFrame(
+        [Row(k=i, d=dt.date(1992 + i % 6, 1 + i % 12, 1 + i % 28))
+         for i in range(60)])
+    t.write(df, partition_by=["y"],
+            generated_columns={"y": ("int", "year(d)")})
+    assert t.to_df().filter("y = year(d)").count() == 60
+    # append WITHOUT the column -> filled
+    t.write(spark.createDataFrame([Row(k=100, d=dt.date(2001, 5, 5))]),
+            mode="append")
+    assert t.to_df().filter("k = 100").first().y == 2001
+    # append WITH the correct value -> accepted
+    t.write(spark.createDataFrame(
+        [Row(k=101, d=dt.date(2002, 5, 5), y=2002)]), mode="append")
+    # divergent value -> rejected
+    with pytest.raises(DeltaError, match="generated column"):
+        t.write(spark.createDataFrame(
+            [Row(k=102, d=dt.date(2002, 5, 5), y=1999)]), mode="append")
+    # UPDATE breaking the expression -> rejected
+    with pytest.raises(DeltaError, match="generated column"):
+        t.update({"y": "1234"}, Col("k") == Lit(100))
+    # UPDATE of the SOURCE column keeping y consistent -> accepted
+    t.update({"d": "make_date(y, 12, 31)"}, Col("k") == Lit(100))
+    assert t.to_df().filter("k = 100").first().d == dt.date(2001, 12, 31)
+    # generated partition column prunes
+    n = len(t.scan(Col("y") == Lit(1995)).collect_files())
+    assert 0 < n < len(t.snapshot().all_files())
+    # definition is create-only
+    with pytest.raises(DeltaError, match="created"):
+        t.write(df, mode="append",
+                generated_columns={"z": ("int", "k + 1")})
+    # replaceWhere may omit the generated column too
+    sub = spark.createDataFrame(
+        [Row(k=500, d=dt.date(1995, 6, 1))])
+    t.write(sub, mode="overwrite",
+            replace_where=(Col("y") == Lit(1995)))
+    assert t.to_df().filter("y = 1995").count() == 1
