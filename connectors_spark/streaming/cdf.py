@@ -51,6 +51,8 @@ def _scan_tagged(table, snap, file_rows: List[_FileRow],
     from ..dv import dv_relation_keyed
     spark = table.spark
     meta = snap.metadata
+    nmap = meta.name_map()          # logical -> physical (identity
+    #                                 when column mapping is off)
     paths = sorted({r[0] for r in file_rows})
     dv_triples = sorted({(r[0], r[3], r[1]) for r in file_rows if r[3]})
     reader = spark.read.schema(schema).parquet(*paths)
@@ -59,7 +61,10 @@ def _scan_tagged(table, snap, file_rows: List[_FileRow],
     data = reader.withColumn("__fn", F.input_file_name())
     data = data.withColumn(
         "__file", canonical_path_col("__fn", snap.table_path)).drop("__fn")
-    pcols = meta.partitionColumns if with_partition_cols else []
+    # partitionValues keys and decoded columns live in the PHYSICAL
+    # name domain; the final projection aliases back to logical
+    pcols = meta.physical_partition_columns if with_partition_cols \
+        else []
     map_schema = T.StructType(
         [T.StructField("__file", T.StringType()),
          T.StructField("_commit_version", T.LongType())]
@@ -67,7 +72,7 @@ def _scan_tagged(table, snap, file_rows: List[_FileRow],
     map_rows = [tuple([p, v] + [(pv or {}).get(c) for c in pcols])
                 for p, v, pv, _dv in file_rows]
     pv_df = spark.createDataFrame(map_rows, map_schema)
-    for f in meta.partition_schema.fields:
+    for f in meta.physical_partition_schema.fields:
         if f.name in pcols:
             pv_df = pv_df.withColumn(
                 f.name, F.col(f"__pv_{f.name}").cast(f.dataType))
@@ -88,8 +93,10 @@ def _scan_tagged(table, snap, file_rows: List[_FileRow],
     out = out.drop("__file")
     if change_type is not None:
         out = out.withColumn(CHANGE_TYPE_COL, F.lit(change_type))
-    cols = [f.name for f in meta.schema.fields]
-    return out.select(*cols, CHANGE_TYPE_COL, "_commit_version")
+    return out.select(
+        *[F.col(nmap[f.name]).alias(f.name)
+          for f in meta.schema.fields],
+        CHANGE_TYPE_COL, "_commit_version")
 
 
 def table_changes(table, start_version: int = 0,
@@ -130,17 +137,19 @@ def table_changes(table, start_version: int = 0,
         # CDC files carry every table column (partition cols included)
         # plus the physical _change_type column.
         cdc_schema = T.StructType(
-            meta.schema.fields
+            list(meta.physical_schema.fields)
             + [T.StructField(CHANGE_TYPE_COL, T.StringType())])
         parts.append(_scan_tagged(table, snap, cdc_rows, cdc_schema,
                                   with_partition_cols=False,
                                   change_type=None))
     if ins_rows:
-        parts.append(_scan_tagged(table, snap, ins_rows, meta.data_schema,
+        parts.append(_scan_tagged(table, snap, ins_rows,
+                                  meta.physical_data_schema,
                                   with_partition_cols=True,
                                   change_type="insert"))
     if del_rows:
-        parts.append(_scan_tagged(table, snap, del_rows, meta.data_schema,
+        parts.append(_scan_tagged(table, snap, del_rows,
+                                  meta.physical_data_schema,
                                   with_partition_cols=True,
                                   change_type="delete"))
     if not parts:

@@ -96,13 +96,14 @@ def changes_df(table, start_version: int = 0,
 
     spark = table.spark
     paths = [r[0] for r in file_rows]
-    data = (spark.read.schema(meta.data_schema).parquet(*paths)
+    data = (spark.read.schema(meta.physical_data_schema).parquet(*paths)
             .withColumn("__fn", F.input_file_name()))
     data = data.withColumn(
         "__file", canonical_path_col("__fn", snap.table_path)).drop("__fn")
 
     from pyspark.sql import types as T
-    pcols = meta.partitionColumns
+    # physical name domain throughout; final select aliases to logical
+    pcols = meta.physical_partition_columns
     map_schema = T.StructType(
         [T.StructField("__file", T.StringType()),
          T.StructField("_commit_version", T.LongType())]
@@ -110,11 +111,13 @@ def changes_df(table, start_version: int = 0,
     map_rows = [tuple([p, v] + [pv.get(c) for c in pcols])
                 for p, v, pv in file_rows]
     pv_df = spark.createDataFrame(map_rows, map_schema)
-    for f in meta.partition_schema.fields:
+    for f in meta.physical_partition_schema.fields:
         pv_df = pv_df.withColumn(f.name, F.col(f"__pv_{f.name}").cast(f.dataType))
     pv_df = pv_df.drop(*[f"__pv_{c}" for c in pcols])
 
+    nmap = meta.name_map()
     out = (data.join(F.broadcast(pv_df), "__file").drop("__file")
-           .select(*[F.col(f.name) for f in meta.schema.fields],
+           .select(*[F.col(nmap[f.name]).alias(f.name)
+                     for f in meta.schema.fields],
                    F.col("_commit_version")))
     return out

@@ -416,11 +416,6 @@ class DeltaTable:
         snap = txn.snapshot
         if snap is None:
             raise FileNotFoundError("table does not exist")
-        if snap.metadata.column_mapping_mode != "none" and \
-                str(props.get("delta.enableChangeDataFeed", "")
-                    ).lower() == "true":
-            raise DeltaError("change data feed cannot be enabled on a "
-                             "column-mapped table")
         if "delta.columnMapping.mode" in props:
             raise DeltaError("use enable_column_mapping(); the mode "
                              "cannot be set directly")
@@ -446,10 +441,10 @@ class DeltaTable:
         file stays readable with zero rewrite. After this,
         rename_column / drop_column are metadata-only commits.
 
-        Refused while change data feed is enabled (CDC files are
-        written and replayed by logical name; mixing domains in the
-        same feed would corrupt downstream consumers — delta-spark
-        gates the same combination)."""
+        Composes with the change data feed: CDC files are written in
+        the physical name domain like data files, and the CDF reader
+        aliases back to the CURRENT logical names (changes spanning a
+        rename surface under the new name)."""
         import dataclasses
         txn = self.log.start_transaction()
         snap = txn.snapshot
@@ -458,9 +453,6 @@ class DeltaTable:
         meta = snap.metadata
         if meta.column_mapping_mode == "name":
             return snap.version
-        if TableConfig(meta.configuration).enable_change_data_feed:
-            raise DeltaError("column mapping cannot be enabled while "
-                             "delta.enableChangeDataFeed is true")
         fields = []
         for i, f in enumerate(meta.schema.fields):
             md = dict(f.metadata or {})
@@ -882,7 +874,8 @@ class DeltaTable:
                     .enable_change_data_feed:
                 cdc = df.where(hit).withColumn(
                     CHANGE_TYPE_COL, F.lit("delete"))
-                actions += stage_cdc_and_collect(cdc, self.log.table_path)
+                actions += stage_cdc_and_collect(cdc, self.log.table_path,
+                                             physical_meta=snap.metadata)
         return txn.commit(actions, "DELETE", {})
 
     def _delete_with_dv(self, txn, snap, predicate, candidates,
@@ -904,7 +897,11 @@ class DeltaTable:
                 for f in candidates}
         paths = sorted(cand)
         pvs = [dict(cand[p].partitionValues or {}) for p in paths]
-        data = (self.spark.read.schema(meta.data_schema).parquet(*paths)
+        # files (and partitionValues) live in the PHYSICAL name domain;
+        # alias back to logical right after assembly so the predicate
+        # and CDC projection below work on table names
+        data = (self.spark.read.schema(meta.physical_data_schema)
+                .parquet(*paths)
                 .withColumn("__fn", F.col("_metadata.file_path"))
                 .withColumn("__ri", F.col("_metadata.row_index")))
         data = data.withColumn(
@@ -913,6 +910,10 @@ class DeltaTable:
         if meta.partitionColumns:
             data = snap._attach_partition_values(data, paths, pvs,
                                                  keep_file=True)
+        nmap = meta.name_map()
+        data = data.select(
+            *[F.col(nmap[f.name]).alias(f.name)
+              for f in meta.schema.fields], "__file", "__ri")
         prior_pairs = [(p, (f.tags or {})[DV_TAG]) for p, f in cand.items()
                        if (f.tags or {}).get(DV_TAG)]
         prior = dv_relation(self.spark, snap.table_path, prior_pairs)
@@ -959,7 +960,8 @@ class DeltaTable:
             cdc = (hits.drop("__file", "__ri")
                    .select(*[F.col(fd.name) for fd in meta.schema.fields])
                    .withColumn(CHANGE_TYPE_COL, F.lit("delete")))
-            actions += stage_cdc_and_collect(cdc, self.log.table_path)
+            actions += stage_cdc_and_collect(cdc, self.log.table_path,
+                                             physical_meta=snap.metadata)
         return txn.commit(
             actions, "DELETE", params,
             operation_metrics={"numDeletedRows": str(n_deleted),
@@ -1009,7 +1011,8 @@ class DeltaTable:
             post = (out.where("__hit").drop("__hit")
                     .withColumn(CHANGE_TYPE_COL, F.lit("update_postimage")))
             actions += stage_cdc_and_collect(pre.unionByName(post),
-                                             self.log.table_path)
+                                             self.log.table_path,
+                                             physical_meta=snap.metadata)
         return txn.commit(actions, "UPDATE", {})
 
     def merge(self, source: DataFrame, condition,
@@ -1146,7 +1149,8 @@ class DeltaTable:
             cdc = cdc_parts[0]
             for p in cdc_parts[1:]:
                 cdc = cdc.unionByName(p)
-            actions += stage_cdc_and_collect(cdc, self.log.table_path)
+            actions += stage_cdc_and_collect(cdc, self.log.table_path,
+                                             physical_meta=snap.metadata)
         return txn.commit(actions, "MERGE", {"predicate": str(condition)})
 
     # ----------------------------------------------------------- changes
@@ -1213,9 +1217,6 @@ class DeltaTable:
         synthesize inserts/deletes from their dataChange actions
         (streaming/cdf.py; reference action model actions.scala:164-172)."""
         from .streaming.cdf import table_changes
-        if self.snapshot().metadata.column_mapping_mode != "none":
-            raise DeltaError("the change feed does not support "
-                             "column-mapped tables yet")
         return table_changes(self, start_version, end_version)
 
     def table_changes_by_timestamp(

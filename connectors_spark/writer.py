@@ -311,7 +311,8 @@ def stage_and_collect(df: DataFrame, table_path: str,
     return adds
 
 
-def stage_cdc_and_collect(df: DataFrame, table_path: str) -> List[AddCDCFile]:
+def stage_cdc_and_collect(df: DataFrame, table_path: str,
+                          physical_meta=None) -> List[AddCDCFile]:
     """Write change rows (``df`` must carry a ``_change_type`` column) as
     Parquet under ``<table>/_change_data/`` and return the ``AddCDCFile``
     actions to commit alongside the DML's add/remove actions.
@@ -323,6 +324,14 @@ def stage_cdc_and_collect(df: DataFrame, table_path: str) -> List[AddCDCFile]:
     small relative to the table and a per-version scan never prunes them.
     """
     from .log.logstore import default_log_store
+    if physical_meta is not None \
+            and physical_meta.column_mapping_mode != "none":
+        # CDC files live in the same PHYSICAL name domain as data
+        # files (_change_type has no mapping entry and passes through)
+        from pyspark.sql import functions as F
+        nmap = physical_meta.name_map()
+        df = df.select(*[F.col(c).alias(nmap.get(c, c))
+                         for c in df.columns])
     store = default_log_store(table_path)
     staging = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)

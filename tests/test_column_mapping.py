@@ -129,11 +129,6 @@ def test_mapping_guards(spark, tmp_path):
     with pytest.raises(DeltaError, match="column mapping"):
         t.write(spark.createDataFrame(
             [Row(k=1, status="A", v=1, extra=2)]), mode="append")
-    # CDF x mapping is mutually exclusive in both directions
-    with pytest.raises(DeltaError, match="change data feed|enableChange"):
-        t.set_properties({"delta.enableChangeDataFeed": "true"})
-    with pytest.raises(DeltaError, match="column-mapped"):
-        t.table_changes(0)
     # constraints referencing a column pin its name
     t.add_constraint("v_pos", "v >= 0")
     with pytest.raises(DeltaError, match="constraint"):
@@ -145,6 +140,43 @@ def test_mapping_guards(spark, tmp_path):
     from connectors_spark.streaming.source import DeltaVersionStreamReader
     with pytest.raises(DeltaError, match="column-mapped"):
         DeltaVersionStreamReader(StructType(), {"path": t.path})
+
+
+def test_cdf_on_mapped_table_spans_renames(spark, tmp_path):
+    """Change feed × column mapping: CDC files live in the physical
+    domain like data files; the reader aliases back to the CURRENT
+    logical names, so a feed spanning a rename surfaces every change
+    under the new name with the right values and change types."""
+    t = DeltaTable.for_path(spark, str(tmp_path / "cmcdf"))
+    t.write(spark.createDataFrame(
+        [Row(k=i, v=i * 10) for i in range(10)]),
+        configuration={"delta.enableChangeDataFeed": "true"})
+    t.enable_column_mapping()
+    t.update({"v": "v + 1"}, Col("k") == Lit(3))       # pre-rename DML
+    t.rename_column("v", "value")
+    t.update({"value": "value + 1"}, Col("k") == Lit(4))
+    t.delete(Col("k") == Lit(5), deletion_vectors=True)
+    ch = t.table_changes(0)
+    assert set(ch.columns) == {"k", "value", "_change_type",
+                               "_commit_version"}
+    rows = {(r.k, r.value, r._change_type) for r in ch.collect()}
+    assert (3, 30, "update_preimage") in rows
+    assert (3, 31, "update_postimage") in rows
+    assert (4, 40, "update_preimage") in rows
+    assert (4, 41, "update_postimage") in rows
+    assert (5, 50, "delete") in rows
+    assert sum(1 for r in rows if r[2] == "insert") == 10
+    # CDF enabled AFTER mapping also works
+    t2 = DeltaTable.for_path(spark, str(tmp_path / "cmcdf2"))
+    t2.write(spark.createDataFrame([Row(k=1, v=10)]))
+    t2.enable_column_mapping()
+    t2.rename_column("v", "w")
+    t2.set_properties({"delta.enableChangeDataFeed": "true"})
+    t2.update({"w": "99"}, Col("k") == Lit(1))
+    rows2 = {(r.k, r.w, r._change_type)
+             for r in t2.table_changes(0).collect()}
+    assert (1, 10, "update_preimage") in rows2
+    assert (1, 99, "update_postimage") in rows2
 
 
 def test_metadata_aggregates_and_show_partitions_mapped(spark, tmp_path):
