@@ -298,6 +298,39 @@ def delta_generated_partition(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Identity columns: GENERATED ALWAYS AS IDENTITY, zero-shuffle allocation
+# --------------------------------------------------------------------------
+
+@register("delta_identity", sql="""
+WITH c2 AS (SELECT 1 AS x FROM customer
+            UNION ALL SELECT 1 FROM customer),
+n AS (SELECT row_number() OVER () AS pos FROM c2)
+SELECT pos::BIGINT AS pos, (100 + 7 * (pos - 1))::BIGINT AS uid FROM n
+""")
+def delta_identity(spark, sf_dir):
+    # Two commits allocate identity values (START 100 INCREMENT 7)
+    # across arbitrary partitionings; the ALLOCATED SET is exactly the
+    # arithmetic sequence with no gaps or duplicates and the append
+    # continues from the committed high-water mark — so the sorted
+    # values ARE the oracle's closed-form sequence, even though the
+    # row->value assignment follows physical partitioning.
+    from pyspark.sql import Window
+
+    def build(d):
+        cu = load(spark, sf_dir, "customer").select("c_name")
+        t = DeltaTable.for_path(spark, d)
+        t.write(cu.repartition(8),
+                identity_columns={"uid": ("bigint", 100, 7)})
+        t.write(cu.repartition(3), mode="append")
+    d = _built(sf_dir, "customer_identity", build)
+    t = DeltaTable.for_path(spark, d)
+    w = Window.orderBy("uid")
+    return (t.to_df().select("uid")
+            .withColumn("pos", F.row_number().over(w).cast("long"))
+            .select("pos", "uid"))
+
+
+# --------------------------------------------------------------------------
 # Column mapping (name mode): rename/drop without rewrite
 # --------------------------------------------------------------------------
 

@@ -177,6 +177,7 @@ GATE_SORT: Dict[str, list] = {
     "delta_bloom_prune": ["l_orderkey", "l_partkey", "l_linenumber"],
     "delta_column_mapping": ["s_suppkey"],
     "delta_generated_partition": ["o_orderkey"],
+    "delta_identity": ["pos"],
     "delta_update": ["s_suppkey"],
     "delta_convert": ["r_regionkey"],
     "delta_schema_evolution": ["s_suppkey"],
@@ -379,6 +380,7 @@ GATE_COLUMNS: Dict[str, list] = {
     "delta_bloom_prune": ["l_orderkey", "l_partkey", "l_linenumber", "extendedprice"],
     "delta_column_mapping": ["s_suppkey", "s_name", "balance"],
     "delta_generated_partition": ["o_orderkey", "o_custkey", "o_year", "totalprice"],
+    "delta_identity": ["pos", "uid"],
     "delta_update": ["s_suppkey", "s_name", "acctbal"],
     "delta_convert": ["r_regionkey", "n"],
     "delta_schema_evolution": ["s_suppkey", "s_name", "acctbal"],

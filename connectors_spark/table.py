@@ -605,6 +605,8 @@ class DeltaTable:
               txn_app_id: Optional[str] = None,
               txn_version: Optional[int] = None,
               generated_columns: Optional[Dict[str, Tuple[str, str]]]
+              = None,
+              identity_columns: Optional[Dict[str, Tuple[str, int, int]]]
               = None) -> int:
         """Append/overwrite ``df``. Creates the table on first write.
 
@@ -642,18 +644,20 @@ class DeltaTable:
             return self._replace_where(df, replace_where, configuration)
         txn = self.log.start_transaction()
         exists = txn.snapshot is not None and txn.read_version >= 0
-        if generated_columns is not None:
-            # GENERATED ALWAYS AS is a create-time property
+        if generated_columns is not None or identity_columns is not None:
+            # GENERATED ALWAYS AS [IDENTITY] is a create-time property
             # (delta-spark: DeltaTable.create builder only)
             if exists:
-                raise DeltaError("generated_columns can only be set "
-                                 "when the table is created")
-            for name, (ddl, expr) in generated_columns.items():
+                raise DeltaError("generated_columns/identity_columns "
+                                 "can only be set when the table is "
+                                 "created")
+            for name, (ddl, expr) in (generated_columns or {}).items():
                 dtype = _parse_dtype(ddl)
                 df = df.withColumn(name, F.expr(expr).cast(dtype))
         elif exists:
             df = _fill_and_check_generated(
                 df, txn.snapshot.metadata, "written")
+            df = _apply_identity(txn, df, txn.snapshot.metadata)
         if txn_app_id is not None and exists \
                 and txn.txn_version(txn_app_id) >= txn_version:
             return -1
@@ -671,7 +675,36 @@ class DeltaTable:
                 txn.update_metadata(new_meta)
         else:
             pcols = list(partition_by or [])
+            id_hwms: Dict[str, int] = {}
+            if identity_columns:
+                for name, spec in identity_columns.items():
+                    ddl, start, step = spec
+                    if name in df.columns:
+                        raise DeltaError(
+                            f"column {name!r} is GENERATED ALWAYS AS "
+                            f"IDENTITY and cannot be written to")
+                    if step == 0:
+                        raise DeltaError("identity step must be nonzero")
+                    df, hwm = _allocate_identity(
+                        df, name, _parse_dtype(ddl), step, start - step)
+                    id_hwms[name] = hwm
             new_meta = self._make_metadata(df, pcols, configuration)
+            if identity_columns:
+                fields = []
+                for f in new_meta.schema.fields:
+                    if f.name in identity_columns:
+                        _ddl, start, step = identity_columns[f.name]
+                        md = dict(f.metadata or {})
+                        md[_ID_START] = start
+                        md[_ID_STEP] = step
+                        md[_ID_HWM] = id_hwms[f.name]
+                        f = T.StructField(f.name, f.dataType,
+                                          f.nullable, md)
+                    fields.append(f)
+                import dataclasses
+                new_meta = dataclasses.replace(
+                    new_meta, schemaString=json.dumps(
+                        T.StructType(fields).jsonValue()))
             if generated_columns:
                 fields = []
                 for f in new_meta.schema.fields:
@@ -1422,6 +1455,90 @@ def _fill_and_check_generated(df: DataFrame, meta, what: str) -> DataFrame:
             raise DeltaError(
                 f"generated column {name!r} (GENERATED ALWAYS AS "
                 f"{expr}) violated by {what} row: {bad[0].asDict()}")
+    return df
+
+
+_ID_START = "delta.identity.start"
+_ID_STEP = "delta.identity.step"
+_ID_HWM = "delta.identity.highWaterMark"
+
+
+def _identity_cols(meta) -> Dict[str, Tuple[Any, int, int, int]]:
+    """name -> (dataType, start, step, highWaterMark) for GENERATED
+    ALWAYS AS IDENTITY columns (the Delta protocol's field-metadata
+    keys; the high-water mark advances via the same metadata commit
+    that adds the rows, so concurrent allocators conflict-check like
+    any metadata writers)."""
+    out: Dict[str, Tuple[Any, int, int, int]] = {}
+    for f in meta.schema.fields:
+        md = f.metadata or {}
+        if _ID_START in md:
+            start, step = int(md[_ID_START]), int(md[_ID_STEP])
+            hwm = int(md.get(_ID_HWM, start - step))
+            out[f.name] = (f.dataType, start, step, hwm)
+    return out
+
+
+def _allocate_identity(df: DataFrame, name: str, dtype, step: int,
+                       hwm: int) -> Tuple[DataFrame, int]:
+    """Allocate the next n identity values across the frame with ZERO
+    shuffle: monotonically_increasing_id encodes (partition id << 33 |
+    row number), so with one tiny per-partition count pass the global
+    index is a narrow expression — no window, no single-task funnel,
+    no repartition. Values are unique and the allocated SET is exactly
+    {hwm+step, ..., hwm+step*n}; the row→value assignment follows the
+    frame's physical partitioning (like delta-spark's allocator).
+    Returns (df with the column, new high-water mark)."""
+    counts = {r["_pid"]: r["cnt"] for r in
+              df.groupBy(F.spark_partition_id().alias("_pid"))
+              .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    n = sum(counts.values())
+    if n == 0:
+        return df.withColumn(name, F.lit(None).cast(dtype)), hwm
+    max_pid = max(counts)
+    offsets, acc = [], 0
+    for pid in range(max_pid + 1):
+        offsets.append(acc)
+        acc += counts.get(pid, 0)
+    off_arr = F.array(*[F.lit(o).cast("long") for o in offsets])
+    mid = F.monotonically_increasing_id()
+    pid = (mid / F.lit(1 << 33)).cast("long")
+    rn = mid % F.lit(1 << 33)
+    gidx = F.element_at(off_arr, (pid + 1).cast("int")) + rn
+    val = (F.lit(hwm) + F.lit(step) * (gidx + F.lit(1))).cast(dtype)
+    return df.withColumn(name, val), hwm + step * n
+
+
+def _apply_identity(txn, df: DataFrame, meta) -> DataFrame:
+    """Fill every identity column of a batch being written and stage
+    the advanced high-water marks as a metadata update on ``txn``
+    (same commit as the adds). Supplying the column explicitly is
+    refused — GENERATED ALWAYS AS IDENTITY, delta-spark's default."""
+    import dataclasses
+    ids = _identity_cols(meta)
+    if not ids:
+        return df
+    fields = {f.name: f for f in meta.schema.fields}
+    changed = False
+    for name, (dtype, start, step, hwm) in ids.items():
+        if name in df.columns:
+            raise DeltaError(
+                f"column {name!r} is GENERATED ALWAYS AS IDENTITY and "
+                f"cannot be written to")
+        df, new_hwm = _allocate_identity(df, name, dtype, step, hwm)
+        if new_hwm != hwm:
+            f = fields[name]
+            md = dict(f.metadata or {})
+            md[_ID_HWM] = new_hwm
+            fields[name] = T.StructField(f.name, f.dataType,
+                                         f.nullable, md)
+            changed = True
+    if changed:
+        base = txn.new_metadata or meta
+        new_schema = T.StructType(
+            [fields.get(f.name, f) for f in meta.schema.fields])
+        txn.update_metadata(dataclasses.replace(
+            base, schemaString=json.dumps(new_schema.jsonValue())))
     return df
 
 

@@ -478,3 +478,50 @@ def test_generated_columns_contract(spark, tmp_path):
     t.write(sub, mode="overwrite",
             replace_where=(Col("y") == Lit(1995)))
     assert t.to_df().filter("y = 1995").count() == 1
+
+
+def test_identity_columns_contract(spark, tmp_path):
+    """GENERATED ALWAYS AS IDENTITY: the allocated SET per commit is
+    exactly the next n arithmetic-sequence values (zero-shuffle
+    monotonically_increasing_id allocation — no window, no single-task
+    funnel), appends continue from the committed high-water mark,
+    explicit inserts are refused, and the mark rides the SAME commit
+    as the rows (a concurrent allocator hits the metadata conflict and
+    retries against the new mark)."""
+    import pytest
+    from pyspark.sql import Row
+
+    from connectors_spark.errors import DeltaError
+    from connectors_spark.table import DeltaTable
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "ident"))
+    df = spark.createDataFrame(
+        [Row(name=f"u{i}") for i in range(100)]).repartition(7)
+    t.write(df, identity_columns={"uid": ("bigint", 1000, 5)})
+    vals = sorted(r.uid for r in t.to_df().collect())
+    assert vals == [1000 + 5 * i for i in range(100)]
+    t.write(spark.createDataFrame(
+        [Row(name=f"v{i}") for i in range(10)]).repartition(3),
+        mode="append")
+    vals = sorted(r.uid for r in t.to_df().collect())
+    assert vals == [1000 + 5 * i for i in range(110)]
+    with pytest.raises(DeltaError, match="IDENTITY"):
+        t.write(spark.createDataFrame([Row(name="x", uid=1)]),
+                mode="append")
+    with pytest.raises(DeltaError, match="created"):
+        t.write(df, mode="append",
+                identity_columns={"z": ("bigint", 0, 1)})
+    # the mark survives a fresh log instance (it lives in metadata)
+    t2 = DeltaTable.for_path(spark, str(tmp_path / "ident"))
+    t2.write(spark.createDataFrame([Row(name="w")]), mode="append")
+    assert max(r.uid for r in t2.to_df().collect()) == 1000 + 5 * 110
+    # negative step
+    t3 = DeltaTable.for_path(spark, str(tmp_path / "ident3"))
+    t3.write(spark.createDataFrame([Row(name=f"n{i}") for i in range(5)]),
+             identity_columns={"k": ("int", 0, -2)})
+    assert sorted(r.k for r in t3.to_df().collect()) == \
+        [-8, -6, -4, -2, 0]
+    with pytest.raises(DeltaError, match="nonzero"):
+        DeltaTable.for_path(spark, str(tmp_path / "ident4")).write(
+            spark.createDataFrame([Row(name="a")]),
+            identity_columns={"k": ("int", 0, 0)})
