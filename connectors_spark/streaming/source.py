@@ -285,13 +285,13 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
             self._snap_v0 = self.start_after
             self._snap_pos = 0
         meta = _latest_metadata(self.store, self.log_path)
-        if (meta.configuration or {}).get(
-                "delta.columnMapping.mode", "none") != "none":
-            raise DeltaError(
-                "the streaming source does not support column-mapped "
-                "tables yet (physical-name translation is batch-only)")
         self.partition_columns = list(meta.partitionColumns)
         self.meta_schema_json = meta.schemaString
+        # logical -> physical (identity when column mapping is off):
+        # data files, CDC files and partitionValues keys live in the
+        # physical domain; the reader resolves by physical name and
+        # emits the logical schema. Plain dict — ships by value.
+        self.phys = meta.name_map()
 
     def _version_at_or_after(self, ts_opt: str) -> int:
         """ST5 start-position resolution by timestamp (epoch ms or ISO
@@ -601,14 +601,16 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
         meta = StructType.fromJson(json.loads(self.meta_schema_json))
         pcols = set(self.partition_columns)
         kind = getattr(partition, "kind", "data")
+        phys = getattr(self, "phys", {})
         if kind == "cdc":
             # a physical change file: every table column (partition
             # cols included, stored as ordinary data columns) plus the
             # _change_type column — nothing synthesized but the version
-            file_cols = [f.name for f in meta.fields] + ["_change_type"]
+            file_cols = [phys.get(f.name, f.name)
+                         for f in meta.fields] + ["_change_type"]
             pcols = set()
         else:
-            file_cols = [f.name for f in meta.fields
+            file_cols = [phys.get(f.name, f.name) for f in meta.fields
                          if f.name not in pcols]
         tbl = pq.read_table(partition.file_path, columns=file_cols)
         if getattr(partition, "dv_rel", None):
@@ -625,11 +627,12 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
                 arrays.append(pa.array([ct] * n, type=pa.string()))
             elif f.name in pcols:
                 val = decode_partition_value(
-                    partition.partition_values.get(f.name), f.dataType)
+                    partition.partition_values.get(
+                        phys.get(f.name, f.name)), f.dataType)
                 arrays.append(pa.array([val] * n,
                                        type=to_arrow_type(f.dataType)))
             else:
-                col = tbl.column(f.name)
+                col = tbl.column(phys.get(f.name, f.name))
                 arrays.append(col.cast(to_arrow_type(f.dataType)))
             names.append(f.name)
         out = pa.Table.from_arrays(arrays, names=names)

@@ -135,11 +135,7 @@ def test_mapping_guards(spark, tmp_path):
         t.rename_column("v", "value")
     t.drop_constraint("v_pos")
     t.rename_column("v", "value")
-    # streaming source refuses mapped tables (batch-only translation)
-    from pyspark.sql.types import StructType
-    from connectors_spark.streaming.source import DeltaVersionStreamReader
-    with pytest.raises(DeltaError, match="column-mapped"):
-        DeltaVersionStreamReader(StructType(), {"path": t.path})
+
 
 
 def test_cdf_on_mapped_table_spans_renames(spark, tmp_path):
@@ -189,3 +185,41 @@ def test_metadata_aggregates_and_show_partitions_mapped(spark, tmp_path):
     assert row.min_state == "A" and row.max_state == "B"
     parts = {r.state for r in t.show_partitions().collect()}
     assert parts == {"A", "B"}
+
+
+def test_streaming_source_reads_mapped_table(spark, tmp_path):
+    """The delta_stream source resolves columns by PHYSICAL name on
+    mapped tables and emits the logical schema — a snapshot + tail
+    stream over a renamed partitioned table delivers every row under
+    the current logical names."""
+    from pyspark.sql import functions as F
+
+    from connectors_spark.streaming import register_stream_source
+    register_stream_source(spark)
+
+    src = str(tmp_path / "cmstream")
+    t = DeltaTable.for_path(spark, src)
+    t.write(spark.createDataFrame(
+        [Row(k=i, grp="A" if i % 2 else "B", v=i * 10)
+         for i in range(10)]), partition_by=["grp"])
+    t.enable_column_mapping()
+    t.rename_column("v", "value")
+    t.rename_column("grp", "bucket")
+    t.write(spark.createDataFrame(
+        [Row(k=10, bucket="A", value=-1)]), mode="append")
+    # default snapshot-first mode: the initial snapshot replays the
+    # CURRENT state, so the historical enable/rename metadata commits
+    # don't trip ST3 validation (full-history startingVersion=0 still
+    # correctly errors on them, as delta-spark does)
+    q = (spark.readStream.format("delta_stream")
+         .option("path", src).load()
+         .writeStream.format("memory").queryName("t_cm_stream")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from t_cm_stream")
+    assert {"k", "bucket", "value"} <= set(got.columns)
+    rows = {(r.k, r.bucket, r.value) for r in got.collect()}
+    assert (10, "A", -1) in rows
+    assert (3, "A", 30) in rows and (2, "B", 20) in rows
+    assert len(rows) == 11
