@@ -54,6 +54,9 @@ DEFAULTS: Dict[str, str] = {
     # N schema columns — the log-size lever for wide tables at scale.
     # -1 = index every column.
     "delta.dataSkippingNumIndexedCols": "32",
+    # In-commit timestamps (delta-spark ICT table feature): commit
+    # time lives in CommitInfo, not file mtimes.
+    "delta.enableInCommitTimestamps": "false",
 }
 
 
@@ -84,6 +87,10 @@ class TableConfig:
     @property
     def enable_expired_log_cleanup(self) -> bool:
         return self.get("delta.enableExpiredLogCleanup").lower() == "true"
+
+    @property
+    def enable_in_commit_timestamps(self) -> bool:
+        return self.get("delta.enableInCommitTimestamps").lower() == "true"
 
     @property
     def enable_change_data_feed(self) -> bool:

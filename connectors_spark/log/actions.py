@@ -252,6 +252,9 @@ class CommitInfo:
     operationMetrics: Optional[Dict[str, str]] = None
     userMetadata: Optional[str] = None
     engineInfo: Optional[str] = None
+    # delta.enableInCommitTimestamps: the COMMIT's own monotonic clock
+    # (max(wall, prev+1)), immune to log-file mtime skew/copies
+    inCommitTimestamp: Optional[int] = None
 
     def wrap(self) -> Dict[str, Any]:
         d: Dict[str, Any] = {
@@ -260,7 +263,8 @@ class CommitInfo:
             "operationParameters": self.operationParameters,
         }
         for k in ("readVersion", "isolationLevel", "isBlindAppend",
-                  "operationMetrics", "userMetadata", "engineInfo"):
+                  "operationMetrics", "userMetadata", "engineInfo",
+                  "inCommitTimestamp"):
             v = getattr(self, k)
             if v is not None:
                 d[k] = v
@@ -314,7 +318,8 @@ def _parse_one(key: str, d: Dict[str, Any]) -> Optional[Action]:
             isBlindAppend=d.get("isBlindAppend"),
             operationMetrics=d.get("operationMetrics"),
             userMetadata=d.get("userMetadata"),
-            engineInfo=d.get("engineInfo"))
+            engineInfo=d.get("engineInfo"),
+            inCommitTimestamp=d.get("inCommitTimestamp"))
     if key == "cdc":
         return AddCDCFile(d["path"], d.get("partitionValues") or {},
                           d.get("size") or 0, d.get("tags"))
@@ -395,6 +400,7 @@ COMMIT_INFO_SCHEMA = T.StructType([
     T.StructField("operationMetrics", _STR_MAP),
     T.StructField("userMetadata", T.StringType()),
     T.StructField("engineInfo", T.StringType()),
+    T.StructField("inCommitTimestamp", T.LongType()),
 ])
 
 CDC_SCHEMA = T.StructType([

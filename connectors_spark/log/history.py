@@ -26,12 +26,36 @@ class Commit:
     timestamp: int  # monotonized, ms
 
 
+def _commit_ts(store: LogStore, log_path: str, name: str) -> int:
+    """A commit's timestamp: its CommitInfo.inCommitTimestamp when the
+    writer recorded one (delta.enableInCommitTimestamps — immune to
+    log-file copies and filesystem mtime skew), else the file's
+    modification time. Mixed pre/post-enablement histories fall back
+    PER COMMIT; monotonize() then smooths the seam exactly as it
+    smooths mtime skew."""
+    path = os.path.join(log_path, name)
+    try:
+        for line in store.read(path):
+            a = from_json_line(line)
+            if isinstance(a, CommitInfo):
+                if a.inCommitTimestamp is not None:
+                    return a.inCommitTimestamp
+                break
+            # CommitInfo is the first line our writer emits; scanning
+            # past the first parsed action means there is none
+            if a is not None:
+                break
+    except (FileNotFoundError, ValueError):
+        pass
+    return store.mtime_ms(path)
+
+
 def list_commits(store: LogStore, log_path: str,
                  start_version: int = 0) -> List[Commit]:
     names = [n for n in store.list_from(log_path, "%020d" % start_version)
              if fn.is_delta_file(n)]
     commits = [Commit(fn.delta_version(n),
-                      store.mtime_ms(os.path.join(log_path, n)))
+                      _commit_ts(store, log_path, n))
                for n in names]
     commits.sort(key=lambda c: c.version)
     return monotonize(commits)

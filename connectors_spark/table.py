@@ -159,7 +159,8 @@ class DeltaLog:
                         "operationParameters": info.operationParameters,
                         "isBlindAppend": info.isBlindAppend,
                         "isolationLevel": info.isolationLevel,
-                        "engineInfo": info.engineInfo})
+                        "engineInfo": info.engineInfo,
+                        "inCommitTimestamp": info.inCommitTimestamp})
         return out
 
     def commit_info_at(self, version: int) -> CommitInfo:

@@ -160,20 +160,39 @@ class OptimisticTransaction:
         depends_on_files = bool(self.read_predicates) or self._read_whole_table
         is_blind_append = only_add_files and not depends_on_files
 
-        info = CommitInfo(
-            timestamp=int(time.time() * 1000),
-            operation=operation,
-            operationParameters=operation_parameters or {},
-            readVersion=self.read_version if self.read_version >= 0 else None,
-            isolationLevel=isolation,
-            isBlindAppend=is_blind_append,
-            operationMetrics=operation_metrics,
-            engineInfo=engine_info,
-        )
-        lines = [to_json_line(info)] + [to_json_line(a) for a in acts]
+        eff_meta = self.new_metadata or (
+            self.snapshot.metadata if self.snapshot else None)
+        ict_enabled = eff_meta is not None and TableConfig(
+            eff_meta.configuration).enable_in_commit_timestamps
+
+        def build_lines(prev_version: int):
+            ict = None
+            if ict_enabled:
+                # the commit's own monotonic clock: strictly greater
+                # than the PREDECESSOR commit's (re-derived per retry
+                # attempt so a conflict winner can't order after us),
+                # immune to log-file mtime skew
+                prev = _read_ict(self.log.store, self.log.log_path,
+                                 prev_version)
+                ict = max(int(time.time() * 1000),
+                          (prev or 0) + 1)
+            info = CommitInfo(
+                timestamp=int(time.time() * 1000),
+                operation=operation,
+                operationParameters=operation_parameters or {},
+                readVersion=self.read_version
+                if self.read_version >= 0 else None,
+                isolationLevel=isolation,
+                isBlindAppend=is_blind_append,
+                operationMetrics=operation_metrics,
+                engineInfo=engine_info,
+                inCommitTimestamp=ict,
+            )
+            return [to_json_line(info)] + [to_json_line(a) for a in acts]
 
         attempt_version = self.read_version + 1
         for _ in range(MAX_RETRIES):
+            lines = build_lines(attempt_version - 1)
             target = fn.delta_file(self.log.log_path, attempt_version)
             try:
                 self.log.store.write(target, lines, overwrite=False)
@@ -338,6 +357,24 @@ class OptimisticTransaction:
         if both:
             raise ConcurrentDeleteDeleteException(
                 f"version {winning_version} also deleted {sorted(both)[:3]}")
+
+
+def _read_ict(store, log_path: str, version: int) -> Optional[int]:
+    """inCommitTimestamp of ``version``'s CommitInfo (None when absent
+    or version < 0) — commit timestamps for mixed pre/post-enablement
+    histories fall back per commit (log/history.py)."""
+    if version < 0:
+        return None
+    try:
+        for line in store.read(fn.delta_file(log_path, version)):
+            a = from_json_line(line)
+            if isinstance(a, CommitInfo):
+                return a.inCommitTimestamp
+            if a is not None and not isinstance(a, CommitInfo):
+                continue
+    except FileNotFoundError:
+        return None
+    return None
 
 
 def _check_schema_evolution(old: Metadata, new: Metadata) -> None:

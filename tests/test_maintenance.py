@@ -806,3 +806,48 @@ def test_reorg_purge_partitioned_roundtrip(spark, tmp_path):
     pruned = t.scan(Col("o_orderstatus") == Lit("F")).to_df()
     assert pruned.count() == \
         want.filter("o_orderstatus = 'F'").count()
+
+
+def test_in_commit_timestamps(spark, tmp_path):
+    """delta.enableInCommitTimestamps: commit time lives in CommitInfo
+    (max(wall, prev+1), re-derived per conflict-retry attempt), so
+    history and timestamp time travel survive log-file mtime skew —
+    smashing every mtime leaves the timeline bit-identical. Mixed
+    pre/post-enablement histories fall back per commit."""
+    import glob
+    import os
+
+    from pyspark.sql import Row
+
+    from connectors_spark.log.history import list_commits
+    from connectors_spark.table import DeltaTable
+
+    path = str(tmp_path / "ict")
+    t = DeltaTable.for_path(spark, path)
+    # two plain commits, then enable mid-history
+    t.write(spark.createDataFrame([Row(k=1)]))
+    t.write(spark.createDataFrame([Row(k=2)]), mode="append")
+    t.set_properties({"delta.enableInCommitTimestamps": "true"})
+    t.write(spark.createDataFrame([Row(k=3)]), mode="append")
+    t.write(spark.createDataFrame([Row(k=4)]), mode="append")
+    hist = t.history()
+    by_v = {h["version"]: h for h in hist}
+    assert by_v[0]["inCommitTimestamp"] is None
+    assert by_v[3]["inCommitTimestamp"] is not None
+    assert by_v[4]["inCommitTimestamp"] is not None
+    cs = list_commits(t.log.store, t.log.log_path)
+    assert all(cs[i].timestamp < cs[i + 1].timestamp
+               for i in range(len(cs) - 1))
+    before = [c.timestamp for c in cs]
+    for f in glob.glob(os.path.join(path, "_delta_log", "*.json")):
+        os.utime(f, (10_000_000, 10_000_000))
+    after = [c.timestamp for c in list_commits(t.log.store,
+                                               t.log.log_path)]
+    # post-enablement commits keep their exact timestamps; the
+    # pre-enablement prefix degrades to (smashed) mtime + monotonize
+    # but never reorders
+    assert after[3:] == before[3:]
+    assert all(after[i] < after[i + 1] for i in range(len(after) - 1))
+    # timestamp time travel lands on the right version via ICT
+    v = t.log.version_before_or_at_timestamp(before[3])
+    assert v == 3
