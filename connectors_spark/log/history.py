@@ -35,17 +35,15 @@ def _commit_ts(store: LogStore, log_path: str, name: str) -> int:
     smooths mtime skew."""
     path = os.path.join(log_path, name)
     try:
-        for line in store.read(path):
+        head = getattr(store, "read_head", None)
+        line = head(path) if head is not None else \
+            next(iter(store.read(path)), None)
+        if line:
             a = from_json_line(line)
-            if isinstance(a, CommitInfo):
-                if a.inCommitTimestamp is not None:
-                    return a.inCommitTimestamp
-                break
-            # CommitInfo is the first line our writer emits; scanning
-            # past the first parsed action means there is none
-            if a is not None:
-                break
-    except (FileNotFoundError, ValueError):
+            if isinstance(a, CommitInfo) \
+                    and a.inCommitTimestamp is not None:
+                return a.inCommitTimestamp
+    except (FileNotFoundError, ValueError, StopIteration):
         pass
     return store.mtime_ms(path)
 

@@ -33,7 +33,7 @@ import shutil
 import tempfile
 import threading
 import uuid
-from typing import Callable, Dict, Iterable, List, Tuple
+from typing import Callable, Dict, Iterable, List, Optional, Tuple
 
 
 class FileAlreadyExistsError(FileExistsError):
@@ -48,6 +48,28 @@ class LogStore:
     def read(self, path: str) -> List[str]:
         with open(path, "r", encoding="utf-8") as f:
             return [line.rstrip("\n") for line in f if line.strip()]
+
+    def read_head(self, path: str) -> Optional[str]:
+        """First non-empty line of a log file — the history walk reads
+        only each commit's CommitInfo line, and a commit can carry
+        100k+ action lines. The base (POSIX) implementation streams
+        the file and stops at the first line; subclasses that override
+        ``read()`` for another backend MUST override this too if they
+        want laziness — the safe generic fallback is
+        ``self.read(path)[0]`` (see InMemoryLogStore).
+        """
+        if type(self).read is not LogStore.read:
+            # subclass changed the read backend but not read_head:
+            # fall back through ITS read() so we never open() a path
+            # that only exists in its backend
+            lines = self.read(path)
+            return lines[0] if lines else None
+        with open(path, "r", encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if line.strip():
+                    return line
+        return None
 
     def write(self, path: str, lines: Iterable[str], overwrite: bool = False) -> None:
         """Atomically write ``lines`` to ``path``.
