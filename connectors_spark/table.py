@@ -608,7 +608,8 @@ class DeltaTable:
               generated_columns: Optional[Dict[str, Tuple[str, str]]]
               = None,
               identity_columns: Optional[Dict[str, Tuple[str, int, int]]]
-              = None) -> int:
+              = None,
+              user_metadata: Optional[str] = None) -> int:
         """Append/overwrite ``df``. Creates the table on first write.
 
         ``replace_where`` (overwrite only): atomically replace EXACTLY
@@ -754,7 +755,8 @@ class DeltaTable:
             operation_parameters={"mode": mode,
                                   "partitionBy": json.dumps(list(pcols))},
             operation_metrics={"numFiles": str(len(adds)),
-                               "numOutputRows": str(n_rows)})
+                               "numOutputRows": str(n_rows)},
+            user_metadata=user_metadata)
         self._maybe_auto_compact(
             (eff_meta.configuration if eff_meta else None))
         return version

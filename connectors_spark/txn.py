@@ -145,7 +145,8 @@ class OptimisticTransaction:
     def commit(self, actions: Sequence[Any], operation: str = "Manual Update",
                operation_parameters: Optional[Dict[str, str]] = None,
                engine_info: str = ENGINE_INFO,
-               operation_metrics: Optional[Dict[str, str]] = None) -> int:
+               operation_metrics: Optional[Dict[str, str]] = None,
+               user_metadata: Optional[str] = None) -> int:
         if self.committed:
             raise DeltaError("Transaction already committed")
         acts = list(actions)
@@ -185,6 +186,7 @@ class OptimisticTransaction:
                 isolationLevel=isolation,
                 isBlindAppend=is_blind_append,
                 operationMetrics=operation_metrics,
+                userMetadata=user_metadata,
                 engineInfo=engine_info,
                 inCommitTimestamp=ict,
             )

@@ -525,3 +525,19 @@ def test_identity_columns_contract(spark, tmp_path):
         DeltaTable.for_path(spark, str(tmp_path / "ident4")).write(
             spark.createDataFrame([Row(name="a")]),
             identity_columns={"k": ("int", 0, 0)})
+
+
+def test_user_metadata_recorded_in_history(spark, tmp_path):
+    """write(user_metadata=...) lands in CommitInfo.userMetadata (the
+    delta-spark userMetadata option) and surfaces in commit_info_at;
+    commits without one record none."""
+    from pyspark.sql import Row
+
+    from connectors_spark.table import DeltaTable
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "um"))
+    t.write(spark.createDataFrame([Row(k=1)]),
+            user_metadata="ingest-job=nightly-42")
+    t.write(spark.createDataFrame([Row(k=2)]), mode="append")
+    assert t.log.commit_info_at(0).userMetadata == "ingest-job=nightly-42"
+    assert t.log.commit_info_at(1).userMetadata is None
