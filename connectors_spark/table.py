@@ -445,7 +445,18 @@ class DeltaTable:
         Composes with the change data feed: CDC files are written in
         the physical name domain like data files, and the CDF reader
         aliases back to the CURRENT logical names (changes spanning a
-        rename surface under the new name)."""
+        rename surface under the new name).
+
+        Protocol-fidelity note (disclosed deviation): the Delta spec
+        gates column mapping behind minReaderVersion>=2 /
+        minWriterVersion>=5 (or the table-features protocol). This
+        engine keeps its tables at the reference's protocol (1, 2)
+        because the reference reader IS the compatibility target
+        (SURVEY W9) — a delta-spark reader pointed at a mapped table
+        written here would need the protocol bumped first. The same
+        applies to deletion vectors, CDF and in-commit timestamps;
+        all are engine-internal extensions, flagged in table
+        configuration rather than the Protocol action."""
         import dataclasses
         txn = self.log.start_transaction()
         snap = txn.snapshot
