@@ -98,6 +98,34 @@ def test_dedup_jaccard_no_cartesian(plans):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_hilbert_code_is_pure_jvm_expression(spark):
+    # the Hilbert index must never fall back to Python: no
+    # ArrowEval/BatchEval nodes — it's aggregate/bit expressions only
+    from pyspark.sql import functions as F
+
+    from connectors_spark.table import _hilbert_index_col
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("x"), (F.col("id") % 7).alias("y"))
+    p = plan_of(df.select(_hilbert_index_col(
+        [F.col("x"), F.col("y")], 16).alias("h")))
+    assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_bloom_skip_plan_never_collects_inventory(spark, tmp_path):
+    # the bloom probe is a Column over files_df: the pruned-files plan
+    # must stay a pure DataFrame plan (no Python UDF nodes)
+    from pyspark.sql import functions as F
+
+    from connectors_spark import DeltaTable
+    from connectors_spark.bloom import BLOOM_COLUMNS_KEY
+    from connectors_spark.expressions import Col, Lit
+    t = DeltaTable.for_path(spark, str(tmp_path / "bp"))
+    t.write(spark.range(100).select(F.col("id").alias("uid")),
+            configuration={BLOOM_COLUMNS_KEY: "uid"})
+    p = plan_of(t.scan(Col("uid") == Lit(7)).files())
+    assert "Python" not in p and "ArrowEval" not in p
+
+
 def test_fuzzy_edit_pairs_no_cartesian(plans):
     # candidates come from the q-gram inverted-index equi-join + the
     # bounded short-string band join — never an all-pairs product
