@@ -142,6 +142,29 @@ def test_mixed_filter_sizes_stay_sound(spark, tmp_path):
         assert got == exp and rid_probe in got
 
 
+def test_bloom_tags_survive_checkpoint(spark, tmp_path):
+    """A snapshot rebuilt FROM a checkpoint (not the JSON tail) must
+    still carry every bloom tag — the checkpoint serializes
+    AddFile.tags, and skipping keeps working across the reload."""
+    from pyspark.sql import functions as F
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "ckb"))
+    for v in range(12):          # checkpointInterval 10 -> ckpt at 10
+        t.write(spark.range(v * 100, (v + 1) * 100)
+                .select(F.col("id").alias("uid")).coalesce(1),
+                mode="append",
+                configuration={BLOOM_COLUMNS_KEY: "uid"}
+                if v == 0 else None)
+    import os
+    assert any("checkpoint" in n for n in
+               os.listdir(str(tmp_path / "ckb" / "_delta_log")))
+    t2 = DeltaTable.for_path(spark, str(tmp_path / "ckb"))
+    files = t2.snapshot().all_files()
+    assert all((f.tags or {}).get("bloom.uid") for f in files)
+    assert len(t2.scan(Col("uid") == Lit(55)).collect_files()) == 1
+    assert t2.scan(Col("uid") == Lit(10 ** 7)).collect_files() == []
+
+
 def test_tables_without_blooms_unaffected(spark, tmp_path):
     t = DeltaTable.for_path(spark, str(tmp_path / "plain"))
     t.write(spark.range(100).select(F.col("id").alias("uid")))
