@@ -223,3 +223,42 @@ def test_streaming_source_reads_mapped_table(spark, tmp_path):
     assert (10, "A", -1) in rows
     assert (3, "A", 30) in rows and (2, "B", 20) in rows
     assert len(rows) == 11
+
+
+def test_cdf_stream_on_mapped_table(spark, tmp_path):
+    """readChangeFeed=true over a column-mapped table: physical CDC
+    files and synthesized inserts both surface under the CURRENT
+    logical names through the stream."""
+    from connectors_spark.streaming import register_stream_source
+    register_stream_source(spark)
+
+    src = str(tmp_path / "cmcdfs")
+    t = DeltaTable.for_path(spark, src)
+    t.write(spark.createDataFrame([Row(k=i, v=i * 10) for i in range(5)]),
+            configuration={"delta.enableChangeDataFeed": "true"})
+    t.enable_column_mapping()
+    t.rename_column("v", "value")
+    q = (spark.readStream.format("delta_stream")
+         .option("path", src).option("readChangeFeed", "true").load()
+         .writeStream.format("memory").queryName("t_cm_cdfs")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    base = {(r.k, r.value, r._change_type)
+            for r in spark.sql("select * from t_cm_cdfs").collect()}
+    assert base == {(i, i * 10, "insert") for i in range(5)}
+    # a post-rename DML lands as physical CDC files; a second stream
+    # from that version picks up pre/post images under the new
+    # logical name (fresh checkpoint — the memory sink can't recover)
+    v = t.update({"value": "value + 1"}, Col("k") == Lit(2))
+    q2 = (spark.readStream.format("delta_stream")
+          .option("path", src).option("readChangeFeed", "true")
+          .option("startingVersion", str(v)).load()
+          .writeStream.format("memory").queryName("t_cm_cdfs2")
+          .option("checkpointLocation", str(tmp_path / "ck2"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    rows = {(r.k, r.value, r._change_type)
+            for r in spark.sql("select * from t_cm_cdfs2").collect()}
+    assert (2, 20, "update_preimage") in rows
+    assert (2, 21, "update_postimage") in rows
