@@ -393,3 +393,43 @@ def pmi_bigrams(df: DataFrame, min_count: int = 5, top: int = 50,
                                     (F.col("_pa") * F.col("_pb"))), 6)
                       .alias("pmi")))
     return (scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(top))
+
+
+def mad_outliers(df: DataFrame, value_col: str, group_col: str,
+                 id_col: str = "doc_id", k: float = 3.0) -> DataFrame:
+    """Robust per-group outlier flagging: a row is an outlier when its
+    value deviates from the GROUP median by more than ``k`` times the
+    group's median absolute deviation — the MAD rule, immune to the
+    outliers themselves (unlike mean/stddev z-scores, where one 2 GB
+    document inflates sigma until nothing else flags).
+
+    Returns (id, group, value, group_median, group_mad, is_outlier).
+
+    Scale shape: two map-side-combinable aggregations keyed by group
+    (EXACT percentile — group cardinality is sources/domains, not
+    corpus-sized, and each group's value vector is bounded by group
+    row count; at 100 TB swap percentile for percentile_approx at the
+    same call site if group sizes outgrow executor memory) with the
+    group relations broadcast back — the corpus is never shuffled by
+    anything but its group key, and never collected."""
+    from pyspark.sql import functions as F
+    v = F.col(value_col).cast("double")
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.col(group_col).alias("_grp"),
+                     v.alias("_val"))
+    med = (base.groupBy("_grp")
+           .agg(F.percentile("_val", F.lit(0.5)).alias("group_median")))
+    dev = (base.join(F.broadcast(med), "_grp")
+           .withColumn("_ad", F.abs(F.col("_val")
+                                    - F.col("group_median"))))
+    mad = (dev.groupBy("_grp")
+           .agg(F.percentile("_ad", F.lit(0.5)).alias("group_mad")))
+    return (dev.join(F.broadcast(mad), "_grp")
+            .select(F.col("_id").alias(id_col),
+                    F.col("_grp").alias(group_col),
+                    F.col("_val").alias(value_col),
+                    F.round("group_median", 6).alias("group_median"),
+                    F.round("group_mad", 6).alias("group_mad"),
+                    (F.abs(F.col("_val") - F.col("group_median"))
+                     > F.lit(k) * F.col("group_mad"))
+                    .alias("is_outlier")))

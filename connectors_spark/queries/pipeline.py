@@ -132,6 +132,39 @@ def doc_jaccard(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Robust per-source outlier filter (median / MAD rule)
+# --------------------------------------------------------------------------
+
+@register("doc_mad_outliers", sql="""
+WITH v AS (SELECT doc_id, source, n_chars::DOUBLE AS n_chars
+           FROM documents),
+med AS (SELECT source, quantile_cont(n_chars, 0.5) AS group_median
+        FROM v GROUP BY source),
+dev AS (SELECT v.*, med.group_median,
+               abs(v.n_chars - med.group_median) AS ad
+        FROM v JOIN med USING (source)),
+mad AS (SELECT source, quantile_cont(ad, 0.5) AS group_mad
+        FROM dev GROUP BY source)
+SELECT dev.doc_id, dev.source, dev.n_chars,
+       round(dev.group_median, 6) AS group_median,
+       round(mad.group_mad, 6) AS group_mad,
+       abs(dev.n_chars - dev.group_median)
+           > 3.0 * mad.group_mad AS is_outlier
+FROM dev JOIN mad USING (source)
+""")
+def doc_mad_outliers(spark, sf_dir):
+    # Robust length-outlier flagging per source: median/MAD instead of
+    # mean/stddev, so the outliers being hunted can't inflate the
+    # threshold that should catch them (one 2 GB doc widens sigma
+    # until nothing flags; it barely moves the median). Exact
+    # percentiles both sides — group cardinality is sources, not
+    # corpus-sized.
+    from ..ops.quality import mad_outliers
+    return mad_outliers(load(spark, sf_dir, "documents"),
+                        value_col="n_chars", group_col="source")
+
+
+# --------------------------------------------------------------------------
 # Fuzzy (edit-distance) self-join — q-gram count-filter candidates
 # --------------------------------------------------------------------------
 

@@ -74,6 +74,7 @@ GATE_SORT: Dict[str, list] = {
     "doc_ngram_jaccard_pairs": ["a_id", "b_id"],
     "doc_minhash_lsh_pairs": ["a_id", "b_id"],
     "doc_fuzzy_edit_pairs": ["a_id", "b_id"],
+    "doc_mad_outliers": ["doc_id"],
     "doc_fuzzy_er_clusters": ["component"],
     "doc_simhash_pairs": ["a_id", "b_id"],
     "doc_winnow_overlap_pairs": ["a_id", "b_id"],
@@ -251,6 +252,7 @@ GATE_COLUMNS: Dict[str, list] = {
     "doc_ngram_jaccard_pairs": ["a_id", "b_id", "jaccard"],
     "doc_minhash_lsh_pairs": ["a_id", "b_id", "jaccard"],
     "doc_fuzzy_edit_pairs": ["a_id", "b_id", "dist"],
+    "doc_mad_outliers": ["doc_id", "source", "n_chars", "group_median", "group_mad", "is_outlier"],
     "doc_fuzzy_er_clusters": ["component", "canonical_doc", "canonical_chars", "n_members"],
     "doc_simhash_pairs": ["a_id", "b_id", "hamming"],
     "doc_winnow_overlap_pairs": ["a_id", "b_id", "shared", "overlap"],

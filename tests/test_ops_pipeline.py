@@ -1162,3 +1162,27 @@ def test_substring_search_degenerate_patterns(spark, tmp_path):
         substring_search(df, ["ok", ""])
     with pytest.raises(ValueError, match="non-empty"):
         substring_search_indexed(spark, idx, df, [""], n_buckets=8)
+
+
+def test_mad_outliers_robust_to_the_outlier_itself(spark):
+    """The MAD rule must flag an extreme value that a mean/stddev
+    z-score would MISS because the value inflates sigma — the reason
+    robust statistics exist."""
+    from connectors_spark.ops.quality import mad_outliers
+    rows = [(i, "a", 100 + (i % 7)) for i in range(40)] + \
+        [(99, "a", 100000), (200, "b", 5), (201, "b", 6), (202, "b", 7)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, "
+                                     "n_chars: long")
+    out = {r.doc_id: r for r in
+           mad_outliers(df, "n_chars", "source").collect()}
+    assert out[99].is_outlier
+    assert not any(out[i].is_outlier for i in range(40))
+    # group b: tight cluster, no outliers; medians are per-group
+    assert not any(out[i].is_outlier for i in (200, 201, 202))
+    assert out[200].group_median == 6.0
+    # classic z-score comparison: the 100000 value inflates stddev so
+    # far that |x - mean| < 3*sigma — MAD still catches it
+    import statistics
+    vals = [v for (_i, s, v) in rows if s == "a"]
+    mu, sd = statistics.mean(vals), statistics.pstdev(vals)
+    assert abs(100000 - mu) < 3.5 * sd       # z-score would miss
