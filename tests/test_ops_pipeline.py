@@ -1170,19 +1170,21 @@ def test_mad_outliers_robust_to_the_outlier_itself(spark):
     robust statistics exist."""
     from connectors_spark.ops.quality import mad_outliers
     rows = [(i, "a", 100 + (i % 7)) for i in range(40)] + \
-        [(99, "a", 100000), (200, "b", 5), (201, "b", 6), (202, "b", 7)]
+        [(90 + j, "a", 100000) for j in range(5)] + \
+        [(200, "b", 5), (201, "b", 6), (202, "b", 7)]
     df = spark.createDataFrame(rows, "doc_id: long, source: string, "
                                      "n_chars: long")
     out = {r.doc_id: r for r in
            mad_outliers(df, "n_chars", "source").collect()}
-    assert out[99].is_outlier
+    assert all(out[90 + j].is_outlier for j in range(5))
     assert not any(out[i].is_outlier for i in range(40))
     # group b: tight cluster, no outliers; medians are per-group
     assert not any(out[i].is_outlier for i in (200, 201, 202))
     assert out[200].group_median == 6.0
-    # classic z-score comparison: the 100000 value inflates stddev so
-    # far that |x - mean| < 3*sigma — MAD still catches it
+    # the MASKING effect the MAD rule exists for: five extreme values
+    # inflate sigma until each sits under z = 3 — a mean/stddev rule
+    # flags nothing, MAD flags all five
     import statistics
     vals = [v for (_i, s, v) in rows if s == "a"]
     mu, sd = statistics.mean(vals), statistics.pstdev(vals)
-    assert abs(100000 - mu) < 3.5 * sd       # z-score would miss
+    assert abs(100000 - mu) < 3.0 * sd       # z-score misses ALL five
