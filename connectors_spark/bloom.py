@@ -95,21 +95,34 @@ def build_bloom_hex(values: Iterable, m: int, k: int) -> Optional[str]:
     """Hex filter over the values' canonical keys. Bit p lives in hex
     char p//4 at bit p%4 (nibble-wise layout so the Column-side test
     is one substr + conv per probe position). Returns None when no
-    value was hashable (no tag — the file is always kept)."""
-    nibbles = [0] * (m // 4)
-    any_set = False
+    value was hashable (no tag — the file is always kept).
+
+    The md5 per distinct value is irreducible Python, but the k
+    position computations and bit sets are vectorized numpy over the
+    whole (h1, h2) array — at ~60k distinct values/file the scalar
+    loop dominated the publish pass. Positions use the same
+    mod-m-before-scaling reduction as the Column-side probe, so every
+    intermediate fits in int64."""
+    import numpy as np
+    h1s, h2s = [], []
     for v in values:
         key = bloom_key(v)
         if key is None:
             continue
-        any_set = True
         h1, h2 = _hashes64(key)
-        for i in range(k):
-            p = (h1 + i * h2) % m
-            nibbles[p // 4] |= 1 << (p % 4)
-    if not any_set:
+        h1s.append(h1)
+        h2s.append(h2)
+    if not h1s:
         return None
-    return "".join("%x" % n for n in nibbles)
+    h1a = np.asarray(h1s, dtype=np.int64) % m
+    h2a = np.asarray(h2s, dtype=np.int64) % m
+    nibbles = np.zeros(m // 4, dtype=np.uint8)
+    for i in range(k):
+        p = (h1a + i * h2a) % m
+        np.bitwise_or.at(nibbles, p // 4,
+                         np.left_shift(1, (p % 4)).astype(np.uint8))
+    lut = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+    return lut[nibbles].tobytes().decode("ascii")
 
 
 def bloom_tag_value(hex_filter: str, m: int, k: int) -> str:
