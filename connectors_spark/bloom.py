@@ -25,11 +25,14 @@ file's bit positions from ITS m (Column arithmetic), and files without
 a tag are kept.
 
 Sizing: with n distinct values per file, fpp ≈ (1 - e^(-kn/m))^k.
-The defaults (m=16384 bits → 2 KiB of hex per column per file, k=7)
-give ~1% fpp at n ≈ 1700 — tune delta.dataSkipping.bloomFilter.numBits
-to the table's file row width. The tag cost is metadata-plane:
-O(files × bloom'd columns), the same budget dataSkippingNumIndexedCols
-bounds for min/max width.
+By default m is AUTO-SIZED per file (~10 bits per distinct value →
+~1% fpp at k=7, floor 16 Ki bits, capped at 2^23 — see auto_bits);
+pin delta.dataSkipping.bloomFilter.numBits to trade tag bytes for
+selectivity explicitly (a pinned m that is too small saturates
+SILENTLY: still sound, skips nothing — SCALE.md §23 measured the
+threshold). The tag cost is metadata-plane: O(files × bloom'd
+columns), the same budget dataSkippingNumIndexedCols bounds for
+min/max width.
 
 Hashing is md5-derived double hashing (seedless — the same determinism
 doctrine as ops/sketches.py), over a canonical string key: integers as
@@ -63,15 +66,32 @@ def bloom_config(configuration: Optional[Dict[str, str]]
             if c.strip()]
     if not cols:
         return None
-    m = int(conf.get(BLOOM_BITS_KEY, str(DEFAULT_BITS)))
+    m = None                       # None = auto-size per file
+    if BLOOM_BITS_KEY in conf:
+        m = int(conf[BLOOM_BITS_KEY])
+        if m < 8 or m % 4:
+            raise ValueError(f"{BLOOM_BITS_KEY} must be a multiple of "
+                             f"4 >= 8, got {m}")
     k = int(conf.get(BLOOM_HASHES_KEY, str(DEFAULT_HASHES)))
-    if m < 8 or m % 4:
-        raise ValueError(f"{BLOOM_BITS_KEY} must be a multiple of 4 "
-                         f">= 8, got {m}")
     if not 1 <= k <= _MAX_HASHES:
         raise ValueError(f"{BLOOM_HASHES_KEY} must be in "
                          f"[1, {_MAX_HASHES}], got {k}")
     return cols, m, k
+
+
+_AUTO_MAX_BITS = 1 << 23           # 1 MiB binary / 2 MiB hex per tag
+
+
+def auto_bits(n_distinct: int) -> int:
+    """Per-file filter size when numBits is not pinned: ~10 bits per
+    distinct value (≈1% fpp at k=7), floor DEFAULT_BITS, capped at
+    _AUTO_MAX_BITS (past the cap fpp degrades gracefully instead of
+    the tag growing unbounded — still sound, just less selective).
+    Self-describing tags make per-file sizing free: the probe reads
+    each file's own m."""
+    m = max(DEFAULT_BITS, 10 * max(n_distinct, 1))
+    m = min(m, _AUTO_MAX_BITS)
+    return (m + 3) // 4 * 4
 
 
 def bloom_key(value) -> Optional[str]:

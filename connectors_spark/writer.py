@@ -35,7 +35,8 @@ from pyspark.sql import DataFrame
 # Module-scope import (bloom tags are built inside the executor-side
 # publish pass; this module ships to workers by value — shipping.py —
 # which covers pickle-time references but NOT runtime imports)
-from .bloom import TAG_PREFIX, bloom_tag_value, build_bloom_hex
+from .bloom import (TAG_PREFIX, auto_bits, bloom_tag_value,
+                    build_bloom_hex)
 from .log.actions import AddCDCFile, AddFile
 
 CDC_DIR = "_change_data"
@@ -131,10 +132,12 @@ def _bloom_tags_json(path: str, bloom_cfg) -> Optional[str]:
     tbl = pf.read(columns=present)
     tags = {}
     for c in present:
-        vals = pc.unique(tbl.column(c)).to_pylist()
-        hx = build_bloom_hex((v for v in vals if v is not None), m, k)
+        vals = [v for v in pc.unique(tbl.column(c)).to_pylist()
+                if v is not None]
+        mc = m if m is not None else auto_bits(len(vals))
+        hx = build_bloom_hex(vals, mc, k)
         if hx is not None:
-            tags[TAG_PREFIX + c] = bloom_tag_value(hx, m, k)
+            tags[TAG_PREFIX + c] = bloom_tag_value(hx, mc, k)
     return json.dumps(tags, separators=(",", ":")) if tags else None
 
 

@@ -48,7 +48,9 @@ def test_bloom_config_validation():
     assert bloom_config(None) is None
     assert bloom_config({}) is None
     cols, m, k = bloom_config({BLOOM_COLUMNS_KEY: "a, b"})
-    assert (cols, m, k) == (["a", "b"], 16384, 7)
+    assert (cols, m, k) == (["a", "b"], None, 7)   # None = auto-size
+    assert bloom_config({BLOOM_COLUMNS_KEY: "a",
+                         BLOOM_BITS_KEY: "1024"})[1] == 1024
     with pytest.raises(ValueError, match="multiple of 4"):
         bloom_config({BLOOM_COLUMNS_KEY: "a", BLOOM_BITS_KEY: "1001"})
     with pytest.raises(ValueError, match="numHashes"):
@@ -169,3 +171,28 @@ def test_tables_without_blooms_unaffected(spark, tmp_path):
     t = DeltaTable.for_path(spark, str(tmp_path / "plain"))
     t.write(spark.range(100).select(F.col("id").alias("uid")))
     assert t.scan(Col("uid") == Lit(7)).to_df().count() == 1
+
+
+def test_auto_sized_filters_stay_selective_at_high_cardinality(spark,
+                                                               tmp_path):
+    """Without a pinned numBits the writer sizes each file's filter
+    from ITS distinct count (~10 bits/value), so a 60k-distinct file —
+    which saturates the old fixed default into uselessness — still
+    proves absence; small files keep the small floor size."""
+    from connectors_spark.bloom import auto_bits
+    assert auto_bits(10) == 16384               # floor
+    assert auto_bits(60000) == 600000
+    assert auto_bits(10 ** 9) == 1 << 23        # cap
+    t = DeltaTable.for_path(spark, str(tmp_path / "auto"))
+    t.write(spark.range(240_000)
+            .selectExpr("id * 2654435761 % 100000003 as uid",
+                        "id as payload").repartition(4),
+            configuration={BLOOM_COLUMNS_KEY: "uid"})
+    files = t.snapshot().all_files()
+    ms = {int((f.tags or {})["bloom.uid"].split(":")[0]) for f in files}
+    assert all(m > 500_000 for m in ms)          # sized to ~60k values
+    # absent in-range value: zero files (a saturated filter reads 4)
+    assert t.scan(Col("uid") == Lit(99999999)).collect_files() == []
+    present = spark.read.parquet(files[0].path).first().uid
+    assert len(t.scan(Col("uid") == Lit(int(present)))
+               .collect_files()) <= 2
