@@ -509,6 +509,14 @@ class DeltaTable:
                 raise DeltaError(
                     f"column {old!r} is referenced by constraint "
                     f"{key!r}; drop the constraint first")
+        import re as _re
+        for f in meta.schema.fields:
+            gen = (f.metadata or {}).get(_GEN_KEY)
+            if gen and f.name != old and _re.search(
+                    rf"\b{_re.escape(old)}\b", gen):
+                raise DeltaError(
+                    f"column {old!r} is referenced by generated "
+                    f"column {f.name!r} (GENERATED ALWAYS AS {gen})")
         fields = [T.StructField(new if f.name == old else f.name,
                                 f.dataType, f.nullable, f.metadata)
                   for f in meta.schema.fields]
@@ -547,6 +555,14 @@ class DeltaTable:
                 raise DeltaError(
                     f"column {name!r} is referenced by constraint "
                     f"{key!r}; drop the constraint first")
+        import re as _re
+        for f in meta.schema.fields:
+            gen = (f.metadata or {}).get(_GEN_KEY)
+            if gen and f.name != name and _re.search(
+                    rf"\b{_re.escape(name)}\b", gen):
+                raise DeltaError(
+                    f"column {name!r} is referenced by generated "
+                    f"column {f.name!r} (GENERATED ALWAYS AS {gen})")
         fields = [f for f in meta.schema.fields if f.name != name]
         conf = self._rename_in_config(meta.configuration, name, None)
         txn.update_metadata(dataclasses.replace(

@@ -262,3 +262,30 @@ def test_cdf_stream_on_mapped_table(spark, tmp_path):
             for r in spark.sql("select * from t_cm_cdfs2").collect()}
     assert (2, 20, "update_preimage") in rows
     assert (2, 21, "update_postimage") in rows
+
+
+def test_rename_guards_generated_column_sources(spark, tmp_path):
+    """Renaming (or dropping) a column that a GENERATED ALWAYS AS
+    expression reads would silently break every later write's
+    compute/validate step — refused, like constraint references.
+    Renaming the generated column ITSELF is fine (the expression
+    doesn't mention its own name), and dropping a generated column
+    removes the rule with it."""
+    import datetime as dt
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "cmgen"))
+    t.write(spark.createDataFrame(
+        [Row(k=i, d=dt.date(2000 + i % 3, 1, 1)) for i in range(6)]),
+        generated_columns={"y": ("int", "year(d)")})
+    t.enable_column_mapping()
+    with pytest.raises(DeltaError, match="generated"):
+        t.rename_column("d", "when")
+    with pytest.raises(DeltaError, match="generated"):
+        t.drop_column("d")
+    t.rename_column("y", "yr")                 # the generated col itself
+    t.write(spark.createDataFrame(
+        [Row(k=10, d=dt.date(2024, 5, 5))]), mode="append")
+    assert t.to_df().filter("k = 10").first().yr == 2024
+    t.drop_column("yr")                        # rule removed with it
+    t.rename_column("d", "when")               # now legal
+    assert t.to_df().columns == ["k", "when"]
