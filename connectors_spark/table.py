@@ -589,7 +589,18 @@ class DeltaTable:
         conf = dict(meta.configuration or {})
         next_id = int(conf.get(self._CM_MAXID, "0")) + 1
         conf[self._CM_MAXID] = str(next_id)
-        md = {self._CM_ID: next_id, self._CM_PHYS: f"col-{next_id}"}
+        # The upgrade rule keeps existing columns' physical names equal
+        # to their logical names, so a pre-existing column literally
+        # named "col-<n>" can collide with the generated name — two
+        # fields with one physical name would corrupt every read. Fall
+        # back to a UUID-based physical name (delta-spark's scheme) on
+        # collision.
+        phys = f"col-{next_id}"
+        taken = {(f.metadata or {}).get(self._CM_PHYS)
+                 for f in meta.schema.fields}
+        if phys in taken:
+            phys = f"col-{uuid.uuid4()}"
+        md = {self._CM_ID: next_id, self._CM_PHYS: phys}
         fields = list(meta.schema.fields) + [
             T.StructField(name, dtype, nullable, md)]
         txn.update_metadata(dataclasses.replace(
@@ -617,9 +628,26 @@ class DeltaTable:
     def _make_metadata(self, df: DataFrame, partition_by: Sequence[str],
                        configuration: Optional[Dict[str, str]] = None,
                        existing: Optional[Metadata] = None) -> Metadata:
+        schema = df.schema
+        if existing is not None:
+            # Write-time schema evolution must not strip field metadata:
+            # df.schema carries none, so a naive schemaString=df.schema
+            # would silently drop delta.generationExpression and
+            # delta.identity.* from pre-existing columns — after one
+            # evolving append the generated-column invariant would stop
+            # being enforced and identity allocation would reset. Carry
+            # metadata over by name from the pre-evolution schema
+            # (which the caller passes as txn.new_metadata when an
+            # identity high-water-mark bump is already staged).
+            keep = {f.name: f.metadata for f in existing.schema.fields
+                    if f.metadata}
+            schema = T.StructType([
+                T.StructField(f.name, f.dataType, f.nullable,
+                              keep.get(f.name, f.metadata))
+                for f in schema.fields])
         return Metadata(
             id=existing.id if existing else str(uuid.uuid4()),
-            schemaString=df.schema.json(),
+            schemaString=json.dumps(schema.jsonValue()),
             partitionColumns=list(partition_by),
             configuration=dict(configuration or
                                (existing.configuration if existing else {})),
@@ -700,7 +728,15 @@ class DeltaTable:
                         "write-time schema evolution is not supported "
                         "under column mapping — use add_column / "
                         "rename_column / drop_column")
-                new_meta = self._make_metadata(df, pcols, configuration, meta)
+                # Base the merge on txn.new_metadata when set:
+                # _apply_identity above may have staged an advanced
+                # identity high-water mark that a rebuild from the
+                # snapshot metadata would discard. Refining the staged
+                # update keeps the ≤1-Metadata-action-per-commit rule —
+                # the two stagings collapse into one action.
+                new_meta = self._make_metadata(
+                    df, pcols, configuration, txn.new_metadata or meta)
+                txn.new_metadata = None
                 txn.update_metadata(new_meta)
         else:
             pcols = list(partition_by or [])
@@ -1056,6 +1092,18 @@ class DeltaTable:
             val = expr if not isinstance(expr, str) else F.expr(expr)
             out = out.withColumn(
                 col, F.when(F.col("__hit"), val).otherwise(F.col(col)))
+        # Recompute generated columns the SET list doesn't assign:
+        # updating a generated column's source must refresh the
+        # generated value (delta-spark recomputes in this path rather
+        # than failing the stale value against the expression).
+        # Explicitly-assigned generated columns still get validated by
+        # _fill_and_check_generated below.
+        for g, (gdt, gexpr) in _generated_exprs(snap.metadata).items():
+            if g not in set_exprs:
+                out = out.withColumn(
+                    g, F.when(F.col("__hit"),
+                              F.expr(gexpr).cast(gdt))
+                    .otherwise(F.col(g)))
         _enforce_constraints(out.where("__hit").drop("__hit"),
                              snap.metadata.configuration, "updated")
         _fill_and_check_generated(out.where("__hit").drop("__hit"),
@@ -1156,6 +1204,7 @@ class DeltaTable:
 
         matched = touched_df.join(src, cond, "inner")
         tcols = [f.name for f in meta.schema.fields]
+        gens = _generated_exprs(meta)
         cdc_parts: List[DataFrame] = []
         parts = []
         # target rows in touched files with no source match: keep as-is
@@ -1169,10 +1218,22 @@ class DeltaTable:
             # pass through unstringified
             def _set(v):
                 return F.expr(v) if isinstance(v, str) else v
+            bad_id = set(when_matched_update) & set(_identity_cols(meta))
+            if bad_id:
+                raise DeltaError(
+                    f"columns {sorted(bad_id)} are GENERATED ALWAYS AS "
+                    f"IDENTITY and cannot be updated")
             upd = matched.select(*[
                 (_set(when_matched_update[c])
                  if c in when_matched_update else F.col(f"t.{c}")).alias(c)
                 for c in tcols])
+            # Recompute generated columns the SET list doesn't assign
+            # (delta-spark recomputes on update; validating the stale
+            # pre-update value against the expression would always
+            # fail when a source column changed).
+            for g, (gdt, gexpr) in gens.items():
+                if g not in when_matched_update:
+                    upd = upd.withColumn(g, F.expr(gexpr).cast(gdt))
             parts.append(upd)
             cdc_parts.append(matched_t.withColumn(
                 CHANGE_TYPE_COL, F.lit("update_preimage")))
@@ -1188,6 +1249,27 @@ class DeltaTable:
             ins = (src.join(target, cond, "left_anti")
                    .select(*[(F.col(f"s.{c}") if c in scols
                               else F.lit(None)).alias(c) for c in tcols]))
+            # Compute generated columns the source doesn't carry —
+            # the NULL placeholder injected above is not a user-
+            # supplied value and must not be validated against the
+            # expression (delta-spark computes generated columns in
+            # the insert path).
+            for g, (gdt, gexpr) in gens.items():
+                if g not in scols:
+                    ins = ins.withColumn(g, F.expr(gexpr).cast(gdt))
+            # Identity columns: allocate fresh values for inserted rows
+            # (GENERATED ALWAYS AS IDENTITY can never come from the
+            # source) and stage the advanced high-water mark on this
+            # txn — same commit as the data, like _apply_identity.
+            idcols = _identity_cols(meta)
+            if idcols:
+                if any(c in scols for c in idcols):
+                    raise DeltaError(
+                        f"columns {sorted(set(idcols) & scols)} are "
+                        f"GENERATED ALWAYS AS IDENTITY and cannot be "
+                        f"supplied by the merge source")
+                ins = _apply_identity(
+                    txn, ins.drop(*idcols), txn.new_metadata or meta)
             parts.append(ins)
             cdc_parts.append(ins.withColumn(
                 CHANGE_TYPE_COL, F.lit("insert")))
@@ -1518,7 +1600,15 @@ def _allocate_identity(df: DataFrame, name: str, dtype, step: int,
     no repartition. Values are unique and the allocated SET is exactly
     {hwm+step, ..., hwm+step*n}; the row→value assignment follows the
     frame's physical partitioning (like delta-spark's allocator).
-    Returns (df with the column, new high-water mark)."""
+    Returns (df with the column, new high-water mark).
+
+    The counts pass and the eventual write are two Spark jobs over the
+    same frame, so the partition layout MUST be identical between them:
+    a nondeterministic upstream (sample/limit/rand/shuffle replay) or
+    an AQE re-coalesce would otherwise skew the offsets and produce
+    duplicate or skipped ids. localCheckpoint pins the partitions once
+    (same defence merge() uses for its thrice-referenced source)."""
+    df = df.localCheckpoint(eager=True)
     counts = {r["_pid"]: r["cnt"] for r in
               df.groupBy(F.spark_partition_id().alias("_pid"))
               .agg(F.count(F.lit(1)).alias("cnt")).collect()}
@@ -1567,6 +1657,9 @@ def _apply_identity(txn, df: DataFrame, meta) -> DataFrame:
         base = txn.new_metadata or meta
         new_schema = T.StructType(
             [fields.get(f.name, f) for f in meta.schema.fields])
+        # Refine (not duplicate) any already-staged metadata update so
+        # the commit still carries exactly one Metadata action.
+        txn.new_metadata = None
         txn.update_metadata(dataclasses.replace(
             base, schemaString=json.dumps(new_schema.jsonValue())))
     return df

@@ -289,3 +289,28 @@ def test_rename_guards_generated_column_sources(spark, tmp_path):
     t.drop_column("yr")                        # rule removed with it
     t.rename_column("d", "when")               # now legal
     assert t.to_df().columns == ["k", "when"]
+
+
+def test_add_column_physical_name_collision(spark, tmp_path):
+    """The upgrade rule keeps existing columns' physical names equal to
+    their logical names, so a pre-existing column literally named
+    col-<n> can collide with add_column's generated name — which would
+    put two fields on one physical name and corrupt reads. The
+    generated name must dodge taken physical names (ADVICE r9 #4)."""
+    t = DeltaTable.for_path(spark, str(tmp_path / "cmcol"))
+    df = spark.createDataFrame([Row(a=1), Row(a=2)]) \
+        .withColumnRenamed("a", "a").withColumn("col-3", F.col("a") * 10)
+    t.write(df)
+    t.enable_column_mapping()
+    t.add_column("b", "int")          # next_id=3 → would collide
+    meta = t.snapshot().metadata
+    phys = [(f.metadata or {}).get("delta.columnMapping.physicalName")
+            for f in meta.schema.fields]
+    assert len(phys) == len(set(phys)), f"physical name collision: {phys}"
+    out = {r["a"]: (r["col-3"], r["b"]) for r in t.to_df().collect()}
+    assert out == {1: (10, None), 2: (20, None)}
+    # and the new column round-trips writes
+    t.write(spark.createDataFrame([(3, 30, 7)],
+                                  "a long, `col-3` long, b int"),
+            mode="append")
+    assert t.to_df().filter("a = 3").first().b == 7

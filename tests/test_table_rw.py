@@ -541,3 +541,125 @@ def test_user_metadata_recorded_in_history(spark, tmp_path):
     t.write(spark.createDataFrame([Row(k=2)]), mode="append")
     assert t.log.commit_info_at(0).userMetadata == "ingest-job=nightly-42"
     assert t.log.commit_info_at(1).userMetadata is None
+
+
+def test_schema_evolution_preserves_generated_and_identity(spark, tmp_path):
+    """Write-time schema evolution must carry field metadata over:
+    a naive rebuild from df.schema would silently strip
+    delta.generationExpression and delta.identity.* (and discard the
+    high-water-mark bump the same txn just staged) — after one
+    evolving append the invariants would stop being enforced with no
+    error (ADVICE r9 #1)."""
+    from pyspark.sql import Row
+
+    from connectors_spark.errors import DeltaError
+    from connectors_spark.table import (DeltaTable, _GEN_KEY, _ID_HWM)
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "evogen"))
+    t.write(spark.createDataFrame([Row(k=i) for i in range(10)]),
+            generated_columns={"k2": ("int", "k * 2")},
+            identity_columns={"uid": ("bigint", 0, 1)})
+    # evolving append: new column `extra`; generated+identity filled
+    t.write(spark.createDataFrame([Row(k=100, extra="x")]),
+            mode="append")
+    meta = t.snapshot().metadata
+    md = {f.name: (f.metadata or {}) for f in meta.schema.fields}
+    assert md["k2"].get(_GEN_KEY) == "k * 2"
+    # hwm reflects BOTH commits (10 + 1 rows): the evolving append's
+    # own allocation must not be discarded by the metadata rebuild
+    assert int(md["uid"][_ID_HWM]) == 10
+    # the invariant is still enforced post-evolution
+    with pytest.raises(DeltaError, match="generated column"):
+        t.write(spark.createDataFrame([Row(k=7, k2=999, extra="y")]),
+                mode="append")
+    # identity still allocates (continuing, no reset/dup)
+    t.write(spark.createDataFrame([Row(k=101, extra="z")]),
+            mode="append")
+    uids = [r.uid for r in t.to_df().collect()]
+    assert sorted(uids) == list(range(12)) and len(set(uids)) == 12
+
+
+def test_identity_allocation_nondeterministic_upstream(spark, tmp_path):
+    """Identity allocation runs a counts job and a write job over the
+    same frame; localCheckpoint pins the partition layout so a
+    nondeterministic upstream (shuffle replay under AQE, sample) can't
+    skew the two executions into duplicate/holey ids (ADVICE r9 #2).
+    AQE is ON in this session; the input is post-shuffle and
+    nondeterministically sampled."""
+    from pyspark.sql import Row
+
+    from connectors_spark.table import DeltaTable
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "identnd"))
+    total = 0
+    for i in range(3):
+        src = (spark.range(2000)
+               .select((F.col("id") + i * 10000).alias("k"))
+               .repartition(11, "k")
+               .sample(0.5, seed=None))
+        n = src.count()  # materializes a first, possibly divergent run
+        t.write(src, mode="append",
+                **({"identity_columns": {"uid": ("bigint", 0, 1)}}
+                   if i == 0 else {}))
+        total += n
+        uids = [r.uid for r in t.to_df().collect()]
+        assert sorted(uids) == list(range(total)), \
+            f"round {i}: dupes/holes in identity allocation"
+
+
+def test_merge_computes_generated_columns(spark, tmp_path):
+    """MERGE with generated columns: the insert part computes absent
+    generated columns (instead of validating the NULL placeholder and
+    erroring), and the update part recomputes them when a source
+    column changes (ADVICE r9 #3)."""
+    from pyspark.sql import Row
+
+    from connectors_spark.errors import DeltaError
+    from connectors_spark.table import DeltaTable
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "mgen"))
+    t.write(spark.createDataFrame([Row(k=1, v=10), Row(k=2, v=20)]),
+            generated_columns={"k2": ("int", "k * 2")})
+    src = spark.createDataFrame([Row(k=2, v=200), Row(k=3, v=300)])
+    t.merge(src, "t.k = s.k", when_matched_update={"v": "s.v"})
+    rows = {r.k: (r.v, r.k2) for r in t.to_df().collect()}
+    assert rows == {1: (10, 2), 2: (200, 4), 3: (300, 6)}
+    # update that REWRITES the generated column's source recomputes it
+    t.merge(spark.createDataFrame([Row(k=3, v=0)]), "t.k = s.k",
+            when_matched_update={"k": "s.k + 10"},
+            when_not_matched_insert=False)
+    rows = {r.k: r.k2 for r in t.to_df().collect()}
+    assert rows[13] == 26
+    # a source that SUPPLIES the generated column is still validated
+    bad = spark.createDataFrame([Row(k=50, v=1, k2=999)])
+    with pytest.raises(DeltaError, match="generated column"):
+        t.merge(bad, "t.k = s.k")
+
+
+def test_merge_allocates_identity_on_insert(spark, tmp_path):
+    """MERGE insert on an identity table allocates fresh values
+    continuing the high-water mark (same commit), keeps matched rows'
+    ids, and refuses a source that supplies the identity column."""
+    from pyspark.sql import Row
+
+    from connectors_spark.errors import DeltaError
+    from connectors_spark.table import DeltaTable
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "mid"))
+    t.write(spark.createDataFrame([Row(k=1, v=10), Row(k=2, v=20)]),
+            identity_columns={"uid": ("bigint", 100, 10)})
+    t.merge(spark.createDataFrame([Row(k=2, v=200), Row(k=3, v=300),
+                                   Row(k=4, v=400)]),
+            "t.k = s.k", when_matched_update={"v": "s.v"})
+    rows = {r.k: (r.v, r.uid) for r in t.to_df().collect()}
+    assert rows[1] == (10, 100) or rows[1] == (10, 110)
+    assert sorted(u for _, u in rows.values()) == [100, 110, 120, 130]
+    assert rows[2][0] == 200
+    # matched rows kept their original ids
+    assert {rows[1][1], rows[2][1]} == {100, 110}
+    with pytest.raises(DeltaError, match="IDENTITY"):
+        t.merge(spark.createDataFrame([Row(k=9, v=9, uid=1)]),
+                "t.k = s.k")
+    with pytest.raises(DeltaError, match="IDENTITY"):
+        t.merge(spark.createDataFrame([Row(k=1, v=1)]), "t.k = s.k",
+                when_matched_update={"uid": "999"})
