@@ -57,6 +57,13 @@ DEFAULTS: Dict[str, str] = {
     # In-commit timestamps (delta-spark ICT table feature): commit
     # time lives in CommitInfo, not file mtimes.
     "delta.enableInCommitTimestamps": "false",
+    # Opt-in (engine extension, log/features.py): bump the Protocol
+    # action to the Delta-spec versions whenever the table state
+    # requires a feature beyond the reference's (1,2) floor, so
+    # foreign legacy readers refuse loudly instead of misreading
+    # (physical names, resurrected DV-deleted rows). Default keeps
+    # reference parity.
+    "delta.protocol.autoUpgrade": "false",
 }
 
 
@@ -91,6 +98,10 @@ class TableConfig:
     @property
     def enable_in_commit_timestamps(self) -> bool:
         return self.get("delta.enableInCommitTimestamps").lower() == "true"
+
+    @property
+    def protocol_auto_upgrade(self) -> bool:
+        return self.get("delta.protocol.autoUpgrade").lower() == "true"
 
     @property
     def enable_change_data_feed(self) -> bool:

@@ -27,12 +27,23 @@ MAX_WRITER_VERSION = 2
 class Protocol:
     minReaderVersion: int = MAX_READER_VERSION
     minWriterVersion: int = MAX_WRITER_VERSION
+    # Table-features lists (Delta protocol spec): present only at
+    # reader >= 3 / writer >= 7 respectively. The reference stops at
+    # (1, 2); these carry the engine's opt-in protocol upgrades (see
+    # log/features.py).
+    readerFeatures: Optional[List[str]] = None
+    writerFeatures: Optional[List[str]] = None
 
     def wrap(self) -> Dict[str, Any]:
-        return {"protocol": {
+        d: Dict[str, Any] = {
             "minReaderVersion": self.minReaderVersion,
             "minWriterVersion": self.minWriterVersion,
-        }}
+        }
+        if self.readerFeatures is not None:
+            d["readerFeatures"] = list(self.readerFeatures)
+        if self.writerFeatures is not None:
+            d["writerFeatures"] = list(self.writerFeatures)
+        return {"protocol": d}
 
 
 @dataclass
@@ -305,7 +316,12 @@ def _parse_one(key: str, d: Dict[str, Any]) -> Optional[Action]:
             configuration=d.get("configuration") or {},
             createdTime=d.get("createdTime"))
     if key == "protocol":
-        return Protocol(d.get("minReaderVersion", 1), d.get("minWriterVersion", 2))
+        return Protocol(
+            d.get("minReaderVersion", 1), d.get("minWriterVersion", 2),
+            readerFeatures=(list(d["readerFeatures"])
+                            if d.get("readerFeatures") is not None else None),
+            writerFeatures=(list(d["writerFeatures"])
+                            if d.get("writerFeatures") is not None else None))
     if key == "txn":
         return SetTransaction(d["appId"], d["version"], d.get("lastUpdated"))
     if key == "commitInfo":
@@ -382,6 +398,8 @@ METADATA_SCHEMA = T.StructType([
 PROTOCOL_SCHEMA = T.StructType([
     T.StructField("minReaderVersion", T.IntegerType()),
     T.StructField("minWriterVersion", T.IntegerType()),
+    T.StructField("readerFeatures", T.ArrayType(T.StringType())),
+    T.StructField("writerFeatures", T.ArrayType(T.StringType())),
 ])
 
 TXN_SCHEMA = T.StructType([

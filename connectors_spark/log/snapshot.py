@@ -147,7 +147,14 @@ class Snapshot:
                 for row in tbl.to_pylist():
                     p, m, x = row.get("protocol"), row.get("metaData"), row.get("txn")
                     if p and p.get("minReaderVersion") is not None and protocol is None:
-                        protocol = Protocol(p["minReaderVersion"], p["minWriterVersion"])
+                        protocol = Protocol(
+                            p["minReaderVersion"], p["minWriterVersion"],
+                            readerFeatures=(list(p["readerFeatures"])
+                                            if p.get("readerFeatures")
+                                            is not None else None),
+                            writerFeatures=(list(p["writerFeatures"])
+                                            if p.get("writerFeatures")
+                                            is not None else None))
                     if m and m.get("id") and metadata is None:
                         from .actions import Format
                         fmt = m.get("format") or {}
@@ -166,10 +173,13 @@ class Snapshot:
             raise ValueError(
                 f"Delta log at {self.table_path} has no protocol/metadata "
                 f"(version {self.version})")
-        if protocol.minReaderVersion > MAX_READER_VERSION:
-            raise ValueError(
-                f"Unsupported reader protocol version {protocol.minReaderVersion} "
-                f"(DeltaLogImpl.assertProtocolRead)")
+        # W9 extended: the reference gates read <= 1 (assertProtocolRead);
+        # this engine additionally implements reader 2 (column mapping)
+        # and reader 3 with features {columnMapping, deletionVectors}
+        # (log/features.py) so its own opt-in protocol upgrades stay
+        # readable. Anything beyond still fails loudly.
+        from .features import assert_readable
+        assert_readable(protocol, self.table_path)
         self._pm = (protocol, metadata)
         self._set_txns = txns
 

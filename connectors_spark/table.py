@@ -447,16 +447,17 @@ class DeltaTable:
         aliases back to the CURRENT logical names (changes spanning a
         rename surface under the new name).
 
-        Protocol-fidelity note (disclosed deviation): the Delta spec
-        gates column mapping behind minReaderVersion>=2 /
-        minWriterVersion>=5 (or the table-features protocol). This
-        engine keeps its tables at the reference's protocol (1, 2)
-        because the reference reader IS the compatibility target
-        (SURVEY W9) — a delta-spark reader pointed at a mapped table
-        written here would need the protocol bumped first. The same
-        applies to deletion vectors, CDF and in-commit timestamps;
-        all are engine-internal extensions, flagged in table
-        configuration rather than the Protocol action."""
+        Protocol-fidelity note: the Delta spec gates column mapping
+        behind minReaderVersion>=2 / minWriterVersion>=5. By DEFAULT
+        this engine keeps its tables at the reference's protocol
+        (1, 2) because the reference reader IS the compatibility
+        target (SURVEY W9). Setting the table property
+        ``delta.protocol.autoUpgrade=true`` (log/features.py) makes
+        every commit bump the Protocol action to the spec versions the
+        table state requires — CM → (2,5), DVs → (3,7) table features,
+        ICT → writer feature — so a FOREIGN legacy reader refuses the
+        table loudly instead of surfacing physical column names or
+        resurrecting DV-deleted rows."""
         import dataclasses
         txn = self.log.start_transaction()
         snap = txn.snapshot

@@ -222,6 +222,12 @@ class OptimisticTransaction:
             actions = [self.new_metadata] + actions
 
         table_path = self.log.table_path
+        if self.snapshot is not None:
+            # Writer-side twin of the read gate: refuse to commit to a
+            # table whose protocol demands writer features this engine
+            # lacks (W9 extended; log/features.py).
+            from .log.features import assert_writable
+            assert_writable(self.snapshot.protocol, table_path)
         out: List[Any] = []
         for a in actions:
             if isinstance(a, AddFile):
@@ -237,12 +243,21 @@ class OptimisticTransaction:
                                partitionValues=a.partitionValues, size=a.size,
                                tags=a.tags)
             elif isinstance(a, Protocol):
-                # Only Protocol(1,2) is committable
-                # (OptimisticTransactionImpl.scala:289-293).
+                # The reference commits only Protocol(1,2)
+                # (OptimisticTransactionImpl.scala:289-293); this
+                # engine additionally commits the spec versions of the
+                # features it implements (log/features.py) — anything
+                # outside that space stays uncommittable.
                 if (a.minReaderVersion, a.minWriterVersion) != (1, 2):
-                    raise DeltaProtocolError(
-                        "Can only commit Protocol(minReaderVersion=1, "
-                        "minWriterVersion=2)")
+                    from .log.features import (assert_readable,
+                                               assert_writable)
+                    try:
+                        assert_readable(a, table_path)
+                        assert_writable(a, table_path)
+                    except ValueError as e:
+                        raise DeltaProtocolError(
+                            f"Can only commit Protocol(1, 2) or a "
+                            f"supported feature upgrade: {e}")
             out.append(a)
         actions = out
 
@@ -268,6 +283,31 @@ class OptimisticTransaction:
                             f"AddFile partition values {sorted(a.partitionValues)} "
                             f"do not match table partition columns {sorted(pcols)}")
             cfg = TableConfig(effective_meta.configuration)
+            if cfg.protocol_auto_upgrade:
+                # Opt-in interop safety: compute the protocol the table
+                # state REQUIRES (spec version map) and bump the
+                # Protocol action when it grows, so a foreign legacy
+                # reader refuses a mapped/DV/ICT table instead of
+                # silently misreading it. Monotone merge — a feature
+                # once required never disappears (historical versions
+                # still need it).
+                from .dv import DV_TAG
+                from .log.features import (merge_protocols,
+                                           required_protocol)
+                extra = set()
+                if any(isinstance(a, AddFile)
+                       and (a.tags or {}).get(DV_TAG) for a in actions):
+                    extra.add("deletionVectors")
+                cur = next(
+                    (a for a in actions if isinstance(a, Protocol)),
+                    None) or (self.snapshot.protocol
+                              if self.snapshot is not None else Protocol())
+                req = merge_protocols(
+                    cur, required_protocol(effective_meta, extra))
+                if req != cur or any(isinstance(a, Protocol)
+                                     for a in actions):
+                    actions = [req] + [a for a in actions
+                                       if not isinstance(a, Protocol)]
             if cfg.append_only:
                 for a in actions:
                     if isinstance(a, RemoveFile) and a.dataChange:
