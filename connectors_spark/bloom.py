@@ -166,11 +166,20 @@ def bloom_keep_column(tag_col, value) -> Optional[F.Column]:
     if key is None:
         return None
     h1, h2 = _hashes64(key)
+    m, k, hx = _tag_parts(tag_col)
+    keep = _hit_expr(m, k, hx, F.lit(h1) % m, F.lit(h2) % m)
+    return F.coalesce(keep, F.lit(True))
+
+
+def _tag_parts(tag_col):
     parts = F.split(tag_col, ":")
-    m = parts.getItem(0).cast("long")
-    k = parts.getItem(1).cast("int")
-    hx = parts.getItem(2)
-    h1c, h2c = F.lit(h1) % m, F.lit(h2) % m
+    return (parts.getItem(0).cast("long"), parts.getItem(1).cast("int"),
+            parts.getItem(2))
+
+
+def _hit_expr(m, k, hx, h1c, h2c):
+    """All-k-bits-set test for one (h1 mod m, h2 mod m) pair against a
+    file's hex filter — the shared probe core."""
     bit_of = F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8))
 
     def probe(i):
@@ -181,5 +190,32 @@ def bloom_keep_column(tag_col, value) -> Optional[F.Column]:
                             + F.lit(1)).cast("long")
         return nib.bitwiseAND(mask) != F.lit(0)
 
-    keep = F.forall(F.sequence(F.lit(0), k - F.lit(1)), probe)
+    return F.forall(F.sequence(F.lit(0), k - F.lit(1)), probe)
+
+
+def bloom_keep_any_column(tag_col, values) -> Optional[F.Column]:
+    """Keep-file Column for ``col IN (values)``: the file survives iff
+    ANY value may be present (a file where every value cleanly misses
+    provably serves none of them). The hash pairs are driver-computed
+    and shipped as TWO array literals; the test is one short-circuiting
+    ``exists`` over them wrapping the same ``forall`` probe core — one
+    Column regardless of list size, never an unrolled OR of probes
+    (runtime join-key pruning hands this hundreds of keys).
+
+    Any value outside the hashable domain (NULL, non-int/str) → None:
+    that value carries no evidence, and under OR semantics one
+    unprovable disjunct forfeits the whole test (same soundness stance
+    as stats skipping's OR rule)."""
+    keys = [bloom_key(v) for v in values]
+    if not keys or any(key is None for key in keys):
+        return None
+    hs = [_hashes64(key) for key in keys]
+    m, k, hx = _tag_parts(tag_col)
+    h1s = F.lit([h[0] for h in hs]).cast("array<long>")
+    h2s = F.lit([h[1] for h in hs]).cast("array<long>")
+    keep = F.exists(
+        F.sequence(F.lit(1), F.lit(len(hs))),
+        lambda j: _hit_expr(m, k, hx,
+                            F.element_at(h1s, j.cast("int")) % m,
+                            F.element_at(h2s, j.cast("int")) % m))
     return F.coalesce(keep, F.lit(True))

@@ -28,7 +28,7 @@ _MARKER = "_DEMO_BUILT"
 # Bump when the table format / writer output changes: stale /tmp
 # fixtures built by an older engine version then rebuild instead of
 # poisoning reads across driver rounds.
-_FIXTURE_VERSION = "2"
+_FIXTURE_VERSION = "3"
 
 
 def _built(sf_dir: str, case: str, builder: Callable[[str], None]) -> str:
@@ -561,9 +561,16 @@ def delta_join_prune(spark, sf_dir):
     from ..scan import prune_by_join_keys
 
     def build(d):
+        from ..bloom import BLOOM_COLUMNS_KEY
         li = load(spark, sf_dir, "lineitem")
-        DeltaTable.for_path(spark, d).write(li.repartitionByRange(
-            8, "l_partkey"))
+        # Range-partitioned by key AND bloom-tagged on it: min/max
+        # bounds each file to a key band; the bloom additionally
+        # refutes point keys INSIDE a band the file doesn't hold
+        # (bloom_keep_any_column — one exists-expression for the
+        # whole key list, SCALE.md §24).
+        DeltaTable.for_path(spark, d).write(
+            li.repartitionByRange(8, "l_partkey"),
+            configuration={BLOOM_COLUMNS_KEY: "l_partkey"})
     d = _built(sf_dir, "lineitem_bykey", build)
     t = DeltaTable.for_path(spark, d)
     pa = (load(spark, sf_dir, "part")

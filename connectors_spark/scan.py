@@ -196,11 +196,21 @@ class DeltaScan:
         return F.coalesce(keep, F.lit(True))
 
     _IN_SKIP_MAX_VALUES = 64
+    # Bloom composition bound for LARGE IN lists (runtime join-key
+    # pruning routinely hands us hundreds of keys). The test is one
+    # array-literal exists-expression (bloom.bloom_keep_any_column),
+    # so the cost bound is plan-size/probe-time, but so is the
+    # BENEFIT bound: a file is skipped only when ALL n values miss,
+    # and with per-value fpp p the false-keep probability is
+    # 1-(1-p)^n (~0.8% auto-sized → ~87% at n=256). Past the cap the
+    # filter can no longer prove much, so we stop paying for it.
+    _IN_BLOOM_MAX_VALUES = 256
 
     def _in_list_keep(self, c, data_fields, stat):
         """Keep-file condition for an ``col IN (literals)`` conjunct:
         OR of per-value range containment for short lists, else the
-        [min(values), max(values)] envelope (sound, just looser).
+        [min(values), max(values)] envelope (sound, just looser) AND —
+        up to _IN_BLOOM_MAX_VALUES — a single any-value bloom test.
         Returns None when the conjunct isn't a stats-able IN."""
         from .expressions import Col as ColExpr
         from .expressions import In, Lit as LitExpr
@@ -233,8 +243,19 @@ class DeltaScan:
                     term = term & bk
                 keep = term if keep is None else (keep | term)
             return keep
-        keep = (lo <= F.lit(max(values))) & (hi >= F.lit(min(values)))
-        return F.coalesce(keep, F.lit(True))
+        keep = F.coalesce((lo <= F.lit(max(values)))
+                          & (hi >= F.lit(min(values))), F.lit(True))
+        if len(values) <= self._IN_BLOOM_MAX_VALUES:
+            from .bloom import TAG_PREFIX, bloom_keep_any_column
+            bk = bloom_keep_any_column(
+                F.col("tags")[TAG_PREFIX + self._phys.get(col, col)],
+                values)
+            if bk is not None:
+                # envelope ∧ any-value bloom: the file can serve the IN
+                # only if its range admits SOME value and the bloom
+                # doesn't prove every value absent
+                keep = keep & bk
+        return keep
 
     # ------------------------------------------------------------- data
 

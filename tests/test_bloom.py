@@ -196,3 +196,50 @@ def test_auto_sized_filters_stay_selective_at_high_cardinality(spark,
     present = spark.read.parquet(files[0].path).first().uid
     assert len(t.scan(Col("uid") == Lit(int(present)))
                .collect_files()) <= 2
+
+
+def test_large_in_list_bloom_composition(spark, tmp_path):
+    """IN lists past the per-value unroll bound (64) compose ONE
+    any-value bloom test (bloom_keep_any_column) with the min/max
+    envelope: a 100-key probe set with zero table hits reads ZERO
+    files (the envelope alone keeps them all — uid round-robins), a
+    mixed present/absent set stays bit-identical to the unskipped
+    read, and a None in the list forfeits bloom evidence but never
+    range evidence."""
+    from connectors_spark.bloom import bloom_keep_any_column
+    from connectors_spark.expressions import In, Lit as L
+
+    t = _bloom_table(spark, str(tmp_path / "bigin"))
+    total = len(t.snapshot().all_files())
+    # uid domain is {id*2654435761 % 1000003}: pick 100 values OUTSIDE
+    # any file but INSIDE the global range → min/max keeps everything,
+    # only the bloom can refute
+    absent = [1000003 + i for i in range(100)]
+    scan = t.scan(Col("uid").isin(*absent))
+    assert len(scan.collect_files()) == 0
+    assert scan.to_df().count() == 0
+    # mixed: some real uids + absent ones → exact rows, fewer files
+    real = [r.uid for r in t.to_df().select("uid").distinct().limit(70)
+            .collect()]
+    mixed = real + absent[:30]
+    scan = t.scan(Col("uid").isin(*mixed))
+    assert len(scan.collect_files()) <= total
+    got = sorted(r.rid for r in scan.to_df().collect())
+    exp = sorted(r.rid for r in t.to_df()
+                 .filter(F.col("uid").isin(mixed)).collect())
+    assert got == exp and got
+    # any-value probe: zero false negatives on a synthetic tag
+    from connectors_spark.bloom import bloom_tag_value, build_bloom_hex
+    hx = build_bloom_hex(list(range(500)), 16384, 7)
+    tag = bloom_tag_value(hx, 16384, 7)
+    df = spark.createDataFrame([(tag,)], "t: string")
+    assert df.select(bloom_keep_any_column(
+        F.col("t"), [9999991, 123, 9999992]).alias("k")).first().k
+    assert not df.select(bloom_keep_any_column(
+        F.col("t"), [9999991 + i for i in range(50)])
+        .alias("k")).first().k
+    # a None value voids bloom evidence entirely
+    assert bloom_keep_any_column(F.col("t"), [1, None, 3]) is None
+    # past the composition cap: envelope only (sound, looser)
+    far = [2000003 + i for i in range(300)]
+    assert t.scan(Col("uid").isin(*far)).to_df().count() == 0

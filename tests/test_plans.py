@@ -579,3 +579,25 @@ def test_trigram_index_probe_prunes_buckets(spark, sf_dir, tmp_path):
                for r in substring_search_indexed(
                    spark, idx, docs, pats).collect()}
     assert indexed == adhoc and len(adhoc) > 0
+
+
+def test_join_key_bloom_prune_plan_stays_pure(spark, tmp_path):
+    # runtime join-key pruning with a >64-key list composes the
+    # any-value bloom test: still ONE Column over files_df — no
+    # Python nodes, no unrolled per-key probe forest (plan length
+    # bounded), inventory never collected
+    from pyspark.sql import functions as F
+
+    from connectors_spark import DeltaTable
+    from connectors_spark.bloom import BLOOM_COLUMNS_KEY
+    from connectors_spark.scan import prune_by_join_keys
+    t = DeltaTable.for_path(spark, str(tmp_path / "jbp"))
+    t.write(spark.range(5000).select(F.col("id").alias("uid"),
+                                     (F.col("id") % 7).alias("v")),
+            configuration={BLOOM_COLUMNS_KEY: "uid"})
+    keys = spark.range(100).select((F.col("id") * 31).alias("k"))
+    scan = prune_by_join_keys(t, "uid", keys)
+    p = plan_of(scan.files())
+    assert "Python" not in p and "ArrowEval" not in p
+    # one exists-expression, not 100 unrolled forall probes
+    assert p.count("forall") <= 4
