@@ -1822,7 +1822,8 @@ class TableMaintenance:
     def optimize(self, target_file_size: int = 128 * 1024 * 1024,
                  min_files_per_group: int = 2,
                  zorder_by: Optional[List[str]] = None,
-                 hilbert_by: Optional[List[str]] = None) -> Dict[str, int]:
+                 hilbert_by: Optional[List[str]] = None,
+                 max_actions_per_commit: int = 100_000) -> Dict[str, int]:
         """Bin-pack files smaller than ``target_file_size``, grouped by
         partition tuple. With ``zorder_by``, ALL files are rewritten
         Z-order-clustered on the given numeric columns instead: rows are
@@ -1834,8 +1835,20 @@ class TableMaintenance:
         carries stats for but never exploits (actions.scala:116-117).
         ``hilbert_by`` clusters along the Hilbert curve instead of
         Morton (see _hilbert_code for why that tightens per-file
-        min/max at the same rewrite cost). Returns {filesRemoved,
-        filesAdded, version}."""
+        min/max at the same rewrite cost).
+
+        ``max_actions_per_commit`` bounds the WIDTH of each commit: a
+        full-table compaction over millions of small files must not
+        funnel every AddFile/RemoveFile into one driver list and one
+        giant commit JSON. Work is split into batches of whole
+        partition groups (an oversized group is itself split for
+        bin-packing; a clustered group stays atomic so its curve
+        ordering is never torn) and each batch commits separately —
+        ``dataChange=False`` keeps change feeds quiet, and each batch
+        conflict-checks like any OPTIMIZE (concurrent-safety matrix in
+        tests/test_concurrency.py). A reader between batches sees a
+        partially-compacted but always-correct table. Returns
+        {filesRemoved, filesAdded, version (last)}."""
         if zorder_by and hilbert_by:
             raise DeltaError("zorder_by and hilbert_by are mutually "
                              "exclusive")
@@ -1856,47 +1869,86 @@ class TableMaintenance:
         for f in addfiles_from_rows(cand_df.collect()):
             key = tuple((c, (f.partitionValues or {}).get(c)) for c in pcols)
             groups.setdefault(key, []).append(f)
-        victims: List[Any] = []
         min_group = 1 if cluster_by else min_files_per_group
-        for key, fs in groups.items():
-            if len(fs) >= min_group:
-                victims.extend(fs)
-        if not victims:
+        work = [fs for fs in groups.values() if len(fs) >= min_group]
+        if not work:
             return {"filesRemoved": 0, "filesAdded": 0,
                     "version": snap.version}
-        cand_paths = [_canonical(f.path, snap.table_path) for f in victims]
-        subset = _semi_by_paths(snap.files_df, cand_paths)
-        df = snap.to_df(files=subset)
-        total = sum(f.size for f in victims)
-        n_out = max(1, -(-total // target_file_size))
-        if cluster_by:
-            code = (_zorder_code(df, zorder_by) if zorder_by
-                    else _hilbert_code(df, hilbert_by))
-            df = df.withColumn("_z", code)
-            df = (df.repartitionByRange(n_out, F.col("_z"))
-                  .sortWithinPartitions("_z").drop("_z"))
-        else:
-            df = df.repartition(n_out)
-        adds = stage_and_collect(
-            df, t.path, pcols, data_change=False,
-            num_indexed_cols=_n_indexed(snap.metadata.configuration),
-            bloom_cfg=_bloom(snap.metadata.configuration),
-            physical_meta=snap.metadata)
-        now = int(time.time() * 1000)
-        actions: List[Any] = list(adds) + [
-            f.remove(now, data_change=False) for f in victims]
+
+        def est(fs):
+            # commit width upper bound: removes + projected adds
+            return len(fs) + max(1, -(-sum(f.size for f in fs)
+                                      // target_file_size))
+
+        units: List[List[Any]] = []
+        for fs in work:
+            if cluster_by is None and est(fs) > max_actions_per_commit:
+                # oversized bin-pack group: split (still per-partition)
+                step = max(min_files_per_group,
+                           max_actions_per_commit // 2)
+                units.extend(fs[i:i + step]
+                             for i in range(0, len(fs), step))
+            else:
+                units.append(fs)
+        batches: List[List[Any]] = []
+        cur: List[Any] = []
+        cur_n = 0
+        for u in units:
+            if cur and cur_n + est(u) > max_actions_per_commit:
+                batches.append(cur)
+                cur, cur_n = [], 0
+            cur.extend(u)
+            cur_n += est(u)
+        if cur:
+            batches.append(cur)
+
         params = {"targetSize": str(target_file_size)}
         if zorder_by:
             params["zOrderBy"] = ",".join(zorder_by)
         if hilbert_by:
             params["clusterBy"] = ",".join(hilbert_by)
             params["curve"] = "hilbert"
-        version = txn.commit(
-            actions, operation="OPTIMIZE",
-            operation_parameters=params,
-            operation_metrics={"numRemovedFiles": str(len(victims)),
-                               "numAddedFiles": str(len(adds))})
-        return {"filesRemoved": len(victims), "filesAdded": len(adds),
+        n_removed = n_added = 0
+        version = snap.version
+        for bi, victims in enumerate(batches):
+            if bi > 0:
+                # fresh txn per batch: its snapshot includes the prior
+                # batch's commit, so each batch conflict-checks against
+                # the current state like an independent OPTIMIZE
+                txn = t.log.start_transaction()
+                snap = txn.snapshot
+            cand_paths = [_canonical(f.path, snap.table_path)
+                          for f in victims]
+            subset = _semi_by_paths(snap.files_df, cand_paths)
+            df = snap.to_df(files=subset)
+            total = sum(f.size for f in victims)
+            n_out = max(1, -(-total // target_file_size))
+            if cluster_by:
+                code = (_zorder_code(df, zorder_by) if zorder_by
+                        else _hilbert_code(df, hilbert_by))
+                df = df.withColumn("_z", code)
+                df = (df.repartitionByRange(n_out, F.col("_z"))
+                      .sortWithinPartitions("_z").drop("_z"))
+            else:
+                df = df.repartition(n_out)
+            adds = stage_and_collect(
+                df, t.path, pcols, data_change=False,
+                num_indexed_cols=_n_indexed(snap.metadata.configuration),
+                bloom_cfg=_bloom(snap.metadata.configuration),
+                physical_meta=snap.metadata)
+            now = int(time.time() * 1000)
+            actions: List[Any] = list(adds) + [
+                f.remove(now, data_change=False) for f in victims]
+            version = txn.commit(
+                actions, operation="OPTIMIZE",
+                operation_parameters=dict(
+                    params, batch=f"{bi + 1}/{len(batches)}")
+                if len(batches) > 1 else params,
+                operation_metrics={"numRemovedFiles": str(len(victims)),
+                                   "numAddedFiles": str(len(adds))})
+            n_removed += len(victims)
+            n_added += len(adds)
+        return {"filesRemoved": n_removed, "filesAdded": n_added,
                 "version": version}
 
     def reorg_purge(self) -> Dict[str, int]:
