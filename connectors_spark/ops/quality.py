@@ -15,7 +15,7 @@ as any tokenize pass; no self-joins, no windows.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -396,7 +396,8 @@ def pmi_bigrams(df: DataFrame, min_count: int = 5, top: int = 50,
 
 
 def mad_outliers(df: DataFrame, value_col: str, group_col: str,
-                 id_col: str = "doc_id", k: float = 3.0) -> DataFrame:
+                 id_col: str = "doc_id", k: float = 3.0,
+                 approx_accuracy: Optional[int] = None) -> DataFrame:
     """Robust per-group outlier flagging: a row is an outlier when its
     value deviates from the GROUP median by more than ``k`` times the
     group's median absolute deviation — the MAD rule, immune to the
@@ -406,24 +407,36 @@ def mad_outliers(df: DataFrame, value_col: str, group_col: str,
     Returns (id, group, value, group_median, group_mad, is_outlier).
 
     Scale shape: two map-side-combinable aggregations keyed by group
-    (EXACT percentile — group cardinality is sources/domains, not
-    corpus-sized, and each group's value vector is bounded by group
-    row count; at 100 TB swap percentile for percentile_approx at the
-    same call site if group sizes outgrow executor memory) with the
-    group relations broadcast back — the corpus is never shuffled by
-    anything but its group key, and never collected."""
+    with the group relations broadcast back — the corpus is never
+    shuffled by anything but its group key, and never collected. The
+    default EXACT percentile buffers each group's value vector inside
+    the aggregate (group cardinality is sources/domains, not
+    corpus-sized — fine to ~1e7 rows/group). ``approx_accuracy``
+    switches both medians to ``percentile_approx`` (Greenwald-Khanna,
+    O(accuracy) state per group regardless of group size) — the
+    turnkey 100 TB mode: accuracy 10_000 bounds the rank error to
+    ~0.01 % of the group, which moves the median by at most the value
+    spread across that rank window (equivalence-tolerance test in
+    tests/test_ops_pipeline.py)."""
     from pyspark.sql import functions as F
+
+    def med_of(col):
+        if approx_accuracy is not None:
+            return F.percentile_approx(col, F.lit(0.5),
+                                       F.lit(approx_accuracy))
+        return F.percentile(col, F.lit(0.5))
+
     v = F.col(value_col).cast("double")
     base = df.select(F.col(id_col).alias("_id"),
                      F.col(group_col).alias("_grp"),
                      v.alias("_val"))
     med = (base.groupBy("_grp")
-           .agg(F.percentile("_val", F.lit(0.5)).alias("group_median")))
+           .agg(med_of("_val").alias("group_median")))
     dev = (base.join(F.broadcast(med), "_grp")
            .withColumn("_ad", F.abs(F.col("_val")
                                     - F.col("group_median"))))
     mad = (dev.groupBy("_grp")
-           .agg(F.percentile("_ad", F.lit(0.5)).alias("group_mad")))
+           .agg(med_of("_ad").alias("group_mad")))
     return (dev.join(F.broadcast(mad), "_grp")
             .select(F.col("_id").alias(id_col),
                     F.col("_grp").alias(group_col),

@@ -1188,3 +1188,31 @@ def test_mad_outliers_robust_to_the_outlier_itself(spark):
     vals = [v for (_i, s, v) in rows if s == "a"]
     mu, sd = statistics.mean(vals), statistics.pstdev(vals)
     assert abs(100000 - mu) < 3.0 * sd       # z-score misses ALL five
+
+
+def test_mad_outliers_approx_mode_equivalent(spark):
+    """approx_accuracy switches both medians to percentile_approx
+    (O(accuracy) state per group — the 100 TB mode). At accuracy
+    10_000 on 20k-row groups the rank error is sub-row, so flags must
+    match the exact mode EXACTLY here; medians must agree to the value
+    spread of the rank window."""
+    from connectors_spark.ops.quality import mad_outliers
+    df = (spark.range(20000)
+          .selectExpr("id as doc_id",
+                      "cast(id % 4 as string) as source",
+                      # heavy-tailed: a few extreme values per group
+                      "case when id % 5000 = 17 then 1000000.0 "
+                      "else 100.0 + pmod(id, 37) end as n_chars"))
+    exact = {r.doc_id: r for r in
+             mad_outliers(df, "n_chars", "source").collect()}
+    approx = {r.doc_id: r for r in
+              mad_outliers(df, "n_chars", "source",
+                           approx_accuracy=10000).collect()}
+    assert set(exact) == set(approx)
+    flags_e = {i: r.is_outlier for i, r in exact.items()}
+    flags_a = {i: r.is_outlier for i, r in approx.items()}
+    assert flags_e == flags_a
+    assert sum(flags_e.values()) == 4          # one extreme per group
+    for i in list(exact)[:100]:
+        assert abs(exact[i].group_median - approx[i].group_median) <= 1.0
+        assert abs(exact[i].group_mad - approx[i].group_mad) <= 1.0

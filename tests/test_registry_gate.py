@@ -85,3 +85,32 @@ def test_load_evidence_reads_record_files(tmp_path):
     ev = _load_evidence(root=str(tmp_path))
     assert ev["q"] == (3, True)
     assert ev["r"] == (5, True)   # latest round wins
+
+
+def test_evidence_rotation_stable_on_fresh_clone():
+    """ADVICE r8 #3 / VERDICT r9 #2: ordered_names() derives the
+    driver sample from CORRECTNESS_r*.json at the repo root — if any
+    of those is present on disk but NOT git-tracked, a fresh clone
+    computes a DIFFERENT rotation (environment-dependent sampling).
+    Pin: every evidence file is tracked, and the ordering is a
+    deterministic permutation of the registry."""
+    import os
+    import subprocess
+
+    from connectors_spark.queries.registry import (REGISTRY,
+                                                   ordered_names)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    on_disk = sorted(f for f in os.listdir(root)
+                     if f.startswith("CORRECTNESS_r")
+                     and f.endswith(".json"))
+    assert on_disk, "evidence files missing entirely"
+    tracked = subprocess.run(
+        ["git", "ls-files", "CORRECTNESS_r*.json"], cwd=root,
+        capture_output=True, text=True).stdout.split()
+    untracked = set(on_disk) - set(tracked)
+    assert not untracked, (
+        f"evidence files not committed: {sorted(untracked)} — the "
+        f"driver rotation would differ on a fresh clone")
+    names = ordered_names()
+    assert sorted(names) == sorted(REGISTRY)
+    assert names == ordered_names()
