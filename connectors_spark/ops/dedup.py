@@ -173,6 +173,56 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                     F.round("jaccard", 6).alias("jaccard")))
 
 
+def ngram_containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3,
+                            threshold: float = 0.8,
+                            max_shingle_freq: Optional[int] = None
+                            ) -> DataFrame:
+    """Directed shingle CONTAINMENT pairs: (a_id, b_id, containment)
+    with containment = |S_a ∩ S_b| / |S_a| ≥ threshold, a ≠ b — the
+    asymmetric companion to `ngram_jaccard_pairs`. Jaccard misses the
+    quote/inclusion case a curation pipeline cares about (a short doc
+    embedded verbatim inside a much longer one has tiny Jaccard but
+    containment ≈ 1); Broder's original resemblance paper defines both
+    measures for exactly this reason.
+
+    Plan shape: identical inverted-index equi-join as Jaccard (shared
+    counts per unordered pair, sizes riding along), then each unordered
+    pair expands into its ≤2 passing directions. One structural
+    difference: Jaccard's length prune (max/min ≤ 1/t) is UNSOUND here
+    — a 10-shingle doc can be fully contained in a 10⁶-shingle doc —
+    so no length filter runs, and the hot-shingle cap is the only
+    candidate bound (under-counts shared shingles: containment only
+    ever drops, the safe side at high thresholds)."""
+    sh = shingle_sets(df, id_col, text_col, n)
+    ex = (sh.select("_id", "_sz", F.explode("_sh").alias("_gs"))
+          .select("_id", "_sz", hash64("_gs").alias("_g")))
+    if max_shingle_freq is not None:
+        hot = (ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_freq"))
+               .filter(F.col("_freq") > max_shingle_freq).select("_g"))
+        ex = ex.join(hot, "_g", "left_anti")
+    a = ex.select(F.col("_id").alias("a_id"),
+                  F.col("_sz").alias("_asz"), "_g")
+    b = ex.select(F.col("_id").alias("b_id"),
+                  F.col("_sz").alias("_bsz"), "_g")
+    shared = (a.join(b, "_g")
+              .filter(F.col("a_id") < F.col("b_id"))
+              .groupBy("a_id", "b_id", "_asz", "_bsz")
+              .agg(F.count(F.lit(1)).alias("_shared")))
+    fwd = shared.select(
+        "a_id", "b_id",
+        (F.col("_shared") / F.col("_asz").cast("double"))
+        .alias("containment"))
+    rev = shared.select(
+        F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"),
+        (F.col("_shared") / F.col("_bsz").cast("double"))
+        .alias("containment"))
+    return (fwd.unionByName(rev)
+            .filter(F.col("containment") >= threshold)
+            .select("a_id", "b_id",
+                    F.round("containment", 6).alias("containment")))
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

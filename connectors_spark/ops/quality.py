@@ -395,6 +395,56 @@ def pmi_bigrams(df: DataFrame, min_count: int = 5, top: int = 50,
     return (scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(top))
 
 
+def winsorize_stats(df: DataFrame, value_col: str, group_col: str,
+                    lo: float = 0.05, hi: float = 0.95,
+                    approx_accuracy: Optional[int] = None) -> DataFrame:
+    """Per-group winsorization: clamp values into the group's
+    [p_lo, p_hi] percentile band and report robust summary statistics —
+    the standard companion to the MAD rule when a pipeline wants to
+    KEEP heavy-tailed rows (length, score, token count) but stop a few
+    extremes from dominating downstream means/budgets, rather than
+    dropping them.
+
+    Returns one row per group: (group, n, p_lo, p_hi, mean_raw,
+    mean_winsorized, clipped_frac), all doubles rounded to 6.
+
+    Scale shape: one percentile aggregation keyed by group (exact by
+    default; ``approx_accuracy`` switches to percentile_approx for
+    corpus-scale groups, same contract as `mad_outliers`), broadcast
+    back, then one map-side-combinable aggregation of the clamped
+    values — the corpus shuffles only by its group key."""
+    from pyspark.sql import functions as F
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"need 0 <= lo < hi <= 1, got ({lo}, {hi})")
+
+    def pct(col, q):
+        if approx_accuracy is not None:
+            return F.percentile_approx(col, F.lit(q),
+                                       F.lit(approx_accuracy))
+        return F.percentile(col, F.lit(q))
+
+    v = F.col(value_col).cast("double")
+    base = df.select(F.col(group_col).alias("_grp"), v.alias("_val"))
+    bounds = (base.groupBy("_grp")
+              .agg(pct("_val", lo).alias("_plo"),
+                   pct("_val", hi).alias("_phi")))
+    clamped = (base.join(F.broadcast(bounds), "_grp")
+               .withColumn("_w", F.greatest(
+                   F.col("_plo"),
+                   F.least(F.col("_phi"), F.col("_val")))))
+    return (clamped.groupBy("_grp")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.first("_plo"), 6).alias("p_lo"),
+                 F.round(F.first("_phi"), 6).alias("p_hi"),
+                 F.round(F.avg("_val"), 6).alias("mean_raw"),
+                 F.round(F.avg("_w"), 6).alias("mean_winsorized"),
+                 F.round(F.avg((F.col("_val") != F.col("_w"))
+                               .cast("double")), 6)
+                 .alias("clipped_frac"))
+            .select(F.col("_grp").alias(group_col), "n", "p_lo", "p_hi",
+                    "mean_raw", "mean_winsorized", "clipped_frac"))
+
+
 def mad_outliers(df: DataFrame, value_col: str, group_col: str,
                  id_col: str = "doc_id", k: float = 3.0,
                  approx_accuracy: Optional[int] = None) -> DataFrame:

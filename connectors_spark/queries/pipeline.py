@@ -164,6 +164,58 @@ def doc_mad_outliers(spark, sf_dir):
                         value_col="n_chars", group_col="source")
 
 
+@register("doc_winsorize_stats", sql="""
+WITH v AS (SELECT source, n_chars::DOUBLE AS val FROM documents),
+b AS (SELECT source, quantile_cont(val, 0.05) AS p_lo,
+             quantile_cont(val, 0.95) AS p_hi
+      FROM v GROUP BY source)
+SELECT v.source, count(*)::BIGINT AS n,
+       round(any_value(b.p_lo), 6) AS p_lo,
+       round(any_value(b.p_hi), 6) AS p_hi,
+       round(avg(v.val), 6) AS mean_raw,
+       round(avg(greatest(b.p_lo, least(b.p_hi, v.val))), 6)
+           AS mean_winsorized,
+       round(avg((v.val < b.p_lo OR v.val > b.p_hi)::INT::DOUBLE), 6)
+           AS clipped_frac
+FROM v JOIN b USING (source)
+GROUP BY v.source
+""")
+def doc_winsorize(spark, sf_dir):
+    # Per-source winsorized length stats: keep heavy-tailed rows but
+    # clamp the tails so a few extremes can't dominate means/budgets
+    # — the robust-stats companion to doc_mad_outliers (which drops).
+    from ..ops.quality import winsorize_stats
+    return winsorize_stats(load(spark, sf_dir, "documents"),
+                           value_col="n_chars", group_col="source")
+
+
+@register("doc_ngram_containment_pairs", sql=f"""
+WITH {_SHINGLES},
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+shared AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS c
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(s) AS z FROM sh),
+dir AS (
+  SELECT s.a_id, s.b_id, s.c::DOUBLE / za.z AS containment
+  FROM shared s JOIN sz za ON za.doc_id = s.a_id
+  UNION ALL
+  SELECT s.b_id AS a_id, s.a_id AS b_id, s.c::DOUBLE / zb.z
+  FROM shared s JOIN sz zb ON zb.doc_id = s.b_id)
+SELECT a_id, b_id, round(containment, 6) AS containment
+FROM dir WHERE containment >= 0.5
+""")
+def doc_containment(spark, sf_dir):
+    # Directed containment |Sa∩Sb|/|Sa|: catches a short doc embedded
+    # in a long one (quote/inclusion), which Jaccard structurally
+    # misses — same inverted-index plan, no length prune (unsound for
+    # containment), threshold 0.5 so the asymmetric cases surface.
+    from ..ops.dedup import ngram_containment_pairs
+    return ngram_containment_pairs(load(spark, sf_dir, "documents"),
+                                   threshold=0.5)
+
+
 # --------------------------------------------------------------------------
 # Fuzzy (edit-distance) self-join — q-gram count-filter candidates
 # --------------------------------------------------------------------------

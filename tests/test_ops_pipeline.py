@@ -1216,3 +1216,58 @@ def test_mad_outliers_approx_mode_equivalent(spark):
     for i in list(exact)[:100]:
         assert abs(exact[i].group_median - approx[i].group_median) <= 1.0
         assert abs(exact[i].group_mad - approx[i].group_mad) <= 1.0
+
+
+def test_containment_catches_inclusion_jaccard_misses(spark):
+    """A short doc embedded verbatim in a much longer one: containment
+    short→long ≈ 1, but Jaccard is tiny — the case the directed
+    measure exists for. Direction must be correct, and the hot-shingle
+    cap composes (under-counts only)."""
+    from connectors_spark.ops.dedup import (ngram_containment_pairs,
+                                            ngram_jaccard_pairs)
+    quote = " ".join(f"q{i}" for i in range(12))
+    filler = " ".join(f"w{i}" for i in range(300))
+    rows = [(1, quote), (2, filler + " " + quote),
+            (3, " ".join(f"z{i}" for i in range(20)))]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    pairs = {(r.a_id, r.b_id): r.containment for r in
+             ngram_containment_pairs(df, threshold=0.9).collect()}
+    assert pairs.get((1, 2)) == 1.0          # quote fully contained
+    assert (2, 1) not in pairs               # reverse is tiny
+    assert not [k for k in pairs if 3 in k]
+    # Jaccard at the same threshold sees nothing
+    assert ngram_jaccard_pairs(df, threshold=0.9).count() == 0
+    # identical docs: both directions = 1.0
+    df2 = spark.createDataFrame([(1, quote), (2, quote)],
+                                "doc_id: long, text: string")
+    both = {(r.a_id, r.b_id) for r in
+            ngram_containment_pairs(df2, threshold=0.9).collect()}
+    assert both == {(1, 2), (2, 1)}
+
+
+def test_winsorize_stats_matches_reference_math(spark):
+    """Clamp + means agree with a Python reference on one group;
+    bounds come from the exact interpolated percentile; approx mode
+    stays within tolerance."""
+    import statistics
+
+    from connectors_spark.ops.quality import winsorize_stats
+    vals = [float(v) for v in range(100)] + [10000.0, -500.0]
+    df = spark.createDataFrame([(i, "a", v) for i, v in enumerate(vals)],
+                               "doc_id: long, source: string, "
+                               "n_chars: double")
+    row = winsorize_stats(df, "n_chars", "source").first()
+    qs = statistics.quantiles(vals, n=100, method="inclusive")
+    p_lo, p_hi = qs[4], qs[94]
+    assert abs(row.p_lo - round(p_lo, 6)) < 1e-6
+    assert abs(row.p_hi - round(p_hi, 6)) < 1e-6
+    clamped = [min(max(v, p_lo), p_hi) for v in vals]
+    assert abs(row.mean_winsorized - sum(clamped) / len(vals)) < 1e-5
+    assert abs(row.mean_raw - sum(vals) / len(vals)) < 1e-5
+    n_clip = sum(1 for v in vals if v < p_lo or v > p_hi)
+    assert abs(row.clipped_frac - n_clip / len(vals)) < 1e-6
+    with pytest.raises(ValueError, match="lo < hi"):
+        winsorize_stats(df, "n_chars", "source", lo=0.9, hi=0.1)
+    approx = winsorize_stats(df, "n_chars", "source",
+                             approx_accuracy=10000).first()
+    assert abs(approx.mean_winsorized - row.mean_winsorized) < 2.0
