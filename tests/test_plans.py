@@ -601,3 +601,12 @@ def test_join_key_bloom_prune_plan_stays_pure(spark, tmp_path):
     assert "Python" not in p and "ArrowEval" not in p
     # one exists-expression, not 100 unrolled forall probes
     assert p.count("forall") <= 4
+
+
+def test_containment_pairs_no_cartesian(plans):
+    # candidates come from the shingle inverted-index equi-join —
+    # never an all-pairs product, even though containment admits no
+    # length prune
+    p = plans("doc_ngram_containment_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
