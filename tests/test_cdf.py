@@ -10,6 +10,10 @@ commits emit nothing.
 from __future__ import annotations
 
 import pytest
+# Integration-heavy: excluded from the fast inner loop (pytest -m "not slow");
+# the full suite still runs these unchanged at round close-out (SURVEY 5).
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 

@@ -5,6 +5,10 @@ user touches is logical; the boundary translations live in exactly
 three seams (writer.stage_and_collect, Snapshot.to_df, DeltaScan)."""
 
 import pytest
+# Integration-heavy: excluded from the fast inner loop (pytest -m "not slow");
+# the full suite still runs these unchanged at round close-out (SURVEY 5).
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 

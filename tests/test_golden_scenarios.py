@@ -12,6 +12,10 @@ import time
 from decimal import Decimal
 
 import pytest
+# Integration-heavy: excluded from the fast inner loop (pytest -m "not slow");
+# the full suite still runs these unchanged at round close-out (SURVEY 5).
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import Row, functions as F
 from pyspark.sql import types as T
 

@@ -2,6 +2,12 @@
 examples) and the deterministic sampling ops (few examples — each
 drives a Spark job)."""
 
+import pytest
+
+# Integration-heavy: excluded from the fast inner loop (pytest -m "not slow");
+# the full suite still runs these unchanged at round close-out (SURVEY 5).
+pytestmark = pytest.mark.slow
+
 import hashlib
 
 from hypothesis import given, settings, strategies as st

@@ -12,6 +12,10 @@ are exercised the same way by tests/harness.py and the delta suites
 """
 
 import pytest
+# Integration-heavy: excluded from the fast inner loop (pytest -m "not slow");
+# the full suite still runs these unchanged at round close-out (SURVEY 5).
+pytestmark = pytest.mark.slow
+
 
 from connectors_spark.queries import REGISTRY
 from connectors_spark.queries.registry import GATE_SORT, GATE_COLUMNS

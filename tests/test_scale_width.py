@@ -22,6 +22,10 @@ import time
 from collections import Counter
 
 import pytest
+# Integration-heavy: excluded from the fast inner loop (pytest -m "not slow");
+# the full suite still runs these unchanged at round close-out (SURVEY 5).
+pytestmark = pytest.mark.slow
+
 
 from connectors_spark import DeltaTable
 from connectors_spark.table import TableMaintenance
