@@ -223,6 +223,75 @@ def ngram_containment_pairs(df: DataFrame, id_col: str = "doc_id",
                     F.round("containment", 6).alias("containment")))
 
 
+def boundary_stitch_pairs(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", k: int = 8
+                          ) -> DataFrame:
+    """Directed shard-boundary stitch candidates: (a_id, b_id,
+    overlap_tokens) where the LAST ``overlap_tokens`` ≥ k tokens of A
+    equal the FIRST tokens of B — the signature of one document split
+    across extraction shards (a real ingestion defect: crawler/ETL
+    shard boundaries cut documents mid-stream, and the halves then
+    defeat both exact and near dedup because neither half resembles
+    the whole). Downstream, pairs chain into stitch runs via the same
+    connected-components used for dup clusters.
+
+    overlap_tokens is the MAXIMAL overlap (extended from the k-token
+    candidate key), so a caller can rank stitches by evidence
+    strength. Docs with fewer than k tokens are out of scope.
+
+    The overlap region is a SUFFIX of A but a PREFIX of B, so for
+    overlap m > k the last k tokens of A do NOT equal the first k of
+    B — a naive suffix_k = prefix_k key misses every stitch except
+    m = k exactly. Candidates therefore come from an inverted index of
+    A-side k-grams (one row per token position, 8-byte hash, no token
+    array carried through the explode) equi-joined against each doc's
+    k-PREFIX key: a k-gram at position p implies overlap m = n_a-p+1,
+    verified by one array-slice equality on the (rare) joined pairs —
+    token arrays re-join by id only for candidates. The gram side is
+    O(total tokens) rows of (id, pos, hash), the same shuffle budget
+    as a shingle pass; hot keys are bounded by how many docs SHARE a
+    k-prefix (template preambles) — the per-pair output dedups by
+    max(m)."""
+    from ..functions.text import hash64, tokens
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    t = tokens(F.col("_text"))
+    base = (_spread(df.select(F.col(id_col).alias("_id"),
+                              F.col(text_col).alias("_text")))
+            .select("_id", t.alias("_t"))
+            .withColumn("_n", F.size("_t"))
+            .where(F.col("_n") >= k))
+    grams = (base.select(
+        "_id", "_n",
+        F.explode(F.sequence(F.lit(1), F.col("_n") - k + 1))
+        .alias("_pos"),
+        F.col("_t"))
+        .select("_id", "_n", "_pos",
+                hash64(F.concat_ws(" ", F.slice("_t", F.col("_pos"), k)))
+                .alias("_h")))
+    pref = base.select(
+        F.col("_id").alias("b_id"),
+        hash64(F.concat_ws(" ", F.slice("_t", 1, k))).alias("_h"))
+    cand = (grams.select(F.col("_id").alias("a_id"), "_n", "_pos", "_h")
+            .join(pref, "_h")
+            .where(F.col("a_id") != F.col("b_id"))
+            .select("a_id", "b_id",
+                    (F.col("_n") - F.col("_pos") + 1).alias("_m")))
+    # verify on candidates only: re-join the token arrays by id and
+    # test slice equality (the hash join guarantees nothing)
+    ta = base.select(F.col("_id").alias("a_id"),
+                     F.col("_t").alias("_ta"), F.col("_n").alias("_na"))
+    tb = base.select(F.col("_id").alias("b_id"),
+                     F.col("_t").alias("_tb"), F.col("_n").alias("_nb"))
+    ok = (cand.join(ta, "a_id").join(tb, "b_id")
+          .where((F.col("_m") <= F.col("_nb"))
+                 & (F.slice("_ta", F.col("_na") - F.col("_m") + 1,
+                            F.col("_m"))
+                    == F.slice("_tb", F.lit(1), F.col("_m")))))
+    return (ok.groupBy("a_id", "b_id")
+            .agg(F.max("_m").cast("long").alias("overlap_tokens")))
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

@@ -395,6 +395,45 @@ def pmi_bigrams(df: DataFrame, min_count: int = 5, top: int = 50,
     return (scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(top))
 
 
+def ngram_novelty(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's
+    distinct n-gram shingles that appear in NO other document. High
+    novelty = genuinely fresh content; low novelty = the document is
+    assembled from corpus-common material (template spam, scraped
+    recombinations) even when no single pair crosses a dup threshold —
+    the corpus-level complement to pairwise Jaccard/containment.
+
+    Returns (doc_id, n_shingles, novel_shingles, novelty) for docs
+    with ≥1 shingle; novelty rounded to 6.
+
+    Scale shape: one explode of distinct shingles (hashed to 8 bytes),
+    one map-side-combined count keyed by gram producing BOTH the
+    total-occurrence count and — since shingles are distinct per doc —
+    doc frequency in the same aggregate, one join back keyed by gram,
+    one re-aggregation keyed by doc. Shuffle volume is O(total
+    distinct shingles), the same budget as any dedup pass; no
+    self-joins, no windows."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import hash64, ngram_shingles
+    ex = (df.select(F.col(id_col).alias("_id"),
+                    ngram_shingles(F.col(text_col), n).alias("_sh"))
+          .select("_id", F.explode("_sh").alias("_gs"))
+          .select("_id", hash64("_gs").alias("_g")))
+    freq = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    return (ex.join(freq, "_g")
+            .groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum((F.col("_df") == 1).cast("long"))
+                 .alias("novel_shingles"))
+            .select(F.col("_id").alias(id_col), "n_shingles",
+                    "novel_shingles",
+                    F.round(F.col("novel_shingles")
+                            / F.col("n_shingles").cast("double"), 6)
+                    .alias("novelty")))
+
+
 def winsorize_stats(df: DataFrame, value_col: str, group_col: str,
                     lo: float = 0.05, hi: float = 0.95,
                     approx_accuracy: Optional[int] = None) -> DataFrame:

@@ -216,6 +216,51 @@ def doc_containment(spark, sf_dir):
                                    threshold=0.5)
 
 
+@register("doc_boundary_stitch_pairs", sql=f"""
+WITH {_TOKS},
+d AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 8),
+grams AS (
+  SELECT doc_id, t, n, u.i AS pos, t[u.i : u.i + 7] AS g
+  FROM d, unnest(generate_series(1, n - 7)) AS u(i)),
+cand AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         a.n - a.pos + 1 AS m, a.t AS ta, a.n AS na,
+         b.t AS tb, b.n AS nb
+  FROM grams a JOIN d b
+    ON a.g = b.t[1:8] AND a.doc_id <> b.doc_id)
+SELECT a_id, b_id, max(m)::BIGINT AS overlap_tokens
+FROM cand
+WHERE m <= nb AND ta[na - m + 1 : na] = tb[1:m]
+GROUP BY a_id, b_id
+""")
+def doc_boundary_stitch(spark, sf_dir):
+    # Shard-boundary stitch detection: the last k tokens of one doc =
+    # the first k of another (a document split across extraction
+    # shards — each half defeats pairwise dedup). Candidates via an
+    # 8-byte boundary-key hash join; maximal overlap extended on the
+    # (rare) joined pairs only.
+    from ..ops.dedup import boundary_stitch_pairs
+    return boundary_stitch_pairs(load(spark, sf_dir, "documents"), k=8)
+
+
+@register("doc_ngram_novelty", sql=f"""
+WITH {_SHINGLES},
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+freq AS (SELECT g, count(*)::BIGINT AS df FROM ex GROUP BY g)
+SELECT ex.doc_id, count(*)::BIGINT AS n_shingles,
+       sum((freq.df = 1)::INT)::BIGINT AS novel_shingles,
+       round(sum((freq.df = 1)::INT)::DOUBLE / count(*), 6) AS novelty
+FROM ex JOIN freq USING (g)
+GROUP BY ex.doc_id
+""")
+def doc_novelty(spark, sf_dir):
+    # Corpus-level novelty: fraction of a doc's distinct shingles
+    # appearing in no other doc — catches template recombination that
+    # never crosses a pairwise dup threshold.
+    from ..ops.quality import ngram_novelty
+    return ngram_novelty(load(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Fuzzy (edit-distance) self-join — q-gram count-filter candidates
 # --------------------------------------------------------------------------

@@ -1275,3 +1275,52 @@ def test_winsorize_stats_matches_reference_math(spark):
     approx = winsorize_stats(df, "n_chars", "source",
                              approx_accuracy=10000).first()
     assert abs(approx.mean_winsorized - row.mean_winsorized) < 2.0
+
+
+def test_boundary_stitch_detects_split_docs(spark):
+    """A document split across extraction shards: suffix of the first
+    half equals the prefix-overlap region of the second. The pair must
+    surface with the MAXIMAL overlap, direction first→second only;
+    unrelated docs stay silent; sub-k docs are out of scope."""
+    from connectors_spark.ops.dedup import boundary_stitch_pairs
+    words = [f"w{i}" for i in range(60)]
+    first = " ".join(words[:35])           # tokens 0..34
+    second = " ".join(words[25:])          # tokens 25..59 → overlap 10
+    other = " ".join(f"x{i}" for i in range(40))
+    tiny = "a b c"
+    df = spark.createDataFrame(
+        [(1, first), (2, second), (3, other), (4, tiny)],
+        "doc_id: long, text: string")
+    pairs = {(r.a_id, r.b_id): r.overlap_tokens for r in
+             boundary_stitch_pairs(df, k=8).collect()}
+    assert pairs == {(1, 2): 10}
+    # duplicate docs: whole doc is both suffix and prefix → overlap =
+    # full length, both directions
+    df2 = spark.createDataFrame([(1, other), (2, other)],
+                                "doc_id: long, text: string")
+    both = {(r.a_id, r.b_id): r.overlap_tokens for r in
+            boundary_stitch_pairs(df2, k=8).collect()}
+    assert both == {(1, 2): 40, (2, 1): 40}
+    with pytest.raises(ValueError, match="k must be"):
+        boundary_stitch_pairs(df, k=0)
+
+
+def test_ngram_novelty_counts(spark):
+    """Novelty = fraction of a doc's distinct shingles in no other
+    doc: a fully-copied doc scores 0, fully-unique scores 1, a half
+    mix in between."""
+    from connectors_spark.ops.quality import ngram_novelty
+    shared = " ".join(f"s{i}" for i in range(10))
+    unique = " ".join(f"u{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, unique),
+         (4, shared + " " + " ".join(f"v{i}" for i in range(10)))],
+        "doc_id: long, text: string")
+    out = {r.doc_id: r for r in ngram_novelty(df).collect()}
+    assert out[1].novelty == 0.0 and out[2].novelty == 0.0
+    assert out[3].novelty == 1.0
+    # doc 4: 18 shingles; the 8 fully inside the shared span collide
+    # with docs 1/2, the bridge + v-span shingles are unique
+    assert out[4].n_shingles == 18
+    assert out[4].novel_shingles == 10
+    assert abs(out[4].novelty - round(10 / 18, 6)) < 1e-9
