@@ -261,14 +261,19 @@ def boundary_stitch_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("_id", t.alias("_t"))
             .withColumn("_n", F.size("_t"))
             .where(F.col("_n") >= k))
-    grams = (base.select(
-        "_id", "_n",
-        F.explode(F.sequence(F.lit(1), F.col("_n") - k + 1))
-        .alias("_pos"),
-        F.col("_t"))
-        .select("_id", "_n", "_pos",
-                hash64(F.concat_ws(" ", F.slice("_t", F.col("_pos"), k)))
-                .alias("_h")))
+    # hash every k-gram INSIDE the row (transform over positions) and
+    # explode only (pos, hash) structs: exploding positions first and
+    # hashing after would copy the full token array into every
+    # generated row — O(tokens²) bytes per doc in the generate output
+    gram_arr = F.transform(
+        F.sequence(F.lit(1), F.col("_n") - k + 1),
+        lambda p: F.struct(
+            p.alias("pos"),
+            hash64(F.concat_ws(" ", F.slice("_t", p, k))).alias("h")))
+    grams = (base.select("_id", "_n",
+                         F.explode(gram_arr).alias("_ph"))
+             .select("_id", "_n", F.col("_ph.pos").alias("_pos"),
+                     F.col("_ph.h").alias("_h")))
     pref = base.select(
         F.col("_id").alias("b_id"),
         hash64(F.concat_ws(" ", F.slice("_t", 1, k))).alias("_h"))

@@ -610,3 +610,13 @@ def test_containment_pairs_no_cartesian(plans):
     p = plans("doc_ngram_containment_pairs")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_boundary_stitch_no_cartesian_no_python(plans):
+    # candidates come from the k-gram position index equi-joined on
+    # 8-byte hashes against prefix keys — never an all-pairs product,
+    # and the whole pipeline is JVM expressions (transform/slice/md5)
+    p = plans("doc_boundary_stitch_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Python" not in p and "ArrowEval" not in p
