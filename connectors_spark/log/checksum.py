@@ -1,0 +1,141 @@
+"""Per-version checksum (.crc) files — table-state integrity records.
+
+The Delta log layout reserves a third file type next to deltas and
+checkpoints: ``<version>.crc`` (the reference's file parser names it
+explicitly — "checkpoint, checksum or delta file",
+FileNames.scala:78-81 — but the standalone reference never writes it).
+delta-spark writes a VersionChecksum after each commit: the table's
+aggregate state (total bytes, file count, protocol, metadata id) at
+that version, computed INCREMENTALLY from the previous checksum plus
+the commit's actions. A reader can then cross-check its reconstructed
+state against the writer's record — log corruption (a lost delta file,
+a truncated checkpoint, a hand-edited action) surfaces as a loud
+mismatch instead of silently wrong aggregates.
+
+Engine rules:
+
+- Written best-effort AFTER the commit succeeds: a checksum write
+  failure never fails the commit (it's an integrity record, not part
+  of the atomic state — same stance as delta-spark).
+- Incremental-only on the hot path: version N's checksum derives from
+  version N-1's checksum + the commit's adds/removes, O(actions) on
+  the driver with ZERO Spark jobs. When the chain is broken (no
+  previous .crc — pre-feature tables, or a remove without size info)
+  the engine SKIPS writing rather than launching an aggregate job
+  inside the commit path; `TableMaintenance.compute_checksum()`
+  bootstraps the chain with one explicit aggregation.
+- Verified on demand (`TableMaintenance.verify_checksum()`), not per
+  read: verification aggregates the live snapshot (one Spark job) and
+  compares — FSCK's integrity twin.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Any, List, Optional
+
+from .actions import AddFile, Metadata, Protocol, RemoveFile
+from . import filenames as fn
+
+
+def checksum_file(log_path: str, version: int) -> str:
+    return os.path.join(log_path, f"{version:020d}.crc")
+
+
+def is_checksum_file(name: str) -> bool:
+    base = os.path.basename(name)
+    return base.endswith(".crc") and base[:-4].isdigit()
+
+
+def checksum_version(name: str) -> int:
+    return int(os.path.basename(name)[:-4])
+
+
+@dataclass
+class VersionChecksum:
+    tableSizeBytes: int
+    numFiles: int
+    protocol: Optional[Protocol] = None
+    metadataId: Optional[str] = None
+
+    def to_json(self) -> str:
+        d: dict = {"tableSizeBytes": int(self.tableSizeBytes),
+                   "numFiles": int(self.numFiles)}
+        if self.protocol is not None:
+            d["protocol"] = self.protocol.wrap()["protocol"]
+        if self.metadataId is not None:
+            d["metadataId"] = self.metadataId
+        return json.dumps(d, separators=(",", ":"))
+
+    @classmethod
+    def from_json(cls, s: str) -> "VersionChecksum":
+        d = json.loads(s)
+        p = d.get("protocol")
+        proto = Protocol(
+            p["minReaderVersion"], p["minWriterVersion"],
+            readerFeatures=p.get("readerFeatures"),
+            writerFeatures=p.get("writerFeatures")) if p else None
+        return cls(tableSizeBytes=int(d["tableSizeBytes"]),
+                   numFiles=int(d["numFiles"]),
+                   protocol=proto, metadataId=d.get("metadataId"))
+
+
+def read_checksum(store, log_path: str,
+                  version: int) -> Optional[VersionChecksum]:
+    try:
+        lines = store.read(checksum_file(log_path, version))
+    except FileNotFoundError:
+        return None
+    try:
+        return VersionChecksum.from_json("".join(lines))
+    except (ValueError, KeyError):
+        return None  # malformed — treat as absent, chain re-bootstraps
+
+
+def incremental_checksum(prev: Optional[VersionChecksum],
+                         actions: List[Any],
+                         is_first_commit: bool,
+                         prev_protocol: Optional[Protocol],
+                         prev_metadata_id: Optional[str]
+                         ) -> Optional[VersionChecksum]:
+    """Next version's checksum from the previous one + this commit's
+    actions, or None when the chain can't continue exactly (no
+    previous record on a non-first commit; a remove without a size).
+    A DV-carrying rewrite is fine: adds/removes both carry sizes."""
+    if prev is None and not is_first_commit:
+        return None
+    size = prev.tableSizeBytes if prev else 0
+    n = prev.numFiles if prev else 0
+    proto = prev.protocol if prev else prev_protocol
+    meta_id = prev.metadataId if prev else prev_metadata_id
+    for a in actions:
+        if isinstance(a, AddFile):
+            size += int(a.size or 0)
+            n += 1
+        elif isinstance(a, RemoveFile):
+            if a.size is None:
+                return None  # can't decrement exactly — break chain
+            size -= int(a.size)
+            n -= 1
+        elif isinstance(a, Protocol):
+            proto = a
+        elif isinstance(a, Metadata):
+            meta_id = a.id
+    if n < 0 or size < 0:
+        return None  # inconsistent inputs — never record a lie
+    return VersionChecksum(tableSizeBytes=size, numFiles=n,
+                           protocol=proto, metadataId=meta_id)
+
+
+def write_checksum(store, log_path: str, version: int,
+                   crc: VersionChecksum) -> None:
+    """Best-effort publish; .crc files are advisory so overwrite is
+    allowed (a racing writer of the SAME version writes identical
+    content — the state at a version is unique)."""
+    try:
+        store.write(checksum_file(log_path, version),
+                    [crc.to_json()], overwrite=True)
+    except Exception:  # noqa: BLE001 — never fail the commit path
+        pass

@@ -223,6 +223,13 @@ class DeltaLog:
                 break
             expired.add(c.version)
             self.store.delete(fn.delta_file(self.log_path, c.version))
+            # the version's advisory checksum record expires with it
+            from .log import checksum as cks
+            try:
+                self.store.delete(
+                    cks.checksum_file(self.log_path, c.version))
+            except FileNotFoundError:
+                pass
         if not expired:
             return
         # Superseded checkpoint files for expired versions go too
@@ -2160,6 +2167,72 @@ class TableMaintenance:
             actions, "COMPUTE STATS",
             operation_metrics={"numFilesUpdated": str(len(actions))})
         return {"filesUpdated": len(actions), "version": version}
+
+    def compute_checksum(self) -> Dict[str, int]:
+        """Bootstrap (or repair) the version-checksum chain: aggregate
+        the CURRENT snapshot's file relation once (numFiles, total
+        bytes — one Spark job, never per-commit) and publish
+        ``<version>.crc``. Every later commit then extends the chain
+        incrementally at zero job cost (txn._write_version_checksum).
+        Use on pre-feature tables or after a chain break (a remove
+        without size info)."""
+        from .log import checksum as cks
+        snap = self.table.snapshot()
+        row = (snap.files_df
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum("size"), F.lit(0)).alias("bytes"))
+               .first())
+        crc = cks.VersionChecksum(
+            tableSizeBytes=int(row["bytes"]), numFiles=int(row["n"]),
+            protocol=snap.protocol, metadataId=snap.metadata.id)
+        cks.write_checksum(snap.store, self.table.log.log_path,
+                           snap.version, crc)
+        return {"version": snap.version, "numFiles": crc.numFiles,
+                "tableSizeBytes": crc.tableSizeBytes}
+
+    def verify_checksum(self) -> Dict[str, Any]:
+        """Integrity check (FSCK's log-side twin): aggregate the live
+        snapshot state and compare against the writer's ``.crc``
+        record at the same version. Raises DeltaError on mismatch — a
+        lost delta file, truncated checkpoint or corrupted action
+        surfaces loudly instead of as silently wrong aggregates.
+        Returns the compared numbers when they agree (or when no
+        checksum exists — nothing to verify against)."""
+        from .log import checksum as cks
+        snap = self.table.snapshot()
+        crc = cks.read_checksum(snap.store, self.table.log.log_path,
+                                snap.version)
+        row = (snap.files_df
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum("size"), F.lit(0)).alias("bytes"))
+               .first())
+        out = {"version": snap.version, "checksum_present": crc is not None,
+               "numFiles": int(row["n"]),
+               "tableSizeBytes": int(row["bytes"])}
+        if crc is None:
+            return out
+        problems = []
+        if crc.numFiles != out["numFiles"]:
+            problems.append(f"numFiles: crc={crc.numFiles} "
+                            f"live={out['numFiles']}")
+        if crc.tableSizeBytes != out["tableSizeBytes"]:
+            problems.append(f"tableSizeBytes: crc={crc.tableSizeBytes} "
+                            f"live={out['tableSizeBytes']}")
+        if crc.metadataId is not None \
+                and crc.metadataId != snap.metadata.id:
+            problems.append(f"metadataId: crc={crc.metadataId} "
+                            f"live={snap.metadata.id}")
+        if crc.protocol is not None and (
+                crc.protocol.minReaderVersion
+                != snap.protocol.minReaderVersion
+                or crc.protocol.minWriterVersion
+                != snap.protocol.minWriterVersion):
+            problems.append("protocol mismatch")
+        if problems:
+            raise DeltaError(
+                f"version checksum mismatch at v{snap.version}: "
+                + "; ".join(problems))
+        return out
 
     def fsck_repair(self, dry_run: bool = False) -> List[str]:
         """FSCK REPAIR TABLE: drop AddFile entries whose physical data

@@ -199,12 +199,34 @@ class OptimisticTransaction:
             try:
                 self.log.store.write(target, lines, overwrite=False)
                 self.committed = True
+                self._write_version_checksum(attempt_version, acts)
                 self.log.post_commit(attempt_version)
                 return attempt_version
             except FileAlreadyExistsError:
                 self._check_for_conflicts(attempt_version, acts, isolation)
                 attempt_version += 1
         raise DeltaError("commit retry budget exhausted")
+
+    def _write_version_checksum(self, version: int,
+                                acts: List[Any]) -> None:
+        """Best-effort <version>.crc integrity record (log/checksum.py):
+        incremental from the predecessor's record + this commit's
+        actions, zero Spark jobs; a broken chain or any error skips the
+        write — never the commit."""
+        try:
+            from .log import checksum as cks
+            prev = (cks.read_checksum(self.log.store, self.log.log_path,
+                                      version - 1)
+                    if version > 0 else None)
+            crc = cks.incremental_checksum(
+                prev, acts, version == 0,
+                self.snapshot.protocol if self.snapshot else None,
+                self.snapshot.metadata.id if self.snapshot else None)
+            if crc is not None:
+                cks.write_checksum(self.log.store, self.log.log_path,
+                                   version, crc)
+        except Exception:  # noqa: BLE001 — advisory record only
+            pass
 
     def _prepare_commit(self, actions: List[Any]) -> List[Any]:
         if any(isinstance(a, CommitInfo) for a in actions):

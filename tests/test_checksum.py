@@ -1,0 +1,116 @@
+"""Version checksum (.crc) integrity records (log/checksum.py): the
+third log file type the reference's FileNames recognizes
+(FileNames.scala:78-81). Written incrementally post-commit at zero
+Spark-job cost; verified on demand; advisory (never fails a commit)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from connectors_spark import DeltaTable
+from connectors_spark.errors import DeltaError
+from connectors_spark.expressions import Col, Lit
+from connectors_spark.log import checksum as cks
+from connectors_spark.table import TableMaintenance
+
+
+def _crc(t, v):
+    return cks.read_checksum(t.log.store, t.log.log_path, v)
+
+
+def _live(t):
+    snap = t.snapshot()
+    files = snap.all_files()
+    return len(files), sum(f.size for f in files)
+
+
+def test_checksum_chain_tracks_every_commit(spark, tmp_path):
+    t = DeltaTable.for_path(spark, str(tmp_path / "crc"))
+    t.write(spark.createDataFrame([Row(k=i, v=i * 10) for i in range(50)])
+            .repartition(4))
+    t.write(spark.createDataFrame([Row(k=100, v=1)]), mode="append")
+    t.delete(Col("k") < Lit(10))
+    TableMaintenance(t).optimize(min_files_per_group=2)
+    head = t.snapshot().version
+    assert head >= 3
+    for v in range(head + 1):
+        crc = _crc(t, v)
+        assert crc is not None, f"missing .crc at v{v}"
+    n, size = _live(t)
+    crc = _crc(t, head)
+    assert (crc.numFiles, crc.tableSizeBytes) == (n, size)
+    out = TableMaintenance(t).verify_checksum()
+    assert out["checksum_present"] and out["numFiles"] == n
+
+
+def test_checksum_chain_through_dv_delete(spark, tmp_path):
+    t = DeltaTable.for_path(spark, str(tmp_path / "crcdv"))
+    t.write(spark.createDataFrame([Row(k=i) for i in range(100)])
+            .repartition(3))
+    t.delete(Col("k") == Lit(5), deletion_vectors=True)
+    crc = _crc(t, t.snapshot().version)
+    n, size = _live(t)
+    assert (crc.numFiles, crc.tableSizeBytes) == (n, size)
+    TableMaintenance(t).verify_checksum()
+
+
+def test_checksum_bootstrap_and_broken_chain(spark, tmp_path):
+    """A missing predecessor record stops incremental writing (no
+    silent aggregate job mid-commit); compute_checksum bootstraps and
+    the chain resumes."""
+    t = DeltaTable.for_path(spark, str(tmp_path / "crcboot"))
+    t.write(spark.createDataFrame([Row(k=1)]))
+    t.write(spark.createDataFrame([Row(k=2)]), mode="append")
+    # sever the chain: drop every existing record
+    for v in range(t.snapshot().version + 1):
+        t.log.store.delete(cks.checksum_file(t.log.log_path, v))
+    t.write(spark.createDataFrame([Row(k=3)]), mode="append")
+    assert _crc(t, t.snapshot().version) is None   # chain stays broken
+    out = TableMaintenance(t).compute_checksum()    # explicit bootstrap
+    assert out["numFiles"] == len(t.snapshot().all_files())
+    t.write(spark.createDataFrame([Row(k=4)]), mode="append")
+    head = t.snapshot().version
+    crc = _crc(t, head)
+    n, size = _live(t)
+    assert crc is not None and (crc.numFiles, crc.tableSizeBytes) == (n, size)
+    # verify against no record at an intermediate state is a no-op
+    assert TableMaintenance(t).verify_checksum()["checksum_present"]
+
+
+def test_checksum_detects_corruption(spark, tmp_path):
+    t = DeltaTable.for_path(spark, str(tmp_path / "crcbad"))
+    t.write(spark.createDataFrame([Row(k=i) for i in range(20)]))
+    head = t.snapshot().version
+    bad = cks.VersionChecksum(tableSizeBytes=1, numFiles=999)
+    cks.write_checksum(t.log.store, t.log.log_path, head, bad)
+    with pytest.raises(DeltaError, match="checksum mismatch"):
+        TableMaintenance(t).verify_checksum()
+
+
+def test_checksum_files_ignored_by_reads_and_cleaned_up(spark, tmp_path):
+    """.crc files never confuse segment listing, and expired-log
+    cleanup deletes them with their delta files."""
+    import os
+    import time as _time
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "crcclean"))
+    t.write(spark.createDataFrame([Row(k=1)]),
+            configuration={"delta.checkpointInterval": "4",
+                           "delta.logRetentionDuration":
+                           "interval 0 days"})
+    for i in range(2, 6):
+        t.write(spark.createDataFrame([Row(k=i)]), mode="append")
+    _time.sleep(0.01)
+    # one more write crosses the checkpoint interval → cleanup runs
+    t.write(spark.createDataFrame([Row(k=99)]), mode="append")
+    names = list(t.log.store.list_from(t.log.log_path))
+    crc_versions = sorted(cks.checksum_version(n) for n in names
+                          if cks.is_checksum_file(n))
+    delta_versions = sorted(
+        int(os.path.basename(n)[:-5]) for n in names
+        if n.endswith(".json") and os.path.basename(n)[:-5].isdigit())
+    # every surviving crc has a surviving delta; expired ones are gone
+    assert set(crc_versions) <= set(delta_versions)
+    assert 0 not in crc_versions
+    # reads still exact
+    assert sorted(r.k for r in t.to_df().collect()) == [1, 2, 3, 4, 5, 99]
