@@ -129,6 +129,52 @@ def incremental_checksum(prev: Optional[VersionChecksum],
                            protocol=proto, metadataId=meta_id)
 
 
+_RECONSTRUCT_MAX_WALK = 64
+
+
+def reconstruct_checksum(store, log_path: str,
+                         version: int) -> Optional[VersionChecksum]:
+    """Self-healing chain: rebuild the checksum at ``version`` by
+    walking BACK to the nearest anchor (an existing .crc, or version 0
+    whose first commit is the complete state) and folding the
+    intervening commits' actions forward. Bounded at
+    _RECONSTRUCT_MAX_WALK small driver-side file reads — the gap is
+    normally 0-1 (a racing writer that read the predecessor's record
+    before the winner published it). Returns None when no anchor is
+    reachable or a fold step breaks (unsized remove, missing file)."""
+    from .actions import from_json_line
+    if version < 0:
+        return None
+    anchor = read_checksum(store, log_path, version)
+    if anchor is not None:
+        return anchor
+    pending: List[List[Any]] = []  # action lists, newest first
+    v = version
+    for _ in range(_RECONSTRUCT_MAX_WALK):
+        try:
+            lines = store.read(fn.delta_file(log_path, v))
+        except FileNotFoundError:
+            return None
+        acts = [a for a in (from_json_line(ln) for ln in lines)
+                if a is not None]
+        pending.append(acts)
+        if v == 0:
+            anchor = VersionChecksum(0, 0)  # fold from the empty table
+            break
+        anchor = read_checksum(store, log_path, v - 1)
+        if anchor is not None:
+            break
+        v -= 1
+    if anchor is None:
+        return None
+    crc: Optional[VersionChecksum] = anchor
+    for acts in reversed(pending):
+        crc = incremental_checksum(crc, acts, False, None, None)
+        if crc is None:
+            return None
+    return crc
+
+
 def write_checksum(store, log_path: str, version: int,
                    crc: VersionChecksum) -> None:
     """Best-effort publish; .crc files are advisory so overwrite is

@@ -215,9 +215,9 @@ class OptimisticTransaction:
         write — never the commit."""
         try:
             from .log import checksum as cks
-            prev = (cks.read_checksum(self.log.store, self.log.log_path,
-                                      version - 1)
-                    if version > 0 else None)
+            prev = (cks.reconstruct_checksum(
+                self.log.store, self.log.log_path, version - 1)
+                if version > 0 else None)
             crc = cks.incremental_checksum(
                 prev, acts, version == 0,
                 self.snapshot.protocol if self.snapshot else None,

@@ -54,10 +54,13 @@ def test_checksum_chain_through_dv_delete(spark, tmp_path):
     TableMaintenance(t).verify_checksum()
 
 
-def test_checksum_bootstrap_and_broken_chain(spark, tmp_path):
-    """A missing predecessor record stops incremental writing (no
-    silent aggregate job mid-commit); compute_checksum bootstraps and
-    the chain resumes."""
+def test_checksum_self_heals_and_explicit_bootstrap(spark, tmp_path):
+    """A missing predecessor record SELF-HEALS: the next commit walks
+    back to the nearest anchor (here v0) and folds the gap forward —
+    the crc reappears exact. When the walk is bounded out
+    (reconstruct cap 0 simulates a gap past the cap/cleaned logs),
+    the chain stays broken without any silent aggregate job, and
+    compute_checksum() is the explicit bootstrap."""
     t = DeltaTable.for_path(spark, str(tmp_path / "crcboot"))
     t.write(spark.createDataFrame([Row(k=1)]))
     t.write(spark.createDataFrame([Row(k=2)]), mode="append")
@@ -65,15 +68,29 @@ def test_checksum_bootstrap_and_broken_chain(spark, tmp_path):
     for v in range(t.snapshot().version + 1):
         t.log.store.delete(cks.checksum_file(t.log.log_path, v))
     t.write(spark.createDataFrame([Row(k=3)]), mode="append")
-    assert _crc(t, t.snapshot().version) is None   # chain stays broken
+    crc = _crc(t, t.snapshot().version)            # self-healed
+    n, size = _live(t)
+    assert crc is not None and (crc.numFiles, crc.tableSizeBytes) == (n, size)
+    # unreachable anchor (walk cap 0): the chain stays broken
+    for v in range(t.snapshot().version + 1):
+        try:
+            t.log.store.delete(cks.checksum_file(t.log.log_path, v))
+        except FileNotFoundError:
+            pass
+    old = cks._RECONSTRUCT_MAX_WALK
+    cks._RECONSTRUCT_MAX_WALK = 0
+    try:
+        t.write(spark.createDataFrame([Row(k=4)]), mode="append")
+        assert _crc(t, t.snapshot().version) is None
+    finally:
+        cks._RECONSTRUCT_MAX_WALK = old
     out = TableMaintenance(t).compute_checksum()    # explicit bootstrap
     assert out["numFiles"] == len(t.snapshot().all_files())
-    t.write(spark.createDataFrame([Row(k=4)]), mode="append")
+    t.write(spark.createDataFrame([Row(k=5)]), mode="append")
     head = t.snapshot().version
     crc = _crc(t, head)
     n, size = _live(t)
     assert crc is not None and (crc.numFiles, crc.tableSizeBytes) == (n, size)
-    # verify against no record at an intermediate state is a no-op
     assert TableMaintenance(t).verify_checksum()["checksum_present"]
 
 
@@ -114,3 +131,38 @@ def test_checksum_files_ignored_by_reads_and_cleaned_up(spark, tmp_path):
     assert 0 not in crc_versions
     # reads still exact
     assert sorted(r.k for r in t.to_df().collect()) == [1, 2, 3, 4, 5, 99]
+
+
+def test_checksum_chain_survives_concurrent_commit_race(spark, tmp_path):
+    """Two racing appenders: the loser retries at the next version and
+    extends the chain from the WINNER's record — every version ends
+    with an exact .crc."""
+    import threading
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "crcrace"))
+    t.write(spark.createDataFrame([Row(k=0)]))
+    dfs = [spark.createDataFrame([Row(k=100 + i)]).localCheckpoint()
+           for i in range(4)]
+    errs = []
+
+    def append(df):
+        try:
+            DeltaTable.for_path(spark, str(tmp_path / "crcrace")).write(
+                df, mode="append")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=append, args=(d,)) for d in dfs]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    head = t.snapshot().version
+    assert head == 4
+    for v in range(head + 1):
+        assert _crc(t, v) is not None, f"missing .crc at v{v}"
+    n, size = _live(t)
+    crc = _crc(t, head)
+    assert (crc.numFiles, crc.tableSizeBytes) == (n, size)
+    TableMaintenance(t).verify_checksum()
