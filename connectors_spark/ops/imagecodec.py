@@ -499,6 +499,295 @@ def decode_gif(data: bytes):
     raise ValueError("no image data in GIF")
 
 
+# ---------------------------------------------------------------------------
+# TIFF (TIFF 6.0 spec: baseline grayscale/RGB, strips; compression
+# none (1) / LZW (5) / PackBits (32773); both byte orders)
+# ---------------------------------------------------------------------------
+
+def _packbits_compress(data: bytes) -> bytes:
+    """TIFF 6.0 §9 PackBits: literal runs and repeat runs, both ≤128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # repeat run?
+        j = i
+        while j + 1 < n and data[j + 1] == data[j] and j - i < 127:
+            j += 1
+        if j > i:                       # run of (j-i+1) ≥ 2 equal bytes
+            out += bytes([257 - (j - i + 1) & 0xFF, data[i]])
+            i = j + 1
+            continue
+        # literal run until the next ≥2-byte repeat (or cap 128)
+        j = i + 1
+        while j < n and (j + 1 >= n or data[j + 1] != data[j]) \
+                and j - i < 127:
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _packbits_decompress(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:                     # literal: next c+1 bytes
+            out += data[i:i + c + 1]
+            i += c + 1
+        elif c > 128:                   # repeat next byte 257-c times
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # 128 = no-op
+    return bytes(out)
+
+
+def _tiff_lzw_compress(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW: 8-bit symbols, Clear=256, EOI=257, MSB-first
+    bit packing, 'early change' code-width bumps (at 511/1023/2047 —
+    one code EARLIER than GIF's LSB-first variant)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    nxt, width = 258, 9
+    put(CLEAR, width)
+    w = b""
+    for ch in data:
+        wk = w + bytes([ch])
+        if wk in table:
+            w = wk
+            continue
+        put(table[w], width)
+        table[wk] = nxt
+        nxt += 1
+        if nxt == (1 << width) - 1 and width < 12:   # early change
+            width += 1
+        elif nxt == 4095:
+            put(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt, width = 258, 9
+        w = bytes([ch])
+    if w:
+        put(table[w], width)
+    put(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decompress(data: bytes) -> bytes:
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    pos = 0          # bit position
+
+    def get(width: int) -> int:
+        nonlocal pos
+        v = 0
+        for _ in range(width):
+            byte = data[pos >> 3] if (pos >> 3) < len(data) else 0
+            v = (v << 1) | ((byte >> (7 - (pos & 7))) & 1)
+            pos += 1
+        return v
+
+    table: list = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes = b""
+    while True:
+        if pos >= len(data) * 8:       # corrupt stream: no EOI
+            break
+        code = get(width)
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = b""
+            continue
+        if prev == b"":
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:                             # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        # early change, decoder side: the decoder's table lags the
+        # encoder's by ONE entry (the first code after a Clear adds
+        # nothing), so it must widen when the table reaches
+        # (1<<width)-2 — at (1<<width)-1 it would read one more
+        # 9-bit code the encoder already wrote as 10 bits
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+_TIFF_NONE, _TIFF_LZW, _TIFF_PACKBITS = 1, 5, 32773
+
+
+def encode_tiff(width: int, height: int, pixels: bytes,
+                channels: int = 1, compression: int = _TIFF_NONE,
+                rows_per_strip: int = 4,
+                big_endian: bool = False) -> bytes:
+    """Baseline TIFF 6.0 writer: grayscale (Photometric 1) or RGB (2),
+    multiple strips, compression none/LZW/PackBits, either byte
+    order. Emits a spec-conformant IFD any TIFF reader parses."""
+    import struct
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    e = ">" if big_endian else "<"
+    rowb = width * channels
+    strips = []
+    for y0 in range(0, height, rows_per_strip):
+        raw = pixels[y0 * rowb:(y0 + min(rows_per_strip,
+                                         height - y0)) * rowb]
+        if compression == _TIFF_LZW:
+            strips.append(_tiff_lzw_compress(raw))
+        elif compression == _TIFF_PACKBITS:
+            strips.append(_packbits_compress(raw))
+        else:
+            strips.append(raw)
+    n_strips = len(strips)
+
+    def entry(tag, typ, cnt, val):
+        return struct.pack(e + "HHI", tag, typ, cnt) + val
+
+    # layout: header(8) | strip data | [bps array for RGB] |
+    #         [offsets/counts arrays when n_strips > 2] | IFD
+    off = 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(off)
+        off += len(s)
+    extra = b""
+    bps_val = None
+    if channels == 3:
+        if off % 2:
+            extra += b"\x00"
+            off += 1
+        bps_val = off
+        extra += struct.pack(e + "HHH", 8, 8, 8)
+        off += 6
+    arr_off = arr_cnt_off = None
+    if n_strips > 1:
+        # offsets/counts arrays live outside the 4-byte value slots
+        arr_off = off
+        extra += b"".join(struct.pack(e + "I", o) for o in strip_offsets)
+        off += 4 * n_strips
+        arr_cnt_off = off
+        extra += b"".join(struct.pack(e + "I", len(s)) for s in strips)
+        off += 4 * n_strips
+    ifd_off = off
+
+    def short_val(v):
+        # a SHORT value occupies the value slot's FIRST two bytes in
+        # both byte orders (TIFF 6.0 §2: left-justified)
+        return struct.pack(e + "H", v) + b"\x00\x00"
+
+    def long_val(v):
+        return struct.pack(e + "I", v)
+
+    entries = [
+        entry(256, 3, 1, short_val(width)),
+        entry(257, 3, 1, short_val(height)),
+        entry(258, 3, channels,
+              short_val(8) if channels == 1 else long_val(bps_val)),
+        entry(259, 3, 1, short_val(compression)),
+        entry(262, 3, 1, short_val(1 if channels == 1 else 2)),
+        entry(273, 4, n_strips,
+              long_val(strip_offsets[0] if n_strips == 1 else arr_off)),
+        entry(277, 3, 1, short_val(channels)),
+        entry(278, 3, 1, short_val(rows_per_strip)),
+        entry(279, 4, n_strips,
+              long_val(len(strips[0]) if n_strips == 1
+                       else arr_cnt_off)),
+    ]
+    ifd = struct.pack(e + "H", len(entries)) + b"".join(entries) \
+        + struct.pack(e + "I", 0)
+    header = (b"MM" if big_endian else b"II") \
+        + struct.pack(e + "H", 42) + struct.pack(e + "I", ifd_off)
+    return header + b"".join(strips) + extra + ifd
+
+
+def decode_tiff(data: bytes):
+    """Parse header + IFD + strips -> (width, height, channels,
+    pixels). Supports 8-bit grayscale/RGB, strip layout, compression
+    none/LZW/PackBits, II and MM byte orders; anything else raises."""
+    import struct
+    if data[:2] == b"II":
+        e = "<"
+    elif data[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    if struct.unpack(e + "H", data[2:4])[0] != 42:
+        raise ValueError("not a TIFF (bad magic)")
+    ifd_off = struct.unpack(e + "I", data[4:8])[0]
+    n = struct.unpack(e + "H", data[ifd_off:ifd_off + 2])[0]
+    tags = {}
+    for i in range(n):
+        o = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack(e + "HHI", data[o:o + 8])
+        tags[tag] = (typ, cnt, data[o + 8:o + 12])
+
+    def val(tag, default=None):
+        if tag not in tags:
+            return default
+        typ, cnt, raw = tags[tag]
+        if cnt != 1:
+            raise ValueError(f"tag {tag}: expected scalar")
+        return struct.unpack(e + "H", raw[:2])[0] if typ == 3 \
+            else struct.unpack(e + "I", raw)[0]
+
+    def arr(tag):
+        typ, cnt, raw = tags[tag]
+        width_b = 2 if typ == 3 else 4
+        fmt = "H" if typ == 3 else "I"
+        if cnt * width_b <= 4:
+            return list(struct.unpack(e + fmt * cnt,
+                                      raw[:width_b * cnt]))
+        off = struct.unpack(e + "I", raw)[0]
+        return list(struct.unpack(e + fmt * cnt,
+                                  data[off:off + width_b * cnt]))
+
+    width, height = val(256), val(257)
+    comp = val(259, _TIFF_NONE)
+    channels = val(277, 1)
+    rps = val(278, height)
+    if tags.get(258):
+        for b in arr(258):
+            if b != 8:
+                raise NotImplementedError("only 8-bit samples")
+    if comp not in (_TIFF_NONE, _TIFF_LZW, _TIFF_PACKBITS):
+        raise NotImplementedError(f"TIFF compression {comp}")
+    offs, cnts = arr(273), arr(279)
+    rowb = width * channels
+    out = bytearray()
+    for si, (o, c) in enumerate(zip(offs, cnts)):
+        raw = bytes(data[o:o + c])
+        if comp == _TIFF_LZW:
+            raw = _tiff_lzw_decompress(raw)
+        elif comp == _TIFF_PACKBITS:
+            raw = _packbits_decompress(raw)
+        rows = min(rps, height - si * rps)
+        out += raw[:rows * rowb]
+    if len(out) != height * rowb:
+        raise ValueError("TIFF strip data size mismatch")
+    return width, height, channels, bytes(out)
+
+
 def decode_any(data: bytes):
     """Sniff and decode -> (fmt, width, height, channels, pixels)."""
     head = bytes(data[:8])
@@ -508,6 +797,9 @@ def decode_any(data: bytes):
         return ("bmp",) + decode_bmp(data)
     if head[:6] in (b"GIF87a", b"GIF89a"):
         return ("gif",) + decode_gif(data)
+    if head[:2] in (b"II", b"MM") and len(data) > 4 \
+            and data[2:4] in (b"\x2a\x00", b"\x00\x2a"):
+        return ("tiff",) + decode_tiff(data)
     if head[:2] == b"\xff\xd8":
         # module-level reference (not a runtime relative import): the
         # by-value shipping that makes these closures self-contained on

@@ -239,6 +239,46 @@ def synth_image_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         gen, schema=f"{id_col} long, media binary, fmt string")
 
 
+def synth_tiff_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-TIFF corpus: per doc,
+
+        w = 4 + doc_id % 11,  h = 3 + doc_id % 6
+        channels = 3 when doc_id odd else 1
+        compression: doc_id % 3 → 0 none, 1 LZW, 2 PackBits
+        byte order:  big-endian (MM) when doc_id % 7 == 0 else II
+        rows_per_strip = 3 (multi-strip whenever h > 3)
+        byte[i] = (doc_id * 31 + i) % 256
+
+    encoded through the real TIFF 6.0 writer (IFD, strip arrays,
+    MSB-first early-change LZW / PackBits), so decoding is a genuine
+    parse across both byte orders and all three baseline compressions
+    while a SQL oracle recomputes the pixels from the rule alone —
+    compression and endianness are exactly what the gate pins (a
+    strip/LZW/byte-order bug shifts bytes and breaks the position-
+    weighted pix_xsum)."""
+    from . import imagecodec as codec
+    from ..shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        comp_of = {0: 1, 1: 5, 2: 32773}
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = 4 + did % 11, 3 + did % 6
+                c = 3 if did % 2 == 1 else 1
+                px = bytes((did * 31 + i) % 256 for i in range(w * h * c))
+                data = codec.encode_tiff(
+                    w, h, px, channels=c, compression=comp_of[did % 3],
+                    rows_per_strip=3, big_endian=did % 7 == 0)
+                rows.append((did, data, "tiff"))
+            yield pd.DataFrame(rows, columns=[id_col, "media", "fmt"])
+
+    return docs.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media binary, fmt string")
+
+
 def synth_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic REAL-JPEG corpus: per doc, a baseline JPEG —
     grayscale for even ids, 4:4:4 COLOR for odd ids (interleaved MCUs,

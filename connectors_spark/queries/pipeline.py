@@ -824,6 +824,31 @@ def mm_image_decode_real(spark, sf_dir):
     return mm.decode_image(mm.synth_image_media(docs))
 
 
+@register("mm_tiff_decode_real", sql="""
+WITH g AS (
+  SELECT doc_id,
+         4 + doc_id % 11 AS w, 3 + doc_id % 6 AS h,
+         CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS c
+  FROM documents),
+px AS (
+  SELECT g.doc_id, g.w, g.h, g.c, r.i,
+         (g.doc_id * 31 + r.i) % 256 AS v
+  FROM g, LATERAL (SELECT unnest(range(0, g.w * g.h * g.c)) AS i) r)
+SELECT doc_id, 'tiff' AS fmt, w::INTEGER AS width, h::INTEGER AS height,
+       c::INTEGER AS channels,
+       sum(v)::BIGINT AS pix_sum,
+       sum((i + 1) * v)::BIGINT AS pix_xsum
+FROM px GROUP BY doc_id, w, h, c
+""")
+def mm_tiff_decode_real(spark, sf_dir):
+    # Real TIFF 6.0 parse on executors: IFD + strip arrays, both byte
+    # orders, none/LZW(MSB-first early-change)/PackBits — the oracle
+    # recomputes pixels from the closed-form rule, so a strip or
+    # compression bug breaks the position-weighted pix_xsum.
+    docs = load(spark, sf_dir, "documents")
+    return mm.decode_image(mm.synth_tiff_media(docs))
+
+
 @register("mm_image_thumb_real", sql=f"""
 WITH {_IMG_DIMS_CTE},
 t AS (

@@ -123,9 +123,13 @@ def test_decode_any_sniffs_and_guards():
     # is a parse error, not a missing-codec guard
     with pytest.raises((ValueError, IndexError, struct.error)):
         ic.decode_any(b"GIF89a......")
+    # tiff magic now DISPATCHES (stdlib TIFF 6.0 codec); a truncated
+    # stream is a parse error, not a missing-codec guard
+    with pytest.raises((ValueError, IndexError, struct.error)):
+        ic.decode_any(b"II*\x00........")
     # genuinely unknown formats still guard loudly
     with pytest.raises(NotImplementedError, match="native"):
-        ic.decode_any(b"II*\x00........")
+        ic.decode_any(b"RIFFxxxxWEBP....")
 
 
 def test_resize_nearest_mapping():
@@ -727,3 +731,58 @@ def test_adpcm_decoder_guards():
     struct.pack_into("<H", bad, fmt_off + 14, 8)    # bits = 8
     with pytest.raises(ValueError, match="4-bit"):
         ac.decode_wav(bytes(bad))
+
+
+def test_tiff_round_trip_matrix():
+    """TIFF 6.0: both byte orders x {none, LZW, PackBits} x
+    {gray, RGB} x strip layouts — byte-exact round trips through the
+    real IFD writer/parser. The LZW early-change width rule and the
+    decoder's one-entry table lag are exactly what random data pins
+    (a bump one code late desyncs the stream past table size 510)."""
+    import random
+
+    from connectors_spark.ops.imagecodec import (decode_any, decode_tiff,
+                                                 encode_tiff)
+    for w, h in ((1, 1), (4, 3), (13, 7)):
+        for c in (1, 3):
+            px = bytes((i * 31 + 7) % 256 for i in range(w * h * c))
+            for comp in (1, 5, 32773):
+                for be in (False, True):
+                    for rps in (h, 3, 1):
+                        data = encode_tiff(w, h, px, channels=c,
+                                           compression=comp,
+                                           rows_per_strip=rps,
+                                           big_endian=be)
+                        assert decode_tiff(data) == (w, h, c, px)
+                        fmt, *rest = decode_any(data)
+                        assert fmt == "tiff" and tuple(rest) == (w, h, c, px)
+
+
+def test_tiff_lzw_width_bumps_and_clear():
+    """Random payloads push the code table past 510/1022 (width bumps)
+    and past 4094 (encoder-emitted Clear + table reset)."""
+    import random
+
+    from connectors_spark.ops.imagecodec import (_tiff_lzw_compress,
+                                                 _tiff_lzw_decompress)
+    rng = random.Random(7)
+    for n in (0, 1, 300, 800, 9000):
+        d = bytes(rng.randrange(256) for _ in range(n))
+        assert _tiff_lzw_decompress(_tiff_lzw_compress(d)) == d
+    rep = bytes((i // 9) % 4 for i in range(5000))
+    assert _tiff_lzw_decompress(_tiff_lzw_compress(rep)) == rep
+
+
+def test_tiff_rejects_out_of_scope():
+    import pytest
+
+    from connectors_spark.ops.imagecodec import decode_tiff, encode_tiff
+    with pytest.raises(ValueError, match="byte-order"):
+        decode_tiff(b"XX\x2a\x00garbage")
+    data = bytearray(encode_tiff(4, 3, bytes(12), channels=1,
+                                 compression=1))
+    # flip the compression SHORT (tag 259) to an unsupported scheme
+    idx = data.find((259).to_bytes(2, "little"))
+    data[idx + 8] = 7  # JPEG-in-TIFF
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_tiff(bytes(data))
