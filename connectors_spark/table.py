@@ -1830,7 +1830,8 @@ class TableMaintenance:
                  min_files_per_group: int = 2,
                  zorder_by: Optional[List[str]] = None,
                  hilbert_by: Optional[List[str]] = None,
-                 max_actions_per_commit: int = 100_000) -> Dict[str, int]:
+                 max_actions_per_commit: int = 100_000,
+                 where: Optional[Expression] = None) -> Dict[str, int]:
         """Bin-pack files smaller than ``target_file_size``, grouped by
         partition tuple. With ``zorder_by``, ALL files are rewritten
         Z-order-clustered on the given numeric columns instead: rows are
@@ -1866,12 +1867,27 @@ class TableMaintenance:
         if snap is None:
             raise FileNotFoundError("table does not exist")
         pcols = snap.metadata.partitionColumns
+        if where is not None:
+            # OPTIMIZE ... WHERE (delta-spark OptimizeTableCommand's
+            # partitionPredicate): partition-column predicates only —
+            # a data-column predicate can't select whole files and
+            # would silently degrade to full-table, so refuse instead.
+            extra = where.references() - set(pcols)
+            if extra:
+                raise DeltaError(
+                    f"optimize WHERE may only reference partition "
+                    f"columns {sorted(pcols)}; got {sorted(extra)}")
         # Pre-filter candidates IN the DataFrame: only bin-packable
         # files (or, for Z-order, the full rewrite set — inherent) are
         # collected; a mostly-compacted table collects near-nothing.
         from .log.snapshot import addfiles_from_rows
         cand_df = snap.files_df if cluster_by is not None \
             else snap.files_df.where(F.col("size") < target_file_size)
+        if where is not None:
+            from .scan import DeltaScan
+            cand_df = cand_df.join(
+                DeltaScan(snap, where).files().select("path"),
+                "path", "left_semi")
         groups: Dict[Tuple, List[Any]] = {}
         for f in addfiles_from_rows(cand_df.collect()):
             key = tuple((c, (f.partitionValues or {}).get(c)) for c in pcols)

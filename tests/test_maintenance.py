@@ -857,3 +857,39 @@ def test_in_commit_timestamps(spark, tmp_path):
     # timestamp time travel lands on the right version via ICT
     v = t.log.version_before_or_at_timestamp(before[3])
     assert v == 3
+
+
+def test_optimize_where_scopes_to_partition(spark, tmp_path):
+    """OPTIMIZE ... WHERE compacts only the matching partition's
+    files; other partitions are untouched (same file identities), and
+    data-column predicates are refused (they can't select whole
+    files)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from connectors_spark import DeltaTable
+    from connectors_spark.errors import DeltaError
+    from connectors_spark.expressions import Col, Lit
+    from connectors_spark.table import TableMaintenance
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "ow"))
+    df = spark.createDataFrame(
+        [Row(k=i, p="A" if i % 2 else "B") for i in range(200)])
+    t.write(df.repartition(6), partition_by=["p"])
+    before = {f.path: f for f in t.snapshot().all_files()}
+    a_before = [p for p, f in before.items()
+                if f.partitionValues.get("p") == "A"]
+    b_before = [p for p, f in before.items()
+                if f.partitionValues.get("p") == "B"]
+    assert len(a_before) > 1 and len(b_before) > 1
+    res = TableMaintenance(t).optimize(where=Col("p") == Lit("A"))
+    assert res["filesRemoved"] == len(a_before)
+    after = {f.path: f for f in t.snapshot().all_files()}
+    # B's files are identical objects; A's are all new
+    assert sorted(p for p, f in after.items()
+                  if f.partitionValues.get("p") == "B") == sorted(b_before)
+    assert not set(a_before) & set(after)
+    # rows unchanged
+    assert t.to_df().count() == 200
+    with pytest.raises(DeltaError, match="partition columns"):
+        TableMaintenance(t).optimize(where=Col("k") == Lit(1))
