@@ -239,6 +239,42 @@ def synth_image_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         gen, schema=f"{id_col} long, media binary, fmt string")
 
 
+def synth_flac_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-FLAC corpus: per doc a 16-bit FLAC clip,
+
+        channels = 2 when doc_id % 4 == 2 else 1
+        n        = 300 + doc_id % 257        frames (per channel)
+        s(i)     = ((doc_id * 37 + i * i * 5 + (i % 7) * 911) % 65536)
+                   - 32768                   (interleaved index i)
+
+    encoded through the real encoder (per-block best FIXED predictor,
+    Rice residuals, CRC-8/16, STREAMINFO md5). FLAC is LOSSLESS, so
+    the oracle recomputes s(i) directly — no state replay — while
+    Spark must run real Rice decode + fixed-polynomial reconstruction
+    to reproduce the identical integers; the mix of block sizes (the
+    last block is ragged) and stereo interleave is what the
+    position-weighted amp_xsum pins."""
+    from . import flaccodec as fc
+    from ..shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                ch = 2 if did % 4 == 2 else 1
+                n = (300 + did % 257) * ch
+                s = [((did * 37 + i * i * 5 + (i % 7) * 911) % 65536)
+                     - 32768 for i in range(n)]
+                data = fc.encode_flac(s, 8000, ch, block_size=256)
+                rows.append((did, data, "flac"))
+            yield pd.DataFrame(rows, columns=[id_col, "media", "fmt"])
+
+    return docs.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media binary, fmt string")
+
+
 def synth_tiff_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic REAL-TIFF corpus: per doc,
 
@@ -554,10 +590,12 @@ def decode_audio(media_df: DataFrame, id_col: str = "doc_id",
     decoded payload — PCM16 or G.711 companded (amp_xsum is
     position-weighted, so a byte-order or alignment bug cannot cancel
     out). Other format tags raise NotImplementedError (native-codec
-    territory)."""
+    territory). FLAC clips (sniffed by the fLaC magic) decode through
+    the stdlib lossless codec, CRC-verified."""
     import numpy as np
 
     from . import audiocodec as ac
+    from . import flaccodec as fc
     from ..shipping import ensure_shipped_by_value
     ensure_shipped_by_value()
 
@@ -565,7 +603,11 @@ def decode_audio(media_df: DataFrame, id_col: str = "doc_id",
         for pdf in batches:
             rows = []
             for did, blob in zip(pdf[id_col], pdf[media_col]):
-                rate, ch, samples = ac.decode_wav(bytes(blob))
+                blob = bytes(blob)
+                if blob[:4] == b"fLaC":
+                    rate, ch, samples = fc.decode_flac(blob)
+                else:
+                    rate, ch, samples = ac.decode_wav(blob)
                 arr = np.array(samples, dtype=np.int64)
                 rows.append((int(did), rate, ch, len(arr), int(arr.sum()),
                              int((arr * arr).sum()),

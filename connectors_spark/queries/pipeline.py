@@ -3287,6 +3287,33 @@ def mm_adpcm_decode_real(spark, sf_dir):
 
 
 
+@register("mm_flac_decode_real", sql="""
+WITH g AS (SELECT doc_id,
+                  CASE WHEN doc_id % 4 = 2 THEN 2 ELSE 1 END AS ch,
+                  300 + doc_id % 257 AS nfr
+           FROM documents),
+s AS (SELECT g.doc_id, g.ch, g.nfr, r.i,
+             ((g.doc_id * 37 + r.i * r.i * 5 + (r.i % 7) * 911)
+              % 65536) - 32768 AS v
+      FROM g, LATERAL (SELECT unnest(range(0, g.nfr * g.ch)) AS i) r)
+SELECT doc_id, 8000 AS sample_rate, ch AS channels,
+       (nfr * ch)::INTEGER AS n_samples,
+       sum(v)::BIGINT AS amp_sum,
+       sum(v * v)::BIGINT AS amp_sq_sum,
+       sum((i + 1) * v)::BIGINT AS amp_xsum
+FROM s GROUP BY doc_id, ch, nfr
+""")
+def mm_flac_decode_real(spark, sf_dir):
+    # REAL lossless compressed audio: FLAC (per-block best FIXED
+    # predictor, Rice residuals, CRC-8/16 verified). Losslessness
+    # makes the oracle a direct closed-form recompute — no state
+    # replay — while Spark runs genuine Rice decode + polynomial
+    # reconstruction; a block-boundary or interleave bug breaks the
+    # position-weighted amp_xsum.
+    docs = load(spark, sf_dir, "documents")
+    return mm.decode_audio(mm.synth_flac_media(docs))
+
+
 @register("mm_g711_decode_real", sql="""
 WITH g AS (SELECT doc_id, 48 + doc_id % 97 AS n FROM documents),
 raw AS (
