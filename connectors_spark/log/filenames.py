@@ -67,3 +67,27 @@ def checkpoint_part(name: str) -> Tuple[int, Optional[int], Optional[int]]:
     if m.group(2) is None:
         return v, None, None
     return v, int(m.group(2)), int(m.group(3))
+
+
+COMPACTED_RE = re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
+
+
+def compacted_file(log_path: str, start: int, end: int) -> str:
+    """``%020d.%020d.compacted.json`` — minor log compaction (the
+    delta-spark log-compaction file shape): one file carrying the NET
+    actions of commits [start, end], readable in place of that delta
+    range during replay. Raw deltas are never deleted by compaction,
+    so per-version access (time travel, CDF, streaming) is untouched."""
+    return os.path.join(log_path, "%020d.%020d.compacted.json"
+                        % (start, end))
+
+
+def is_compacted_file(name: str) -> bool:
+    return COMPACTED_RE.match(os.path.basename(name)) is not None
+
+
+def compacted_range(name: str) -> Tuple[int, int]:
+    m = COMPACTED_RE.match(os.path.basename(name))
+    if not m:
+        raise ValueError(f"not a compacted file: {name}")
+    return int(m.group(1)), int(m.group(2))

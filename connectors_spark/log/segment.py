@@ -111,11 +111,14 @@ def get_log_segment(store: LogStore, log_path: str,
     start_name = "%020d" % start_version
 
     names = [n for n in store.list_from(log_path, start_name)
-             if fn.is_delta_file(n) or fn.is_checkpoint_file(n)]
-    if not names and start_version > 0:
+             if fn.is_delta_file(n) or fn.is_checkpoint_file(n)
+             or fn.is_compacted_file(n)]
+    if not [n for n in names if not fn.is_compacted_file(n)] \
+            and start_version > 0:
         # Stale hint; re-list everything.
         names = [n for n in store.list_from(log_path)
-                 if fn.is_delta_file(n) or fn.is_checkpoint_file(n)]
+                 if fn.is_delta_file(n) or fn.is_checkpoint_file(n)
+                 or fn.is_compacted_file(n)]
         start_version = 0
 
     deltas_all = [(fn.delta_version(n), n) for n in names if fn.is_delta_file(n)]
@@ -140,6 +143,39 @@ def get_log_segment(store: LogStore, log_path: str,
     verify_delta_versions(versions, expected_start if versions else None,
                           version_to_load if versions else None)
 
+    # Minor log compaction: substitute a contiguous run of tail deltas
+    # with one <start>.<end>.compacted.json carrying their NET actions
+    # (greedy, longest range first at each position). Sound because
+    # raw deltas are never deleted by compaction — this only shortens
+    # the files REPLAYED for a snapshot; per-version consumers (time
+    # travel to an interior version, CDF, streaming) keep addressing
+    # raw delta files directly.
+    raw_last_name = tail[-1][1] if tail else ""
+    compacted = sorted(
+        (fn.compacted_range(n) + (n,) for n in names
+         if fn.is_compacted_file(n)),
+        key=lambda t: (t[0], -t[1]))
+    if compacted and versions:
+        have = set(versions)
+        by_start: Dict[int, Tuple[int, str]] = {}
+        for s, e, n in compacted:
+            if s in have and e in have and e >= s \
+                    and s not in by_start:   # longest kept by sort order
+                by_start[s] = (e, n)
+        new_tail: List[Tuple[int, str]] = []
+        i = 0
+        while i < len(versions):
+            v = versions[i]
+            sub = by_start.get(v)
+            if sub is not None and sub[0] <= versions[-1]:
+                new_tail.append((sub[0], sub[1]))
+                while i < len(versions) and versions[i] <= sub[0]:
+                    i += 1
+            else:
+                new_tail.append(tail[i])
+                i += 1
+        tail = new_tail
+
     if versions:
         version = versions[-1]
     elif ckpt_version is not None:
@@ -152,8 +188,12 @@ def get_log_segment(store: LogStore, log_path: str,
             f"Cannot load table version {version_to_load}; log only reaches {version}")
 
     delta_paths = tuple(os.path.join(log_path, n) for _, n in tail)
-    last_ts = store.mtime_ms(delta_paths[-1]) if delta_paths else (
-        store.mtime_ms(ckpt_files[-1]) if ckpt_files else 0)
+    # last-commit timestamp always comes from the RAW head delta file:
+    # a compacted substitute is written later and its mtime would lie
+    if versions:
+        last_ts = store.mtime_ms(os.path.join(log_path, raw_last_name))
+    else:
+        last_ts = store.mtime_ms(ckpt_files[-1]) if ckpt_files else 0
 
     return LogSegment(log_path=log_path, version=version, deltas=delta_paths,
                       checkpoint_files=ckpt_files,

@@ -240,11 +240,19 @@ class Snapshot:
         ParVector load, SnapshotImpl.scala:248-293, for free)."""
         parts = []
         if self.segment.deltas:
+            # A compacted file (<start>.<end>.compacted.json) carries
+            # NET actions — at most one per path — so attributing its
+            # rows the range-END version preserves the window-dedup
+            # ordering exactly (no intra-range ties can exist).
+            comp_v = F.regexp_extract(F.input_file_name(),
+                                      r"\d+\.(\d+)\.compacted\.json", 1)
+            plain_v = F.regexp_extract(F.input_file_name(),
+                                       r"(\d+)\.json", 1)
             d = (self.spark.read.json(list(self.segment.deltas),
                                       schema=SINGLE_ACTION_SCHEMA)
                  .withColumn("version",
-                             F.regexp_extract(F.input_file_name(),
-                                              r"(\d+)\.json", 1).cast("long"))
+                             F.when(comp_v != "", comp_v)
+                             .otherwise(plain_v).cast("long"))
                  .withColumn("is_checkpoint", F.lit(False)))
             parts.append(self._conform(d))
         if self.segment.checkpoint_files:

@@ -239,6 +239,10 @@ class DeltaLog:
             if fn.is_checkpoint_file(name) \
                     and fn.checkpoint_version(name) in expired:
                 self.store.delete(os.path.join(self.log_path, name))
+            elif fn.is_compacted_file(name):
+                s, e = fn.compacted_range(name)
+                if s in expired and e in expired:
+                    self.store.delete(os.path.join(self.log_path, name))
 
 
 class DeltaTable:
@@ -2183,6 +2187,77 @@ class TableMaintenance:
             actions, "COMPUTE STATS",
             operation_metrics={"numFilesUpdated": str(len(actions))})
         return {"filesUpdated": len(actions), "version": version}
+
+    def compact_log(self, start: Optional[int] = None,
+                    end: Optional[int] = None) -> Dict[str, int]:
+        """Minor log compaction: write ``<start>.<end>.compacted.json``
+        carrying the NET actions of commits [start, end] (default: the
+        whole post-checkpoint tail). Snapshot replay then reads ONE
+        file instead of the range — the delta-spark log-compaction
+        shape, for logs whose checkpoint interval leaves long tails.
+
+        Semantics (what "net" keeps):
+        - per path, the LAST add/remove wins; a net remove is RETAINED
+          as a tombstone (vacuum still needs it);
+        - the latest Metadata and Protocol of the range;
+        - the latest SetTransaction per appId;
+        - CommitInfo and cdc actions are dropped — they are
+          per-version artifacts, and per-version consumers (history,
+          CDF, streaming, time travel) keep reading the RAW delta
+          files, which compaction never deletes.
+
+        Driver cost: O(range) small file reads + O(net actions) JSON —
+        the same budget as the P&M tail replay. Best-effort publish:
+        two racing compactors of the same range write identical
+        content, and losing the put-if-absent race is a no-op."""
+        from .log import filenames as fn
+        from .log.actions import (AddCDCFile, AddFile, CommitInfo,
+                                  Metadata, Protocol, RemoveFile,
+                                  SetTransaction, from_json_line,
+                                  to_json_line)
+        snap = self.table.snapshot()
+        log = self.table.log
+        if end is None:
+            end = snap.version
+        if start is None:
+            start = (snap.segment.checkpoint_version + 1
+                     if snap.segment.checkpoint_version is not None
+                     else 0)
+        if not 0 <= start <= end <= snap.version:
+            raise ValueError(f"bad compaction range [{start}, {end}]")
+        per_path: Dict[str, Any] = {}
+        meta = proto = None
+        txns: Dict[str, Any] = {}
+        n_in = 0
+        for v in range(start, end + 1):
+            for line in log.store.read(fn.delta_file(log.log_path, v)):
+                a = from_json_line(line)
+                if a is None or isinstance(a, (CommitInfo, AddCDCFile)):
+                    continue
+                n_in += 1
+                if isinstance(a, AddFile) or isinstance(a, RemoveFile):
+                    per_path[a.path] = a
+                elif isinstance(a, Metadata):
+                    meta = a
+                elif isinstance(a, Protocol):
+                    proto = a
+                elif isinstance(a, SetTransaction):
+                    txns[a.appId] = a
+        acts: List[Any] = []
+        if proto is not None:
+            acts.append(proto)
+        if meta is not None:
+            acts.append(meta)
+        acts += [txns[k] for k in sorted(txns)]
+        acts += [per_path[p] for p in sorted(per_path)]
+        target = fn.compacted_file(log.log_path, start, end)
+        try:
+            log.store.write(target, [to_json_line(a) for a in acts],
+                            overwrite=False)
+        except Exception:  # noqa: BLE001 — lost race to an identical file
+            pass
+        return {"start": start, "end": end, "actionsIn": n_in,
+                "actionsOut": len(acts)}
 
     def compute_checksum(self) -> Dict[str, int]:
         """Bootstrap (or repair) the version-checksum chain: aggregate

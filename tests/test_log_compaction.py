@@ -1,0 +1,112 @@
+"""Minor log compaction (<start>.<end>.compacted.json): snapshot
+replay reads one net-action file in place of a delta range; raw deltas
+are never deleted, so per-version consumers are untouched."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from connectors_spark import DeltaTable
+from connectors_spark.expressions import Col, Lit
+from connectors_spark.log import filenames as fn
+from connectors_spark.table import TableMaintenance
+
+pytestmark = pytest.mark.slow
+
+
+def _mk(spark, path, n_appends=6):
+    t = DeltaTable.for_path(spark, path)
+    t.write(spark.createDataFrame([Row(k=i, v=i) for i in range(20)]),
+            configuration={"delta.checkpointInterval": "1000"})
+    for i in range(n_appends):
+        t.write(spark.createDataFrame([Row(k=100 + i, v=i)]),
+                mode="append")
+    t.delete(Col("k") == Lit(3))
+    t.write(spark.createDataFrame([Row(k=999, v=9)]), mode="append",
+            txn_app_id="appX", txn_version=41)
+    t.set_properties({"delta.appendOnly": "false", "custom.tag": "zz"})
+    return t
+
+
+def test_compacted_replay_equals_raw(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "lc"))
+    head = t.snapshot().version
+    before_rows = sorted((r.k, r.v) for r in t.to_df().collect())
+    before_files = sorted(f.path for f in t.snapshot().all_files())
+    meta_before = t.snapshot().metadata
+    res = TableMaintenance(t).compact_log()
+    assert res["start"] == 0 and res["end"] == head
+    assert res["actionsOut"] < res["actionsIn"]
+    # a FRESH replay must pick the compacted file
+    seg = t.log.snapshot_for_version(head).segment
+    assert len(seg.deltas) == 1 and ".compacted.json" in seg.deltas[0]
+    fresh = t.log.snapshot_for_version(head)
+    assert sorted((r.k, r.v) for r in fresh.to_df().collect()) \
+        == before_rows
+    assert sorted(f.path for f in fresh.all_files()) == before_files
+    assert fresh.metadata.configuration.get("custom.tag") == "zz"
+    assert fresh.metadata.id == meta_before.id
+    # SetTransaction watermark survives net-fold
+    assert fresh.txn_version("appX") == 41
+    # protocol intact
+    assert (fresh.protocol.minReaderVersion,
+            fresh.protocol.minWriterVersion) == (1, 2)
+
+
+def test_partial_range_and_further_commits(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "lcp"))
+    TableMaintenance(t).compact_log(start=2, end=5)
+    t.write(spark.createDataFrame([Row(k=777, v=7)]), mode="append")
+    head = t.snapshot().version
+    seg = t.log.snapshot_for_version(head).segment
+    comp = [p for p in seg.deltas if ".compacted.json" in p]
+    raw = [p for p in seg.deltas if ".compacted.json" not in p]
+    assert len(comp) == 1 and fn.compacted_range(comp[0]) == (2, 5)
+    assert len(raw) == head + 1 - 4     # versions outside [2,5]
+    fresh = t.log.snapshot_for_version(head)
+    assert fresh.to_df().filter("k = 777").count() == 1
+    assert fresh.to_df().filter("k = 3").count() == 0   # delete held
+    # interior time travel reads raw deltas, unaffected
+    v1 = t.log.snapshot_for_version(3)
+    assert v1.version == 3
+
+
+def test_longest_range_preferred_and_tombstones_survive(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "lcl"))
+    head = t.snapshot().version
+    TableMaintenance(t).compact_log(start=1, end=3)
+    TableMaintenance(t).compact_log(start=1, end=head)
+    seg = t.log.snapshot_for_version(head).segment
+    comp = [p for p in seg.deltas if ".compacted.json" in p]
+    assert [fn.compacted_range(c) for c in comp] == [(1, head)]
+    # the net-fold keeps removes as tombstones: vacuum still sees the
+    # deleted file (dry run lists it once retention is zeroed)
+    fresh = t.log.snapshot_for_version(head)
+    tomb = [a for a in _read_compacted(t, 1, head)
+            if a.__class__.__name__ == "RemoveFile"]
+    assert tomb, "net remove was dropped by compaction"
+
+
+def _read_compacted(t, s, e):
+    from connectors_spark.log.actions import from_json_line
+    return [from_json_line(ln) for ln in
+            t.log.store.read(fn.compacted_file(t.log.log_path, s, e))]
+
+
+def test_checkpoint_beats_overlapping_compaction(spark, tmp_path):
+    """After a checkpoint, compacted ranges inside the checkpointed
+    prefix are ignored (tail substitution only); cleanup deletes a
+    fully-expired compacted file with its deltas."""
+    import time as _time
+
+    from connectors_spark.log.checkpoints import write_checkpoint
+
+    t = _mk(spark, str(tmp_path / "lck"), n_appends=4)
+    TableMaintenance(t).compact_log()
+    head = t.snapshot().version
+    write_checkpoint(t.snapshot())
+    t.write(spark.createDataFrame([Row(k=555, v=5)]), mode="append")
+    seg = t.log.snapshot_for_version(t.snapshot().version).segment
+    assert seg.checkpoint_version == head
+    assert all(".compacted.json" not in p for p in seg.deltas)
+    assert t.to_df().filter("k = 555").count() == 1
