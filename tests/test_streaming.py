@@ -1004,3 +1004,33 @@ def test_streaming_ingest_neardup_cross_batch(spark, tmp_path):
     drain()
     assert sorted(r.doc_id for r in curated.to_df().collect()) == \
         list(range(6)) + [102]
+
+
+def test_sink_schema_merge_preserves_generated_metadata(spark, tmp_path):
+    """The sink's merge_schema path routes through _make_metadata, so
+    an evolving micro-batch must not strip delta.generationExpression
+    (ADVICE r9 #1's second site)."""
+    from pyspark.sql import Row
+
+    from connectors_spark.streaming.sink import DeltaStreamSink
+    from connectors_spark.table import DeltaTable, _GEN_KEY
+
+    path = str(tmp_path / "sinkgen")
+    t = DeltaTable.for_path(spark, path)
+    t.write(spark.createDataFrame([Row(k=1)]),
+            generated_columns={"k2": ("int", "k * 2")})
+    sink = DeltaStreamSink(path, app_id="s1", merge_schema=True)
+    sink.write_batch(spark.createDataFrame([Row(k=5, extra="x")]), 0)
+    meta = t.snapshot().metadata
+    md = {f.name: (f.metadata or {}) for f in meta.schema.fields}
+    assert md["k2"].get(_GEN_KEY) == "k * 2"
+    assert "extra" in md
+    rows = {r.k: r.k2 for r in t.to_df().collect()}
+    assert rows == {1: 2, 5: 10}
+    # invariant still enforced on the next batch
+    import pytest as _pytest
+
+    from connectors_spark.errors import DeltaError
+    with _pytest.raises(DeltaError, match="generated column"):
+        sink.write_batch(
+            spark.createDataFrame([Row(k=7, k2=999, extra="y")]), 1)
