@@ -169,3 +169,36 @@ def epoch_shuffle(df: DataFrame, seed: int = 1, id_col: str = "doc_id",
             .join(offs, "_bkt")
             .select(id_col,
                     (F.col("_off") + F.col("_lrk")).alias("pos")))
+
+
+def group_sample(df: DataFrame, group_col: str, k: int,
+                 id_col: str = "doc_id", n_salts: int = 64) -> DataFrame:
+    """EXACTLY min(k, |group|) rows per group, deterministic: the k
+    smallest ``hash64(id)`` values win (ties impossible — the hash is
+    keyed by the unique id, and id breaks any residual tie). The
+    uniform per-group quota complements `stratified_sample`
+    (fractional, binomial counts) and `mixture_allocate` (corpus-level
+    quotas): per-source eval sets, few-shot pools, debugging slices.
+
+    Scale shape: a naive ``row_number() OVER (PARTITION BY group)``
+    puts EVERY row of a group into one task — the hottest source
+    becomes a straggler at corpus scale. Two phases instead: phase 1
+    ranks within (group, salt) — ``n_salts`` bounded sub-partitions
+    per group — keeping ≤ k rows each; phase 2 ranks the surviving
+    ≤ k·n_salts rows per group. Both windows are over BOUNDED
+    partitions; the result is exactly the global per-group top-k
+    because every global winner also wins its salt bucket."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    prio = hash64(F.col(id_col).cast("string"))
+    base = df.withColumn("_prio", prio) \
+             .withColumn("_salt", F.pmod(F.col("_prio"), F.lit(n_salts)))
+    w1 = Window.partitionBy(group_col, "_salt") \
+        .orderBy(F.asc("_prio"), F.asc(id_col))
+    stage1 = (base.withColumn("_rn", F.row_number().over(w1))
+              .where(F.col("_rn") <= k).drop("_rn"))
+    w2 = Window.partitionBy(group_col) \
+        .orderBy(F.asc("_prio"), F.asc(id_col))
+    return (stage1.withColumn("_rn", F.row_number().over(w2))
+            .where(F.col("_rn") <= k)
+            .drop("_rn", "_prio", "_salt"))

@@ -261,6 +261,26 @@ def doc_novelty(spark, sf_dir):
     return ngram_novelty(load(spark, sf_dir, "documents"))
 
 
+@register("doc_group_sample", sql="""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+                    doc_id) AS rn
+  FROM documents)
+SELECT doc_id, source FROM r WHERE rn <= 7
+""")
+def doc_group_sample(spark, sf_dir):
+    # Exactly 7 docs per source, hash-deterministic — the two-phase
+    # salted window keeps every partition bounded (no per-source
+    # straggler task at corpus scale); the oracle is the single-window
+    # definition the two phases provably equal.
+    from ..ops.sampling import group_sample
+    return group_sample(load(spark, sf_dir, "documents")
+                        .select("doc_id", "source"), "source", 7)
+
+
 # --------------------------------------------------------------------------
 # Fuzzy (edit-distance) self-join — q-gram count-filter candidates
 # --------------------------------------------------------------------------

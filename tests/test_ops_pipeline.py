@@ -1324,3 +1324,35 @@ def test_ngram_novelty_counts(spark):
     assert out[4].n_shingles == 18
     assert out[4].novel_shingles == 10
     assert abs(out[4].novelty - round(10 / 18, 6)) < 1e-9
+
+
+def test_group_sample_exact_k_and_two_phase_equivalence(spark):
+    """Exactly min(k, |group|) per group; the salted two-phase result
+    equals the single-window definition; deterministic across runs."""
+    from connectors_spark.functions.text import hash64
+    from connectors_spark.ops.sampling import group_sample
+    df = (spark.range(3000)
+          .selectExpr("id as doc_id", "cast(id % 5 as string) as source")
+          .union(spark.createDataFrame([(90001, "tiny")],
+                                       "doc_id: long, source: string")))
+    out = group_sample(df, "source", 10).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.source, []).append(r.doc_id)
+    assert all(len(v) == 10 for g, v in by_g.items() if g != "tiny")
+    assert by_g["tiny"] == [90001]       # under-full group: all rows
+    # equivalence with the one-window definition
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    w = Window.partitionBy("source").orderBy(
+        F.asc(hash64(F.col("doc_id").cast("string"))), F.asc("doc_id"))
+    ref = (df.withColumn("_rn", F.row_number().over(w))
+           .where("_rn <= 10").drop("_rn").collect())
+    assert sorted((r.source, r.doc_id) for r in out) \
+        == sorted((r.source, r.doc_id) for r in ref)
+    # deterministic
+    again = group_sample(df, "source", 10).collect()
+    assert sorted((r.source, r.doc_id) for r in again) \
+        == sorted((r.source, r.doc_id) for r in out)
+    with pytest.raises(ValueError, match="k must be"):
+        group_sample(df, "source", 0)
