@@ -110,3 +110,20 @@ def test_checkpoint_beats_overlapping_compaction(spark, tmp_path):
     assert seg.checkpoint_version == head
     assert all(".compacted.json" not in p for p in seg.deltas)
     assert t.to_df().filter("k = 555").count() == 1
+
+
+def test_streaming_initial_snapshot_over_compacted_log(spark, tmp_path):
+    """The streaming source's initial-state fold walks seg.deltas in
+    order — with a compacted substitute in place it must produce the
+    same active file set (net fold ≡ sequential fold)."""
+    # exercised through the snapshot seam the source shares
+    t = _mk(spark, str(tmp_path / "lcs"), n_appends=3)
+    head = t.snapshot().version
+    raw_files = sorted(f.path for f in t.snapshot().all_files())
+    TableMaintenance(t).compact_log()
+    fresh = t.log.snapshot_for_version(head)
+    assert sorted(f.path for f in fresh.all_files()) == raw_files
+    # and a DataFrame read over the compacted segment is bit-identical
+    a = sorted((r.k, r.v) for r in fresh.to_df().collect())
+    b = sorted((r.k, r.v) for r in t.to_df().collect())
+    assert a == b
