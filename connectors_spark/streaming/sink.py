@@ -86,6 +86,9 @@ class DeltaStreamSink:
         eff_meta = txn.new_metadata or (txn.snapshot.metadata if exists
                                         else None)
         from ..bloom import bloom_config
+        if eff_meta is not None:
+            from ..table import _enforce_invariants
+            _enforce_invariants(df, eff_meta, "streamed")
         adds = stage_and_collect(
             df, self.table_path, pcols,
             num_indexed_cols=TableConfig(conf or {})

@@ -653,8 +653,16 @@ class DeltaTable:
             # identity high-water-mark bump is already staged).
             keep = {f.name: f.metadata for f in existing.schema.fields
                     if f.metadata}
+            # nullability merges as OR: evolution may relax a column
+            # to nullable but an INFERRED non-null batch schema must
+            # never silently tighten the table's contract (tightening
+            # is the explicit set_nullable ALTER)
+            was_nullable = {f.name: f.nullable
+                            for f in existing.schema.fields}
             schema = T.StructType([
-                T.StructField(f.name, f.dataType, f.nullable,
+                T.StructField(f.name, f.dataType,
+                              f.nullable or was_nullable.get(f.name,
+                                                             f.nullable),
                               keep.get(f.name, f.metadata))
                 for f in schema.fields])
         return Metadata(
@@ -801,6 +809,7 @@ class DeltaTable:
                                         else None)
         if eff_meta is not None:
             _enforce_constraints(df, eff_meta.configuration, "written")
+            _enforce_invariants(df, eff_meta, "written")
 
         actions: List[Any] = []
         op = "WRITE"
@@ -903,6 +912,7 @@ class DeltaTable:
                 "replaceWhere: incoming data contains rows that do not "
                 f"match the predicate {predicate}")
         _enforce_constraints(df, meta.configuration, "written")
+        _enforce_invariants(df, meta, "written")
         now = int(time.time() * 1000)
         candidates = txn.mark_files_as_read(predicate)
         scan = DeltaScan(snap, predicate)
@@ -1118,6 +1128,8 @@ class DeltaTable:
                     .otherwise(F.col(g)))
         _enforce_constraints(out.where("__hit").drop("__hit"),
                              snap.metadata.configuration, "updated")
+        _enforce_invariants(out.where("__hit").drop("__hit"),
+                            snap.metadata, "updated")
         _fill_and_check_generated(out.where("__hit").drop("__hit"),
                                   snap.metadata, "updated")
         adds = stage_and_collect(
@@ -1293,6 +1305,7 @@ class DeltaTable:
         # carries new or rewritten values that can violate a constraint.
         for p in parts[1:]:
             _enforce_constraints(p, meta.configuration, "merged")
+            _enforce_invariants(p, meta, "merged")
             _fill_and_check_generated(p, meta, "merged")
         adds = stage_and_collect(
             out, self.log.table_path, meta.partitionColumns,
@@ -1326,6 +1339,46 @@ class DeltaTable:
                           allow_initial_changes=allow_initial_changes)
 
     # ------------------------------------------------------- constraints
+
+    def set_nullable(self, name: str, nullable: bool = True) -> int:
+        """ALTER COLUMN ... {DROP | SET} NOT NULL. Relaxing is a
+        metadata-only commit; TIGHTENING first validates the whole
+        current table has no NULLs in the column (one scan, same
+        stance as add_constraint) so the invariant is true from the
+        moment it is declared."""
+        import dataclasses
+        txn = self.log.start_transaction()
+        snap = txn.snapshot
+        if snap is None:
+            raise FileNotFoundError("table does not exist")
+        meta = snap.metadata
+        field = next((f for f in meta.schema.fields if f.name == name),
+                     None)
+        if field is None:
+            raise DeltaError(f"no such column: {name!r}")
+        if field.nullable == nullable:
+            return snap.version
+        if not nullable:
+            txn.read_whole_table()
+            bad = snap.to_df().where(F.col(name).isNull()).limit(1)
+            if bad.collect():
+                raise DeltaError(
+                    f"cannot SET NOT NULL on {name!r}: existing rows "
+                    f"contain NULLs")
+        fields = [T.StructField(f.name, f.dataType,
+                                nullable if f.name == name else f.nullable,
+                                f.metadata)
+                  for f in meta.schema.fields]
+        # the generic evolution guard refuses tightening (correct for
+        # WRITE-time evolution); this ALTER just validated the data,
+        # so it bypasses like RESTORE does
+        txn.update_metadata(dataclasses.replace(
+            meta, schemaString=json.dumps(
+                T.StructType(fields).jsonValue())),
+            overwrite_schema=not nullable)
+        return txn.commit([], "ALTER COLUMN",
+                          {"column": name,
+                           "nullable": str(nullable).lower()})
 
     def add_constraint(self, name: str, expr: str) -> int:
         """ALTER TABLE ADD CONSTRAINT: validate the WHOLE current table
@@ -1542,6 +1595,62 @@ def _enforce_constraints(df: DataFrame, configuration: Dict[str, str],
             raise DeltaError(
                 f"CHECK constraint {name} ({expr}) violated by {what} "
                 f"row: {row[0].asDict()}")
+
+
+_INVARIANT_KEY = "delta.invariants"
+
+
+def _enforce_invariants(df: DataFrame, meta, what: str) -> None:
+    """Writer-version-2 INVARIANTS (the feature Protocol(1,2) already
+    claims — actions.scala:31-35; Delta spec "Column Invariants"):
+
+    - a top-level field with ``nullable = false`` rejects NULL values
+      (NOT NULL enforcement; nested fields are out of scope and a
+      nested non-null spec never silently passes — there is no
+      nested-write path that drops the check, because writes conform
+      to the table schema before this point);
+    - field metadata ``delta.invariants`` carries a JSON-wrapped SQL
+      expression ({"expression": {"expression": "<sql>"}}) that every
+      row must satisfy (TRUE or NULL passes, FALSE violates — the
+      same three-valued rule as CHECK constraints).
+
+    One combined filter scan per batch (conditions AND-folded), so the
+    cost stance matches _enforce_constraints."""
+    conds = []
+    labels = []
+    for f in meta.schema.fields:
+        if f.name not in df.columns:
+            continue
+        if not f.nullable:
+            conds.append(F.col(f.name).isNotNull())
+            labels.append((f"NOT NULL column {f.name!r}",
+                           conds[-1]))
+        inv = (f.metadata or {}).get(_INVARIANT_KEY)
+        if inv:
+            try:
+                expr = json.loads(inv)["expression"]["expression"]
+            except (ValueError, KeyError, TypeError):
+                raise DeltaError(
+                    f"malformed {_INVARIANT_KEY} on column "
+                    f"{f.name!r}: {inv!r}")
+            ok = F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+            conds.append(ok)
+            labels.append((f"invariant on {f.name!r} ({expr})", ok))
+    if not conds:
+        return
+    keep = conds[0]
+    for c in conds[1:]:
+        keep = keep & c
+    row = df.where(~keep).limit(1).collect()
+    if row:
+        # one more tiny pass to NAME the violated rule (error-path only)
+        for label, c in labels:
+            if df.where(~c).limit(1).collect():
+                raise DeltaError(
+                    f"{label} violated by {what} row: "
+                    f"{row[0].asDict()}")
+        raise DeltaError(
+            f"invariant violated by {what} row: {row[0].asDict()}")
 
 
 _GEN_KEY = "delta.generationExpression"

@@ -60,3 +60,103 @@ def test_add_constraint_validates_existing_data(spark, tmp_path):
     t.drop_constraint("k_pos")
     t.write(spark.createDataFrame([Row(k=0, v=1)]))
     assert t.to_df().count() == 2
+
+
+def test_not_null_invariant_enforced(spark, tmp_path):
+    """Writer-2 invariants, part 1: a nullable=false field rejects
+    NULLs on append, UPDATE and MERGE — Protocol(1,2) already claims
+    this feature, so not enforcing it was a spec hole."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from connectors_spark import DeltaTable
+    from connectors_spark.errors import DeltaError
+    from connectors_spark.expressions import Col, Lit
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField("v", T.StringType(), True)])
+    t = DeltaTable.for_path(spark, str(tmp_path / "nn"))
+    t.write(spark.createDataFrame([(1, "a"), (2, None)], schema))
+    bad = spark.createDataFrame([(None, "x")], T.StructType([
+        T.StructField("k", T.LongType(), True),
+        T.StructField("v", T.StringType(), True)]))
+    with pytest.raises(DeltaError, match="NOT NULL"):
+        t.write(bad, mode="append")
+    with pytest.raises(DeltaError, match="NOT NULL"):
+        t.update({"k": "NULL"}, Col("v") == Lit("a"))
+    with pytest.raises(DeltaError, match="NOT NULL"):
+        t.merge(bad, "t.v = s.v")
+    # valid rows still flow
+    t.write(spark.createDataFrame([(3, None)], schema), mode="append")
+    assert t.to_df().count() == 3
+
+
+def test_expression_invariant_metadata_enforced(spark, tmp_path):
+    """Writer-2 invariants, part 2: field metadata delta.invariants
+    (the legacy pre-CHECK encoding foreign writers may have left on
+    the table) is enforced with CHECK's three-valued rule."""
+    import dataclasses
+    import json as _json
+
+    import pytest
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from connectors_spark import DeltaTable
+    from connectors_spark.errors import DeltaError
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "inv"))
+    t.write(spark.createDataFrame([Row(k=5, v="a")]))
+    meta = t.snapshot().metadata
+    inv = _json.dumps({"expression": {"expression": "k > 0"}})
+    fields = [T.StructField(f.name, f.dataType, f.nullable,
+                            {**(f.metadata or {}), "delta.invariants": inv}
+                            if f.name == "k" else (f.metadata or {}))
+              for f in meta.schema.fields]
+    txn = t.log.start_transaction()
+    txn.update_metadata(dataclasses.replace(
+        meta, schemaString=_json.dumps(
+            T.StructType(fields).jsonValue())))
+    txn.commit([], "ALTER TABLE", {})
+    with pytest.raises(DeltaError, match="invariant"):
+        t.write(spark.createDataFrame([Row(k=-1, v="x")]),
+                mode="append")
+    # NULL passes (three-valued), positive passes
+    t.write(spark.createDataFrame(
+        [(None, "y")], "k long, v string"), mode="append")
+    t.write(spark.createDataFrame([Row(k=9, v="z")]), mode="append")
+    assert t.to_df().count() == 3
+
+
+def test_set_nullable_alter(spark, tmp_path):
+    """DROP NOT NULL unlocks null appends; SET NOT NULL validates the
+    existing rows first and then enforces."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from connectors_spark import DeltaTable
+    from connectors_spark.errors import DeltaError
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "alt"))
+    # computed column → captured non-nullable at create
+    t.write(spark.range(5).select("id",
+                                  F.col("id").cast("string").alias("v")))
+    assert not [f for f in t.snapshot().metadata.schema.fields
+                if f.name == "v" and f.nullable]
+    with pytest.raises(DeltaError, match="NOT NULL"):
+        t.write(spark.createDataFrame([(9, None)], "id long, v string"),
+                mode="append")
+    t.set_nullable("v", True)                 # DROP NOT NULL
+    t.write(spark.createDataFrame([(9, None)], "id long, v string"),
+            mode="append")
+    with pytest.raises(DeltaError, match="existing rows"):
+        t.set_nullable("v", False)            # nulls present now
+    from connectors_spark.expressions import Col, Lit
+    t.delete(Col("id") == Lit(9))
+    t.set_nullable("v", False)                # clean again → tightens
+    with pytest.raises(DeltaError, match="NOT NULL"):
+        t.write(spark.createDataFrame([(8, None)], "id long, v string"),
+                mode="append")
+    with pytest.raises(DeltaError, match="no such column"):
+        t.set_nullable("zz", True)

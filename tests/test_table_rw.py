@@ -86,8 +86,11 @@ def test_null_stats_file_skipping(spark, tmp_path):
 
     path = str(tmp_path / "t")
     t = DeltaTable.for_path(spark, path)
-    no_nulls = spark.range(0, 10).select(
-        F.col("id"), F.col("id").cast("string").alias("v"))
+    # explicit nullable schema — computed columns infer
+    # nullable=false, which would capture NOT NULL at create and the
+    # later null appends would then (correctly) violate the invariant
+    no_nulls = spark.createDataFrame(
+        [(i, str(i)) for i in range(10)], "id long, v string")
     all_nulls = spark.range(10, 20).select(
         F.col("id"), F.lit(None).cast("string").alias("v"))
     mixed = spark.range(20, 30).select(
