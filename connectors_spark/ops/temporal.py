@@ -348,3 +348,29 @@ def time_weighted_avg(df: DataFrame, key_col: str, ts_col: str,
                   F.sum("_dur_us")).alias("twa"),
                  F.sum("_dur_us").alias("span_us"),
                  F.count("*").alias("n")))
+
+
+def throttle_first_per_window(df: DataFrame, key_cols, ts_col: str,
+                              interval_sec: int,
+                              tie_col: str = "event_id") -> DataFrame:
+    """Event throttling / windowed dedup: keep the FIRST event per key
+    per fixed ``interval_sec`` window (min timestamp, ``tie_col``
+    breaking exact-timestamp ties) — the standard dedup-bounce /
+    rate-limit shape for clickstreams and telemetry before sessionizing
+    or feature extraction.
+
+    Scale shape: ONE map-side-combinable aggregation (min_by of the
+    full row keyed by (keys, window bucket)) — no window function, so
+    no per-key single-task funnel and partial aggregation shrinks the
+    shuffle to one row per (key, bucket). Deterministic: the winner is
+    a pure function of the data."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ts = F.col(ts_col)
+    bucket = F.floor(ts.cast("double") / F.lit(float(interval_sec)))
+    cols = df.columns
+    picked = (df.withColumn("_w", bucket)
+              .groupBy(*keys, "_w")
+              .agg(F.min_by(F.struct(*cols),
+                            F.struct(F.col(ts_col), F.col(tie_col)))
+                   .alias("_row")))
+    return picked.select(*[F.col(f"_row.{c}").alias(c) for c in cols])

@@ -281,6 +281,26 @@ def doc_group_sample(spark, sf_dir):
                         .select("doc_id", "source"), "source", 7)
 
 
+@register("ev_throttle_first_per_window", sql="""
+WITH b AS (
+  SELECT *, floor(epoch(ts) / 600) AS w,
+         row_number() OVER (
+           PARTITION BY user_id, event_type, floor(epoch(ts) / 600)
+           ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT event_id, ts, user_id, event_type, value, props
+FROM b WHERE rn = 1
+""")
+def ev_throttle(spark, sf_dir):
+    # First event per (user, type) per 10-minute window — the
+    # dedup-bounce / rate-limit pass before sessionizing. One
+    # map-side-combinable min_by aggregation, no window funnel.
+    from ..ops.temporal import throttle_first_per_window
+    return throttle_first_per_window(
+        load(spark, sf_dir, "events"), ["user_id", "event_type"],
+        "ts", 600)
+
+
 # --------------------------------------------------------------------------
 # Fuzzy (edit-distance) self-join — q-gram count-filter candidates
 # --------------------------------------------------------------------------

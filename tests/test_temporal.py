@@ -250,3 +250,33 @@ def test_time_weighted_avg_holds_value_until_next(spark):
     assert out[1]["twa"] == (10.0 * 1 + 40.0 * 3) / 4
     assert out[1]["span_us"] == 4 * 3600 * 1_000_000
     assert out[2]["twa"] is None and out[2]["n"] == 1
+
+
+def test_throttle_first_per_window(spark):
+    """Dense bounces: exactly one survivor per (key, window); the
+    survivor is the earliest (ties by id); single aggregation — no
+    window function in the plan."""
+    import datetime as dt
+
+    from connectors_spark.ops.temporal import throttle_first_per_window
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for w in range(3):
+            for j in range(5):              # 5 bounces per window
+                rows.append((eid, base + dt.timedelta(seconds=600 * w
+                                                      + j * 7), u))
+                eid += 1
+    # exact tie on timestamp: id breaks it
+    rows.append((999, base, 1))
+    df = spark.createDataFrame(rows, "event_id: long, ts: timestamp, "
+                                     "user_id: long")
+    out = throttle_first_per_window(df, "user_id", "ts", 600)
+    got = sorted((r.user_id, r.ts, r.event_id) for r in out.collect())
+    assert len(got) == 6                     # 2 users × 3 windows
+    first = [g for g in got if g[0] == 1 and g[1] == base]
+    assert first[0][2] == 0                  # id 0 beats id 999 on tie
+    # plan: aggregation, not a window funnel
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
