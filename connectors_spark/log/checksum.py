@@ -132,8 +132,9 @@ def incremental_checksum(prev: Optional[VersionChecksum],
 _RECONSTRUCT_MAX_WALK = 64
 
 
-def reconstruct_checksum(store, log_path: str,
-                         version: int) -> Optional[VersionChecksum]:
+def reconstruct_checksum(store, log_path: str, version: int,
+                         max_walk: Optional[int] = None
+                         ) -> Optional[VersionChecksum]:
     """Self-healing chain: rebuild the checksum at ``version`` by
     walking BACK to the nearest anchor (an existing .crc, or version 0
     whose first commit is the complete state) and folding the
@@ -150,7 +151,8 @@ def reconstruct_checksum(store, log_path: str,
         return anchor
     pending: List[List[Any]] = []  # action lists, newest first
     v = version
-    for _ in range(_RECONSTRUCT_MAX_WALK):
+    for _ in range(max_walk if max_walk is not None
+                   else _RECONSTRUCT_MAX_WALK):
         try:
             lines = store.read(fn.delta_file(log_path, v))
         except FileNotFoundError:

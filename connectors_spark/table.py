@@ -241,7 +241,16 @@ class DeltaLog:
                 self.store.delete(os.path.join(self.log_path, name))
             elif fn.is_compacted_file(name):
                 s, e = fn.compacted_range(name)
-                if s in expired and e in expired:
+                # a compacted file is dead once its END expires (it can
+                # only substitute in the post-checkpoint tail, and its
+                # end is now below the checkpoint); checking the end
+                # alone also converges when the range's versions expire
+                # across DIFFERENT cleanup runs — requiring s too would
+                # orphan the file forever once s's delta was deleted in
+                # an earlier run
+                if e in expired or (e < checkpoint_version and
+                                    not self.store.exists(
+                                        fn.delta_file(self.log_path, e))):
                     self.store.delete(os.path.join(self.log_path, name))
 
 
@@ -1096,6 +1105,11 @@ class DeltaTable:
         snap = txn.snapshot
         if snap is None:
             raise FileNotFoundError("table does not exist")
+        bad_id = set(set_exprs) & set(_identity_cols(snap.metadata))
+        if bad_id:
+            raise DeltaError(
+                f"columns {sorted(bad_id)} are GENERATED ALWAYS AS "
+                f"IDENTITY and cannot be updated")
         candidates = txn.mark_files_as_read(predicate)
         if not candidates:
             return txn.commit([], "UPDATE", {})
@@ -1615,7 +1629,13 @@ def _enforce_invariants(df: DataFrame, meta, what: str) -> None:
       same three-valued rule as CHECK constraints).
 
     One combined filter scan per batch (conditions AND-folded), so the
-    cost stance matches _enforce_constraints."""
+    cost stance matches _enforce_constraints — including its
+    disclosed caveat: the check re-evaluates the batch lineage, so a
+    NONDETERMINISTIC source could pass validation yet write different
+    rows. The paths where that hazard is live already materialize
+    first (merge's localCheckpoint'd source, identity allocation);
+    plain appends of nondeterministic frames share the caveat with
+    CHECK constraints."""
     conds = []
     labels = []
     for f in meta.schema.fields:
@@ -2019,11 +2039,17 @@ class TableMaintenance:
         units: List[List[Any]] = []
         for fs in work:
             if cluster_by is None and est(fs) > max_actions_per_commit:
-                # oversized bin-pack group: split (still per-partition)
+                # oversized bin-pack group: split (still per-partition);
+                # a tail chunk below min_files_per_group would be a
+                # pointless 1-to-1 rewrite, so it folds into the
+                # previous chunk instead
                 step = max(min_files_per_group,
                            max_actions_per_commit // 2)
-                units.extend(fs[i:i + step]
-                             for i in range(0, len(fs), step))
+                chunks = [fs[i:i + step]
+                          for i in range(0, len(fs), step)]
+                if len(chunks) > 1 and len(chunks[-1]) < min_files_per_group:
+                    chunks[-2].extend(chunks.pop())
+                units.extend(chunks)
             else:
                 units.append(fs)
         batches: List[List[Any]] = []
@@ -2288,14 +2314,22 @@ class TableMaintenance:
                                    "rel string, stats string, size long")
                       .collect())}
         import dataclasses
-        actions = [dataclasses.replace(
+        now = int(time.time() * 1000)
+        adds = [dataclasses.replace(
             f, stats=stat_rows[f.path]["stats"],
             size=int(stat_rows[f.path]["size"]), dataChange=False)
             for f in missing]
+        # Pair each in-place re-add with a dataChange=False remove of
+        # the OLD entry: replay is unaffected (same-version add beats
+        # remove in the window dedup, and removes precede adds in line
+        # order for the sequential folds), but the version-checksum
+        # chain now folds exactly (−old size, +new size) instead of
+        # inflating numFiles on every stats backfill.
+        removes = [f.remove(now, data_change=False) for f in missing]
         version = txn.commit(
-            actions, "COMPUTE STATS",
-            operation_metrics={"numFilesUpdated": str(len(actions))})
-        return {"filesUpdated": len(actions), "version": version}
+            removes + adds, "COMPUTE STATS",
+            operation_metrics={"numFilesUpdated": str(len(adds))})
+        return {"filesUpdated": len(adds), "version": version}
 
     def compact_log(self, start: Optional[int] = None,
                     end: Optional[int] = None) -> Dict[str, int]:
@@ -2359,12 +2393,15 @@ class TableMaintenance:
             acts.append(meta)
         acts += [txns[k] for k in sorted(txns)]
         acts += [per_path[p] for p in sorted(per_path)]
+        from .log.logstore import FileAlreadyExistsError
         target = fn.compacted_file(log.log_path, start, end)
         try:
             log.store.write(target, [to_json_line(a) for a in acts],
                             overwrite=False)
-        except Exception:  # noqa: BLE001 — lost race to an identical file
-            pass
+        except FileAlreadyExistsError:
+            pass  # lost the race to an IDENTICAL file — a no-op
+        # any other failure propagates: the caller must not think the
+        # compaction was published
         return {"start": start, "end": end, "actionsIn": n_in,
                 "actionsOut": len(acts)}
 
@@ -2387,6 +2424,8 @@ class TableMaintenance:
             protocol=snap.protocol, metadataId=snap.metadata.id)
         cks.write_checksum(snap.store, self.table.log.log_path,
                            snap.version, crc)
+        # fresh anchor: incremental writing may resume
+        self.table.log._crc_chain_broken = False
         return {"version": snap.version, "numFiles": crc.numFiles,
                 "tableSizeBytes": crc.tableSizeBytes}
 

@@ -215,9 +215,18 @@ class OptimisticTransaction:
         write — never the commit."""
         try:
             from .log import checksum as cks
+            # A permanently broken chain (pre-feature table, gap past
+            # the walk bound) must not cost a back-walk of small file
+            # reads on EVERY commit: remember the failure on the
+            # process-cached DeltaLog; compute_checksum() clears it.
+            if getattr(self.log, "_crc_chain_broken", False):
+                return
             prev = (cks.reconstruct_checksum(
                 self.log.store, self.log.log_path, version - 1)
                 if version > 0 else None)
+            if prev is None and version > 0:
+                self.log._crc_chain_broken = True
+                return
             crc = cks.incremental_checksum(
                 prev, acts, version == 0,
                 self.snapshot.protocol if self.snapshot else None,
@@ -326,8 +335,17 @@ class OptimisticTransaction:
                               if self.snapshot is not None else Protocol())
                 req = merge_protocols(
                     cur, required_protocol(effective_meta, extra))
-                if req != cur or any(isinstance(a, Protocol)
-                                     for a in actions):
+
+                def _canon(p):
+                    # order-insensitive feature comparison: a foreign
+                    # writer may have serialized the lists unsorted,
+                    # and a false inequality here would re-commit a
+                    # Protocol action on EVERY commit (aborting all
+                    # concurrent writers via the protocol-change check)
+                    return (p.minReaderVersion, p.minWriterVersion,
+                            frozenset(p.readerFeatures or []),
+                            frozenset(p.writerFeatures or []))
+                if _canon(req) != _canon(cur)                         or any(isinstance(a, Protocol) for a in actions):
                     actions = [req] + [a for a in actions
                                        if not isinstance(a, Protocol)]
             if cfg.append_only:
