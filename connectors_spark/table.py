@@ -2379,7 +2379,16 @@ class TableMaintenance:
                     continue
                 n_in += 1
                 if isinstance(a, AddFile) or isinstance(a, RemoveFile):
-                    per_path[a.path] = a
+                    # Key the net fold by CANONICAL path, exactly as
+                    # snapshot replay dedups (canonical_path,
+                    # SnapshotImpl.scala:349-362): a foreign-written log
+                    # may spell the same file two ways (relative vs
+                    # file:// absolute, escaped vs not) and keying by the
+                    # raw string would retain BOTH the add and the later
+                    # remove — replay's same-version "add wins" tiebreak
+                    # would then resurrect a deleted file. The retained
+                    # action keeps its original (last-seen) spelling.
+                    per_path[canonical_path(a.path, snap.table_path)] = a
                 elif isinstance(a, Metadata):
                     meta = a
                 elif isinstance(a, Protocol):
