@@ -55,18 +55,33 @@ def checksum_version(name: str) -> int:
 
 @dataclass
 class VersionChecksum:
+    """The delta-spark VersionChecksum field set (Checksum.scala):
+    ``tableSizeBytes``, ``numFiles``, ``numMetadata``, ``numProtocol``,
+    the full ``metadata`` action and the ``protocol`` — so a delta-spark
+    reader with checksum verification enabled parses and verifies these
+    records as-is. ``metadataId`` is derived, kept for engine callers
+    (and accepted on read for .crc files written by older rounds)."""
+
     tableSizeBytes: int
     numFiles: int
     protocol: Optional[Protocol] = None
-    metadataId: Optional[str] = None
+    metadata: Optional[Metadata] = None
+    _legacy_metadata_id: Optional[str] = None
+
+    @property
+    def metadataId(self) -> Optional[str]:
+        if self.metadata is not None:
+            return self.metadata.id
+        return self._legacy_metadata_id
 
     def to_json(self) -> str:
         d: dict = {"tableSizeBytes": int(self.tableSizeBytes),
-                   "numFiles": int(self.numFiles)}
+                   "numFiles": int(self.numFiles),
+                   "numMetadata": 1, "numProtocol": 1}
         if self.protocol is not None:
             d["protocol"] = self.protocol.wrap()["protocol"]
-        if self.metadataId is not None:
-            d["metadataId"] = self.metadataId
+        if self.metadata is not None:
+            d["metadata"] = self.metadata.wrap()["metaData"]
         return json.dumps(d, separators=(",", ":"))
 
     @classmethod
@@ -77,9 +92,15 @@ class VersionChecksum:
             p["minReaderVersion"], p["minWriterVersion"],
             readerFeatures=p.get("readerFeatures"),
             writerFeatures=p.get("writerFeatures")) if p else None
+        meta = None
+        if d.get("metadata") is not None:
+            from .actions import from_json_line
+            meta = from_json_line(
+                json.dumps({"metaData": d["metadata"]}))
         return cls(tableSizeBytes=int(d["tableSizeBytes"]),
                    numFiles=int(d["numFiles"]),
-                   protocol=proto, metadataId=d.get("metadataId"))
+                   protocol=proto, metadata=meta,
+                   _legacy_metadata_id=d.get("metadataId"))
 
 
 def read_checksum(store, log_path: str,
@@ -98,7 +119,7 @@ def incremental_checksum(prev: Optional[VersionChecksum],
                          actions: List[Any],
                          is_first_commit: bool,
                          prev_protocol: Optional[Protocol],
-                         prev_metadata_id: Optional[str]
+                         prev_metadata: Optional[Metadata]
                          ) -> Optional[VersionChecksum]:
     """Next version's checksum from the previous one + this commit's
     actions, or None when the chain can't continue exactly (no
@@ -109,7 +130,7 @@ def incremental_checksum(prev: Optional[VersionChecksum],
     size = prev.tableSizeBytes if prev else 0
     n = prev.numFiles if prev else 0
     proto = prev.protocol if prev else prev_protocol
-    meta_id = prev.metadataId if prev else prev_metadata_id
+    meta = prev.metadata if prev else prev_metadata
     for a in actions:
         if isinstance(a, AddFile):
             size += int(a.size or 0)
@@ -122,11 +143,16 @@ def incremental_checksum(prev: Optional[VersionChecksum],
         elif isinstance(a, Protocol):
             proto = a
         elif isinstance(a, Metadata):
-            meta_id = a.id
+            meta = a
     if n < 0 or size < 0:
         return None  # inconsistent inputs — never record a lie
-    return VersionChecksum(tableSizeBytes=size, numFiles=n,
-                           protocol=proto, metadataId=meta_id)
+    return VersionChecksum(
+        tableSizeBytes=size, numFiles=n, protocol=proto, metadata=meta,
+        # a legacy (metadataId-only) predecessor still pins the id until
+        # a Metadata action or compute_checksum() re-enriches the chain
+        _legacy_metadata_id=(prev.metadataId
+                             if meta is None and prev is not None
+                             else None))
 
 
 _RECONSTRUCT_MAX_WALK = 64

@@ -134,6 +134,18 @@ def merge_protocols(cur: Protocol, req: Protocol) -> Protocol:
     return Protocol(r, w, readerFeatures=rf, writerFeatures=wf)
 
 
+def protocol_dominates(a: Protocol, b: Protocol) -> bool:
+    """True when ``a`` satisfies every demand ``b`` makes: both version
+    components ≥ and ``b``'s (implied) feature set ⊆ ``a``'s. Protocols
+    are monotone — a commit whose Protocol action does NOT dominate the
+    snapshot's is a downgrade and must be refused (delta-spark raises
+    ProtocolDowngradeException), else legacy readers would read physical
+    column names or resurrect DV-deleted rows."""
+    return (a.minReaderVersion >= b.minReaderVersion
+            and a.minWriterVersion >= b.minWriterVersion
+            and _implied_features(b) <= _implied_features(a))
+
+
 def assert_readable(p: Protocol, table_path: str = "") -> None:
     """Refuse tables whose protocol demands reader capabilities this
     engine lacks (the same fail-loudly contract we want FOREIGN readers

@@ -682,13 +682,23 @@ def encode_tiff(width: int, height: int, pixels: bytes,
         off += 6
     arr_off = arr_cnt_off = None
     if n_strips > 1:
-        # offsets/counts arrays live outside the 4-byte value slots
+        # offsets/counts arrays live outside the 4-byte value slots;
+        # TIFF 6.0 §2 word-aligns every out-of-line value, so pad to an
+        # even offset first (odd strip byte counts on grayscale images
+        # would otherwise start these arrays — and the IFD — misaligned)
+        if off % 2:
+            extra += b"\x00"
+            off += 1
         arr_off = off
         extra += b"".join(struct.pack(e + "I", o) for o in strip_offsets)
         off += 4 * n_strips
         arr_cnt_off = off
         extra += b"".join(struct.pack(e + "I", len(s)) for s in strips)
         off += 4 * n_strips
+    if off % 2:
+        # the IFD itself must begin on a word boundary (TIFF 6.0 §2)
+        extra += b"\x00"
+        off += 1
     ifd_off = off
 
     def short_val(v):

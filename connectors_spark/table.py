@@ -2082,6 +2082,20 @@ class TableMaintenance:
             cand_paths = [_canonical(f.path, snap.table_path)
                           for f in victims]
             subset = _semi_by_paths(snap.files_df, cand_paths)
+            if bi > 0:
+                # victims were computed from the ORIGINAL snapshot; a
+                # concurrent commit that removed one BEFORE this batch's
+                # fresh txn started is not a "winning commit", so the
+                # J4 delete/delete check would never fire and we'd
+                # commit a duplicate RemoveFile (double-decrementing the
+                # incremental .crc chain). Intersect with the fresh
+                # snapshot's live files — `subset` rows ARE that
+                # intersection, bounded by the batch width.
+                live = {r["path"] for r in subset.select("path").collect()}
+                victims = [f for f in victims
+                           if _canonical(f.path, snap.table_path) in live]
+                if not victims:
+                    continue
             df = snap.to_df(files=subset)
             total = sum(f.size for f in victims)
             n_out = max(1, -(-total // target_file_size))
@@ -2430,7 +2444,7 @@ class TableMaintenance:
                .first())
         crc = cks.VersionChecksum(
             tableSizeBytes=int(row["bytes"]), numFiles=int(row["n"]),
-            protocol=snap.protocol, metadataId=snap.metadata.id)
+            protocol=snap.protocol, metadata=snap.metadata)
         cks.write_checksum(snap.store, self.table.log.log_path,
                            snap.version, crc)
         # fresh anchor: incremental writing may resume

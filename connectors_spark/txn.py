@@ -230,7 +230,7 @@ class OptimisticTransaction:
             crc = cks.incremental_checksum(
                 prev, acts, version == 0,
                 self.snapshot.protocol if self.snapshot else None,
-                self.snapshot.metadata.id if self.snapshot else None)
+                self.snapshot.metadata if self.snapshot else None)
             if crc is not None:
                 cks.write_checksum(self.log.store, self.log.log_path,
                                    version, crc)
@@ -289,6 +289,24 @@ class OptimisticTransaction:
                         raise DeltaProtocolError(
                             f"Can only commit Protocol(1, 2) or a "
                             f"supported feature upgrade: {e}")
+                if self.snapshot is not None:
+                    # Protocols are MONOTONE: an explicit Protocol action
+                    # must dominate the snapshot's (versions ≥, features
+                    # ⊇), or a legacy (1,2) re-commit would silently
+                    # downgrade an upgraded table and let legacy readers
+                    # misread it — delta-spark raises
+                    # ProtocolDowngradeException here.
+                    from .log.features import protocol_dominates
+                    sp = self.snapshot.protocol
+                    if not protocol_dominates(a, sp):
+                        raise DeltaProtocolError(
+                            f"Protocol downgrade not allowed: table at "
+                            f"{table_path} requires "
+                            f"({sp.minReaderVersion}, "
+                            f"{sp.minWriterVersion}) with features "
+                            f"{sorted(set(sp.readerFeatures or []) | set(sp.writerFeatures or []))}; "
+                            f"commit carries ({a.minReaderVersion}, "
+                            f"{a.minWriterVersion})")
             out.append(a)
         actions = out
 
@@ -329,10 +347,16 @@ class OptimisticTransaction:
                 if any(isinstance(a, AddFile)
                        and (a.tags or {}).get(DV_TAG) for a in actions):
                     extra.add("deletionVectors")
-                cur = next(
-                    (a for a in actions if isinstance(a, Protocol)),
-                    None) or (self.snapshot.protocol
-                              if self.snapshot is not None else Protocol())
+                # `cur` starts from the SNAPSHOT protocol merged with
+                # any in-commit Protocol action (the downgrade check
+                # above already guarantees the explicit action
+                # dominates, but merging keeps the invariant local)
+                cur = (self.snapshot.protocol
+                       if self.snapshot is not None else Protocol())
+                explicit = next(
+                    (a for a in actions if isinstance(a, Protocol)), None)
+                if explicit is not None:
+                    cur = merge_protocols(cur, explicit)
                 req = merge_protocols(
                     cur, required_protocol(effective_meta, extra))
 

@@ -166,3 +166,44 @@ def test_checksum_chain_survives_concurrent_commit_race(spark, tmp_path):
     crc = _crc(t, head)
     assert (crc.numFiles, crc.tableSizeBytes) == (n, size)
     TableMaintenance(t).verify_checksum()
+
+
+def test_crc_json_is_delta_spark_field_set(spark, tmp_path):
+    """ADVICE r10: the .crc record serializes delta-spark's
+    VersionChecksum shape (Checksum.scala) — full `metadata` action plus
+    numMetadata/numProtocol — not an engine-private metadataId, so a
+    delta-spark reader with checksum verification parses it as-is.
+    Legacy metadataId-only records are still accepted on read."""
+    import json
+
+    from pyspark.sql import Row
+
+    from connectors_spark import DeltaTable
+    from connectors_spark.log import checksum as cks
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "ckfmt"))
+    t.write(spark.createDataFrame([Row(k=1), Row(k=2)]))
+    snap = t.snapshot()
+    raw = "".join(t.log.store.read(
+        cks.checksum_file(t.log.log_path, snap.version)))
+    d = json.loads(raw)
+    assert set(d) >= {"tableSizeBytes", "numFiles", "numMetadata",
+                      "numProtocol", "protocol", "metadata"}
+    assert "metadataId" not in d
+    assert d["numMetadata"] == 1 and d["numProtocol"] == 1
+    assert d["metadata"]["id"] == snap.metadata.id
+    assert d["metadata"]["schemaString"] == snap.metadata.schemaString
+    assert d["protocol"]["minReaderVersion"] \
+        == snap.protocol.minReaderVersion
+    # round-trip + derived metadataId
+    crc = cks.VersionChecksum.from_json(raw)
+    assert crc.metadataId == snap.metadata.id
+    assert crc.metadata.partitionColumns \
+        == snap.metadata.partitionColumns
+    # legacy record shape still parses (back-compat with older rounds)
+    legacy = cks.VersionChecksum.from_json(json.dumps(
+        {"tableSizeBytes": 10, "numFiles": 1, "metadataId": "abc"}))
+    assert legacy.metadataId == "abc" and legacy.metadata is None
+    # and the chain extended FROM a legacy record keeps the id pinned
+    nxt = cks.incremental_checksum(legacy, [], False, None, None)
+    assert nxt.metadataId == "abc"

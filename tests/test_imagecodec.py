@@ -786,3 +786,36 @@ def test_tiff_rejects_out_of_scope():
     data[idx + 8] = 7  # JPEG-in-TIFF
     with pytest.raises(NotImplementedError, match="compression"):
         decode_tiff(bytes(data))
+
+
+def test_tiff_word_alignment_odd_strips():
+    """TIFF 6.0 §2: the IFD and every out-of-line value must start on a
+    word boundary — grayscale multi-strip images with ODD strip byte
+    counts (e.g. 3-wide rows) are the regression case (ADVICE r10)."""
+    import struct
+
+    from connectors_spark.ops.imagecodec import decode_tiff, encode_tiff
+
+    # 3x5 grayscale, rows_per_strip=1 → five 3-byte (odd) strips
+    px = bytes(range(15))
+    data = encode_tiff(3, 5, px, channels=1, rows_per_strip=1)
+    e = "<" if data[:2] == b"II" else ">"
+    ifd_off = struct.unpack(e + "I", data[4:8])[0]
+    assert ifd_off % 2 == 0, "IFD starts at an odd offset"
+    # walk the IFD: every LONG-array value offset must be even
+    n = struct.unpack(e + "H", data[ifd_off:ifd_off + 2])[0]
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack(e + "HHI", data[base:base + 8])
+        if typ == 4 and cnt > 1:        # out-of-line LONG array
+            voff = struct.unpack(e + "I", data[base + 8:base + 12])[0]
+            assert voff % 2 == 0, f"tag {tag} array at odd offset"
+    # the padded layout still round-trips
+    w, h, c, out = decode_tiff(data)
+    assert (w, h, c, out) == (3, 5, 1, px)
+    # RGB with odd strips keeps the BPS array aligned too
+    px3 = bytes((i * 7) % 256 for i in range(3 * 3 * 3))
+    data3 = encode_tiff(3, 3, px3, channels=3, rows_per_strip=1)
+    assert struct.unpack(
+        ("<" if data3[:2] == b"II" else ">") + "I", data3[4:8])[0] % 2 == 0
+    assert decode_tiff(data3)[3] == px3

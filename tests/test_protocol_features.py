@@ -182,3 +182,54 @@ def test_merge_protocols_unit():
     assert {"identityColumns", "deletionVectors", "appendOnly",
             "invariants"} <= set(p.writerFeatures)
     assert p.readerFeatures == ["deletionVectors"]
+
+
+def test_protocol_downgrade_refused(spark, tmp_path):
+    """Protocols are monotone: committing Protocol(1,2) — or any action
+    that does not dominate the snapshot's protocol — on an upgraded
+    table must raise (delta-spark's ProtocolDowngradeException), never
+    silently downgrade and re-expose the table to legacy readers."""
+    t = _mk(spark, str(tmp_path / "down"))
+    t.enable_column_mapping()           # autoUpgrade → (2, 5)
+    p = t.snapshot().protocol
+    assert (p.minReaderVersion, p.minWriterVersion) == (2, 5)
+    txn = t.log.start_transaction()
+    with pytest.raises(DeltaProtocolError, match="downgrade"):
+        txn.commit([Protocol(1, 2)], "UPGRADE PROTOCOL", {})
+    # the table is untouched
+    p2 = t.snapshot().protocol
+    assert (p2.minReaderVersion, p2.minWriterVersion) == (2, 5)
+    # a dominating re-commit is still fine (no-op upgrade)
+    txn = t.log.start_transaction()
+    txn.commit([Protocol(2, 5)], "UPGRADE PROTOCOL", {})
+    p3 = t.snapshot().protocol
+    assert (p3.minReaderVersion, p3.minWriterVersion) == (2, 5)
+
+
+def test_protocol_feature_subset_downgrade_refused(spark, tmp_path):
+    """Equal version components but a SMALLER feature set is still a
+    downgrade at writer 7 (explicit lists are authoritative)."""
+    from connectors_spark.expressions import Col, Lit
+
+    t = _mk(spark, str(tmp_path / "downf"))
+    t.delete(Col("k") == Lit(5), deletion_vectors=True)  # → (3, 7) DV
+    p = t.snapshot().protocol
+    assert p.minWriterVersion == 7
+    assert "deletionVectors" in (p.writerFeatures or [])
+    txn = t.log.start_transaction()
+    with pytest.raises(DeltaProtocolError):
+        txn.commit([Protocol(3, 7, readerFeatures=[],
+                             writerFeatures=[])],
+                    "UPGRADE PROTOCOL", {})
+
+
+def test_protocol_dominates_unit():
+    assert feat.protocol_dominates(Protocol(2, 5), Protocol(1, 2))
+    assert not feat.protocol_dominates(Protocol(1, 2), Protocol(2, 5))
+    assert feat.protocol_dominates(Protocol(1, 2), Protocol(1, 2))
+    # writer-7: explicit lists authoritative
+    a = Protocol(3, 7, readerFeatures=["deletionVectors"],
+                 writerFeatures=["deletionVectors"])
+    b = Protocol(3, 7, readerFeatures=[], writerFeatures=[])
+    assert feat.protocol_dominates(a, b)
+    assert not feat.protocol_dominates(b, a)

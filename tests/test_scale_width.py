@@ -243,3 +243,66 @@ def test_optimize_commit_width_bounded(spark, tmp_path):
     b = sorted(r.k for r in t2.to_df().collect())
     assert a == b == list(range(3000))
     assert len(t1.snapshot().all_files()) == len(t2.snapshot().all_files())
+
+
+def test_optimize_batch_skips_concurrently_removed_victims(spark, tmp_path):
+    """ADVICE r10: victims are computed from the ORIGINAL snapshot; a
+    concurrent delete that lands BEFORE a later batch's fresh txn is
+    not a 'winning commit' (J4 never fires), so without the per-batch
+    live-file intersection the batch would commit a duplicate
+    RemoveFile and the incremental .crc chain would double-decrement.
+    Pin: one RemoveFile per path across the whole log, and
+    verify_checksum stays green."""
+    from pyspark.sql import functions as F
+
+    from connectors_spark.expressions import Col, Lit
+    from connectors_spark.log import filenames as fn
+    from connectors_spark.log.actions import RemoveFile, from_json_line
+    from connectors_spark.log.snapshot import canonical_path
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "obc"))
+    df = spark.range(3000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("p"))
+    t.write(df.repartition(60), partition_by=["p"])
+    n_files = len(t.snapshot().all_files())
+    assert n_files > 100
+
+    orig_start = t.log.start_transaction
+    state = {"calls": 0, "fired": False}
+
+    def hijack():
+        # Call #1 is optimize's INITIAL txn; call #2 is batch 1's fresh
+        # txn — sneak in a CONCURRENT whole-table delete right before it
+        # (the delete recurses through this hook with fired already set,
+        # reaching the real start_transaction).
+        state["calls"] += 1
+        if state["calls"] == 2 and not state["fired"]:
+            state["fired"] = True
+            t.delete()
+        return orig_start()
+
+    t.log.start_transaction = hijack
+    try:
+        res = TableMaintenance(t).optimize(max_actions_per_commit=80)
+    finally:
+        t.log.start_transaction = orig_start
+    assert state["fired"], "expected a multi-batch OPTIMIZE"
+    # batch 0 ran before the concurrent delete; later batches must have
+    # skipped their (now dead) victims entirely
+    assert res["filesRemoved"] < n_files
+
+    # exactly one RemoveFile per canonical path across the entire log
+    head = t.snapshot().version
+    removes = Counter()
+    for v in range(head + 1):
+        for ln in t.log.store.read(fn.delta_file(t.log.log_path, v)):
+            a = from_json_line(ln)
+            if isinstance(a, RemoveFile):
+                removes[canonical_path(a.path, t.log.table_path)] += 1
+    dupes = {p: c for p, c in removes.items() if c > 1}
+    assert not dupes, f"duplicate RemoveFile for {len(dupes)} paths"
+
+    # and the .crc chain never double-decremented
+    out = TableMaintenance(t).verify_checksum()
+    assert out["numFiles"] == t.snapshot().files_df.count()
