@@ -483,10 +483,12 @@ class _ProgressiveWriter:
 
 def encode_jpeg_progressive(width: int, height: int, pixels: bytes,
                             channels: int = 1,
-                            quant: int = 16) -> bytes:
-    """Encode as PROGRESSIVE JPEG (SOF2): grayscale or 4:4:4 color,
-    multiple-of-8 dims, flat quantizer. Scan script (the common
-    spectral-selection + successive-approximation shape):
+                            quant: int = 16,
+                            subsampling: str = "444") -> bytes:
+    """Encode as PROGRESSIVE JPEG (SOF2): grayscale, 4:4:4 or 4:2:0
+    color (``subsampling="420"``, multiple-of-16 dims — the dominant
+    real-world progressive layout), flat quantizer. Scan script (the
+    common spectral-selection + successive-approximation shape):
 
         1. DC, all components, Al=1
         2. DC refinement, Ah=1 → Al=0 (raw bits)
@@ -497,7 +499,14 @@ def encode_jpeg_progressive(width: int, height: int, pixels: bytes,
     After every scan the coefficients are bit-exact equal to the
     sequential encoder's, so the closed-form-exact corpus rule decodes
     identically through either path."""
-    if width % 8 or height % 8:
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub420 = channels == 3 and subsampling == "420"
+    if sub420:
+        if width % 16 or height % 16:
+            raise ValueError(
+                "progressive 4:2:0 needs multiple-of-16 dims")
+    elif width % 8 or height % 8:
         raise ValueError("encode_jpeg_progressive needs multiple-of-8 dims")
     if channels == 1:
         img = np.frombuffer(bytes(pixels), dtype=np.uint8) \
@@ -505,18 +514,30 @@ def encode_jpeg_progressive(width: int, height: int, pixels: bytes,
         planes = [img]
     elif channels == 3:
         planes = _ycbcr_planes(width, height, pixels)
+        if sub420:
+            # 2×2-mean chroma, same prep as the baseline 4:2:0 encoder
+            for i in (1, 2):
+                planes[i] = planes[i].reshape(
+                    height // 2, 2, width // 2, 2).mean(axis=(1, 3))
     else:
         raise ValueError("channels must be 1 or 3")
     q = np.full((8, 8), float(quant))
     coefs = [_coef_blocks(p, q) for p in planes]
-    bh, bw = coefs[0].shape[:2]
+    # per-component sampling factors and block grids (Y 2×2 at 4:2:0)
+    samp = [(2, 2), (1, 1), (1, 1)] if sub420 \
+        else [(1, 1)] * len(planes)
+    grids = [c.shape[:2] for c in coefs]         # (bh, bw) per comp
+    # MCU grid: the chroma (1,1) grid at 4:2:0, else the full grid
+    mbh, mbw = grids[1] if sub420 else grids[0]
 
     ncomp = len(planes)
     out = bytearray(b"\xff\xd8")                 # SOI
     out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     zz = bytes(int(q[r][c]) for r, c in _ZZ)
     out += _seg(0xFFDB, b"\x00" + zz)
-    comps = b"".join(bytes([cid, 0x11, 0]) for cid in range(1, ncomp + 1))
+    comps = b"".join(
+        bytes([cid, (samp[cid - 1][0] << 4) | samp[cid - 1][1], 0])
+        for cid in range(1, ncomp + 1))
     out += _seg(0xFFC2, struct.pack(">BHHB", 8, height, width, ncomp)
                 + comps)                         # SOF2
     out += _seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
@@ -533,14 +554,21 @@ def encode_jpeg_progressive(width: int, height: int, pixels: bytes,
     pw = _ProgressiveWriter()
 
     def mcu_blocks():
-        for by in range(bh):
-            for bx in range(bw):
+        # interleaved MCU order (§A.2.3): h×v blocks per component,
+        # raster within the MCU — matches the decoder's DC walk
+        for my in range(mbh):
+            for mx in range(mbw):
                 for ci in range(ncomp):
-                    yield ci, coefs[ci][by, bx]
+                    h, v = samp[ci]
+                    for sv in range(v):
+                        for sh in range(h):
+                            yield ci, coefs[ci][my * v + sv,
+                                                mx * h + sh]
 
     def comp_blocks(ci: int):
-        for by in range(bh):
-            for bx in range(bw):
+        gh, gw = grids[ci]
+        for by in range(gh):
+            for bx in range(gw):
                 yield coefs[ci][by, bx]
 
     all_ids = list(range(1, ncomp + 1))

@@ -383,6 +383,57 @@ def synth_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         gen, schema=f"{id_col} long, media binary, fmt string")
 
 
+def synth_jpeg_progressive_media(docs: DataFrame,
+                                 id_col: str = "doc_id") -> DataFrame:
+    """Deterministic ALL-PROGRESSIVE (SOF2, ITU-T.81 Annex G) JPEG
+    corpus — the dedicated gate for the multi-scan decode path:
+
+        even doc_id:  multi-scan GRAYSCALE, w = 8·(1 + doc_id % 3),
+                      h = 8·(1 + doc_id % 2)
+        doc_id % 4 == 1:  PROGRESSIVE 4:2:0 color, 16 × 16
+        doc_id % 4 == 3:  PROGRESSIVE 4:2:0 color, 32 × 16
+        block b (raster):  p = 128 + 2·(((doc_id·7 + b·13) % 64) − 32)
+        color docs: R = G = B = p  (gray RGB ⇒ chroma planes are
+        exactly zero, surviving the 2×2-mean 4:2:0 subsample intact)
+
+    Every stream is a genuine multi-scan file: DC-first (Al=1), DC
+    refinement (raw bits), per-component spectral-selection AC scans
+    with EOBn runs, then AC successive-approximation refinement with
+    correction bits — Spark must run the full Annex-G accumulate-
+    then-IDCT decode; the DuckDB oracle recomputes the closed-form
+    pixel rule (exact: block-constant pixels quantize losslessly
+    under the flat quantizer)."""
+    from . import jpegcodec as codec
+    from ..shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                if did % 2:
+                    w, h, c = (16 if did % 4 == 1 else 32), 16, 3
+                    sub = "420"
+                else:
+                    w, h, c = 8 * (1 + did % 3), 8 * (1 + did % 2), 1
+                    sub = "444"
+                px = bytearray(w * h * c)
+                for y in range(h):
+                    for x in range(w):
+                        b = (y // 8) * (w // 8) + (x // 8)
+                        v = 128 + 2 * (((did * 7 + b * 13) % 64) - 32)
+                        for ch in range(c):
+                            px[(y * w + x) * c + ch] = v
+                blob = codec.encode_jpeg_progressive(
+                    w, h, bytes(px), channels=c, subsampling=sub)
+                rows.append((did, blob, "jpeg"))
+            yield pd.DataFrame(rows, columns=[id_col, "media", "fmt"])
+
+    return docs.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media binary, fmt string")
+
+
 def synth_gif_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic REAL-GIF corpus: per doc, a single-frame GIF89a
     with real LZW-compressed pixel data under the closed-form rule

@@ -819,3 +819,30 @@ def test_tiff_word_alignment_odd_strips():
     assert struct.unpack(
         ("<" if data3[:2] == b"II" else ">") + "I", data3[4:8])[0] % 2 == 0
     assert decode_tiff(data3)[3] == px3
+
+
+def test_jpeg_progressive_420_matches_baseline_420():
+    """Progressive (SOF2) 4:2:0: same scan script as 4:4:4 but the DC
+    scan walks interleaved MCUs with 2x2 Y sampling and the AC scans
+    walk each component's OWN block grid — pixels must equal the
+    baseline 4:2:0 encoder's bit-for-bit (identical quantized
+    coefficients, identical IDCT/upsample path)."""
+    import numpy as np
+
+    from connectors_spark.ops.jpegcodec import (decode_jpeg,
+                                                encode_jpeg_color_420,
+                                                encode_jpeg_progressive)
+
+    rng = np.random.RandomState(11)
+    for (w, h) in [(16, 16), (32, 16), (16, 32), (48, 32)]:
+        rgb = rng.randint(0, 256, size=(h, w, 3),
+                          dtype=np.uint8).tobytes()
+        prog = decode_jpeg(encode_jpeg_progressive(
+            w, h, rgb, channels=3, subsampling="420"))
+        base = decode_jpeg(encode_jpeg_color_420(w, h, rgb))
+        assert prog == base
+    # dims must be multiple-of-16 at 4:2:0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        encode_jpeg_progressive(8, 8, bytes(8 * 8 * 3), channels=3,
+                                subsampling="420")
