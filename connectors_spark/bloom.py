@@ -168,7 +168,12 @@ def bloom_keep_column(tag_col, value) -> Optional[F.Column]:
     h1, h2 = _hashes64(key)
     m, k, hx = _tag_parts(tag_col)
     keep = _hit_expr(m, k, hx, F.lit(h1) % m, F.lit(h2) % m)
-    return F.coalesce(keep, F.lit(True))
+    # NULL-tag fast path: CaseWhen short-circuits per row, so files
+    # without a bloom tag (untagged tables, non-bloom'd columns) never
+    # evaluate the probe expression at all — without this they'd walk
+    # the whole NULL-propagating probe tree just to coalesce to True
+    return F.when(tag_col.isNull(), F.lit(True)) \
+        .otherwise(F.coalesce(keep, F.lit(True)))
 
 
 def _tag_parts(tag_col):
@@ -218,4 +223,12 @@ def bloom_keep_any_column(tag_col, values) -> Optional[F.Column]:
         lambda j: _hit_expr(m, k, hx,
                             F.element_at(h1s, j.cast("int")) % m,
                             F.element_at(h2s, j.cast("int")) % m))
-    return F.coalesce(keep, F.lit(True))
+    # NULL-tag fast path (two-phase evaluation, VERDICT r10 #5): the
+    # n×k interpreted HOF runs ONLY on rows that actually carry a
+    # bloom tag — an untagged file otherwise iterates all n exists
+    # elements propagating NULL before coalescing to True. Combined
+    # with the envelope being the LEFT conjunct in scan.py (Spark's
+    # And short-circuits per row), the expensive probe is evaluated
+    # exactly on envelope-surviving, bloom-tagged files.
+    return F.when(tag_col.isNull(), F.lit(True)) \
+        .otherwise(F.coalesce(keep, F.lit(True)))
