@@ -7,6 +7,7 @@ column names, and order-insensitive values. Usable as a module
 from __future__ import annotations
 
 import math
+import os
 import sys
 from typing import List, Optional, Tuple
 
@@ -80,8 +81,14 @@ def compare(spark, sf_dir: str, name: str) -> Tuple[bool, str]:
         return True, f"rows-only ({len(srows)} rows)"
     con = duckdb.connect()
     for t in TABLES:
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            # Spark-written table: a DIRECTORY of part files (the sf1
+            # scaling probe); single driver-generated sf dirs are flat
+            # files. DuckDB needs the glob for the directory form.
+            src = f"{src}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"'{sf_dir}/{t}.parquet'")
+                    f"read_parquet('{src}')")
     try:
         rel = con.sql(q.sql)
         ocols_raw = list(rel.columns)
