@@ -49,6 +49,15 @@ DEFAULTS: Dict[str, str] = {
     "delta.autoOptimize.autoCompact": "false",
     "connectors.autoCompact.minNumFiles": "8",
     "connectors.autoCompact.targetFileSize": str(128 * 1024 * 1024),
+    # Post-commit MINOR LOG compaction (opt-in): when the raw
+    # post-checkpoint delta tail (past any existing compacted range)
+    # reaches minCommits, publish a <s>.<e>.compacted.json best-effort.
+    # Fixed-width adjacent ranges keep steady-state commit cost O(N)
+    # every N commits (amortized O(1)); replay then reads checkpoint +
+    # a few compacted files + <N raw deltas. For tables whose
+    # checkpointInterval is raised or whose store is checkpoint-averse.
+    "delta.autoOptimize.autoCompactLog": "false",
+    "connectors.autoCompactLog.minCommits": "20",
     # DeltaConfig DATA_SKIPPING_NUM_INDEXED_COLS (delta-spark default
     # 32): per-file min/max/nullCount are recorded only for the first
     # N schema columns — the log-size lever for wide tables at scale.
@@ -118,6 +127,15 @@ class TableConfig:
     @property
     def auto_compact_min_files(self) -> int:
         return int(self.get("connectors.autoCompact.minNumFiles"))
+
+    @property
+    def auto_compact_log(self) -> bool:
+        return self.get("delta.autoOptimize.autoCompactLog") \
+            .lower() == "true"
+
+    @property
+    def auto_compact_log_min_commits(self) -> int:
+        return int(self.get("connectors.autoCompactLog.minCommits"))
 
     @property
     def auto_compact_target_size(self) -> int:

@@ -208,6 +208,39 @@ class DeltaLog:
             write_checkpoint(ckpt_snap)
             if cfg.enable_expired_log_cleanup:
                 self._cleanup_expired_logs(version, cfg)
+        elif cfg.auto_compact_log and version > 0:
+            # Opt-in minor-log auto-compaction (the checkpoint branch
+            # above resets the tail, so the two never fire together):
+            # when the RAW delta tail past the last compacted range (or
+            # checkpoint) reaches minCommits, net-fold exactly that
+            # fixed-width window — adjacent ranges keep the steady-state
+            # commit cost O(N) every N commits (amortized O(1)), and
+            # replay reads checkpoint + a few compacted files + <N raw
+            # deltas. Best-effort: same no-op-on-race contract as
+            # compact_log; a failure never fails the commit.
+            try:
+                self._maybe_auto_compact_log(snap, cfg)
+            except Exception:  # noqa: BLE001 — advisory maintenance
+                pass
+
+    def _maybe_auto_compact_log(self, snap, cfg: TableConfig) -> None:
+        from .log import filenames as fn
+        seg = snap.segment
+        raw_start = None
+        n_raw = 0
+        for p in seg.deltas:
+            name = os.path.basename(p)
+            if fn.is_compacted_file(name):
+                raw_start, n_raw = None, 0
+            else:
+                v = fn.delta_version(name)
+                if raw_start is None:
+                    raw_start = v
+                n_raw += 1
+        if raw_start is not None \
+                and n_raw >= cfg.auto_compact_log_min_commits:
+            _compact_log_range(self, self.table_path, raw_start,
+                               seg.version)
 
     def _cleanup_expired_logs(self, checkpoint_version: int,
                               cfg: TableConfig) -> None:
@@ -1942,6 +1975,63 @@ def _hilbert_code(df: DataFrame, cols: List[str]) -> F.Column:
     return _hilbert_index_col(_bucket_ids(df, cols, bits), bits)
 
 
+def _compact_log_range(log, table_path: str, start: int,
+                       end: int) -> Dict[str, int]:
+    """Net-fold the delta range [start, end] into
+    ``<start>.<end>.compacted.json`` (the shared core of
+    TableMaintenance.compact_log and post-commit auto-compaction).
+
+    The fold keys add/remove actions by CANONICAL path, exactly as
+    snapshot replay dedups (canonical_path, SnapshotImpl.scala:349-362):
+    a foreign-written log may spell the same file two ways (relative vs
+    file:// absolute, escaped vs not) and keying by the raw string would
+    retain BOTH the add and the later remove — replay's same-version
+    "add wins" tiebreak would then resurrect a deleted file. The
+    retained action keeps its original (last-seen) spelling.
+
+    Best-effort publish: two racing compactors of the same range write
+    identical content, so losing the put-if-absent race is a no-op; any
+    other failure propagates."""
+    from .log import filenames as fn
+    from .log.actions import (AddCDCFile, AddFile, CommitInfo, Metadata,
+                              Protocol, RemoveFile, SetTransaction,
+                              from_json_line, to_json_line)
+    from .log.logstore import FileAlreadyExistsError
+    per_path: Dict[str, Any] = {}
+    meta = proto = None
+    txns: Dict[str, Any] = {}
+    n_in = 0
+    for v in range(start, end + 1):
+        for line in log.store.read(fn.delta_file(log.log_path, v)):
+            a = from_json_line(line)
+            if a is None or isinstance(a, (CommitInfo, AddCDCFile)):
+                continue
+            n_in += 1
+            if isinstance(a, AddFile) or isinstance(a, RemoveFile):
+                per_path[canonical_path(a.path, table_path)] = a
+            elif isinstance(a, Metadata):
+                meta = a
+            elif isinstance(a, Protocol):
+                proto = a
+            elif isinstance(a, SetTransaction):
+                txns[a.appId] = a
+    acts: List[Any] = []
+    if proto is not None:
+        acts.append(proto)
+    if meta is not None:
+        acts.append(meta)
+    acts += [txns[k] for k in sorted(txns)]
+    acts += [per_path[p] for p in sorted(per_path)]
+    target = fn.compacted_file(log.log_path, start, end)
+    try:
+        log.store.write(target, [to_json_line(a) for a in acts],
+                        overwrite=False)
+    except FileAlreadyExistsError:
+        pass  # lost the race to an IDENTICAL file — a no-op
+    return {"start": start, "end": end, "actionsIn": n_in,
+            "actionsOut": len(acts)}
+
+
 class TableMaintenance:
     """OPTIMIZE (small-file bin-packing) and VACUUM (physical removal of
     unreferenced files) — the operational pair that keeps a 100 TB table
@@ -2367,11 +2457,6 @@ class TableMaintenance:
         the same budget as the P&M tail replay. Best-effort publish:
         two racing compactors of the same range write identical
         content, and losing the put-if-absent race is a no-op."""
-        from .log import filenames as fn
-        from .log.actions import (AddCDCFile, AddFile, CommitInfo,
-                                  Metadata, Protocol, RemoveFile,
-                                  SetTransaction, from_json_line,
-                                  to_json_line)
         snap = self.table.snapshot()
         log = self.table.log
         if end is None:
@@ -2382,51 +2467,7 @@ class TableMaintenance:
                      else 0)
         if not 0 <= start <= end <= snap.version:
             raise ValueError(f"bad compaction range [{start}, {end}]")
-        per_path: Dict[str, Any] = {}
-        meta = proto = None
-        txns: Dict[str, Any] = {}
-        n_in = 0
-        for v in range(start, end + 1):
-            for line in log.store.read(fn.delta_file(log.log_path, v)):
-                a = from_json_line(line)
-                if a is None or isinstance(a, (CommitInfo, AddCDCFile)):
-                    continue
-                n_in += 1
-                if isinstance(a, AddFile) or isinstance(a, RemoveFile):
-                    # Key the net fold by CANONICAL path, exactly as
-                    # snapshot replay dedups (canonical_path,
-                    # SnapshotImpl.scala:349-362): a foreign-written log
-                    # may spell the same file two ways (relative vs
-                    # file:// absolute, escaped vs not) and keying by the
-                    # raw string would retain BOTH the add and the later
-                    # remove — replay's same-version "add wins" tiebreak
-                    # would then resurrect a deleted file. The retained
-                    # action keeps its original (last-seen) spelling.
-                    per_path[canonical_path(a.path, snap.table_path)] = a
-                elif isinstance(a, Metadata):
-                    meta = a
-                elif isinstance(a, Protocol):
-                    proto = a
-                elif isinstance(a, SetTransaction):
-                    txns[a.appId] = a
-        acts: List[Any] = []
-        if proto is not None:
-            acts.append(proto)
-        if meta is not None:
-            acts.append(meta)
-        acts += [txns[k] for k in sorted(txns)]
-        acts += [per_path[p] for p in sorted(per_path)]
-        from .log.logstore import FileAlreadyExistsError
-        target = fn.compacted_file(log.log_path, start, end)
-        try:
-            log.store.write(target, [to_json_line(a) for a in acts],
-                            overwrite=False)
-        except FileAlreadyExistsError:
-            pass  # lost the race to an IDENTICAL file — a no-op
-        # any other failure propagates: the caller must not think the
-        # compaction was published
-        return {"start": start, "end": end, "actionsIn": n_in,
-                "actionsOut": len(acts)}
+        return _compact_log_range(log, snap.table_path, start, end)
 
     def compute_checksum(self) -> Dict[str, int]:
         """Bootstrap (or repair) the version-checksum chain: aggregate

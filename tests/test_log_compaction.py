@@ -287,3 +287,49 @@ def test_compaction_column_mapped_table(spark, tmp_path):
         == before
     assert fresh.metadata.configuration.get(
         "delta.columnMapping.mode") == "name"
+
+
+def test_auto_compact_log_steady_state(spark, tmp_path):
+    """Opt-in post-commit auto-compaction (VERDICT r10 #7): with a
+    raised checkpointInterval, every minCommits-wide raw tail folds
+    into an ADJACENT fixed-width compacted range — so (a) each
+    compaction re-reads only the new window (steady-state commit cost
+    O(N) every N commits, pinned by the range widths), and (b) replay
+    reads ≤ a few compacted files + <N raw deltas, never the whole
+    tail."""
+    import os
+
+    from pyspark.sql import Row
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "acl"))
+    t.write(spark.createDataFrame([Row(k=0, v=0)]),
+            configuration={
+                "delta.checkpointInterval": "1000",
+                "delta.autoOptimize.autoCompactLog": "true",
+                "connectors.autoCompactLog.minCommits": "5"})
+    for i in range(1, 23):
+        t.write(spark.createDataFrame([Row(k=i, v=i)]), mode="append")
+    head = t.snapshot().version
+    assert head == 22
+    names = sorted(n for n in os.listdir(
+        os.path.join(str(tmp_path / "acl"), "_delta_log"))
+        if n.endswith(".compacted.json"))
+    ranges = [fn.compacted_range(n) for n in names]
+    # fixed-width ADJACENT windows, each ≤ minCommits + the commits
+    # that landed while the prior window was below threshold
+    assert len(ranges) >= 3
+    assert ranges[0][0] == 0
+    for (s1, e1), (s2, e2) in zip(ranges, ranges[1:]):
+        assert s2 == e1 + 1, f"non-adjacent ranges {ranges}"
+    widths = [e - s + 1 for s, e in ranges]
+    assert all(w <= 6 for w in widths), widths   # O(N), never whole-tail
+    # replay reads compacted substitutes + a short raw tail
+    seg = t.log.snapshot_for_version(head).segment
+    n_comp = sum(1 for p in seg.deltas if ".compacted.json" in p)
+    n_raw = len(seg.deltas) - n_comp
+    assert n_comp == len(ranges)
+    assert n_raw < 5, f"raw tail {n_raw} not bounded by minCommits"
+    # and the table reads correctly through the substituted segment
+    assert sorted(r.k for r in t.to_df().collect()) == list(range(23))
+    # raw deltas are never deleted: every version still time-travels
+    assert t.log.snapshot_for_version(7).version == 7
