@@ -207,6 +207,175 @@ class OptimisticTransaction:
                 attempt_version += 1
         raise DeltaError("commit retry budget exhausted")
 
+    def commit_stream(self, head_actions: Sequence[Any], files_factory,
+                      *, has_removes: bool, data_change: bool = True,
+                      operation: str = "Manual Update",
+                      operation_parameters: Optional[Dict[str, str]] = None,
+                      engine_info: str = ENGINE_INFO,
+                      operation_metrics: Optional[Dict[str, str]] = None,
+                      user_metadata: Optional[str] = None) -> int:
+        """Commit a WIDE file set without materializing it on the driver
+        (CLONE / RESTORE / whole-table overwrite — VERDICT r10 #8): the
+        commit JSON must enumerate every file atomically, but the driver
+        can stream it. ``head_actions`` is the small list (Metadata /
+        Protocol / SetTransaction); ``files_factory()`` returns a FRESH
+        iterator of AddFile/RemoveFile actions (typically mapped off
+        ``DataFrame.toLocalIterator()``), consumed once per commit
+        attempt — peak driver memory is O(one action), the LogStore
+        streams lines to the file. The caller declares
+        ``has_removes`` / ``data_change`` (deriving them would need an
+        extra pass). Conflict-retry and the incremental checksum both
+        re-pull fresh iterators / use write-pass tallies, so no path
+        re-materializes the set."""
+        if self.committed:
+            raise DeltaError("Transaction already committed")
+        for a in head_actions:
+            if isinstance(a, (AddFile, RemoveFile)):
+                raise DeltaError(
+                    "file actions belong in files_factory, not head")
+        head = self._prepare_commit(list(head_actions))
+
+        eff_meta = self.new_metadata or (
+            self.snapshot.metadata if self.snapshot else None)
+        if eff_meta is None:
+            meta = next((a for a in head if isinstance(a, Metadata)), None)
+            eff_meta = meta
+        cfg = TableConfig(eff_meta.configuration) if eff_meta else None
+        if cfg is not None and cfg.append_only and has_removes \
+                and data_change:
+            raise DeltaError(
+                "This table is append-only (delta.appendOnly); removes "
+                "with dataChange are forbidden "
+                "(DeltaLogImpl.assertRemovable)")
+        pcols = sorted(eff_meta.physical_partition_columns) \
+            if eff_meta is not None else []
+        table_path = self.log.table_path
+
+        tally = {"n": 0, "bytes": 0, "broken": False}
+
+        def prepped():
+            tally["n"] = 0
+            tally["bytes"] = 0
+            tally["broken"] = False
+            for a in files_factory():
+                if isinstance(a, AddFile):
+                    if sorted(a.partitionValues.keys()) != pcols:
+                        raise DeltaError(
+                            f"AddFile partition values "
+                            f"{sorted(a.partitionValues)} do not match "
+                            f"table partition columns {pcols}")
+                    a = AddFile(path=relativize(a.path, table_path),
+                                partitionValues=a.partitionValues,
+                                size=a.size,
+                                modificationTime=a.modificationTime,
+                                dataChange=a.dataChange, stats=a.stats,
+                                tags=a.tags)
+                    tally["n"] += 1
+                    tally["bytes"] += int(a.size or 0)
+                elif isinstance(a, RemoveFile):
+                    a = RemoveFile(path=relativize(a.path, table_path),
+                                   deletionTimestamp=a.deletionTimestamp,
+                                   dataChange=a.dataChange,
+                                   extendedFileMetadata=a.extendedFileMetadata,
+                                   partitionValues=a.partitionValues,
+                                   size=a.size, tags=a.tags)
+                    tally["n"] -= 1
+                    if a.size is None:
+                        tally["broken"] = True
+                    else:
+                        tally["bytes"] -= int(a.size)
+                else:
+                    raise DeltaError(
+                        "streamed actions must be AddFile/RemoveFile")
+                yield a
+
+        isolation = SERIALIZABLE if data_change else SNAPSHOT_ISOLATION
+        depends_on_files = bool(self.read_predicates) \
+            or self._read_whole_table
+        is_blind_append = not has_removes and not depends_on_files
+        ict_enabled = eff_meta is not None and TableConfig(
+            eff_meta.configuration).enable_in_commit_timestamps
+
+        def build_lines(prev_version: int):
+            ict = None
+            if ict_enabled:
+                prev = _read_ict(self.log.store, self.log.log_path,
+                                 prev_version)
+                ict = max(int(time.time() * 1000), (prev or 0) + 1)
+            info = CommitInfo(
+                timestamp=int(time.time() * 1000),
+                operation=operation,
+                operationParameters=operation_parameters or {},
+                readVersion=self.read_version
+                if self.read_version >= 0 else None,
+                isolationLevel=isolation,
+                isBlindAppend=is_blind_append,
+                operationMetrics=operation_metrics,
+                userMetadata=user_metadata,
+                engineInfo=engine_info,
+                inCommitTimestamp=ict,
+            )
+            yield to_json_line(info)
+            for a in head:
+                yield to_json_line(a)
+            for a in prepped():
+                yield to_json_line(a)
+
+        import itertools
+        attempt_version = self.read_version + 1
+        for _ in range(MAX_RETRIES):
+            target = fn.delta_file(self.log.log_path, attempt_version)
+            try:
+                self.log.store.write(target,
+                                     build_lines(attempt_version - 1),
+                                     overwrite=False)
+                self.committed = True
+                self._write_streamed_checksum(attempt_version, head, tally)
+                self.log.post_commit(attempt_version)
+                return attempt_version
+            except FileAlreadyExistsError:
+                self._check_for_conflicts(
+                    attempt_version,
+                    itertools.chain(head, prepped()), isolation)
+                attempt_version += 1
+        raise DeltaError("commit retry budget exhausted")
+
+    def _write_streamed_checksum(self, version: int, head: List[Any],
+                                 tally: Dict[str, Any]) -> None:
+        """Checksum twin of _write_version_checksum for streamed
+        commits: the file-set deltas were tallied DURING the write pass,
+        so no second pass over the set is needed."""
+        try:
+            from .log import checksum as cks
+            if tally["broken"] \
+                    or getattr(self.log, "_crc_chain_broken", False):
+                if tally["broken"]:
+                    self.log._crc_chain_broken = True
+                return
+            prev = (cks.reconstruct_checksum(
+                self.log.store, self.log.log_path, version - 1)
+                if version > 0 else None)
+            if prev is None and version > 0:
+                self.log._crc_chain_broken = True
+                return
+            crc = cks.incremental_checksum(
+                prev, head, version == 0,
+                self.snapshot.protocol if self.snapshot else None,
+                self.snapshot.metadata if self.snapshot else None)
+            if crc is None:
+                return
+            n = crc.numFiles + tally["n"]
+            size = crc.tableSizeBytes + tally["bytes"]
+            if n < 0 or size < 0:
+                return
+            crc = cks.VersionChecksum(
+                tableSizeBytes=size, numFiles=n, protocol=crc.protocol,
+                metadata=crc.metadata)
+            cks.write_checksum(self.log.store, self.log.log_path,
+                               version, crc)
+        except Exception:  # noqa: BLE001 — advisory record only
+            pass
+
     def _write_version_checksum(self, version: int,
                                 acts: List[Any]) -> None:
         """Best-effort <version>.crc integrity record (log/checksum.py):

