@@ -50,7 +50,8 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
     # op 0 must be an append (table must exist)
     ops = ["append"] + [rng.choice(
         ["append", "delete", "dv_delete", "update", "overwrite",
-         "optimize", "restore", "merge"]) for _ in range(9)]
+         "optimize", "restore", "merge", "compact_log"])
+        for _ in range(9)]
     for op in ops:
         if op == "append":
             n = rng.randint(1, 6)
@@ -97,6 +98,13 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
         elif op == "optimize" and model:
             TableMaintenance(t).optimize(min_files_per_group=2)
             snap()                      # layout-only: model unchanged
+        elif op == "compact_log" and model:
+            snap0 = t.snapshot()
+            ckpt = snap0.segment.checkpoint_version
+            start = ckpt + 1 if ckpt is not None else 0
+            if start <= snap0.version:  # non-empty tail
+                TableMaintenance(t).compact_log()
+            snap()                      # log-layout-only: model unchanged
         elif op == "restore" and len(history) >= 2:
             v, items = history[rng.randrange(len(history) - 1)]
             TableMaintenance(t).restore(version=v)
