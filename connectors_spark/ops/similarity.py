@@ -356,6 +356,44 @@ def ann_query_indexed(spark, index_path: str, queries: DataFrame, k: int = 5,
                     F.col("_cid").alias(id_col), "sim", "rank"))
 
 
+def prefix_dim_recall(corpus: DataFrame, queries: DataFrame,
+                      k: int = 10, prefix_dims: int = 16,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      query_id_col: str = "query_id") -> DataFrame:
+    """Matryoshka-style prefix-dimension retrieval audit (Kusupati et
+    al. 2022, MRL): rank the corpus twice — once on the FULL vector,
+    once on only the first ``prefix_dims`` components — and report
+    per-query overlap@k of the two neighbor sets.
+
+    The 100 TB question this answers directly: can the ANN index store
+    a d/D prefix of every vector (a 4× memory/IO cut at d = D/4) and
+    keep acceptable recall, re-ranking the shortlist with full vectors?
+    Both rankings reuse :func:`cosine_topk`'s scale shape (numpy matmul
+    per Arrow batch, per-partition local top-k, O(partitions·q·k)
+    shuffle); the overlap is one equi-join on (query, neighbor) plus a
+    per-query count — never a corpus-wide comparison.
+
+    Returns (query_id_col, n_overlap, recall): one row per query, with
+    recall = n_overlap / k rounded to 6 (0.0 rows preserved via the
+    left join from the full ranking's query set)."""
+    full = cosine_topk(corpus, queries, k, id_col, vec_col, query_id_col)
+    pre_c = corpus.withColumn(vec_col, F.slice(F.col(vec_col), 1,
+                                               prefix_dims))
+    pre_q = queries.withColumn(vec_col, F.slice(F.col(vec_col), 1,
+                                                prefix_dims))
+    pre = cosine_topk(pre_c, pre_q, k, id_col, vec_col, query_id_col)
+    hit = (full.select(query_id_col, id_col)
+           .join(pre.select(query_id_col, id_col,
+                            F.lit(1).alias("_hit")),
+                 [query_id_col, id_col], "left"))
+    return (hit.groupBy(query_id_col)
+            .agg(F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
+                 .alias("n_overlap"))
+            .select(query_id_col, "n_overlap",
+                    F.round(F.col("n_overlap") / F.lit(float(k)), 6)
+                    .alias("recall")))
+
+
 def embedding_norm_stats(df: DataFrame, vec_col: str = "embedding",
                          label_col: str = "label") -> DataFrame:
     """Per-label corpus stats (norm mean/min/max, count) — sanity op."""

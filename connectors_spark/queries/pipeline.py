@@ -942,6 +942,59 @@ def emb_topk(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+@register("emb_prefix_dim_recall", sql="""
+WITH u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings),
+nf AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+np AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u
+       WHERE i <= 16 GROUP BY 1),
+df_ AS (
+  SELECT uq.vec_id AS qid, uc.vec_id AS cid, sum(uq.v * uc.v) AS dot
+  FROM u uq JOIN u uc ON uq.i = uc.i
+  WHERE uq.vec_id < 8 AND uc.vec_id <> uq.vec_id
+  GROUP BY 1, 2),
+dp AS (
+  SELECT uq.vec_id AS qid, uc.vec_id AS cid, sum(uq.v * uc.v) AS dot
+  FROM u uq JOIN u uc ON uq.i = uc.i
+  WHERE uq.vec_id < 8 AND uc.vec_id <> uq.vec_id AND uq.i <= 16
+  GROUP BY 1, 2),
+tf AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (
+        PARTITION BY qid
+        ORDER BY round(dot / nq.nrm / nc.nrm, 6) DESC, cid) AS rk
+    FROM df_ JOIN nf nq ON nq.vec_id = qid
+             JOIN nf nc ON nc.vec_id = cid)
+  WHERE rk <= 10),
+tp AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (
+        PARTITION BY qid
+        ORDER BY round(dot / nq.nrm / nc.nrm, 6) DESC, cid) AS rk
+    FROM dp JOIN np nq ON nq.vec_id = qid
+            JOIN np nc ON nc.vec_id = cid)
+  WHERE rk <= 10)
+SELECT tf.qid AS query_id, count(tp.cid)::BIGINT AS n_overlap,
+       round(count(tp.cid) / 10.0, 6) AS recall
+FROM tf LEFT JOIN tp ON tf.qid = tp.qid AND tf.cid = tp.cid
+GROUP BY tf.qid
+""")
+def emb_prefix_dim_recall(spark, sf_dir):
+    # Matryoshka prefix-dim retrieval audit (ops/similarity.py
+    # prefix_dim_recall): rank on the first 16 of 64 dims vs the full
+    # vector, overlap@10 per query — the measured answer to "can the
+    # ANN tier store a quarter of every vector and re-rank the
+    # shortlist with full precision". Both rankings are the numpy-
+    # matmul local-top-k shape; overlap is one (query, neighbor)
+    # equi-join.
+    emb = load(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return sim.prefix_dim_recall(emb, queries, k=10, prefix_dims=16)
+
+
 @register("emb_norm_stats", sql="""
 WITH u AS (
   SELECT vec_id, label, unnest(embedding)::DOUBLE AS v FROM embeddings),

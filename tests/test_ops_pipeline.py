@@ -1356,3 +1356,41 @@ def test_group_sample_exact_k_and_two_phase_equivalence(spark):
         == sorted((r.source, r.doc_id) for r in out)
     with pytest.raises(ValueError, match="k must be"):
         group_sample(df, "source", 0)
+
+
+def test_prefix_dim_recall_semantics(spark):
+    """prefix_dim_recall: vectors whose ranking is fully decided inside
+    the prefix give recall 1.0; vectors whose prefix is identical (all
+    signal in the tail) give chance-level overlap — and every query
+    gets a row even at 0 overlap."""
+    from pyspark.sql import Row
+
+    from connectors_spark.ops.similarity import prefix_dim_recall
+
+    # Case 1: tail is all zeros → prefix ranking == full ranking
+    rows = [Row(vec_id=i, embedding=[float(i + 1), float(2 * i + 1),
+                                     0.0, 0.0]) for i in range(12)]
+    df = spark.createDataFrame(rows)
+    q = (df.filter(F.col("vec_id") < 2)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = {r.query_id: (r.n_overlap, r.recall)
+           for r in prefix_dim_recall(df, q, k=4, prefix_dims=2)
+           .collect()}
+    assert set(out) == {0, 1}
+    assert all(v == (4, 1.0) for v in out.values())
+
+    # Case 2: identical prefix, all signal in the tail → the prefix
+    # ranking is tie-broken by id alone; overlap is whatever ids 1..4
+    # happen to share with the full ranking, and rows still appear
+    rows2 = [Row(vec_id=i, embedding=[1.0, 1.0,
+                                      float((7 * i) % 13),
+                                      float((11 * i) % 17)])
+             for i in range(12)]
+    df2 = spark.createDataFrame(rows2)
+    q2 = (df2.filter(F.col("vec_id") == 0)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = prefix_dim_recall(df2, q2, k=3, prefix_dims=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert 0 <= r.n_overlap <= 3
+    assert r.recall == round(r.n_overlap / 3.0, 6)
