@@ -854,12 +854,7 @@ class DeltaTable:
             _enforce_constraints(df, eff_meta.configuration, "written")
             _enforce_invariants(df, eff_meta, "written")
 
-        actions: List[Any] = []
         op = "WRITE"
-        if mode == "overwrite" and exists:
-            txn.read_whole_table()
-            now = int(time.time() * 1000)
-            actions += [f.remove(now) for f in txn.snapshot.all_files()]
         adds = stage_and_collect(
             df, self.log.table_path, pcols,
             num_indexed_cols=_n_indexed(
@@ -869,21 +864,49 @@ class DeltaTable:
             bloom_cfg=_bloom(
                 eff_meta.configuration if eff_meta else None),
             physical_meta=eff_meta)
-        actions += adds
-        if txn_app_id is not None:
-            from .log.actions import SetTransaction
-            actions.append(SetTransaction(
-                appId=txn_app_id, version=int(txn_version),
-                lastUpdated=int(time.time() * 1000)))
         n_rows = sum(json.loads(a.stats)["numRecords"] for a in adds
                      if a.stats)
-        version = txn.commit(
-            actions, operation=op if exists else "CREATE TABLE AS SELECT",
-            operation_parameters={"mode": mode,
-                                  "partitionBy": json.dumps(list(pcols))},
-            operation_metrics={"numFiles": str(len(adds)),
-                               "numOutputRows": str(n_rows)},
-            user_metadata=user_metadata)
+        op_params = {"mode": mode, "partitionBy": json.dumps(list(pcols))}
+        op_metrics = {"numFiles": str(len(adds)),
+                      "numOutputRows": str(n_rows)}
+        set_txn = None
+        if txn_app_id is not None:
+            from .log.actions import SetTransaction
+            set_txn = SetTransaction(
+                appId=txn_app_id, version=int(txn_version),
+                lastUpdated=int(time.time() * 1000))
+        if mode == "overwrite" and exists:
+            # Whole-table overwrite removes EVERY active file — an
+            # O(table-width) action set, so it streams through
+            # commit_stream off files_df.toLocalIterator() like
+            # CLONE/RESTORE (the adds are the write's own output,
+            # already O(new files) on the driver).
+            txn.read_whole_table()
+            now = int(time.time() * 1000)
+            from .log.snapshot import addfiles_from_rows
+            old_files_df = txn.snapshot.files_df
+
+            def files_factory():
+                for r in old_files_df.toLocalIterator():
+                    yield addfiles_from_rows([r])[0].remove(now)
+                yield from adds
+
+            version = txn.commit_stream(
+                [set_txn] if set_txn is not None else [],
+                files_factory, has_removes=True, data_change=True,
+                operation=op, operation_parameters=op_params,
+                operation_metrics=op_metrics,
+                user_metadata=user_metadata)
+        else:
+            actions: List[Any] = list(adds)
+            if set_txn is not None:
+                actions.append(set_txn)
+            version = txn.commit(
+                actions,
+                operation=op if exists else "CREATE TABLE AS SELECT",
+                operation_parameters=op_params,
+                operation_metrics=op_metrics,
+                user_metadata=user_metadata)
         self._maybe_auto_compact(
             (eff_meta.configuration if eff_meta else None))
         return version
