@@ -1394,3 +1394,49 @@ def test_prefix_dim_recall_semantics(spark):
     r = got[0]
     assert 0 <= r.n_overlap <= 3
     assert r.recall == round(r.n_overlap / 3.0, 6)
+
+
+def test_edit_distance_pairs_degenerate_vocab_exact(spark):
+    """Tiny-vocabulary corpus where the hot-gram cap guts EVERY
+    string's reduced gram set (the sf1-probe failure shape): the
+    PassJoin pigeonhole fallback must stay exact vs the O(n²)
+    definition — and the candidate relation must stay far below
+    all-pairs (the old length-band fallback degenerated to n²/2)."""
+    import itertools
+    import random
+
+    from connectors_spark.ops.fuzzy import (_pigeonhole_pairs,
+                                            edit_distance_pairs)
+
+    rng = random.Random(5)
+    vocab = ["merge", "scan", "join", "hash", "row"]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(10))[:48])
+            for i in range(150)]
+    # seed a few true near-pairs
+    rows += [(150, rows[0][1][:-1] + "x"), (151, rows[1][1])]
+    df = spark.createDataFrame(rows, "doc_id: long, s: string")
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    k = 4
+    exp = {(min(ia, ib), max(ia, ib), lev(sa, sb))
+           for (ia, sa), (ib, sb) in itertools.combinations(rows, 2)
+           if lev(sa, sb) <= k}
+    # cap=10 makes every trigram hot → the whole corpus is "shorts"
+    got = {(r.a_id, r.b_id, r.dist) for r in
+           edit_distance_pairs(df, k, max_gram_freq=10).collect()}
+    assert got == exp
+    # the pigeonhole candidate set is a small fraction of all-pairs
+    shorts = df.selectExpr("doc_id AS _id", "s AS _s",
+                           "length(s) AS _len")
+    n_cand = _pigeonhole_pairs(shorts, k).count()
+    n_all = len(rows) * (len(rows) - 1) // 2
+    assert n_cand < n_all // 4, (n_cand, n_all)
