@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Full-registry sweep at the sf1 scaling probe (VERDICT r10 #4) with a
+per-query wall-clock budget.
+
+Some oracle SQL is the O(n²) textbook definition (fuzzy Levenshtein
+pairs, all-pairs cosine) — feasible at the sf0.01 correctness gate and
+the sf0.1 close-out sweep, but hours-infeasible at sf1 where DuckDB
+has 10× the rows and 100× the pairs. A query whose ORACLE exceeds the
+budget is recorded as `oracle_timeout` with its Spark-side row count
+(the Spark plan already completed) rather than stalling the sweep;
+everything else gets the full rows+schema+hash compare.
+
+Usage: python scripts/sweep_sf1.py [sf_dir] [budget_sec] [out_json]
+"""
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+
+def _oracle_rows(sql: str, sf_dir: str, q):  # subprocess target
+    import duckdb
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{src}')")
+    rel = con.sql(sql)
+    q.put((list(rel.columns), [str(t) for t in rel.types],
+           rel.fetchall()))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    budget = int(sys.argv[2]) if len(sys.argv) > 2 else 600
+    out_path = sys.argv[3] if len(sys.argv) > 3 else "/tmp/SWEEP_SF1.json"
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+    from pyspark.sql import SparkSession
+
+    from connectors_spark.queries import REGISTRY
+    from tests.harness import _norm, check_oracle_types
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .config("spark.sql.shuffle.partitions", cpus)
+             .config("spark.driver.memory", "16g")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = {}
+    for name, qd in REGISTRY.items():
+        t0 = time.time()
+        try:
+            sdf = qd.fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sorted(sdf.columns)
+        except Exception as e:  # noqa: BLE001
+            results[name] = {"status": "spark_error",
+                             "err": f"{type(e).__name__}: {e}"[:300]}
+            print(f"FAIL {name}: spark {e}", flush=True)
+            continue
+        spark_s = time.time() - t0
+        if qd.sql is None:
+            results[name] = {"status": "rows_only",
+                             "spark_rows": len(srows),
+                             "spark_sec": round(spark_s, 1)}
+            print(f"PASS {name}: rows-only ({len(srows)})", flush=True)
+            continue
+        q = mp.Queue()
+        p = mp.Process(target=_oracle_rows, args=(qd.sql, sf_dir, q))
+        t1 = time.time()
+        p.start()
+        got = None
+        while time.time() - t1 < budget:
+            if not q.empty():
+                got = q.get()
+                break
+            if not p.is_alive():
+                try:
+                    got = q.get(timeout=5)
+                except Exception:  # noqa: BLE001
+                    pass
+                break
+            time.sleep(0.5)
+        if got is None:
+            p.terminate()
+            p.join()
+            results[name] = {"status": "oracle_timeout",
+                             "spark_rows": len(srows),
+                             "spark_sec": round(spark_s, 1),
+                             "budget_sec": budget}
+            print(f"SKIP {name}: oracle exceeded {budget}s "
+                  f"(spark ok, {len(srows)} rows in {spark_s:.0f}s)",
+                  flush=True)
+            continue
+        p.join()
+        ocols_raw, otypes, orows = got
+        ocols = sorted(ocols_raw)
+        ok, msg = True, f"ok ({len(srows)} rows)"
+        if scols != ocols:
+            ok, msg = False, f"schema {scols} vs {ocols}"
+        elif len(srows) != len(orows):
+            ok, msg = False, f"rows {len(srows)} vs {len(orows)}"
+        else:
+            sset = sorted(tuple(_norm(r[c]) for c in scols)
+                          for r in srows)
+            oidx = [ocols_raw.index(c) for c in ocols]
+            oset = sorted(tuple(_norm(r[i]) for i in oidx)
+                          for r in orows)
+            if sset != oset:
+                diffs = [(a, b) for a, b in zip(sset, oset)
+                         if a != b][:2]
+                ok, msg = False, f"values differ: {diffs}"[:400]
+        results[name] = {"status": "pass" if ok else "fail",
+                         "detail": msg, "spark_rows": len(srows),
+                         "spark_sec": round(spark_s, 1),
+                         "oracle_sec": round(time.time() - t1, 1)}
+        print(("PASS " if ok else "FAIL ") + f"{name}: {msg}",
+              flush=True)
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    n_pass = sum(1 for r in results.values()
+                 if r["status"] in ("pass", "rows_only"))
+    n_skip = sum(1 for r in results.values()
+                 if r["status"] == "oracle_timeout")
+    n_fail = len(results) - n_pass - n_skip
+    print(f"\n{n_pass} pass / {n_skip} oracle-timeout / {n_fail} fail "
+          f"of {len(results)}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
