@@ -333,3 +333,28 @@ def test_auto_compact_log_steady_state(spark, tmp_path):
     assert sorted(r.k for r in t.to_df().collect()) == list(range(23))
     # raw deltas are never deleted: every version still time-travels
     assert t.log.snapshot_for_version(7).version == 7
+
+
+def test_compaction_range_straddling_checkpoint_ignored(spark, tmp_path):
+    """A compacted range that STRADDLES a later checkpoint (range start
+    before it, end after) must be ignored by segment substitution —
+    the checkpointed prefix wins and only raw tail deltas replay
+    (the by_start walk requires the range start inside the tail)."""
+    from pyspark.sql import Row
+
+    from connectors_spark.log.checkpoints import write_checkpoint
+
+    t = _mk(spark, str(tmp_path / "str"), n_appends=5)
+    head = t.snapshot().version
+    assert head >= 5
+    # compact the whole log FIRST, then checkpoint an interior version
+    TableMaintenance(t).compact_log(start=0, end=head)
+    write_checkpoint(t.log.snapshot_for_version(head - 2))
+    t.write(spark.createDataFrame([Row(k=444, v=4)]), mode="append")
+    seg = t.log.snapshot_for_version(head + 1).segment
+    assert seg.checkpoint_version == head - 2
+    # the straddling [0, head] compacted file is NOT substituted
+    assert all(".compacted.json" not in p for p in seg.deltas)
+    assert len(seg.deltas) == 3          # head-1, head, head+1
+    assert t.to_df().filter("k = 444").count() == 1
+    assert t.to_df().filter("k = 3").count() == 0
