@@ -10,14 +10,24 @@ budget is recorded as `oracle_timeout` with its Spark-side row count
 (the Spark plan already completed) rather than stalling the sweep;
 everything else gets the full rows+schema+hash compare.
 
+The SPARK side gets the same budget (cancelled via job group): two
+registry entries are documented exact-O(n²) verification paths
+(`cosine_neardup_pairs` — its LSH sibling is the scale path) whose own
+cost is quadratic by definition at sf1.
+
 Usage: python scripts/sweep_sf1.py [sf_dir] [budget_sec] [out_json]
+                                   [resume_log]
+`resume_log`: a previous run's stdout; queries with a PASS/SKIP line
+there are carried over instead of re-run.
 """
 from __future__ import annotations
 
 import json
 import multiprocessing as mp
 import os
+import re
 import sys
+import threading
 import time
 
 
@@ -56,18 +66,50 @@ def main() -> None:
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
+    carried = {}
+    if len(sys.argv) > 4 and os.path.exists(sys.argv[4]):
+        with open(sys.argv[4], errors="replace") as f:
+            for line in f:
+                for m in re.finditer(
+                        r"(PASS|SKIP) ([a-z0-9_]+):", line):
+                    carried[m.group(2)] = m.group(1)
+
     results = {}
     for name, qd in REGISTRY.items():
-        t0 = time.time()
-        try:
-            sdf = qd.fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sorted(sdf.columns)
-        except Exception as e:  # noqa: BLE001
-            results[name] = {"status": "spark_error",
-                             "err": f"{type(e).__name__}: {e}"[:300]}
-            print(f"FAIL {name}: spark {e}", flush=True)
+        if name in carried:
+            results[name] = {"status": "pass_prior"
+                             if carried[name] == "PASS"
+                             else "skip_prior"}
+            print(f"CARRY {name}: from resume log", flush=True)
             continue
+        t0 = time.time()
+        box = {}
+
+        def run_spark(_qd=qd):
+            try:
+                spark.sparkContext.setJobGroup("sweep", name, True)
+                sdf = _qd.fn(spark, sf_dir)
+                box["rows"] = sdf.collect()
+                box["cols"] = sorted(sdf.columns)
+            except Exception as e:  # noqa: BLE001
+                box["err"] = f"{type(e).__name__}: {e}"[:300]
+
+        th = threading.Thread(target=run_spark, daemon=True)
+        th.start()
+        th.join(budget)
+        if th.is_alive():
+            spark.sparkContext.cancelJobGroup("sweep")
+            th.join(60)
+            results[name] = {"status": "spark_timeout",
+                             "budget_sec": budget}
+            print(f"SKIP {name}: spark exceeded {budget}s", flush=True)
+            continue
+        if "err" in box:
+            results[name] = {"status": "spark_error",
+                             "err": box["err"]}
+            print(f"FAIL {name}: spark {box['err']}", flush=True)
+            continue
+        srows, scols = box["rows"], box["cols"]
         spark_s = time.time() - t0
         if qd.sql is None:
             results[name] = {"status": "rows_only",
