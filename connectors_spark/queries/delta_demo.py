@@ -834,3 +834,40 @@ def delta_show_partitions(spark, sf_dir):
         t.delete(Col("o_orderstatus") == Lit("P"))
     d = _built(sf_dir, "orders_parts", build)
     return DeltaTable.for_path(spark, d).show_partitions()
+
+
+@register("delta_compact_log_read", sql="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+FROM orders WHERE o_totalprice >= 100000.0
+""")
+def delta_compact_log_read(spark, sf_dir):
+    # Minor log compaction (table.py compact_log): v0 writes orders,
+    # v1 appends a slice the v2 DELETE fully removes again, v3 deletes
+    # the cheap orders; compact_log folds [0, 3] into one
+    # <0>.<3>.compacted.json and a FRESH snapshot replays through the
+    # substituted segment. The read must equal the oracle's direct
+    # filter — net removes held, the appended-then-deleted file's
+    # add/remove pair netted away, raw deltas untouched (interior time
+    # travel pinned in tests/test_log_compaction.py). The registry
+    # gate makes compaction replay driver-verified every round, not
+    # just pytest-covered.
+    from ..table import TableMaintenance
+
+    def build(d):
+        od = load(spark, sf_dir, "orders")
+        t = DeltaTable.for_path(spark, d)
+        t.write(od, configuration={"delta.checkpointInterval": "1000"})
+        extra = (od.where("o_orderkey <= 64")
+                 .withColumn("o_orderkey",
+                             F.col("o_orderkey") + F.lit(900000000)))
+        t.write(extra, mode="append")
+        t.delete(Col("o_orderkey") >= Lit(900000000))
+        t.delete(Col("o_totalprice") < Lit(100000.0))
+        res = TableMaintenance(t).compact_log()
+        assert res["actionsOut"] <= res["actionsIn"]
+    d = _built(sf_dir, "orders_compact_log", build)
+    t = DeltaTable.for_path(spark, d)
+    seg = t.snapshot().segment
+    assert any(".compacted.json" in p for p in seg.deltas), seg.deltas
+    return t.to_df().select("o_orderkey", "o_custkey",
+                            F.round("o_totalprice", 2).alias("totalprice"))
