@@ -265,22 +265,57 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.45,
 def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float = 0.45,
                              dim: int = 64, num_planes: int = 3,
                              num_tables: int = 12, id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
+                             vec_col: str = "embedding",
+                             max_bucket_size: Optional[int] = 1024
+                             ) -> DataFrame:
     """Approximate near-dup pairs: multi-table LSH candidates verified by
     exact cosine — the 100 TB path (subset of `cosine_neardup_pairs`;
-    recall measured in tests)."""
+    recall measured in tests).
+
+    ``max_bucket_size`` bounds the per-bucket pair expansion the same
+    way minhash LSH does (ops/dedup.py): with FIXED plane counts,
+    bucket occupancy grows linearly with the corpus and the in-bucket
+    pair volume quadratically — the sf1 sweep measured the uncapped
+    bucket self-join at ~2×10⁹ candidate rows (50k vectors / 2³ sigs /
+    12 tables). Buckets are clipped to their ``max_bucket_size``
+    smallest ids via the exact two-phase distributed min-k (cap within
+    each input partition, merge, cap again — no aggregation row ever
+    exceeds O(cap × fan_in)), so candidates are bounded at
+    O(tables · 2^planes · cap²) regardless of corpus size. A bucket
+    that big means the planes are too few for the corpus — raise
+    ``num_planes`` to keep recall, or the cap keeps cost bounded while
+    recall degrades gracefully (deterministically: smallest ids kept)."""
     keys = _bucket_keys(vec_col, dim, num_planes, num_tables)
     ex = (_spread(df).select(F.col(id_col).alias("_id"),
                              F.explode(keys).alias("_bk"))
           .select("_id", "_bk.tbl", "_bk.sig"))
-    other = ex.select(F.col("_id").alias("_id2"), "tbl", "sig")
-    # Dedup candidate PAIRS before the (expensive) cosine verify — a pair
-    # colliding in many tables is still verified exactly once; vectors
-    # are joined back only for surviving candidates.
-    cand = (ex.join(other, ["tbl", "sig"])
-            .filter(F.col("_id") < F.col("_id2"))
-            .select(F.col("_id").alias("a_id"), F.col("_id2").alias("b_id"))
-            .distinct())
+    if max_bucket_size is None:
+        grouped = (ex.groupBy("tbl", "sig")
+                   .agg(F.array_sort(F.collect_list("_id")).alias("ids")))
+    else:
+        local = (ex.groupBy("tbl", "sig",
+                            F.spark_partition_id().alias("_p"))
+                 .agg(F.slice(F.array_sort(F.collect_list("_id")), 1,
+                              max_bucket_size).alias("_ids")))
+        grouped = (local.groupBy("tbl", "sig")
+                   .agg(F.slice(
+                       F.array_sort(F.flatten(F.collect_list("_ids"))),
+                       1, max_bucket_size).alias("ids")))
+    # In-bucket pair expansion instead of a bucket self-join: the join's
+    # two sides would each recompute the plane-signature subtree (HOF
+    # lambdas defeat subtree dedup), and a pair colliding in many
+    # tables is still verified exactly once after the distinct.
+    ids = F.col("ids")
+    pair_expand = F.flatten(F.transform(
+        ids,
+        lambda a, i: F.transform(
+            F.slice(ids, i + F.lit(2),
+                    F.greatest(F.size(ids) - i - 1, F.lit(0))),
+            lambda b: F.struct(F.least(a, b).alias("a_id"),
+                               F.greatest(a, b).alias("b_id")))))
+    cand = (grouped.filter(F.size("ids") >= 2)
+            .select(F.explode(pair_expand).alias("p"))
+            .select("p.a_id", "p.b_id").distinct())
     withn = df.select(F.col(id_col), F.col(vec_col),
                       norm_d(vec_col).alias("_n"))
     va = withn.select(F.col(id_col).alias("a_id"),

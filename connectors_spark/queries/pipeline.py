@@ -1051,9 +1051,15 @@ def emb_neardup(spark, sf_dir):
 # LSH recall path for the same operator — oracle re-derives the bucket
 # collisions then exact-verifies, identical to cosine_neardup_pairs_lsh:
 @register("emb_cosine_neardup_lsh", sql="WITH " + _LSH_SIGS + """,
+capped AS (
+  SELECT tbl, sig, vec_id FROM (
+    SELECT tbl, sig, vec_id,
+           row_number() OVER (PARTITION BY tbl, sig
+                              ORDER BY vec_id) AS rk
+    FROM sigs) WHERE rk <= 1024),
 cand AS (
   SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-  FROM sigs a JOIN sigs b USING (tbl, sig)
+  FROM capped a JOIN capped b USING (tbl, sig)
   WHERE a.vec_id < b.vec_id),
 d AS (
   SELECT c.a_id, c.b_id, sum(ua.v * ub.v) AS dot
