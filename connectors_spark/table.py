@@ -2007,6 +2007,43 @@ def _hilbert_index_col(bucket_cols: List[F.Column],
     return F.aggregate(qs, init, merge, finish)
 
 
+def _hilbert_index_np(X, bits: int):
+    """Vectorized Skilling AxesToTranspose over a (d, n) int64 bucket
+    array → (n,) int64 Hilbert indices. Identical ints to
+    _hilbert_index_col / the tests' Python reference — the loops here
+    run over LEVELS and DIMENSIONS only; every per-row operation is a
+    whole-array numpy bit op."""
+    import numpy as np
+    d = X.shape[0]
+    X = X.astype(np.int64, copy=True)
+    Q = np.int64(1) << (bits - 1)
+    while Q > 1:
+        P = Q - 1
+        for i in range(d):
+            x0, xi = X[0], X[i]
+            mask = (xi & Q) != 0
+            if i == 0:
+                X[0] = np.where(mask, x0 ^ P, x0)
+                continue
+            t = (x0 ^ xi) & P
+            X[0] = np.where(mask, x0 ^ P, x0 ^ t)
+            X[i] = np.where(mask, xi, xi ^ t)
+        Q >>= 1
+    for i in range(1, d):                      # Gray encode (prefix ^)
+        X[i] ^= X[i - 1]
+    t = np.zeros_like(X[0])
+    Q = np.int64(1) << (bits - 1)
+    while Q > 1:
+        t = np.where((X[d - 1] & Q) != 0, t ^ (Q - 1), t)
+        Q >>= 1
+    X ^= t
+    h = np.zeros_like(X[0])
+    for p in range(bits - 1, -1, -1):          # bit interleave
+        for i in range(d):
+            h = (h << 1) | ((X[i] >> np.int64(p)) & 1)
+    return h
+
+
 def _hilbert_code(df: DataFrame, cols: List[str]) -> F.Column:
     """Hilbert-curve cluster code over equi-width bucket ids — the
     same bucketing as Z-order but walked along the Hilbert curve.
@@ -2020,9 +2057,33 @@ def _hilbert_code(df: DataFrame, cols: List[str]) -> F.Column:
     ranges cover tighter hyper-rectangles: measurably better per-file
     min/max selectivity at the same rewrite cost — the reason
     Databricks liquid clustering walks Hilbert, not Morton. Bits per
-    dimension shrink with d so the index stays in a signed long."""
+    dimension shrink with d so the index stays in a signed long.
+
+    Hot path is an Arrow-batched pandas_udf over the vectorized
+    Skilling transform (_hilbert_index_np): the pure-Column form
+    (_hilbert_index_col, kept for parity tests) expresses the level
+    loop as a higher-order F.aggregate, which Spark evaluates
+    INTERPRETED per row — the sf1 sweep measured the Hilbert rewrite
+    at 339 s vs <12 s for the codegen'd Morton interleave. The numpy
+    form computes identical ints (equality pinned against both the
+    Column form and the Skilling reference) with level/dimension loops
+    only — every per-row op is a whole-batch bit op."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()
     bits = min(_ZORDER_BITS, 63 // max(len(cols), 1))
-    return _hilbert_index_col(_bucket_ids(df, cols, bits), bits)
+
+    def _hidx(*xs):
+        import numpy as np
+        X = np.stack([x.to_numpy(dtype=np.int64) for x in xs])
+        return pd.Series(_hilbert_index_np(X, bits))
+
+    # functional form (no type hints): the decorator's hint inference
+    # rejects *args signatures
+    hidx = pandas_udf(_hidx, "long")
+    return hidx(*_bucket_ids(df, cols, bits))
 
 
 def _compact_log_range(log, table_path: str, start: int,

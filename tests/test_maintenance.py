@@ -893,3 +893,23 @@ def test_optimize_where_scopes_to_partition(spark, tmp_path):
     assert t.to_df().count() == 200
     with pytest.raises(DeltaError, match="partition columns"):
         TableMaintenance(t).optimize(where=Col("k") == Lit(1))
+
+
+def test_hilbert_numpy_batch_matches_column_and_reference():
+    """The vectorized numpy Skilling transform (the OPTIMIZE hot path)
+    must equal the Python reference bit-for-bit at production widths —
+    the Column form is pinned against the same reference above."""
+    import random
+
+    import numpy as np
+
+    from connectors_spark.table import _hilbert_index_np
+
+    random.seed(23)
+    for d, b in [(2, 4), (3, 3), (2, 16), (3, 16), (4, 15)]:
+        coords = [tuple(random.randrange(1 << b) for _ in range(d))
+                  for _ in range(500)]
+        X = np.array(coords, dtype=np.int64).T
+        got = _hilbert_index_np(X, b)
+        exp = [_hilbert_index_py(c, b) for c in coords]
+        assert got.tolist() == exp, (d, b)
