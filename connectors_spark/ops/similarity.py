@@ -131,6 +131,116 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 
 # --------------------------------------------------------------------------
+# Binary sign quantization + Hamming prefilter (1 bit/dim ANN tier)
+# --------------------------------------------------------------------------
+
+def _pack_signs(mat: "np.ndarray", nwords: int) -> "np.ndarray":
+    """(n, dim) float matrix -> (n, nwords) int64 sign-bit words.
+    Bit i of word j is 1 iff component 64j+i > 0 (little-endian bit
+    order within each word). The uint64->int64 step is a VIEW (bit
+    reinterpretation, exact two's complement), never a value cast."""
+    bits = np.packbits(mat > 0, axis=1, bitorder="little")
+    pad = (-bits.shape[1]) % 8
+    if pad:
+        bits = np.pad(bits, ((0, 0), (0, pad)))
+    return np.ascontiguousarray(bits).view("<u8").view(np.int64) \
+        .reshape(len(mat), nwords)
+
+
+def hamming_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 rerank_m: int = 48, dim: int = 64,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 query_id_col: str = "query_id") -> DataFrame:
+    """Binary (1 bit/dim) sign-quantized top-k: Hamming prefilter +
+    exact cosine rerank — the memory-tier ANN pattern (Indyk/Motwani
+    bit sampling; Charikar 2002 connects sign bits to angle: for
+    random projections P[bit differs] = θ/π, and raw sign bits are the
+    degenerate axis-aligned case).
+
+    100 TB shape: the corpus is scanned once carrying dim/64 int64
+    WORDS per row (a 32x read/memory cut vs float32 vectors); the
+    distance is a handful of codegen'd ``bit_count(xor)`` ops per
+    (row, query) — no float math, no HOF, no Python. Per-query
+    candidates are pre-reduced to ``rerank_m`` INSIDE each partition
+    via the exact two-phase min-k (partition-local min-m, merge, min-m
+    again), so the shuffle is O(partitions * q * m) rows, never
+    corpus x queries. Only the surviving q*m candidates rejoin the
+    float vectors for the exact cosine rerank.
+
+    Deterministic end to end: Hamming ties break by id ASC (both
+    phases sort (ham, id) structs); the rerank rounds sim to 6 and
+    ranks (sim DESC, id ASC) exactly like cosine_topk. Bit packing is
+    sign(v) = v > 0 — an exact predicate, identical on float32 input
+    and the oracle's double cast.
+
+    Returns (query_id_col, id_col, ham, sim, rank), k rows per query.
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    from ..shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()
+    nwords = (dim + 63) // 64
+    qrows = _collect_query_side(queries, query_id_col, vec_col)
+    qmat = np.array([r["_qv"] for r in qrows], dtype=np.float64)
+    qwords = _pack_signs(qmat, nwords)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    qnorm = np.where(qnorm == 0, 1.0, qnorm)
+    spark = corpus.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(r["_qid"]), [int(w) for w in qwords[i]], float(qnorm[i]))
+         for i, r in enumerate(qrows)],
+        "_qid long, _qw array<long>, _qn double")
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _words(vs: pd.Series) -> pd.Series:
+        m = np.array(vs.tolist(), dtype=np.float64)
+        return pd.Series(list(_pack_signs(m, nwords)))
+
+    c = _spread(corpus).select(id_col, vec_col) \
+        .withColumn("_w", _words(F.col(vec_col)))
+    j = (c.join(F.broadcast(qdf))
+         .filter(F.col(id_col) != F.col("_qid")))
+    ham = F.lit(0).cast("long")
+    for wi in range(nwords):  # static unroll: flat, codegen'd
+        ham = ham + F.bit_count(
+            F.element_at("_w", wi + 1).bitwiseXOR(
+                F.element_at("_qw", wi + 1))).cast("long")
+    scored = j.select("_qid", F.struct(
+        ham.alias("h"), F.col(id_col).cast("long").alias("i")).alias("_s"))
+    local = (scored
+             .groupBy(F.spark_partition_id().alias("_p"), "_qid")
+             .agg(F.slice(F.array_sort(F.collect_list("_s")), 1,
+                          rerank_m).alias("_c")))
+    cand = (local.groupBy("_qid")
+            .agg(F.slice(F.array_sort(F.flatten(F.collect_list("_c"))),
+                         1, rerank_m).alias("_c"))
+            .select("_qid", F.explode("_c").alias("_e"))
+            .select("_qid", F.col("_e.h").alias("ham"),
+                    F.col("_e.i").alias("_cid")))
+    cvecs = corpus.select(F.col(id_col).cast("long").alias("_cid"),
+                          F.col(vec_col).alias("_cv"))
+    qn = qdf.select("_qid", "_qn")
+    qvecs = spark.createDataFrame(
+        [(int(r["_qid"]), [float(v) for v in r["_qv"]]) for r in qrows],
+        "_qid long, _qv array<double>")
+    cnorm = norm_d("_cv")
+    sim = F.round(dot_d("_cv", "_qv")
+                  / F.col("_qn")
+                  / F.when(cnorm == 0, F.lit(1.0)).otherwise(cnorm), 6)
+    # broadcast the CANDIDATE side (q·m rows) — the other side is the
+    # whole corpus, which must stay a scan, never a build side
+    r = (F.broadcast(cand).join(cvecs, "_cid")
+         .join(F.broadcast(qn), "_qid")
+         .join(F.broadcast(qvecs), "_qid")
+         .withColumn("sim", sim))
+    w = Window.partitionBy("_qid").orderBy(F.desc("sim"), F.asc("_cid"))
+    return (r.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("_qid").alias(query_id_col),
+                    F.col("_cid").alias(id_col), "ham", "sim", "rank"))
+
+
+# --------------------------------------------------------------------------
 # Random-hyperplane LSH
 # --------------------------------------------------------------------------
 

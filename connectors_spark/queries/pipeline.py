@@ -942,6 +942,52 @@ def emb_topk(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+@register("emb_hamming_topk", sql="""
+WITH u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings),
+h AS (
+  SELECT uq.vec_id AS qid, uc.vec_id AS cid,
+         sum(CASE WHEN (uq.v > 0) <> (uc.v > 0)
+                  THEN 1 ELSE 0 END)::BIGINT AS ham
+  FROM u uq JOIN u uc ON uq.i = uc.i
+  WHERE uq.vec_id < 8 AND uc.vec_id <> uq.vec_id
+  GROUP BY 1, 2),
+cand AS (
+  SELECT qid, cid, ham FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY ham, cid) AS rm
+    FROM h) WHERE rm <= 48),
+n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+d AS (
+  SELECT c.qid, c.cid, c.ham, sum(uq.v * uc.v) AS dot
+  FROM cand c
+  JOIN u uq ON uq.vec_id = c.qid
+  JOIN u uc ON uc.vec_id = c.cid AND uc.i = uq.i
+  GROUP BY 1, 2, 3),
+s AS (
+  SELECT qid, cid, ham, round(dot / nq.nrm / nc.nrm, 6) AS sim
+  FROM d JOIN n nq ON nq.vec_id = qid JOIN n nc ON nc.vec_id = cid)
+SELECT qid AS query_id, cid AS vec_id, ham, sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY sim DESC, cid) AS rank
+  FROM s) WHERE rank <= 5
+""")
+def emb_hamming_topk(spark, sf_dir):
+    # Binary sign-quantization ANN tier (ops/similarity.py
+    # hamming_topk): 1 bit/dim words, codegen'd bit_count(xor) Hamming
+    # prefilter to 48 candidates/query via the exact two-phase min-k,
+    # exact cosine rerank of only the survivors — the 32x-smaller
+    # memory tier in front of the float vectors.
+    emb = load(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = sim.hamming_topk(emb, queries, k=5, rerank_m=48, dim=64)
+    return out.select("query_id", "vec_id", "ham", "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 @register("emb_prefix_dim_recall", sql="""
 WITH u AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,

@@ -262,6 +262,67 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.7, f"ANN recall too low: {recall}"
 
 
+def test_hamming_topk_exact_vs_python_reference(spark, sf_dir):
+    """hamming_topk == a full-sort Python reference: the two-phase
+    min-m candidate cut is exact under ADVERSARIAL partitioning, the
+    word packing preserves sign(v) = v > 0 per dimension, and the
+    rerank reproduces cosine_topk's (round-6 sim DESC, id ASC) order."""
+    import numpy as np
+
+    emb = read_table(spark, "embeddings", sf_dir).repartition(7)
+    queries = (emb.filter(F.col("vec_id") < 6)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    k, m = 4, 16
+    got = sim.hamming_topk(emb, queries, k=k, rerank_m=m, dim=64)
+    rows = {(r.query_id, r.rank): (r.vec_id, r.ham, r.sim)
+            for r in got.collect()}
+
+    data = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in data])
+    mat = np.array([r.embedding for r in data], dtype=np.float64)
+    signs = mat > 0
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    want_n = 0
+    for q in range(6):
+        (qi,) = np.where(ids == q)
+        ham = (signs != signs[qi[0]]).sum(axis=1)
+        mask = ids != q
+        order = np.lexsort((ids[mask], ham[mask]))[:m]
+        cids, chams = ids[mask][order], ham[mask][order]
+        sims = np.round(
+            mat[mask][order] @ mat[qi[0]] / norms[qi[0]]
+            / norms[mask][order], 6)
+        fin = np.lexsort((cids, -sims))[:k]
+        for rk, j in enumerate(fin, start=1):
+            want_n += 1
+            assert rows[(q, rk)] == (cids[j], chams[j], sims[j]), \
+                (q, rk, rows[(q, rk)], (cids[j], chams[j], sims[j]))
+    assert len(rows) == want_n
+
+
+def test_hamming_stage_plan_is_codegen(spark, sf_dir):
+    """The Hamming prefilter never evaluates a higher-order function or
+    a float op per (row, query): the plan carries bit_count/xor only
+    (the packing pandas_udf runs once per corpus row, not per pair)."""
+    emb = read_table(spark, "embeddings", sf_dir)
+    queries = (emb.filter(F.col("vec_id") < 2)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = sim.hamming_topk(emb, queries, k=3)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "bit_count" in plan
+    # the corpus×queries stage is the subtree under the `Join Inner,
+    # NOT (...)` self-exclusion join; in the printed tree everything
+    # after that line is that subtree plus leaf scans. The rerank's
+    # HOF dot/norm Project (over q×m survivors only) sits ABOVE it, so
+    # no zip_with/aggregate lambda may appear after this point.
+    tail = plan[plan.index("Join Inner, NOT"):]
+    assert "zip_with" not in tail and "lambdafunction" not in tail
+    physical = out._jdf.queryExecution().executedPlan().toString()
+    # query side broadcast (nested-loop build side), and the rerank
+    # joins hash-broadcast the tiny sides — the corpus is never built
+    assert "BroadcastNestedLoopJoin BuildRight" in physical
+
+
 def test_cosine_topk_excludes_self_and_ranks(spark, sf_dir):
     emb = read_table(spark, "embeddings", sf_dir)
     queries = (emb.filter(F.col("vec_id") == 0)
