@@ -553,3 +553,4 @@ from . import relational   # noqa: E402,F401
 from . import pipeline     # noqa: E402,F401
 from . import temporal     # noqa: E402,F401
 from . import delta_demo   # noqa: E402,F401
+from . import streaming_demo  # noqa: E402,F401
