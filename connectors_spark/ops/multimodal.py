@@ -506,6 +506,133 @@ def decode_image(media_df: DataFrame, id_col: str = "doc_id",
     return media_df.mapInPandas(dec, schema=schema)
 
 
+def synth_jpeg_scaled_media(docs: DataFrame, groups: int = 50,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-JPEG corpus of SCALE VARIANTS for perceptual
+    dedup: doc_ids sharing a group (``doc_id % groups``) render the
+    SAME 4×4-cell grayscale pattern at one of three sizes
+    (32/64/128 px square, size = 32 << (doc_id % 3)), so a
+    scale-invariant image hash must collapse each group to one cluster
+    across renditions. Cell values follow
+
+        v(g, ci, cj) = 128 + 2·((((g+3)·(ci·5 + cj·11 + 7) + g²) % 64)
+                                − 32)
+
+    — chosen (and pinned in tests) so all `groups` patterns produce
+    DISTINCT pHashes while every cell spans ≥ one whole 8×8 JPEG block
+    at the smallest size, keeping the encoder's exact block-constant
+    round trip (see synth_jpeg_media). The rule is closed-form, so a
+    SQL oracle can predict the cluster structure without computing a
+    single DCT."""
+    from . import jpegcodec as codec
+    from ..shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                g = did % groups
+                size = 32 << (did % 3)
+                cells = np.array(
+                    [[128 + 2 * ((((g + 3) * (ci * 5 + cj * 11 + 7)
+                                   + g * g) % 64) - 32)
+                      for cj in range(4)] for ci in range(4)],
+                    dtype=np.uint8)
+                cs = size // 4
+                px = np.repeat(np.repeat(cells, cs, axis=0), cs, axis=1)
+                blob = codec.encode_jpeg_gray(size, size,
+                                              px.tobytes())
+                rows.append((did, blob, "jpeg"))
+            yield pd.DataFrame(rows, columns=[id_col, "media", "fmt"])
+
+    return docs.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media binary, fmt string")
+
+
+def _dct_mat(n: int):
+    """Orthonormal DCT-II basis matrix (type-II, norm='ortho')."""
+    import numpy as np
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    M = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    M[0] = np.sqrt(1.0 / n)
+    return M
+
+
+def _phash64(gray32) -> int:
+    """64-bit DCT perceptual hash of a 32×32 grayscale array: 2-D
+    orthonormal DCT, keep the 8×8 low-frequency block, drop the DC
+    term (brightness invariance), threshold the remaining 63 at their
+    median (> median → 1; exact-median ties → 0, deterministic), pack
+    little-endian."""
+    import numpy as np
+    M32 = _dct_mat(32)
+    d = M32 @ gray32.astype(np.float64) @ M32.T
+    low = d[:8, :8].flatten()[1:]
+    bits = (low > np.median(low)).astype(np.uint8)
+    words = np.packbits(bits, bitorder="little")
+    out = 0
+    for bi, byte in enumerate(words[:8]):
+        out |= int(byte) << (8 * bi)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def phash_clusters(media_df: DataFrame, id_col: str = "doc_id",
+                   media_col: str = "media") -> DataFrame:
+    """Perceptual-hash image dedup clusters (pHash: Zauner 2010,
+    'Implementation and Benchmarking of Perceptual Image Hash
+    Functions'): REAL decode → luma → box-resize to 32×32 → DCT
+    low-band sign hash → exact groupBy on the 64-bit hash. Scale
+    variants of the same image land in one cluster; the DC drop makes
+    it brightness-shift tolerant.
+
+    100 TB shape: decode+hash is one Arrow-batched mapInPandas pass
+    emitting (id, width, hash) — 16 bytes/row into a single map-side-
+    combined groupBy on an 8-byte key; no pair expansion anywhere
+    (cluster semantics, not pair semantics — the output is one row per
+    perceptual identity: representative, member count, distinct
+    rendition sizes).
+
+    Non-multiple-of-32 inputs use nearest-neighbor index sampling (the
+    deterministic fallback); multiples use exact box means."""
+    import numpy as np
+
+    from . import imagecodec as codec
+    from ..shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()
+
+    def hash_rows(batches: Iterator[pd.DataFrame]
+                  ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[media_col]):
+                _fmt, w, h, c, px = codec.decode_any(bytes(blob))
+                arr = np.frombuffer(px, dtype=np.uint8) \
+                    .reshape(h, w, c).astype(np.float64)
+                gray = arr.mean(axis=2)
+                if h % 32 == 0 and w % 32 == 0:
+                    g32 = gray.reshape(32, h // 32, 32, w // 32) \
+                        .mean(axis=(1, 3))
+                else:
+                    yi = (np.arange(32) * h) // 32
+                    xi = (np.arange(32) * w) // 32
+                    g32 = gray[np.ix_(yi, xi)]
+                rows.append((int(did), int(w), _phash64(g32)))
+            yield pd.DataFrame(rows,
+                               columns=[id_col, "width", "phash"])
+
+    hashed = media_df.mapInPandas(
+        hash_rows, schema=f"{id_col} long, width int, phash long")
+    return (hashed.groupBy("phash")
+            .agg(F.min(id_col).alias("rep"),
+                 F.count(F.lit(1)).alias("n_members"),
+                 F.countDistinct("width").alias("n_sizes"))
+            .select("rep", "n_members", "n_sizes"))
+
+
 def image_thumbnails(media_df: DataFrame, tw: int = 5, th: int = 4,
                      id_col: str = "doc_id",
                      media_col: str = "media") -> DataFrame:

@@ -2872,6 +2872,24 @@ def mm_jpeg_decode_real(spark, sf_dir):
     return mm.decode_image(mm.synth_jpeg_media(docs))
 
 
+@register("mm_phash_clusters", sql="""
+SELECT min(doc_id) AS rep, count(*) AS n_members,
+       count(DISTINCT doc_id % 3) AS n_sizes
+FROM documents GROUP BY doc_id % 50
+""")
+def mm_phash_clusters(spark, sf_dir):
+    # Perceptual-hash image dedup (ops/multimodal.py phash_clusters):
+    # the corpus renders each of 50 closed-form patterns as REAL
+    # grayscale JPEGs at 32/64/128 px (doc_id % 3), and the DCT pHash
+    # must collapse every scale-variant group to ONE cluster — Spark
+    # runs actual entropy decode + box resize + 32x32 DCT; the oracle
+    # only needs the group arithmetic. The 50 patterns are pinned
+    # pairwise-distinct under pHash in tests, so cluster == group
+    # exactly.
+    docs = load(spark, sf_dir, "documents")
+    return mm.phash_clusters(mm.synth_jpeg_scaled_media(docs))
+
+
 @register("mm_jpeg_progressive_real", sql="""
 WITH g AS (
   SELECT doc_id,

@@ -347,6 +347,35 @@ def test_text_functions(spark):
     assert row.lang == "en"
 
 
+def test_phash_clusters_scale_invariant_and_distinct(spark):
+    """The full pHash pipeline (real JPEG encode → real decode → box
+    resize → DCT sign hash) collapses every scale-variant group to ONE
+    cluster and never merges two different groups — the invariant the
+    mm_phash_clusters oracle (GROUP BY doc_id % 50) depends on. Ids
+    0..149 cover all 50 patterns at all 3 sizes."""
+    docs = spark.range(150).select(F.col("id").alias("doc_id"))
+    out = mm.phash_clusters(mm.synth_jpeg_scaled_media(docs)).collect()
+    assert len(out) == 50                      # one cluster per group
+    assert all(r.n_members == 3 for r in out)  # all 3 renditions in it
+    assert all(r.n_sizes == 3 for r in out)    # ...at 3 distinct sizes
+    assert sorted(r.rep for r in out) == list(range(50))
+
+
+def test_phash_brightness_invariance():
+    """Dropping the DC term makes uniform brightness shifts hash-
+    equal, while a structural change flips bits — the property that
+    makes pHash a NEAR-dup key where a pixel hash is exact-only."""
+    import numpy as np
+
+    from connectors_spark.ops.multimodal import _phash64
+    rng = np.arange(32 * 32, dtype=np.float64).reshape(32, 32) % 97
+    base = 60 + rng
+    assert _phash64(base) == _phash64(base + 40)      # brightness shift
+    structural = base.copy()
+    structural[:16, :] = structural[:16, ::-1]        # mirror top half
+    assert _phash64(base) != _phash64(structural)
+
+
 def test_multimodal_plumbing(spark):
     docs = _docs(spark)
     media = mm.attach_fake_media(docs)
