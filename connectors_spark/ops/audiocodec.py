@@ -36,6 +36,23 @@ def encode_wav(samples: List[int], sample_rate: int = 8000,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def wav_format_tag(data: bytes) -> int:
+    """The wFormatTag of a RIFF/WAVE stream (1 = integer PCM, 6/7 =
+    G.711 A-law/µ-law, 0x11 = IMA ADPCM) from the fmt chunk — a header
+    sniff for dispatch without decoding the payload."""
+    if bytes(data[:4]) != b"RIFF" or bytes(data[8:12]) != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = bytes(data[pos:pos + 4])
+        (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        if tag == b"fmt ":
+            (fmt_tag,) = struct.unpack("<H", data[pos + 8:pos + 10])
+            return fmt_tag
+        pos += 8 + ln + (ln & 1)
+    raise ValueError("missing fmt chunk")
+
+
 def decode_wav(data: bytes) -> Tuple[int, int, List[int]]:
     """Decode PCM16 WAV -> (sample_rate, channels, interleaved int16
     samples). Walks chunks, skipping ones it doesn't know (word-aligned

@@ -798,6 +798,123 @@ def decode_audio(media_df: DataFrame, id_col: str = "doc_id",
     return media_df.mapInPandas(dec, schema=schema)
 
 
+def synth_audio_xcodec_media(docs: DataFrame, groups: int = 32,
+                             id_col: str = "doc_id") -> DataFrame:
+    """Deterministic CROSS-CODEC audio corpus for perceptual dedup:
+    doc_ids sharing a group (``doc_id % groups``) carry the SAME
+    512-sample mono clip, encoded through a different REAL codec per
+    rendition (doc_id % 3): PCM16 WAV, FLAC (lossless), or G.711 µ-law
+    WAV (lossy companding). The clip is one tone per octave band —
+    frequency bin 8b+4 of a 128-sample frame, amplitude
+    800 + 400·p_g(b) where p_g is the affine permutation
+    (2·(g%4)+1)·b + g//4 mod 8 — so the band-energy ORDERING encodes
+    the group, every pairwise band comparison has a ≥20k energy margin
+    over µ-law quantization noise (measured), and a band-sign
+    fingerprint must collapse the three codec renditions to one
+    cluster. Closed-form rule → the SQL oracle needs only group
+    arithmetic."""
+    from . import audiocodec as ac
+    from . import flaccodec as fc
+    from ..shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                g = did % groups
+                i = np.arange(512)
+                a_g, c_g = 2 * (g % 4) + 1, g // 4
+                s = np.zeros(512)
+                for b in range(8):
+                    amp = 800 + 400 * ((a_g * b + c_g) % 8)
+                    s += amp * np.sin(2 * np.pi * (8 * b + 4) * i / 128)
+                samples = [int(v) for v in np.round(s)]
+                fmt = did % 3
+                if fmt == 0:
+                    blob = ac.encode_wav(samples, 8000)
+                elif fmt == 1:
+                    blob = fc.encode_flac(samples, 8000, 1,
+                                          block_size=256)
+                else:
+                    blob = ac.encode_wav_g711(samples, 8000)
+                rows.append((did, blob,
+                             ("wav", "flac", "g711")[fmt]))
+            yield pd.DataFrame(rows, columns=[id_col, "media", "fmt"])
+
+    return docs.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media binary, fmt string")
+
+
+def _audio_fp64(samples) -> int:
+    """Band-energy-ordering audio fingerprint (the Haitsma/Kalker
+    'robust audio hashing' family): frame to 128 samples, rfft, sum
+    |X| over 8 octave-ish bands of 8 bins, average frames, then one
+    bit per band PAIR (b1 < b2): energy[b1] > energy[b2] — 28 bits
+    encoding the energy ordering, invariant to codec-level noise and
+    global gain."""
+    import numpy as np
+    x = np.asarray(samples, dtype=np.float64)[:512]
+    if len(x) < 512:
+        x = np.pad(x, (0, 512 - len(x)))
+    frames = x.reshape(4, 128)
+    spec = np.abs(np.fft.rfft(frames, axis=1))[:, 1:65]
+    bands = spec.reshape(4, 8, 8).sum(axis=2).mean(axis=0)
+    bits = 0
+    k = 0
+    for b1 in range(8):
+        for b2 in range(b1 + 1, 8):
+            if bands[b1] > bands[b2]:
+                bits |= 1 << k
+            k += 1
+    return bits
+
+
+def audio_fp_clusters(media_df: DataFrame, id_col: str = "doc_id",
+                      media_col: str = "media") -> DataFrame:
+    """Cross-codec audio dedup clusters: REAL decode (WAV PCM16 /
+    G.711 companded / IMA ADPCM via the RIFF parser; FLAC via the
+    Rice/LPC codec, CRC-verified) → band-ordering fingerprint →
+    exact groupBy on the fingerprint. Renditions of the same content
+    in different containers/codecs land in one cluster.
+
+    100 TB shape: one Arrow-batched mapInPandas pass emitting
+    (id, fmt, fp) — the cluster agg is a map-side-combined groupBy on
+    an 8-byte key; no pair expansion (cluster semantics: one row per
+    audio identity with member count and distinct-codec count)."""
+    from . import audiocodec as ac
+    from . import flaccodec as fc
+    from ..shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()
+
+    def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[media_col]):
+                blob = bytes(blob)
+                if blob[:4] == b"fLaC":
+                    fmt = "flac"
+                    _r, _c, samples = fc.decode_flac(blob)
+                else:
+                    # RIFF: PCM16 vs companded G.711 vs ADPCM are
+                    # dispatched by the parsed wFormatTag
+                    fmt = "wav" if ac.wav_format_tag(blob) == 1 \
+                        else "companded"
+                    _r, _c, samples = ac.decode_wav(blob)
+                rows.append((int(did), fmt, _audio_fp64(samples)))
+            yield pd.DataFrame(rows, columns=[id_col, "fmt", "fp"])
+
+    hashed = media_df.mapInPandas(
+        fps, schema=f"{id_col} long, fmt string, fp long")
+    return (hashed.groupBy("fp")
+            .agg(F.min(id_col).alias("rep"),
+                 F.count(F.lit(1)).alias("n_members"),
+                 F.countDistinct("fmt").alias("n_fmts"))
+            .select("rep", "n_members", "n_fmts"))
+
+
 VIDEO_FRAME_STATS_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("frame_idx", IntegerType()),

@@ -2872,6 +2872,23 @@ def mm_jpeg_decode_real(spark, sf_dir):
     return mm.decode_image(mm.synth_jpeg_media(docs))
 
 
+@register("mm_audio_xcodec_clusters", sql="""
+SELECT min(doc_id) AS rep, count(*) AS n_members,
+       count(DISTINCT doc_id % 3) AS n_fmts
+FROM documents GROUP BY doc_id % 32
+""")
+def mm_audio_xcodec_clusters(spark, sf_dir):
+    # Cross-codec audio dedup (ops/multimodal.py audio_fp_clusters):
+    # the same closed-form clip per group is encoded through THREE
+    # real codecs (PCM16 WAV / FLAC / lossy G.711 mu-law), and the
+    # band-energy-ordering fingerprint must collapse renditions to one
+    # cluster — Spark runs three real decoders + FFT banding; the
+    # oracle only needs the group arithmetic. The 32 band orderings
+    # are pinned pairwise-distinct and codec-stable in tests.
+    docs = load(spark, sf_dir, "documents")
+    return mm.audio_fp_clusters(mm.synth_audio_xcodec_media(docs))
+
+
 @register("mm_phash_clusters", sql="""
 SELECT min(doc_id) AS rep, count(*) AS n_members,
        count(DISTINCT doc_id % 3) AS n_sizes

@@ -361,6 +361,21 @@ def test_phash_clusters_scale_invariant_and_distinct(spark):
     assert sorted(r.rep for r in out) == list(range(50))
 
 
+def test_audio_fp_clusters_cross_codec(spark):
+    """The audio fingerprint pipeline (3 real encoders → 2 real
+    decoders → FFT band ordering) collapses every group's WAV/FLAC/
+    G.711 renditions into ONE cluster and never merges groups — the
+    invariant the mm_audio_xcodec_clusters oracle (GROUP BY doc_id %
+    32) depends on; G.711 is LOSSY, so the fingerprint must absorb
+    real companding noise. Ids 0..95 = all 32 groups × 3 codecs."""
+    docs = spark.range(96).select(F.col("id").alias("doc_id"))
+    out = mm.audio_fp_clusters(mm.synth_audio_xcodec_media(docs)).collect()
+    assert len(out) == 32
+    assert all(r.n_members == 3 for r in out)
+    assert all(r.n_fmts == 3 for r in out)   # wav + flac + companded
+    assert sorted(r.rep for r in out) == list(range(32))
+
+
 def test_phash_brightness_invariance():
     """Dropping the DC term makes uniform brightness shifts hash-
     equal, while a structural change flips bits — the property that
