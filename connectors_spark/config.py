@@ -49,6 +49,12 @@ DEFAULTS: Dict[str, str] = {
     "delta.autoOptimize.autoCompact": "false",
     "connectors.autoCompact.minNumFiles": "8",
     "connectors.autoCompact.targetFileSize": str(128 * 1024 * 1024),
+    # Row tracking (Delta protocol 'Row Tracking', opt-in): every
+    # committed AddFile gets a baseRowId from the delta.rowTracking
+    # high-watermark domain; fresh row id of row i = baseRowId + i.
+    # Stable under appends and DV deletes; rewrites (OPTIMIZE)
+    # materialize row ids into the written files to stay stable.
+    "delta.enableRowTracking": "false",
     # Post-commit MINOR LOG compaction (opt-in): when the raw
     # post-checkpoint delta tail (past any existing compacted range)
     # reaches minCommits, publish a <s>.<e>.compacted.json best-effort.
@@ -127,6 +133,10 @@ class TableConfig:
     @property
     def auto_compact_min_files(self) -> int:
         return int(self.get("connectors.autoCompact.minNumFiles"))
+
+    @property
+    def enable_row_tracking(self) -> bool:
+        return self.get("delta.enableRowTracking").lower() == "true"
 
     @property
     def auto_compact_log(self) -> bool:

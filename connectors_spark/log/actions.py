@@ -167,6 +167,12 @@ class AddFile:
     dataChange: bool = True
     stats: Optional[str] = None
     tags: Optional[Dict[str, str]] = None
+    # Row tracking (Delta protocol 'Row Tracking'): fresh row id of row
+    # i in this file = baseRowId + i; the commit version that added the
+    # file is its rows' default row-commit version. None on tables
+    # without the feature.
+    baseRowId: Optional[int] = None
+    defaultRowCommitVersion: Optional[int] = None
 
     def wrap(self) -> Dict[str, Any]:
         d: Dict[str, Any] = {
@@ -180,6 +186,10 @@ class AddFile:
             d["stats"] = self.stats
         if self.tags:
             d["tags"] = self.tags
+        if self.baseRowId is not None:
+            d["baseRowId"] = self.baseRowId
+        if self.defaultRowCommitVersion is not None:
+            d["defaultRowCommitVersion"] = self.defaultRowCommitVersion
         return {"add": d}
 
     def remove(self, deletion_timestamp: int, data_change: bool = True) -> "RemoveFile":
@@ -233,6 +243,27 @@ class AddCDCFile:
     def wrap(self) -> Dict[str, Any]:
         return {"cdc": {"path": self.path, "partitionValues": self.partitionValues,
                         "size": self.size, "tags": self.tags}}
+
+
+@dataclass
+class DomainMetadata:
+    """Named metadata domain (Delta protocol 'Domain Metadata'; the
+    reference predates the action — actions.scala has no equivalent).
+    Replay keeps the LATEST action per ``domain``; ``removed=True``
+    tombstones the domain (and must survive log compaction so it keeps
+    overriding an older checkpoint's entry). ``configuration`` is an
+    opaque JSON string owned by the domain (e.g. delta.rowTracking's
+    rowIdHighWaterMark)."""
+
+    domain: str
+    configuration: str = ""
+    removed: bool = False
+
+    def wrap(self) -> Dict[str, Any]:
+        return {"domainMetadata": {
+            "domain": self.domain,
+            "configuration": self.configuration,
+            "removed": self.removed}}
 
 
 @dataclass
@@ -296,7 +327,8 @@ def _parse_one(key: str, d: Dict[str, Any]) -> Optional[Action]:
             size=d.get("size") or 0,
             modificationTime=d.get("modificationTime") or 0,
             dataChange=d.get("dataChange", True), stats=d.get("stats"),
-            tags=d.get("tags"))
+            tags=d.get("tags"), baseRowId=d.get("baseRowId"),
+            defaultRowCommitVersion=d.get("defaultRowCommitVersion"))
     if key == "remove":
         return RemoveFile(
             path=d["path"], deletionTimestamp=d.get("deletionTimestamp"),
@@ -339,6 +371,9 @@ def _parse_one(key: str, d: Dict[str, Any]) -> Optional[Action]:
     if key == "cdc":
         return AddCDCFile(d["path"], d.get("partitionValues") or {},
                           d.get("size") or 0, d.get("tags"))
+    if key == "domainMetadata":
+        return DomainMetadata(d["domain"], d.get("configuration") or "",
+                              bool(d.get("removed", False)))
     return None
 
 
@@ -369,6 +404,8 @@ ADD_SCHEMA = T.StructType([
     T.StructField("dataChange", T.BooleanType()),
     T.StructField("stats", T.StringType()),
     T.StructField("tags", _STR_MAP),
+    T.StructField("baseRowId", T.LongType()),
+    T.StructField("defaultRowCommitVersion", T.LongType()),
 ])
 
 REMOVE_SCHEMA = T.StructType([
@@ -428,6 +465,12 @@ CDC_SCHEMA = T.StructType([
     T.StructField("tags", _STR_MAP),
 ])
 
+DOMAIN_METADATA_SCHEMA = T.StructType([
+    T.StructField("domain", T.StringType()),
+    T.StructField("configuration", T.StringType()),
+    T.StructField("removed", T.BooleanType()),
+])
+
 SINGLE_ACTION_SCHEMA = T.StructType([
     T.StructField("txn", TXN_SCHEMA),
     T.StructField("add", ADD_SCHEMA),
@@ -435,5 +478,6 @@ SINGLE_ACTION_SCHEMA = T.StructType([
     T.StructField("metaData", METADATA_SCHEMA),
     T.StructField("protocol", PROTOCOL_SCHEMA),
     T.StructField("cdc", CDC_SCHEMA),
+    T.StructField("domainMetadata", DOMAIN_METADATA_SCHEMA),
     T.StructField("commitInfo", COMMIT_INFO_SCHEMA),
 ])

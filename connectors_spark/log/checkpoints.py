@@ -67,6 +67,8 @@ def write_checkpoint(snapshot: Snapshot, parts: Optional[int] = None) -> int:
         F.coalesce(F.col("dataChange"), F.lit(False)).alias("dataChange"),
         F.col("stats"),
         F.col("tags"),
+        F.col("baseRowId"),
+        F.col("defaultRowCommitVersion"),
     )
     adds_df = files.select(add_struct.alias("add"))
     for f in SINGLE_ACTION_SCHEMA.fields:
@@ -98,6 +100,9 @@ def write_checkpoint(snapshot: Snapshot, parts: Optional[int] = None) -> int:
                 to_json_line(snapshot.metadata).strip()]
     pm_lines += [to_json_line(SetTransaction(app, v))
                  for app, v in sorted(snapshot.set_transactions.items())]
+    from .actions import DomainMetadata
+    pm_lines += [to_json_line(DomainMetadata(d, c))
+                 for d, c in sorted(snapshot.domain_metadata.items())]
     pm_df = spark.read.json(
         spark.sparkContext.parallelize(pm_lines, 1), schema=SINGLE_ACTION_SCHEMA)
 

@@ -52,6 +52,8 @@ FEATURE_VERSIONS = {
     "identityColumns": (1, 6),
     "deletionVectors": (3, 7),
     "inCommitTimestamp": (1, 7),
+    "domainMetadata": (1, 7),
+    "rowTracking": (1, 7),
 }
 
 # Features that have a READER-side obligation (everything else is
@@ -84,6 +86,13 @@ def active_features(meta, extra: Iterable[str] = ()) -> Set[str]:
         feats.add("changeDataFeed")
     if cfg.enable_in_commit_timestamps:
         feats.add("inCommitTimestamp")
+    if cfg.enable_row_tracking:
+        # row ids live in AddFile.baseRowId + the delta.rowTracking
+        # high-watermark domain, so the feature depends on
+        # domainMetadata (Delta protocol: Row Tracking > Writer
+        # Requirements)
+        feats.add("rowTracking")
+        feats.add("domainMetadata")
     if meta.column_mapping_mode != "none":
         feats.add("columnMapping")
     for f in meta.schema.fields:

@@ -74,8 +74,33 @@ def addfiles_from_rows(rows: Sequence) -> List[AddFile]:
                     dataChange=bool(r["dataChange"])
                     if r["dataChange"] is not None else True,
                     stats=r["stats"],
-                    tags=dict(r["tags"]) if r["tags"] else None)
+                    tags=dict(r["tags"]) if r["tags"] else None,
+                    baseRowId=(r["baseRowId"]
+                               if "baseRowId" in r.__fields__ else None),
+                    defaultRowCommitVersion=(
+                        r["defaultRowCommitVersion"]
+                        if "defaultRowCommitVersion" in r.__fields__
+                        else None))
             for r in rows]
+
+
+# Physical column names for MATERIALIZED row ids (Delta protocol 'Row
+# Tracking': rewriting operations persist each row's id / commit
+# version into the data files so they survive the rewrite; files
+# written by plain appends don't carry them and fall back to the fresh
+# baseRowId + row_index form).
+MATERIALIZED_ROW_ID_COL = "_rt_row_id"
+MATERIALIZED_ROW_COMMIT_COL = "_rt_row_commit_version"
+
+
+def _with_rt_fields(schema: T.StructType) -> T.StructType:
+    """Read schema + the two nullable materialized-row-id columns —
+    files that lack them scan as NULL (parquet schema evolution), which
+    is exactly the fresh-row-id fallback condition."""
+    return T.StructType(
+        list(schema.fields)
+        + [T.StructField(MATERIALIZED_ROW_ID_COL, T.LongType()),
+           T.StructField(MATERIALIZED_ROW_COMMIT_COL, T.LongType())])
 
 
 def canonical_path_col(col, table_path: str):
@@ -205,6 +230,37 @@ class Snapshot:
     def txn_version(self, app_id: str) -> int:
         return self.set_transactions.get(app_id, -1)
 
+    @cached_property
+    def domain_metadata(self) -> Dict[str, str]:
+        """Active metadata domains: ``domain -> configuration`` (Delta
+        protocol 'Domain Metadata' replay: latest action per domain
+        wins; a removed=True tombstone hides the domain — including one
+        an older checkpoint still carries). Driver-side reverse walk of
+        the post-checkpoint tail (compacted substitutes carry the net
+        action per domain), then the checkpoint's domainMetadata column
+        for domains the tail didn't touch — the same bounded budget as
+        the P&M replay."""
+        from .actions import DomainMetadata
+        seen: Dict[str, Optional[str]] = {}
+        for path in reversed(self.segment.deltas):
+            for line in self.store.read(path):
+                a = from_json_line(line)
+                if isinstance(a, DomainMetadata) and a.domain not in seen:
+                    seen[a.domain] = None if a.removed else a.configuration
+        if self.segment.checkpoint_files:
+            import pyarrow.parquet as pq
+            for cf in self.segment.checkpoint_files:
+                if "domainMetadata" not in pq.read_schema(cf).names:
+                    continue
+                tbl = pq.read_table(cf, columns=["domainMetadata"])
+                for row in tbl.to_pylist():
+                    dm = row.get("domainMetadata")
+                    if dm and dm.get("domain") and dm["domain"] not in seen:
+                        seen[dm["domain"]] = (None if dm.get("removed")
+                                              else dm.get("configuration")
+                                              or "")
+        return {d: c for d, c in seen.items() if c is not None}
+
     # ------------------------------------------------------------------
     # Actions DataFrame (S2: checkpoint + delta load)
     # ------------------------------------------------------------------
@@ -288,6 +344,9 @@ class Snapshot:
             F.col("add.dataChange").alias("dataChange"),
             F.col("add.stats").alias("stats"),
             F.col("add.tags").alias("tags"),
+            F.col("add.baseRowId").alias("baseRowId"),
+            F.col("add.defaultRowCommitVersion")
+            .alias("defaultRowCommitVersion"),
             F.col("version"),
             F.lit(1).alias("is_add"),
         )
@@ -299,6 +358,8 @@ class Snapshot:
             F.col("remove.dataChange").alias("dataChange"),
             F.lit(None).cast("string").alias("stats"),
             F.col("remove.tags").alias("tags"),
+            F.lit(None).cast("long").alias("baseRowId"),
+            F.lit(None).cast("long").alias("defaultRowCommitVersion"),
             F.col("version"),
             F.lit(0).alias("is_add"),
         )
@@ -414,27 +475,41 @@ class Snapshot:
         out = data.join(F.broadcast(pv_df), "__file")
         return out if keep_file else out.drop("__file")
 
-    def _read_plain(self, rows: Sequence,
-                    keep_file: bool = False) -> DataFrame:
+    def _read_plain(self, rows: Sequence, keep_file: bool = False,
+                    keep_row_index: bool = False) -> DataFrame:
         """Scan for files with no deletion vector."""
         meta = self.metadata
+
+        def ri(df):
+            # the physical per-file row position, the fresh-row-id
+            # offset — must be computed INSIDE the single-source scan,
+            # like __file
+            if keep_row_index:
+                return df.withColumn("__ri",
+                                     F.col("_metadata.row_index"))
+            return df
+
+        def sch(s):
+            return _with_rt_fields(s) if keep_row_index else s
+
         paths = [r["path"] for r in rows]
         pcols = meta.partitionColumns
         if not pcols:
-            df = self.spark.read.schema(meta.physical_schema) \
-                .parquet(*paths)
+            df = ri(self.spark.read.schema(sch(meta.physical_schema))
+                    .parquet(*paths))
             return self._with_file(df) if keep_file else df
         pvs = [dict(r["partitionValues"] or {}) for r in rows]
         if self._hive_layout_ok(paths, pvs):
-            df = (self.spark.read
-                  .option("basePath", self.table_path)
-                  .schema(meta.physical_schema)
-                  .parquet(*paths))
+            df = ri(self.spark.read
+                    .option("basePath", self.table_path)
+                    .schema(sch(meta.physical_schema))
+                    .parquet(*paths))
             return self._with_file(df) if keep_file else df
         # the scan-time file path must be normalized the same way as
         # log paths (canonical_path_col)
-        data = self.spark.read.schema(meta.physical_data_schema) \
-            .parquet(*paths)
+        data = ri(self.spark.read
+                  .schema(sch(meta.physical_data_schema))
+                  .parquet(*paths))
         return self._attach_partition_values(
             self._with_file(data), paths, pvs, keep_file=keep_file)
 
@@ -448,32 +523,40 @@ class Snapshot:
                             canonical_path_col("__fn", self.table_path))
                 .drop("__fn"))
 
-    def _read_with_dv(self, rows: Sequence,
-                      keep_file: bool = False) -> DataFrame:
+    def _read_with_dv(self, rows: Sequence, keep_file: bool = False,
+                      keep_row_index: bool = False) -> DataFrame:
         """Scan for files carrying a deletion vector: anti-join deleted
         ``(file, row_index)`` positions via the Parquet source's hidden
         ``_metadata`` columns — one extra hash join bounded by the
-        deleted-row count, no rewrite ever read."""
+        deleted-row count, no rewrite ever read. With
+        ``keep_row_index`` the PHYSICAL index survives the anti-join —
+        a DV delete never renumbers the remaining rows, which is what
+        keeps fresh row ids stable under it."""
         from ..dv import DV_TAG, apply_dv, dv_relation
         meta = self.metadata
         paths = [r["path"] for r in rows]
         pvs = [dict(r["partitionValues"] or {}) for r in rows]
         pairs = [(r["path"], dict(r["tags"])[DV_TAG]) for r in rows]
         dv = dv_relation(self.spark, self.table_path, pairs)
-        data = (self.spark.read.schema(meta.physical_data_schema)
+        sch = _with_rt_fields(meta.physical_data_schema) \
+            if keep_row_index else meta.physical_data_schema
+        data = (self.spark.read.schema(sch)
                 .parquet(*paths)
                 .withColumn("__fn", F.col("_metadata.file_path"))
                 .withColumn("__ri", F.col("_metadata.row_index")))
         data = data.withColumn(
             "__file", canonical_path_col("__fn", self.table_path)).drop("__fn")
-        data = apply_dv(data, dv).drop("__ri")
+        data = apply_dv(data, dv)
+        if not keep_row_index:
+            data = data.drop("__ri")
         if not meta.partitionColumns:
             return data if keep_file else data.drop("__file")
         return self._attach_partition_values(data, paths, pvs,
                                              keep_file=keep_file)
 
     def to_df(self, files: Optional[DataFrame] = None,
-              residual=None, with_file_col: bool = False) -> DataFrame:
+              residual=None, with_file_col: bool = False,
+              with_row_ids: bool = False) -> DataFrame:
         """DataFrame of table rows for the active (optionally pruned) files.
 
         Partition values come from the log. Fast path: when the on-disk
@@ -493,24 +576,38 @@ class Snapshot:
         from ..dv import DV_TAG
         meta = self.metadata
         src = files if files is not None else self.files_df
-        rows = src.select("path", "partitionValues", "tags").collect()
+        want_rid = with_row_ids
+        keep_file = with_file_col or want_rid
+        sel = ["path", "partitionValues", "tags"]
+        if want_rid:
+            sel += ["baseRowId", "defaultRowCommitVersion"]
+        rows = src.select(*sel).collect()
         if not rows:
             df = self.spark.createDataFrame([], meta.schema)
             if with_file_col:
                 df = df.withColumn("__file",
                                    F.lit(None).cast("string"))
+            if want_rid:
+                df = (df.withColumn("_row_id", F.lit(None).cast("long"))
+                      .withColumn("_row_commit_version",
+                                  F.lit(None).cast("long")))
             return df.where(residual) if residual is not None else df
         plain = [r for r in rows if not ((r["tags"] or {}).get(DV_TAG))]
         dvd = [r for r in rows if (r["tags"] or {}).get(DV_TAG)]
-        parts = [self._read_plain(plain, keep_file=with_file_col)] \
+        parts = [self._read_plain(plain, keep_file=keep_file,
+                                  keep_row_index=want_rid)] \
             if plain else []
         if dvd:
-            parts.append(self._read_with_dv(dvd,
-                                            keep_file=with_file_col))
+            parts.append(self._read_with_dv(dvd, keep_file=keep_file,
+                                            keep_row_index=want_rid))
         # Schema-order projection: Spark's file source appends partition
         # columns after data columns; the table contract is metadata
         # schema order (Snapshot.open ≍ SnapshotImpl.scala:107-116).
-        extra = [F.col("__file")] if with_file_col else []
+        extra = [F.col("__file")] if keep_file else []
+        if want_rid:
+            extra += [F.col("__ri"),
+                      F.col(MATERIALIZED_ROW_ID_COL),
+                      F.col(MATERIALIZED_ROW_COMMIT_COL)]
         # physical -> logical rename happens HERE, the one boundary
         # between the file plane and the table contract (identity when
         # column mapping is off)
@@ -522,6 +619,28 @@ class Snapshot:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
+        if want_rid:
+            # per-file base map from the LOG (broadcast, O(files)):
+            # row id = materialized value when the file carries one
+            # (written by a rewrite), else baseRowId + physical index
+            bdf = self.spark.createDataFrame(
+                [(r["path"], r["baseRowId"],
+                  r["defaultRowCommitVersion"]) for r in rows],
+                "__file string, __base long, __dcv long")
+            df = (df.join(F.broadcast(bdf), "__file")
+                  .withColumn(
+                      "_row_id",
+                      F.coalesce(F.col(MATERIALIZED_ROW_ID_COL),
+                                 F.col("__base") + F.col("__ri")))
+                  .withColumn(
+                      "_row_commit_version",
+                      F.coalesce(F.col(MATERIALIZED_ROW_COMMIT_COL),
+                                 F.col("__dcv")))
+                  .drop("__ri", "__base", "__dcv",
+                        MATERIALIZED_ROW_ID_COL,
+                        MATERIALIZED_ROW_COMMIT_COL))
+            if not with_file_col:
+                df = df.drop("__file")
         if residual is not None:
             df = df.where(residual)
         return df

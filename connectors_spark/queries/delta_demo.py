@@ -666,6 +666,44 @@ def delta_dv_delete(spark, sf_dir):
                     "o_orderdate"))
 
 
+@register("delta_row_ids", sql="""
+SELECT (SELECT count(*) FROM events) AS n_v0,
+       count(*) AS n_latest,
+       count(*) AS n_distinct_latest,
+       count(*) AS n_stable
+FROM events WHERE NOT (value < 50)
+""")
+def delta_row_ids(spark, sf_dir):
+    # Row tracking (Delta protocol 'Row Tracking'): stable row ids
+    # across a DV delete AND an OPTIMIZE rewrite (which MATERIALIZES
+    # ids into the rewritten files). The gate joins latest row ids back
+    # to version 0's and counts rows whose (row_id -> event_id) binding
+    # is unchanged — equal to the surviving-row count only if every id
+    # is unique AND stable through both operations.
+    from ..table import TableMaintenance
+
+    def build(d):
+        t = DeltaTable.for_path(spark, d)
+        t.write(load(spark, sf_dir, "events"), mode="append",
+                configuration={"delta.enableRowTracking": "true",
+                               "delta.protocol.autoUpgrade": "true"})
+        t.delete(Col("value") < Lit(50.0), deletion_vectors=True)
+        TableMaintenance(t).optimize(min_files_per_group=1)
+    d = _built(sf_dir, "events_rowtrack", build)
+    t = DeltaTable.for_path(spark, d)
+    v0 = (t.to_df(version=0, with_row_ids=True)
+          .select(F.col("event_id").alias("_e0"), "_row_id"))
+    latest = t.to_df(with_row_ids=True).select("event_id", "_row_id")
+    n_v0 = int(t.to_df(version=0).count())
+    j = latest.join(v0, "_row_id")
+    return j.agg(
+        F.lit(n_v0).cast("long").alias("n_v0"),
+        F.count(F.lit(1)).alias("n_latest"),
+        F.countDistinct("_row_id").alias("n_distinct_latest"),
+        F.sum(F.when(F.col("event_id") == F.col("_e0"), 1)
+              .otherwise(0)).cast("long").alias("n_stable"))
+
+
 @register("delta_reorg_purge", sql="""
 SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2)
        AS totalprice, o_orderdate

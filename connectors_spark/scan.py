@@ -69,14 +69,8 @@ class DeltaScan:
         return df
 
     def collect_files(self) -> List[AddFile]:
-        rows = self.files().collect()
-        return [AddFile(path=r["path"],
-                        partitionValues=dict(r["partitionValues"] or {}),
-                        size=r["size"] or 0,
-                        modificationTime=r["modificationTime"] or 0,
-                        stats=r["stats"],
-                        tags=dict(r["tags"]) if r["tags"] else None)
-                for r in rows]
+        from .log.snapshot import addfiles_from_rows
+        return addfiles_from_rows(self.files().collect())
 
     # ----------------------------------------------------- data skipping
 

@@ -311,9 +311,21 @@ class DeltaTable:
         return self.log.snapshot()
 
     def to_df(self, version: Optional[int] = None,
-              timestamp_ms: Optional[int] = None) -> DataFrame:
+              timestamp_ms: Optional[int] = None,
+              with_row_ids: bool = False) -> DataFrame:
+        """Table rows; ``with_row_ids=True`` (row-tracked tables only)
+        appends ``_row_id`` / ``_row_commit_version`` — stable under
+        appends and DV deletes; rewrites (OPTIMIZE) materialize them
+        into the written files so they survive the rewrite too."""
         snap = self._resolve(version, timestamp_ms)
-        return snap.to_df()
+        if with_row_ids:
+            from .config import TableConfig
+            if not TableConfig(
+                    snap.metadata.configuration).enable_row_tracking:
+                raise DeltaError(
+                    "row ids requested but delta.enableRowTracking is "
+                    "not set on this table")
+        return snap.to_df(with_row_ids=with_row_ids)
 
     def scan(self, predicate: Optional[Expression] = None,
              version: Optional[int] = None) -> DeltaScan:
@@ -1045,9 +1057,21 @@ class DeltaTable:
             cand_paths = [canonical_path(f.path, snap.table_path)
                           for f in candidates]
             files_subset = _semi_by_paths(snap.files_df, cand_paths)
-            df = snap.to_df(files=files_subset)
+            rt = TableConfig(
+                snap.metadata.configuration).enable_row_tracking
+            df = snap.to_df(files=files_subset, with_row_ids=rt)
             hit = F.coalesce(predicate.to_column(F.col), F.lit(False))
             keep = df.where(~hit)
+            if rt:
+                # surviving rows keep their ids through the rewrite:
+                # materialize id + commit version into the new files
+                from .log.snapshot import (MATERIALIZED_ROW_COMMIT_COL,
+                                           MATERIALIZED_ROW_ID_COL)
+                keep = (keep
+                        .withColumnRenamed("_row_id",
+                                           MATERIALIZED_ROW_ID_COL)
+                        .withColumnRenamed("_row_commit_version",
+                                           MATERIALIZED_ROW_COMMIT_COL))
             adds = stage_and_collect(
                 keep, self.log.table_path,
                 snap.metadata.partitionColumns,
@@ -1061,6 +1085,8 @@ class DeltaTable:
                     .enable_change_data_feed:
                 cdc = df.where(hit).withColumn(
                     CHANGE_TYPE_COL, F.lit("delete"))
+                if rt:
+                    cdc = cdc.drop("_row_id", "_row_commit_version")
                 actions += stage_cdc_and_collect(cdc, self.log.table_path,
                                              physical_meta=snap.metadata)
         return txn.commit(actions, "DELETE", {})
@@ -1173,7 +1199,8 @@ class DeltaTable:
         cand_paths = [canonical_path(f.path, snap.table_path)
                       for f in candidates]
         files_subset = _semi_by_paths(snap.files_df, cand_paths)
-        df = snap.to_df(files=files_subset)
+        rt = TableConfig(snap.metadata.configuration).enable_row_tracking
+        df = snap.to_df(files=files_subset, with_row_ids=rt)
         cond = predicate.to_column(F.col) if predicate is not None else F.lit(True)
         cond = F.coalesce(cond, F.lit(False))
         # Mark matched rows ONCE against pre-update values: set_exprs may
@@ -1203,8 +1230,25 @@ class DeltaTable:
                             snap.metadata, "updated")
         _fill_and_check_generated(out.where("__hit").drop("__hit"),
                                   snap.metadata, "updated")
+        staged = out.drop("__hit")
+        if rt:
+            # Updated rows KEEP their row id; their materialized commit
+            # version is NULLed so the reader falls back to the new
+            # file's defaultRowCommitVersion (= this UPDATE's commit) —
+            # exactly the spec's fresh/materialized split. Untouched
+            # rows in the rewritten file keep both.
+            from .log.snapshot import (MATERIALIZED_ROW_COMMIT_COL,
+                                       MATERIALIZED_ROW_ID_COL)
+            staged = (out.withColumn(
+                MATERIALIZED_ROW_ID_COL, F.col("_row_id"))
+                .withColumn(
+                    MATERIALIZED_ROW_COMMIT_COL,
+                    F.when(F.col("__hit"),
+                           F.lit(None).cast("long"))
+                    .otherwise(F.col("_row_commit_version")))
+                .drop("__hit", "_row_id", "_row_commit_version"))
         adds = stage_and_collect(
-            out.drop("__hit"), self.log.table_path,
+            staged, self.log.table_path,
             snap.metadata.partitionColumns,
             num_indexed_cols=_n_indexed(snap.metadata.configuration),
             bloom_cfg=_bloom(snap.metadata.configuration),
@@ -1212,9 +1256,10 @@ class DeltaTable:
         now = int(time.time() * 1000)
         actions: List[Any] = list(adds) + [f.remove(now) for f in candidates]
         if TableConfig(snap.metadata.configuration).enable_change_data_feed:
-            pre = (marked.where("__hit").drop("__hit")
+            rid_cols = ["_row_id", "_row_commit_version"] if rt else []
+            pre = (marked.where("__hit").drop("__hit", *rid_cols)
                    .withColumn(CHANGE_TYPE_COL, F.lit("update_preimage")))
-            post = (out.where("__hit").drop("__hit")
+            post = (out.where("__hit").drop("__hit", *rid_cols)
                     .withColumn(CHANGE_TYPE_COL, F.lit("update_postimage")))
             actions += stage_cdc_and_collect(pre.unionByName(post),
                                              self.log.table_path,
@@ -2104,13 +2149,15 @@ def _compact_log_range(log, table_path: str, start: int,
     identical content, so losing the put-if-absent race is a no-op; any
     other failure propagates."""
     from .log import filenames as fn
-    from .log.actions import (AddCDCFile, AddFile, CommitInfo, Metadata,
-                              Protocol, RemoveFile, SetTransaction,
-                              from_json_line, to_json_line)
+    from .log.actions import (AddCDCFile, AddFile, CommitInfo,
+                              DomainMetadata, Metadata, Protocol,
+                              RemoveFile, SetTransaction, from_json_line,
+                              to_json_line)
     from .log.logstore import FileAlreadyExistsError
     per_path: Dict[str, Any] = {}
     meta = proto = None
     txns: Dict[str, Any] = {}
+    domains: Dict[str, Any] = {}
     n_in = 0
     for v in range(start, end + 1):
         for line in log.store.read(fn.delta_file(log.log_path, v)):
@@ -2126,12 +2173,18 @@ def _compact_log_range(log, table_path: str, start: int,
                 proto = a
             elif isinstance(a, SetTransaction):
                 txns[a.appId] = a
+            elif isinstance(a, DomainMetadata):
+                # net fold per domain; removed=True tombstones are
+                # RETAINED (they must keep overriding an entry an older
+                # checkpoint still carries)
+                domains[a.domain] = a
     acts: List[Any] = []
     if proto is not None:
         acts.append(proto)
     if meta is not None:
         acts.append(meta)
     acts += [txns[k] for k in sorted(txns)]
+    acts += [domains[k] for k in sorted(domains)]
     acts += [per_path[p] for p in sorted(per_path)]
     target = fn.compacted_file(log.log_path, start, end)
     try:
@@ -2297,7 +2350,23 @@ class TableMaintenance:
                            if _canonical(f.path, snap.table_path) in live]
                 if not victims:
                     continue
-            df = snap.to_df(files=subset)
+            rt = TableConfig(
+                snap.metadata.configuration).enable_row_tracking
+            if rt:
+                # Row tracking: a rewrite MATERIALIZES each row's id and
+                # commit version into the written files (the spec's
+                # stable-row-id requirement — fresh baseRowId+index ids
+                # would renumber under compaction). The read side
+                # prefers these columns when present.
+                from .log.snapshot import (MATERIALIZED_ROW_COMMIT_COL,
+                                           MATERIALIZED_ROW_ID_COL)
+                df = (snap.to_df(files=subset, with_row_ids=True)
+                      .withColumnRenamed("_row_id",
+                                         MATERIALIZED_ROW_ID_COL)
+                      .withColumnRenamed("_row_commit_version",
+                                         MATERIALIZED_ROW_COMMIT_COL))
+            else:
+                df = snap.to_df(files=subset)
             total = sum(f.size for f in victims)
             n_out = max(1, -(-total // target_file_size))
             if cluster_by:

@@ -32,8 +32,13 @@ from .errors import (ConcurrentAppendException, ConcurrentDeleteDeleteException,
                      ProtocolChangedException)
 from .expressions import Expression
 from .log import filenames as fn
-from .log.actions import (AddFile, CommitInfo, Metadata, Protocol, RemoveFile,
-                          SetTransaction, from_json_line, to_json_line)
+from .log.actions import (AddFile, CommitInfo, DomainMetadata, Metadata,
+                          Protocol, RemoveFile, SetTransaction,
+                          from_json_line, to_json_line)
+
+# Delta protocol 'Row Tracking': the metadata domain carrying the
+# table-wide row-id high watermark.
+ROW_TRACKING_DOMAIN = "delta.rowTracking"
 from .log.logstore import FileAlreadyExistsError
 from .log.snapshot import canonical_path
 from .partition_values import decode_row
@@ -163,10 +168,16 @@ class OptimisticTransaction:
 
         eff_meta = self.new_metadata or (
             self.snapshot.metadata if self.snapshot else None)
+        if eff_meta is None:
+            eff_meta = next(
+                (a for a in acts if isinstance(a, Metadata)), None)
         ict_enabled = eff_meta is not None and TableConfig(
             eff_meta.configuration).enable_in_commit_timestamps
+        rt_enabled = eff_meta is not None and TableConfig(
+            eff_meta.configuration).enable_row_tracking and any(
+            isinstance(a, AddFile) for a in acts)
 
-        def build_lines(prev_version: int):
+        def build_lines(prev_version: int, eff_acts: List[Any]):
             ict = None
             if ict_enabled:
                 # the commit's own monotonic clock: strictly greater
@@ -190,22 +201,95 @@ class OptimisticTransaction:
                 engineInfo=engine_info,
                 inCommitTimestamp=ict,
             )
-            return [to_json_line(info)] + [to_json_line(a) for a in acts]
+            return [to_json_line(info)] + [to_json_line(a)
+                                           for a in eff_acts]
 
         attempt_version = self.read_version + 1
         for _ in range(MAX_RETRIES):
-            lines = build_lines(attempt_version - 1)
+            # Row tracking re-assigns per ATTEMPT: a conflict winner may
+            # have raised the high watermark, and baseRowIds must never
+            # overlap — the Delta spec's conflict resolution is exactly
+            # "reassign above the winner's watermark and retry".
+            eff_acts = self._assign_row_ids(acts, attempt_version) \
+                if rt_enabled else acts
+            lines = build_lines(attempt_version - 1, eff_acts)
             target = fn.delta_file(self.log.log_path, attempt_version)
             try:
                 self.log.store.write(target, lines, overwrite=False)
                 self.committed = True
-                self._write_version_checksum(attempt_version, acts)
+                self._write_version_checksum(attempt_version, eff_acts)
                 self.log.post_commit(attempt_version)
                 return attempt_version
             except FileAlreadyExistsError:
-                self._check_for_conflicts(attempt_version, acts, isolation)
+                self._check_for_conflicts(attempt_version, eff_acts,
+                                          isolation)
                 attempt_version += 1
         raise DeltaError("commit retry budget exhausted")
+
+    def _assign_row_ids(self, acts: List[Any],
+                        attempt_version: int) -> List[Any]:
+        """Fresh row-id assignment for this attempt (Delta protocol
+        'Row Tracking'): every AddFile gets baseRowId = watermark + 1
+        (watermark advances by the file's numRecords) and
+        defaultRowCommitVersion = the version being attempted; one
+        delta.rowTracking DomainMetadata action publishes the new
+        watermark. The watermark is read from the PREDECESSOR version's
+        state — the read snapshot on the first attempt, a fresh log
+        read on retries (the conflict path already read those files)."""
+        import dataclasses
+
+        if self.snapshot is None:
+            dm = None  # first commit: the table starts at watermark -1
+        elif attempt_version - 1 == self.read_version:
+            dm = self.snapshot.domain_metadata.get(ROW_TRACKING_DOMAIN)
+        else:
+            dm = self.log.snapshot().domain_metadata.get(
+                ROW_TRACKING_DOMAIN)
+        hwm = json.loads(dm)["rowIdHighWaterMark"] if dm else -1
+        hwm0 = hwm
+        out: List[Any] = []
+        for a in acts:
+            if isinstance(a, AddFile):
+                if a.baseRowId is not None:
+                    # RE-added file (DV attach, RESTORE of a tracked
+                    # file, CLONE from a tracked source): its rows keep
+                    # their ids — the spec requires preserving baseRowId
+                    # on re-adds. The watermark must still DOMINATE the
+                    # preserved range (a clone into a fresh table starts
+                    # at -1), so account its top edge.
+                    n = (json.loads(a.stats).get("numRecords")
+                         if a.stats else None)
+                    if n is not None:
+                        hwm = max(hwm, a.baseRowId + int(n) - 1)
+                    elif a.baseRowId > hwm:
+                        raise DeltaError(
+                            f"cannot preserve row ids of {a.path}: its "
+                            f"baseRowId exceeds the table watermark and "
+                            f"it carries no numRecords stats")
+                    out.append(a)
+                    continue
+                n = None
+                if a.stats:
+                    n = json.loads(a.stats).get("numRecords")
+                if n is None:
+                    raise DeltaError(
+                        f"row tracking requires numRecords stats on "
+                        f"every AddFile; {a.path} has none (disable "
+                        f"delta.enableRowTracking or write stats)")
+                a = dataclasses.replace(
+                    a, baseRowId=hwm + 1,
+                    defaultRowCommitVersion=attempt_version)
+                hwm += int(n)
+            elif isinstance(a, DomainMetadata) \
+                    and a.domain == ROW_TRACKING_DOMAIN:
+                continue  # superseded by the fresh watermark below
+            out.append(a)
+        if hwm != hwm0 or dm is None:
+            out.append(DomainMetadata(
+                ROW_TRACKING_DOMAIN,
+                json.dumps({"rowIdHighWaterMark": hwm},
+                           separators=(",", ":"))))
+        return out
 
     def commit_stream(self, head_actions: Sequence[Any], files_factory,
                       *, has_removes: bool, data_change: bool = True,
@@ -269,7 +353,9 @@ class OptimisticTransaction:
                                 size=a.size,
                                 modificationTime=a.modificationTime,
                                 dataChange=a.dataChange, stats=a.stats,
-                                tags=a.tags)
+                                tags=a.tags, baseRowId=a.baseRowId,
+                                defaultRowCommitVersion=a.
+                                defaultRowCommitVersion)
                     tally["n"] += 1
                     tally["bytes"] += int(a.size or 0)
                 elif isinstance(a, RemoveFile):
@@ -295,8 +381,10 @@ class OptimisticTransaction:
         is_blind_append = not has_removes and not depends_on_files
         ict_enabled = eff_meta is not None and TableConfig(
             eff_meta.configuration).enable_in_commit_timestamps
+        rt_enabled = cfg is not None and cfg.enable_row_tracking
 
         def build_lines(prev_version: int):
+            import dataclasses
             ict = None
             if ict_enabled:
                 prev = _read_ict(self.log.store, self.log.log_path,
@@ -318,8 +406,56 @@ class OptimisticTransaction:
             yield to_json_line(info)
             for a in head:
                 yield to_json_line(a)
+            if not rt_enabled:
+                for a in prepped():
+                    yield to_json_line(a)
+                return
+            # Row tracking in the STREAMED pass: assign baseRowIds on
+            # the fly (one action live at a time, same as the rest of
+            # the stream) and publish the watermark after the last one.
+            if self.snapshot is None:
+                dm = None  # first commit: the table starts at -1
+            elif prev_version == self.read_version:
+                dm = self.snapshot.domain_metadata.get(
+                    ROW_TRACKING_DOMAIN)
+            else:
+                dm = self.log.snapshot().domain_metadata.get(
+                    ROW_TRACKING_DOMAIN)
+            hwm = json.loads(dm)["rowIdHighWaterMark"] if dm else -1
+            n_adds = 0
+            hwm0 = hwm
             for a in prepped():
+                if isinstance(a, AddFile):
+                    n = (json.loads(a.stats).get("numRecords")
+                         if a.stats else None)
+                    if a.baseRowId is not None:
+                        # preserved re-add (CLONE/RESTORE): keep ids,
+                        # but the watermark must dominate its top edge
+                        if n is not None:
+                            hwm = max(hwm, a.baseRowId + int(n) - 1)
+                        elif a.baseRowId > hwm:
+                            raise DeltaError(
+                                f"cannot preserve row ids of {a.path}:"
+                                f" baseRowId exceeds the watermark and"
+                                f" no numRecords stats are present")
+                        n_adds += 1
+                    else:
+                        if n is None:
+                            raise DeltaError(
+                                f"row tracking requires numRecords "
+                                f"stats on every AddFile; {a.path} "
+                                f"has none")
+                        a = dataclasses.replace(
+                            a, baseRowId=hwm + 1,
+                            defaultRowCommitVersion=prev_version + 1)
+                        hwm += int(n)
+                        n_adds += 1
                 yield to_json_line(a)
+            if n_adds and (hwm != hwm0 or dm is None):
+                yield to_json_line(DomainMetadata(
+                    ROW_TRACKING_DOMAIN,
+                    json.dumps({"rowIdHighWaterMark": hwm},
+                               separators=(",", ":"))))
 
         import itertools
         attempt_version = self.read_version + 1
@@ -434,7 +570,9 @@ class OptimisticTransaction:
                 a = AddFile(path=relativize(a.path, table_path),
                             partitionValues=a.partitionValues, size=a.size,
                             modificationTime=a.modificationTime,
-                            dataChange=a.dataChange, stats=a.stats, tags=a.tags)
+                            dataChange=a.dataChange, stats=a.stats,
+                            tags=a.tags, baseRowId=a.baseRowId,
+                            defaultRowCommitVersion=a.defaultRowCommitVersion)
             elif isinstance(a, RemoveFile):
                 a = RemoveFile(path=relativize(a.path, table_path),
                                deletionTimestamp=a.deletionTimestamp,
@@ -516,6 +654,8 @@ class OptimisticTransaction:
                 if any(isinstance(a, AddFile)
                        and (a.tags or {}).get(DV_TAG) for a in actions):
                     extra.add("deletionVectors")
+                if any(isinstance(a, DomainMetadata) for a in actions):
+                    extra.add("domainMetadata")
                 # `cur` starts from the SNAPSHOT protocol merged with
                 # any in-commit Protocol action (the downgrade check
                 # above already guarantees the explicit action
@@ -587,6 +727,31 @@ class OptimisticTransaction:
                 f"concurrent SetTransaction for appIds "
                 f"{sorted(win_txns & self.read_txn_app_ids)}")
 
+        # ONE pass over my_actions (commit_stream passes a one-shot
+        # iterator — consuming it twice would silently empty the J4
+        # delete/delete check): collect my removes and my metadata
+        # domains together.
+        table_path = self.log.table_path
+        my_removed: Set[str] = set()
+        my_domains: Set[str] = set()
+        for a in my_actions:
+            if isinstance(a, RemoveFile):
+                my_removed.add(canonical_path(a.path, table_path))
+            elif isinstance(a, DomainMetadata):
+                my_domains.add(a.domain)
+
+        # Domain-metadata conflicts: two txns writing the SAME domain is
+        # a lost update for whichever retries blindly — abort, except
+        # delta.rowTracking, whose watermark the retry loop re-derives
+        # from the winner's state (the spec's prescribed resolution).
+        win_domains = {a.domain for a in winning
+                       if isinstance(a, DomainMetadata)}
+        clash = (my_domains & win_domains) - {ROW_TRACKING_DOMAIN}
+        if clash:
+            raise ConcurrentTransactionException(
+                f"version {winning_version} concurrently wrote metadata "
+                f"domains {sorted(clash)}")
+
         # J2: added files this txn should have read. Under SnapshotIsolation a
         # blind append can never invalidate our reads
         # (ConflictChecker.scala:148-173).
@@ -612,7 +777,6 @@ class OptimisticTransaction:
                             f"file added by version {winning_version} matches "
                             f"a read predicate: {a.path}")
 
-        table_path = self.log.table_path
         win_removed_paths = {canonical_path(r.path, table_path)
                              for r in win_removes}
         # J3: winning commit deleted something I read.
@@ -625,9 +789,8 @@ class OptimisticTransaction:
             raise ConcurrentDeleteReadException(
                 f"version {winning_version} deleted file(s) read by this txn: "
                 f"{sorted(hit)[:3]}")
-        # J4: both deleted the same file.
-        my_removed = {canonical_path(a.path, table_path)
-                      for a in my_actions if isinstance(a, RemoveFile)}
+        # J4: both deleted the same file (my_removed collected in the
+        # single pass above).
         both = win_removed_paths & my_removed
         if both:
             raise ConcurrentDeleteDeleteException(
