@@ -49,6 +49,12 @@ DEFAULTS: Dict[str, str] = {
     "delta.autoOptimize.autoCompact": "false",
     "connectors.autoCompact.minNumFiles": "8",
     "connectors.autoCompact.targetFileSize": str(128 * 1024 * 1024),
+    # Type widening (Delta protocol 'Type Widening', opt-in): ALTER
+    # COLUMN TYPE to a wider type (byte<short<int<long, float->double,
+    # decimal precision growth at equal scale) without rewriting data —
+    # old files keep the narrow physical type; the parquet reader
+    # promotes at scan time.
+    "delta.enableTypeWidening": "false",
     # Row tracking (Delta protocol 'Row Tracking', opt-in): every
     # committed AddFile gets a baseRowId from the delta.rowTracking
     # high-watermark domain; fresh row id of row i = baseRowId + i.
@@ -133,6 +139,10 @@ class TableConfig:
     @property
     def auto_compact_min_files(self) -> int:
         return int(self.get("connectors.autoCompact.minNumFiles"))
+
+    @property
+    def enable_type_widening(self) -> bool:
+        return self.get("delta.enableTypeWidening").lower() == "true"
 
     @property
     def enable_row_tracking(self) -> bool:

@@ -54,18 +54,20 @@ FEATURE_VERSIONS = {
     "inCommitTimestamp": (1, 7),
     "domainMetadata": (1, 7),
     "rowTracking": (1, 7),
+    "typeWidening": (3, 7),
 }
 
 # Features that have a READER-side obligation (everything else is
 # writer-only: a reader can ignore it safely).
-READER_FEATURES = {"columnMapping", "deletionVectors"}
+READER_FEATURES = {"columnMapping", "deletionVectors", "typeWidening"}
 
 TABLE_FEATURES_READER_VERSION = 3
 TABLE_FEATURES_WRITER_VERSION = 7
 
 # What THIS engine implements. A protocol demanding anything outside
 # these sets must be refused (read and write respectively).
-SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors"}
+SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors",
+                             "typeWidening"}
 SUPPORTED_WRITER_FEATURES = set(FEATURE_VERSIONS)
 MAX_SUPPORTED_READER_VERSION = TABLE_FEATURES_READER_VERSION
 MAX_SUPPORTED_WRITER_VERSION = TABLE_FEATURES_WRITER_VERSION
@@ -86,6 +88,13 @@ def active_features(meta, extra: Iterable[str] = ()) -> Set[str]:
         feats.add("changeDataFeed")
     if cfg.enable_in_commit_timestamps:
         feats.add("inCommitTimestamp")
+    if cfg.enable_type_widening or any(
+            (f.metadata or {}).get("delta.typeChanges")
+            for f in meta.schema.fields):
+        # the feature must PERSIST once any column was ever widened
+        # (historical files still carry the narrow physical type), even
+        # if the property is later unset
+        feats.add("typeWidening")
     if cfg.enable_row_tracking:
         # row ids live in AddFile.baseRowId + the delta.rowTracking
         # high-watermark domain, so the feature depends on

@@ -666,6 +666,47 @@ def delta_dv_delete(spark, sf_dir):
                     "o_orderdate"))
 
 
+@register("delta_type_widening", sql="""
+WITH h AS (
+  SELECT o_orderstatus, o_orderkey AS k,
+         CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice::FLOAT::DOUBLE
+              ELSE o_totalprice::DOUBLE END AS p
+  FROM orders)
+SELECT o_orderstatus, count(*) AS n, sum(k)::BIGINT AS sum_key,
+       round(sum(p), 2) AS sum_price
+FROM h GROUP BY o_orderstatus
+""")
+def delta_type_widening(spark, sf_dir):
+    # Type widening (Delta protocol 'Type Widening'): half the rows
+    # are written with NARROW types (int key, float price), the
+    # columns are widened to long/double (metadata-only ALTER), and
+    # the other half lands with the wide types — the aggregate over
+    # the mixed-physical-type table must equal the oracle's per-half
+    # cast reconstruction, which only happens if the scan promotes old
+    # files losslessly and stats/pruning stay sound.
+    def build(d):
+        od = load(spark, sf_dir, "orders")
+        t = DeltaTable.for_path(spark, d)
+        t.write(od.where(F.col("o_orderkey") % 2 == 0)
+                .withColumn("o_orderkey",
+                            F.col("o_orderkey").cast("int"))
+                .withColumn("o_totalprice",
+                            F.col("o_totalprice").cast("float")),
+                mode="append",
+                configuration={"delta.enableTypeWidening": "true",
+                               "delta.protocol.autoUpgrade": "true"})
+        t.alter_column_type("o_orderkey", "long")
+        t.alter_column_type("o_totalprice", "double")
+        t.write(od.where(F.col("o_orderkey") % 2 == 1), mode="append")
+    d = _built(sf_dir, "orders_widen", build)
+    t = DeltaTable.for_path(spark, d)
+    return (t.to_df()
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_orderkey").alias("sum_key"),
+                 F.round(F.sum("o_totalprice"), 2).alias("sum_price")))
+
+
 @register("delta_row_ids", sql="""
 SELECT (SELECT count(*) FROM events) AS n_v0,
        count(*) AS n_latest,

@@ -676,6 +676,71 @@ class DeltaTable:
             configuration=conf))
         return txn.commit([], "ADD COLUMNS", {"column": name})
 
+    def alter_column_type(self, name: str, new_type) -> int:
+        """ALTER COLUMN TYPE — type widening (Delta protocol 'Type
+        Widening'): metadata-only promotion to a wider type (byte <
+        short < int < long, float -> double, decimal precision growth
+        at equal scale). No data file is touched — old files keep the
+        narrow physical type and the parquet reader promotes at scan
+        time; the change is recorded in the field's
+        ``delta.typeChanges`` metadata so foreign readers know mixed
+        physical types are expected. Requires
+        ``delta.enableTypeWidening``."""
+        import dataclasses
+
+        from .txn import is_type_widening
+        txn = self.log.start_transaction()
+        snap = txn.snapshot
+        if snap is None:
+            raise FileNotFoundError("table does not exist")
+        meta = snap.metadata
+        if not TableConfig(meta.configuration).enable_type_widening:
+            raise DeltaError(
+                "type widening requires delta.enableTypeWidening=true")
+        field = next((f for f in meta.schema.fields if f.name == name),
+                     None)
+        if field is None:
+            raise DeltaError(f"no such column: {name!r}")
+        if isinstance(new_type, str):
+            new_type = _parse_dtype(new_type)
+        if not is_type_widening(field.dataType, new_type):
+            raise DeltaError(
+                f"cannot change {name!r} from "
+                f"{field.dataType.simpleString()} to "
+                f"{new_type.simpleString()}: only widening conversions "
+                f"(byte<short<int<long, float->double, decimal "
+                f"precision growth at equal scale) are supported")
+        if name in (meta.partitionColumns or []):
+            # partition values are log STRINGS decoded by schema type;
+            # widening them is representationally fine but delta-spark
+            # refuses, and stats/pruning parity matters more than the
+            # convenience — refuse loudly.
+            raise DeltaError(
+                f"cannot widen partition column {name!r}")
+        import re as _re
+        for f in meta.schema.fields:
+            gen = (f.metadata or {}).get(_GEN_KEY)
+            if gen and _re.search(rf"\b{_re.escape(name)}\b", gen):
+                raise DeltaError(
+                    f"column {name!r} is referenced by generated "
+                    f"column {f.name!r}; widening could change the "
+                    f"generated values")
+        md = dict(field.metadata or {})
+        changes = list(md.get("delta.typeChanges") or [])
+        changes.append({"fromType": field.dataType.simpleString(),
+                        "toType": new_type.simpleString()})
+        md["delta.typeChanges"] = changes
+        fields = [T.StructField(f.name, new_type if f.name == name
+                                else f.dataType, f.nullable,
+                                md if f.name == name else f.metadata)
+                  for f in meta.schema.fields]
+        txn.update_metadata(dataclasses.replace(
+            meta,
+            schemaString=json.dumps(T.StructType(fields).jsonValue())))
+        return txn.commit([], "CHANGE COLUMN",
+                          {"column": name,
+                           "toType": new_type.simpleString()})
+
     @staticmethod
     def _rename_in_config(configuration, old: str, new: Optional[str]):
         """Track a logical rename/drop in config values that list

@@ -815,6 +815,30 @@ def _read_ict(store, log_path: str, version: int) -> Optional[int]:
     return None
 
 
+_WIDEN_CHAIN = ("byte", "short", "integer", "long")
+
+
+def is_type_widening(old_dt, new_dt) -> bool:
+    """True when ``old_dt -> new_dt`` is a supported WIDENING (Delta
+    protocol 'Type Widening'): byte < short < int < long,
+    float -> double, or decimal precision growth at EQUAL scale — the
+    promotions Spark's parquet reader performs losslessly at scan time
+    on the old files. (The spec's decimal-scale and integer->double
+    widenings are excluded: they change the stored value's
+    representation, which the scan-time promotion path can't do.)"""
+    from pyspark.sql import types as T
+    if old_dt == new_dt:
+        return False
+    if isinstance(old_dt, T.DecimalType) and \
+            isinstance(new_dt, T.DecimalType):
+        return (new_dt.scale == old_dt.scale
+                and new_dt.precision > old_dt.precision)
+    on, nn = old_dt.typeName(), new_dt.typeName()
+    if on in _WIDEN_CHAIN and nn in _WIDEN_CHAIN:
+        return _WIDEN_CHAIN.index(nn) > _WIDEN_CHAIN.index(on)
+    return on == "float" and nn == "double"
+
+
 def _check_schema_evolution(old: Metadata, new: Metadata) -> None:
     """Write-compatibility rules (SchemaUtils.scala:82-141): no dropped
     columns, no type changes, no nullable->non-null; new columns nullable.
@@ -827,6 +851,7 @@ def _check_schema_evolution(old: Metadata, new: Metadata) -> None:
     transaction ever starts, table.write/streaming.sink). Type changes
     and nullability tightening stay forbidden per id — the files on
     disk don't change."""
+    widen_ok = TableConfig(new.configuration).enable_type_widening
     if new.column_mapping_mode == "name" \
             and old.column_mapping_mode == "name":
         def by_id(meta):
@@ -841,7 +866,9 @@ def _check_schema_evolution(old: Metadata, new: Metadata) -> None:
             nf = new_ids.get(fid)
             if nf is None:
                 continue                         # DROP COLUMN
-            if nf.dataType != f.dataType:
+            if nf.dataType != f.dataType and not (
+                    widen_ok and is_type_widening(f.dataType,
+                                                  nf.dataType)):
                 raise DeltaError(
                     f"Schema evolution cannot change type of {f.name!r}")
             if f.nullable and not nf.nullable:
@@ -860,7 +887,8 @@ def _check_schema_evolution(old: Metadata, new: Metadata) -> None:
         if name not in new_fields:
             raise DeltaError(f"Schema evolution cannot drop column {name!r}")
         nf = new_fields[name]
-        if nf.dataType != f.dataType:
+        if nf.dataType != f.dataType and not (
+                widen_ok and is_type_widening(f.dataType, nf.dataType)):
             raise DeltaError(f"Schema evolution cannot change type of {name!r}")
         if f.nullable and not nf.nullable:
             raise DeltaError(f"Schema evolution cannot tighten nullability of {name!r}")
