@@ -195,6 +195,57 @@ def st_sessionize_flush(spark, sf_dir):
                     "n_events"))
 
 
+@register("st_cdf_changes", sql="""
+WITH ins AS (
+  SELECT 'insert' AS change_type, count(*) AS n,
+         round(sum(value), 2) AS sum_value FROM events),
+pre AS (
+  SELECT 'update_preimage', count(*), round(sum(value), 2)
+  FROM events WHERE event_type = 'error'),
+post AS (
+  SELECT 'update_postimage', count(*), round(sum(value + 100), 2)
+  FROM events WHERE event_type = 'error'),
+del AS (
+  SELECT 'delete', count(*), round(sum(value), 2)
+  FROM events WHERE event_type <> 'error' AND value < 20)
+SELECT * FROM ins UNION ALL SELECT * FROM pre
+UNION ALL SELECT * FROM post UNION ALL SELECT * FROM del
+""")
+def st_cdf_changes(spark, sf_dir):
+    # Row-level change feed through the STREAMING source
+    # (readChangeFeed=true, ST1): three commits — append, UPDATE
+    # (physical AddCDCFile pre/postimages), row-level DELETE — stream
+    # into a memory sink and aggregate per _change_type. The oracle
+    # reconstructs each change set from the source parquet, so the
+    # hash validates CDC file replay, synthesized inserts and version
+    # attribution in one gate.
+    from ..expressions import Col, Lit
+
+    def build(d):
+        t = DeltaTable.for_path(spark, d)
+        t.write(load(spark, sf_dir, "events"), mode="append",
+                configuration={"delta.enableChangeDataFeed": "true"})
+        t.update({"value": "value + 100"},
+                 Col("event_type") == Lit("error"))
+        t.delete((Col("value") < Lit(20.0))
+                 & ~(Col("event_type") == Lit("error")))
+    d = _built(sf_dir, "st_events_cdf", build)
+    from ..streaming import register_stream_source
+    register_stream_source(spark)
+    name = "st_cdf_" + uuid.uuid4().hex[:8]
+    src = (spark.readStream.format("delta_stream")
+           .option("path", d).option("readChangeFeed", "true")
+           .option("startingVersion", "0").load())
+    q = (src.writeStream.format("memory").queryName(name)
+         .outputMode("append").option("checkpointLocation", _ck())
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(name)
+            .groupBy(F.col("_change_type").alias("change_type"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
 @register("st_sink_roundtrip", sql="""
 SELECT event_type, count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,

@@ -2450,6 +2450,19 @@ class TableMaintenance:
             now = int(time.time() * 1000)
             actions: List[Any] = list(adds) + [
                 f.remove(now, data_change=False) for f in victims]
+            if cluster_by:
+                # record the clustering layout as table state (the
+                # delta.clustering metadata domain delta-spark's liquid
+                # clustering writes): readers and later OPTIMIZE runs
+                # can discover WHICH columns the files are clustered on
+                # without scanning history
+                from .log.actions import DomainMetadata
+                actions.append(DomainMetadata(
+                    "delta.clustering",
+                    json.dumps({"clusteringColumns": list(cluster_by),
+                                "curve": "hilbert" if hilbert_by
+                                else "zorder"},
+                               separators=(",", ":"))))
             version = txn.commit(
                 actions, operation="OPTIMIZE",
                 operation_parameters=dict(

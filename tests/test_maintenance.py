@@ -913,3 +913,27 @@ def test_hilbert_numpy_batch_matches_column_and_reference():
         got = _hilbert_index_np(X, b)
         exp = [_hilbert_index_py(c, b) for c in coords]
         assert got.tolist() == exp, (d, b)
+
+
+def test_clustered_optimize_records_clustering_domain(spark, tmp_path):
+    """A clustered OPTIMIZE publishes the delta.clustering metadata
+    domain (delta-spark's liquid-clustering provenance): later readers
+    and OPTIMIZE runs discover the clustered columns from table state,
+    and a re-cluster on different columns REPLACES the domain."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "t"))
+    df = spark.range(1000).select(
+        F.col("id").alias("a"), (F.col("id") * 7 % 97).alias("b"),
+        (F.col("id") % 13).alias("c"))
+    t.write(df.repartition(4), mode="append")
+    TableMaintenance(t).optimize(zorder_by=["a", "b"])
+    dm = t.log.snapshot().domain_metadata["delta.clustering"]
+    got = _json.loads(dm)
+    assert got == {"clusteringColumns": ["a", "b"], "curve": "zorder"}
+    TableMaintenance(t).optimize(hilbert_by=["b", "c"])
+    got2 = _json.loads(
+        t.log.snapshot().domain_metadata["delta.clustering"])
+    assert got2 == {"clusteringColumns": ["b", "c"], "curve": "hilbert"}
