@@ -49,6 +49,12 @@ DEFAULTS: Dict[str, str] = {
     "delta.autoOptimize.autoCompact": "false",
     "connectors.autoCompact.minNumFiles": "8",
     "connectors.autoCompact.targetFileSize": str(128 * 1024 * 1024),
+    # Checkpoint policy (Delta protocol 'V2 Checkpoint Table Feature'):
+    # "classic" writes <v>.checkpoint.parquet (single or multi-part);
+    # "v2" writes a uuid-named MANIFEST whose add/remove state lives in
+    # sidecar parquets under _delta_log/_sidecars/ — the manifest stays
+    # O(sidecars) rows however many files the table has.
+    "delta.checkpointPolicy": "classic",
     # Type widening (Delta protocol 'Type Widening', opt-in): ALTER
     # COLUMN TYPE to a wider type (byte<short<int<long, float->double,
     # decimal precision growth at equal scale) without rewriting data —
@@ -139,6 +145,10 @@ class TableConfig:
     @property
     def auto_compact_min_files(self) -> int:
         return int(self.get("connectors.autoCompact.minNumFiles"))
+
+    @property
+    def checkpoint_policy(self) -> str:
+        return self.get("delta.checkpointPolicy").lower()
 
     @property
     def enable_type_widening(self) -> bool:

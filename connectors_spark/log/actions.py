@@ -267,6 +267,38 @@ class DomainMetadata:
 
 
 @dataclass
+class CheckpointMetadata:
+    """V2-checkpoint manifest self-description (Delta protocol 'V2
+    Checkpoint Table Feature'): the manifest's own version + free-form
+    tags. Only ever appears inside a checkpoint, never a commit."""
+
+    version: int
+    tags: Optional[Dict[str, str]] = None
+
+    def wrap(self) -> Dict[str, Any]:
+        d: Dict[str, Any] = {"version": self.version}
+        if self.tags:
+            d["tags"] = self.tags
+        return {"checkpointMetadata": d}
+
+
+@dataclass
+class SidecarFile:
+    """Reference from a v2 manifest to a sidecar parquet carrying
+    AddFile/RemoveFile state; ``path`` is relative to
+    ``_delta_log/_sidecars/``."""
+
+    path: str
+    sizeInBytes: int = 0
+    modificationTime: int = 0
+
+    def wrap(self) -> Dict[str, Any]:
+        return {"sidecar": {"path": self.path,
+                            "sizeInBytes": self.sizeInBytes,
+                            "modificationTime": self.modificationTime}}
+
+
+@dataclass
 class SetTransaction:
     """Idempotent-writer watermark (actions.scala:88-94)."""
 
@@ -374,6 +406,11 @@ def _parse_one(key: str, d: Dict[str, Any]) -> Optional[Action]:
     if key == "domainMetadata":
         return DomainMetadata(d["domain"], d.get("configuration") or "",
                               bool(d.get("removed", False)))
+    if key == "checkpointMetadata":
+        return CheckpointMetadata(int(d["version"]), d.get("tags"))
+    if key == "sidecar":
+        return SidecarFile(d["path"], d.get("sizeInBytes") or 0,
+                           d.get("modificationTime") or 0)
     return None
 
 
@@ -471,6 +508,17 @@ DOMAIN_METADATA_SCHEMA = T.StructType([
     T.StructField("removed", T.BooleanType()),
 ])
 
+CHECKPOINT_METADATA_SCHEMA = T.StructType([
+    T.StructField("version", T.LongType()),
+    T.StructField("tags", _STR_MAP),
+])
+
+SIDECAR_SCHEMA = T.StructType([
+    T.StructField("path", T.StringType()),
+    T.StructField("sizeInBytes", T.LongType()),
+    T.StructField("modificationTime", T.LongType()),
+])
+
 SINGLE_ACTION_SCHEMA = T.StructType([
     T.StructField("txn", TXN_SCHEMA),
     T.StructField("add", ADD_SCHEMA),
@@ -479,5 +527,7 @@ SINGLE_ACTION_SCHEMA = T.StructType([
     T.StructField("protocol", PROTOCOL_SCHEMA),
     T.StructField("cdc", CDC_SCHEMA),
     T.StructField("domainMetadata", DOMAIN_METADATA_SCHEMA),
+    T.StructField("checkpointMetadata", CHECKPOINT_METADATA_SCHEMA),
+    T.StructField("sidecar", SIDECAR_SCHEMA),
     T.StructField("commitInfo", COMMIT_INFO_SCHEMA),
 ])

@@ -25,7 +25,8 @@ from typing import Optional
 from pyspark.sql import functions as F
 
 from . import filenames as fn
-from .actions import SINGLE_ACTION_SCHEMA, to_json_line, Protocol, Metadata, SetTransaction
+from .actions import (SINGLE_ACTION_SCHEMA, CheckpointMetadata, Metadata,
+                      Protocol, SetTransaction, SidecarFile, to_json_line)
 from .segment import write_last_checkpoint
 from .snapshot import Snapshot
 
@@ -106,6 +107,12 @@ def write_checkpoint(snapshot: Snapshot, parts: Optional[int] = None) -> int:
     pm_df = spark.read.json(
         spark.sparkContext.parallelize(pm_lines, 1), schema=SINGLE_ACTION_SCHEMA)
 
+    from ..config import TableConfig
+    if TableConfig(snapshot.metadata.configuration) \
+            .checkpoint_policy == "v2":
+        return _write_checkpoint_v2(snapshot, adds_df, tomb_df,
+                                    pm_lines, n_files, parts)
+
     state = adds_df.unionByName(tomb_df).unionByName(pm_df)
     n_actions = n_files + 2  # approximation for _last_checkpoint "size"
 
@@ -138,4 +145,68 @@ def write_checkpoint(snapshot: Snapshot, parts: Optional[int] = None) -> int:
 
     write_last_checkpoint(snapshot.store, log_path, snapshot.version,
                           n_actions, written_parts)
+    return n_actions
+
+
+def _write_checkpoint_v2(snapshot: Snapshot, adds_df, tomb_df,
+                         pm_lines, n_files: int,
+                         parts: Optional[int]) -> int:
+    """V2 (uuid-named) checkpoint — Delta protocol 'V2 Checkpoint
+    Table Feature': the add/remove state lands in SIDECAR parquets
+    under ``_delta_log/_sidecars/``; the manifest
+    ``<version>.checkpoint.<uuid>.parquet`` carries protocol/metadata/
+    txn/domainMetadata rows plus one SidecarFile reference per sidecar
+    and a CheckpointMetadata self-description. Scale shape: the
+    manifest stays O(sidecars + domains) rows no matter how many files
+    the table has, so the driver-side P&M replay reads a TINY parquet
+    while the file state streams distributed through the sidecars —
+    and a recompute can rewrite one sidecar-sized slice at a time.
+    Publication is the same temp-dir + LogStore-rename dance as
+    classic; racing writers produce distinct uuids, and the segment
+    picker treats any complete manifest as authoritative."""
+    spark = snapshot.spark
+    store = snapshot.store
+    log_path = snapshot.segment.log_path
+    uid = uuid.uuid4().hex
+
+    state = adds_df.unionByName(tomb_df)
+    if parts is None:
+        parts = max(1, math.ceil(n_files / ACTIONS_PER_PART))
+    state = state.repartition(parts)
+    tmp = os.path.join(log_path, f".tmp_ckpt_{uid}")
+    state.write.mode("overwrite").option("compression",
+                                         "snappy").parquet(tmp)
+    sidecars = []
+    try:
+        part_files = sorted(f for f in store.list_dir(tmp)
+                            if f.endswith(".parquet"))
+        for i, src in enumerate(part_files):
+            name = f"{uid}-{i:05d}.parquet"
+            dst = fn.sidecar_file(log_path, name)
+            store.rename(os.path.join(tmp, src), dst)
+            size, mtime = store.stat(dst)
+            sidecars.append(SidecarFile(name, size, mtime))
+    finally:
+        store.remove_tree(tmp)
+
+    manifest_lines = list(pm_lines)
+    manifest_lines.append(to_json_line(
+        CheckpointMetadata(snapshot.version)))
+    manifest_lines += [to_json_line(s) for s in sidecars]
+    mdf = spark.read.json(
+        spark.sparkContext.parallelize(manifest_lines, 1),
+        schema=SINGLE_ACTION_SCHEMA).coalesce(1)
+    tmp2 = os.path.join(log_path, f".tmp_ckpt_m_{uid}")
+    mdf.write.mode("overwrite").parquet(tmp2)
+    try:
+        mfile = next(f for f in sorted(store.list_dir(tmp2))
+                     if f.endswith(".parquet"))
+        store.rename(os.path.join(tmp2, mfile),
+                     fn.checkpoint_file_v2(log_path, snapshot.version,
+                                           uid))
+    finally:
+        store.remove_tree(tmp2)
+
+    n_actions = n_files + 2
+    write_last_checkpoint(store, log_path, snapshot.version, n_actions)
     return n_actions

@@ -55,11 +55,13 @@ FEATURE_VERSIONS = {
     "domainMetadata": (1, 7),
     "rowTracking": (1, 7),
     "typeWidening": (3, 7),
+    "v2Checkpoint": (3, 7),
 }
 
 # Features that have a READER-side obligation (everything else is
 # writer-only: a reader can ignore it safely).
-READER_FEATURES = {"columnMapping", "deletionVectors", "typeWidening"}
+READER_FEATURES = {"columnMapping", "deletionVectors", "typeWidening",
+                   "v2Checkpoint"}
 
 TABLE_FEATURES_READER_VERSION = 3
 TABLE_FEATURES_WRITER_VERSION = 7
@@ -67,7 +69,7 @@ TABLE_FEATURES_WRITER_VERSION = 7
 # What THIS engine implements. A protocol demanding anything outside
 # these sets must be refused (read and write respectively).
 SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors",
-                             "typeWidening"}
+                             "typeWidening", "v2Checkpoint"}
 SUPPORTED_WRITER_FEATURES = set(FEATURE_VERSIONS)
 MAX_SUPPORTED_READER_VERSION = TABLE_FEATURES_READER_VERSION
 MAX_SUPPORTED_WRITER_VERSION = TABLE_FEATURES_WRITER_VERSION
@@ -88,6 +90,8 @@ def active_features(meta, extra: Iterable[str] = ()) -> Set[str]:
         feats.add("changeDataFeed")
     if cfg.enable_in_commit_timestamps:
         feats.add("inCommitTimestamp")
+    if cfg.checkpoint_policy == "v2":
+        feats.add("v2Checkpoint")
     if cfg.enable_type_widening or any(
             (f.metadata or {}).get("delta.typeChanges")
             for f in meta.schema.fields):

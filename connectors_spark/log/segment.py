@@ -64,9 +64,18 @@ def write_last_checkpoint(store: LogStore, log_path: str,
 
 def _complete_checkpoints(names: List[str]) -> Dict[int, List[str]]:
     """Group checkpoint files by version, keep only complete instances
-    (observed part count == declared parts; Checkpoints.scala:202-210)."""
+    (observed part count == declared parts; Checkpoints.scala:202-210).
+    V2 (uuid-named) manifests are complete by themselves and PREFERRED
+    over classic instances at the same version (CheckpointInstance
+    ordering: v2 > single-part > multi-part); two racing v2 writers at
+    one version both describe the same state, so the lexicographically
+    greatest is picked deterministically."""
+    v2: Dict[int, List[str]] = {}
     groups: Dict[Tuple[int, Optional[int]], List[str]] = {}
     for n in names:
+        if fn.is_v2_checkpoint_file(n):
+            v2.setdefault(fn.checkpoint_version(n), []).append(n)
+            continue
         if not fn.is_checkpoint_file(n):
             continue
         v, _part, num_parts = fn.checkpoint_part(n)
@@ -79,6 +88,8 @@ def _complete_checkpoints(names: List[str]) -> Dict[int, List[str]]:
             # (CheckpointInstance ordering, Checkpoints.scala:81-88).
             if v not in out or num_parts is None:
                 out[v] = sorted(files)
+    for v, files in v2.items():
+        out[v] = [max(files)]
     return out
 
 

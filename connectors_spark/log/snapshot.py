@@ -290,6 +290,21 @@ class Snapshot:
         extra = [c for c in ("version", "is_checkpoint") if c in df.columns]
         return df.select(*cols, *extra)
 
+    def _v2_sidecar_paths(self, manifest: str) -> List[str]:
+        """Absolute paths of a v2 manifest's sidecar parquets (driver-
+        side column-pruned read — the manifest is O(sidecars) rows)."""
+        import pyarrow.parquet as pq
+        if "sidecar" not in pq.read_schema(manifest).names:
+            return []
+        out = []
+        for row in pq.read_table(manifest,
+                                 columns=["sidecar"]).to_pylist():
+            sc = row.get("sidecar")
+            if sc and sc.get("path"):
+                out.append(fn.sidecar_file(self.segment.log_path,
+                                           sc["path"]))
+        return out
+
     def actions_df(self) -> DataFrame:
         """All actions of the segment with ``version`` and ``is_checkpoint``
         columns. Executors parse the files in parallel (the reference's
@@ -312,10 +327,26 @@ class Snapshot:
                  .withColumn("is_checkpoint", F.lit(False)))
             parts.append(self._conform(d))
         if self.segment.checkpoint_files:
-            c = (self.spark.read.parquet(*self.segment.checkpoint_files)
-                 .withColumn("version", F.lit(self.segment.checkpoint_version)
-                             .cast("long"))
-                 .withColumn("is_checkpoint", F.lit(True)))
+            cfiles = list(self.segment.checkpoint_files)
+            if len(cfiles) == 1 and fn.is_v2_checkpoint_file(cfiles[0]):
+                # V2 checkpoint: the manifest carries P&M/txn/domain +
+                # SidecarFile references; add/remove state lives in the
+                # sidecar parquets. One explicit-schema read over
+                # manifest + sidecars (per-file missing columns scan as
+                # NULL) reconstructs the classic action set.
+                cfiles = cfiles + self._v2_sidecar_paths(cfiles[0])
+                c = (self.spark.read.schema(SINGLE_ACTION_SCHEMA)
+                     .parquet(*cfiles)
+                     .withColumn("version",
+                                 F.lit(self.segment.checkpoint_version)
+                                 .cast("long"))
+                     .withColumn("is_checkpoint", F.lit(True)))
+            else:
+                c = (self.spark.read.parquet(*cfiles)
+                     .withColumn("version",
+                                 F.lit(self.segment.checkpoint_version)
+                                 .cast("long"))
+                     .withColumn("is_checkpoint", F.lit(True)))
             parts.append(self._conform(c))
         out = parts[0]
         for p in parts[1:]:

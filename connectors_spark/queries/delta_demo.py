@@ -666,6 +666,40 @@ def delta_dv_delete(spark, sf_dir):
                     "o_orderdate"))
 
 
+@register("delta_v2_checkpoint_read", sql="""
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2)
+       AS sum_price
+FROM orders WHERE NOT (o_totalprice < 50000)
+GROUP BY o_orderstatus
+""")
+def delta_v2_checkpoint_read(spark, sf_dir):
+    # V2 (uuid-named) checkpoint: the auto-checkpoint at version 2
+    # writes a MANIFEST + sidecar parquets (delta.checkpointPolicy=v2);
+    # the fresh read reconstructs state from manifest + sidecars + the
+    # post-checkpoint DELETE commit. Hash match = the sidecar split,
+    # the manifest's P&M rows, and the v2-vs-classic instance pick all
+    # compose with ordinary replay.
+    def build(d):
+        od = load(spark, sf_dir, "orders")
+        cfg = {"delta.checkpointPolicy": "v2",
+               "delta.checkpointInterval": "2",
+               "delta.protocol.autoUpgrade": "true"}
+        t = DeltaTable.for_path(spark, d)
+        for m in range(3):
+            t.write(od.where(F.col("o_orderkey") % 3 == m),
+                    mode="append", configuration=cfg)
+        t.delete(Col("o_totalprice") < Lit(50000.0))
+        import os as _os
+        from ..log import filenames as _fn
+        assert any(_fn.is_v2_checkpoint_file(n)
+                   for n in _os.listdir(_os.path.join(d, "_delta_log")))
+    d = _built(sf_dir, "orders_v2ckpt", build)
+    t = DeltaTable.for_path(spark, d)
+    return (t.to_df().groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("sum_price")))
+
+
 @register("delta_type_widening", sql="""
 WITH h AS (
   SELECT o_orderstatus, o_orderkey AS k,

@@ -286,6 +286,36 @@ class DeltaLog:
                                     not self.store.exists(
                                         fn.delta_file(self.log_path, e))):
                     self.store.delete(os.path.join(self.log_path, name))
+        # V2 sidecars are only reachable through a manifest: once every
+        # manifest referencing one is gone, the sidecar is garbage.
+        # Delete sidecar files older than the cutoff that no RETAINED
+        # manifest references (never an age-only delete — a live
+        # old checkpoint keeps its sidecars alive indefinitely).
+        side_dir = os.path.join(self.log_path, fn.SIDECAR_DIR)
+        side_names = [s for s in self.store.list_dir(side_dir)
+                      if s.endswith(".parquet")]
+        if side_names:
+            import pyarrow.parquet as pq
+            referenced = set()
+            for name in self.store.list_from(self.log_path):
+                if not fn.is_v2_checkpoint_file(name):
+                    continue
+                mpath = os.path.join(self.log_path, name)
+                try:
+                    if "sidecar" not in pq.read_schema(mpath).names:
+                        continue
+                    for row in pq.read_table(
+                            mpath, columns=["sidecar"]).to_pylist():
+                        sc = row.get("sidecar")
+                        if sc and sc.get("path"):
+                            referenced.add(sc["path"])
+                except Exception:  # noqa: BLE001 — keep on parse issues
+                    return  # unreadable manifest: keep every sidecar
+            for s in side_names:
+                p = os.path.join(side_dir, s)
+                if s not in referenced \
+                        and self.store.mtime_ms(p) < cutoff:
+                    self.store.delete(p)
 
 
 class DeltaTable:
