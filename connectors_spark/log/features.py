@@ -56,12 +56,13 @@ FEATURE_VERSIONS = {
     "rowTracking": (1, 7),
     "typeWidening": (3, 7),
     "v2Checkpoint": (3, 7),
+    "vacuumProtocolCheck": (3, 7),
 }
 
 # Features that have a READER-side obligation (everything else is
 # writer-only: a reader can ignore it safely).
 READER_FEATURES = {"columnMapping", "deletionVectors", "typeWidening",
-                   "v2Checkpoint"}
+                   "v2Checkpoint", "vacuumProtocolCheck"}
 
 TABLE_FEATURES_READER_VERSION = 3
 TABLE_FEATURES_WRITER_VERSION = 7
@@ -69,7 +70,8 @@ TABLE_FEATURES_WRITER_VERSION = 7
 # What THIS engine implements. A protocol demanding anything outside
 # these sets must be refused (read and write respectively).
 SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors",
-                             "typeWidening", "v2Checkpoint"}
+                             "typeWidening", "v2Checkpoint",
+                             "vacuumProtocolCheck"}
 SUPPORTED_WRITER_FEATURES = set(FEATURE_VERSIONS)
 MAX_SUPPORTED_READER_VERSION = TABLE_FEATURES_READER_VERSION
 MAX_SUPPORTED_WRITER_VERSION = TABLE_FEATURES_WRITER_VERSION
@@ -84,6 +86,22 @@ def active_features(meta, extra: Iterable[str] = ()) -> Set[str]:
     cfg = TableConfig(meta.configuration)
     feats = {"appendOnly", "invariants"}
     feats.update(extra)
+    # Explicit feature enablement (delta-spark's ALTER TABLE SET
+    # TBLPROPERTIES 'delta.feature.<name>'='supported'): property-keyed
+    # opt-in for features with no dedicated config switch (e.g.
+    # vacuumProtocolCheck). Unknown names fail the commit loudly —
+    # silently accepting a feature this engine can't honour would be
+    # the exact interop hazard the gates exist to prevent.
+    for key, val in (meta.configuration or {}).items():
+        if key.startswith("delta.feature."):
+            name = key[len("delta.feature."):]
+            if str(val).lower() not in ("supported", "enabled"):
+                continue
+            if name not in FEATURE_VERSIONS:
+                raise ValueError(
+                    f"unknown or unsupported table feature {name!r} "
+                    f"(supported: {sorted(FEATURE_VERSIONS)})")
+            feats.add(name)
     if cfg.check_constraints:
         feats.add("checkConstraints")
     if cfg.enable_change_data_feed:

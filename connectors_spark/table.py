@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .config import TableConfig
-from .errors import DeltaError
+from .errors import DeltaError, DeltaProtocolError
 from .expressions import Expression
 from .log import filenames as fn
 from .log.actions import (AddFile, CommitInfo, Metadata, Protocol, RemoveFile,
@@ -2901,6 +2901,19 @@ class TableMaintenance:
         spark = t.log.spark
         store = t.log.store
         snap = t.log.update() or t.snapshot()
+        # vacuumProtocolCheck (Delta protocol feature): VACUUM must run
+        # the full WRITER protocol gate before deleting anything — a
+        # client that can't honour the table's writer features could
+        # otherwise reclaim files a feature it doesn't understand still
+        # needs (the spec's motivating example: managed commits). The
+        # check is unconditional here (it is cheap); the FEATURE's role
+        # is forcing the same behavior on foreign clients via the
+        # reader/writer version bump.
+        from .log.features import assert_writable
+        try:
+            assert_writable(snap.protocol, t.path)
+        except ValueError as e:
+            raise DeltaProtocolError(f"VACUUM refused: {e}")
         if retention_ms is None:
             retention_ms = TableConfig(
                 snap.metadata.configuration).tombstone_retention_ms

@@ -639,7 +639,14 @@ class OptimisticTransaction:
                             f"AddFile partition values {sorted(a.partitionValues)} "
                             f"do not match table partition columns {sorted(pcols)}")
             cfg = TableConfig(effective_meta.configuration)
-            if cfg.protocol_auto_upgrade:
+            # an explicit delta.feature.<name> property is ITSELF the
+            # upgrade opt-in (delta-spark bumps the protocol whenever a
+            # feature is enabled) — and unknown names must fail loudly
+            # here even without autoUpgrade, not ride along unhonoured
+            has_feature_props = any(
+                k.startswith("delta.feature.")
+                for k in (effective_meta.configuration or {}))
+            if cfg.protocol_auto_upgrade or has_feature_props:
                 # Opt-in interop safety: compute the protocol the table
                 # state REQUIRES (spec version map) and bump the
                 # Protocol action when it grows, so a foreign legacy

@@ -233,3 +233,59 @@ def test_protocol_dominates_unit():
     b = Protocol(3, 7, readerFeatures=[], writerFeatures=[])
     assert feat.protocol_dominates(a, b)
     assert not feat.protocol_dominates(b, a)
+
+
+def test_feature_property_enablement_and_vacuum_protocol_check(
+        spark, tmp_path):
+    """delta.feature.<name>=supported (delta-spark's property-keyed
+    feature opt-in) activates a named feature; unknown names fail the
+    commit loudly; a vacuumProtocolCheck table runs the writer gate
+    before reclaiming, so a protocol demanding unknown writer features
+    refuses VACUUM instead of deleting files it may not understand."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from connectors_spark.errors import DeltaError, DeltaProtocolError
+    from connectors_spark.log.actions import Protocol
+    from connectors_spark.table import DeltaTable, TableMaintenance
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "t"))
+    t.write(spark.range(10).select(F.col("id"),
+                                   (F.col("id") * 2).alias("v")),
+            configuration={
+                "delta.feature.vacuumProtocolCheck": "supported",
+                "delta.protocol.autoUpgrade": "true"})
+    p = t.log.snapshot().protocol
+    assert "vacuumProtocolCheck" in (p.writerFeatures or [])
+    assert "vacuumProtocolCheck" in (p.readerFeatures or [])
+    # vacuum runs (the gate passes: this engine implements the feature)
+    assert TableMaintenance(t).vacuum(retention_ms=10**15) == []
+    # unknown feature name -> loud failure at commit time
+    t2 = DeltaTable.for_path(spark, str(tmp_path / "t2"))
+    with _pytest.raises((DeltaError, ValueError)):
+        t2.write(spark.range(3).select(F.col("id"),
+                                       (F.col("id") * 2).alias("v")),
+                 configuration={"delta.feature.managedCommits":
+                                "supported"})
+    # foreign table demanding an unknown WRITER feature: reads refuse
+    # already (assert_readable is reader-scoped and this is writer-
+    # only), and VACUUM must refuse through the writer gate
+    t3 = DeltaTable.for_path(spark, str(tmp_path / "t3"))
+    t3.write(spark.range(5).select(F.col("id"),
+                                   (F.col("id") * 2).alias("v")))
+    txn = t3.log.start_transaction()
+    # hand-write a protocol with an unknown writer feature (feature
+    # names unknown to the engine can't go through commit -- write the
+    # raw line like a foreign writer would)
+    import json as _json
+    from connectors_spark.log import filenames as _fn
+    line = _json.dumps({"protocol": {
+        "minReaderVersion": 1, "minWriterVersion": 7,
+        "writerFeatures": ["appendOnly", "invariants",
+                           "someFutureFeature"]}})
+    t3.log.store.write(_fn.delta_file(t3.log.log_path, 1),
+                       [line], overwrite=False)
+    t3b = DeltaTable.for_path(spark, str(tmp_path / "t3"))
+    with _pytest.raises(DeltaProtocolError, match="VACUUM refused"):
+        TableMaintenance(t3b).vacuum(retention_ms=10**15)
