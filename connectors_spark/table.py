@@ -1435,18 +1435,47 @@ class DeltaTable:
         touched_adds = addfiles_from_rows(touched_rows)
         local_subset = snap.files_df.sparkSession.createDataFrame(
             touched_rows, snap.files_df.schema)
-        touched_df = snap.to_df(files=local_subset).alias("t")
+        rt = TableConfig(meta.configuration).enable_row_tracking
+        touched_df = snap.to_df(files=local_subset,
+                                with_row_ids=rt).alias("t")
 
         matched = touched_df.join(src, cond, "inner")
         tcols = [f.name for f in meta.schema.fields]
         gens = _generated_exprs(meta)
+        if rt:
+            # Row tracking through the rewrite: kept rows materialize
+            # id + commit version; UPDATED rows keep their id but fall
+            # back to the new file's defaultRowCommitVersion (NULL
+            # materialized value); INSERTED rows get fresh ids from the
+            # new file's baseRowId + row_index (NULL for both).
+            from .log.snapshot import (MATERIALIZED_ROW_COMMIT_COL,
+                                       MATERIALIZED_ROW_ID_COL)
+            rid_keep = [
+                F.col("t._row_id").alias(MATERIALIZED_ROW_ID_COL),
+                F.col("t._row_commit_version")
+                .alias(MATERIALIZED_ROW_COMMIT_COL)]
+            rid_upd = [
+                F.col("t._row_id").alias(MATERIALIZED_ROW_ID_COL),
+                F.lit(None).cast("long")
+                .alias(MATERIALIZED_ROW_COMMIT_COL)]
+            rid_ins = [
+                F.lit(None).cast("long")
+                .alias(MATERIALIZED_ROW_ID_COL),
+                F.lit(None).cast("long")
+                .alias(MATERIALIZED_ROW_COMMIT_COL)]
+            rid_names = [MATERIALIZED_ROW_ID_COL,
+                         MATERIALIZED_ROW_COMMIT_COL]
+        else:
+            rid_keep = rid_upd = rid_ins = []
+            rid_names = []
         cdc_parts: List[DataFrame] = []
         parts = []
         # target rows in touched files with no source match: keep as-is
         parts.append(touched_df.join(src, cond, "left_anti")
-                     .select(*[F.col(f"t.{c}").alias(c) for c in tcols]))
+                     .select(*[F.col(f"t.{c}").alias(c) for c in tcols],
+                             *rid_keep))
         matched_t = matched.select(
-            *[F.col(f"t.{c}").alias(c) for c in tcols])
+            *[F.col(f"t.{c}").alias(c) for c in tcols], *rid_keep)
         if when_matched_update is not None:
             # SQL strings or Columns, same contract as update()'s
             # set_exprs — str(Column) is NOT valid SQL, so Columns must
@@ -1461,7 +1490,7 @@ class DeltaTable:
             upd = matched.select(*[
                 (_set(when_matched_update[c])
                  if c in when_matched_update else F.col(f"t.{c}")).alias(c)
-                for c in tcols])
+                for c in tcols], *rid_upd)
             # Recompute generated columns the SET list doesn't assign
             # (delta-spark recomputes on update; validating the stale
             # pre-update value against the expression would always
@@ -1483,7 +1512,8 @@ class DeltaTable:
             scols = set(source.columns)
             ins = (src.join(target, cond, "left_anti")
                    .select(*[(F.col(f"s.{c}") if c in scols
-                              else F.lit(None)).alias(c) for c in tcols]))
+                              else F.lit(None)).alias(c) for c in tcols],
+                           *rid_ins))
             # Compute generated columns the source doesn't carry —
             # the NULL placeholder injected above is not a user-
             # supplied value and must not be validated against the
@@ -1530,6 +1560,8 @@ class DeltaTable:
             cdc = cdc_parts[0]
             for p in cdc_parts[1:]:
                 cdc = cdc.unionByName(p)
+            if rid_names:
+                cdc = cdc.drop(*rid_names)
             actions += stage_cdc_and_collect(cdc, self.log.table_path,
                                              physical_meta=snap.metadata)
         return txn.commit(actions, "MERGE", {"predicate": str(condition)})

@@ -4,10 +4,10 @@ Scope implemented: fresh row ids (AddFile.baseRowId + physical row
 index), the delta.rowTracking high-watermark domain, per-attempt
 conflict reassignment, preservation on re-adds (DV attach / RESTORE /
 CLONE), and MATERIALIZED row ids through every rewrite path (OPTIMIZE,
-DELETE-rewrite, UPDATE — updated rows keep their id and fall back to
-the new file's defaultRowCommitVersion, the spec's fresh/materialized
-split). MERGE-rewritten targets currently reassign (disclosed scope
-limit; appends/DV/OPTIMIZE/DELETE/UPDATE are the stability surface).
+DELETE-rewrite, UPDATE, MERGE — updated/merged rows keep their id and
+fall back to the new file's defaultRowCommitVersion, inserted rows get
+fresh ids from the new file's baseRowId + index: the spec's
+fresh/materialized split).
 
 Reference parity: none — the reference log kernel predates both
 actions; implemented from the published Delta protocol spec sections
@@ -215,3 +215,30 @@ def test_log_actions_carry_base_row_ids(spark, tmp_path):
     tot = sum(json.loads(a.stats)["numRecords"] for a in adds)
     assert json.loads(dms[0].configuration)["rowIdHighWaterMark"] \
         == tot - 1
+
+
+def test_row_ids_preserved_through_merge(spark, tmp_path):
+    """MERGE materializes row ids through its rewrite: unmatched kept
+    rows keep id AND commit version, updated rows keep their id with
+    the merge commit as their new commit version, inserted rows get
+    FRESH unique ids above the watermark."""
+    from pyspark.sql import Row
+    t = _mk(spark, tmp_path / "t", n=50)
+    before = _rids(t)
+    src = spark.createDataFrame(
+        [Row(id=i, v=-1) for i in range(40, 60)])  # 40-49 match, 50-59 insert
+    v_merge = t.merge(src, "t.id = s.id",
+                      when_matched_update={"v": "s.v"},
+                      when_not_matched_insert=True)
+    after = _rids(t)
+    assert len(after) == 60
+    ids = sorted(v[0] for v in after.values())
+    assert len(set(ids)) == 60                       # global uniqueness
+    for k in range(50):                              # all target rows keep ids
+        assert after[k][0] == before[k][0], k
+    for k in range(40):                              # untouched keep versions
+        assert after[k][1] == before[k][1], k
+    assert {after[k][1] for k in range(40, 50)} == {v_merge}  # updated
+    assert {after[k][1] for k in range(50, 60)} == {v_merge}  # inserted
+    assert all(after[k][0] > max(before[v][0] for v in before)
+               for k in range(50, 60))               # fresh ids above old
