@@ -1097,9 +1097,22 @@ class DeltaTable:
             cand_paths = [canonical_path(f.path, snap.table_path)
                           for f in candidates]
             files_subset = _semi_by_paths(snap.files_df, cand_paths)
-            old = snap.to_df(files=files_subset)
+            rt = TableConfig(meta.configuration).enable_row_tracking
+            old = snap.to_df(files=files_subset, with_row_ids=rt)
             hit = F.coalesce(pred_col, F.lit(False))
             keep = old.where(~hit)
+            if rt:
+                # KEPT rows of partially-covered files survive the
+                # replace logically — materialize their ids through the
+                # rewrite (replaced rows are new data and draw fresh
+                # ids from the staged files' baseRowIds)
+                from .log.snapshot import (MATERIALIZED_ROW_COMMIT_COL,
+                                           MATERIALIZED_ROW_ID_COL)
+                keep = (keep
+                        .withColumnRenamed("_row_id",
+                                           MATERIALIZED_ROW_ID_COL)
+                        .withColumnRenamed("_row_commit_version",
+                                           MATERIALIZED_ROW_COMMIT_COL))
             actions += stage_and_collect(
                 keep, self.log.table_path, meta.partitionColumns,
                 num_indexed_cols=_n_indexed(meta.configuration),

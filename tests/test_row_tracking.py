@@ -242,3 +242,47 @@ def test_row_ids_preserved_through_merge(spark, tmp_path):
     assert {after[k][1] for k in range(50, 60)} == {v_merge}  # inserted
     assert all(after[k][0] > max(before[v][0] for v in before)
                for k in range(50, 60))               # fresh ids above old
+
+
+def test_row_ids_stable_under_replace_where(spark, tmp_path):
+    """replaceWhere's keep-rows rewrite of partially-covered files
+    materializes ids (survivors stable); replaced rows draw fresh ids."""
+    t = DeltaTable.for_path(spark, str(tmp_path / "t"))
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).alias("b"),
+        (F.col("id") * 2).alias("v"))
+    t.write(df.coalesce(1), configuration=CFG)
+    before = {r["id"]: r["_row_id"]
+              for r in t.to_df(with_row_ids=True).collect()}
+    repl = spark.range(200, 230).select(
+        F.col("id"), F.lit(1).cast("long").alias("b"),
+        (F.col("id") * 3).alias("v"))
+    t.write(repl, mode="overwrite", replace_where=Col("b") == Lit(1))
+    after = {r["id"]: r["_row_id"]
+             for r in t.to_df(with_row_ids=True).collect()}
+    survivors = {k for k in before if k % 4 != 1}
+    assert set(after) == survivors | set(range(200, 230))
+    assert all(before[k] == after[k] for k in survivors)
+    ids = sorted(after.values())
+    assert len(set(ids)) == len(ids)
+    assert all(after[k] > max(before.values())
+               for k in range(200, 230))
+
+
+def test_row_ids_compose_with_column_mapping(spark, tmp_path):
+    """Row tracking over a column-mapped table: physical-name reads,
+    the _rt materialized columns and the broadcast base map all
+    compose — ids stay stable through RENAME COLUMN + OPTIMIZE."""
+    t = DeltaTable.for_path(spark, str(tmp_path / "t"))
+    df = spark.range(60).select(F.col("id"),
+                                (F.col("id") * 2).alias("v"))
+    t.write(df, configuration=dict(
+        CFG, **{"delta.columnMapping.mode": "name"}))
+    before = {r["id"]: r["_row_id"]
+              for r in t.to_df(with_row_ids=True).collect()}
+    assert sorted(before.values()) == list(range(60))
+    t.rename_column("v", "w")
+    TableMaintenance(t).optimize(min_files_per_group=1)
+    after = {r["id"]: r["_row_id"]
+             for r in t.to_df(with_row_ids=True).collect()}
+    assert after == before
