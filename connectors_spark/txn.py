@@ -176,6 +176,16 @@ class OptimisticTransaction:
         rt_enabled = eff_meta is not None and TableConfig(
             eff_meta.configuration).enable_row_tracking and any(
             isinstance(a, AddFile) for a in acts)
+        # ICT flipped ON for a table that already has history: the SAME
+        # commit must record WHERE the cutover happened
+        # (delta.inCommitTimestampEnablementVersion/-Timestamp, the
+        # spec's provenance for timestamp-based time travel over mixed
+        # mtime/ICT histories) — stamped per ATTEMPT since the version
+        # and the ICT both move on conflict retries.
+        ict_flipped = (ict_enabled and self.snapshot is not None
+                       and not TableConfig(self.snapshot.metadata
+                                           .configuration)
+                       .enable_in_commit_timestamps)
 
         def build_lines(prev_version: int, eff_acts: List[Any]):
             ict = None
@@ -188,6 +198,19 @@ class OptimisticTransaction:
                                  prev_version)
                 ict = max(int(time.time() * 1000),
                           (prev or 0) + 1)
+            if ict_flipped and ict is not None:
+                import dataclasses
+                stamped = []
+                for a in eff_acts:
+                    if isinstance(a, Metadata):
+                        conf = dict(a.configuration or {})
+                        conf["delta.inCommitTimestampEnablementVersion"] \
+                            = str(prev_version + 1)
+                        conf["delta.inCommitTimestampEnablementTimestamp"] \
+                            = str(ict)
+                        a = dataclasses.replace(a, configuration=conf)
+                    stamped.append(a)
+                eff_acts = stamped
             info = CommitInfo(
                 timestamp=int(time.time() * 1000),
                 operation=operation,

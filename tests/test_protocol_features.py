@@ -289,3 +289,35 @@ def test_feature_property_enablement_and_vacuum_protocol_check(
     t3b = DeltaTable.for_path(spark, str(tmp_path / "t3"))
     with _pytest.raises(DeltaProtocolError, match="VACUUM refused"):
         TableMaintenance(t3b).vacuum(retention_ms=10**15)
+
+
+def test_ict_enablement_provenance_recorded(spark, tmp_path):
+    """Enabling in-commit timestamps on a table WITH history records
+    delta.inCommitTimestampEnablementVersion/-Timestamp in the SAME
+    commit (the spec's cutover provenance for mixed mtime/ICT
+    histories); a table created with ICT from v0 records none."""
+    from pyspark.sql import functions as F
+
+    from connectors_spark.table import DeltaTable
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "t"))
+    t.write(spark.range(5).select(F.col("id"),
+                                  (F.col("id") * 2).alias("v")))
+    t.set_properties({"delta.enableInCommitTimestamps": "true"})
+    conf = t.log.snapshot().metadata.configuration
+    ever = int(conf["delta.inCommitTimestampEnablementVersion"])
+    ets = int(conf["delta.inCommitTimestampEnablementTimestamp"])
+    assert ever == 1
+    # the recorded timestamp IS the enabling commit's own ICT
+    import json as _json
+    from connectors_spark.log import filenames as _fn
+    line = next(iter(t.log.store.read(
+        _fn.delta_file(t.log.log_path, 1))))
+    assert _json.loads(line)["commitInfo"]["inCommitTimestamp"] == ets
+    # created-with-ICT tables carry no provenance (never a cutover)
+    t2 = DeltaTable.for_path(spark, str(tmp_path / "t2"))
+    t2.write(spark.range(3).select(F.col("id"),
+                                   (F.col("id") * 2).alias("v")),
+             configuration={"delta.enableInCommitTimestamps": "true"})
+    conf2 = t2.log.snapshot().metadata.configuration
+    assert "delta.inCommitTimestampEnablementVersion" not in conf2
