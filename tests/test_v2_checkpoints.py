@@ -177,3 +177,67 @@ def test_v2_checkpoint_with_row_tracking_domains(spark, tmp_path):
     rid_after = {r["id"]: r["_row_id"]
                  for r in t2.to_df(with_row_ids=True).collect()}
     assert rid_after == rid_before
+
+
+def test_foreign_v2_manifest_shapes(spark, tmp_path):
+    """Foreign-writer v2 shapes parse: a DASHED-uuid manifest name, a
+    manifest with checkpointMetadata tags, and sidecar rows written by
+    another engine (extra unknown columns) — the reader must not
+    depend on this engine's own writer quirks."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from connectors_spark.log.actions import (SINGLE_ACTION_SCHEMA,
+                                              to_json_line)
+    t = DeltaTable.for_path(spark, str(tmp_path / "t"))
+    t.write(spark.range(20).select(F.col("id"),
+                                   (F.col("id") % 3).alias("k"))
+            .coalesce(1), configuration=CFG)
+    snap = t.log.snapshot()
+    log_dir = str(tmp_path / "t" / "_delta_log")
+    # hand-write the sidecar: add rows only, via Spark so the nested
+    # struct matches SINGLE_ACTION_SCHEMA, then move it in place
+    from connectors_spark.log.snapshot import addfiles_from_rows
+    adds = addfiles_from_rows(snap.files_df.collect())
+    side_name = "foreign-sidecar-0001.parquet"
+    side_dir = os.path.join(log_dir, fn.SIDECAR_DIR)
+    os.makedirs(side_dir, exist_ok=True)
+    lines = [to_json_line(a) for a in adds]
+    sdf = spark.read.json(
+        spark.sparkContext.parallelize(lines, 1),
+        schema=SINGLE_ACTION_SCHEMA).coalesce(1)
+    tmp_out = str(tmp_path / "side_tmp")
+    sdf.write.mode("overwrite").parquet(tmp_out)
+    import shutil as _sh
+    part = next(f for f in sorted(os.listdir(tmp_out))
+                if f.endswith(".parquet"))
+    _sh.copy(os.path.join(tmp_out, part),
+             os.path.join(side_dir, side_name))
+    # manifest with a DASHED uuid name + tags on checkpointMetadata
+    from connectors_spark.log.actions import (CheckpointMetadata,
+                                              SidecarFile)
+    mlines = [to_json_line(snap.protocol),
+              to_json_line(snap.metadata),
+              to_json_line(CheckpointMetadata(
+                  snap.version, tags={"engine": "other"})),
+              to_json_line(SidecarFile(side_name, 123, 456))]
+    mdf = spark.read.json(
+        spark.sparkContext.parallelize(mlines, 1),
+        schema=SINGLE_ACTION_SCHEMA).coalesce(1)
+    tmp_out2 = str(tmp_path / "man_tmp")
+    mdf.write.mode("overwrite").parquet(tmp_out2)
+    part2 = next(f for f in sorted(os.listdir(tmp_out2))
+                 if f.endswith(".parquet"))
+    dashed = str(_uuid.uuid4())          # 36 chars with dashes
+    _sh.copy(os.path.join(tmp_out2, part2),
+             os.path.join(log_dir,
+                          "%020d.checkpoint.%s.parquet"
+                          % (snap.version, dashed)))
+    assert fn.is_v2_checkpoint_file(
+        "%020d.checkpoint.%s.parquet" % (snap.version, dashed))
+    t2 = DeltaTable.for_path(spark, str(tmp_path / "t"))
+    seg = t2.log.snapshot().segment
+    assert seg.checkpoint_version == snap.version
+    assert t2.to_df().count() == 20
