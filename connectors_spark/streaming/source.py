@@ -122,7 +122,21 @@ def _snapshot_adds(store, log_path: str,
     because the state it needs lives in the checkpoint."""
     seg = get_log_segment(store, log_path, version_to_load=version)
     active: dict = {}
-    for cf in seg.checkpoint_files:
+    cfiles = list(seg.checkpoint_files)
+    if len(cfiles) == 1 and fn.is_v2_checkpoint_file(cfiles[0]):
+        # V2 checkpoint: the manifest carries NO add/remove rows —
+        # the file state lives in its sidecar parquets. Without this
+        # resolution the initial snapshot would silently plan ZERO
+        # files for a v2-checkpointed table.
+        import pyarrow.parquet as pq
+        if "sidecar" in pq.read_schema(cfiles[0]).names:
+            for row in pq.read_table(cfiles[0],
+                                     columns=["sidecar"]).to_pylist():
+                sc = row.get("sidecar")
+                if sc and sc.get("path"):
+                    cfiles.append(
+                        fn.sidecar_file(seg.log_path, sc["path"]))
+    for cf in cfiles:
         import pyarrow.parquet as pq
         names = pq.read_schema(cf).names
         cols = [c for c in ("add", "remove") if c in names]

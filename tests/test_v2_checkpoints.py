@@ -241,3 +241,22 @@ def test_foreign_v2_manifest_shapes(spark, tmp_path):
     seg = t2.log.snapshot().segment
     assert seg.checkpoint_version == snap.version
     assert t2.to_df().count() == 20
+
+
+def test_streaming_snapshot_reads_v2_checkpoint(spark, tmp_path):
+    """ST4 initial snapshot over a v2-checkpointed table: the planner
+    must resolve the manifest's sidecars (the manifest itself carries
+    NO add rows — without resolution the stream would silently plan
+    zero files)."""
+    from connectors_spark.streaming import register_stream_source
+    register_stream_source(spark)
+    t = _mk(spark, tmp_path / "t")          # 140 live rows
+    write_checkpoint(t.log.snapshot())
+    name = "v2st_" + os.path.basename(str(tmp_path)).replace("-", "_")
+    q = (spark.readStream.format("delta_stream")
+         .option("path", str(tmp_path / "t")).load()
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert spark.table(name).count() == 140
