@@ -987,6 +987,78 @@ def frame_sample_real(media_df: DataFrame, every_n: int = 2,
     return media_df.mapInPandas(sample, schema=schema)
 
 
+def synth_mjpeg_scenes_media(docs: DataFrame,
+                             id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL Motion-JPEG corpus with KNOWN scene cuts:
+    per doc an 8-frame 16×16 MJPG AVI whose frames are solid-color
+    baseline JPEGs; the color changes exactly at the closed-form cut
+    set  {f ∈ 1..7 : (doc_id + f) % 3 == 0}  (scene s = number of cuts
+    ≤ f, frame value v = 128 + 2·(((doc_id·7 + s·13) % 64) − 32); the
+    13-step mod 64 guarantees consecutive scenes differ). Block-
+    constant frames decode bit-exactly, so within-scene frame diffs
+    are EXACTLY zero and cut-frame diffs ≥ 2 — a SQL oracle enumerates
+    the cut set while Spark must run the real container parse and
+    per-frame entropy decode to find it."""
+    from . import videocodec as vc
+    from ..shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                frames = []
+                s = 0
+                for f in range(8):
+                    if f > 0 and (did + f) % 3 == 0:
+                        s += 1
+                    v = 128 + 2 * (((did * 7 + s * 13) % 64) - 32)
+                    frames.append(bytes([v]) * (16 * 16 * 3))
+                rows.append((did, vc.encode_avi_mjpeg(16, 16, frames)))
+            yield pd.DataFrame(rows, columns=[id_col, "media"])
+
+    return docs.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media binary")
+
+
+def scene_cuts(media_df: DataFrame, threshold: float = 1.0,
+               id_col: str = "doc_id",
+               media_col: str = "media") -> DataFrame:
+    """Scene-cut detection over REAL video decode: parse the container,
+    entropy-decode every frame, and emit (id, cut_idx) for each frame
+    whose mean absolute pixel difference from its predecessor exceeds
+    ``threshold`` — the video-curation primitive behind scene
+    segmentation / keyframe sampling in multimodal training pipelines.
+
+    100 TB shape: one Arrow-batched mapInPandas pass; per clip the
+    state is two frames (current + previous), never the whole decoded
+    video, and the output is O(cuts) narrow rows."""
+    import numpy as np
+
+    from . import videocodec as vc
+    from ..shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()
+
+    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[media_col]):
+                _w, _h, frames = vc.decode_avi(bytes(blob))
+                prev = None
+                for i, fr in enumerate(frames):
+                    cur = np.frombuffer(fr, dtype=np.uint8) \
+                        .astype(np.int64)
+                    if prev is not None:
+                        if np.abs(cur - prev).mean() > threshold:
+                            rows.append((int(did), i))
+                    prev = cur
+            yield pd.DataFrame(rows, columns=[id_col, "cut_idx"])
+
+    return media_df.mapInPandas(
+        cuts, schema=f"{id_col} long, cut_idx int")
+
+
 def synth_mjpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic REAL Motion-JPEG corpus: per doc an MJPG AVI with
 

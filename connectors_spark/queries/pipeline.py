@@ -3416,6 +3416,23 @@ def doc_neardup_decontaminate(spark, sf_dir):
         threshold=0.5)
 
 
+@register("mm_scene_cuts", sql="""
+SELECT d.doc_id, f.f::INTEGER AS cut_idx
+FROM documents d, LATERAL (SELECT unnest(range(1, 8)) AS f) f
+WHERE (d.doc_id + f.f) % 3 = 0
+""")
+def mm_scene_cuts(spark, sf_dir):
+    # Scene-cut detection (ops/multimodal.py scene_cuts): 8-frame real
+    # MJPEG clips whose color changes exactly at the closed-form cut
+    # set; Spark must parse the AVI and entropy-decode every frame to
+    # find them (within-scene diffs are exactly zero, cut diffs >= 2 —
+    # bit-exact block-constant JPEG decode is what makes the threshold
+    # crisp). The video-curation primitive behind scene segmentation
+    # and keyframe sampling.
+    docs = load(spark, sf_dir, "documents")
+    return mm.scene_cuts(mm.synth_mjpeg_scenes_media(docs))
+
+
 @register("mm_mjpeg_frames_real", sql="""
 WITH g AS (
   SELECT doc_id, 1 + doc_id % 3 AS nf, 8 * (1 + doc_id % 3) AS w,

@@ -1545,3 +1545,15 @@ def test_edit_distance_pairs_degenerate_vocab_exact(spark):
     n_cand = _pigeonhole_pairs(shorts, k).count()
     n_all = len(rows) * (len(rows) - 1) // 2
     assert n_cand < n_all // 4, (n_cand, n_all)
+
+
+def test_scene_cuts_detects_exact_boundaries(spark):
+    """scene_cuts over real MJPEG decode finds exactly the closed-form
+    cut set — no false cuts inside a scene (bit-exact decode makes
+    within-scene diffs exactly zero) and none missed."""
+    docs = spark.range(30).select(F.col("id").alias("doc_id"))
+    got = {(r.doc_id, r.cut_idx) for r in
+           mm.scene_cuts(mm.synth_mjpeg_scenes_media(docs)).collect()}
+    want = {(d, f) for d in range(30) for f in range(1, 8)
+            if (d + f) % 3 == 0}
+    assert got == want
