@@ -1059,6 +1059,90 @@ def scene_cuts(media_df: DataFrame, threshold: float = 1.0,
         cuts, schema=f"{id_col} long, cut_idx int")
 
 
+def synth_wav_segments_media(docs: DataFrame,
+                             id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PCM16 corpus with KNOWN active/silence structure:
+    per doc a 2000-sample mono WAV of five 400-sample blocks; block b
+    is ACTIVE (a ±800·(1 + (doc_id + b) % 3) square tone, period 16)
+    when (doc_id + b·b) % 3 != 0, else EXACT silence. Adjacent
+    active blocks occur, so a detector must MERGE them — the oracle
+    reproduces the merge with closed-form arithmetic while Spark runs
+    the real RIFF parse + energy framing."""
+    from . import audiocodec as ac
+    from ..shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                samples = []
+                for b in range(5):
+                    if (did + b * b) % 3 != 0:
+                        amp = 800 * (1 + (did + b) % 3)
+                        samples += [amp if (i // 8) % 2 == 0 else -amp
+                                    for i in range(400)]
+                    else:
+                        samples += [0] * 400
+                rows.append((did, ac.encode_wav(samples, 8000)))
+            yield pd.DataFrame(rows, columns=[id_col, "media"])
+
+    return docs.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media binary")
+
+
+def audio_segments(media_df: DataFrame, frame: int = 100,
+                   threshold: float = 1.0, id_col: str = "doc_id",
+                   media_col: str = "media") -> DataFrame:
+    """Voice-activity-style audio segmentation over REAL decode: frame
+    the decoded samples, mark frames whose mean |amplitude| exceeds
+    ``threshold`` as active, and emit one row per MERGED run of active
+    frames — (id, seg_start, seg_end) in frame units, end exclusive.
+    The audio-curation primitive behind silence trimming and utterance
+    splitting in speech pipelines.
+
+    100 TB shape: one Arrow-batched mapInPandas pass; per clip the
+    state is one energy vector, and the output is O(segments) narrow
+    rows."""
+    import numpy as np
+
+    from . import audiocodec as ac
+    from . import flaccodec as fc
+    from ..shipping import ensure_shipped_by_value
+    ensure_shipped_by_value()
+
+    def segs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[media_col]):
+                blob = bytes(blob)
+                if blob[:4] == b"fLaC":
+                    _r, _c, samples = fc.decode_flac(blob)
+                else:
+                    _r, _c, samples = ac.decode_wav(blob)
+                x = np.abs(np.asarray(samples, dtype=np.float64))
+                n = (len(x) // frame) * frame
+                if not n:
+                    continue
+                e = x[:n].reshape(-1, frame).mean(axis=1)
+                active = e > threshold
+                start = None
+                for i, a in enumerate(active):
+                    if a and start is None:
+                        start = i
+                    elif not a and start is not None:
+                        rows.append((int(did), start, i))
+                        start = None
+                if start is not None:
+                    rows.append((int(did), start, len(active)))
+            yield pd.DataFrame(rows,
+                               columns=[id_col, "seg_start", "seg_end"])
+
+    return media_df.mapInPandas(
+        segs, schema=f"{id_col} long, seg_start int, seg_end int")
+
+
 def synth_mjpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic REAL Motion-JPEG corpus: per doc an MJPG AVI with
 

@@ -3416,6 +3416,37 @@ def doc_neardup_decontaminate(spark, sf_dir):
         threshold=0.5)
 
 
+@register("mm_audio_segments", sql="""
+WITH b AS (
+  SELECT d.doc_id, bb.b,
+         ((d.doc_id + bb.b * bb.b) % 3) <> 0 AS act
+  FROM documents d, LATERAL (SELECT unnest(range(0, 5)) AS b) bb),
+g AS (
+  SELECT doc_id, b, act,
+         CASE WHEN act AND (lag(act) OVER w IS DISTINCT FROM true)
+              THEN 1 ELSE 0 END AS new_seg
+  FROM b WINDOW w AS (PARTITION BY doc_id ORDER BY b)),
+s AS (
+  SELECT doc_id, b,
+         sum(new_seg) OVER (PARTITION BY doc_id ORDER BY b
+                            ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g WHERE act)
+SELECT doc_id, (min(b) * 4)::INTEGER AS seg_start,
+       ((max(b) + 1) * 4)::INTEGER AS seg_end
+FROM s GROUP BY doc_id, sid
+""")
+def mm_audio_segments(spark, sf_dir):
+    # VAD-style audio segmentation (ops/multimodal.py audio_segments):
+    # real RIFF/PCM16 decode, 100-sample energy framing, merged runs
+    # of active frames. The corpus interleaves exact-silence and tone
+    # blocks by a closed-form rule whose adjacent active blocks force
+    # REAL merging; the oracle reproduces the merge with a lag/cumsum
+    # window over the block arithmetic. The audio-curation primitive
+    # behind silence trimming and utterance splitting.
+    docs = load(spark, sf_dir, "documents")
+    return mm.audio_segments(mm.synth_wav_segments_media(docs))
+
+
 @register("mm_scene_cuts", sql="""
 SELECT d.doc_id, f.f::INTEGER AS cut_idx
 FROM documents d, LATERAL (SELECT unnest(range(1, 8)) AS f) f

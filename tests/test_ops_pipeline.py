@@ -1557,3 +1557,21 @@ def test_scene_cuts_detects_exact_boundaries(spark):
     want = {(d, f) for d in range(30) for f in range(1, 8)
             if (d + f) % 3 == 0}
     assert got == want
+
+
+def test_audio_segments_merges_adjacent_active_blocks(spark):
+    """audio_segments over real WAV decode finds exactly the merged
+    closed-form active runs: doc_id % 3 == 1 gives ONE full-length
+    segment (all five blocks active, fully merged), % 3 == 2 gives two
+    separated segments, % 3 == 0 merges blocks 1+2."""
+    docs = spark.range(9).select(F.col("id").alias("doc_id"))
+    got = {}
+    for r in mm.audio_segments(
+            mm.synth_wav_segments_media(docs)).collect():
+        got.setdefault(r.doc_id, []).append((r.seg_start, r.seg_end))
+    for d in range(9):
+        got[d].sort()
+    assert got[0] == [(4, 12), (16, 20)]     # blocks {1,2},{4}
+    assert got[1] == [(0, 20)]               # all blocks, one run
+    assert got[2] == [(0, 4), (12, 16)]      # blocks {0},{3}
+    assert got[3] == got[0] and got[4] == got[1] and got[5] == got[2]
