@@ -88,19 +88,35 @@ def addfiles_from_rows(rows: Sequence) -> List[AddFile]:
 # Tracking': rewriting operations persist each row's id / commit
 # version into the data files so they survive the rewrite; files
 # written by plain appends don't carry them and fall back to the fresh
-# baseRowId + row_index form).
+# baseRowId + row_index form). The PER-TABLE names live in metadata
+# configuration (spec: delta.rowTracking.materializedRowIdColumnName /
+# materializedRowCommitVersionColumnName) so FOREIGN Delta clients can
+# find the materialized columns after a rewrite; these module values
+# are only the fallback for tables written before the keys existed.
 MATERIALIZED_ROW_ID_COL = "_rt_row_id"
 MATERIALIZED_ROW_COMMIT_COL = "_rt_row_commit_version"
+RT_RID_NAME_KEY = "delta.rowTracking.materializedRowIdColumnName"
+RT_RCV_NAME_KEY = "delta.rowTracking.materializedRowCommitVersionColumnName"
 
 
-def _with_rt_fields(schema: T.StructType) -> T.StructType:
+def materialized_rt_cols(meta) -> tuple:
+    """(row-id, row-commit-version) PHYSICAL column names for this
+    table, from the Row Tracking spec's metadata properties (recorded
+    at enablement, txn.py); legacy engine defaults when absent."""
+    conf = meta.configuration or {}
+    return (conf.get(RT_RID_NAME_KEY, MATERIALIZED_ROW_ID_COL),
+            conf.get(RT_RCV_NAME_KEY, MATERIALIZED_ROW_COMMIT_COL))
+
+
+def _with_rt_fields(schema: T.StructType, rid: str,
+                    rcv: str) -> T.StructType:
     """Read schema + the two nullable materialized-row-id columns —
     files that lack them scan as NULL (parquet schema evolution), which
     is exactly the fresh-row-id fallback condition."""
     return T.StructType(
         list(schema.fields)
-        + [T.StructField(MATERIALIZED_ROW_ID_COL, T.LongType()),
-           T.StructField(MATERIALIZED_ROW_COMMIT_COL, T.LongType())])
+        + [T.StructField(rid, T.LongType()),
+           T.StructField(rcv, T.LongType())])
 
 
 def canonical_path_col(col, table_path: str):
@@ -521,7 +537,8 @@ class Snapshot:
             return df
 
         def sch(s):
-            return _with_rt_fields(s) if keep_row_index else s
+            return _with_rt_fields(s, *materialized_rt_cols(meta)) \
+                if keep_row_index else s
 
         paths = [r["path"] for r in rows]
         pcols = meta.partitionColumns
@@ -569,7 +586,8 @@ class Snapshot:
         pvs = [dict(r["partitionValues"] or {}) for r in rows]
         pairs = [(r["path"], dict(r["tags"])[DV_TAG]) for r in rows]
         dv = dv_relation(self.spark, self.table_path, pairs)
-        sch = _with_rt_fields(meta.physical_data_schema) \
+        sch = _with_rt_fields(meta.physical_data_schema,
+                              *materialized_rt_cols(meta)) \
             if keep_row_index else meta.physical_data_schema
         data = (self.spark.read.schema(sch)
                 .parquet(*paths)
@@ -635,10 +653,9 @@ class Snapshot:
         # columns after data columns; the table contract is metadata
         # schema order (Snapshot.open ≍ SnapshotImpl.scala:107-116).
         extra = [F.col("__file")] if keep_file else []
+        rid_c, rcv_c = materialized_rt_cols(meta)
         if want_rid:
-            extra += [F.col("__ri"),
-                      F.col(MATERIALIZED_ROW_ID_COL),
-                      F.col(MATERIALIZED_ROW_COMMIT_COL)]
+            extra += [F.col("__ri"), F.col(rid_c), F.col(rcv_c)]
         # physical -> logical rename happens HERE, the one boundary
         # between the file plane and the table contract (identity when
         # column mapping is off)
@@ -661,15 +678,12 @@ class Snapshot:
             df = (df.join(F.broadcast(bdf), "__file")
                   .withColumn(
                       "_row_id",
-                      F.coalesce(F.col(MATERIALIZED_ROW_ID_COL),
+                      F.coalesce(F.col(rid_c),
                                  F.col("__base") + F.col("__ri")))
                   .withColumn(
                       "_row_commit_version",
-                      F.coalesce(F.col(MATERIALIZED_ROW_COMMIT_COL),
-                                 F.col("__dcv")))
-                  .drop("__ri", "__base", "__dcv",
-                        MATERIALIZED_ROW_ID_COL,
-                        MATERIALIZED_ROW_COMMIT_COL))
+                      F.coalesce(F.col(rcv_c), F.col("__dcv")))
+                  .drop("__ri", "__base", "__dcv", rid_c, rcv_c))
             if not with_file_col:
                 df = df.drop("__file")
         if residual is not None:

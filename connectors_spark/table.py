@@ -1106,13 +1106,11 @@ class DeltaTable:
                 # replace logically — materialize their ids through the
                 # rewrite (replaced rows are new data and draw fresh
                 # ids from the staged files' baseRowIds)
-                from .log.snapshot import (MATERIALIZED_ROW_COMMIT_COL,
-                                           MATERIALIZED_ROW_ID_COL)
+                from .log.snapshot import materialized_rt_cols
+                rid_c, rcv_c = materialized_rt_cols(meta)
                 keep = (keep
-                        .withColumnRenamed("_row_id",
-                                           MATERIALIZED_ROW_ID_COL)
-                        .withColumnRenamed("_row_commit_version",
-                                           MATERIALIZED_ROW_COMMIT_COL))
+                        .withColumnRenamed("_row_id", rid_c)
+                        .withColumnRenamed("_row_commit_version", rcv_c))
             actions += stage_and_collect(
                 keep, self.log.table_path, meta.partitionColumns,
                 num_indexed_cols=_n_indexed(meta.configuration),
@@ -1173,13 +1171,11 @@ class DeltaTable:
             if rt:
                 # surviving rows keep their ids through the rewrite:
                 # materialize id + commit version into the new files
-                from .log.snapshot import (MATERIALIZED_ROW_COMMIT_COL,
-                                           MATERIALIZED_ROW_ID_COL)
+                from .log.snapshot import materialized_rt_cols
+                rid_c, rcv_c = materialized_rt_cols(snap.metadata)
                 keep = (keep
-                        .withColumnRenamed("_row_id",
-                                           MATERIALIZED_ROW_ID_COL)
-                        .withColumnRenamed("_row_commit_version",
-                                           MATERIALIZED_ROW_COMMIT_COL))
+                        .withColumnRenamed("_row_id", rid_c)
+                        .withColumnRenamed("_row_commit_version", rcv_c))
             adds = stage_and_collect(
                 keep, self.log.table_path,
                 snap.metadata.partitionColumns,
@@ -1345,12 +1341,11 @@ class DeltaTable:
             # file's defaultRowCommitVersion (= this UPDATE's commit) —
             # exactly the spec's fresh/materialized split. Untouched
             # rows in the rewritten file keep both.
-            from .log.snapshot import (MATERIALIZED_ROW_COMMIT_COL,
-                                       MATERIALIZED_ROW_ID_COL)
-            staged = (out.withColumn(
-                MATERIALIZED_ROW_ID_COL, F.col("_row_id"))
+            from .log.snapshot import materialized_rt_cols
+            rid_c, rcv_c = materialized_rt_cols(snap.metadata)
+            staged = (out.withColumn(rid_c, F.col("_row_id"))
                 .withColumn(
-                    MATERIALIZED_ROW_COMMIT_COL,
+                    rcv_c,
                     F.when(F.col("__hit"),
                            F.lit(None).cast("long"))
                     .otherwise(F.col("_row_commit_version")))
@@ -1461,23 +1456,18 @@ class DeltaTable:
             # back to the new file's defaultRowCommitVersion (NULL
             # materialized value); INSERTED rows get fresh ids from the
             # new file's baseRowId + row_index (NULL for both).
-            from .log.snapshot import (MATERIALIZED_ROW_COMMIT_COL,
-                                       MATERIALIZED_ROW_ID_COL)
+            from .log.snapshot import materialized_rt_cols
+            rid_c, rcv_c = materialized_rt_cols(meta)
             rid_keep = [
-                F.col("t._row_id").alias(MATERIALIZED_ROW_ID_COL),
-                F.col("t._row_commit_version")
-                .alias(MATERIALIZED_ROW_COMMIT_COL)]
+                F.col("t._row_id").alias(rid_c),
+                F.col("t._row_commit_version").alias(rcv_c)]
             rid_upd = [
-                F.col("t._row_id").alias(MATERIALIZED_ROW_ID_COL),
-                F.lit(None).cast("long")
-                .alias(MATERIALIZED_ROW_COMMIT_COL)]
+                F.col("t._row_id").alias(rid_c),
+                F.lit(None).cast("long").alias(rcv_c)]
             rid_ins = [
-                F.lit(None).cast("long")
-                .alias(MATERIALIZED_ROW_ID_COL),
-                F.lit(None).cast("long")
-                .alias(MATERIALIZED_ROW_COMMIT_COL)]
-            rid_names = [MATERIALIZED_ROW_ID_COL,
-                         MATERIALIZED_ROW_COMMIT_COL]
+                F.lit(None).cast("long").alias(rid_c),
+                F.lit(None).cast("long").alias(rcv_c)]
+            rid_names = [rid_c, rcv_c]
         else:
             rid_keep = rid_upd = rid_ins = []
             rid_names = []
@@ -2498,13 +2488,11 @@ class TableMaintenance:
                 # stable-row-id requirement — fresh baseRowId+index ids
                 # would renumber under compaction). The read side
                 # prefers these columns when present.
-                from .log.snapshot import (MATERIALIZED_ROW_COMMIT_COL,
-                                           MATERIALIZED_ROW_ID_COL)
+                from .log.snapshot import materialized_rt_cols
+                rid_c, rcv_c = materialized_rt_cols(snap.metadata)
                 df = (snap.to_df(files=subset, with_row_ids=True)
-                      .withColumnRenamed("_row_id",
-                                         MATERIALIZED_ROW_ID_COL)
-                      .withColumnRenamed("_row_commit_version",
-                                         MATERIALIZED_ROW_COMMIT_COL))
+                      .withColumnRenamed("_row_id", rid_c)
+                      .withColumnRenamed("_row_commit_version", rcv_c))
             else:
                 df = snap.to_df(files=subset)
             total = sum(f.size for f in victims)

@@ -157,6 +157,32 @@ class OptimisticTransaction:
         acts = list(actions)
         acts = self._prepare_commit(acts)
 
+        # Row tracking flipped ON for a table with existing files: the
+        # SAME commit backfills baseRowId onto every live AddFile (log-
+        # only re-adds, no data rewrite — dataChange=False), so pre-
+        # enablement rows get ids immediately instead of silently
+        # reading NULL (delta-spark's ALTER TABLE enablement backfill).
+        # The re-adds depend on the file list we read, so the txn reads
+        # the whole table — a concurrent OPTIMIZE/DELETE must abort us,
+        # not be resurrected by a stale re-add.
+        new_meta_act = next(
+            (a for a in acts if isinstance(a, Metadata)), None)
+        if (new_meta_act is not None and self.snapshot is not None
+                and TableConfig(new_meta_act.configuration)
+                .enable_row_tracking
+                and not TableConfig(self.snapshot.metadata.configuration)
+                .enable_row_tracking):
+            import dataclasses
+            already = {a.path for a in acts if isinstance(a, AddFile)}
+            backfill = [
+                dataclasses.replace(a, dataChange=False, baseRowId=None,
+                                    defaultRowCommitVersion=None)
+                for a in self.snapshot.all_files()
+                if a.path not in already]
+            if backfill:
+                self._read_whole_table = True
+                acts = acts + backfill
+
         data_changed = any(
             getattr(a, "dataChange", False)
             for a in acts if isinstance(a, (AddFile, RemoveFile)))
@@ -166,11 +192,9 @@ class OptimisticTransaction:
         depends_on_files = bool(self.read_predicates) or self._read_whole_table
         is_blind_append = only_add_files and not depends_on_files
 
-        eff_meta = self.new_metadata or (
+        eff_meta = self.new_metadata or next(
+            (a for a in acts if isinstance(a, Metadata)), None) or (
             self.snapshot.metadata if self.snapshot else None)
-        if eff_meta is None:
-            eff_meta = next(
-                (a for a in acts if isinstance(a, Metadata)), None)
         ict_enabled = eff_meta is not None and TableConfig(
             eff_meta.configuration).enable_in_commit_timestamps
         rt_enabled = eff_meta is not None and TableConfig(
@@ -669,23 +693,28 @@ class OptimisticTransaction:
             has_feature_props = any(
                 k.startswith("delta.feature.")
                 for k in (effective_meta.configuration or {}))
-            if cfg.protocol_auto_upgrade or has_feature_props:
+            from .dv import DV_TAG
+            from .log.features import (merge_protocols,
+                                       required_protocol)
+            extra = set()
+            if any(isinstance(a, AddFile)
+                   and (a.tags or {}).get(DV_TAG) for a in actions):
+                extra.add("deletionVectors")
+            if any(isinstance(a, DomainMetadata) for a in actions):
+                extra.add("domainMetadata")
+            if cfg.protocol_auto_upgrade or has_feature_props or extra:
                 # Opt-in interop safety: compute the protocol the table
                 # state REQUIRES (spec version map) and bump the
                 # Protocol action when it grows, so a foreign legacy
                 # reader refuses a mapped/DV/ICT table instead of
                 # silently misreading it. Monotone merge — a feature
                 # once required never disappears (historical versions
-                # still need it).
-                from .dv import DV_TAG
-                from .log.features import (merge_protocols,
-                                           required_protocol)
-                extra = set()
-                if any(isinstance(a, AddFile)
-                       and (a.tags or {}).get(DV_TAG) for a in actions):
-                    extra.add("deletionVectors")
-                if any(isinstance(a, DomainMetadata) for a in actions):
-                    extra.add("domainMetadata")
+                # still need it). A nonempty ``extra`` forces the block
+                # even WITHOUT the autoUpgrade opt-in: a commit that
+                # actually writes DomainMetadata or DV actions onto a
+                # legacy (1,2) table would violate the spec's writer
+                # requirements for foreign clients — delta-spark always
+                # bumps when a feature is exercised, opt-in or not.
                 # `cur` starts from the SNAPSHOT protocol merged with
                 # any in-commit Protocol action (the downgrade check
                 # above already guarantees the explicit action
@@ -724,6 +753,44 @@ class OptimisticTransaction:
             if self.snapshot is not None \
                     and not getattr(self, "_overwrite_schema", False):
                 _check_schema_evolution(self.snapshot.metadata, meta)
+            if TableConfig(meta.configuration).enable_row_tracking:
+                # Row Tracking spec: the MATERIALIZED row-id column
+                # names are per-table metadata properties, recorded at
+                # enablement so foreign Delta clients can recognize
+                # materialized ids in rewritten files. Names must never
+                # collide with a schema column (logical or physical).
+                import dataclasses
+                import uuid as _uuid
+
+                from .log.snapshot import (MATERIALIZED_ROW_COMMIT_COL,
+                                           MATERIALIZED_ROW_ID_COL,
+                                           RT_RCV_NAME_KEY,
+                                           RT_RID_NAME_KEY)
+                conf = dict(meta.configuration or {})
+                taken = ({f.name for f in meta.schema.fields}
+                         | set(meta.name_map().values()))
+                changed = False
+                for key, default, base in (
+                        (RT_RID_NAME_KEY, MATERIALIZED_ROW_ID_COL,
+                         "_row-id-col-"),
+                        (RT_RCV_NAME_KEY, MATERIALIZED_ROW_COMMIT_COL,
+                         "_row-commit-version-col-")):
+                    if key not in conf:
+                        conf[key] = default if default not in taken \
+                            else base + _uuid.uuid4().hex
+                        changed = True
+                    elif conf[key] in taken:
+                        raise DeltaError(
+                            f"schema column {conf[key]!r} collides with "
+                            f"the materialized row-tracking column "
+                            f"({key}); rename the column")
+                if changed:
+                    new_meta = dataclasses.replace(
+                        meta, configuration=conf)
+                    actions = [new_meta if a is meta else a
+                               for a in actions]
+                    if self.new_metadata is meta:
+                        self.new_metadata = new_meta
         return actions
 
     # ----------------------------------------------------- conflict checks

@@ -286,3 +286,67 @@ def test_row_ids_compose_with_column_mapping(spark, tmp_path):
     after = {r["id"]: r["_row_id"]
              for r in t.to_df(with_row_ids=True).collect()}
     assert after == before
+
+
+def test_enable_rt_backfills_existing_files(spark, tmp_path):
+    # ADVICE r11: flipping delta.enableRowTracking on a table with
+    # existing files must backfill baseRowId in the SAME commit (log-
+    # only re-adds), not silently read NULL ids for old rows.
+    t = DeltaTable.for_path(spark, str(tmp_path / "t"))
+    t.write(spark.range(0, 80).select(
+        F.col("id"), (F.col("id") * 2).alias("v")), mode="append")
+    t.write(spark.range(80, 120).select(
+        F.col("id"), (F.col("id") * 2).alias("v")), mode="append")
+    t.set_properties({"delta.enableRowTracking": "true"})
+    snap = t.log.snapshot()
+    assert all(r["baseRowId"] is not None
+               for r in snap.files_df.select("baseRowId").collect())
+    rid = _rids(t)
+    assert sorted(v[0] for v in rid.values()) == list(range(120))
+    # the enablement commit records the spec's materialized-name keys
+    conf = snap.metadata.configuration
+    assert "delta.rowTracking.materializedRowIdColumnName" in conf
+    assert ("delta.rowTracking.materializedRowCommitVersionColumnName"
+            in conf)
+    # ids survive a post-enablement OPTIMIZE (materialization uses the
+    # recorded names)
+    TableMaintenance(t).optimize(min_files_per_group=2)
+    assert _rids(t) == rid
+
+
+def test_domain_metadata_bumps_protocol_without_autoupgrade(spark,
+                                                            tmp_path):
+    # ADVICE r11: OPTIMIZE cluster_by writes a delta.clustering
+    # DomainMetadata action; even with autoUpgrade OFF the commit must
+    # declare the exercised feature (spec writer requirement) instead
+    # of leaving a legacy (1,2) protocol with undeclared actions.
+    t = DeltaTable.for_path(spark, str(tmp_path / "t"))
+    t.write(spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 2).alias("v")).repartition(4),
+        mode="append")
+    assert t.log.snapshot().protocol.minWriterVersion == 2
+    TableMaintenance(t).optimize(zorder_by=["id", "v"])
+    proto = t.log.snapshot().protocol
+    assert "domainMetadata" in set(proto.writerFeatures or [])
+
+
+def test_materialized_name_collision_picks_fresh_names(spark, tmp_path):
+    # A user column named like the engine default forces uuid-generated
+    # materialized names; ids still work end-to-end.
+    t = DeltaTable.for_path(spark, str(tmp_path / "t"))
+    t.write(spark.range(0, 40).select(
+        F.col("id"), F.lit(7).alias("_rt_row_id")),
+        mode="append", configuration=CFG)
+    conf = t.log.snapshot().metadata.configuration
+    rid_name = conf["delta.rowTracking.materializedRowIdColumnName"]
+    assert rid_name != "_rt_row_id"
+    assert rid_name.startswith("_row-id-col-")
+    before = {r["id"]: r["_row_id"]
+              for r in t.to_df(with_row_ids=True).collect()}
+    assert sorted(before.values()) == list(range(40))
+    TableMaintenance(t).optimize(min_files_per_group=2)
+    after = {r["id"]: r["_row_id"]
+             for r in t.to_df(with_row_ids=True).collect()}
+    assert after == before
+    # the user column is untouched
+    assert t.to_df().select("_rt_row_id").distinct().collect()[0][0] == 7
