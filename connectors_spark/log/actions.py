@@ -203,6 +203,8 @@ class AddFile:
             partitionValues=self.partitionValues,
             size=self.size,
             tags=self.tags,
+            baseRowId=self.baseRowId,
+            defaultRowCommitVersion=self.defaultRowCommitVersion,
         )
 
 
@@ -217,6 +219,11 @@ class RemoveFile:
     partitionValues: Optional[Dict[str, Optional[str]]] = None
     size: Optional[int] = None
     tags: Optional[Dict[str, str]] = None
+    # Row tracking: the tombstone keeps the removed file's fresh-row-id
+    # base (Delta spec 'Row Tracking' > RemoveFile fields) so change
+    # readers can still derive the deleted rows' ids.
+    baseRowId: Optional[int] = None
+    defaultRowCommitVersion: Optional[int] = None
 
     def wrap(self) -> Dict[str, Any]:
         d: Dict[str, Any] = {"path": self.path, "dataChange": self.dataChange}
@@ -228,6 +235,10 @@ class RemoveFile:
             d["size"] = self.size or 0
         if self.tags:
             d["tags"] = self.tags
+        if self.baseRowId is not None:
+            d["baseRowId"] = self.baseRowId
+        if self.defaultRowCommitVersion is not None:
+            d["defaultRowCommitVersion"] = self.defaultRowCommitVersion
         return {"remove": d}
 
 
@@ -367,7 +378,8 @@ def _parse_one(key: str, d: Dict[str, Any]) -> Optional[Action]:
             dataChange=d.get("dataChange", True),
             extendedFileMetadata=d.get("extendedFileMetadata", False),
             partitionValues=d.get("partitionValues"), size=d.get("size"),
-            tags=d.get("tags"))
+            tags=d.get("tags"), baseRowId=d.get("baseRowId"),
+            defaultRowCommitVersion=d.get("defaultRowCommitVersion"))
     if key == "metaData":
         fmt = d.get("format") or {}
         return Metadata(
@@ -453,6 +465,8 @@ REMOVE_SCHEMA = T.StructType([
     T.StructField("partitionValues", _STR_MAP),
     T.StructField("size", T.LongType()),
     T.StructField("tags", _STR_MAP),
+    T.StructField("baseRowId", T.LongType()),
+    T.StructField("defaultRowCommitVersion", T.LongType()),
 ])
 
 METADATA_SCHEMA = T.StructType([

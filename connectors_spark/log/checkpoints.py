@@ -88,6 +88,8 @@ def write_checkpoint(snapshot: Snapshot, parts: Optional[int] = None) -> int:
         F.lit(None).cast("map<string,string>").alias("partitionValues"),
         F.lit(None).cast("long").alias("size"),
         F.lit(None).cast("map<string,string>").alias("tags"),
+        F.lit(None).cast("long").alias("baseRowId"),
+        F.lit(None).cast("long").alias("defaultRowCommitVersion"),
     )
     tomb_df = tomb.select(remove_struct.alias("remove"))
     for f in SINGLE_ACTION_SCHEMA.fields:

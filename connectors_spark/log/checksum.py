@@ -36,7 +36,8 @@ import os
 from dataclasses import dataclass
 from typing import Any, List, Optional
 
-from .actions import AddFile, Metadata, Protocol, RemoveFile
+from .actions import (AddFile, DomainMetadata, Metadata, Protocol,
+                      RemoveFile)
 from . import filenames as fn
 
 
@@ -67,6 +68,12 @@ class VersionChecksum:
     protocol: Optional[Protocol] = None
     metadata: Optional[Metadata] = None
     _legacy_metadata_id: Optional[str] = None
+    # Live (non-removed) domain-metadata state at this version, sorted
+    # by domain — the delta-spark checksum carries the same list, which
+    # also pins rowIdHighWaterMark (it lives in the delta.rowTracking
+    # domain). None = unknown (legacy .crc predecessor); the chain
+    # re-enriches at the next compute_checksum().
+    domainMetadata: Optional[List[DomainMetadata]] = None
 
     @property
     def metadataId(self) -> Optional[str]:
@@ -82,6 +89,11 @@ class VersionChecksum:
             d["protocol"] = self.protocol.wrap()["protocol"]
         if self.metadata is not None:
             d["metadata"] = self.metadata.wrap()["metaData"]
+        if self.domainMetadata is not None:
+            d["domainMetadata"] = [
+                dm.wrap()["domainMetadata"]
+                for dm in sorted(self.domainMetadata,
+                                 key=lambda x: x.domain)]
         return json.dumps(d, separators=(",", ":"))
 
     @classmethod
@@ -97,10 +109,15 @@ class VersionChecksum:
             from .actions import from_json_line
             meta = from_json_line(
                 json.dumps({"metaData": d["metadata"]}))
+        dms = d.get("domainMetadata")
+        dom = ([DomainMetadata(x["domain"], x.get("configuration") or "",
+                               bool(x.get("removed", False)))
+                for x in dms] if dms is not None else None)
         return cls(tableSizeBytes=int(d["tableSizeBytes"]),
                    numFiles=int(d["numFiles"]),
                    protocol=proto, metadata=meta,
-                   _legacy_metadata_id=d.get("metadataId"))
+                   _legacy_metadata_id=d.get("metadataId"),
+                   domainMetadata=dom)
 
 
 def read_checksum(store, log_path: str,
@@ -131,6 +148,14 @@ def incremental_checksum(prev: Optional[VersionChecksum],
     n = prev.numFiles if prev else 0
     proto = prev.protocol if prev else prev_protocol
     meta = prev.metadata if prev else prev_metadata
+    # domain state folds like the rest: upsert / tombstone per action.
+    # A legacy predecessor without the field stays unknown (None) —
+    # folding onto an unknown base would record a lie.
+    if prev is not None:
+        dom = ({dm.domain: dm for dm in prev.domainMetadata}
+               if prev.domainMetadata is not None else None)
+    else:
+        dom = {}
     for a in actions:
         if isinstance(a, AddFile):
             size += int(a.size or 0)
@@ -144,6 +169,11 @@ def incremental_checksum(prev: Optional[VersionChecksum],
             proto = a
         elif isinstance(a, Metadata):
             meta = a
+        elif isinstance(a, DomainMetadata) and dom is not None:
+            if a.removed:
+                dom.pop(a.domain, None)
+            else:
+                dom[a.domain] = a
     if n < 0 or size < 0:
         return None  # inconsistent inputs — never record a lie
     return VersionChecksum(
@@ -152,7 +182,9 @@ def incremental_checksum(prev: Optional[VersionChecksum],
         # a Metadata action or compute_checksum() re-enriches the chain
         _legacy_metadata_id=(prev.metadataId
                              if meta is None and prev is not None
-                             else None))
+                             else None),
+        domainMetadata=(sorted(dom.values(), key=lambda x: x.domain)
+                        if dom is not None else None))
 
 
 _RECONSTRUCT_MAX_WALK = 64

@@ -57,12 +57,14 @@ FEATURE_VERSIONS = {
     "typeWidening": (3, 7),
     "v2Checkpoint": (3, 7),
     "vacuumProtocolCheck": (3, 7),
+    "variantType": (3, 7),
 }
 
 # Features that have a READER-side obligation (everything else is
 # writer-only: a reader can ignore it safely).
 READER_FEATURES = {"columnMapping", "deletionVectors", "typeWidening",
-                   "v2Checkpoint", "vacuumProtocolCheck"}
+                   "v2Checkpoint", "vacuumProtocolCheck",
+                   "variantType"}
 
 TABLE_FEATURES_READER_VERSION = 3
 TABLE_FEATURES_WRITER_VERSION = 7
@@ -71,7 +73,7 @@ TABLE_FEATURES_WRITER_VERSION = 7
 # these sets must be refused (read and write respectively).
 SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors",
                              "typeWidening", "v2Checkpoint",
-                             "vacuumProtocolCheck"}
+                             "vacuumProtocolCheck", "variantType"}
 SUPPORTED_WRITER_FEATURES = set(FEATURE_VERSIONS)
 MAX_SUPPORTED_READER_VERSION = TABLE_FEATURES_READER_VERSION
 MAX_SUPPORTED_WRITER_VERSION = TABLE_FEATURES_WRITER_VERSION
@@ -126,6 +128,14 @@ def active_features(meta, extra: Iterable[str] = ()) -> Set[str]:
         feats.add("domainMetadata")
     if meta.column_mapping_mode != "none":
         feats.add("columnMapping")
+    if any(_has_variant(f.dataType) for f in meta.schema.fields):
+        # VARIANT (Delta protocol 'Variant Data Type'): semi-structured
+        # values stored as the parquet physical pair
+        # (metadata: binary, value: binary) — Spark 4 reads/writes the
+        # physical form natively; the protocol gate is the engine's
+        # job so legacy readers refuse instead of misreading the
+        # binary pair as a plain struct.
+        feats.add("variantType")
     for f in meta.schema.fields:
         md = f.metadata or {}
         if md.get("delta.generationExpression"):
@@ -133,6 +143,21 @@ def active_features(meta, extra: Iterable[str] = ()) -> Set[str]:
         if "delta.identity.start" in md:
             feats.add("identityColumns")
     return feats
+
+
+def _has_variant(dt) -> bool:
+    """True when ``dt`` contains a VariantType anywhere (nested
+    structs/arrays/maps included)."""
+    from pyspark.sql import types as T
+    if isinstance(dt, T.VariantType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_has_variant(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _has_variant(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _has_variant(dt.keyType) or _has_variant(dt.valueType)
+    return False
 
 
 def required_protocol(meta, extra: Iterable[str] = ()) -> Protocol:

@@ -30,18 +30,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..dv import DV_TAG
+from ..errors import DeltaError
 from ..log.actions import AddCDCFile, AddFile, RemoveFile
 from ..log.snapshot import canonical_path, canonical_path_col
 from ..writer import CHANGE_TYPE_COL
 
 # (canonical file path, commit version, partitionValues or None,
-#  deletion-vector sidecar rel path or None)
-_FileRow = Tuple[str, int, Optional[dict], Optional[str]]
+#  deletion-vector sidecar rel path or None,
+#  baseRowId or None, defaultRowCommitVersion or None)
+_FileRow = Tuple[str, int, Optional[dict], Optional[str],
+                 Optional[int], Optional[int]]
 
 
 def _scan_tagged(table, snap, file_rows: List[_FileRow],
                  schema: T.StructType, with_partition_cols: bool,
-                 change_type: Optional[str]) -> DataFrame:
+                 change_type: Optional[str],
+                 with_row_ids: bool = False) -> DataFrame:
     """Scan ``file_rows`` with ``schema``, attach ``_commit_version`` (and
     partition columns decoded from the log when the files lack them).
     Files carrying a deletion vector contribute only their live rows:
@@ -56,7 +60,7 @@ def _scan_tagged(table, snap, file_rows: List[_FileRow],
     paths = sorted({r[0] for r in file_rows})
     dv_triples = sorted({(r[0], r[3], r[1]) for r in file_rows if r[3]})
     reader = spark.read.schema(schema).parquet(*paths)
-    if dv_triples:
+    if dv_triples or with_row_ids:
         reader = reader.withColumn("__ri", F.col("_metadata.row_index"))
     data = reader.withColumn("__fn", F.input_file_name())
     data = data.withColumn(
@@ -67,10 +71,13 @@ def _scan_tagged(table, snap, file_rows: List[_FileRow],
         else []
     map_schema = T.StructType(
         [T.StructField("__file", T.StringType()),
-         T.StructField("_commit_version", T.LongType())]
+         T.StructField("_commit_version", T.LongType()),
+         T.StructField("__base", T.LongType()),
+         T.StructField("__dcv", T.LongType())]
         + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols])
-    map_rows = [tuple([p, v] + [(pv or {}).get(c) for c in pcols])
-                for p, v, pv, _dv in file_rows]
+    map_rows = [tuple([p, v, base, dcv]
+                      + [(pv or {}).get(c) for c in pcols])
+                for p, v, pv, _dv, base, dcv in file_rows]
     pv_df = spark.createDataFrame(map_rows, map_schema)
     for f in meta.physical_partition_schema.fields:
         if f.name in pcols:
@@ -89,22 +96,54 @@ def _scan_tagged(table, snap, file_rows: List[_FileRow],
             dvv, (out["__file"] == dvv["file_path"])
             & (out["_commit_version"] == dvv["__dvkey"])
             & (out["__ri"] == dvv["row_index"]), "left_anti")
-        out = out.drop("__ri")
+        out = out.drop("__ri") if not with_row_ids else out
     out = out.drop("__file")
     if change_type is not None:
         out = out.withColumn(CHANGE_TYPE_COL, F.lit(change_type))
+    rid_cols = []
+    if with_row_ids:
+        # same coalesce as Snapshot.to_df(with_row_ids=True): a file
+        # rewritten under row tracking carries MATERIALIZED id/commit-
+        # version columns (per-table names from metadata, ADVICE r11);
+        # fresh files derive id = baseRowId + physical row index. CDC
+        # files carry neither base nor materialized columns and read
+        # NULL (disclosed: the synthesized add/remove paths are the
+        # row-id-bearing CDF surface).
+        from ..log.snapshot import materialized_rt_cols
+        rid_c, rcv_c = materialized_rt_cols(meta)
+        has_mat = rid_c in out.columns
+        mat_rid = F.col(rid_c) if has_mat else F.lit(None).cast("long")
+        mat_rcv = F.col(rcv_c) if has_mat else F.lit(None).cast("long")
+        out = (out.withColumn(
+                   "_row_id",
+                   F.coalesce(mat_rid, F.col("__base") + F.col("__ri")))
+               .withColumn("_row_commit_version",
+                           F.coalesce(mat_rcv, F.col("__dcv"))))
+        rid_cols = [F.col("_row_id"), F.col("_row_commit_version")]
     return out.select(
         *[F.col(nmap[f.name]).alias(f.name)
           for f in meta.schema.fields],
-        CHANGE_TYPE_COL, "_commit_version")
+        CHANGE_TYPE_COL, "_commit_version", *rid_cols)
 
 
 def table_changes(table, start_version: int = 0,
-                  end_version: Optional[int] = None) -> DataFrame:
+                  end_version: Optional[int] = None,
+                  with_row_ids: bool = False) -> DataFrame:
     """Row-level changes in ``[start_version, end_version]``: the table's
-    columns plus ``_change_type`` and ``_commit_version``."""
+    columns plus ``_change_type`` and ``_commit_version``.
+    ``with_row_ids=True`` (row-tracked tables) appends ``_row_id`` /
+    ``_row_commit_version`` — the natural join key for incremental
+    downstream consumers (the spec's Row Tracking exists for exactly
+    this): an UPDATE's delete+insert pair for the same logical row
+    shares one ``_row_id`` across versions."""
     snap = table.log.snapshot()
     meta = snap.metadata
+    if with_row_ids:
+        from ..config import TableConfig
+        if not TableConfig(meta.configuration).enable_row_tracking:
+            raise DeltaError(
+                "row ids requested but delta.enableRowTracking is "
+                "not set on this table")
 
     cdc_rows: List[_FileRow] = []
     ins_rows: List[_FileRow] = []
@@ -115,23 +154,35 @@ def table_changes(table, start_version: int = 0,
         cdcs = [a for a in actions if isinstance(a, AddCDCFile)]
         if cdcs:
             cdc_rows += [(canonical_path(a.path, snap.table_path),
-                          version, None, None) for a in cdcs]
+                          version, None, None, None, None)
+                         for a in cdcs]
             continue
         ins_rows += [(canonical_path(a.path, snap.table_path),
                       version, a.partitionValues,
-                      (a.tags or {}).get(DV_TAG))
+                      (a.tags or {}).get(DV_TAG),
+                      a.baseRowId, a.defaultRowCommitVersion)
                      for a in actions
                      if isinstance(a, AddFile) and a.dataChange]
         del_rows += [(canonical_path(a.path, snap.table_path),
                       version, a.partitionValues,
-                      (a.tags or {}).get(DV_TAG))
+                      (a.tags or {}).get(DV_TAG),
+                      a.baseRowId, a.defaultRowCommitVersion)
                      for a in actions
                      if isinstance(a, RemoveFile) and a.dataChange]
+
+    from ..log.snapshot import _with_rt_fields, materialized_rt_cols
+    rid_c, rcv_c = materialized_rt_cols(meta)
+
+    def rt(s):
+        return _with_rt_fields(s, rid_c, rcv_c) if with_row_ids else s
 
     out_schema = T.StructType(
         meta.schema.fields
         + [T.StructField(CHANGE_TYPE_COL, T.StringType()),
-           T.StructField("_commit_version", T.LongType())])
+           T.StructField("_commit_version", T.LongType())]
+        + ([T.StructField("_row_id", T.LongType()),
+            T.StructField("_row_commit_version", T.LongType())]
+           if with_row_ids else []))
     parts: List[DataFrame] = []
     if cdc_rows:
         # CDC files carry every table column (partition cols included)
@@ -139,19 +190,22 @@ def table_changes(table, start_version: int = 0,
         cdc_schema = T.StructType(
             list(meta.physical_schema.fields)
             + [T.StructField(CHANGE_TYPE_COL, T.StringType())])
-        parts.append(_scan_tagged(table, snap, cdc_rows, cdc_schema,
+        parts.append(_scan_tagged(table, snap, cdc_rows, rt(cdc_schema),
                                   with_partition_cols=False,
-                                  change_type=None))
+                                  change_type=None,
+                                  with_row_ids=with_row_ids))
     if ins_rows:
         parts.append(_scan_tagged(table, snap, ins_rows,
-                                  meta.physical_data_schema,
+                                  rt(meta.physical_data_schema),
                                   with_partition_cols=True,
-                                  change_type="insert"))
+                                  change_type="insert",
+                                  with_row_ids=with_row_ids))
     if del_rows:
         parts.append(_scan_tagged(table, snap, del_rows,
-                                  meta.physical_data_schema,
+                                  rt(meta.physical_data_schema),
                                   with_partition_cols=True,
-                                  change_type="delete"))
+                                  change_type="delete",
+                                  with_row_ids=with_row_ids))
     if not parts:
         return table.spark.createDataFrame([], out_schema)
     out = parts[0]

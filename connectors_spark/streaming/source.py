@@ -174,12 +174,18 @@ class DeltaFilePartition(InputPartition):
 
     def __init__(self, file_path: str, version: int,
                  partition_values: dict, kind: str = "data",
-                 dv_rel: Optional[str] = None):
+                 dv_rel: Optional[str] = None,
+                 base_row_id: Optional[int] = None,
+                 default_rcv: Optional[int] = None):
         self.file_path = file_path
         self.version = version
         self.partition_values = partition_values
         self.kind = kind
         self.dv_rel = dv_rel
+        # Row tracking: the file's fresh-row-id base + default commit
+        # version from the log action (None on untracked tables)
+        self.base_row_id = base_row_id
+        self.default_rcv = default_rcv
 
 
 def _parse_bytes(v, option: str) -> int:
@@ -298,7 +304,21 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
             # shape mismatch) and paging is disabled there.
             self._snap_v0 = self.start_after
             self._snap_pos = 0
+        # withRowIds: append _row_id/_row_commit_version per row — the
+        # same coalesce(materialized, baseRowId + row_index) as the
+        # batch reader (log/snapshot.py to_df), so incremental
+        # consumers can key on stable row identity across microbatches.
+        self.with_row_ids = str(options.get("withrowids",
+                                            "false")).lower() == "true"
         meta = _latest_metadata(self.store, self.log_path)
+        if self.with_row_ids:
+            from ..config import TableConfig
+            if not TableConfig(meta.configuration).enable_row_tracking:
+                raise DeltaError(
+                    "withRowIds requested but delta.enableRowTracking "
+                    "is not set on this table")
+            from ..log.snapshot import materialized_rt_cols
+            self.rid_col, self.rcv_col = materialized_rt_cols(meta)
         self.partition_columns = list(meta.partitionColumns)
         self.meta_schema_json = meta.schemaString
         # logical -> physical (identity when column mapping is off):
@@ -486,7 +506,9 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
                     self._fs_path(a.path), v0,
                     dict(a.partitionValues or {}),
                     kind="insert" if self.cdf else "data",
-                    dv_rel=(a.tags or {}).get(DV_TAG)))
+                    dv_rel=(a.tags or {}).get(DV_TAG),
+                    base_row_id=a.baseRowId,
+                    default_rcv=a.defaultRowCommitVersion))
             # in-process paging floor for latestOffset: the engine
             # persists (start, end) in its WAL before execution, so a
             # failed batch replans this identical page — advancing the
@@ -522,7 +544,9 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
                     out.append(DeltaFilePartition(
                         self._fs_path(a.path), v,
                         dict(a.partitionValues or {}),
-                        dv_rel=(a.tags or {}).get(DV_TAG)))
+                        dv_rel=(a.tags or {}).get(DV_TAG),
+                        base_row_id=a.baseRowId,
+                        default_rcv=a.defaultRowCommitVersion))
         return out
 
     def _cdf_partitions(self, version: int) -> List[DeltaFilePartition]:
@@ -551,12 +575,16 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
                 out.append(DeltaFilePartition(
                     self._fs_path(a.path), version,
                     dict(a.partitionValues or {}), kind="insert",
-                    dv_rel=(a.tags or {}).get(DV_TAG)))
+                    dv_rel=(a.tags or {}).get(DV_TAG),
+                    base_row_id=a.baseRowId,
+                    default_rcv=a.defaultRowCommitVersion))
             elif isinstance(a, RemoveFile) and a.dataChange:
                 out.append(DeltaFilePartition(
                     self._fs_path(a.path), version,
                     dict(a.partitionValues or {}), kind="delete",
-                    dv_rel=(a.tags or {}).get(DV_TAG)))
+                    dv_rel=(a.tags or {}).get(DV_TAG),
+                    base_row_id=a.baseRowId,
+                    default_rcv=a.defaultRowCommitVersion))
         return out
 
     def _fs_path(self, log_path_value: str) -> str:
@@ -626,11 +654,39 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
         else:
             file_cols = [phys.get(f.name, f.name) for f in meta.fields
                          if f.name not in pcols]
-        tbl = pq.read_table(partition.file_path, columns=file_cols)
+        want_rid = getattr(self, "with_row_ids", False)
+        rid_extra = []
+        if want_rid:
+            # materialized id columns exist only in files written by a
+            # rewrite under row tracking — read them when present
+            avail = set(pq.read_schema(partition.file_path).names)
+            rid_extra = [c for c in (self.rid_col, self.rcv_col)
+                         if c in avail]
+        tbl = pq.read_table(partition.file_path,
+                            columns=file_cols + rid_extra)
+        mask = None
         if getattr(partition, "dv_rel", None):
-            tbl = tbl.filter(pa.array(
-                self._dv_mask(partition, tbl.num_rows)))
+            mask = self._dv_mask(partition, tbl.num_rows)
+            tbl = tbl.filter(pa.array(mask))
         n = tbl.num_rows
+        ri = None
+        if want_rid:
+            import numpy as np
+            # PHYSICAL row positions of the surviving rows (a DV
+            # delete never renumbers the rest — id stability)
+            ri = (np.flatnonzero(mask) if mask is not None
+                  else np.arange(n))
+
+        def _rid_array(mat_col, fresh):
+            # coalesce(materialized column, fresh fallback) — exactly
+            # Snapshot.to_df's row-id rule, Arrow-side
+            import pyarrow.compute as pc
+            if mat_col in tbl.column_names:
+                return pc.coalesce(
+                    tbl.column(mat_col).cast(pa.int64())
+                    .combine_chunks(), fresh)
+            return fresh
+
         arrays, names = [], []
         for f in full.fields:
             if f.name == "_commit_version":
@@ -639,6 +695,16 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
             elif f.name == "_change_type" and kind != "cdc":
                 ct = "delete" if kind == "delete" else "insert"
                 arrays.append(pa.array([ct] * n, type=pa.string()))
+            elif f.name == "_row_id" and want_rid:
+                base = getattr(partition, "base_row_id", None)
+                fresh = (pa.array((base + ri).astype("int64"))
+                         if base is not None
+                         else pa.nulls(n, pa.int64()))
+                arrays.append(_rid_array(self.rid_col, fresh))
+            elif f.name == "_row_commit_version" and want_rid:
+                dcv = getattr(partition, "default_rcv", None)
+                fresh = pa.array([dcv] * n, type=pa.int64())
+                arrays.append(_rid_array(self.rcv_col, fresh))
             elif f.name in pcols:
                 val = decode_partition_value(
                     partition.partition_values.get(
@@ -692,6 +758,10 @@ class DeltaStreamDataSource(DataSource):
                                 "false")).lower() == "true":
             from pyspark.sql.types import StringType
             extra = [StructField("_change_type", StringType())] + extra
+        if str(self.options.get("withrowids",
+                                "false")).lower() == "true":
+            extra += [StructField("_row_id", LongType()),
+                      StructField("_row_commit_version", LongType())]
         return StructType(meta.schema.fields + extra)
 
     def streamReader(self, schema: StructType) -> DeltaVersionStreamReader:

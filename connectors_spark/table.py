@@ -1665,15 +1665,19 @@ class DeltaTable:
         return txn.commit([], "DROP CONSTRAINT", {"name": name})
 
     def table_changes(self, start_version: int = 0,
-                      end_version: Optional[int] = None) -> DataFrame:
+                      end_version: Optional[int] = None,
+                      with_row_ids: bool = False) -> DataFrame:
         """Row-level Change Data Feed: table columns + ``_change_type``
         (insert / delete / update_preimage / update_postimage) +
         ``_commit_version``. DML commits describe their changes exactly via
         CDC files when ``delta.enableChangeDataFeed`` is set; other commits
         synthesize inserts/deletes from their dataChange actions
-        (streaming/cdf.py; reference action model actions.scala:164-172)."""
+        (streaming/cdf.py; reference action model actions.scala:164-172).
+        ``with_row_ids=True`` (row-tracked tables) appends ``_row_id`` /
+        ``_row_commit_version`` to each change row."""
         from .streaming.cdf import table_changes
-        return table_changes(self, start_version, end_version)
+        return table_changes(self, start_version, end_version,
+                             with_row_ids=with_row_ids)
 
     def table_changes_by_timestamp(
             self, start_ts_ms: int,
@@ -2812,9 +2816,12 @@ class TableMaintenance:
                .agg(F.count(F.lit(1)).alias("n"),
                     F.coalesce(F.sum("size"), F.lit(0)).alias("bytes"))
                .first())
+        from .log.actions import DomainMetadata
         crc = cks.VersionChecksum(
             tableSizeBytes=int(row["bytes"]), numFiles=int(row["n"]),
-            protocol=snap.protocol, metadata=snap.metadata)
+            protocol=snap.protocol, metadata=snap.metadata,
+            domainMetadata=[DomainMetadata(k, v) for k, v in
+                            sorted(snap.domain_metadata.items())])
         cks.write_checksum(snap.store, self.table.log.log_path,
                            snap.version, crc)
         # fresh anchor: incremental writing may resume
@@ -2860,6 +2867,16 @@ class TableMaintenance:
                 or crc.protocol.minWriterVersion
                 != snap.protocol.minWriterVersion):
             problems.append("protocol mismatch")
+        if crc.domainMetadata is not None:
+            # live-domain state (incl. the delta.rowTracking watermark)
+            # must replay to exactly what the writer recorded
+            rec = {dm.domain: dm.configuration
+                   for dm in crc.domainMetadata}
+            live = dict(snap.domain_metadata)
+            if rec != live:
+                problems.append(
+                    f"domainMetadata: crc has {sorted(rec)} "
+                    f"live has {sorted(live)} (or configs differ)")
         if problems:
             raise DeltaError(
                 f"version checksum mismatch at v{snap.version}: "
@@ -2924,12 +2941,20 @@ class TableMaintenance:
         return sorted(missing)
 
     def vacuum(self, retention_ms: Optional[int] = None,
-               dry_run: bool = False) -> List[str]:
+               dry_run: bool = False, lite: bool = False) -> List[str]:
         """Delete data files that are neither active nor within the
         tombstone retention window (default: the table's
         delta.deletedFileRetentionDuration, 1 week —
         DeltaConfig.scala:219-225). Returns deleted (or would-delete)
-        paths relative to the table root."""
+        paths relative to the table root.
+
+        ``lite=True`` (delta-spark's VACUUM LITE): derive the doomed
+        set from the LOG's RemoveFile tombstones instead of listing
+        the table tree — at 100 TB a full recursive listing is
+        O(objects) against the object store, while the log window
+        since the last LITE run is O(commits). Refuses loudly when the
+        log cannot prove coverage (a delta file in the window was
+        cleaned) — fall back to a full vacuum then."""
         t = self.table
         spark = t.log.spark
         store = t.log.store
@@ -2951,6 +2976,8 @@ class TableMaintenance:
             retention_ms = TableConfig(
                 snap.metadata.configuration).tombstone_retention_ms
         horizon = int(time.time() * 1000) - retention_ms
+        if lite:
+            return self._vacuum_lite(snap, horizon, dry_run)
         root = t.path
         local_root = root[len("file:"):] if root.startswith("file:") else root
 
@@ -3063,6 +3090,113 @@ class TableMaintenance:
                     except OSError:
                         pass
         return sorted(doomed)
+
+    def _vacuum_lite(self, snap, horizon: int,
+                     dry_run: bool) -> List[str]:
+        """Log-inventory vacuum: the doomed set is the RemoveFile
+        tombstones in the commit window since the last LITE run (or
+        version 0), aged past ``horizon`` and not re-added since —
+        ZERO listing of the data tree. Coverage is proven before
+        anything is deleted: every delta file in the window must still
+        exist; a cleaned window (W8 log cleanup passed through it)
+        raises instead of silently missing tombstones. Deletes run
+        executor-side (mapInPandas over the candidate paths, vanished
+        files skipped); a marker commit (operation VACUUM LITE END,
+        lastVacuumedVersion) bounds the NEXT run's window to the new
+        tail, so steady-state cost is O(commits between vacuums)
+        regardless of table size."""
+        import pandas as pd
+
+        from .log import filenames as fn2
+        from .log.actions import SINGLE_ACTION_SCHEMA
+        from .log.snapshot import canonical_path_col
+        from .shipping import ensure_shipped_by_value
+        ensure_shipped_by_value()
+        t = self.table
+        spark = t.log.spark
+        store = t.log.store
+        log_path = t.log.log_path
+        head = snap.version
+        root = t.path
+        local_root = root[len("file:"):] if root.startswith("file:") \
+            else root
+
+        marker = None
+        for h in t.history():               # newest-first
+            if h["operation"] == "VACUUM LITE END":
+                marker = int((h["operationParameters"] or {})
+                             .get("lastVacuumedVersion", h["version"]))
+                break
+        start = marker + 1 if marker is not None else 0
+        have = sorted(fn2.delta_version(n)
+                      for n in store.list_from(log_path)
+                      if fn2.is_delta_file(n))
+        window = [v for v in have if start <= v <= head]
+        if window != list(range(start, head + 1)):
+            missing = sorted(set(range(start, head + 1)) - set(window))
+            raise DeltaError(
+                f"VACUUM LITE cannot prove coverage: log versions "
+                f"{missing[:5]}{'...' if len(missing) > 5 else ''} in "
+                f"window [{start}, {head}] were cleaned; run a full "
+                f"vacuum (lite=False) instead")
+        if not window:
+            return []
+
+        from .dv import DV_TAG
+        acts = spark.read.json(
+            [fn2.delta_file(log_path, v) for v in window],
+            schema=SINGLE_ACTION_SCHEMA)
+        removes = (acts.where(F.col("remove.path").isNotNull())
+                   .select(canonical_path_col("remove.path",
+                                              snap.table_path)
+                           .alias("__p"),
+                           F.col("remove.deletionTimestamp")
+                           .alias("__ts"),
+                           F.col("remove.tags").getItem(DV_TAG)
+                           .alias("__dv"))
+                   .where(F.coalesce(F.col("__ts"), F.lit(0))
+                          <= F.lit(horizon)))
+        # tombstoned DV sidecars ride along (same rule as full vacuum)
+        dvs = (removes.where(F.col("__dv").isNotNull())
+               .select(canonical_path_col("__dv", snap.table_path)
+                       .alias("__p")))
+        cand = removes.select("__p").unionByName(dvs).distinct()
+        active = snap.files_df.select(F.col("path").alias("__p"))
+        adv = (snap.files_df
+               .select(F.col("tags").getItem(DV_TAG).alias("__t"))
+               .where(F.col("__t").isNotNull())
+               .select(canonical_path_col("__t", snap.table_path)
+                       .alias("__p")))
+        cand = cand.join(active.unionByName(adv).distinct(),
+                         "__p", "left_anti")
+        prefix = local_root.rstrip("/") + "/"
+        cand = (cand.where(F.col("__p").startswith(prefix))
+                .select(F.expr(
+                    f"substring(__p, {len(prefix) + 1})").alias("rel")))
+
+        if dry_run:
+            return sorted(r["rel"] for r in cand.collect())
+
+        def delete_files(batches):
+            for pdf in batches:
+                done = []
+                for rel in pdf["rel"]:
+                    try:
+                        store.delete(os.path.join(local_root, rel))
+                    except FileNotFoundError:
+                        pass          # already reclaimed / task retry
+                    done.append(rel)
+                yield pd.DataFrame({"rel": done})
+
+        doomed = sorted(r["rel"] for r in
+                        cand.mapInPandas(delete_files,
+                                         "rel string").collect())
+        txn = t.log.start_transaction()
+        txn.commit([], "VACUUM LITE END",
+                   {"lastVacuumedVersion": str(head),
+                    "retentionCheckEnabled": "true",
+                    "numDeletedFiles": str(len(doomed))})
+        return doomed
 
     def generate_manifest(self) -> List[str]:
         """Write a ``_symlink_format_manifest`` for the current

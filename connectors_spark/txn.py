@@ -382,12 +382,13 @@ class OptimisticTransaction:
             if eff_meta is not None else []
         table_path = self.log.table_path
 
-        tally = {"n": 0, "bytes": 0, "broken": False}
+        tally = {"n": 0, "bytes": 0, "broken": False, "domains": []}
 
         def prepped():
             tally["n"] = 0
             tally["bytes"] = 0
             tally["broken"] = False
+            tally["domains"] = []
             for a in files_factory():
                 if isinstance(a, AddFile):
                     if sorted(a.partitionValues.keys()) != pcols:
@@ -411,7 +412,10 @@ class OptimisticTransaction:
                                    dataChange=a.dataChange,
                                    extendedFileMetadata=a.extendedFileMetadata,
                                    partitionValues=a.partitionValues,
-                                   size=a.size, tags=a.tags)
+                                   size=a.size, tags=a.tags,
+                                   baseRowId=a.baseRowId,
+                                   defaultRowCommitVersion=a.
+                                   defaultRowCommitVersion)
                     tally["n"] -= 1
                     if a.size is None:
                         tally["broken"] = True
@@ -499,10 +503,13 @@ class OptimisticTransaction:
                         n_adds += 1
                 yield to_json_line(a)
             if n_adds and (hwm != hwm0 or dm is None):
-                yield to_json_line(DomainMetadata(
+                wm = DomainMetadata(
                     ROW_TRACKING_DOMAIN,
                     json.dumps({"rowIdHighWaterMark": hwm},
-                               separators=(",", ":"))))
+                               separators=(",", ":")))
+                # not part of head: surface it to the checksum fold
+                tally["domains"].append(wm)
+                yield to_json_line(wm)
 
         import itertools
         attempt_version = self.read_version + 1
@@ -551,9 +558,20 @@ class OptimisticTransaction:
             size = crc.tableSizeBytes + tally["bytes"]
             if n < 0 or size < 0:
                 return
+            dom = ({d.domain: d for d in crc.domainMetadata}
+                   if crc.domainMetadata is not None else None)
+            if dom is not None:
+                for d in tally.get("domains", []):
+                    if d.removed:
+                        dom.pop(d.domain, None)
+                    else:
+                        dom[d.domain] = d
             crc = cks.VersionChecksum(
                 tableSizeBytes=size, numFiles=n, protocol=crc.protocol,
-                metadata=crc.metadata)
+                metadata=crc.metadata,
+                domainMetadata=(sorted(dom.values(),
+                                       key=lambda x: x.domain)
+                                if dom is not None else None))
             cks.write_checksum(self.log.store, self.log.log_path,
                                version, crc)
         except Exception:  # noqa: BLE001 — advisory record only
@@ -626,7 +644,9 @@ class OptimisticTransaction:
                                dataChange=a.dataChange,
                                extendedFileMetadata=a.extendedFileMetadata,
                                partitionValues=a.partitionValues, size=a.size,
-                               tags=a.tags)
+                               tags=a.tags, baseRowId=a.baseRowId,
+                               defaultRowCommitVersion=a.
+                               defaultRowCommitVersion)
             elif isinstance(a, Protocol):
                 # The reference commits only Protocol(1,2)
                 # (OptimisticTransactionImpl.scala:289-293); this
@@ -702,6 +722,13 @@ class OptimisticTransaction:
                 extra.add("deletionVectors")
             if any(isinstance(a, DomainMetadata) for a in actions):
                 extra.add("domainMetadata")
+            if meta is not None:
+                # committing a schema that CONTAINS a variant column
+                # exercises the feature — declare it opt-in or not
+                from .log.features import _has_variant
+                if any(_has_variant(f.dataType)
+                       for f in meta.schema.fields):
+                    extra.add("variantType")
             if cfg.protocol_auto_upgrade or has_feature_props or extra:
                 # Opt-in interop safety: compute the protocol the table
                 # state REQUIRES (spec version map) and bump the

@@ -270,6 +270,18 @@ def stage_and_collect(df: DataFrame, table_path: str,
             else df.schema.fieldNames()
         data_order = [c for c in order if c not in set(partition_by)]
         keep_cols = set(data_order[:num_indexed_cols])
+    # VARIANT columns (Delta 'Variant Data Type'): this container's
+    # pyarrow (16.x) cannot OPEN footers carrying the Variant logical
+    # type, so the per-file footer/bloom pass is skipped for variant-
+    # bearing files and numRecords comes from one Spark count over the
+    # published files instead (min/max are undefined for variant per
+    # the spec; other columns' stats are forfeited on such tables —
+    # environment ceiling, the seam heals with pyarrow >= 21).
+    from .log.features import _has_variant
+    has_variant = any(_has_variant(f.dataType) for f in df.schema.fields)
+    collect_stats_eff = collect_stats and not has_variant
+    if has_variant:
+        bloom_cfg = None
     staging = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if partition_by:
@@ -285,7 +297,7 @@ def stage_and_collect(df: DataFrame, table_path: str,
         if not rel_paths:
             return []
         pub = publish_plan(df.sparkSession, staging, table_path,
-                           rel_paths, collect_stats, store=store,
+                           rel_paths, collect_stats_eff, store=store,
                            bloom_cfg=bloom_cfg).collect()
         for r in pub:
             rel_path = r["rel_path"]
@@ -309,6 +321,36 @@ def stage_and_collect(df: DataFrame, table_path: str,
                 tags=json.loads(r["tags"]) if r["tags"] else None))
     finally:
         store.remove_tree(staging)
+    if has_variant and collect_stats and adds:
+        # numRecords via Spark (it reads its own variant files fine):
+        # one count per file over exactly the published paths.
+        import dataclasses
+
+        from pyspark.sql import functions as F
+
+        from .log.snapshot import canonical_path, canonical_path_col
+        abs_by_canon = {}
+        for i, a in enumerate(adds):
+            rel = "/".join(urllib.parse.unquote(s)
+                           for s in a.path.split("/"))
+            ap = os.path.join(table_path, rel)
+            abs_by_canon[canonical_path(a.path, table_path)] = (i, ap)
+        counts = (df.sparkSession.read
+                  .parquet(*[p for _, p in abs_by_canon.values()])
+                  .select(F.col("_metadata.file_path").alias("__fn"))
+                  .select(canonical_path_col("__fn", table_path)
+                          .alias("__f"))
+                  .groupBy("__f").count().collect())
+        for r in counts:
+            hit = abs_by_canon.get(r["__f"])
+            if hit is None:
+                continue
+            i, _ = hit
+            adds[i] = dataclasses.replace(
+                adds[i], stats=json.dumps(
+                    {"numRecords": int(r["count"]), "minValues": {},
+                     "maxValues": {}, "nullCount": {}},
+                    separators=(",", ":")))
     # collect() order is partition-arbitrary; sort for reproducible logs.
     adds.sort(key=lambda a: a.path)
     return adds

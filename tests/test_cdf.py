@@ -155,3 +155,54 @@ def test_table_changes_by_timestamp(spark, tmp_path):
     if commits[2] - commits[1] > 1:
         mid = commits[1] + 1
         assert t.table_changes_by_timestamp(mid, mid).count() == 0
+
+
+def test_cdf_row_ids_across_update(spark, tmp_path):
+    # Row ids through the change feed: the UPDATE's synthesized
+    # delete+insert pair for a logical row shares one _row_id (remove
+    # side from the tombstone's baseRowId, insert side from the
+    # rewritten file's materialized columns).
+    t = DeltaTable.for_path(spark, str(tmp_path / "t"))
+    t.write(spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 2).alias("v")),
+        configuration={"delta.enableRowTracking": "true"})
+    t.update({"v": "999"}, Col("id") < Lit(10))
+    ch = t.table_changes(1, with_row_ids=True).collect()
+    ins = {r["_row_id"]: r for r in ch if r["_change_type"] == "insert"}
+    dls = {r["_row_id"]: r for r in ch if r["_change_type"] == "delete"}
+    assert None not in ins and None not in dls
+    updated = {rid for rid, r in ins.items() if r["v"] == 999}
+    assert len(updated) == 10
+    assert updated <= (set(ins) & set(dls))
+    for rid in set(ins) & set(dls):
+        assert ins[rid]["id"] == dls[rid]["id"]
+
+
+def test_cdf_row_ids_requires_tracking(spark, tmp_path):
+    from connectors_spark.errors import DeltaError
+    t = DeltaTable.for_path(spark, str(tmp_path / "t"))
+    t.write(spark.range(5).select(F.col("id")))
+    with pytest.raises(DeltaError, match="enableRowTracking"):
+        t.table_changes(0, with_row_ids=True)
+
+
+def test_cdf_row_ids_dv_delete(spark, tmp_path):
+    # A DV delete re-adds the file with its baseRowId preserved; the
+    # CDF nets out to exactly the deleted rows, each carrying the id
+    # it had since insertion.
+    t = DeltaTable.for_path(spark, str(tmp_path / "t"))
+    t.write(spark.range(0, 50).select(
+        F.col("id"), (F.col("id") * 2).alias("v")),
+        configuration={"delta.enableRowTracking": "true"})
+    before = {r["id"]: r["_row_id"]
+              for r in t.to_df(with_row_ids=True).collect()}
+    t.delete(Col("id") < Lit(7), deletion_vectors=True)
+    ch = t.table_changes(1, with_row_ids=True).collect()
+    # synthesized DV-delete: remove side carries the file's pre-DV
+    # content, add side its live rows — netting the two _row_id sets
+    # yields exactly the deleted rows, under their original ids
+    dl = {r["_row_id"]: r["id"] for r in ch
+          if r["_change_type"] == "delete"}
+    ins = {r["_row_id"] for r in ch if r["_change_type"] == "insert"}
+    net = {v: k for k, v in dl.items() if k not in ins}
+    assert net == {k: before[k] for k in range(7)}

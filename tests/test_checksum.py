@@ -207,3 +207,47 @@ def test_crc_json_is_delta_spark_field_set(spark, tmp_path):
     # and the chain extended FROM a legacy record keeps the id pinned
     nxt = cks.incremental_checksum(legacy, [], False, None, None)
     assert nxt.metadataId == "abc"
+
+
+def test_checksum_folds_domain_metadata_and_watermark(spark, tmp_path):
+    # The .crc record carries the live domain-metadata state — which
+    # pins rowIdHighWaterMark (it lives in the delta.rowTracking
+    # domain), matching delta-spark's checksum field set.
+    import json
+    t = DeltaTable.for_path(spark, str(tmp_path / "crc"))
+    t.write(spark.range(0, 40).select(
+        F.col("id"), (F.col("id") * 2).alias("v")),
+        configuration={"delta.enableRowTracking": "true"})
+    t.write(spark.range(40, 70).select(
+        F.col("id"), (F.col("id") * 2).alias("v")), mode="append")
+    head = t.snapshot().version
+    crc = _crc(t, head)
+    assert crc is not None and crc.domainMetadata is not None
+    rec = {dm.domain: dm.configuration for dm in crc.domainMetadata}
+    assert rec == dict(t.snapshot().domain_metadata)
+    wm = json.loads(rec["delta.rowTracking"])["rowIdHighWaterMark"]
+    assert wm == 69
+    TableMaintenance(t).verify_checksum()
+    # a tampered watermark surfaces loudly
+    bad = cks.VersionChecksum(
+        tableSizeBytes=crc.tableSizeBytes, numFiles=crc.numFiles,
+        protocol=crc.protocol, metadata=crc.metadata,
+        domainMetadata=[type(crc.domainMetadata[0])(
+            "delta.rowTracking", '{"rowIdHighWaterMark":1}')])
+    cks.write_checksum(t.log.store, t.log.log_path, head, bad)
+    with pytest.raises(DeltaError, match="domainMetadata"):
+        TableMaintenance(t).verify_checksum()
+
+
+def test_checksum_domain_roundtrip_json(tmp_path):
+    from connectors_spark.log.actions import DomainMetadata
+    crc = cks.VersionChecksum(
+        tableSizeBytes=10, numFiles=1,
+        domainMetadata=[DomainMetadata("b", '{"x":1}'),
+                        DomainMetadata("a", "")])
+    rt = cks.VersionChecksum.from_json(crc.to_json())
+    assert [d.domain for d in rt.domainMetadata] == ["a", "b"]
+    # legacy records without the field read back as unknown
+    legacy = cks.VersionChecksum.from_json(
+        '{"tableSizeBytes":5,"numFiles":1}')
+    assert legacy.domainMetadata is None

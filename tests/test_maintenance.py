@@ -937,3 +937,58 @@ def test_clustered_optimize_records_clustering_domain(spark, tmp_path):
     got2 = _json.loads(
         t.log.snapshot().domain_metadata["delta.clustering"])
     assert got2 == {"clusteringColumns": ["b", "c"], "curve": "hilbert"}
+
+
+def test_vacuum_lite_parity_and_no_tree_listing(spark, tmp_path):
+    """VACUUM LITE derives the doomed set from the log's tombstones —
+    parity with full vacuum's dry run on the same state, and ZERO
+    list_dir / recursive-listing calls against the data tree."""
+    t = _small_appends(spark, tmp_path / "t", n=3)
+    maint = TableMaintenance(t)
+    maint.optimize()   # tombstones the 3 small files
+    full_listed = sorted(maint.vacuum(retention_ms=0, dry_run=True))
+    lite_listed = sorted(maint.vacuum(retention_ms=0, dry_run=True,
+                                      lite=True))
+    assert lite_listed == full_listed and len(lite_listed) == 3
+    # the real LITE run must never list the data tree
+    store = t.log.store
+    calls = []
+    orig_ld, orig_lr = store.list_dir, store.list_files_recursive
+
+    def guard_ld(p):
+        assert "_delta_log" in p, f"data-tree list_dir({p}) in lite mode"
+        calls.append(p)
+        return orig_ld(p)
+
+    def guard_lr(p):
+        raise AssertionError(f"recursive listing({p}) in lite mode")
+    store.list_dir = guard_ld
+    store.list_files_recursive = guard_lr
+    try:
+        deleted = maint.vacuum(retention_ms=0, lite=True)
+    finally:
+        store.list_dir = orig_ld
+        store.list_files_recursive = orig_lr
+    assert sorted(deleted) == full_listed
+    assert t.to_df().count() == 30
+    # marker bounds the next window: nothing left to reclaim
+    assert maint.vacuum(retention_ms=0, dry_run=True, lite=True) == []
+    h = t.history()[0]
+    assert h["operation"] == "VACUUM LITE END"
+
+
+def test_vacuum_lite_refuses_on_cleaned_window(spark, tmp_path):
+    """A cleaned delta file inside the window breaks coverage — LITE
+    must refuse loudly instead of silently missing tombstones."""
+    from connectors_spark.errors import DeltaError
+    from connectors_spark.log import filenames as fn
+    path = str(tmp_path / "t")
+    t = DeltaTable.for_path(spark, path)
+    cfg = {"delta.checkpointInterval": "2"}
+    t.write(spark.range(5).select(F.col("id")), configuration=cfg)
+    t.delete(Col("id") < Lit(2))
+    t.write(spark.range(5, 9).select(F.col("id")), mode="append")
+    # simulate W8 cleanup of an early commit
+    os.remove(fn.delta_file(t.log.log_path, 1))
+    with pytest.raises(DeltaError, match="cannot prove coverage"):
+        TableMaintenance(t).vacuum(retention_ms=0, lite=True)

@@ -13,6 +13,7 @@ pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from connectors_spark import DeltaTable
+from connectors_spark.expressions import Col, Lit
 from tests.conftest import SF_DIR
 from connectors_spark.errors import DeltaError
 from connectors_spark.streaming import DeltaStreamSink, register_stream_source
@@ -1034,3 +1035,44 @@ def test_sink_schema_merge_preserves_generated_metadata(spark, tmp_path):
     with _pytest.raises(DeltaError, match="generated column"):
         sink.write_batch(
             spark.createDataFrame([Row(k=7, k2=999, extra="y")]), 1)
+
+
+def test_stream_with_row_ids(spark, tmp_path):
+    # withRowIds: the stream's _row_id/_row_commit_version equal the
+    # batch reader's for the snapshot, and fresh appends continue from
+    # the watermark.
+    src = tmp_path / "src"
+    t = DeltaTable.for_path(spark, str(src))
+    t.write(spark.range(0, 40).select(
+        F.col("id"), (F.col("id") * 10).alias("val")),
+        configuration={"delta.enableRowTracking": "true"})
+    t.write(spark.range(40, 60).select(
+        F.col("id"), (F.col("id") * 10).alias("val")), mode="append")
+    t.delete(Col("id") < Lit(5), deletion_vectors=True)
+    q = (spark.readStream.format("delta_stream")
+         .option("path", str(src))
+         .option("withRowIds", "true").load()
+         .writeStream.format("memory").queryName("rid_snap")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    stream = {r["id"]: (r["_row_id"], r["_row_commit_version"])
+              for r in spark.sql("select * from rid_snap").collect()}
+    batch = {r["id"]: (r["_row_id"], r["_row_commit_version"])
+             for r in t.to_df(with_row_ids=True).collect()}
+    assert stream == batch
+    assert len(stream) == 55
+
+
+def test_stream_row_ids_requires_tracking(spark, tmp_path):
+    from connectors_spark.errors import DeltaError
+    src = tmp_path / "src"
+    _mk_table(spark, src, versions=1)
+    with pytest.raises(Exception, match="enableRowTracking"):
+        q = (spark.readStream.format("delta_stream")
+             .option("path", str(src))
+             .option("withRowIds", "true").load()
+             .writeStream.format("memory").queryName("rid_err")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
