@@ -154,6 +154,11 @@ def main() -> None:
         "queries_median": medians,
         "raw_runs": raw_runs,
         "calibration_sec": calibration_sec,
+        # host-independent headline (VERDICT r11 #8): raw wall-clock
+        # divided by the fixed-work calibration probe — comparable
+        # across rounds even when the host is contended
+        "value_normalized": round(total / calibration_sec, 1)
+        if calibration_sec > 0 else None,
         "sf": float(sf),
     }
     if errors:
@@ -162,6 +167,9 @@ def main() -> None:
         # other (per-query timings remain usable either way).
         out["errors"] = errors
         out["incomplete"] = True
+    print(f"# TOTAL {total:.3f}s (normalized "
+          f"{out['value_normalized']}x calibration "
+          f"{calibration_sec:.3f}s)", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
 

@@ -21,7 +21,7 @@ independently of any codec.
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Callable, Dict, Iterator, Optional
 
 import pandas as pd
 
@@ -761,6 +761,49 @@ def synth_adpcm_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         gen, schema=f"{id_col} long, media binary")
 
 
+# ---------------------------------------------------------------------------
+# Pluggable EXTERNAL decoders (the formal seam for the native-codec
+# ceiling): formats whose decode is out of scope in this container
+# (mp3, h264, arithmetic-coded JPEG) raise NotImplementedError UNLESS
+# a deployment registers a real decoder for the sniffed format — e.g.
+# a minimp3 / pyav / libjpeg-turbo binding. The registry snapshot is
+# captured BY VALUE into each mapInPandas closure (module state on the
+# driver is invisible to executor interpreters), so registration needs
+# no plan, schema, or code change — the dispatch surface is proven by
+# tests/test_multimodal_seam.py with a fake registered decoder.
+# Decoder contract per kind:
+#   audio: fn(bytes) -> (sample_rate, channels, [interleaved ints])
+# ---------------------------------------------------------------------------
+
+_EXTERNAL_DECODERS: Dict[str, Dict[str, Callable]] = {"audio": {}}
+
+
+def register_external_decoder(kind: str, fmt: str,
+                              fn: Callable) -> None:
+    """Register a native decoder for a guarded format (e.g.
+    ``("audio", "audio/mpeg", minimp3_decode)``). ``fn`` must be
+    picklable (module-level) — it ships to executors by value."""
+    if kind not in _EXTERNAL_DECODERS:
+        raise ValueError(f"unknown media kind {kind!r} "
+                         f"(have {sorted(_EXTERNAL_DECODERS)})")
+    _EXTERNAL_DECODERS[kind][fmt] = fn
+
+
+def unregister_external_decoder(kind: str, fmt: str) -> None:
+    _EXTERNAL_DECODERS.get(kind, {}).pop(fmt, None)
+
+
+def _sniff_guarded_audio(blob: bytes) -> Optional[str]:
+    """Format tag for audio formats this container cannot decode
+    natively: MPEG audio (ID3v2 tag or an MPEG-1 frame sync)."""
+    if blob[:3] == b"ID3":
+        return "audio/mpeg"
+    if len(blob) >= 2 and blob[0] == 0xFF and (blob[1] & 0xE0) == 0xE0 \
+            and blob[:4] != b"\xff\xd8\xff\xe0":
+        return "audio/mpeg"
+    return None
+
+
 def decode_audio(media_df: DataFrame, id_col: str = "doc_id",
                  media_col: str = "media") -> DataFrame:
     """REAL audio decode via the stdlib WAV codec: per clip, sample
@@ -777,13 +820,25 @@ def decode_audio(media_df: DataFrame, id_col: str = "doc_id",
     from ..shipping import ensure_shipped_by_value
     ensure_shipped_by_value()
 
+    ext_reg = dict(_EXTERNAL_DECODERS["audio"])   # snapshot BY VALUE
+
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for did, blob in zip(pdf[id_col], pdf[media_col]):
                 blob = bytes(blob)
+                guarded = _sniff_guarded_audio(blob)
                 if blob[:4] == b"fLaC":
                     rate, ch, samples = fc.decode_flac(blob)
+                elif guarded is not None:
+                    if guarded not in ext_reg:
+                        raise NotImplementedError(
+                            f"{guarded} decode needs a native codec "
+                            f"not present in this environment; "
+                            f"register one via "
+                            f"register_external_decoder('audio', "
+                            f"{guarded!r}, fn)")
+                    rate, ch, samples = ext_reg[guarded](blob)
                 else:
                     rate, ch, samples = ac.decode_wav(blob)
                 arr = np.array(samples, dtype=np.int64)

@@ -16,9 +16,11 @@ registry entries are documented exact-O(n²) verification paths
 cost is quadratic by definition at sf1.
 
 Usage: python scripts/sweep_sf1.py [sf_dir] [budget_sec] [out_json]
-                                   [resume_log]
+                                   [resume_log] [only]
 `resume_log`: a previous run's stdout; queries with a PASS/SKIP line
 there are carried over instead of re-run.
+`only`: comma-separated registry names — sweep just that subset (the
+sf10 probe targets the ~30 most expensive ranks, VERDICT r11 #1).
 """
 from __future__ import annotations
 
@@ -74,8 +76,17 @@ def main() -> None:
                         r"(PASS|SKIP) ([a-z0-9_]+):", line):
                     carried[m.group(2)] = m.group(1)
 
+    only = None
+    if len(sys.argv) > 5 and sys.argv[5].strip():
+        only = set(sys.argv[5].split(","))
+        unknown = only - set(REGISTRY)
+        if unknown:
+            raise SystemExit(f"unknown query names: {sorted(unknown)}")
+
     results = {}
     for name, qd in REGISTRY.items():
+        if only is not None and name not in only:
+            continue
         if name in carried:
             results[name] = {"status": "pass_prior"
                              if carried[name] == "PASS"
