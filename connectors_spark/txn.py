@@ -729,6 +729,23 @@ class OptimisticTransaction:
                 if any(_has_variant(f.dataType)
                        for f in meta.schema.fields):
                     extra.add("variantType")
+            # WRITER-7-TIER features the table state activates are
+            # exercised by every commit that runs under them — declare
+            # them opt-in or not (delta-spark bumps on enablement).
+            # Legacy-tier features (CDF/constraints/generated/identity/
+            # column mapping) stay on the documented reference-parity
+            # stance: autoUpgrade is their opt-in (SURVEY W9).
+            eff_cfg = TableConfig(effective_meta.configuration)
+            if eff_cfg.enable_row_tracking:
+                extra.update({"rowTracking", "domainMetadata"})
+            if eff_cfg.enable_in_commit_timestamps:
+                extra.add("inCommitTimestamp")
+            if eff_cfg.checkpoint_policy == "v2":
+                extra.add("v2Checkpoint")
+            if eff_cfg.enable_type_widening or any(
+                    (f.metadata or {}).get("delta.typeChanges")
+                    for f in effective_meta.schema.fields):
+                extra.add("typeWidening")
             if cfg.protocol_auto_upgrade or has_feature_props or extra:
                 # Opt-in interop safety: compute the protocol the table
                 # state REQUIRES (spec version map) and bump the
