@@ -460,7 +460,8 @@ def ivf_pq_adc_topk(spark, index_path: str, queries: DataFrame,
 
 def semdedup(df: DataFrame, k: int = 8, iters: int = 2,
              threshold: float = 0.4, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             max_cluster_size: int = 2500) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means,
     then drop semantic duplicates WITHIN each cluster — a document is
     dropped when a lower-id document in its cluster has cosine
@@ -470,27 +471,46 @@ def semdedup(df: DataFrame, k: int = 8, iters: int = 2,
     Returns (id_col, cluster, dropped): the full corpus labeled.
 
     Scale shape: the all-pairs comparison is confined to clusters —
-    cost Σ |cluster|², the entire point of clustering first. k grows
-    with the corpus (|cluster| ≈ n/k stays bounded), and the pair join
-    is an equi-join on cluster id, so no cross-cluster pair ever
-    materializes. Similarities are rounded to 6 before thresholding so
-    the drop set is engine- and partitioning-independent.
+    cost Σ |cluster|², the entire point of clustering first. With a
+    FIXED k, cluster sizes grow with the corpus and Σ|c|² turns
+    quadratic (found REAL at the sf10 probe: k=8 over 200k vectors
+    timed out — 25k-row clusters are 625M pairs each).
+    ``max_cluster_size`` bounds it: clusters above the cap are
+    deterministically sub-split by ``hash64(id) % ceil(m/cap)`` and
+    pairs only form within a sub-split — candidate count ≤ cap·n
+    (LINEAR in n), at the cost of missing duplicates that land in
+    different sub-splits of one oversized cluster (the bounded-
+    candidate tradeoff; raise k with the corpus to keep clusters under
+    the cap and the sub-split never activates). Similarities are
+    rounded to 6 before thresholding so the drop set is engine- and
+    partitioning-independent.
     """
+    from ..functions.text import hash64
     _, assigned = kmeans_fit(df, k, iters, id_col, vec_col)
     labeled = (df.select(F.col(id_col).alias("_id"),
                          F.col(vec_col).cast("array<double>").alias("_v"))
                .join(assigned.select(F.col(id_col).alias("_id"), "cluster"),
                      "_id"))
-    nrm = labeled.withColumn(
-        "_n", F.sqrt(F.aggregate("_v", F.lit(0.0),
-                                 lambda a, x: a + x * x)))
-    a = nrm.select("cluster", F.col("_id").alias("_a"),
+    sizes = labeled.groupBy("cluster").agg(F.count(F.lit(1)).alias("_m"))
+    nrm = (labeled.join(F.broadcast(sizes), "cluster")
+           .withColumn(
+               "_sub",
+               F.when(F.col("_m") > max_cluster_size,
+                      hash64(F.col("_id").cast("string"))
+                      % F.expr(f"(_m + {max_cluster_size - 1}) "
+                               f"div {max_cluster_size}"))
+               .otherwise(F.lit(0)))
+           .drop("_m")
+           .withColumn(
+               "_n", F.sqrt(F.aggregate("_v", F.lit(0.0),
+                                        lambda a, x: a + x * x))))
+    a = nrm.select("cluster", "_sub", F.col("_id").alias("_a"),
                    F.col("_v").alias("_va"), F.col("_n").alias("_na"))
-    b = nrm.select("cluster", F.col("_id").alias("_b"),
+    b = nrm.select("cluster", "_sub", F.col("_id").alias("_b"),
                    F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
     dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
-    dropped = (a.join(b, "cluster")
+    dropped = (a.join(b, ["cluster", "_sub"])
                .filter(F.col("_a") < F.col("_b"))
                .withColumn("_sim", F.round(
                    dot / F.col("_na") / F.col("_nb"), 6))

@@ -443,19 +443,27 @@ win AS (
               ELSE list_distinct(h) END AS fps
   FROM kg),
 ex AS (SELECT doc_id, len(fps) AS z, unnest(fps) AS f FROM win),
+hot AS (SELECT f FROM ex GROUP BY f HAVING count(*) > 128),
+ex2 AS (SELECT * FROM ex WHERE f NOT IN (SELECT f FROM hot)),
 pairs AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          any_value(a.z) AS za, any_value(b.z) AS zb,
          count(*)::BIGINT AS shared
-  FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+  FROM ex2 a JOIN ex2 b ON a.f = b.f AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT a_id, b_id, shared,
        round(shared::DOUBLE / (za + zb - shared), 6) AS overlap
 FROM pairs WHERE shared >= 30
 """)
 def doc_winnow(spark, sf_dir):
+    # max_fp_freq=128: a fingerprint appearing in f docs expands to
+    # f²/2 candidate pairs; uncapped, one ubiquitous boilerplate
+    # k-gram makes the self-join quadratic (found REAL at the sf10
+    # probe — the r11 LSH bucket-cap cliff class). The oracle models
+    # the cap (hot/ex2 CTEs), and `z` stays the FULL fingerprint-set
+    # size on both sides so the overlap denominator is uncapped.
     return dd.winnow_overlap_pairs(load(spark, sf_dir, "documents"),
-                                   min_shared=30)
+                                   min_shared=30, max_fp_freq=128)
 
 
 # --------------------------------------------------------------------------
@@ -2245,12 +2253,21 @@ def emb_pq(spark, sf_dir):
 
 @register("emb_semdedup", sql=f"""
 WITH {_KMEANS_CTES},
+cs AS (SELECT cl, count(*) AS m FROM asg GROUP BY cl),
+sb AS (
+  SELECT asg.vec_id, asg.cl,
+         CASE WHEN cs.m > 2500
+              THEN ({_H64.format(v="asg.vec_id::VARCHAR")})
+                   % ((cs.m + 2499) // 2500)
+              ELSE 0 END AS sub
+  FROM asg JOIN cs USING (cl)),
 nr AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
 p AS (
   SELECT ua.vec_id AS a, ub.vec_id AS b,
          round(sum(ua.v * ub.v) / na.nrm / nb.nrm, 6) AS sim
-  FROM asg aa
-  JOIN asg ab ON aa.cl = ab.cl AND ab.vec_id > aa.vec_id
+  FROM sb aa
+  JOIN sb ab ON aa.cl = ab.cl AND aa.sub = ab.sub
+            AND ab.vec_id > aa.vec_id
   JOIN u ua ON ua.vec_id = aa.vec_id
   JOIN u ub ON ub.vec_id = ab.vec_id AND ub.i = ua.i
   JOIN nr na ON na.vec_id = aa.vec_id
@@ -2263,8 +2280,12 @@ FROM asg
 """)
 def emb_semdedup(spark, sf_dir):
     # SemDeDup: within each k-means cluster, a vector is dropped when a
-    # lower-id cluster-mate has cosine >= 0.35. All-pairs cost is
-    # bounded per cluster; no cross-cluster pair materializes.
+    # lower-id cluster-mate has cosine >= 0.35. Clusters above
+    # max_cluster_size (2500) are deterministically sub-split
+    # (hash64(id) % ceil(m/2500)) so candidate count stays LINEAR in n
+    # with fixed k — the sf10 probe caught the uncapped version going
+    # quadratic (625M-pair clusters). The oracle models the sub-split
+    # (cs/sb CTEs).
     from ..ops.clustering import semdedup
     emb = load(spark, sf_dir, "embeddings").cache()
     return semdedup(emb, k=8, iters=2, threshold=0.35)

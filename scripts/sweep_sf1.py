@@ -64,6 +64,9 @@ def main() -> None:
     spark = (SparkSession.builder.master(f"local[{cpus}]")
              .config("spark.sql.shuffle.partitions", cpus)
              .config("spark.driver.memory", "16g")
+             # whole-table hash gates (delta_manifest_read) legally
+             # collect O(table) rows at probe scale
+             .config("spark.driver.maxResultSize", "8g")
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
