@@ -779,6 +779,69 @@ def delta_row_ids(spark, sf_dir):
               .otherwise(0)).cast("long").alias("n_stable"))
 
 
+@register("delta_vacuum_lite", sql="""
+SELECT o_orderstatus AS s, count(*) AS n,
+       sum(o_orderkey)::BIGINT AS sum_k,
+       round(sum(o_totalprice), 2) AS sum_p
+FROM orders GROUP BY s
+""")
+def delta_vacuum_lite(spark, sf_dir):
+    # VACUUM LITE (log-inventory vacuum): OPTIMIZE tombstones the
+    # small files, then lite vacuum derives the doomed set from the
+    # LOG (zero data-tree listing) and reclaims them; the gate
+    # hash-compares the post-vacuum table against the oracle AND
+    # asserts the reclaim actually happened (>= 2 files deleted, a
+    # VACUUM LITE END marker on top of the history) via a refusal
+    # column the oracle can't fake.
+    from ..table import TableMaintenance
+
+    def build(d):
+        od = load(spark, sf_dir, "orders")
+        t = DeltaTable.for_path(spark, d)
+        t.write(od.repartition(8), mode="append")
+        TableMaintenance(t).optimize(min_files_per_group=2)
+        deleted = TableMaintenance(t).vacuum(retention_ms=0, lite=True)
+        assert len(deleted) >= 2, deleted
+        h = t.log.history()[0]
+        assert h["operation"] == "VACUUM LITE END", h
+    d = _built(sf_dir, "orders_vacuum_lite", build)
+    t = DeltaTable.for_path(spark, d)
+    return (t.to_df()
+            .groupBy(F.col("o_orderstatus").alias("s"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_orderkey").alias("sum_k"),
+                 F.round(F.sum("o_totalprice"), 2).alias("sum_p")))
+
+
+@register("delta_rt_backfill", sql="""
+SELECT count(*) AS n, count(*) AS n_ids, count(*) AS n_dense
+FROM events
+""")
+def delta_rt_backfill(spark, sf_dir):
+    # Row-tracking ENABLEMENT backfill (ADVICE r11): the table is
+    # written WITHOUT row tracking, the property is flipped on via
+    # SET TBLPROPERTIES, and the same commit must backfill baseRowId
+    # onto every pre-existing file — n_ids counts non-null ids, and
+    # n_dense counts ids in [0, n) after dedup, so both equal count(*)
+    # only if every old row got a unique dense id with no rewrite.
+    def build(d):
+        t = DeltaTable.for_path(spark, d)
+        ev = load(spark, sf_dir, "events")
+        t.write(ev.repartition(4), mode="append")
+        t.set_properties({"delta.enableRowTracking": "true"})
+    d = _built(sf_dir, "events_rt_backfill", build)
+    t = DeltaTable.for_path(spark, d)
+    df = t.to_df(with_row_ids=True)
+    n = df.count()
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("_row_id").alias("n_ids"),
+        F.countDistinct(
+            F.when((F.col("_row_id") >= 0)
+                   & (F.col("_row_id") < F.lit(n)), F.col("_row_id")))
+        .alias("n_dense"))
+
+
 @register("delta_variant_roundtrip", sql="""
 SELECT o_orderstatus AS s, count(*) AS n,
        sum(o_orderkey)::BIGINT AS sum_k,
