@@ -87,7 +87,7 @@ def write_checkpoint(snapshot: Snapshot, parts: Optional[int] = None) -> int:
         F.lit(False).alias("extendedFileMetadata"),
         F.lit(None).cast("map<string,string>").alias("partitionValues"),
         F.lit(None).cast("long").alias("size"),
-        F.lit(None).cast("map<string,string>").alias("tags"),
+        F.col("tags"),
         F.lit(None).cast("long").alias("baseRowId"),
         F.lit(None).cast("long").alias("defaultRowCommitVersion"),
     )

@@ -219,7 +219,11 @@ def reconstruct_checksum(store, log_path: str, version: int,
                 if a is not None]
         pending.append(acts)
         if v == 0:
-            anchor = VersionChecksum(0, 0)  # fold from the empty table
+            # fold from the empty table — whose domain state is KNOWN
+            # empty, not unknown: anchoring with domainMetadata=None
+            # would mark every chain rebuilt from genesis as
+            # domain-unverifiable and silently skip the check
+            anchor = VersionChecksum(0, 0, domainMetadata=[])
             break
         anchor = read_checksum(store, log_path, v - 1)
         if anchor is not None:

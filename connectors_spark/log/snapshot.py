@@ -423,15 +423,26 @@ class Snapshot:
         min_ts = self._min_file_retention_ts
         if min_ts is None:
             min_ts = int(time.time() * 1000) - 7 * 24 * 3600 * 1000
+        return self.retained_tombstones(min_ts)
+
+    def retained_tombstones(self, min_ts: int) -> DataFrame:
+        """Latest-per-path RemoveFile tombstones with
+        ``deletionTimestamp > min_ts``. VACUUM calls this with its own
+        horizon: these paths (and their DV sidecars, via ``tags``) are
+        protected state — the files they name must survive until the
+        retention window passes (InMemoryLogReplay.scala:90-92;
+        delta-spark's VACUUM protects by deletionTimestamp, not mtime)."""
         acts = self.actions_df()
         removes = acts.where(F.col("remove.path").isNotNull()).select(
             canonical_path_col("remove.path", self.table_path).alias("path"),
             F.col("remove.deletionTimestamp").alias("deletionTimestamp"),
+            F.col("remove.tags").alias("tags"),
             F.col("version"),
         )
         adds = acts.where(F.col("add.path").isNotNull()).select(
             canonical_path_col("add.path", self.table_path).alias("path"),
             F.lit(None).cast("long").alias("deletionTimestamp"),
+            F.col("add.tags").alias("tags"),
             F.col("version"),
         ).withColumn("is_add", F.lit(1))
         removes = removes.withColumn("is_add", F.lit(0))

@@ -509,19 +509,32 @@ class DeltaTable:
         new values immediately — e.g. ``delta.appendOnly=true`` blocks
         the next delete/update/overwrite."""
         import dataclasses
-        txn = self.log.start_transaction()
-        snap = txn.snapshot
-        if snap is None:
-            raise FileNotFoundError("table does not exist")
+
+        from .errors import ConcurrentModificationException
         if "delta.columnMapping.mode" in props:
             raise DeltaError("use enable_column_mapping(); the mode "
                              "cannot be set directly")
-        conf = dict(snap.metadata.configuration or {})
-        conf.update(props)
-        txn.update_metadata(dataclasses.replace(
-            snap.metadata, configuration=conf))
-        return txn.commit([], "SET TBLPROPERTIES",
-                          {"properties": json.dumps(dict(props))})
+        # Fresh-snapshot retry: a property commit re-derives everything
+        # it writes (merged configuration, and — when flipping
+        # delta.enableRowTracking — the enablement backfill's re-add
+        # list) from the snapshot, so losing a race is resolved by
+        # recomputing on the new head, never by replaying stale actions.
+        last: Optional[Exception] = None
+        for _ in range(10):
+            txn = self.log.start_transaction()
+            snap = txn.snapshot
+            if snap is None:
+                raise FileNotFoundError("table does not exist")
+            conf = dict(snap.metadata.configuration or {})
+            conf.update(props)
+            txn.update_metadata(dataclasses.replace(
+                snap.metadata, configuration=conf))
+            try:
+                return txn.commit([], "SET TBLPROPERTIES",
+                                  {"properties": json.dumps(dict(props))})
+            except ConcurrentModificationException as e:
+                last = e
+        raise last
 
     # ------------------------------------------- column mapping (name mode)
 
@@ -3043,7 +3056,14 @@ class TableMaintenance:
                    .repartition(n_seed_parts)
                    .mapInPandas(list_subtree, "rel string, mtime long"))
 
-        # active files ∪ referenced deletion-vector sidecars, canonical
+        # Protective set: active files ∪ referenced deletion-vector
+        # sidecars ∪ tombstones still inside the retention window.
+        # The last leg is the contract VACUUM must honour
+        # (InMemoryLogReplay.scala:90-92, DeltaConfig.scala:219-225):
+        # a file DELETE'd yesterday has an OLD mtime but its tombstone
+        # is young — reclaiming it would strand time travel to every
+        # version of the past week. Protection keys on
+        # deletionTimestamp, never mtime.
         from .dv import DV_TAG
         active = snap.files_df.select(F.col("path").alias("__p"))
         dv = (snap.files_df
@@ -3051,7 +3071,15 @@ class TableMaintenance:
               .where(F.col("__t").isNotNull())
               .select(canonical_path_col("__t", snap.table_path)
                       .alias("__p")))
-        active = active.unionByName(dv).distinct()
+        young = snap.retained_tombstones(horizon)
+        young_paths = young.select(F.col("path").alias("__p"))
+        young_dv = (young
+                    .select(F.col("tags").getItem(DV_TAG).alias("__t"))
+                    .where(F.col("__t").isNotNull())
+                    .select(canonical_path_col("__t", snap.table_path)
+                            .alias("__p")))
+        active = (active.unionByName(dv).unionByName(young_paths)
+                  .unionByName(young_dv).distinct())
 
         # No broadcast hint on the anti-join: the active inventory is
         # usually tiny (→ auto-broadcast) but a forced hint would pin a
@@ -3150,32 +3178,74 @@ class TableMaintenance:
                    .select(canonical_path_col("remove.path",
                                               snap.table_path)
                            .alias("__p"),
-                           F.col("remove.deletionTimestamp")
-                           .alias("__ts"),
+                           F.coalesce(F.col("remove.deletionTimestamp"),
+                                      F.lit(0)).alias("__ts"),
                            F.col("remove.tags").getItem(DV_TAG)
-                           .alias("__dv"))
-                   .where(F.coalesce(F.col("__ts"), F.lit(0))
-                          <= F.lit(horizon)))
+                           .alias("__dv"),
+                           F.regexp_extract(F.input_file_name(),
+                                            r"(\d+)\.json$", 1)
+                           .cast("long").alias("__v")))
+        # Retention is decided per PATH on the YOUNGEST tombstone, not
+        # per remove row: a path removed, RESTORE-re-added and removed
+        # again has two tombstones, and the young one guards the file
+        # for time travel even when the old one is past the horizon
+        # (InMemoryLogReplay.scala:90-92 keeps latest-per-path).
+        doomed_paths = (removes.groupBy("__p")
+                        .agg(F.max("__ts").alias("__max_ts"))
+                        .where(F.col("__max_ts") <= F.lit(horizon))
+                        .select("__p"))
         # tombstoned DV sidecars ride along (same rule as full vacuum)
-        dvs = (removes.where(F.col("__dv").isNotNull())
+        dvs = (removes.join(doomed_paths, "__p", "semi")
+               .where(F.col("__dv").isNotNull())
                .select(canonical_path_col("__dv", snap.table_path)
                        .alias("__p")))
-        cand = removes.select("__p").unionByName(dvs).distinct()
+        cand = doomed_paths.unionByName(dvs).distinct()
+        # Protective anti-join: active files ∪ their DV sidecars ∪
+        # snapshot-level in-retention tombstones (+ their sidecars).
+        # The last leg is belt-and-braces vs a young tombstone living
+        # OUTSIDE the window (e.g. a marker written by an engine with
+        # a different advance rule).
         active = snap.files_df.select(F.col("path").alias("__p"))
         adv = (snap.files_df
                .select(F.col("tags").getItem(DV_TAG).alias("__t"))
                .where(F.col("__t").isNotNull())
                .select(canonical_path_col("__t", snap.table_path)
                        .alias("__p")))
-        cand = cand.join(active.unionByName(adv).distinct(),
-                         "__p", "left_anti")
+        young = snap.retained_tombstones(horizon)
+        young_paths = young.select(F.col("path").alias("__p"))
+        young_dv = (young
+                    .select(F.col("tags").getItem(DV_TAG).alias("__t"))
+                    .where(F.col("__t").isNotNull())
+                    .select(canonical_path_col("__t", snap.table_path)
+                            .alias("__p")))
+        protect = (active.unionByName(adv).unionByName(young_paths)
+                   .unionByName(young_dv).distinct())
+        cand = cand.join(protect, "__p", "left_anti")
+        # Marker advance: a version whose tombstones are all past the
+        # horizon is fully handled; the FIRST version still carrying an
+        # in-retention tombstone (and everything after it) must stay in
+        # the NEXT run's window, or those files would never be
+        # reclaimable by a lite run once they age out.
+        skipped = (removes.where(F.col("__ts") > F.lit(horizon))
+                   .agg(F.min("__v")).collect()[0][0])
+        vacuumed_through = head if skipped is None else int(skipped) - 1
         prefix = local_root.rstrip("/") + "/"
         cand = (cand.where(F.col("__p").startswith(prefix))
                 .select(F.expr(
                     f"substring(__p, {len(prefix) + 1})").alias("rel")))
 
         if dry_run:
-            return sorted(r["rel"] for r in cand.collect())
+            # windows can overlap (the marker only advances past fully
+            # aged-out versions) — report only files that still exist
+            def exists_filter(batches):
+                for pdf in batches:
+                    keep = [rel for rel in pdf["rel"]
+                            if store.exists(os.path.join(local_root,
+                                                         rel))]
+                    yield pd.DataFrame({"rel": keep})
+            return sorted(r["rel"] for r in
+                          cand.mapInPandas(exists_filter,
+                                           "rel string").collect())
 
         def delete_files(batches):
             for pdf in batches:
@@ -3184,7 +3254,7 @@ class TableMaintenance:
                     try:
                         store.delete(os.path.join(local_root, rel))
                     except FileNotFoundError:
-                        pass          # already reclaimed / task retry
+                        continue      # already reclaimed / task retry
                     done.append(rel)
                 yield pd.DataFrame({"rel": done})
 
@@ -3193,7 +3263,7 @@ class TableMaintenance:
                                          "rel string").collect())
         txn = t.log.start_transaction()
         txn.commit([], "VACUUM LITE END",
-                   {"lastVacuumedVersion": str(head),
+                   {"lastVacuumedVersion": str(vacuumed_through),
                     "retentionCheckEnabled": "true",
                     "numDeletedFiles": str(len(doomed))})
         return doomed

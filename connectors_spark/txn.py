@@ -181,12 +181,23 @@ class OptimisticTransaction:
                 if a.path not in already]
             if backfill:
                 self._read_whole_table = True
+                self._carries_enablement_backfill = True
                 acts = acts + backfill
 
         data_changed = any(
             getattr(a, "dataChange", False)
             for a in acts if isinstance(a, (AddFile, RemoveFile)))
-        isolation = SERIALIZABLE if data_changed else SNAPSHOT_ISOLATION
+        # The enablement backfill is dataChange=False but its re-add
+        # list IS a whole-table read: under SnapshotIsolation a
+        # concurrent blind append would be skipped by J2, and the
+        # winner's pre-enablement file — absent from our stale list —
+        # would end up with no baseRowId (NULL _row_id on a freshly
+        # row-tracked table). SERIALIZABLE makes the winner abort us;
+        # the caller's retry recomputes the backfill from a fresh
+        # snapshot.
+        isolation = SERIALIZABLE if (
+            data_changed or getattr(self, "_carries_enablement_backfill",
+                                    False)) else SNAPSHOT_ISOLATION
         only_add_files = all(not isinstance(a, RemoveFile)
                              for a in acts if isinstance(a, (AddFile, RemoveFile)))
         depends_on_files = bool(self.read_predicates) or self._read_whole_table

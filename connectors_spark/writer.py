@@ -326,6 +326,15 @@ def stage_and_collect(df: DataFrame, table_path: str,
         # one count per file over exactly the published paths.
         import dataclasses
 
+        # Seed zero-row files first: a published empty parquet yields no
+        # groupBy row below, and an AddFile left with stats=None fails
+        # the 'row tracking requires numRecords stats' commit gate.
+        zero = json.dumps({"numRecords": 0, "minValues": {},
+                           "maxValues": {}, "nullCount": {}},
+                          separators=(",", ":"))
+        adds = [dataclasses.replace(a, stats=zero)
+                if a.stats is None else a for a in adds]
+
         from pyspark.sql import functions as F
 
         from .log.snapshot import canonical_path, canonical_path_col

@@ -251,3 +251,30 @@ def test_checksum_domain_roundtrip_json(tmp_path):
     legacy = cks.VersionChecksum.from_json(
         '{"tableSizeBytes":5,"numFiles":1}')
     assert legacy.domainMetadata is None
+
+
+def test_checksum_rebuilt_from_genesis_tracks_domains(spark, tmp_path):
+    """ADVICE r12 (low): a chain rebuilt from the EMPTY table must
+    anchor with domainMetadata=[] (known-empty), not None (unknown) —
+    otherwise verify silently skips the domain check forever."""
+    t = DeltaTable.for_path(spark, str(tmp_path / "crcgen"))
+    t.write(spark.range(0, 30).select(
+        F.col("id"), (F.col("id") * 2).alias("v")),
+        configuration={"delta.enableRowTracking": "true"})
+    # sever the chain completely, then let the next commit self-heal
+    # by walking back to version 0
+    for v in range(t.snapshot().version + 1):
+        try:
+            t.log.store.delete(cks.checksum_file(t.log.log_path, v))
+        except FileNotFoundError:
+            pass
+    t.write(spark.range(30, 40).select(
+        F.col("id"), (F.col("id") * 2).alias("v")), mode="append")
+    head = t.snapshot().version
+    crc = _crc(t, head)
+    assert crc is not None
+    assert crc.domainMetadata is not None     # known, not skipped
+    rec = {dm.domain: dm.configuration for dm in crc.domainMetadata}
+    assert rec == dict(t.snapshot().domain_metadata)
+    out = TableMaintenance(t).verify_checksum()
+    assert out["checksum_present"]

@@ -350,3 +350,43 @@ def test_materialized_name_collision_picks_fresh_names(spark, tmp_path):
     assert after == before
     # the user column is untouched
     assert t.to_df().select("_rt_row_id").distinct().collect()[0][0] == 7
+
+
+def test_rt_enablement_backfill_aborts_on_concurrent_append(spark,
+                                                            tmp_path):
+    """ADVICE r12 (medium): the enablement backfill is dataChange=False
+    but reads the whole table — a concurrent blind append landing
+    between snapshot and commit must ABORT it (SERIALIZABLE), or the
+    winner's pre-enablement file ends up with no baseRowId and reads
+    NULL _row_id on a freshly row-tracked table."""
+    import dataclasses
+
+    from connectors_spark.errors import ConcurrentModificationException
+
+    path = str(tmp_path / "t")
+    t = DeltaTable.for_path(spark, path)
+    t.write(spark.range(0, 40).select(
+        F.col("id"), (F.col("id") * 2).alias("v")))
+    # stale enablement txn: snapshot taken BEFORE the racing append
+    txn = t.log.start_transaction()
+    snap = txn.snapshot
+    conf = dict(snap.metadata.configuration or {})
+    conf.update({"delta.enableRowTracking": "true",
+                 "delta.protocol.autoUpgrade": "true"})
+    txn.update_metadata(dataclasses.replace(snap.metadata,
+                                            configuration=conf))
+    t2 = DeltaTable.for_path(spark, path)
+    t2.write(spark.range(40, 60).select(
+        F.col("id"), (F.col("id") * 2).alias("v")), mode="append")
+    with pytest.raises(ConcurrentModificationException):
+        txn.commit([], "SET TBLPROPERTIES", {})
+    # the public path retries from a fresh snapshot: every live file —
+    # including the race winner's — gets a baseRowId
+    t.set_properties({"delta.enableRowTracking": "true",
+                      "delta.protocol.autoUpgrade": "true"})
+    snap = t.log.snapshot()
+    assert all(r["baseRowId"] is not None
+               for r in snap.files_df.select("baseRowId").collect())
+    rids = [v[0] for v in _rids(t).values()]
+    assert len(rids) == 60 and len(set(rids)) == 60
+    assert all(r is not None for r in rids)

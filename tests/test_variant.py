@@ -88,3 +88,24 @@ def test_variant_dml_and_optimize(spark, tmp_path):
                "id", F.variant_get("v", "$.a", "long").alias("a"))
            .collect()}
     assert got == {i: i for i in range(5, 30)}
+
+
+def test_variant_zero_row_file_gets_zero_stats(spark, tmp_path):
+    """ADVICE r12 (low): the variant numRecords fallback derives stats
+    from a groupBy over READ rows — a published zero-row parquet gets
+    no count row. Every variant-path AddFile must be seeded with
+    numRecords=0 first, or committing it on a row-tracked table fails
+    the 'row tracking requires numRecords stats' gate."""
+    import json as _json
+    t = DeltaTable.for_path(spark, str(tmp_path / "t"))
+    t.write(_vdf(spark, 0, 10),
+            configuration={"delta.enableRowTracking": "true",
+                           "delta.protocol.autoUpgrade": "true"})
+    empty = _vdf(spark, 0, 10).where("id < 0").coalesce(1)
+    t.write(empty, mode="append")          # must not raise
+    snap = t.log.snapshot()
+    stats = [_json.loads(r["stats"])["numRecords"]
+             for r in snap.files_df.select("stats").collect()]
+    assert 0 in stats                      # the empty file, seeded
+    assert sum(stats) == 10
+    assert t.to_df().count() == 10
