@@ -336,6 +336,8 @@ class CommitInfo:
     isBlindAppend: Optional[bool] = None
     operationMetrics: Optional[Dict[str, str]] = None
     userMetadata: Optional[str] = None
+    userId: Optional[str] = None
+    userName: Optional[str] = None
     engineInfo: Optional[str] = None
     # delta.enableInCommitTimestamps: the COMMIT's own monotonic clock
     # (max(wall, prev+1)), immune to log-file mtime skew/copies
@@ -348,8 +350,8 @@ class CommitInfo:
             "operationParameters": self.operationParameters,
         }
         for k in ("readVersion", "isolationLevel", "isBlindAppend",
-                  "operationMetrics", "userMetadata", "engineInfo",
-                  "inCommitTimestamp"):
+                  "operationMetrics", "userMetadata", "userId",
+                  "userName", "engineInfo", "inCommitTimestamp"):
             v = getattr(self, k)
             if v is not None:
                 d[k] = v
@@ -410,6 +412,8 @@ def _parse_one(key: str, d: Dict[str, Any]) -> Optional[Action]:
             isBlindAppend=d.get("isBlindAppend"),
             operationMetrics=d.get("operationMetrics"),
             userMetadata=d.get("userMetadata"),
+            userId=d.get("userId"),
+            userName=d.get("userName"),
             engineInfo=d.get("engineInfo"),
             inCommitTimestamp=d.get("inCommitTimestamp"))
     if key == "cdc":

@@ -139,6 +139,28 @@ def get_log_segment(store: LogStore, log_path: str,
     if version_to_load is not None:
         ckpts = {v: f for v, f in ckpts.items() if v <= version_to_load}
 
+    if not ckpts and start_version > 0:
+        # The hint promised a checkpoint at start_version but the bounded
+        # listing found no COMPLETE instance there (torn multi-part set:
+        # a crash between part writes, or a part deleted) — replaying
+        # just the tail deltas would silently miss all state before the
+        # hint. Re-list from scratch and fall back to the previous
+        # complete checkpoint / the full json history
+        # (SnapshotManagement's stale-hint recovery).
+        names = [n for n in store.list_from(log_path)
+                 if fn.is_delta_file(n) or fn.is_checkpoint_file(n)
+                 or fn.is_compacted_file(n)]
+        start_version = 0
+        deltas_all = [(fn.delta_version(n), n) for n in names
+                      if fn.is_delta_file(n)]
+        if version_to_load is not None:
+            deltas_all = [(v, n) for v, n in deltas_all
+                          if v <= version_to_load]
+        ckpts = _complete_checkpoints(names)
+        if version_to_load is not None:
+            ckpts = {v: f for v, f in ckpts.items()
+                     if v <= version_to_load}
+
     if not deltas_all and not ckpts:
         raise FileNotFoundError(f"No delta log files found in {log_path}")
 

@@ -121,12 +121,21 @@ def _with_rt_fields(schema: T.StructType, rid: str,
 
 def canonical_path_col(col, table_path: str):
     """Column-expression twin of :func:`canonical_path` (used in the
-    distributed state reconstruction)."""
-    d = F.coalesce(F.expr(f"try_url_decode({col})"), F.col(col))
+    distributed state reconstruction).
+
+    Spark's ``url_decode`` follows application/x-www-form-urlencoded
+    and turns ``+`` into a space — but log paths are URIs, where ``+``
+    is a literal (Python's ``unquote`` in :func:`canonical_path` gets
+    this right; a delta-spark table partitioned on a value containing
+    ``+`` is the interop case). Shield literal plus as %2B first so the
+    decode round-trips it."""
+    shielded = f"replace({col}, '+', '%2B')"
+    d = F.coalesce(F.expr(f"try_url_decode({shielded})"), F.col(col))
     return (
         F.when(d.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"),
                F.regexp_replace(d, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""))
-        .when(d.startswith("file:"), F.expr(f"substring(try_url_decode({col}), 6)"))
+        .when(d.startswith("file:"),
+              F.expr(f"substring(try_url_decode({shielded}), 6)"))
         .when(d.startswith("/"), d)
         .otherwise(F.concat(F.lit(table_path.rstrip("/") + "/"), d))
     )

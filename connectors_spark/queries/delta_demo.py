@@ -927,6 +927,52 @@ def delta_cdf_row_ids(spark, sf_dir):
         .cast("long").alias("n_value_ok"))
 
 
+@register("delta_cdc_row_ids_merge", sql="""
+SELECT count(*) AS n_updated, count(*) AS n_key_stable,
+       count(*) AS n_value_ok
+FROM events WHERE value < 50
+""")
+def delta_cdc_row_ids_merge(spark, sf_dir):
+    # Row ids through PHYSICAL AddCDCFile rows (VERDICT r12 #4): a MERGE
+    # on a CDF+row-tracking table writes real CDC files; pre/post images
+    # materialize the row id into the CDC parquet (the reader has no
+    # AddFile baseRowId to fall back on there). Joining the two images
+    # on _row_id reconstructs each transition; all three counts equal
+    # the predicate count only if ids flow through the physical files.
+    def build(d):
+        t = DeltaTable.for_path(spark, d)
+        t.write(load(spark, sf_dir, "events"), mode="append",
+                configuration={"delta.enableChangeDataFeed": "true",
+                               "delta.enableRowTracking": "true",
+                               "delta.protocol.autoUpgrade": "true"})
+        src = (t.to_df().where(F.col("value") < 50)
+               .select("event_id", (F.col("value") + 1000).alias("value")))
+        t.merge(src, "t.event_id = s.event_id",
+                when_matched_update={"value": "s.value"},
+                when_not_matched_insert=False)
+        from ..log.actions import AddCDCFile
+        acts = dict(t.log.get_changes(1))[1]
+        assert any(isinstance(a, AddCDCFile) for a in acts)
+    d = _built(sf_dir, "events_cdc_rowids_merge", build)
+    t = DeltaTable.for_path(spark, d)
+    ch = t.table_changes(1, 1, with_row_ids=True)
+    pre = (ch.where(F.col("_change_type") == "update_preimage")
+           .select(F.col("event_id").alias("k_old"),
+                   F.col("value").alias("v_old"), "_row_id"))
+    post = (ch.where(F.col("_change_type") == "update_postimage")
+            .select(F.col("event_id").alias("k_new"),
+                    F.col("value").alias("v_new"), "_row_id",
+                    F.col("_row_commit_version").alias("rcv_new")))
+    j = post.join(pre, "_row_id")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_updated"),
+        F.sum(F.when(F.col("k_new") == F.col("k_old"), 1).otherwise(0))
+        .cast("long").alias("n_key_stable"),
+        F.sum(F.when((F.abs(F.col("v_new") - F.col("v_old") - 1000.0)
+                      < 1e-9) & (F.col("rcv_new") == 1), 1)
+              .otherwise(0)).cast("long").alias("n_value_ok"))
+
+
 @register("delta_reorg_purge", sql="""
 SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2)
        AS totalprice, o_orderdate

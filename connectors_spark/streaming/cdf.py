@@ -106,9 +106,14 @@ def _scan_tagged(table, snap, file_rows: List[_FileRow],
         # rewritten under row tracking carries MATERIALIZED id/commit-
         # version columns (per-table names from metadata, ADVICE r11);
         # fresh files derive id = baseRowId + physical row index. CDC
-        # files carry neither base nor materialized columns and read
-        # NULL (disclosed: the synthesized add/remove paths are the
-        # row-id-bearing CDF surface).
+        # files (no AddFile, so no base/dcv) carry MATERIALIZED ids
+        # written by the DML (delete/update pre+post keep the row's id;
+        # a postimage's commit version IS this commit, so the final leg
+        # falls back to _commit_version — gated on a known id so
+        # pre-enablement history still reads honest NULLs). Remaining
+        # NULL surface (disclosed): rows INSERTED via physical CDC —
+        # their fresh ids are assigned commit-side from the new file's
+        # baseRowId, which no pre-commit CDC write can know.
         from ..log.snapshot import materialized_rt_cols
         rid_c, rcv_c = materialized_rt_cols(meta)
         has_mat = rid_c in out.columns
@@ -117,8 +122,11 @@ def _scan_tagged(table, snap, file_rows: List[_FileRow],
         out = (out.withColumn(
                    "_row_id",
                    F.coalesce(mat_rid, F.col("__base") + F.col("__ri")))
-               .withColumn("_row_commit_version",
-                           F.coalesce(mat_rcv, F.col("__dcv"))))
+               .withColumn(
+                   "_row_commit_version",
+                   F.coalesce(mat_rcv, F.col("__dcv"),
+                              F.when(F.col("_row_id").isNotNull(),
+                                     F.col("_commit_version")))))
         rid_cols = [F.col("_row_id"), F.col("_row_commit_version")]
     return out.select(
         *[F.col(nmap[f.name]).alias(f.name)

@@ -158,8 +158,13 @@ class DeltaLog:
             out.append({"version": c.version, "timestamp": c.timestamp,
                         "operation": info.operation,
                         "operationParameters": info.operationParameters,
+                        "operationMetrics": info.operationMetrics,
                         "isBlindAppend": info.isBlindAppend,
                         "isolationLevel": info.isolationLevel,
+                        "readVersion": info.readVersion,
+                        "userId": info.userId,
+                        "userName": info.userName,
+                        "userMetadata": info.userMetadata,
                         "engineInfo": info.engineInfo,
                         "inCommitTimestamp": info.inCommitTimestamp})
         return out
@@ -1203,7 +1208,14 @@ class DeltaTable:
                 cdc = df.where(hit).withColumn(
                     CHANGE_TYPE_COL, F.lit("delete"))
                 if rt:
-                    cdc = cdc.drop("_row_id", "_row_commit_version")
+                    # deleted rows keep their ids in the change feed:
+                    # materialize them into the CDC parquet under the
+                    # per-table spec names so the CDF reader's coalesce
+                    # (streaming/cdf.py) finds them — AddCDCFile rows
+                    # have no baseRowId to fall back on
+                    cdc = (cdc.withColumnRenamed("_row_id", rid_c)
+                           .withColumnRenamed("_row_commit_version",
+                                              rcv_c))
                 actions += stage_cdc_and_collect(cdc, self.log.table_path,
                                              physical_meta=snap.metadata)
         return txn.commit(actions, "DELETE", {})
@@ -1227,10 +1239,20 @@ class DeltaTable:
                 for f in candidates}
         paths = sorted(cand)
         pvs = [dict(cand[p].partitionValues or {}) for p in paths]
+        rt = TableConfig(meta.configuration).enable_row_tracking
+        rid_extra: List[str] = []
+        read_schema = meta.physical_data_schema
+        if rt:
+            # carry materialized row ids through the scan so the CDC
+            # pre-images below can record which rows died
+            from .log.snapshot import _with_rt_fields, materialized_rt_cols
+            rid_c, rcv_c = materialized_rt_cols(meta)
+            read_schema = _with_rt_fields(read_schema, rid_c, rcv_c)
+            rid_extra = [rid_c, rcv_c]
         # files (and partitionValues) live in the PHYSICAL name domain;
         # alias back to logical right after assembly so the predicate
         # and CDC projection below work on table names
-        data = (self.spark.read.schema(meta.physical_data_schema)
+        data = (self.spark.read.schema(read_schema)
                 .parquet(*paths)
                 .withColumn("__fn", F.col("_metadata.file_path"))
                 .withColumn("__ri", F.col("_metadata.row_index")))
@@ -1243,7 +1265,7 @@ class DeltaTable:
         nmap = meta.name_map()
         data = data.select(
             *[F.col(nmap[f.name]).alias(f.name)
-              for f in meta.schema.fields], "__file", "__ri")
+              for f in meta.schema.fields], "__file", "__ri", *rid_extra)
         prior_pairs = [(p, (f.tags or {})[DV_TAG]) for p, f in cand.items()
                        if (f.tags or {}).get(DV_TAG)]
         prior = dv_relation(self.spark, snap.table_path, prior_pairs)
@@ -1287,8 +1309,25 @@ class DeltaTable:
                 f, tags=tags, dataChange=True))
         n_deleted = hits.count()
         if TableConfig(meta.configuration).enable_change_data_feed:
-            cdc = (hits.drop("__file", "__ri")
-                   .select(*[F.col(fd.name) for fd in meta.schema.fields])
+            cdc = hits
+            if rt:
+                # resolve each dying row's id exactly as a reader would
+                # have: materialized column, else the file's baseRowId +
+                # physical row index (the file itself is untouched by a
+                # DV delete, so both are still authoritative)
+                bmap = self.spark.createDataFrame(
+                    [(p, cand[p].baseRowId,
+                      cand[p].defaultRowCommitVersion) for p in paths],
+                    "__file string, __b long, __d long")
+                cdc = (cdc.join(F.broadcast(bmap), "__file", "left")
+                       .withColumn(rid_c, F.coalesce(
+                           F.col(rid_c), F.col("__b") + F.col("__ri")))
+                       .withColumn(rcv_c, F.coalesce(
+                           F.col(rcv_c), F.col("__d")))
+                       .drop("__b", "__d"))
+            cdc = (cdc.drop("__file", "__ri")
+                   .select(*[F.col(fd.name) for fd in meta.schema.fields],
+                           *rid_extra)
                    .withColumn(CHANGE_TYPE_COL, F.lit("delete")))
             actions += stage_cdc_and_collect(cdc, self.log.table_path,
                                              physical_meta=snap.metadata)
@@ -1372,11 +1411,22 @@ class DeltaTable:
         now = int(time.time() * 1000)
         actions: List[Any] = list(adds) + [f.remove(now) for f in candidates]
         if TableConfig(snap.metadata.configuration).enable_change_data_feed:
-            rid_cols = ["_row_id", "_row_commit_version"] if rt else []
-            pre = (marked.where("__hit").drop("__hit", *rid_cols)
-                   .withColumn(CHANGE_TYPE_COL, F.lit("update_preimage")))
-            post = (out.where("__hit").drop("__hit", *rid_cols)
-                    .withColumn(CHANGE_TYPE_COL, F.lit("update_postimage")))
+            pre = marked.where("__hit").drop("__hit")
+            post = out.where("__hit").drop("__hit")
+            if rt:
+                # Both images carry the row's id in the CDC parquet
+                # (the CDF join key row tracking exists for). The
+                # preimage keeps its commit version; the postimage's is
+                # this commit, unknown pre-commit — written NULL, the
+                # reader falls back to _commit_version.
+                pre = (pre.withColumnRenamed("_row_id", rid_c)
+                       .withColumnRenamed("_row_commit_version", rcv_c))
+                post = (post.withColumnRenamed("_row_id", rid_c)
+                        .drop("_row_commit_version")
+                        .withColumn(rcv_c, F.lit(None).cast("long")))
+            pre = pre.withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
+            post = post.withColumn(CHANGE_TYPE_COL,
+                                   F.lit("update_postimage"))
             actions += stage_cdc_and_collect(pre.unionByName(post),
                                              self.log.table_path,
                                              physical_meta=snap.metadata)
@@ -1480,10 +1530,8 @@ class DeltaTable:
             rid_ins = [
                 F.lit(None).cast("long").alias(rid_c),
                 F.lit(None).cast("long").alias(rcv_c)]
-            rid_names = [rid_c, rcv_c]
         else:
             rid_keep = rid_upd = rid_ins = []
-            rid_names = []
         cdc_parts: List[DataFrame] = []
         parts = []
         # target rows in touched files with no source match: keep as-is
@@ -1573,11 +1621,15 @@ class DeltaTable:
         actions: List[Any] = list(adds) + [f.remove(now) for f in touched_adds]
         if cdc_parts and TableConfig(snap.metadata.configuration) \
                 .enable_change_data_feed:
+            # cdc_parts already carry the materialized id/commit-version
+            # columns (rid_keep/rid_upd/rid_ins): delete and pre/post
+            # images keep the row's id; inserted rows are NULL — their
+            # fresh ids are assigned commit-side from the new file's
+            # baseRowId, which no pre-commit CDC write can know
+            # (disclosed in streaming/cdf.py).
             cdc = cdc_parts[0]
             for p in cdc_parts[1:]:
                 cdc = cdc.unionByName(p)
-            if rid_names:
-                cdc = cdc.drop(*rid_names)
             actions += stage_cdc_and_collect(cdc, self.log.table_path,
                                              physical_meta=snap.metadata)
         return txn.commit(actions, "MERGE", {"predicate": str(condition)})

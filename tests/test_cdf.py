@@ -206,3 +206,123 @@ def test_cdf_row_ids_dv_delete(spark, tmp_path):
     ins = {r["_row_id"] for r in ch if r["_change_type"] == "insert"}
     net = {v: k for k, v in dl.items() if k not in ins}
     assert net == {k: before[k] for k in range(7)}
+
+
+# ---------------------------------------------------------------------------
+# Row ids through PHYSICAL AddCDCFile rows (VERDICT r12 #4): when CDF and
+# row tracking are both on, DML commits describe their changes by CDC files
+# — which have no AddFile baseRowId to fall back on. The DML materializes
+# each change row's id (and, where known, commit version) into the CDC
+# parquet; the reader coalesces materialized → base+index → _commit_version.
+# ---------------------------------------------------------------------------
+
+RT_CDF = {"delta.enableChangeDataFeed": "true",
+          "delta.enableRowTracking": "true",
+          "delta.protocol.autoUpgrade": "true"}
+
+
+def _has_physical_cdc(t, version):
+    from connectors_spark.log.actions import AddCDCFile as _C
+    acts = dict(t.log.get_changes(version))[version]
+    return any(isinstance(a, _C) for a in acts)
+
+
+def test_cdf_row_ids_through_physical_cdc_update(spark, tmp_path):
+    t = DeltaTable.for_path(spark, str(tmp_path / "t"))
+    t.write(spark.range(0, 40).select(
+        F.col("id"), (F.col("id") * 2).alias("v")),
+        configuration=RT_CDF)
+    before = {r["id"]: (r["_row_id"], r["_row_commit_version"])
+              for r in t.to_df(with_row_ids=True).collect()}
+    t.update({"v": "v + 1000"}, Col("id") < Lit(5))
+    assert _has_physical_cdc(t, 1)    # the commit wrote real CDC files
+    ch = t.table_changes(1, 1, with_row_ids=True).collect()
+    pre = {r["id"]: r for r in ch
+           if r["_change_type"] == "update_preimage"}
+    post = {r["id"]: r for r in ch
+            if r["_change_type"] == "update_postimage"}
+    assert sorted(pre) == sorted(post) == list(range(5))
+    for i in range(5):
+        # both images carry the row's ORIGINAL id — non-NULL
+        assert pre[i]["_row_id"] == post[i]["_row_id"] == before[i][0]
+        # preimage keeps its creation version; postimage is THIS commit
+        assert pre[i]["_row_commit_version"] == before[i][1]
+        assert post[i]["_row_commit_version"] == 1
+        assert post[i]["v"] == pre[i]["v"] + 1000
+
+
+def test_cdf_row_ids_through_physical_cdc_merge(spark, tmp_path):
+    """MERGE with physical CDC output: updated rows keep their id on
+    both images, deleted rows keep theirs, inserted rows read NULL
+    (fresh ids are assigned commit-side — disclosed); rewritten-but-
+    unmatched target rows keep their ids in the TABLE (spec's
+    preserved split)."""
+    t = DeltaTable.for_path(spark, str(tmp_path / "t"))
+    t.write(spark.range(0, 30).select(
+        F.col("id"), (F.col("id") * 2).alias("v")),
+        configuration=RT_CDF)
+    before = {r["id"]: r["_row_id"]
+              for r in t.to_df(with_row_ids=True).collect()}
+    src = spark.createDataFrame(
+        [(i, -1) for i in range(3)] + [(100, 100), (101, 101)],
+        "id long, v long")
+    t.merge(src, "t.id = s.id",
+            when_matched_update={"v": "s.v"},
+            when_not_matched_insert=True)
+    assert _has_physical_cdc(t, 1)
+    ch = t.table_changes(1, 1, with_row_ids=True).collect()
+    pre = {r["id"]: r for r in ch
+           if r["_change_type"] == "update_preimage"}
+    post = {r["id"]: r for r in ch
+            if r["_change_type"] == "update_postimage"}
+    ins = {r["id"]: r for r in ch if r["_change_type"] == "insert"}
+    assert sorted(pre) == sorted(post) == [0, 1, 2]
+    for i in range(3):
+        assert pre[i]["_row_id"] == post[i]["_row_id"] == before[i]
+        assert post[i]["_row_commit_version"] == 1
+    assert sorted(ins) == [100, 101]
+    assert all(r["_row_id"] is None for r in ins.values())  # disclosed
+    # the TABLE's rewritten-but-unmatched rows kept their ids
+    after = {r["id"]: r["_row_id"]
+             for r in t.to_df(with_row_ids=True).collect()}
+    for i in range(3, 30):
+        assert after[i] == before[i]
+
+
+def test_cdf_row_ids_through_physical_cdc_dv_delete(spark, tmp_path):
+    """A DV delete under CDF writes physical CDC delete rows; each must
+    carry the id the row had since insertion (resolved from the
+    untouched file's materialized column or baseRowId + row index)."""
+    t = DeltaTable.for_path(spark, str(tmp_path / "t"))
+    t.write(spark.range(0, 40).select(
+        F.col("id"), (F.col("id") * 2).alias("v")),
+        configuration=RT_CDF)
+    before = {r["id"]: (r["_row_id"], r["_row_commit_version"])
+              for r in t.to_df(with_row_ids=True).collect()}
+    t.delete(Col("id") < Lit(6), deletion_vectors=True)
+    assert _has_physical_cdc(t, 1)
+    ch = t.table_changes(1, 1, with_row_ids=True).collect()
+    dl = {r["id"]: r for r in ch if r["_change_type"] == "delete"}
+    assert sorted(dl) == list(range(6))
+    for i in range(6):
+        assert dl[i]["_row_id"] == before[i][0]
+        assert dl[i]["_row_commit_version"] == before[i][1]
+
+
+def test_cdf_row_ids_through_physical_cdc_delete_rewrite(spark, tmp_path):
+    """Copy-on-write DELETE under CDF: physical CDC delete rows carry
+    the dying rows' original ids and creation versions."""
+    t = DeltaTable.for_path(spark, str(tmp_path / "t"))
+    t.write(spark.range(0, 40).select(
+        F.col("id"), (F.col("id") * 2).alias("v")),
+        configuration=RT_CDF)
+    before = {r["id"]: (r["_row_id"], r["_row_commit_version"])
+              for r in t.to_df(with_row_ids=True).collect()}
+    t.delete(Col("id") < Lit(6))
+    assert _has_physical_cdc(t, 1)
+    ch = t.table_changes(1, 1, with_row_ids=True).collect()
+    dl = {r["id"]: r for r in ch if r["_change_type"] == "delete"}
+    assert sorted(dl) == list(range(6))
+    for i in range(6):
+        assert dl[i]["_row_id"] == before[i][0]
+        assert dl[i]["_row_commit_version"] == before[i][1]

@@ -124,3 +124,131 @@ def test_merge_delete(spark, tmp_path):
     t.merge(victims, "t.c_custkey = s.c_custkey",
             when_matched_delete=True, when_not_matched_insert=False)
     assert t.to_df().count() == cust.count() - 20
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-write crash safety (VERDICT r12 #7): write_checkpoint publishes
+# parquet parts FIRST, then the _last_checkpoint pointer. Every interruption
+# point must leave a loadable table: parts present + pointer absent (crash
+# between the two), pointer STALE (crash before the update), and a torn
+# multi-part set (only some parts landed — segment completeness A4 must
+# reject it and fall back).
+# ---------------------------------------------------------------------------
+
+def _mk_checkpointed(spark, path, n=12):
+    nation = read_table(spark, "nation")
+    t = DeltaTable.for_path(spark, str(path))
+    for r in nation.limit(n).collect():
+        t.write(spark.createDataFrame([r], nation.schema), mode="append")
+    return t
+
+
+def test_checkpoint_crash_pointer_absent(spark, tmp_path):
+    t = _mk_checkpointed(spark, tmp_path / "ck")
+    log_dir = os.path.join(t.path, "_delta_log")
+    os.remove(os.path.join(log_dir, "_last_checkpoint"))
+    t2 = DeltaTable.for_path(spark, str(tmp_path / "ck"))
+    assert t2.to_df().count() == 12
+    # the listing found the checkpoint without the hint
+    assert t2.log.snapshot().segment.checkpoint_version == 10
+
+
+def test_checkpoint_crash_pointer_stale(spark, tmp_path):
+    """A pointer that still names an OLDER checkpoint (crash before the
+    update) must not hide newer commits or the newer checkpoint."""
+    from connectors_spark.log.segment import (read_last_checkpoint,
+                                              write_last_checkpoint)
+    t = _mk_checkpointed(spark, tmp_path / "ck", n=12)
+    lc = read_last_checkpoint(t.log.store, t.log.log_path)
+    assert lc is not None and lc.version == 10
+    # grow past the next checkpoint (20), then roll the pointer BACK
+    nation = read_table(spark, "nation")
+    for r in nation.limit(25).collect()[12:]:
+        t.write(spark.createDataFrame([r], nation.schema), mode="append")
+    write_last_checkpoint(t.log.store, t.log.log_path, 10, lc.size,
+                          parts=lc.parts)
+    t2 = DeltaTable.for_path(spark, str(tmp_path / "ck"))
+    assert t2.to_df().count() == 25
+    assert t2.log.snapshot().version == 24
+
+
+def test_checkpoint_crash_torn_multipart(spark, tmp_path):
+    """Only SOME parts of a multi-part checkpoint landed: completeness
+    (A4) must reject the torn set and replay from the previous complete
+    checkpoint (or the full json tail)."""
+    from connectors_spark.log import filenames as fn
+    t = _mk_checkpointed(spark, tmp_path / "ck", n=12)
+    from connectors_spark.log.checkpoints import write_checkpoint
+    snap = t.log.snapshot()
+    write_checkpoint(snap, parts=3)           # multi-part at head (11)
+    log_dir = os.path.join(t.path, "_delta_log")
+    multi = sorted(n for n in os.listdir(log_dir)
+                   if ".checkpoint." in n and n.endswith(".parquet")
+                   and ".0000000003.parquet" in n)
+    assert len(multi) == 3
+    os.remove(os.path.join(log_dir, multi[-1]))   # tear the set
+    # the stale pointer (if updated) and listing must both fall back
+    t2 = DeltaTable.for_path(spark, str(tmp_path / "ck"))
+    assert t2.to_df().count() == 12
+    seg = t2.log.snapshot().segment
+    assert seg.checkpoint_version in (None, 10)
+
+
+def test_checkpoint_crash_fallbacks_on_s3_store(tmp_path):
+    """Segment selection against the S3 conditional-put store (moto):
+    absent pointer, and a pointer naming a TORN multi-part set, must
+    both fall back to the previous complete checkpoint + full tail.
+    Spark can't open s3:// parquet in this sandbox, so the pin targets
+    get_log_segment itself — the component whose listing/fallback
+    behavior differs per store."""
+    pytest.importorskip("moto")
+    import json
+
+    import boto3
+    import moto
+
+    from connectors_spark.log import filenames as fn
+    from connectors_spark.log.logstore import default_log_store
+    from connectors_spark.log.segment import (get_log_segment,
+                                              write_last_checkpoint)
+    with moto.mock_aws():
+        boto3.client("s3", region_name="us-east-1").create_bucket(
+            Bucket="ckpt-bucket")
+        root = "s3://ckpt-bucket/tbl"
+        log = root + "/_delta_log"
+        store = default_log_store(root)
+        meta = json.dumps({"metaData": {
+            "id": "m", "format": {"provider": "parquet", "options": {}},
+            "schemaString": "{}", "partitionColumns": [],
+            "configuration": {}}})
+        proto = json.dumps({"protocol": {"minReaderVersion": 1,
+                                         "minWriterVersion": 2}})
+        for v in range(13):
+            lines = [proto, meta] if v == 0 else [json.dumps(
+                {"add": {"path": str(v), "partitionValues": {},
+                         "size": 1, "modificationTime": 1,
+                         "dataChange": True}})]
+            store.write(fn.delta_file(log, v), lines)
+        # complete single-part checkpoint at 10 (segment selection never
+        # opens checkpoint contents — only the NAMES matter here)
+        store.write(fn.checkpoint_file_single(log, 10), ["x"])
+        write_last_checkpoint(store, log, 10, 12, None)
+        seg = get_log_segment(store, log)
+        assert seg.checkpoint_version == 10 and seg.version == 12
+
+        # crash window 1: parts published, pointer never written
+        store.delete(log + "/_last_checkpoint")
+        seg = get_log_segment(store, log)
+        assert seg.checkpoint_version == 10 and seg.version == 12
+
+        # crash window 2: TORN multi-part at 12 (2 of 3 parts) with the
+        # pointer already naming it — completeness must reject the set
+        # and the stale-hint re-list must recover checkpoint 10
+        names = fn.checkpoint_file_parts(log, 12, 3)
+        for n in names[:2]:
+            store.write(n, ["x"])
+        write_last_checkpoint(store, log, 12, 14, 3)
+        seg = get_log_segment(store, log)
+        assert seg.checkpoint_version == 10 and seg.version == 12
+        assert [fn.delta_version(os.path.basename(p))
+                for p in seg.deltas] == [11, 12]
