@@ -927,6 +927,42 @@ def delta_cdf_row_ids(spark, sf_dir):
         .cast("long").alias("n_value_ok"))
 
 
+@register("delta_dml_merge_cdf", sql="""
+SELECT o_orderkey, round(o_totalprice * 2, 2) AS new_price
+FROM orders WHERE o_orderkey % 100 = 0
+""", bench=True)
+def delta_dml_merge_cdf(spark, sf_dir):
+    # Headline DML composite (VERDICT r12 #8): the read-heavy bench
+    # suite gets a write-path trend line. Each invocation runs a REAL
+    # MERGE (1% of orders, spread across every file — worst-case touch
+    # footprint) into a CDF+row-tracking table, then reads that
+    # commit's change feed back. Timed work = touched-file discovery,
+    # full rewrite with materialized row ids, CDC staging, commit, and
+    # the physical-CDC read. Deterministic across runs: the source is
+    # rebuilt from the RAW parquet (value = raw*2 every time), so
+    # repeated merges converge to the same postimage rows and the
+    # fixture never grows beyond its log tail.
+    def build(d):
+        t = DeltaTable.for_path(spark, d)
+        t.write(load(spark, sf_dir, "orders"), mode="append",
+                configuration={"delta.enableChangeDataFeed": "true",
+                               "delta.enableRowTracking": "true",
+                               "delta.protocol.autoUpgrade": "true"})
+    d = _built(sf_dir, "orders_dml_bench", build)
+    t = DeltaTable.for_path(spark, d)
+    src = (load(spark, sf_dir, "orders")
+           .where(F.col("o_orderkey") % 100 == 0)
+           .select("o_orderkey",
+                   (F.col("o_totalprice") * 2).alias("o_totalprice")))
+    v = t.merge(src, "t.o_orderkey = s.o_orderkey",
+                when_matched_update={"o_totalprice": "s.o_totalprice"},
+                when_not_matched_insert=False)
+    ch = t.table_changes(v, v)
+    return (ch.where(F.col("_change_type") == "update_postimage")
+            .select("o_orderkey",
+                    F.round("o_totalprice", 2).alias("new_price")))
+
+
 @register("delta_cdc_row_ids_merge", sql="""
 SELECT count(*) AS n_updated, count(*) AS n_key_stable,
        count(*) AS n_value_ok

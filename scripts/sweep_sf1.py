@@ -48,6 +48,39 @@ def _oracle_rows(sql: str, sf_dir: str, q):  # subprocess target
            rel.fetchall()))
 
 
+# Sampled verification (VERDICT r12 #5): when the FULL oracle exceeds
+# the budget, verify a deterministic ≤1/BANDS hash band of the result
+# instead — both sides restricted to rows whose key's md5 starts with
+# the same byte (md5 is the one hash DuckDB and Python compute
+# identically). DuckDB pushes the band predicate through the outer
+# projection into the O(n²) join's banded side, collapsing the
+# definitional oracle's cost by ~BANDS×. Key per query = the output
+# column the band pins; queries absent here band on their first
+# column. Completeness holds WITHIN the band: a row missing from
+# either side of the band fails the compare.
+SAMPLE_BANDS = 256
+SAMPLE_KEYS = {
+    "doc_fuzzy_edit_pairs": "a_id",
+    "doc_fuzzy_er_clusters": "canonical_doc",
+    "emb_cosine_neardup_lsh": "a_id",
+    "emb_semdedup": "vec_id",
+    "delta_manifest_read": "l_orderkey",
+}
+
+
+def _band_of(val, bands: int = SAMPLE_BANDS) -> int:
+    import hashlib
+    h = hashlib.md5(str(val).encode()).hexdigest()
+    return int(h[:2], 16) % bands
+
+
+def _banded_sql(sql: str, key: str, band: int) -> str:
+    # ('0x' || first-2-hex-of-md5)::int — same band as _band_of
+    return (f"SELECT * FROM ({sql}) __band WHERE "
+            f"(('0x' || substr(md5(CAST(\"{key}\" AS VARCHAR)), 1, 2))"
+            f"::INT % {SAMPLE_BANDS}) = {band}")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     budget = int(sys.argv[2]) if len(sys.argv) > 2 else 600
@@ -150,12 +183,71 @@ def main() -> None:
         if got is None:
             p.terminate()
             p.join()
-            results[name] = {"status": "oracle_timeout",
-                             "spark_rows": len(srows),
-                             "spark_sec": round(spark_s, 1),
-                             "budget_sec": budget}
-            print(f"SKIP {name}: oracle exceeded {budget}s "
-                  f"(spark ok, {len(srows)} rows in {spark_s:.0f}s)",
+            # Full oracle over budget: fall back to the hash-band
+            # sample. The band is pinned by the query NAME so reruns
+            # verify the same slice.
+            key = SAMPLE_KEYS.get(name) or scols[0]
+            band = _band_of(name)
+            s_band = [r for r in srows if _band_of(r[key]) == band]
+            q2 = mp.Queue()
+            p2 = mp.Process(target=_oracle_rows,
+                            args=(_banded_sql(qd.sql, key, band),
+                                  sf_dir, q2))
+            t2 = time.time()
+            p2.start()
+            got2 = None
+            while time.time() - t2 < budget * 2:
+                if not q2.empty():
+                    got2 = q2.get()
+                    break
+                if not p2.is_alive():
+                    try:
+                        got2 = q2.get(timeout=5)
+                    except Exception:  # noqa: BLE001
+                        pass
+                    break
+                time.sleep(0.5)
+            if got2 is None:
+                p2.terminate()
+                p2.join()
+                results[name] = {"status": "oracle_timeout",
+                                 "spark_rows": len(srows),
+                                 "spark_sec": round(spark_s, 1),
+                                 "budget_sec": budget,
+                                 "sampled": "also timed out"}
+                print(f"SKIP {name}: oracle exceeded {budget}s; "
+                      f"banded sample exceeded {budget * 2}s too "
+                      f"(spark ok, {len(srows)} rows in {spark_s:.0f}s)",
+                      flush=True)
+                continue
+            p2.join()
+            ocols_raw, otypes, orows = got2
+            ocols = sorted(ocols_raw)
+            ok, msg = True, (f"SAMPLED band {band}/{SAMPLE_BANDS} on "
+                             f"{key}: {len(s_band)} rows match")
+            if scols != ocols:
+                ok, msg = False, f"sampled schema {scols} vs {ocols}"
+            elif len(s_band) != len(orows):
+                ok, msg = False, (f"sampled rows {len(s_band)} vs "
+                                  f"{len(orows)} (band {band} on {key})")
+            else:
+                sset = sorted(tuple(_norm(r[c]) for c in scols)
+                              for r in s_band)
+                oidx = [ocols_raw.index(c) for c in ocols]
+                oset = sorted(tuple(_norm(r[i]) for i in oidx)
+                              for r in orows)
+                if sset != oset:
+                    diffs = [(a, b) for a, b in zip(sset, oset)
+                             if a != b][:2]
+                    ok, msg = False, f"sampled values differ: {diffs}"[:400]
+            results[name] = {
+                "status": "pass_sampled" if ok else "fail",
+                "detail": msg, "spark_rows": len(srows),
+                "sampled_rows": len(s_band),
+                "band": band, "bands": SAMPLE_BANDS, "key": key,
+                "spark_sec": round(spark_s, 1),
+                "oracle_sec": round(time.time() - t2, 1)}
+            print(("PASS " if ok else "FAIL ") + f"{name}: {msg}",
                   flush=True)
             continue
         p.join()
@@ -185,7 +277,7 @@ def main() -> None:
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     n_pass = sum(1 for r in results.values()
-                 if r["status"] in ("pass", "rows_only"))
+                 if r["status"] in ("pass", "pass_sampled", "rows_only"))
     n_skip = sum(1 for r in results.values()
                  if r["status"] == "oracle_timeout")
     n_fail = len(results) - n_pass - n_skip

@@ -79,7 +79,7 @@ def _worker(spark, path, wid, seed, n_ops):
 
     for _ in range(n_ops):
         op = rng.choice(["append", "append", "dv_delete", "update",
-                         "optimize"])
+                         "optimize", "vacuum", "vacuum_lite"])
         if op == "append":
             n = rng.randint(2, 6)
             rows = [(next_id + i, wid) for i in range(n)]
@@ -103,6 +103,24 @@ def _worker(spark, path, wid, seed, n_ops):
         elif op == "optimize":
             _try(lambda: TableMaintenance(t)
                  .optimize(min_files_per_group=2))
+        elif op in ("vacuum", "vacuum_lite"):
+            # VACUUM races the other writers off a pinned snapshot.
+            # At DEFAULT retention every tombstone in this walk is
+            # seconds old, so NOTHING may be reclaimed — the
+            # readability sweep in _check_invariants is the oracle.
+            # LITE legally refuses when auto log compaction broke its
+            # coverage window; that is a loud no-op, not a failure.
+            def _vac():
+                from connectors_spark.errors import DeltaError
+                try:
+                    deleted = TableMaintenance(t).vacuum(
+                        lite=(op == "vacuum_lite"))
+                    assert deleted == [], \
+                        f"vacuum reclaimed young files: {deleted[:3]}"
+                except DeltaError as e:
+                    if "cannot prove coverage" not in str(e):
+                        raise
+            _try(_vac)
 
 
 def _check_invariants(spark, path):
@@ -125,6 +143,14 @@ def _check_invariants(spark, path):
     # cold replay (v2 checkpoint + compacted/raw tail) == warm state
     n2 = _fresh_table(spark, path).to_df().count()
     assert n2 == t.to_df().count()
+    # every RETAINED version stays readable: a mid-walk VACUUM ran at
+    # default retention, so no file any surviving version references
+    # may have been reclaimed (sampled: ends + interior)
+    versions = sorted(h["version"] for h in t.history())
+    sample = sorted({versions[0], versions[-1], *random.Random(n)
+                     .sample(versions, min(3, len(versions)))})
+    for v in sample:
+        t.to_df(version=v).count()      # raises if a file was reclaimed
     return n
 
 
