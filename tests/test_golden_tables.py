@@ -502,3 +502,62 @@ def test_golden_hive_tables(spark):
         spark, os.path.join(h, "deltatbl-special-chars-in-partition-column"))
     got = sorted((r["c1"], r["c2"]) for r in t.to_df().collect())
     assert got == sorted((x, f"+ =%{x % 2}") for x in range(10))
+
+
+@requires_golden
+def test_golden_hive_typed_and_case_insensitive(spark):
+    """GoldenTables.scala:795-822: the Hive connector's all-types row
+    (byte/binary/bool/int/long/string/float/double/short/date/
+    timestamp/decimal/array/map/struct) and mixed-case column names
+    through a partitioned layout."""
+    import datetime
+    from decimal import Decimal
+    h = os.path.join(GOLDEN, "hive")
+
+    t = DeltaTable.for_path(spark,
+                            os.path.join(h, "deltatbl-map-types-correctly"))
+    rows = t.to_df().collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["c1"] == 97 and bytes(r["c2"]) == b"bc" and r["c3"] is True
+    assert r["c4"] == 4 and r["c5"] == 5 and r["c6"] == "foo"
+    assert r["c7"] == 6.0 and r["c8"] == 7.0 and r["c9"] == 8
+    # java.sql.Date/Timestamp(60000000L) = 1970-01-01T16:40:00 UTC
+    assert r["c10"] == datetime.date(1970, 1, 1)
+    got_ts = (t.to_df()
+              .select(F.date_format("c11", "yyyy-MM-dd HH:mm:ss")
+                      .alias("ts")).collect()[0]["ts"])
+    assert got_ts == "1970-01-01 16:40:00"
+    assert isinstance(r["c12"], Decimal)
+    assert r["c13"] == ["foo", "bar"]
+    assert r["c14"] == {"foo": 123}
+    assert r["c15"]["f1"] == "foo" and r["c15"]["f2"] == 456
+
+    t = DeltaTable.for_path(
+        spark, os.path.join(h, "deltatbl-column-names-case-insensitive"))
+    assert t.to_df().columns == ["FooBar", "BarFoo"]   # case preserved
+    got = sorted((r["FooBar"], r["BarFoo"]) for r in t.to_df().collect())
+    assert got == sorted((x, f"foo{x % 2}") for x in range(10))
+    # partition pruning on the mixed-case partition column
+    from connectors_spark.expressions import Col, Lit
+    scan = t.scan(Col("BarFoo") == Lit("foo1"))
+    assert sorted(r["FooBar"] for r in scan.to_df().collect()) \
+        == [1, 3, 5, 7, 9]
+
+
+@requires_golden
+def test_golden_absolute_and_escaped_add_paths(spark):
+    """data-reader-absolute-paths-escaped-chars (log-only here — the
+    absolute path references the generator's machine): v0 adds an
+    ABSOLUTE path, v1 adds a percent-escaped relative one
+    ('bar%2Dbar...'); state reconstruction must keep the absolute path
+    out of the table root and decode the escape exactly once."""
+    t = _t(spark, "data-reader-absolute-paths-escaped-chars")
+    paths = sorted(f.path for f in t.snapshot().all_files())
+    assert len(paths) == 2
+    rel = [p for p in paths if "bar-bar" in p]
+    assert len(rel) == 1       # %2D decoded to '-' exactly once
+    assert rel[0].endswith("bar-bar.snappy.parquet")
+    absolute = [p for p in paths if p not in rel]
+    assert absolute[0].startswith("/") or "://" in absolute[0]
+    assert "/Users/" in absolute[0]   # NOT resolved against our root
