@@ -1111,3 +1111,42 @@ def test_vacuum_lite_marker_never_strands_young_tombstones(spark, tmp_path):
     # no skipped tombstones left → marker advances to the full head
     assert int(h["operationParameters"]["lastVacuumedVersion"]) \
         == h["version"] - 1
+
+
+def test_vacuum_protects_dv_sidecar_of_young_tombstone_via_checkpoint(
+        spark, tmp_path):
+    """A removed file's tombstone carries its DV tag; both the file AND
+    the sidecar must survive VACUUM while the tombstone is young — and
+    the protection must hold when state is replayed from a CHECKPOINT
+    alone (checkpointed removes now keep their tags)."""
+    import time as _time
+
+    from connectors_spark.dv import DV_TAG
+    from connectors_spark.log.checkpoints import write_checkpoint
+    path = str(tmp_path / "t")
+    t = DeltaTable.for_path(spark, path)
+    t.write(spark.range(20).coalesce(1).select(F.col("id")))
+    t.delete(Col("id") < Lit(5), deletion_vectors=True)   # v1: DV attach
+    assert any((f.tags or {}).get(DV_TAG)
+               for f in t.log.snapshot().all_files())
+    t.delete()                                            # v2: remove file
+    # tombstone carries the DV tag
+    tomb = t.log.snapshot().tombstones_df.collect()
+    assert any((r["tags"] or {}).get(DV_TAG) for r in tomb)
+    write_checkpoint(t.log.snapshot())
+    # age every physical file's mtime so only tombstone youth protects
+    old = _time.time() - 10 * 24 * 3600
+    for dirpath, _, files in os.walk(path):
+        if "_delta_log" in dirpath:
+            continue
+        for f in files:
+            full = os.path.join(dirpath, f)
+            os.utime(full, (old, old))
+    t = DeltaTable.for_path(spark, path)
+    maint = TableMaintenance(t)
+    assert maint.vacuum(dry_run=True) == []   # data file + DV both kept
+    assert t.to_df(version=1).count() == 15   # DV state still readable
+    # aged-out tombstone: both the parquet and its DV sidecar reclaim
+    listed = maint.vacuum(retention_ms=0, dry_run=True)
+    assert any(r.endswith(".parquet") for r in listed)
+    assert any("deletion" in r or ".bin" in r for r in listed), listed
