@@ -81,6 +81,35 @@ def _banded_sql(sql: str, key: str, band: int) -> str:
             f"::INT % {SAMPLE_BANDS}) = {band}")
 
 
+def _band_pred(expr: str, band: int) -> str:
+    return (f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 2))"
+            f"::INT % {SAMPLE_BANDS}) = {band}")
+
+
+def _banded_semdedup(sql: str, key: str, band: int) -> str:
+    """emb_semdedup's drop set is global, so the generic OUTER band
+    cannot collapse its O(n·cluster) pair stage. But a banded vector's
+    `dropped` flag depends ONLY on pairs where IT is the higher id —
+    so banding the pair join's b-side (and the final projection) is
+    exact for the banded rows while the linear k-means CTEs stay full.
+    Anchored textual injection: breaks loudly if the oracle changes."""
+    a = "JOIN sb ab ON aa.cl = ab.cl AND aa.sub = ab.sub"
+    assert a in sql, "semdedup oracle changed; update _banded_semdedup"
+    sql = sql.replace(
+        a, a + f"\n            AND {_band_pred('ab.vec_id', band)}", 1)
+    tail = "FROM asg\n\n) __q"
+    assert tail in sql, "semdedup oracle tail changed"
+    return sql.replace(
+        tail, f"FROM asg WHERE {_band_pred('vec_id', band)}\n\n) __q", 1)
+
+
+# Queries whose banded verification needs the predicate INSIDE the
+# oracle (a global-state final stage the outer wrapper can't reach).
+SAMPLE_SQL_BUILDERS = {
+    "emb_semdedup": _banded_semdedup,
+}
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     budget = int(sys.argv[2]) if len(sys.argv) > 2 else 600
@@ -189,9 +218,10 @@ def main() -> None:
             key = SAMPLE_KEYS.get(name) or scols[0]
             band = _band_of(name)
             s_band = [r for r in srows if _band_of(r[key]) == band]
+            builder = SAMPLE_SQL_BUILDERS.get(name, _banded_sql)
             q2 = mp.Queue()
             p2 = mp.Process(target=_oracle_rows,
-                            args=(_banded_sql(qd.sql, key, band),
+                            args=(builder(qd.sql, key, band),
                                   sf_dir, q2))
             t2 = time.time()
             p2.start()
