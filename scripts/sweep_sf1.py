@@ -173,13 +173,53 @@ def main() -> None:
         th = threading.Thread(target=run_spark, daemon=True)
         th.start()
         th.join(budget)
+        spark_banded = False
         if th.is_alive():
             spark.sparkContext.cancelJobGroup("sweep")
             th.join(60)
-            results[name] = {"status": "spark_timeout",
-                             "budget_sec": budget}
-            print(f"SKIP {name}: spark exceeded {budget}s", flush=True)
-            continue
+            if qd.sql is None:
+                results[name] = {"status": "spark_timeout",
+                                 "budget_sec": budget}
+                print(f"SKIP {name}: spark exceeded {budget}s",
+                      flush=True)
+                continue
+            # The budget here is usually burned COLLECTING a result
+            # whose size is the point (whole-table hash gates): retry
+            # with the SPARK side banded too — same md5 band the
+            # oracle fallback uses, so the exact compare still holds.
+            key = SAMPLE_KEYS.get(name)
+            band = _band_of(name)
+            box = {}
+
+            def run_spark_banded(_qd=qd, _key=key, _band=band):
+                from pyspark.sql import functions as SF
+                try:
+                    spark.sparkContext.setJobGroup("sweep", name, True)
+                    sdf = _qd.fn(spark, sf_dir)
+                    k = _key or sorted(sdf.columns)[0]
+                    pred = (SF.conv(SF.substring(
+                        SF.md5(SF.col(k).cast("string")), 1, 2),
+                        16, 10).cast("int") % SAMPLE_BANDS
+                        == SF.lit(_band))
+                    box["rows"] = sdf.where(pred).collect()
+                    box["cols"] = sorted(sdf.columns)
+                except Exception as e:  # noqa: BLE001
+                    box["err"] = f"{type(e).__name__}: {e}"[:300]
+
+            th2 = threading.Thread(target=run_spark_banded, daemon=True)
+            t0 = time.time()
+            th2.start()
+            th2.join(budget)
+            if th2.is_alive() or "err" in box:
+                spark.sparkContext.cancelJobGroup("sweep")
+                th2.join(60)
+                results[name] = {"status": "spark_timeout",
+                                 "budget_sec": budget,
+                                 "banded_err": box.get("err")}
+                print(f"SKIP {name}: spark exceeded {budget}s "
+                      f"(banded retry too)", flush=True)
+                continue
+            spark_banded = True
         if "err" in box:
             results[name] = {"status": "spark_error",
                              "err": box["err"]}
@@ -193,31 +233,35 @@ def main() -> None:
                              "spark_sec": round(spark_s, 1)}
             print(f"PASS {name}: rows-only ({len(srows)})", flush=True)
             continue
-        q = mp.Queue()
-        p = mp.Process(target=_oracle_rows, args=(qd.sql, sf_dir, q))
-        t1 = time.time()
-        p.start()
         got = None
-        while time.time() - t1 < budget:
-            if not q.empty():
-                got = q.get()
-                break
-            if not p.is_alive():
-                try:
-                    got = q.get(timeout=5)
-                except Exception:  # noqa: BLE001
-                    pass
-                break
-            time.sleep(0.5)
+        if not spark_banded:
+            q = mp.Queue()
+            p = mp.Process(target=_oracle_rows,
+                           args=(qd.sql, sf_dir, q))
+            t1 = time.time()
+            p.start()
+            while time.time() - t1 < budget:
+                if not q.empty():
+                    got = q.get()
+                    break
+                if not p.is_alive():
+                    try:
+                        got = q.get(timeout=5)
+                    except Exception:  # noqa: BLE001
+                        pass
+                    break
+                time.sleep(0.5)
         if got is None:
-            p.terminate()
-            p.join()
-            # Full oracle over budget: fall back to the hash-band
-            # sample. The band is pinned by the query NAME so reruns
-            # verify the same slice.
+            if not spark_banded:
+                p.terminate()
+                p.join()
+            # Full oracle over budget (or the Spark side already ran
+            # banded): fall back to the hash-band sample. The band is
+            # pinned by the query NAME so reruns verify the same slice.
             key = SAMPLE_KEYS.get(name) or scols[0]
             band = _band_of(name)
-            s_band = [r for r in srows if _band_of(r[key]) == band]
+            s_band = srows if spark_banded else \
+                [r for r in srows if _band_of(r[key]) == band]
             builder = SAMPLE_SQL_BUILDERS.get(name, _banded_sql)
             q2 = mp.Queue()
             p2 = mp.Process(target=_oracle_rows,
@@ -275,6 +319,7 @@ def main() -> None:
                 "detail": msg, "spark_rows": len(srows),
                 "sampled_rows": len(s_band),
                 "band": band, "bands": SAMPLE_BANDS, "key": key,
+                "spark_banded": spark_banded,
                 "spark_sec": round(spark_s, 1),
                 "oracle_sec": round(time.time() - t2, 1)}
             print(("PASS " if ok else "FAIL ") + f"{name}: {msg}",
