@@ -235,9 +235,10 @@ def main() -> None:
             continue
         got = None
         if not spark_banded:
-            q = mp.Queue()
-            p = mp.Process(target=_oracle_rows,
-                           args=(qd.sql, sf_dir, q))
+            ctx = mp.get_context("spawn")
+            q = ctx.Queue()
+            p = ctx.Process(target=_oracle_rows,
+                            args=(qd.sql, sf_dir, q))
             t1 = time.time()
             p.start()
             while time.time() - t1 < budget:
@@ -263,10 +264,13 @@ def main() -> None:
             s_band = srows if spark_banded else \
                 [r for r in srows if _band_of(r[key]) == band]
             builder = SAMPLE_SQL_BUILDERS.get(name, _banded_sql)
-            q2 = mp.Queue()
-            p2 = mp.Process(target=_oracle_rows,
-                            args=(builder(qd.sql, key, band),
-                                  sf_dir, q2))
+            # spawn, not fork: forking this parent (a live multi-thread
+            # JVM + py4j) can deadlock the child before duckdb runs
+            ctx2 = mp.get_context("spawn")
+            q2 = ctx2.Queue()
+            p2 = ctx2.Process(target=_oracle_rows,
+                              args=(builder(qd.sql, key, band),
+                                    sf_dir, q2))
             t2 = time.time()
             p2.start()
             got2 = None
