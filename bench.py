@@ -86,11 +86,14 @@ def main() -> None:
     # were adjudicated as driver-host noise; this number lets any
     # downstream comparison normalize suite time by host speed —
     # suite_sec / calibration_sec is host-independent to first order.
+    def _probe_df():
+        return (spark.range(10_000_000)
+                .selectExpr("id % 1000 AS k", "id AS v")
+                .groupBy("k").agg(F.sum("v").alias("s"),
+                                  F.count("*").alias("n")))
+
     def _calibration() -> float:
-        df = (spark.range(10_000_000)
-              .selectExpr("id % 1000 AS k", "id AS v")
-              .groupBy("k").agg(F.sum("v").alias("s"),
-                                F.count("*").alias("n")))
+        df = _probe_df()
         df.count()                               # warm (untimed)
         runs = []
         for _ in range(3):
@@ -99,8 +102,25 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         return round(min(runs), 3)
 
+    def _probe_once() -> float:
+        t0 = time.perf_counter()
+        _probe_df().count()
+        return round(time.perf_counter() - t0, 3)
+
     calibration_sec = _calibration()
     print(f"# calibration: {calibration_sec:.3f}s", file=sys.stderr)
+    # Sustained-contention probes (VERDICT r13 #1): the min-of-3 probe
+    # above is a ~0.5 s burst that can slip BETWEEN neighbor-load
+    # bursts and then under-report the contention the minutes-long
+    # suite actually ran under (r13: probe 0.529 s while the suite ran
+    # 2x slow — normalized 44.7x vs the judge's idle 22.7x on identical
+    # code). Fix: sample the SAME fixed-work probe repeatedly,
+    # interleaved through the suite (one probe after each timed query,
+    # below), and report the MEDIAN — a sustained estimator that sees
+    # the same host the queries saw. calibration_sec keeps its historic
+    # min-of-3 semantics for round-over-round comparability; the new
+    # fields ride alongside.
+    sustained_probes: list = [_probe_once()]
 
     # Fixture setup (untimed): demo Delta tables are built on first use
     # inside the query fn; constructing the DataFrame here triggers the
@@ -144,7 +164,12 @@ def main() -> None:
         total_med += med
         print(f"# {name}: {dt:.3f}s median={med:.3f}s "
               f"runs={raw_runs[name]}", file=sys.stderr)
+        # suite-interleaved sustained-contention sample (untimed work
+        # from the suite's perspective — it rides between queries)
+        sustained_probes.append(_probe_once())
 
+    sustained = round(sorted(sustained_probes)[len(sustained_probes) // 2],
+                      3)
     out = {
         "metric": "headline_suite_wall_clock",
         "value": round(total, 3),
@@ -159,6 +184,14 @@ def main() -> None:
         # across rounds even when the host is contended
         "value_normalized": round(total / calibration_sec, 1)
         if calibration_sec > 0 else None,
+        # sustained estimator (VERDICT r13 #1): median of the same
+        # probe sampled once per timed query, interleaved through the
+        # suite — sees the same neighbor contention the queries saw,
+        # where the pre-suite min-of-3 burst can miss it
+        "calibration_sustained_sec": sustained,
+        "calibration_probes": sustained_probes,
+        "value_normalized_sustained": round(total_med / sustained, 1)
+        if sustained > 0 else None,
         "sf": float(sf),
     }
     if errors:
@@ -169,7 +202,9 @@ def main() -> None:
         out["incomplete"] = True
     print(f"# TOTAL {total:.3f}s (normalized "
           f"{out['value_normalized']}x calibration "
-          f"{calibration_sec:.3f}s)", file=sys.stderr)
+          f"{calibration_sec:.3f}s sustained {sustained:.3f}s "
+          f"norm-sustained {out['value_normalized_sustained']}x)",
+          file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
 

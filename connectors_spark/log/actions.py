@@ -502,6 +502,11 @@ TXN_SCHEMA = T.StructType([
 
 COMMIT_INFO_SCHEMA = T.StructType([
     T.StructField("timestamp", T.LongType()),
+    # userId/userName ride in the Spark-side schema too (ADVICE r13:
+    # the dataclass/wrap/parse gained them in r13 but the schema did
+    # not, so SINGLE_ACTION_SCHEMA consumers silently dropped them)
+    T.StructField("userId", T.StringType()),
+    T.StructField("userName", T.StringType()),
     T.StructField("operation", T.StringType()),
     T.StructField("operationParameters", _STR_MAP),
     T.StructField("readVersion", T.LongType()),

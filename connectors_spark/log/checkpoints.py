@@ -80,13 +80,21 @@ def write_checkpoint(snapshot: Snapshot, parts: Optional[int] = None) -> int:
     # Tombstones still inside the retention window ride along so readers of
     # the checkpoint alone see them (InMemoryLogReplay.getTombstones).
     tomb = snapshot.tombstones_df
+    # extendedFileMetadata carries each tombstone's OWN flag (ADVICE
+    # r13): the protocol says partitionValues/size/tags are only valid
+    # when it is true, so writing a blanket false made conforming
+    # readers drop the tags — losing the DV-sidecar reference the
+    # VACUUM tombstone protection depends on after a checkpoint.
+    # Engine-written removes (AddFile.remove) always set it true;
+    # foreign-writer tombstones keep whatever they declared.
+    ext = F.coalesce(F.col("extendedFileMetadata"), F.lit(False))
     remove_struct = F.struct(
         _relativize_col(table_path).alias("path"),
         F.col("deletionTimestamp"),
         F.lit(False).alias("dataChange"),
-        F.lit(False).alias("extendedFileMetadata"),
-        F.lit(None).cast("map<string,string>").alias("partitionValues"),
-        F.lit(None).cast("long").alias("size"),
+        ext.alias("extendedFileMetadata"),
+        F.when(ext, F.col("partitionValues")).alias("partitionValues"),
+        F.when(ext, F.col("size")).alias("size"),
         F.col("tags"),
         F.lit(None).cast("long").alias("baseRowId"),
         F.lit(None).cast("long").alias("defaultRowCommitVersion"),

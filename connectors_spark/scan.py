@@ -58,8 +58,11 @@ class DeltaScan:
 
     def files(self) -> DataFrame:
         """files_df filtered by the pushed partition predicate and (when
-        enabled) by per-file min/max stats."""
-        df = self.snapshot.files_df
+        enabled) by per-file min/max stats. Runs over the Snapshot's
+        materialized inventory (``files_local_df``) — the pruning pass
+        stays one vectorized Column evaluation, but repeated scans of
+        the same Snapshot no longer re-run the log-replay job."""
+        df = self.snapshot.files_local_df
         if self.pushed is not None:
             df = df.where(self.pushed.to_column(self._pv_resolver()))
         if self.use_stats and self.residual is not None:

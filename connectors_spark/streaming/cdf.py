@@ -119,13 +119,23 @@ def _scan_tagged(table, snap, file_rows: List[_FileRow],
         has_mat = rid_c in out.columns
         mat_rid = F.col(rid_c) if has_mat else F.lit(None).cast("long")
         mat_rcv = F.col(rcv_c) if has_mat else F.lit(None).cast("long")
+        # The _commit_version fallback is only sound where the row's
+        # last modification IS this commit: rows a CDC/synthesized leg
+        # tags insert or update_postimage. On a delete leg a foreign
+        # RemoveFile with no defaultRowCommitVersion but a materialized
+        # id would otherwise read the DELETE's version as the row's
+        # commit version instead of an honest NULL (ADVICE r13).
+        ct = (F.col(CHANGE_TYPE_COL) if change_type is None
+              else F.lit(change_type))
         out = (out.withColumn(
                    "_row_id",
                    F.coalesce(mat_rid, F.col("__base") + F.col("__ri")))
                .withColumn(
                    "_row_commit_version",
                    F.coalesce(mat_rcv, F.col("__dcv"),
-                              F.when(F.col("_row_id").isNotNull(),
+                              F.when(ct.isin("insert",
+                                             "update_postimage") &
+                                     F.col("_row_id").isNotNull(),
                                      F.col("_commit_version")))))
         rid_cols = [F.col("_row_id"), F.col("_row_commit_version")]
     return out.select(

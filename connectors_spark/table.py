@@ -399,7 +399,7 @@ class DeltaTable:
         probe is one tiny aggregate over the same relation."""
         from .dv import DV_TAG
         snap = self._resolve(version, None)
-        files = snap.files_df
+        files = snap.files_local_df
         nrec = F.get_json_object(F.col("stats"), "$.numRecords") \
             .cast("long")
         dtypes = {f.name: f.dataType
@@ -474,7 +474,7 @@ class DeltaTable:
         ptypes = {f.name: f.dataType
                   for f in snap.metadata.partition_schema.fields}
         phys = snap.metadata.name_map()
-        return (snap.files_df
+        return (snap.files_local_df
                 .select(*[F.col("partitionValues")
                           .getItem(phys.get(c, c))
                           .cast(ptypes[c]).alias(c) for c in pcols])
@@ -488,9 +488,7 @@ class DeltaTable:
         come from one aggregate over the file inventory; no data
         Parquet is opened."""
         snap = self.snapshot()
-        agg = snap.files_df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum("size"), F.lit(0)).alias("b")).collect()[0]
+        summary = snap.state_summary()
         hist = self.log.history()
         return {
             "format": "delta",
@@ -499,8 +497,8 @@ class DeltaTable:
             "createdAt": snap.metadata.createdTime,
             "lastModified": hist[0]["timestamp"] if hist else None,
             "partitionColumns": list(snap.metadata.partitionColumns),
-            "numFiles": int(agg["n"]),
-            "sizeInBytes": int(agg["b"]),
+            "numFiles": int(summary["numOfFiles"]),
+            "sizeInBytes": int(summary["sizeInBytes"]),
             "properties": dict(snap.metadata.configuration or {}),
             "minReaderVersion": snap.protocol.minReaderVersion,
             "minWriterVersion": snap.protocol.minWriterVersion,
@@ -1112,9 +1110,10 @@ class DeltaTable:
             # predicate fully file-resolvable: drop candidates whole
             actions += [f.remove(now) for f in candidates]
         else:
-            cand_paths = [canonical_path(f.path, snap.table_path)
-                          for f in candidates]
-            files_subset = _semi_by_paths(snap.files_df, cand_paths)
+            cand_paths = {canonical_path(f.path, snap.table_path)
+                          for f in candidates}
+            files_subset = [r for r in snap._files_rows
+                            if r["path"] in cand_paths]
             rt = TableConfig(meta.configuration).enable_row_tracking
             old = snap.to_df(files=files_subset, with_row_ids=rt)
             hit = F.coalesce(pred_col, F.lit(False))
@@ -1178,9 +1177,10 @@ class DeltaTable:
             # metadata-only (streaming/cdf.py).
             actions += [f.remove(now) for f in candidates]
         else:
-            cand_paths = [canonical_path(f.path, snap.table_path)
-                          for f in candidates]
-            files_subset = _semi_by_paths(snap.files_df, cand_paths)
+            cand_paths = {canonical_path(f.path, snap.table_path)
+                          for f in candidates}
+            files_subset = [r for r in snap._files_rows
+                            if r["path"] in cand_paths]
             rt = TableConfig(
                 snap.metadata.configuration).enable_row_tracking
             df = snap.to_df(files=files_subset, with_row_ids=rt)
@@ -1352,9 +1352,10 @@ class DeltaTable:
         candidates = txn.mark_files_as_read(predicate)
         if not candidates:
             return txn.commit([], "UPDATE", {})
-        cand_paths = [canonical_path(f.path, snap.table_path)
-                      for f in candidates]
-        files_subset = _semi_by_paths(snap.files_df, cand_paths)
+        cand_paths = {canonical_path(f.path, snap.table_path)
+                      for f in candidates}
+        files_subset = [r for r in snap._files_rows
+                        if r["path"] in cand_paths]
         rt = TableConfig(snap.metadata.configuration).enable_row_tracking
         df = snap.to_df(files=files_subset, with_row_ids=rt)
         cond = predicate.to_column(F.col) if predicate is not None else F.lit(True)
@@ -1482,37 +1483,68 @@ class DeltaTable:
         src = source.alias("s")
         cond = F.expr(condition) if isinstance(condition, str) else condition
 
-        # Touched files: data rows that join the source, traced back to
-        # files. Only the TOUCHED subset of files_df ever reaches the
-        # driver (it becomes the commit's RemoveFile list) — the full
-        # file inventory stays a DataFrame end-to-end.
         meta = snap.metadata
         # __file comes from to_df itself (_metadata.file_path inside
         # each single-source scan): input_file_name() on the returned
         # plan is illegal once a DV anti-join makes it multi-source —
         # a merge on a DV-carrying table would fail analysis
         from .log.snapshot import addfiles_from_rows
-        with_file = snap.to_df(files=scoped_files, with_file_col=True)
-        touched = (with_file.alias("t").join(src, cond, "inner")
-                   .select(F.col("__file").alias("path")).distinct())
-        # Semi-join, not an isin literal: a merge touching 100k+ files
-        # must not embed a 100k-element In() in the plan (driver memory
-        # + plan-size blowup). The collect below is inherent — the
-        # touched subset becomes the commit's RemoveFile list — and its
-        # rows are fed back as a LOCAL DataFrame so the discovery join
-        # runs exactly once.
-        files_subset = snap.files_df.join(touched, "path", "left_semi")
-        touched_rows = files_subset.collect()
-        touched_adds = addfiles_from_rows(touched_rows)
-        local_subset = snap.files_df.sparkSession.createDataFrame(
-            touched_rows, snap.files_df.schema)
         rt = TableConfig(meta.configuration).enable_row_tracking
-        touched_df = snap.to_df(files=local_subset,
-                                with_row_ids=rt).alias("t")
-
-        matched = touched_df.join(src, cond, "inner")
         tcols = [f.name for f in meta.schema.fields]
         gens = _generated_exprs(meta)
+
+        # ONE full scan answers BOTH merge questions — which files are
+        # touched AND what the matched (target, source) row pairs are.
+        # (r14, guide §1.2/§2.4: the previous shape ran the inner join
+        # against the target FOUR times — touched-file discovery, the
+        # rewrite's matched leg, and the two CDC images — plus the
+        # kept-rows anti-join, five target scans per MERGE.) The join
+        # output is projected to collision-free names, matched-update
+        # expressions are evaluated HERE while t/s alias resolution is
+        # still alive (aliases do not survive a checkpoint), and the
+        # result is materialized: it is O(matched rows), the small
+        # relation of the merge by construction. Everything downstream
+        # (pre/post images, rewrite values, touched paths) derives from
+        # it without rescanning the target.
+        with_all = snap.to_df(files=scoped_files, with_file_col=True,
+                              with_row_ids=rt)
+        joined = with_all.alias("t").join(src, cond, "inner")
+
+        def _set(v):
+            # SQL strings or Columns, same contract as update()'s
+            # set_exprs — str(Column) is NOT valid SQL, so Columns must
+            # pass through unstringified
+            return F.expr(v) if isinstance(v, str) else v
+
+        proj = [F.col(f"t.{c}").alias(f"__t_{c}") for c in tcols]
+        if when_matched_update is not None:
+            bad_id = set(when_matched_update) & set(_identity_cols(meta))
+            if bad_id:
+                raise DeltaError(
+                    f"columns {sorted(bad_id)} are GENERATED ALWAYS AS "
+                    f"IDENTITY and cannot be updated")
+            proj += [_set(when_matched_update[c]).alias(f"__u_{c}")
+                     for c in when_matched_update if c in set(tcols)]
+        proj.append(F.col("__file"))
+        if rt:
+            proj += [F.col("t._row_id").alias("__rid"),
+                     F.col("t._row_commit_version").alias("__rcv")]
+        matched_m = joined.select(*proj).localCheckpoint(eager=True)
+
+        # Touched files: the distinct __file set of the materialized
+        # matched relation (no second discovery scan), intersected with
+        # the Snapshot's materialized inventory DRIVER-side — no isin
+        # literal in any plan, no log-replay job. The touched subset is
+        # inherently driver-bound: it becomes the commit's RemoveFile
+        # list.
+        touched_paths = {r["__file"] for r in
+                         matched_m.select("__file").distinct().collect()}
+        touched_rows = [r for r in snap._files_rows
+                        if r["path"] in touched_paths]
+        touched_adds = addfiles_from_rows(touched_rows)
+        touched_df = snap.to_df(files=touched_rows,
+                                with_row_ids=rt).alias("t")
+
         if rt:
             # Row tracking through the rewrite: kept rows materialize
             # id + commit version; UPDATED rows keep their id but fall
@@ -1524,37 +1556,32 @@ class DeltaTable:
             rid_keep = [
                 F.col("t._row_id").alias(rid_c),
                 F.col("t._row_commit_version").alias(rcv_c)]
-            rid_upd = [
-                F.col("t._row_id").alias(rid_c),
+            rid_keep_m = [
+                F.col("__rid").alias(rid_c),
+                F.col("__rcv").alias(rcv_c)]
+            rid_upd_m = [
+                F.col("__rid").alias(rid_c),
                 F.lit(None).cast("long").alias(rcv_c)]
             rid_ins = [
                 F.lit(None).cast("long").alias(rid_c),
                 F.lit(None).cast("long").alias(rcv_c)]
         else:
-            rid_keep = rid_upd = rid_ins = []
+            rid_keep = rid_keep_m = rid_upd_m = rid_ins = []
         cdc_parts: List[DataFrame] = []
         parts = []
         # target rows in touched files with no source match: keep as-is
+        # (the one remaining join against target data — bounded to the
+        # touched-file subset)
         parts.append(touched_df.join(src, cond, "left_anti")
                      .select(*[F.col(f"t.{c}").alias(c) for c in tcols],
                              *rid_keep))
-        matched_t = matched.select(
-            *[F.col(f"t.{c}").alias(c) for c in tcols], *rid_keep)
+        matched_t = matched_m.select(
+            *[F.col(f"__t_{c}").alias(c) for c in tcols], *rid_keep_m)
         if when_matched_update is not None:
-            # SQL strings or Columns, same contract as update()'s
-            # set_exprs — str(Column) is NOT valid SQL, so Columns must
-            # pass through unstringified
-            def _set(v):
-                return F.expr(v) if isinstance(v, str) else v
-            bad_id = set(when_matched_update) & set(_identity_cols(meta))
-            if bad_id:
-                raise DeltaError(
-                    f"columns {sorted(bad_id)} are GENERATED ALWAYS AS "
-                    f"IDENTITY and cannot be updated")
-            upd = matched.select(*[
-                (_set(when_matched_update[c])
-                 if c in when_matched_update else F.col(f"t.{c}")).alias(c)
-                for c in tcols], *rid_upd)
+            upd = matched_m.select(*[
+                (F.col(f"__u_{c}")
+                 if c in when_matched_update else F.col(f"__t_{c}"))
+                .alias(c) for c in tcols], *rid_upd_m)
             # Recompute generated columns the SET list doesn't assign
             # (delta-spark recomputes on update; validating the stale
             # pre-update value against the expression would always
@@ -2467,8 +2494,8 @@ class TableMaintenance:
         # files (or, for Z-order, the full rewrite set — inherent) are
         # collected; a mostly-compacted table collects near-nothing.
         from .log.snapshot import addfiles_from_rows
-        cand_df = snap.files_df if cluster_by is not None \
-            else snap.files_df.where(F.col("size") < target_file_size)
+        cand_df = snap.files_local_df if cluster_by is not None \
+            else snap.files_local_df.where(F.col("size") < target_file_size)
         if where is not None:
             from .scan import DeltaScan
             cand_df = cand_df.join(
@@ -2532,9 +2559,10 @@ class TableMaintenance:
                 # the current state like an independent OPTIMIZE
                 txn = t.log.start_transaction()
                 snap = txn.snapshot
-            cand_paths = [_canonical(f.path, snap.table_path)
-                          for f in victims]
-            subset = _semi_by_paths(snap.files_df, cand_paths)
+            cand_paths = {_canonical(f.path, snap.table_path)
+                          for f in victims}
+            subset = [r for r in snap._files_rows
+                      if r["path"] in cand_paths]
             if bi > 0:
                 # victims were computed from the ORIGINAL snapshot; a
                 # concurrent commit that removed one BEFORE this batch's
@@ -2544,7 +2572,7 @@ class TableMaintenance:
                 # incremental .crc chain). Intersect with the fresh
                 # snapshot's live files — `subset` rows ARE that
                 # intersection, bounded by the batch width.
-                live = {r["path"] for r in subset.select("path").collect()}
+                live = {r["path"] for r in subset}
                 victims = [f for f in victims
                            if _canonical(f.path, snap.table_path) in live]
                 if not victims:
@@ -2633,9 +2661,10 @@ class TableMaintenance:
         if not victims:
             return {"filesPurged": 0, "filesAdded": 0,
                     "version": snap.version}
-        cand_paths = [_canonical(f.path, snap.table_path)
-                      for f in victims]
-        subset = _semi_by_paths(snap.files_df, cand_paths)
+        cand_paths = {_canonical(f.path, snap.table_path)
+                      for f in victims}
+        subset = [r for r in snap._files_rows
+                  if r["path"] in cand_paths]
         df = snap.to_df(files=subset)  # DV anti-join applied here
         adds = stage_and_collect(
             df, t.path, snap.metadata.partitionColumns,

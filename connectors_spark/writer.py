@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 # which covers pickle-time references but NOT runtime imports)
 from .bloom import (TAG_PREFIX, auto_bits, bloom_tag_value,
                     build_bloom_hex)
+from .errors import DeltaProtocolError
 from .log.actions import AddCDCFile, AddFile
 
 CDC_DIR = "_change_data"
@@ -353,7 +354,17 @@ def stage_and_collect(df: DataFrame, table_path: str,
         for r in counts:
             hit = abs_by_canon.get(r["__f"])
             if hit is None:
-                continue
+                # A counted file that maps back to none of the staged
+                # AddFiles means the canonicalization domains diverged;
+                # silently skipping would leave a rowful file committed
+                # with the numRecords=0 seed — and under row tracking
+                # the baseRowId ranges would overlap (duplicate
+                # _row_ids). Fail the write instead (ADVICE r13).
+                raise DeltaProtocolError(
+                    f"variant numRecords repair: counted file "
+                    f"{r['__f']!r} matches no staged AddFile path — "
+                    f"canonicalization mismatch would corrupt row-id "
+                    f"allocation")
             i, _ = hit
             adds[i] = dataclasses.replace(
                 adds[i], stats=json.dumps(
