@@ -43,7 +43,9 @@ def _word_states(df: DataFrame, text_col: str) -> DataFrame:
     character wrapped in SEP markers."""
     from ..functions.text import tokens
 
-    words = (df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+    words = (df.select(F.explode_outer(tokens(F.col(text_col)))
+                       .alias("word"))
+             .where(F.col("word").isNotNull())
              .groupBy("word").agg(F.count(F.lit(1)).alias("c")))
     state = F.regexp_replace(F.col("word"), "(.)", f"{SEP}$1{SEP}")
     return words.withColumn("state", state)
@@ -116,7 +118,8 @@ def bpe_subword_counts(df: DataFrame, merges: List[Tuple[int, str, str, int]],
     n_syms = F.size(F.split(F.expr("substring(_st, 2, length(_st) - 2)"),
                             SEP + SEP))
     ex = (df.select(F.col(id_col),
-                    F.explode(tokens(F.col(text_col))).alias("_w"))
+                    F.explode_outer(tokens(F.col(text_col))).alias("_w"))
+          .where(F.col("_w").isNotNull())
           .withColumn("_st", state))
     return (ex.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_words"),

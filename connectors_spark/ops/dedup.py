@@ -133,7 +133,16 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     # and comparisons are integer equality. Distinct-per-doc is taken on
     # strings BEFORE hashing, so counts are identical to the string join
     # (up to md5 collisions, ~1e-12 for millions of shingles).
-    ex = (sh.select("_id", "_sz", F.explode("_sh").alias("_gs"))
+    # explode_OUTER + null-filter, not explode (r14, guide §2.4/§7.2):
+    # a bare explode lets InferFiltersFromGenerate synthesize a
+    # size(shingles)>0 filter that predicate-pushdown then sinks BELOW
+    # the spread repartition — re-evaluating the whole shingle HOF
+    # expression once in that filter (on the narrow pre-spread
+    # partitioning) and again in the projection. The outer variant
+    # admits no inferred filter; the one null row an empty doc emits is
+    # dropped right after the generate.
+    ex = (sh.select("_id", "_sz", F.explode_outer("_sh").alias("_gs"))
+          .where(F.col("_gs").isNotNull())
           .select("_id", "_sz", hash64("_gs").alias("_g")))
     # LAZY plan, no op-owned caches: each self-join side evaluates the
     # (cheap, JVM-expression) shingle subtree independently — Spark
@@ -195,7 +204,10 @@ def ngram_containment_pairs(df: DataFrame, id_col: str = "doc_id",
     candidate bound (under-counts shared shingles: containment only
     ever drops, the safe side at high thresholds)."""
     sh = shingle_sets(df, id_col, text_col, n)
-    ex = (sh.select("_id", "_sz", F.explode("_sh").alias("_gs"))
+    # explode_outer + null-filter: see ngram_jaccard_pairs (avoids the
+    # InferFiltersFromGenerate double-evaluation of the shingle HOF)
+    ex = (sh.select("_id", "_sz", F.explode_outer("_sh").alias("_gs"))
+          .where(F.col("_gs").isNotNull())
           .select("_id", "_sz", hash64("_gs").alias("_g")))
     if max_shingle_freq is not None:
         hot = (ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_freq"))
@@ -271,7 +283,8 @@ def boundary_stitch_pairs(df: DataFrame, id_col: str = "doc_id",
             p.alias("pos"),
             hash64(F.concat_ws(" ", F.slice("_t", p, k))).alias("h")))
     grams = (base.select("_id", "_n",
-                         F.explode(gram_arr).alias("_ph"))
+                         F.explode_outer(gram_arr).alias("_ph"))
+             .where(F.col("_ph").isNotNull())
              .select("_id", "_n", F.col("_ph.pos").alias("_pos"),
                      F.col("_ph.h").alias("_h")))
     pref = base.select(
@@ -312,7 +325,8 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     """
     perms = MINHASH_PERMS[:num_perm]
     ex = (shingle_sets(df, id_col, text_col, n)
-          .select("_id", F.explode("_sh").alias("_g"))
+          .select("_id", F.explode_outer("_sh").alias("_g"))
+          .where(F.col("_g").isNotNull())
           .withColumn("_h", hash64(F.col("_g")) % MINHASH_PRIME))
     aggs = [F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MINHASH_PRIME)
             .alias(f"mh_{i}") for i, (a, b) in enumerate(perms)]
@@ -371,7 +385,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # across consumers, and nothing is pinned in executor storage after
     # the op returns.
     sh = shingle_sets(df, id_col, text_col, n)
-    ex = (sh.select("_id", F.explode("_sh").alias("_g"))
+    ex = (sh.select("_id", F.explode_outer("_sh").alias("_g"))
+          .where(F.col("_g").isNotNull())
           .withColumn("_h", hash64(F.col("_g")) % MINHASH_PRIME))
     perms = MINHASH_PERMS[:num_perm]
     aggs = [F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MINHASH_PRIME)
@@ -422,7 +437,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                        1, max_bucket_size).alias("ids")))
     cand = (grouped
             .filter(F.size("ids") >= 2)
-            .select(F.explode(pair_expand).alias("p"))
+            .select(F.explode_outer(pair_expand).alias("p"))
+            .where(F.col("p").isNotNull())
             .select("p.a_id", "p.b_id").distinct())
     # Re-shingle ONLY the candidate docs: join the (small, by LSH
     # construction) candidate pair list against the raw text relation and
@@ -545,7 +561,8 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     by doc id.
     """
     ex = (_spread(df).select(F.col(id_col).alias("_id"),
-                             F.explode(tokens(text_col)).alias("_t"))
+                             F.explode_outer(tokens(text_col)).alias("_t"))
+          .where(F.col("_t").isNotNull())
           .withColumn("_h", hash64(F.col("_t"))))
     votes = [F.sum(F.when(F.shiftright("_h", j).bitwiseAND(F.lit(1)) == 1,
                           1).otherwise(-1)).alias(f"v{j}")
@@ -621,7 +638,8 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                        1, max_bucket_size).alias("ds")))
     return (grouped
             .filter(F.size("ds") >= 2)
-            .select(F.explode(pair_expand).alias("p"))
+            .select(F.explode_outer(pair_expand).alias("p"))
+            .where(F.col("p").isNotNull())
             .select("p.a_id", "p.b_id", "p.hamming")
             .distinct()
             .filter(F.col("hamming") <= max_hamming))
@@ -755,11 +773,13 @@ def contamination_report(train: DataFrame, eval_df: DataFrame, n: int = 3,
     sort-merge join keyed by gram.
     """
     tg = (train.select(F.col(id_col).alias("doc_id"),
-                       F.explode(ngram_shingles(F.col(text_col), n))
-                       .alias("g")))
+                       F.explode_outer(ngram_shingles(F.col(text_col), n))
+                       .alias("g"))
+          .where(F.col("g").isNotNull()))
     eg = (eval_df.select(F.col(id_col).alias("_eval_id"),
-                         F.explode(ngram_shingles(F.col(text_col), n))
-                         .alias("g")))
+                         F.explode_outer(ngram_shingles(F.col(text_col), n))
+                         .alias("g"))
+          .where(F.col("g").isNotNull()))
     hits = tg.join(F.broadcast(eg), "g")
     return (hits.groupBy("doc_id")
             .agg(F.countDistinct("g").alias("n_shared_ngrams"),

@@ -72,7 +72,9 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     out = base.select("doc_id", "n_tok")
     for n in ns:
         grams = (base.select("doc_id",
-                             F.explode(ngram_list("_text", n)).alias("g"))
+                             F.explode_outer(ngram_list("_text", n))
+                             .alias("g"))
+                 .where(F.col("g").isNotNull())
                  .groupBy("doc_id", "g").count())
         stats = (grams.groupBy("doc_id")
                  .agg(F.max("count").alias("_mx"),
@@ -131,8 +133,9 @@ def unigram_nll_scores(df: DataFrame, id_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
-    tok = df.select(F.col(id_col).alias("doc_id"),
-                    F.explode(tokens(F.col(text_col))).alias("w"))
+    tok = (df.select(F.col(id_col).alias("doc_id"),
+                     F.explode_outer(tokens(F.col(text_col))).alias("w"))
+           .where(F.col("w").isNotNull()))
     vocab = tok.groupBy("w").count()
     w_all = Window.partitionBy()
     logp = vocab.select(
@@ -187,7 +190,8 @@ def dsir_importance_weights(df: DataFrame, target_cond,
     base = df.select(F.col(id_col).alias("doc_id"),
                      target_cond.alias("_t"),
                      F.concat(toks, big).alias("_f"))
-    fb = (base.select("doc_id", "_t", F.explode("_f").alias("_g"))
+    fb = (base.select("doc_id", "_t", F.explode_outer("_f").alias("_g"))
+          .where(F.col("_g").isNotNull())
           .select("doc_id", "_t",
                   (hash64("_g") % buckets).alias("b")))
     hist = fb.groupBy("b").agg(
@@ -324,7 +328,8 @@ def token_entropy(df: DataFrame, id_col: str = "doc_id",
     tokens) then O(distinct (doc, token)); no joins, no windows.
     """
     cnt = (df.select(F.col(id_col).alias("doc_id"),
-                     F.explode(tokens(F.col(text_col))).alias("w"))
+                     F.explode_outer(tokens(F.col(text_col))).alias("w"))
+           .where(F.col("w").isNotNull())
            .groupBy("doc_id", "w").count())
     return (cnt.groupBy("doc_id")
             .agg(F.sum("count").alias("n_tok"),
@@ -365,12 +370,16 @@ def pmi_bigrams(df: DataFrame, min_count: int = 5, top: int = 50,
 
     base = df.select(F.col(id_col).alias("doc_id"),
                      F.col(text_col).alias("_text"))
-    uni = (base.select(F.explode(tokens(F.col("_text"))).alias("w"))
+    uni = (base.select(F.explode_outer(tokens(F.col("_text")))
+                       .alias("w"))
+           .where(F.col("w").isNotNull())
            .groupBy("w").count())
     w_all = Window.partitionBy()
     p_uni = uni.select(
         "w", (F.col("count") / F.sum("count").over(w_all)).alias("_p"))
-    bi = (base.select(F.explode(ngram_list("_text", 2)).alias("bigram"))
+    bi = (base.select(F.explode_outer(ngram_list("_text", 2))
+                      .alias("bigram"))
+          .where(F.col("bigram").isNotNull())
           .groupBy("bigram").agg(F.count(F.lit(1)).alias("n")))
     # p(ab)'s denominator is the total over ALL bigrams — the window
     # must run before the min_count filter, not over the filtered
@@ -419,7 +428,8 @@ def ngram_novelty(df: DataFrame, id_col: str = "doc_id",
     from ..functions.text import hash64, ngram_shingles
     ex = (df.select(F.col(id_col).alias("_id"),
                     ngram_shingles(F.col(text_col), n).alias("_sh"))
-          .select("_id", F.explode("_sh").alias("_gs"))
+          .select("_id", F.explode_outer("_sh").alias("_gs"))
+          .where(F.col("_gs").isNotNull())
           .select("_id", hash64("_gs").alias("_g")))
     freq = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
     return (ex.join(freq, "_g")

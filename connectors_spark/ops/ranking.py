@@ -28,7 +28,8 @@ def term_postings(docs: DataFrame, id_col: str = "doc_id",
     """(doc_id, term, tf): term frequency per document."""
     return (docs
             .select(F.col(id_col).alias("doc_id"),
-                    F.explode(tokens(text_col)).alias("term"))
+                    F.explode_outer(tokens(text_col)).alias("term"))
+            .where(F.col("term").isNotNull())
             .groupBy("doc_id", "term")
             .agg(F.count(F.lit(1)).alias("tf")))
 
@@ -71,7 +72,8 @@ def bm25(docs: DataFrame, query_terms: Sequence[str],
                    F.avg("dl").alias("avgdl")).first()
     n, avgdl = float(stats["n"]), float(stats["avgdl"])
 
-    post = (toks.select("doc_id", F.explode("__toks").alias("term"))
+    post = (toks.select("doc_id",
+                        F.explode_outer("__toks").alias("term"))
             .where(F.col("term").isin(qterms))
             .groupBy("doc_id", "term")
             .agg(F.count(F.lit(1)).alias("tf")))
@@ -161,9 +163,10 @@ def substring_search(docs: DataFrame, patterns: Sequence[str],
                        .alias("_g"))
            .distinct())
     pn = pex.groupBy("pattern").agg(F.count(F.lit(1)).alias("_need"))
-    dex = docs.select(F.col(id_col).alias("doc_id"),
-                      F.explode(char_trigram_hashes(F.col(text_col)))
-                      .alias("_g"))
+    dex = (docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode_outer(char_trigram_hashes(
+                           F.col(text_col))).alias("_g"))
+           .where(F.col("_g").isNotNull()))
     cand = (dex.join(F.broadcast(pex), "_g")
             .groupBy("pattern", "doc_id")
             .agg(F.count(F.lit(1)).alias("_have"))
@@ -220,8 +223,9 @@ def build_trigram_index(docs: DataFrame, index_path: str,
     analogue of a pg_trgm GIN index."""
     from ..table import DeltaTable
     dex = (docs.select(F.col(id_col).alias("doc_id"),
-                       F.explode(char_trigram_hashes(F.col(text_col)))
-                       .alias("_g"))
+                       F.explode_outer(char_trigram_hashes(
+                           F.col(text_col))).alias("_g"))
+           .where(F.col("_g").isNotNull())
            .withColumn("bucket",
                        (F.col("_g") % n_buckets).cast("int")))
     t = DeltaTable.for_path(docs.sparkSession, index_path)

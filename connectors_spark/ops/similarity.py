@@ -424,7 +424,8 @@ def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float = 0.45,
             lambda b: F.struct(F.least(a, b).alias("a_id"),
                                F.greatest(a, b).alias("b_id")))))
     cand = (grouped.filter(F.size("ids") >= 2)
-            .select(F.explode(pair_expand).alias("p"))
+            .select(F.explode_outer(pair_expand).alias("p"))
+            .where(F.col("p").isNotNull())
             .select("p.a_id", "p.b_id").distinct())
     withn = df.select(F.col(id_col), F.col(vec_col),
                       norm_d(vec_col).alias("_n"))

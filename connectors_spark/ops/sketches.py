@@ -59,7 +59,8 @@ def countmin_sketch(df: DataFrame, key_col: str, depth: int = 4,
     counters are additive, so sketches of different data slices union +
     re-aggregate into the merged sketch."""
     probes = _probe_array(F.col(key_col), "cm", depth, width)
-    return (df.select(F.explode(probes).alias("_p"))
+    return (df.select(F.explode_outer(probes).alias("_p"))
+            .where(F.col("_p").isNotNull())
             .groupBy(F.col("_p.j").alias("j"),
                      F.col("_p.bucket").alias("bucket"))
             .agg(F.count(F.lit(1)).alias("c")))
@@ -142,7 +143,8 @@ def bloom_bits(df: DataFrame, gram_col: str, k: int = 3,
     rows regardless of corpus size (vs broadcasting the exact gram
     set), and ORs of two filters are a plain union+distinct."""
     probes = _probe_array(F.col(gram_col), "bl", k, mbits, with_j=False)
-    return df.select(F.explode(probes).alias("bit")).distinct()
+    return (df.select(F.explode_outer(probes).alias("bit"))
+            .where(F.col("bit").isNotNull()).distinct())
 
 
 def bloom_contains_counts(probe: DataFrame, id_col: str, gram_col: str,
@@ -154,8 +156,10 @@ def bloom_contains_counts(probe: DataFrame, id_col: str, gram_col: str,
     by AQE; no corpus-sized shuffle beyond the per-gram distinct."""
     pr = (probe.select(id_col, gram_col).distinct()
           .select(id_col, gram_col,
-                  F.explode(_probe_array(F.col(gram_col), "bl", k, mbits,
-                                         with_j=False)).alias("bit")))
+                  F.explode_outer(_probe_array(F.col(gram_col), "bl", k,
+                                               mbits, with_j=False))
+                  .alias("bit"))
+          .where(F.col("bit").isNotNull()))
     marked = bits.withColumn("_hit", F.lit(1))
     per_gram = (pr.join(marked, "bit", "left")
                 .groupBy(id_col, gram_col)

@@ -182,8 +182,9 @@ def range_join_binned(left: DataFrame, right: DataFrame,
     lsec = F.col(on).cast("double")
     lo_bin = F.floor((lsec + lower_seconds) / bin_seconds).cast("long")
     l = (left.withColumn("_b0", lo_bin)
-         .withColumn("_bin", F.explode(F.sequence(
+         .withColumn("_bin", F.explode_outer(F.sequence(
              F.col("_b0"), F.col("_b0") + F.lit(n_bins - 1))))
+         .where(F.col("_bin").isNotNull())
          .drop("_b0"))
     # Keep only bins the range actually covers (sequence over-covers by
     # at most one trailing bin).
@@ -228,10 +229,11 @@ def gap_fill_locf(df: DataFrame, key_col: str, ts_col: str, val_col: str,
            .agg(F.round(agg_fn("v"), 6).alias("v")))
     span = (obs.groupBy("key")
             .agg(F.min("day").alias("_lo"), F.max("day").alias("_hi")))
-    grid = span.select(
-        "key", F.explode(F.sequence(
+    grid = (span.select(
+        "key", F.explode_outer(F.sequence(
             "_lo", "_hi",
             F.expr("interval 1 day"))).alias("day"))
+        .where(F.col("day").isNotNull()))
     w = (Window.partitionBy("key").orderBy("day")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (grid.join(obs, ["key", "day"], "left")
@@ -269,9 +271,10 @@ def gap_fill_interpolate(df: DataFrame, key_col: str, ts_col: str,
            .agg(F.round(agg_fn("v"), 6).alias("v")))
     span = (obs.groupBy("key")
             .agg(F.min("day").alias("_lo"), F.max("day").alias("_hi")))
-    grid = span.select(
-        "key", F.explode(F.sequence(
+    grid = (span.select(
+        "key", F.explode_outer(F.sequence(
             "_lo", "_hi", F.expr("interval 1 day"))).alias("day"))
+        .where(F.col("day").isNotNull()))
     joined = grid.join(obs, ["key", "day"], "left")
     w_prev = (Window.partitionBy("key").orderBy("day")
               .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -548,7 +548,8 @@ GROUP BY w ORDER BY n DESC, token LIMIT 20
 def doc_tokens(spark, sf_dir):
     from ..functions.text import tokens
     docs = load(spark, sf_dir, "documents")
-    return (docs.select(F.explode(tokens("text")).alias("token"))
+    return (docs.select(F.explode_outer(tokens("text")).alias("token"))
+            .where(F.col("token").isNotNull())
             .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), F.asc("token")).limit(20))
 
@@ -1274,7 +1275,9 @@ FROM per_src JOIN docs_per USING (source)
 def doc_bpe(spark, sf_dir):
     from ..functions.text import regex_tokens
     docs = load(spark, sf_dir, "documents")
-    t = docs.select("source", F.explode(regex_tokens("text")).alias("tok"))
+    t = (docs.select("source",
+                     F.explode_outer(regex_tokens("text")).alias("tok"))
+         .where(F.col("tok").isNotNull()))
     per_src = (t.groupBy("source")
                .agg(F.count(F.lit(1)).alias("n_tokens"),
                     F.countDistinct("tok").alias("n_distinct")))
@@ -2327,7 +2330,8 @@ def doc_countmin(spark, sf_dir):
     from ..functions.text import tokens
     from ..ops.sketches import countmin_estimate, countmin_sketch
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(F.explode(tokens("text")).alias("g"))
+    tok = (docs.select(F.explode_outer(tokens("text")).alias("g"))
+           .where(F.col("g").isNotNull()))
     cnt = tok.groupBy("g").agg(F.count(F.lit(1)).alias("exact_n"))
     top = cnt.orderBy(F.desc("exact_n"), F.asc("g")).limit(10)
     sk = countmin_sketch(tok, "g", depth=4, width=256)
@@ -2420,11 +2424,13 @@ def doc_bloom(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     train = (docs.filter(F.col("source") != "src0")
              .select("doc_id",
-                     F.explode(ngram_shingles(F.col("text"), 3))
-                     .alias("g")))
+                     F.explode_outer(ngram_shingles(F.col("text"), 3))
+                     .alias("g"))
+             .where(F.col("g").isNotNull()))
     evalg = (docs.filter(F.col("source") == "src0")
-             .select(F.explode(ngram_shingles(F.col("text"), 3))
-                     .alias("g")))
+             .select(F.explode_outer(ngram_shingles(F.col("text"), 3))
+                     .alias("g"))
+             .where(F.col("g").isNotNull()))
     bits = bloom_bits(evalg, "g", k=3, mbits=4096)
     return bloom_contains_counts(train, "doc_id", "g", bits,
                                  k=3, mbits=4096)
@@ -3089,7 +3095,9 @@ def doc_split_leakage(spark, sf_dir):
     from ..functions.text import hash64, hash_split, ngram_shingles
     docs = load(spark, sf_dir, "documents")
     ex = (docs.select(hash_split("doc_id").alias("split"),
-                      F.explode(ngram_shingles("text", 5)).alias("g"))
+                      F.explode_outer(ngram_shingles("text", 5))
+                      .alias("g"))
+          .where(F.col("g").isNotNull())
           .filter(F.col("split") != "val")
           .select("split", hash64("g").alias("h"))
           .distinct())
@@ -3738,7 +3746,8 @@ def doc_corpus_report(spark, sf_dir):
               F.max("n").cast("bigint").alias("max_len"),
               (F.count(F.lit(1)) - F.countDistinct("fp"))
               .cast("bigint").alias("n_exact_dups")))
-    v = (base.select("lang", "source", F.explode("t").alias("w"))
+    v = (base.select("lang", "source", F.explode_outer("t").alias("w"))
+         .where(F.col("w").isNotNull())
          .groupBy("lang", "source")
          .agg(F.countDistinct("w").alias("n_types")))
     return (d.join(v, ["lang", "source"])

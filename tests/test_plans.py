@@ -112,8 +112,14 @@ def test_hilbert_code_is_pure_jvm_expression(spark):
 
 
 def test_bloom_skip_plan_never_collects_inventory(spark, tmp_path):
-    # the bloom probe is a Column over files_df: the pruned-files plan
-    # must stay a pure DataFrame plan (no Python UDF nodes)
+    # the bloom probe is a Column over the file inventory: the
+    # pruned-files plan must stay a pure DataFrame plan with no Python
+    # EVALUATION nodes (per-file compute stays codegen'd JVM). The
+    # inventory relation itself is the Snapshot's materialized local
+    # state (r14) — its RDD debug name mentions
+    # "applySchemaToPythonRDD", which is a createDataFrame artifact,
+    # not per-row Python execution, so match eval-node names rather
+    # than the bare substring.
     from pyspark.sql import functions as F
 
     from connectors_spark import DeltaTable
@@ -123,7 +129,27 @@ def test_bloom_skip_plan_never_collects_inventory(spark, tmp_path):
     t.write(spark.range(100).select(F.col("id").alias("uid")),
             configuration={BLOOM_COLUMNS_KEY: "uid"})
     p = plan_of(t.scan(Col("uid") == Lit(7)).files())
-    assert "Python" not in p and "ArrowEval" not in p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p \
+        and "MapInPandas" not in p and "FlatMapGroupsInPandas" not in p
+
+
+def test_scan_reuses_materialized_inventory(spark, tmp_path):
+    # r14: a Snapshot materializes its active-file inventory once; a
+    # second scan of the same Snapshot must plan over the local
+    # relation (Scan ExistingRDD) instead of re-running the log-replay
+    # window (no parquet/json checkpoint scan, no Window node), and the
+    # materialized row list must be the cached object itself.
+    from pyspark.sql import functions as F
+
+    from connectors_spark import DeltaTable
+    from connectors_spark.expressions import Col, Lit
+    t = DeltaTable.for_path(spark, str(tmp_path / "inv"))
+    t.write(spark.range(100).select(F.col("id").alias("uid")))
+    snap = t.log.snapshot()
+    assert snap._files_rows is snap._files_rows          # cached once
+    p = plan_of(t.scan(Col("uid") == Lit(7)).files())
+    assert "ExistingRDD" in p
+    assert "Window" not in p and "Scan parquet" not in p
 
 
 def test_fuzzy_edit_pairs_no_cartesian(plans):
@@ -598,7 +624,11 @@ def test_join_key_bloom_prune_plan_stays_pure(spark, tmp_path):
     keys = spark.range(100).select((F.col("id") * 31).alias("k"))
     scan = prune_by_join_keys(t, "uid", keys)
     p = plan_of(scan.files())
-    assert "Python" not in p and "ArrowEval" not in p
+    # eval-node names, not the bare substring: the materialized
+    # inventory's RDD debug name contains "applySchemaToPythonRDD"
+    # (createDataFrame artifact, not per-row Python execution)
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p \
+        and "MapInPandas" not in p
     # one exists-expression, not 100 unrolled forall probes
     assert p.count("forall") <= 4
 
