@@ -63,6 +63,55 @@ def canonical_path(p: str, table_path: str) -> str:
     return table_path.rstrip("/") + "/" + d
 
 
+def _files_row_factory():
+    """Row factory matching files_df's column order exactly —
+    incremental snapshot updates build rows through this so a seeded
+    inventory is field-compatible with a replayed one (named access +
+    ``__fields__``)."""
+    from pyspark.sql import Row
+    return Row("path", "partitionValues", "size", "modificationTime",
+               "dataChange", "stats", "tags", "baseRowId",
+               "defaultRowCommitVersion", "version")
+
+
+def apply_tail_to_files_rows(prev_rows: Sequence, tail, table_path: str
+                             ) -> List:
+    """Incremental state update (delta-spark's InMemoryLogReplay
+    incremental path, r14): apply the tail commits' add/remove actions
+    over a previous Snapshot's materialized inventory, driver-side —
+    O(tail actions), no Spark job, no checkpoint re-read.
+
+    ``tail`` is an iterable of (version, actions) in ascending version
+    order. Equivalence with the distributed window dedup: the previous
+    rows ARE latest-active-per-path at the previous version, and within
+    one version an add beats a remove of the same path (the window's
+    is_add tiebreak), so sequential remove-then-add per version yields
+    the identical final state."""
+    from .actions import RemoveFile
+    row = _files_row_factory()
+    state = {r["path"]: r for r in prev_rows}
+    for v, actions in tail:
+        adds = {}
+        removes = set()
+        for a in actions:
+            if isinstance(a, AddFile):
+                adds[canonical_path(a.path, table_path)] = a
+            elif isinstance(a, RemoveFile):
+                removes.add(canonical_path(a.path, table_path))
+        for p in removes:
+            if p not in adds:
+                state.pop(p, None)
+        for p, a in adds.items():
+            state[p] = row(p, dict(a.partitionValues)
+                           if a.partitionValues is not None else None,
+                           a.size, a.modificationTime,
+                           a.dataChange, a.stats,
+                           dict(a.tags) if a.tags is not None else None,
+                           a.baseRowId, a.defaultRowCommitVersion,
+                           int(v))
+    return list(state.values())
+
+
 def addfiles_from_rows(rows: Sequence) -> List[AddFile]:
     """Materialize ``files_df`` rows (any filtered subset) as AddFile
     actions — the bridge from the DataFrame file inventory to the

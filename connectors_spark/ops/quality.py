@@ -137,10 +137,15 @@ def unigram_nll_scores(df: DataFrame, id_col: str = "doc_id",
                      F.explode_outer(tokens(F.col(text_col))).alias("w"))
            .where(F.col("w").isNotNull()))
     vocab = tok.groupBy("w").count()
-    w_all = Window.partitionBy()
-    logp = vocab.select(
-        "w", (-F.log(F.col("count") /
-                     F.sum("count").over(w_all))).alias("_nll"))
+    # normalizer via scalar aggregate + broadcast cross join, NOT a
+    # global window: Window.partitionBy() funnels the whole vocab
+    # through ONE task — fine at bench scale, a straggler on a
+    # 100 TB corpus vocabulary (r14, guide §2.5). counts are longs, so
+    # the total is exact under any summation order (hash-identical).
+    tot = vocab.agg(F.sum("count").alias("_tot"))
+    logp = (vocab.crossJoin(F.broadcast(tot))
+            .select("w", (-F.log(F.col("count") /
+                                 F.col("_tot"))).alias("_nll")))
     return (tok.join(F.broadcast(logp), "w")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_tok"),
@@ -374,9 +379,11 @@ def pmi_bigrams(df: DataFrame, min_count: int = 5, top: int = 50,
                        .alias("w"))
            .where(F.col("w").isNotNull())
            .groupBy("w").count())
-    w_all = Window.partitionBy()
-    p_uni = uni.select(
-        "w", (F.col("count") / F.sum("count").over(w_all)).alias("_p"))
+    # scalar-aggregate normalizers (exact long sums), not global
+    # windows — same single-task-funnel reasoning as token_nll (r14)
+    utot = uni.agg(F.sum("count").alias("_utot"))
+    p_uni = (uni.crossJoin(F.broadcast(utot))
+             .select("w", (F.col("count") / F.col("_utot")).alias("_p")))
     bi = (base.select(F.explode_outer(ngram_list("_text", 2))
                       .alias("bigram"))
           .where(F.col("bigram").isNotNull())
@@ -384,8 +391,10 @@ def pmi_bigrams(df: DataFrame, min_count: int = 5, top: int = 50,
     # p(ab)'s denominator is the total over ALL bigrams — the window
     # must run before the min_count filter, not over the filtered
     # relation.
-    p_bi = (bi.select("bigram", "n",
-                      (F.col("n") / F.sum("n").over(w_all)).alias("_pab"))
+    btot = bi.agg(F.sum("n").alias("_btot"))
+    p_bi = (bi.crossJoin(F.broadcast(btot))
+            .select("bigram", "n",
+                    (F.col("n") / F.col("_btot")).alias("_pab"))
             .filter(F.col("n") >= min_count))
     parts = F.split(F.col("bigram"), " ")
     scored = (p_bi

@@ -950,6 +950,19 @@ def delta_dml_merge_cdf(spark, sf_dir):
                                "delta.protocol.autoUpgrade": "true"})
     d = _built(sf_dir, "orders_dml_bench", build)
     t = DeltaTable.for_path(spark, d)
+    # Fixture reset (VERDICT r13 #7): each bench session appends ~4
+    # MERGE commits; checkpoint-interval 10 bounds replay, but across
+    # many rounds the log tail would still drift the trend line. When
+    # the log exceeds a bounded number of commits, rebuild from the raw
+    # parquet — the merge converges to the same postimage rows either
+    # way (source derives from raw every run), so results are
+    # unchanged; only the fixture's age resets.
+    if t.log.snapshot().version > 40:
+        marker = os.path.join(d, _MARKER)
+        if os.path.exists(marker):
+            os.remove(marker)
+        d = _built(sf_dir, "orders_dml_bench", build)
+        t = DeltaTable.for_path(spark, d)
     src = (load(spark, sf_dir, "orders")
            .where(F.col("o_orderkey") % 100 == 0)
            .select("o_orderkey",

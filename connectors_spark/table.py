@@ -106,8 +106,42 @@ class DeltaLog:
             cur = self._snapshot
             if cur is not None and cur.segment == seg:
                 return cur
-            self._snapshot = Snapshot(self.spark, self.table_path, seg,
-                                      self.store)
+            new = Snapshot(self.spark, self.table_path, seg, self.store)
+            # Incremental state update (r14, delta-spark's incremental
+            # InMemoryLogReplay): when the previous snapshot already
+            # materialized its inventory and the new segment merely
+            # extends it by tail commits on the same checkpoint, seed
+            # the new inventory by applying the tail's add/remove
+            # actions driver-side — O(tail), no Spark job, and at
+            # large scale no re-read of a million-file checkpoint per
+            # commit. Any surprise (missing delta file, parse error)
+            # falls back to the full distributed replay.
+            if (cur is not None and "_files_rows" in cur.__dict__
+                    and seg.checkpoint_version
+                    == cur.segment.checkpoint_version
+                    and seg.version > cur.segment.version
+                    and seg.deltas[:len(cur.segment.deltas)]
+                    == cur.segment.deltas):
+                try:
+                    from .log.actions import from_json_line
+                    from .log.snapshot import apply_tail_to_files_rows
+
+                    def tail():
+                        for v in range(cur.segment.version + 1,
+                                       seg.version + 1):
+                            lines = self.store.read(
+                                fn.delta_file(self.log_path, v))
+                            yield v, [a for a in
+                                      (from_json_line(ln)
+                                       for ln in lines)
+                                      if a is not None]
+
+                    new.__dict__["_files_rows"] = \
+                        apply_tail_to_files_rows(
+                            cur._files_rows, tail(), self.table_path)
+                except Exception:  # noqa: BLE001 — seed is best-effort
+                    new.__dict__.pop("_files_rows", None)
+            self._snapshot = new
             return self._snapshot
 
     def snapshot(self) -> Snapshot:

@@ -133,6 +133,49 @@ def test_bloom_skip_plan_never_collects_inventory(spark, tmp_path):
         and "MapInPandas" not in p and "FlatMapGroupsInPandas" not in p
 
 
+def test_incremental_snapshot_state_matches_full_replay(spark, tmp_path):
+    # r14: DeltaLog.update seeds the new Snapshot's inventory from the
+    # previous one's by applying the tail commits driver-side
+    # (delta-spark's incremental InMemoryLogReplay). The seeded rows
+    # must be field-identical to a full distributed replay of the same
+    # segment — across partitioned writes, an UPDATE rewrite, a
+    # DV-delete (tags) and a whole-file DELETE under row tracking.
+    from pyspark.sql import functions as F
+
+    from connectors_spark import DeltaTable
+    from connectors_spark.expressions import Col, Lit
+    from connectors_spark.log.snapshot import Snapshot
+    from tests.conftest import read_table
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "inc"))
+    orders = read_table(spark, "orders")
+    t.write(orders, partition_by=["o_orderstatus"],
+            configuration={"delta.enableRowTracking": "true",
+                           "delta.protocol.autoUpgrade": "true"})
+    _ = t.log.snapshot()._files_rows          # materialize v0 state
+    t.update({"o_totalprice": "o_totalprice + 1"},
+             Col("o_orderkey") < Lit(500))
+    t.delete(Col("o_orderkey") < Lit(100), deletion_vectors=True)
+    t.delete(Col("o_orderstatus") == Lit("P"))
+    snap = t.log.snapshot()
+    assert "_files_rows" in snap.__dict__     # the seed fired
+
+    def key(r):
+        return (r["path"], r["size"], r["version"], r["dataChange"],
+                tuple(sorted((r["partitionValues"] or {}).items())),
+                r["stats"], r["baseRowId"], r["defaultRowCommitVersion"],
+                tuple(sorted((r["tags"] or {}).items())))
+
+    fresh = Snapshot(spark, snap.table_path, snap.segment, snap.store)
+    assert sorted(map(key, snap._files_rows)) \
+        == sorted(map(key, fresh.files_df.collect()))
+    # and the seeded snapshot reads the right data
+    n = t.to_df().count()
+    exp = orders.where("o_orderkey >= 100 AND o_orderstatus <> 'P'") \
+        .count()
+    assert n == exp
+
+
 def test_scan_reuses_materialized_inventory(spark, tmp_path):
     # r14: a Snapshot materializes its active-file inventory once; a
     # second scan of the same Snapshot must plan over the local
@@ -265,10 +308,24 @@ def test_pq_encode_is_single_map_pass(spark, sf_dir):
 
 
 def test_pmi_broadcasts_unigram_sides(plans):
+    # The unigram-probability attach joins must be broadcast hash
+    # joins; no cartesian product anywhere. The ONLY nested-loop joins
+    # allowed are the two scalar-normalizer attaches (r14: the corpus
+    # totals moved from a single-task global window to a one-row
+    # aggregate broadcast-crossJoined onto vocab/bigrams — a
+    # single-row build side streamed map-side, the shape a scalar
+    # subquery compiles to, bounded by construction).
+    import re
     p = plans("doc_pmi_bigrams")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
+    # distinct physical nodes, not raw substring count (formatted
+    # explain repeats each node in the tree and the details section)
+    # <= 3: one bigram-total attach plus the unigram-total attach,
+    # which appears twice because p_uni feeds both the _a and _b join
+    # sides (the same subtree duplication the window form had)
+    nlj_nodes = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", p))
+    assert len(nlj_nodes) <= 3, nlj_nodes
 
 
 def test_repetition_partial_aggregation(plans):
