@@ -119,25 +119,29 @@ def get_log_segment(store: LogStore, log_path: str,
     if hint is not None and (version_to_load is None
                              or version_to_load >= hint.version):
         start_version = hint.version
-    start_name = "%020d" % start_version
+    # ONE list-and-filter step shared by the bounded first pass and
+    # both recovery re-lists (ADVICE r13: the stale-hint and
+    # torn-checkpoint fallbacks were near-verbatim copies whose
+    # version_to_load filters could drift apart).
+    def _list_from(start: int):
+        listed = store.list_from(log_path, "%020d" % start) if start \
+            else store.list_from(log_path)
+        nm = [n for n in listed
+              if fn.is_delta_file(n) or fn.is_checkpoint_file(n)
+              or fn.is_compacted_file(n)]
+        da = [(fn.delta_version(n), n) for n in nm if fn.is_delta_file(n)]
+        ck = _complete_checkpoints(nm)
+        if version_to_load is not None:
+            da = [(v, n) for v, n in da if v <= version_to_load]
+            ck = {v: f for v, f in ck.items() if v <= version_to_load}
+        return nm, da, ck
 
-    names = [n for n in store.list_from(log_path, start_name)
-             if fn.is_delta_file(n) or fn.is_checkpoint_file(n)
-             or fn.is_compacted_file(n)]
-    if not [n for n in names if not fn.is_compacted_file(n)] \
-            and start_version > 0:
+    names, deltas_all, ckpts = _list_from(start_version)
+    if start_version > 0 \
+            and not [n for n in names if not fn.is_compacted_file(n)]:
         # Stale hint; re-list everything.
-        names = [n for n in store.list_from(log_path)
-                 if fn.is_delta_file(n) or fn.is_checkpoint_file(n)
-                 or fn.is_compacted_file(n)]
         start_version = 0
-
-    deltas_all = [(fn.delta_version(n), n) for n in names if fn.is_delta_file(n)]
-    if version_to_load is not None:
-        deltas_all = [(v, n) for v, n in deltas_all if v <= version_to_load]
-    ckpts = _complete_checkpoints(names)
-    if version_to_load is not None:
-        ckpts = {v: f for v, f in ckpts.items() if v <= version_to_load}
+        names, deltas_all, ckpts = _list_from(0)
 
     if not ckpts and start_version > 0:
         # The hint promised a checkpoint at start_version but the bounded
@@ -147,19 +151,8 @@ def get_log_segment(store: LogStore, log_path: str,
         # hint. Re-list from scratch and fall back to the previous
         # complete checkpoint / the full json history
         # (SnapshotManagement's stale-hint recovery).
-        names = [n for n in store.list_from(log_path)
-                 if fn.is_delta_file(n) or fn.is_checkpoint_file(n)
-                 or fn.is_compacted_file(n)]
         start_version = 0
-        deltas_all = [(fn.delta_version(n), n) for n in names
-                      if fn.is_delta_file(n)]
-        if version_to_load is not None:
-            deltas_all = [(v, n) for v, n in deltas_all
-                          if v <= version_to_load]
-        ckpts = _complete_checkpoints(names)
-        if version_to_load is not None:
-            ckpts = {v: f for v, f in ckpts.items()
-                     if v <= version_to_load}
+        names, deltas_all, ckpts = _list_from(0)
 
     if not deltas_all and not ckpts:
         raise FileNotFoundError(f"No delta log files found in {log_path}")
