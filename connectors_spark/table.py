@@ -1398,6 +1398,17 @@ class DeltaTable:
         # rewrite columns the predicate reads, so re-evaluating cond after
         # the rewrite would mis-tag rows (and lose CDF postimages).
         marked = df.withColumn("__hit", cond)
+        tcols = [f.name for f in snap.metadata.schema.fields]
+        cdf_on = TableConfig(
+            snap.metadata.configuration).enable_change_data_feed
+        if cdf_on:
+            # Carry pre-update values alongside through the rewrite
+            # pipeline so BOTH CDC images later derive from ONE
+            # materialized hit relation (r14, same single-scan shape
+            # as merge) instead of each re-scanning the candidate
+            # files.
+            marked = marked.select(
+                "*", *[F.col(c).alias(f"__pre_{c}") for c in tcols])
         out = marked
         for col, expr in set_exprs.items():
             val = expr if not isinstance(expr, str) else F.expr(expr)
@@ -1421,7 +1432,8 @@ class DeltaTable:
                             snap.metadata, "updated")
         _fill_and_check_generated(out.where("__hit").drop("__hit"),
                                   snap.metadata, "updated")
-        staged = out.drop("__hit")
+        pre_names = [f"__pre_{c}" for c in tcols] if cdf_on else []
+        staged = out.drop("__hit", *pre_names)
         if rt:
             # Updated rows KEEP their row id; their materialized commit
             # version is NULLed so the reader falls back to the new
@@ -1436,7 +1448,8 @@ class DeltaTable:
                     F.when(F.col("__hit"),
                            F.lit(None).cast("long"))
                     .otherwise(F.col("_row_commit_version")))
-                .drop("__hit", "_row_id", "_row_commit_version"))
+                .drop("__hit", "_row_id", "_row_commit_version",
+                      *pre_names))
         adds = stage_and_collect(
             staged, self.log.table_path,
             snap.metadata.partitionColumns,
@@ -1445,9 +1458,21 @@ class DeltaTable:
             physical_meta=snap.metadata)
         now = int(time.time() * 1000)
         actions: List[Any] = list(adds) + [f.remove(now) for f in candidates]
-        if TableConfig(snap.metadata.configuration).enable_change_data_feed:
-            pre = marked.where("__hit").drop("__hit")
-            post = out.where("__hit").drop("__hit")
+        if cdf_on:
+            # ONE scan for both CDC images (r14): the hit rows — with
+            # pre values riding alongside post values — are
+            # materialized once; the pre/post projections read the
+            # small checkpointed relation instead of each re-scanning
+            # the candidate files.
+            hits = out.where("__hit").localCheckpoint(eager=True)
+            pre = hits.select(
+                *[F.col(f"__pre_{c}").alias(c) for c in tcols],
+                *([F.col("_row_id"), F.col("_row_commit_version")]
+                  if rt else []))
+            post = hits.select(
+                *tcols,
+                *([F.col("_row_id"), F.col("_row_commit_version")]
+                  if rt else []))
             if rt:
                 # Both images carry the row's id in the CDC parquet
                 # (the CDF join key row tracking exists for). The
