@@ -180,11 +180,17 @@ def canonical_path_col(col, table_path: str):
     decode round-trips it."""
     shielded = f"replace({col}, '+', '%2B')"
     d = F.coalesce(F.expr(f"try_url_decode({shielded})"), F.col(col))
+    # Every branch must stay NON-NULL for a non-null input: a nullable
+    # output makes every join keyed on the canonical path re-evaluate
+    # this whole expression a second time inside the join's inserted
+    # isnotnull() null-filter (one extra per-row regex+decode pass on
+    # each DML target scan, measured r14). The file: branch therefore
+    # strips from the coalesced decode — which is also what the Python
+    # twin does (unquote never fails; it falls back to the raw string).
     return (
         F.when(d.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"),
                F.regexp_replace(d, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""))
-        .when(d.startswith("file:"),
-              F.expr(f"substring(try_url_decode({shielded}), 6)"))
+        .when(d.startswith("file:"), F.substring(d, 6, 2147483647))
         .when(d.startswith("/"), d)
         .otherwise(F.concat(F.lit(table_path.rstrip("/") + "/"), d))
     )

@@ -604,3 +604,40 @@ def test_user_commit_info_rejected(spark, tmp_path):
     with pytest.raises(DeltaError):
         txn.commit([CommitInfo(timestamp=0, operation="SNEAKY",
                                operationParameters={})], "WRITE", {})
+
+
+def test_canonical_path_col_twin_parity_and_nonnull(spark):
+    """canonical_path_col must (1) agree with its Python twin
+    canonical_path on every path form — INCLUDING a file: URI whose
+    percent-decoding fails, where the twin falls back to the raw
+    string (unquote never raises) — and (2) stay NON-NULLABLE for a
+    non-null input. Nullability is a performance contract (r14): a
+    nullable canonical path makes every join keyed on it re-evaluate
+    the whole decode/regex expression inside the join's inserted
+    isnotnull() null-filter — one extra per-row pass on each DML
+    target scan (measured 2x on the merge matched scan)."""
+    from connectors_spark.log.snapshot import (canonical_path,
+                                               canonical_path_col)
+    tp = "/tbl/root"
+    paths = [
+        "part-00000.parquet",                      # table-relative
+        "a%20b/part-0001.parquet",                 # encoded relative
+        "/abs/part.parquet",                       # absolute posix
+        "file:/abs/via-uri.parquet",               # file: URI
+        "file:/abs/sp%20ace.parquet",              # file: URI, encoded
+        "file:/abs/literal+plus.parquet",          # literal + shield
+        "s3a://bucket/key/p.parquet",              # scheme://authority
+        "file:/abs/bad%zz.parquet",                # INVALID encoding
+    ]
+    import pyspark.sql.types as T
+    df = spark.createDataFrame(
+        [(p,) for p in paths],
+        T.StructType([T.StructField("p", T.StringType(), False)]))
+    out = df.select(F.col("p"), canonical_path_col("p", tp).alias("c"))
+    assert not out.schema["c"].nullable, \
+        "canonical_path_col must be non-nullable for non-null input"
+    got = {r["p"]: r["c"] for r in out.collect()}
+    for p in paths:
+        assert got[p] == canonical_path(p, tp), \
+            f"column/twin divergence for {p!r}: " \
+            f"{got[p]!r} != {canonical_path(p, tp)!r}"
