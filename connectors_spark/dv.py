@@ -88,7 +88,9 @@ def dv_relation(spark: SparkSession, table_path: str,
     if not pairs:
         return None
     dv = _read_sidecars(spark, table_path, sorted({r for _p, r in pairs}))
-    auth = spark.createDataFrame(
+    from .localrel import local_rows_df
+    auth = local_rows_df(
+        spark,
         [(p, os.path.join(table_path, urllib.parse.unquote(rel)))
          for p, rel in pairs],
         "file_path: string, __auth: string")
@@ -110,7 +112,9 @@ def dv_relation_keyed(spark: SparkSession, table_path: str,
         return None
     dv = _read_sidecars(spark, table_path,
                         sorted({r for _p, r, _k in triples}))
-    auth = spark.createDataFrame(
+    from .localrel import local_rows_df
+    auth = local_rows_df(
+        spark,
         [(p, os.path.join(table_path, urllib.parse.unquote(rel)), k)
          for p, rel, k in triples],
         "file_path: string, __auth: string, __dvkey: long")

@@ -112,6 +112,64 @@ def apply_tail_to_files_rows(prev_rows: Sequence, tail, table_path: str
     return list(state.values())
 
 
+def _tombstone_row_factory():
+    """Row factory matching ``_all_tombstones_df``'s column order —
+    the tombstone-plane twin of :func:`_files_row_factory`."""
+    from pyspark.sql import Row
+    return Row("path", "deletionTimestamp", "tags",
+               "extendedFileMetadata", "partitionValues", "size",
+               "version")
+
+
+# Explicit schema for tombstone rows re-entering Spark as a local
+# relation (retained_tombstones' materialized path) — field-for-field
+# the distributed window plan's output.
+_TOMBSTONE_SCHEMA = T.StructType([
+    T.StructField("path", T.StringType(), False),
+    T.StructField("deletionTimestamp", T.LongType()),
+    T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("extendedFileMetadata", T.BooleanType()),
+    T.StructField("partitionValues",
+                  T.MapType(T.StringType(), T.StringType())),
+    T.StructField("size", T.LongType()),
+    T.StructField("version", T.LongType()),
+])
+
+
+def apply_tail_to_tombstone_rows(prev_rows: Sequence, tail,
+                                 table_path: str) -> List:
+    """Incremental twin of :func:`apply_tail_to_files_rows` for the
+    tombstone plane: a RemoveFile upserts its path's tombstone, an
+    AddFile clears it (a re-added path is active again, so its latest
+    action is no longer a remove). Within one version an add beats a
+    remove of the same path — the window's ``is_add`` tiebreak — so
+    removes are applied first and skipped when the same version re-adds
+    the path."""
+    from .actions import RemoveFile
+    row = _tombstone_row_factory()
+    state = {r["path"]: r for r in prev_rows}
+    for v, actions in tail:
+        adds = set()
+        removes = {}
+        for a in actions:
+            if isinstance(a, AddFile):
+                adds.add(canonical_path(a.path, table_path))
+            elif isinstance(a, RemoveFile):
+                removes[canonical_path(a.path, table_path)] = a
+        for p, a in removes.items():
+            if p not in adds:
+                state[p] = row(
+                    p, a.deletionTimestamp,
+                    dict(a.tags) if a.tags is not None else None,
+                    a.extendedFileMetadata,
+                    dict(a.partitionValues)
+                    if a.partitionValues is not None else None,
+                    a.size, int(v))
+        for p in adds:
+            state.pop(p, None)
+    return list(state.values())
+
+
 def addfiles_from_rows(rows: Sequence) -> List[AddFile]:
     """Materialize ``files_df`` rows (any filtered subset) as AddFile
     actions — the bridge from the DataFrame file inventory to the
@@ -495,7 +553,98 @@ class Snapshot:
         horizon: these paths (and their DV sidecars, via ``tags``) are
         protected state — the files they name must survive until the
         retention window passes (InMemoryLogReplay.scala:90-92;
-        delta-spark's VACUUM protects by deletionTimestamp, not mtime)."""
+        delta-spark's VACUUM protects by deletionTimestamp, not mtime).
+
+        When the tombstone plane is already materialized (a prior
+        checkpoint write, or the incremental post-commit seed), the
+        horizon filter runs driver-side over the cached rows and the
+        result is a local relation — no log replay (r14, guide §1.2);
+        cold snapshots keep the distributed window plan."""
+        if "_tombstone_rows" in self.__dict__:
+            from ..localrel import local_rows_df
+            rows = [r for r in self._tombstone_rows
+                    if (r["deletionTimestamp"] or 0) > min_ts]
+            return local_rows_df(self.spark, rows, _TOMBSTONE_SCHEMA)
+        return (self._all_tombstones_df()
+                .where(F.coalesce(F.col("deletionTimestamp"),
+                                  F.lit(0)) > min_ts))
+
+    @cached_property
+    def _tombstone_rows(self) -> List:
+        """ALL latest-per-path tombstones (no horizon), materialized
+        once per Snapshot — the tombstone-plane twin of
+        ``_files_rows``. Bounded by the paths removed-and-not-yet-
+        readded, the same order of driver state as the active
+        inventory."""
+        rows = self._tombstone_rows_driver_side()
+        if rows is not None:
+            return rows
+        return self._all_tombstones_df().collect()
+
+    def _tombstone_rows_driver_side(self) -> Optional[List]:
+        """Cold tombstone materialization WITHOUT a Spark job, when the
+        segment shape allows (r14): a classic checkpoint re-emits its
+        retained tombstones, so one driver-side pyarrow read of its
+        ``remove`` column plus the raw JSON tail replayed through
+        :func:`apply_tail_to_tombstone_rows` IS the tombstone plane —
+        ~0.1 s where the distributed window job costs 1.5-2 s at bench
+        scale. Returns None for every shape that needs the distributed
+        plan (v2/multi-part/compacted segments, non-POSIX stores, a
+        checkpoint too big to read single-process)."""
+        from . import filenames as fn
+        from .actions import from_json_line
+        from .logstore import LogStore
+        if type(self.store) is not LogStore:
+            return None
+        seg = self.segment
+        cfiles = list(seg.checkpoint_files)
+        if len(cfiles) > 1:
+            return None
+        if cfiles and fn.is_v2_checkpoint_file(cfiles[0]):
+            return None
+        if cfiles:
+            try:
+                if os.path.getsize(cfiles[0]) > 64 * 1024 * 1024:
+                    return None
+            except OSError:
+                return None
+        row = _tombstone_row_factory()
+        state: Dict[str, object] = {}
+        if cfiles:
+            import pyarrow.parquet as pq
+            try:
+                col = pq.read_table(
+                    cfiles[0], columns=["remove"]).column("remove")
+            except Exception:   # noqa: BLE001 — e.g. schema w/o remove
+                return None
+            for d in col.to_pylist():
+                if not d or d.get("path") is None:
+                    continue
+                p = canonical_path(d["path"], self.table_path)
+                state[p] = row(
+                    p, d.get("deletionTimestamp"),
+                    dict(d["tags"]) if d.get("tags") is not None
+                    else None,
+                    d.get("extendedFileMetadata"),
+                    dict(d["partitionValues"])
+                    if d.get("partitionValues") is not None else None,
+                    d.get("size"), int(seg.checkpoint_version))
+        tail = []
+        for pth in seg.deltas:
+            name = os.path.basename(pth)
+            if "compacted" in name:
+                return None     # net-folded ranges: window plan only
+            lines = self.store.read(pth)
+            tail.append((fn.delta_version(name),
+                         [a for a in (from_json_line(ln)
+                                      for ln in lines) if a is not None]))
+        return apply_tail_to_tombstone_rows(list(state.values()), tail,
+                                            self.table_path)
+
+    def _all_tombstones_df(self) -> DataFrame:
+        """Latest-per-path RemoveFile tombstones, unfiltered — the
+        distributed window-dedup plan shared by the horizon-filtered
+        consumer and the per-Snapshot materialization."""
         acts = self.actions_df()
         removes = acts.where(F.col("remove.path").isNotNull()).select(
             canonical_path_col("remove.path", self.table_path).alias("path"),
@@ -526,7 +675,6 @@ class Snapshot:
         return (adds.unionByName(removes)
                 .withColumn("__rn", F.row_number().over(w))
                 .where((F.col("__rn") == 1) & (F.col("is_add") == 0))
-                .where(F.coalesce(F.col("deletionTimestamp"), F.lit(0)) > min_ts)
                 .drop("__rn", "is_add"))
 
     @cached_property
@@ -563,8 +711,9 @@ class Snapshot:
         (measured ~0.5 s/job at bench scale); after the checkpoint each
         consumer job scans plain JVM rows. Freed by the ContextCleaner
         with the Snapshot."""
-        return (self.spark.createDataFrame(self._files_rows,
-                                           self.files_df.schema)
+        from ..localrel import local_rows_df
+        return (local_rows_df(self.spark, self._files_rows,
+                              self.files_df.schema)
                 .localCheckpoint(eager=True))
 
     def all_files(self) -> List[AddFile]:
@@ -638,7 +787,8 @@ class Snapshot:
         pv_schema = T.StructType(
             [T.StructField("__file", T.StringType())]
             + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols])
-        pv_df = self.spark.createDataFrame(pv_rows, pv_schema)
+        from ..localrel import local_rows_df
+        pv_df = local_rows_df(self.spark, pv_rows, pv_schema)
         for f in meta.physical_partition_schema.fields:
             pv_df = pv_df.withColumn(
                 f.name, F.col(f"__pv_{f.name}").cast(f.dataType))
@@ -804,7 +954,9 @@ class Snapshot:
             # per-file base map from the LOG (broadcast, O(files)):
             # row id = materialized value when the file carries one
             # (written by a rewrite), else baseRowId + physical index
-            bdf = self.spark.createDataFrame(
+            from ..localrel import local_rows_df
+            bdf = local_rows_df(
+                self.spark,
                 [(r["path"], r["baseRowId"],
                   r["defaultRowCommitVersion"]) for r in rows],
                 "__file string, __base long, __dcv long")

@@ -95,8 +95,9 @@ def bpe_merge_table(spark, df: DataFrame, k: int = 4,
                     text_col: str = "text") -> DataFrame:
     """bpe_train as a DataFrame: (step, left, right, pair_freq)."""
     rows = bpe_train(df, k, text_col)
-    return spark.createDataFrame(
-        rows, "step int, left string, right string, pair_freq long")
+    from ..localrel import local_rows_df
+    return local_rows_df(
+        spark, rows, "step int, left string, right string, pair_freq long")
 
 
 def bpe_subword_counts(df: DataFrame, merges: List[Tuple[int, str, str, int]],

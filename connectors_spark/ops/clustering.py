@@ -432,7 +432,8 @@ def ivf_pq_adc_topk(spark, index_path: str, queries: DataFrame,
     pp_rows = [(qid, l) for qid, ls in probes.items() for l in ls]
     pp_schema = T.StructType([T.StructField("_qid", qid_type),
                               T.StructField("list_id", T.IntegerType())])
-    pp = F.broadcast(spark.createDataFrame(pp_rows, pp_schema))
+    from ..localrel import local_rows_df
+    pp = F.broadcast(local_rows_df(spark, pp_rows, pp_schema))
     dtab = pq_adc_dist_table(queries, books, query_id_col, vec_col)
     codes_long = (cand.join(pp, "list_id")
                   .select(F.col("_qid"), F.col(id_col),

@@ -23,6 +23,15 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens
 
 
+
+def _local_patterns_df(spark, patterns):
+    """Pattern list as a single-slice local relation (localrel: avoids
+    defaultParallelism-wide Python slices for a handful of rows)."""
+    from ..localrel import local_rows_df
+    return local_rows_df(spark, [(p,) for p in patterns],
+                         "pattern: string")
+
+
 def term_postings(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """(doc_id, term, tf): term frequency per document."""
@@ -149,15 +158,13 @@ def substring_search(docs: DataFrame, patterns: Sequence[str],
     patterns = [p for p in patterns if len(p) >= 3]
     out_short = None
     if short:
-        sp = spark.createDataFrame([(p,) for p in short],
-                                   "pattern: string")
+        sp = _local_patterns_df(spark, short)
         txt0 = docs.select(F.col(id_col).alias("doc_id"),
                            F.col(text_col).alias("_txt"))
         out_short = _verify_contains(txt0.crossJoin(F.broadcast(sp)))
     if not patterns:
         return out_short
-    pats = spark.createDataFrame([(p,) for p in patterns],
-                                 "pattern: string")
+    pats = _local_patterns_df(spark, patterns)
     pex = (pats.select("pattern",
                        F.explode(char_trigram_hashes(F.col("pattern")))
                        .alias("_g"))
@@ -253,8 +260,7 @@ def substring_search_indexed(spark, index_path: str, docs: DataFrame,
                             F.col(text_col).alias("_txt"))
     out_short = None
     if short:
-        sp = spark.createDataFrame([(p,) for p in short],
-                                   "pattern: string")
+        sp = _local_patterns_df(spark, short)
         out_short = _verify_contains(
             spark_txt.crossJoin(F.broadcast(sp)))
     if not patterns:
@@ -265,8 +271,7 @@ def substring_search_indexed(spark, index_path: str, docs: DataFrame,
     buckets = sorted({_py_hash64(g) % n_buckets for g in grams})
     t = DeltaTable.for_path(spark, index_path)
     idx = t.scan(Col("bucket").isin(*buckets)).to_df()
-    pats = spark.createDataFrame([(p,) for p in patterns],
-                                 "pattern: string")
+    pats = _local_patterns_df(spark, patterns)
     pex = (pats.select("pattern",
                        F.explode(char_trigram_hashes(F.col("pattern")))
                        .alias("_g")).distinct())

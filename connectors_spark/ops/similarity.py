@@ -186,7 +186,9 @@ def hamming_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))
     qnorm = np.where(qnorm == 0, 1.0, qnorm)
     spark = corpus.sparkSession
-    qdf = spark.createDataFrame(
+    from ..localrel import local_rows_df
+    qdf = local_rows_df(
+        spark,
         [(int(r["_qid"]), [int(w) for w in qwords[i]], float(qnorm[i]))
          for i, r in enumerate(qrows)],
         "_qid long, _qw array<long>, _qn double")
@@ -220,7 +222,8 @@ def hamming_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cvecs = corpus.select(F.col(id_col).cast("long").alias("_cid"),
                           F.col(vec_col).alias("_cv"))
     qn = qdf.select("_qid", "_qn")
-    qvecs = spark.createDataFrame(
+    qvecs = local_rows_df(
+        spark,
         [(int(r["_qid"]), [float(v) for v in r["_qv"]]) for r in qrows],
         "_qid long, _qv array<double>")
     cnorm = norm_d("_cv")

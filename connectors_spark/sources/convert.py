@@ -102,11 +102,11 @@ def convert_to_delta(spark: SparkSession, path: str,
                 rows.append((f, stats, os.path.getsize(f)))
             yield pd.DataFrame(rows, columns=["path", "stats", "size"])
 
+    from ..localrel import local_rows_df
     par = min(len(files),
               spark.sparkContext.defaultParallelism) or 1
-    stat_rows = (spark.createDataFrame([(f,) for f in files],
-                                       "path string")
-                 .repartition(par)
+    stat_rows = (local_rows_df(spark, [(f,) for f in files],
+                               "path string", parts=par)
                  .mapInPandas(footer_pass,
                               "path string, stats string, size long")
                  .collect())

@@ -78,7 +78,8 @@ def _scan_tagged(table, snap, file_rows: List[_FileRow],
     map_rows = [tuple([p, v, base, dcv]
                       + [(pv or {}).get(c) for c in pcols])
                 for p, v, pv, _dv, base, dcv in file_rows]
-    pv_df = spark.createDataFrame(map_rows, map_schema)
+    from ..localrel import local_rows_df
+    pv_df = local_rows_df(spark, map_rows, map_schema)
     for f in meta.physical_partition_schema.fields:
         if f.name in pcols:
             pv_df = pv_df.withColumn(

@@ -110,7 +110,8 @@ def changes_df(table, start_version: int = 0,
         + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols])
     map_rows = [tuple([p, v] + [pv.get(c) for c in pcols])
                 for p, v, pv in file_rows]
-    pv_df = spark.createDataFrame(map_rows, map_schema)
+    from ..localrel import local_rows_df
+    pv_df = local_rows_df(spark, map_rows, map_schema)
     for f in meta.physical_partition_schema.fields:
         pv_df = pv_df.withColumn(f.name, F.col(f"__pv_{f.name}").cast(f.dataType))
     pv_df = pv_df.drop(*[f"__pv_{c}" for c in pcols])

@@ -116,15 +116,30 @@ class DeltaLog:
             # large scale no re-read of a million-file checkpoint per
             # commit. Any surprise (missing delta file, parse error)
             # falls back to the full distributed replay.
-            if (cur is not None and "_files_rows" in cur.__dict__
-                    and seg.checkpoint_version
-                    == cur.segment.checkpoint_version
-                    and seg.version > cur.segment.version
-                    and seg.deltas[:len(cur.segment.deltas)]
-                    == cur.segment.deltas):
+            # The seed is valid across a checkpoint boundary too (r14):
+            # the materialized state at cur.version plus the raw delta
+            # files (cur.version, seg.version] IS the state at
+            # seg.version no matter which checkpoint the new segment
+            # prefers — commits are immutable once written, and a
+            # missing/cleaned delta file surfaces as FileNotFoundError
+            # in tail() and falls back to the full replay.
+            if cur is not None and seg.version == cur.segment.version:
+                # Same version, different segment composition (a new
+                # checkpoint or compaction appeared): the STATE is
+                # identical by definition, so the materialized planes
+                # carry over as-is instead of going cold.
+                for k in ("_files_rows", "_tombstone_rows"):
+                    if k in cur.__dict__:
+                        new.__dict__[k] = cur.__dict__[k]
+            if (cur is not None
+                    and ("_files_rows" in cur.__dict__
+                         or "_tombstone_rows" in cur.__dict__)
+                    and seg.version > cur.segment.version):
                 try:
                     from .log.actions import from_json_line
-                    from .log.snapshot import apply_tail_to_files_rows
+                    from .log.snapshot import (
+                        apply_tail_to_files_rows,
+                        apply_tail_to_tombstone_rows)
 
                     def tail():
                         for v in range(cur.segment.version + 1,
@@ -136,11 +151,23 @@ class DeltaLog:
                                        for ln in lines)
                                       if a is not None]
 
-                    new.__dict__["_files_rows"] = \
-                        apply_tail_to_files_rows(
-                            cur._files_rows, tail(), self.table_path)
+                    tail_actions = list(tail())
+                    if "_files_rows" in cur.__dict__:
+                        new.__dict__["_files_rows"] = \
+                            apply_tail_to_files_rows(
+                                cur._files_rows, tail_actions,
+                                self.table_path)
+                    # tombstone plane seeds the same way (r14): a
+                    # checkpoint write or vacuum that materialized the
+                    # tombstones keeps them warm across commits
+                    if "_tombstone_rows" in cur.__dict__:
+                        new.__dict__["_tombstone_rows"] = \
+                            apply_tail_to_tombstone_rows(
+                                cur._tombstone_rows, tail_actions,
+                                self.table_path)
                 except Exception:  # noqa: BLE001 — seed is best-effort
                     new.__dict__.pop("_files_rows", None)
+                    new.__dict__.pop("_tombstone_rows", None)
             self._snapshot = new
             return self._snapshot
 
@@ -1349,7 +1376,9 @@ class DeltaTable:
                 # have: materialized column, else the file's baseRowId +
                 # physical row index (the file itself is untouched by a
                 # DV delete, so both are still authoritative)
-                bmap = self.spark.createDataFrame(
+                from .localrel import local_rows_df
+                bmap = local_rows_df(
+                    self.spark,
                     [(p, cand[p].baseRowId,
                       cand[p].defaultRowCommitVersion) for p in paths],
                     "__file string, __b long, __d long")
@@ -1999,8 +2028,9 @@ def _semi_by_paths(df: DataFrame, paths: Sequence[str],
     already driver-side (it becomes the commit's RemoveFile list), so
     feeding it back as a local relation costs nothing extra. Same shape
     as merge's touched-file scoping (see merge())."""
-    pdf = df.sparkSession.createDataFrame(
-        [(p,) for p in paths], f"{col}: string")
+    from .localrel import local_rows_df
+    pdf = local_rows_df(df.sparkSession, [(p,) for p in paths],
+                        f"{col}: string")
     return df.join(pdf, col, "left_semi")
 
 
@@ -2894,12 +2924,13 @@ class TableMaintenance:
                 yield pd.DataFrame(rows,
                                    columns=["rel", "stats", "size"])
 
+        from .localrel import local_rows_df
         par = min(len(missing),
                   spark.sparkContext.defaultParallelism) or 1
         stat_rows = {r["rel"]: r for r in
-                     (spark.createDataFrame(
-                         [(f.path,) for f in missing], "rel string")
-                      .repartition(par)
+                     (local_rows_df(
+                         spark, [(f.path,) for f in missing],
+                         "rel string", parts=par)
                       .mapInPandas(footer_pass,
                                    "rel string, stats string, size long")
                       .collect())}
@@ -3075,11 +3106,12 @@ class TableMaintenance:
                 yield pd.DataFrame(missing or None,
                                    columns=["path"])
 
+        from .localrel import local_rows_df
         n_parts = min(len(files),
                       spark.sparkContext.defaultParallelism) or 1
         missing = [r["path"] for r in
-                   spark.createDataFrame(files, "path string, fs string")
-                   .repartition(n_parts)
+                   local_rows_df(spark, files, "path string, fs string",
+                                 parts=n_parts)
                    .mapInPandas(probe, T2.StructType(
                        [T2.StructField("path", T2.StringType())]))
                    .collect()]
@@ -3189,11 +3221,11 @@ class TableMaintenance:
                             mts.append(st[1])
                 yield pd.DataFrame({"rel": rels, "mtime": mts})
 
+        from .localrel import local_rows_df
         n_seed_parts = min(len(seeds),
                            spark.sparkContext.defaultParallelism) or 1
-        listing = (spark.createDataFrame([(s,) for s in seeds],
-                                         "seed string")
-                   .repartition(n_seed_parts)
+        listing = (local_rows_df(spark, [(s,) for s in seeds],
+                                 "seed string", parts=n_seed_parts)
                    .mapInPandas(list_subtree, "rel string, mtime long"))
 
         # Protective set: active files ∪ referenced deletion-vector

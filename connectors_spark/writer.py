@@ -212,10 +212,16 @@ def publish_plan(spark, staging: str, table_path: str,
                 rows["tags"].append(tags)
             yield pd.DataFrame(rows)
 
+    # Explicit slicing replaces the repartition: the file list lands in
+    # n_parts tasks directly, with no shuffle stage and no
+    # defaultParallelism-wide Python source (r14, guide §2.4/§4.1 —
+    # createDataFrame(list).repartition cost ~0.7 s/commit at local[32]
+    # for a 2-file publish, almost all of it empty Python slices).
+    from .localrel import local_rows_df
     n_parts = min(len(rel_paths),
                   spark.sparkContext.defaultParallelism) or 1
-    src = spark.createDataFrame([(p,) for p in rel_paths],
-                                "rel_path string").repartition(n_parts)
+    src = local_rows_df(spark, [(p,) for p in rel_paths],
+                        "rel_path string", parts=n_parts)
     return src.mapInPandas(_publish, out_schema)
 
 

@@ -252,3 +252,65 @@ def test_checkpoint_crash_fallbacks_on_s3_store(tmp_path):
         assert seg.checkpoint_version == 10 and seg.version == 12
         assert [fn.delta_version(os.path.basename(p))
                 for p in seg.deltas] == [11, 12]
+
+
+def test_checkpoint_from_materialized_inventory_matches_cold(spark, tmp_path):
+    """r14: write_checkpoint reuses the Snapshot's materialized file
+    inventory when present (skipping the double distributed replay).
+    The checkpoint it writes must be row-identical to one produced by a
+    cold snapshot's fully distributed plan — adds (stats/tags/row-id
+    fields included), retained tombstones, and P&M/txn rows alike."""
+    import glob
+
+    from connectors_spark.expressions import Lit
+    from connectors_spark.log.checkpoints import write_checkpoint
+
+    orders = read_table(spark, "orders")
+    t = DeltaTable.for_path(spark, str(tmp_path / "ckm"))
+    t.write(orders.limit(500), partition_by=["o_orderstatus"],
+            configuration={"delta.enableRowTracking": "true",
+                           "delta.protocol.autoUpgrade": "true"})
+    t.delete(Col("o_orderkey") < Lit(50))      # tombstones ride along
+    v = t.log.snapshot().version
+    log_dir = os.path.join(t.path, "_delta_log")
+
+    def ckpt_rows():
+        files = glob.glob(os.path.join(log_dir, "*checkpoint*.parquet"))
+        return sorted(spark.read.parquet(*files).toJSON().collect())
+
+    def clear_ckpt():
+        for f in glob.glob(os.path.join(log_dir, "*checkpoint*.parquet")):
+            os.remove(f)
+        lc = os.path.join(log_dir, "_last_checkpoint")
+        if os.path.exists(lc):
+            os.remove(lc)
+
+    snap_cold = t.log.snapshot_for_version(v)
+    assert "_files_rows" not in snap_cold.__dict__
+    write_checkpoint(snap_cold)
+    rows_cold = ckpt_rows()
+    clear_ckpt()
+
+    snap_warm = t.log.snapshot_for_version(v)
+    _ = snap_warm._files_rows                  # force materialization
+    assert "_files_rows" in snap_warm.__dict__
+    # the warm write must take the driver-side pyarrow fast path (not a
+    # silent fallback) — record what it returns
+    import connectors_spark.log.checkpoints as CK
+    taken = []
+    orig = CK._write_checkpoint_driver
+
+    def spy(snap, pm):
+        n = orig(snap, pm)
+        taken.append(n)
+        return n
+    CK._write_checkpoint_driver = spy
+    try:
+        write_checkpoint(snap_warm)
+    finally:
+        CK._write_checkpoint_driver = orig
+    assert taken and taken[0] is not None, taken
+    rows_warm = ckpt_rows()
+
+    assert len(rows_cold) > 2
+    assert rows_warm == rows_cold

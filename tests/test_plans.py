@@ -707,3 +707,103 @@ def test_boundary_stitch_no_cartesian_no_python(plans):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_incremental_tombstone_state_matches_full_replay(spark, tmp_path):
+    # r14: the tombstone plane mirrors the inventory — materialized
+    # once, seeded forward by the post-commit tail application, and the
+    # seed must survive a CHECKPOINT BOUNDARY (the segment switching to
+    # a newer checkpoint does not invalidate driver-side state: commits
+    # are immutable, so prev state + tail deltas IS the new state).
+    # Both planes must stay field-identical to a fresh distributed
+    # replay, and retained_tombstones' local-relation path must match
+    # the window plan's rows.
+    from connectors_spark import DeltaTable
+    from connectors_spark.expressions import Col, Lit
+    from connectors_spark.log.snapshot import Snapshot
+    from tests.conftest import read_table
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "inct"))
+    orders = read_table(spark, "orders")
+    t.write(orders.limit(2000), partition_by=["o_orderstatus"],
+            configuration={"delta.checkpointInterval": "3"})
+    _ = t.log.snapshot()._tombstone_rows       # materialize (empty) v0
+    _ = t.log.snapshot()._files_rows
+    t.delete(Col("o_orderkey") < Lit(200))                       # v1
+    t.update({"o_totalprice": "o_totalprice + 1"},
+             Col("o_orderkey") < Lit(500))                       # v2
+    t.delete(Col("o_orderstatus") == Lit("P"))     # v3 -> checkpoint
+    t.update({"o_totalprice": "o_totalprice + 2"},
+             Col("o_orderkey") < Lit(300))       # v4 crosses the ckpt
+    snap = t.log.snapshot()
+    assert snap.segment.checkpoint_version == 3    # boundary crossed
+    assert "_tombstone_rows" in snap.__dict__      # seed survived it
+    assert "_files_rows" in snap.__dict__
+
+    # Keys deliberately EXCLUDE the internal ``version`` column: it is
+    # the dedup window's provenance stamp (a checkpoint-flattened
+    # replay stamps rows with the checkpoint version, while the seed
+    # keeps the action's true commit version — strictly finer). No
+    # consumer reads it from either plane; every observable field must
+    # match exactly.
+    def tkey(r):
+        return (r["path"], r["deletionTimestamp"],
+                tuple(sorted((r["tags"] or {}).items())),
+                bool(r["extendedFileMetadata"]),
+                tuple(sorted((r["partitionValues"] or {}).items())),
+                r["size"])
+
+    def fkey(r):
+        return (r["path"], r["size"], r["dataChange"],
+                tuple(sorted((r["partitionValues"] or {}).items())),
+                r["stats"], r["baseRowId"], r["defaultRowCommitVersion"],
+                tuple(sorted((r["tags"] or {}).items())))
+
+    fresh = Snapshot(spark, snap.table_path, snap.segment, snap.store)
+    assert sorted(map(tkey, snap._tombstone_rows)) \
+        == sorted(map(tkey, fresh._all_tombstones_df().collect()))
+    assert len(snap._tombstone_rows) > 0
+    assert sorted(map(fkey, snap._files_rows)) \
+        == sorted(map(fkey, fresh.files_df.collect()))
+    # the horizon-filtered local relation equals the distributed plan
+    assert sorted(map(tkey, snap.retained_tombstones(0).collect())) \
+        == sorted(map(tkey, fresh.retained_tombstones(0).collect()))
+
+
+def test_tombstone_rows_driver_side_matches_window_plan(spark, tmp_path):
+    # r14: cold tombstone materialization reads the classic checkpoint's
+    # remove column driver-side and replays the JSON tail through
+    # apply_tail_to_tombstone_rows. Must be field-identical (version
+    # stamp included — both attribute checkpoint rows to the checkpoint
+    # version) to the distributed window plan, across checkpointed
+    # tombstones, DV-delete tags, a re-added path, and tail removes.
+    from connectors_spark import DeltaTable
+    from connectors_spark.expressions import Col, Lit
+    from connectors_spark.log.snapshot import Snapshot
+    from tests.conftest import read_table
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "tds"))
+    orders = read_table(spark, "orders")
+    first = orders.limit(300)
+    t.write(first, partition_by=["o_orderstatus"],
+            configuration={"delta.checkpointInterval": "2"})
+    t.delete(Col("o_orderkey") < Lit(100), deletion_vectors=True)  # v1
+    t.delete(Col("o_orderkey") < Lit(150))     # v2 -> checkpoint
+    t.write(orders.limit(400), mode="append")  # v3 (tail add)
+    t.delete(Col("o_orderstatus") == Lit("P"))  # v4 -> checkpoint
+    t.delete(Col("o_orderkey") < Lit(200))     # v5 (tail remove)
+    snap = Snapshot(spark, t.path, t.log.snapshot().segment,
+                    t.log.store)
+    drows = snap._tombstone_rows_driver_side()
+    assert drows is not None                   # shape was eligible
+    assert len(drows) > 0
+
+    def k(r):
+        return (r["path"], r["deletionTimestamp"],
+                tuple(sorted((r["tags"] or {}).items())),
+                bool(r["extendedFileMetadata"]),
+                tuple(sorted((r["partitionValues"] or {}).items())),
+                r["size"], r["version"])
+
+    wrows = snap._all_tombstones_df().collect()
+    assert sorted(map(k, drows)) == sorted(map(k, wrows))
