@@ -295,13 +295,22 @@ def boundary_stitch_pairs(df: DataFrame, id_col: str = "doc_id",
             .where(F.col("a_id") != F.col("b_id"))
             .select("a_id", "b_id",
                     (F.col("_n") - F.col("_pos") + 1).alias("_m")))
-    # verify on candidates only: re-join the token arrays by id and
-    # test slice equality (the hash join guarantees nothing)
-    ta = base.select(F.col("_id").alias("a_id"),
-                     F.col("_t").alias("_ta"), F.col("_n").alias("_na"))
-    tb = base.select(F.col("_id").alias("b_id"),
-                     F.col("_t").alias("_tb"), F.col("_n").alias("_nb"))
+    # verify on candidates only: re-join the RAW text by id and
+    # tokenize AFTER the join, so the tokens expression sees candidate
+    # rows — a tiny fraction of the corpus — instead of re-tokenizing
+    # every doc on both verify sides (r14, guide §1.2; the same
+    # candidates-only re-derivation minhash_lsh_pairs' verify uses).
+    # The slice-equality test itself is the proof (the hash join
+    # guarantees nothing).
+    ta = df.select(F.col(id_col).alias("a_id"),
+                   F.col(text_col).alias("_atxt"))
+    tb = df.select(F.col(id_col).alias("b_id"),
+                   F.col(text_col).alias("_btxt"))
     ok = (cand.join(ta, "a_id").join(tb, "b_id")
+          .withColumn("_ta", tokens(F.col("_atxt")))
+          .withColumn("_tb", tokens(F.col("_btxt")))
+          .withColumn("_na", F.size("_ta"))
+          .withColumn("_nb", F.size("_tb"))
           .where((F.col("_m") <= F.col("_nb"))
                  & (F.slice("_ta", F.col("_na") - F.col("_m") + 1,
                             F.col("_m"))
