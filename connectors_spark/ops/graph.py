@@ -35,38 +35,41 @@ def connected_components(edges: DataFrame, a_col: str = "a_id",
     edges = edges.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
     sym = (edges.union(edges.select(F.col("_b").alias("_a"),
                                     F.col("_a").alias("_b"))))
-    sym = sym.persist()
+    # Materialize the symmetrized edge list ONCE, eagerly: a lazy
+    # persist() left the (often expensive) upstream edge pipeline to be
+    # evaluated inside the first iteration's action, where the two sym
+    # subtrees (labels init + neighbor join) race to fill the cache —
+    # measured 7.3 s for one iteration over a 512-row sym at sf0.1.
+    # localCheckpoint pins O(edges) rows, the small relation here by
+    # construction (near-dup pairs after thresholding).
+    sym = sym.localCheckpoint(eager=True)
     labels = (sym.groupBy("_a")
               .agg(F.least(F.min("_b"), F.first("_a")).alias("_lbl"))
-              .select(F.col("_a").alias("_n"), "_lbl"))
+              .select(F.col("_a").alias("_n"), "_lbl")
+              .localCheckpoint(eager=True))
     for _ in range(max_iter):
-        labels = labels.persist()
         # Each node's candidate label: min over its own label and its
-        # neighbors' labels.
+        # neighbors' labels. The changed flag rides in the SAME select
+        # (new < old iff a neighbor offered a smaller label), so the
+        # convergence probe needs no extra join against the previous
+        # labels — one materializing pass per iteration, then a local
+        # scan of the checkpointed rows for the probe.
         nbr = (sym.join(labels.withColumnRenamed("_n", "_b")
                         .withColumnRenamed("_lbl", "_nlbl"), "_b")
                .groupBy("_a").agg(F.min("_nlbl").alias("_cand")))
         new_labels = (labels.join(nbr.withColumnRenamed("_a", "_n"),
                                   "_n", "left")
                       .select("_n", F.least("_lbl", F.coalesce(
-                          "_cand", "_lbl")).alias("_lbl")))
-        new_labels = new_labels.persist()
-        changed = (new_labels.withColumnRenamed("_lbl", "_new")
-                   .join(labels, "_n")
-                   .filter(F.col("_new") != F.col("_lbl")).limit(1).count())
-        labels.unpersist()
-        labels = new_labels
+                          "_cand", "_lbl")).alias("_lbl"),
+                              (F.col("_cand") < F.col("_lbl"))
+                              .alias("_chg"))
+                      .localCheckpoint(eager=True))
+        changed = new_labels.filter("_chg").limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
-    # Materialize the result while the final labels cache is live, then
-    # release every op-owned cache: a pipeline calling this repeatedly
-    # must not accumulate label relations in executor storage.
-    out = (labels.select(F.col("_n").alias("node"),
+    return labels.select(F.col("_n").alias("node"),
                          F.col("_lbl").alias("component"))
-           .localCheckpoint(eager=True))
-    labels.unpersist()
-    sym.unpersist()
-    return out
 
 
 def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 2,
@@ -93,9 +96,14 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 2,
                                      F.col(a_col).alias("dst")))
            .distinct())
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    base = nodes.select(F.col(node_col).alias("id")).distinct()
+    base = (nodes.select(F.col(node_col).alias("id")).distinct()
+            .localCheckpoint(eager=True))
     pr = base.withColumn("pr", F.lit(1.0))
-    out_edges = sym.join(deg, "src")
+    # Materialize the degree-annotated edge list ONCE: without it every
+    # iteration's contrib join re-evaluated the full upstream edge
+    # pipeline (and sym twice over — deg side + join side). O(edges)
+    # rows, the small relation by construction.
+    out_edges = sym.join(deg, "src").localCheckpoint(eager=True)
     for _ in range(iters):
         contrib = (out_edges.join(
             pr.withColumnRenamed("id", "src"), "src")
