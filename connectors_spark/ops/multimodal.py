@@ -27,6 +27,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .dedup import _spread
 from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
                                StructField, StructType)
 
@@ -235,7 +237,7 @@ def synth_image_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append((did, data, "bmp" if bmp else "png"))
             yield pd.DataFrame(rows, columns=[id_col, "media", "fmt"])
 
-    return docs.select(id_col).mapInPandas(
+    return _spread(docs.select(id_col)).mapInPandas(
         gen, schema=f"{id_col} long, media binary, fmt string")
 
 
@@ -271,7 +273,7 @@ def synth_flac_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append((did, data, "flac"))
             yield pd.DataFrame(rows, columns=[id_col, "media", "fmt"])
 
-    return docs.select(id_col).mapInPandas(
+    return _spread(docs.select(id_col)).mapInPandas(
         gen, schema=f"{id_col} long, media binary, fmt string")
 
 
@@ -311,7 +313,7 @@ def synth_tiff_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append((did, data, "tiff"))
             yield pd.DataFrame(rows, columns=[id_col, "media", "fmt"])
 
-    return docs.select(id_col).mapInPandas(
+    return _spread(docs.select(id_col)).mapInPandas(
         gen, schema=f"{id_col} long, media binary, fmt string")
 
 
@@ -379,7 +381,7 @@ def synth_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append((did, blob, "jpeg"))
             yield pd.DataFrame(rows, columns=[id_col, "media", "fmt"])
 
-    return docs.select(id_col).mapInPandas(
+    return _spread(docs.select(id_col)).mapInPandas(
         gen, schema=f"{id_col} long, media binary, fmt string")
 
 
@@ -430,7 +432,7 @@ def synth_jpeg_progressive_media(docs: DataFrame,
                 rows.append((did, blob, "jpeg"))
             yield pd.DataFrame(rows, columns=[id_col, "media", "fmt"])
 
-    return docs.select(id_col).mapInPandas(
+    return _spread(docs.select(id_col)).mapInPandas(
         gen, schema=f"{id_col} long, media binary, fmt string")
 
 
@@ -471,7 +473,7 @@ def synth_gif_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                              "gif"))
             yield pd.DataFrame(rows, columns=[id_col, "media", "fmt"])
 
-    return docs.select(id_col).mapInPandas(
+    return _spread(docs.select(id_col)).mapInPandas(
         gen, schema=f"{id_col} long, media binary, fmt string")
 
 
@@ -548,7 +550,7 @@ def synth_jpeg_scaled_media(docs: DataFrame, groups: int = 50,
                 rows.append((did, blob, "jpeg"))
             yield pd.DataFrame(rows, columns=[id_col, "media", "fmt"])
 
-    return docs.select(id_col).mapInPandas(
+    return _spread(docs.select(id_col)).mapInPandas(
         gen, schema=f"{id_col} long, media binary, fmt string")
 
 
@@ -704,7 +706,7 @@ def synth_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append((did, ac.encode_wav(samples, rate)))
             yield pd.DataFrame(rows, columns=[id_col, "media"])
 
-    return docs.select(id_col).mapInPandas(
+    return _spread(docs.select(id_col)).mapInPandas(
         gen, schema=f"{id_col} long, media binary")
 
 
@@ -757,7 +759,7 @@ def synth_adpcm_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append((did, blob))
             yield pd.DataFrame(rows, columns=[id_col, "media"])
 
-    return docs.select(id_col).mapInPandas(
+    return _spread(docs.select(id_col)).mapInPandas(
         gen, schema=f"{id_col} long, media binary")
 
 
@@ -899,7 +901,7 @@ def synth_audio_xcodec_media(docs: DataFrame, groups: int = 32,
                              ("wav", "flac", "g711")[fmt]))
             yield pd.DataFrame(rows, columns=[id_col, "media", "fmt"])
 
-    return docs.select(id_col).mapInPandas(
+    return _spread(docs.select(id_col)).mapInPandas(
         gen, schema=f"{id_col} long, media binary, fmt string")
 
 
@@ -1006,7 +1008,7 @@ def synth_avi_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append((did, vc.encode_avi(w, h, frames)))
             yield pd.DataFrame(rows, columns=[id_col, "media"])
 
-    return docs.select(id_col).mapInPandas(
+    return _spread(docs.select(id_col)).mapInPandas(
         gen, schema=f"{id_col} long, media binary")
 
 
@@ -1073,7 +1075,7 @@ def synth_mjpeg_scenes_media(docs: DataFrame,
                 rows.append((did, vc.encode_avi_mjpeg(16, 16, frames)))
             yield pd.DataFrame(rows, columns=[id_col, "media"])
 
-    return docs.select(id_col).mapInPandas(
+    return _spread(docs.select(id_col)).mapInPandas(
         gen, schema=f"{id_col} long, media binary")
 
 
@@ -1143,7 +1145,7 @@ def synth_wav_segments_media(docs: DataFrame,
                 rows.append((did, ac.encode_wav(samples, 8000)))
             yield pd.DataFrame(rows, columns=[id_col, "media"])
 
-    return docs.select(id_col).mapInPandas(
+    return _spread(docs.select(id_col)).mapInPandas(
         gen, schema=f"{id_col} long, media binary")
 
 
@@ -1239,7 +1241,7 @@ def synth_mjpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append((did, vc.encode_avi_mjpeg(w, h, frames)))
             yield pd.DataFrame(rows, columns=[id_col, "media"])
 
-    return docs.select(id_col).mapInPandas(
+    return _spread(docs.select(id_col)).mapInPandas(
         gen, schema=f"{id_col} long, media binary")
 
 
@@ -1273,5 +1275,5 @@ def synth_g711_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                              ac.encode_wav_g711(samples, 8000, 1, law)))
             yield pd.DataFrame(rows, columns=[id_col, "media"])
 
-    return docs.select(id_col).mapInPandas(
+    return _spread(docs.select(id_col)).mapInPandas(
         gen, schema=f"{id_col} long, media binary")
