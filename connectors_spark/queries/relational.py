@@ -888,20 +888,24 @@ def q21(spark, sf_dir):
                   F.when(F.col("l_shipdate") >
                          F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
                          1).otherwise(0).alias("late")))
-    # LAZY, cache-free: `li` is consumed twice (per-order stats and the
-    # late-row probe side), both shuffling on l_orderkey. The second
-    # evaluation is a re-scan of lineitem+orders — embarrassingly
-    # parallel, no state pinned in executor storage, and the join
-    # co-partitions both sides on the same key so no third shuffle runs.
-    ord_stats = (li.groupBy("l_orderkey")
-                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
-                      F.countDistinct(F.when(F.col("late") == 1,
-                                             F.col("l_suppkey")))
-                      .alias("n_late")))
+    # Per-order stats ride a WINDOW over the same l_orderkey
+    # partitioning the probe rows need anyway: one scan of
+    # lineitem+orders and one shuffle, where the previous
+    # aggregate-then-join-back shape re-evaluated the whole join for
+    # each side (two fact scans) and paid a countDistinct expand.
+    # Orders hold at most 7 lineitems, so the per-partition collect_set
+    # state is bounded and skew-free.
+    wo = Window.partitionBy("l_orderkey")
+    flagged = (li.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(wo)))
+        .withColumn(
+            "n_late", F.size(F.collect_set(
+                F.when(F.col("late") == 1, F.col("l_suppkey")))
+                .over(wo)))
+        .filter((F.col("late") == 1) & (F.col("n_supp") > 1) &
+                (F.col("n_late") == 1)))
     su = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (li.filter(F.col("late") == 1)
-            .join(ord_stats.filter((F.col("n_supp") > 1) &
-                                   (F.col("n_late") == 1)), "l_orderkey")
+    return (flagged
             .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
             .groupBy("s_name")
             .agg(F.count(F.lit(1)).alias("numwait"))
