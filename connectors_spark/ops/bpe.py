@@ -35,6 +35,8 @@ from typing import List, Tuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import _spread
+
 SEP = "\x1f"  # unit separator: never appears in the text corpora
 
 
@@ -43,7 +45,7 @@ def _word_states(df: DataFrame, text_col: str) -> DataFrame:
     character wrapped in SEP markers."""
     from ..functions.text import tokens
 
-    words = (df.select(F.explode_outer(tokens(F.col(text_col)))
+    words = (_spread(df).select(F.explode_outer(tokens(F.col(text_col)))
                        .alias("word"))
              .where(F.col("word").isNotNull())
              .groupBy("word").agg(F.count(F.lit(1)).alias("c")))
@@ -118,8 +120,9 @@ def bpe_subword_counts(df: DataFrame, merges: List[Tuple[int, str, str, int]],
                           F.lit(f"{SEP}{l}{r}{SEP}"))
     n_syms = F.size(F.split(F.expr("substring(_st, 2, length(_st) - 2)"),
                             SEP + SEP))
-    ex = (df.select(F.col(id_col),
-                    F.explode_outer(tokens(F.col(text_col))).alias("_w"))
+    ex = (_spread(df).select(F.col(id_col),
+                             F.explode_outer(tokens(F.col(text_col)))
+                             .alias("_w"))
           .where(F.col("_w").isNotNull())
           .withColumn("_st", state))
     return (ex.groupBy(id_col)

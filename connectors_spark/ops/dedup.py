@@ -672,7 +672,7 @@ def doc_chunks(df: DataFrame, id_col: str = "doc_id",
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.concat_ws(
             " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)))
-    return (df.where(F.size(toks) > 0)
+    return (_spread(df).where(F.size(toks) > 0)
             .select(F.col(id_col).alias("doc_id"),
                     F.posexplode(chunks).alias("pos", "chunk")))
 
@@ -781,8 +781,9 @@ def contamination_report(train: DataFrame, eval_df: DataFrame, n: int = 3,
     too big to broadcast, drop the hint and it degrades to one
     sort-merge join keyed by gram.
     """
-    tg = (train.select(F.col(id_col).alias("doc_id"),
-                       F.explode_outer(ngram_shingles(F.col(text_col), n))
+    tg = (_spread(train).select(F.col(id_col).alias("doc_id"),
+                                F.explode_outer(
+                                    ngram_shingles(F.col(text_col), n))
                        .alias("g"))
           .where(F.col("g").isNotNull()))
     eg = (eval_df.select(F.col(id_col).alias("_eval_id"),
@@ -1012,8 +1013,8 @@ def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
     chunks = F.when(
         F.size(tk) >= 1,   # sequence(1, 0) counts DOWN, guard empties
         bind_once(tk, _build))
-    return (df.select(F.col(id_col).alias("doc_id"),
-                      F.posexplode(chunks).alias("cid", "c"))
+    return (_spread(df).select(F.col(id_col).alias("doc_id"),
+                               F.posexplode(chunks).alias("cid", "c"))
             .select("doc_id", F.col("cid").cast("bigint").alias("cid"),
                     "c.chunk", "c.n_tok"))
 

@@ -20,6 +20,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free an eager localCheckpoint's backing RDD. Spark exposes no
+    public unpersist for checkpointed Datasets (and the persist()+
+    unpersist formulation was measured 2x slower per CC call:
+    InMemoryRelation build plus an extra materializing action per
+    iteration), so reach through the analyzed LogicalRDD; on any API
+    drift this degrades to ContextCleaner GC-based cleanup instead of
+    failing."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — cleanup must never break the op
+        pass
+
+
 def connected_components(edges: DataFrame, a_col: str = "a_id",
                          b_col: str = "b_id",
                          max_iter: int = 20) -> DataFrame:
@@ -41,12 +55,16 @@ def connected_components(edges: DataFrame, a_col: str = "a_id",
     # subtrees (labels init + neighbor join) race to fill the cache —
     # measured 7.3 s for one iteration over a 512-row sym at sf0.1.
     # localCheckpoint pins O(edges) rows, the small relation here by
-    # construction (near-dup pairs after thresholding).
+    # construction (near-dup pairs after thresholding) — NOT the
+    # corpus; every superseded checkpoint is released explicitly below,
+    # so only the FINAL label relation stays pinned for the caller
+    # (pinned by tests test_dedup_ops_release_their_caches).
     sym = sym.localCheckpoint(eager=True)
-    labels = (sym.groupBy("_a")
-              .agg(F.least(F.min("_b"), F.first("_a")).alias("_lbl"))
-              .select(F.col("_a").alias("_n"), "_lbl")
-              .localCheckpoint(eager=True))
+    cur = (sym.groupBy("_a")
+           .agg(F.least(F.min("_b"), F.first("_a")).alias("_lbl"))
+           .select(F.col("_a").alias("_n"), "_lbl")
+           .localCheckpoint(eager=True))
+    labels = cur
     for _ in range(max_iter):
         # Each node's candidate label: min over its own label and its
         # neighbors' labels. The changed flag rides in the SAME select
@@ -57,17 +75,20 @@ def connected_components(edges: DataFrame, a_col: str = "a_id",
         nbr = (sym.join(labels.withColumnRenamed("_n", "_b")
                         .withColumnRenamed("_lbl", "_nlbl"), "_b")
                .groupBy("_a").agg(F.min("_nlbl").alias("_cand")))
-        new_labels = (labels.join(nbr.withColumnRenamed("_a", "_n"),
-                                  "_n", "left")
-                      .select("_n", F.least("_lbl", F.coalesce(
-                          "_cand", "_lbl")).alias("_lbl"),
-                              (F.col("_cand") < F.col("_lbl"))
-                              .alias("_chg"))
-                      .localCheckpoint(eager=True))
-        changed = new_labels.filter("_chg").limit(1).count()
-        labels = new_labels.drop("_chg")
+        new_cur = (labels.join(nbr.withColumnRenamed("_a", "_n"),
+                               "_n", "left")
+                   .select("_n", F.least("_lbl", F.coalesce(
+                       "_cand", "_lbl")).alias("_lbl"),
+                           (F.col("_cand") < F.col("_lbl"))
+                           .alias("_chg"))
+                   .localCheckpoint(eager=True))
+        changed = new_cur.filter("_chg").limit(1).count()
+        _release_checkpoint(cur)           # superseded label relation
+        cur = new_cur
+        labels = new_cur.drop("_chg")
         if changed == 0:
             break
+    _release_checkpoint(sym)
     return labels.select(F.col("_n").alias("node"),
                          F.col("_lbl").alias("component"))
 
@@ -102,8 +123,11 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 2,
     # Materialize the degree-annotated edge list ONCE: without it every
     # iteration's contrib join re-evaluated the full upstream edge
     # pipeline (and sym twice over — deg side + join side). O(edges)
-    # rows, the small relation by construction.
+    # rows, the small relation by construction; released below along
+    # with every superseded rank checkpoint, so only the final ranks
+    # stay pinned for the caller.
     out_edges = sym.join(deg, "src").localCheckpoint(eager=True)
+    prev = None
     for _ in range(iters):
         contrib = (out_edges.join(
             pr.withColumnRenamed("id", "src"), "src")
@@ -118,4 +142,12 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 2,
                               F.coalesce(F.col("_s"), F.lit(0.0)),
                               6).alias("pr"))
               .localCheckpoint(eager=True))
+        if prev is not None:
+            _release_checkpoint(prev)
+        prev = pr
+    if iters > 0:
+        # the final pr checkpoint truncated its lineage — the edge and
+        # node planes are no longer referenced by the returned plan
+        _release_checkpoint(base)
+        _release_checkpoint(out_edges)
     return pr.select(F.col("id").alias(node_col), "pr")

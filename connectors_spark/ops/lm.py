@@ -46,6 +46,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import _spread
+
 from ..functions.text import bind_once, tokens
 
 ALPHA = 0.4
@@ -72,8 +74,8 @@ def _lagged_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     trip = F.when(
         F.size(tk) >= 1,   # sequence(1, 0) would count DOWN, not empty
         bind_once(tk, _build))
-    return (df.select(F.col(id_col).alias("doc_id"),
-                      F.posexplode(trip).alias("pos", "g"))
+    return (_spread(df).select(F.col(id_col).alias("doc_id"),
+                               F.posexplode(trip).alias("pos", "g"))
             .select("doc_id", "pos", "g.w", "g.w_p", "g.w_pp"))
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import token_count, tokens
+from .dedup import _spread
 
 _NGRAM_UDFS: dict = {}
 
@@ -66,9 +67,10 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     repeated in an empty gram list). Fractions are rounded to 6 places
     so double-precision division order can't break oracle equality.
     """
-    base = df.select(F.col(id_col).alias("doc_id"),
-                     F.col(text_col).alias("_text"),
-                     F.size(tokens(F.col(text_col))).alias("n_tok"))
+    base = _spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        F.size(tokens(F.col(text_col))).alias("n_tok"))
     out = base.select("doc_id", "n_tok")
     for n in ns:
         grams = (base.select("doc_id",
@@ -133,7 +135,7 @@ def unigram_nll_scores(df: DataFrame, id_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
-    tok = (df.select(F.col(id_col).alias("doc_id"),
+    tok = (_spread(df).select(F.col(id_col).alias("doc_id"),
                      F.explode_outer(tokens(F.col(text_col))).alias("w"))
            .where(F.col("w").isNotNull()))
     vocab = tok.groupBy("w").count()
@@ -192,8 +194,8 @@ def dsir_importance_weights(df: DataFrame, target_cond,
         F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.concat(a, F.lit(" "), b))
-    base = df.select(F.col(id_col).alias("doc_id"),
-                     target_cond.alias("_t"),
+    base = _spread(df).select(F.col(id_col).alias("doc_id"),
+                              target_cond.alias("_t"),
                      F.concat(toks, big).alias("_f"))
     fb = (base.select("doc_id", "_t", F.explode_outer("_f").alias("_g"))
           .where(F.col("_g").isNotNull())
@@ -246,9 +248,10 @@ def dup_span_stats(df: DataFrame, L: int = 10, id_col: str = "doc_id",
 
     from ..functions.text import hash64
 
-    base = df.select(F.col(id_col).alias("doc_id"),
-                     F.col(text_col).alias("_text"),
-                     token_count(F.col(text_col)).alias("n_tok"))
+    base = _spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        token_count(F.col(text_col)).alias("n_tok"))
     grams = (base
              .select("doc_id", "n_tok",
                      F.posexplode(ngram_list("_text", L))
@@ -285,8 +288,8 @@ def strip_dup_spans(df: DataFrame, L: int = 10, id_col: str = "doc_id",
     """
     from ..functions.text import hash64
 
-    base = df.select(F.col(id_col).alias("doc_id"),
-                     F.col(text_col).alias("_text"))
+    base = _spread(df).select(F.col(id_col).alias("doc_id"),
+                              F.col(text_col).alias("_text"))
     grams = (base
              .select("doc_id",
                      F.posexplode(ngram_list("_text", L))
@@ -332,7 +335,7 @@ def token_entropy(df: DataFrame, id_col: str = "doc_id",
     combined) → one doc-keyed aggregation. Shuffle volume O(total
     tokens) then O(distinct (doc, token)); no joins, no windows.
     """
-    cnt = (df.select(F.col(id_col).alias("doc_id"),
+    cnt = (_spread(df).select(F.col(id_col).alias("doc_id"),
                      F.explode_outer(tokens(F.col(text_col))).alias("w"))
            .where(F.col("w").isNotNull())
            .groupBy("doc_id", "w").count())
@@ -373,8 +376,8 @@ def pmi_bigrams(df: DataFrame, min_count: int = 5, top: int = 50,
     """
     from pyspark.sql import Window
 
-    base = df.select(F.col(id_col).alias("doc_id"),
-                     F.col(text_col).alias("_text"))
+    base = _spread(df).select(F.col(id_col).alias("doc_id"),
+                              F.col(text_col).alias("_text"))
     uni = (base.select(F.explode_outer(tokens(F.col("_text")))
                        .alias("w"))
            .where(F.col("w").isNotNull())
@@ -435,8 +438,9 @@ def ngram_novelty(df: DataFrame, id_col: str = "doc_id",
     from pyspark.sql import functions as F
 
     from ..functions.text import hash64, ngram_shingles
-    ex = (df.select(F.col(id_col).alias("_id"),
-                    ngram_shingles(F.col(text_col), n).alias("_sh"))
+    ex = (_spread(df).select(F.col(id_col).alias("_id"),
+                             ngram_shingles(F.col(text_col), n)
+                             .alias("_sh"))
           .select("_id", F.explode_outer("_sh").alias("_gs"))
           .where(F.col("_gs").isNotNull())
           .select("_id", hash64("_gs").alias("_g")))

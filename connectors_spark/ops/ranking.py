@@ -20,6 +20,8 @@ from typing import List, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import _spread
+
 from ..functions.text import tokens
 
 
@@ -35,7 +37,7 @@ def _local_patterns_df(spark, patterns):
 def term_postings(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """(doc_id, term, tf): term frequency per document."""
-    return (docs
+    return (_spread(docs)
             .select(F.col(id_col).alias("doc_id"),
                     F.explode_outer(tokens(text_col)).alias("term"))
             .where(F.col("term").isNotNull())
@@ -74,8 +76,8 @@ def bm25(docs: DataFrame, query_terms: Sequence[str],
     query terms themselves, pre-filtered before the shuffle.
     """
     qterms: List[str] = list(dict.fromkeys(query_terms))
-    toks = (docs.select(F.col(id_col).alias("doc_id"),
-                        tokens(text_col).alias("__toks")))
+    toks = (_spread(docs).select(F.col(id_col).alias("doc_id"),
+                                 tokens(text_col).alias("__toks")))
     dl = toks.select("doc_id", F.size("__toks").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n"),
                    F.avg("dl").alias("avgdl")).first()
@@ -170,9 +172,9 @@ def substring_search(docs: DataFrame, patterns: Sequence[str],
                        .alias("_g"))
            .distinct())
     pn = pex.groupBy("pattern").agg(F.count(F.lit(1)).alias("_need"))
-    dex = (docs.select(F.col(id_col).alias("doc_id"),
-                       F.explode_outer(char_trigram_hashes(
-                           F.col(text_col))).alias("_g"))
+    dex = (_spread(docs).select(F.col(id_col).alias("doc_id"),
+                                F.explode_outer(char_trigram_hashes(
+                                    F.col(text_col))).alias("_g"))
            .where(F.col("_g").isNotNull()))
     cand = (dex.join(F.broadcast(pex), "_g")
             .groupBy("pattern", "doc_id")
@@ -229,9 +231,9 @@ def build_trigram_index(docs: DataFrame, index_path: str,
     query cost scales with selectivity, not corpus size — the Delta
     analogue of a pg_trgm GIN index."""
     from ..table import DeltaTable
-    dex = (docs.select(F.col(id_col).alias("doc_id"),
-                       F.explode_outer(char_trigram_hashes(
-                           F.col(text_col))).alias("_g"))
+    dex = (_spread(docs).select(F.col(id_col).alias("doc_id"),
+                                F.explode_outer(char_trigram_hashes(
+                                    F.col(text_col))).alias("_g"))
            .where(F.col("_g").isNotNull())
            .withColumn("bucket",
                        (F.col("_g") % n_buckets).cast("int")))

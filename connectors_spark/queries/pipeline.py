@@ -509,7 +509,7 @@ SELECT lang, count(*)::BIGINT AS n_docs,
 FROM per GROUP BY lang
 """)
 def doc_stats(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = dd._spread(load(spark, sf_dir, "documents"))
     return (docs.select("lang",
                         token_count("text").alias("_nt"),
                         stopword_ratio("text").alias("_swr"),
@@ -548,7 +548,7 @@ SELECT lang, {_lang_sql_argmax()} AS pred, count(*)::BIGINT AS n
 FROM sc GROUP BY 1, 2
 """)
 def doc_lang(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = dd._spread(load(spark, sf_dir, "documents"))
     return (docs.select("lang", lang_id("text").alias("pred"))
             .groupBy("lang", "pred").agg(F.count(F.lit(1)).alias("n")))
 
@@ -598,7 +598,7 @@ def doc_redact(spark, sf_dir):
     # redacted text then pins the exact regex replacement semantics --
     # email before phone so address digits never half-match.
     from ..functions.text import redact_pii
-    docs = load(spark, sf_dir, "documents")
+    docs = dd._spread(load(spark, sf_dir, "documents"))
     seeded = docs.select(
         "doc_id",
         F.concat(F.lit("reach me at user"), F.col("doc_id").cast("string"),

@@ -854,6 +854,10 @@ def test_dedup_ops_release_their_caches(spark):
     base3 = _persistent_rdd_count(spark)
     comp = connected_components(pairs)
     comp.count()
+    # r14: the op's intermediates are eager localCheckpoints (2x faster
+    # per call than persist+count), released explicitly via
+    # graph._release_checkpoint as each is superseded — only the final
+    # label relation (the returned result's backing RDD) may remain.
     assert _persistent_rdd_count(spark) <= base3 + 1
 
 
