@@ -706,7 +706,9 @@ def synth_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append((did, ac.encode_wav(samples, rate)))
             yield pd.DataFrame(rows, columns=[id_col, "media"])
 
-    return _spread(docs.select(id_col)).mapInPandas(
+    # no _spread: PCM16 encode is cheap; the extra exchange costs
+    # more than the single-task encode saves (A/B at sf0.1)
+    return docs.select(id_col).mapInPandas(
         gen, schema=f"{id_col} long, media binary")
 
 

@@ -67,10 +67,9 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     repeated in an empty gram list). Fractions are rounded to 6 places
     so double-precision division order can't break oracle equality.
     """
-    base = _spread(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("_text"),
-        F.size(tokens(F.col(text_col))).alias("n_tok"))
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(text_col).alias("_text"),
+                     F.size(tokens(F.col(text_col))).alias("n_tok"))
     out = base.select("doc_id", "n_tok")
     for n in ns:
         grams = (base.select("doc_id",
@@ -135,7 +134,7 @@ def unigram_nll_scores(df: DataFrame, id_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
-    tok = (_spread(df).select(F.col(id_col).alias("doc_id"),
+    tok = (df.select(F.col(id_col).alias("doc_id"),
                      F.explode_outer(tokens(F.col(text_col))).alias("w"))
            .where(F.col("w").isNotNull()))
     vocab = tok.groupBy("w").count()
@@ -335,7 +334,7 @@ def token_entropy(df: DataFrame, id_col: str = "doc_id",
     combined) → one doc-keyed aggregation. Shuffle volume O(total
     tokens) then O(distinct (doc, token)); no joins, no windows.
     """
-    cnt = (_spread(df).select(F.col(id_col).alias("doc_id"),
+    cnt = (df.select(F.col(id_col).alias("doc_id"),
                      F.explode_outer(tokens(F.col(text_col))).alias("w"))
            .where(F.col("w").isNotNull())
            .groupBy("doc_id", "w").count())
@@ -376,8 +375,8 @@ def pmi_bigrams(df: DataFrame, min_count: int = 5, top: int = 50,
     """
     from pyspark.sql import Window
 
-    base = _spread(df).select(F.col(id_col).alias("doc_id"),
-                              F.col(text_col).alias("_text"))
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(text_col).alias("_text"))
     uni = (base.select(F.explode_outer(tokens(F.col("_text")))
                        .alias("w"))
            .where(F.col("w").isNotNull())

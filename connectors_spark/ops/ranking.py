@@ -37,7 +37,10 @@ def _local_patterns_df(spark, patterns):
 def term_postings(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """(doc_id, term, tf): term frequency per document."""
-    return (_spread(docs)
+    # no _spread: one tokenize feeding one aggregation — the extra
+    # round-robin exchange costs more than the single-task tokenize
+    # saves (A/B: 0.7 s vs 1.4-2.1 s at sf0.1)
+    return (docs
             .select(F.col(id_col).alias("doc_id"),
                     F.explode_outer(tokens(text_col)).alias("term"))
             .where(F.col("term").isNotNull())
@@ -76,8 +79,8 @@ def bm25(docs: DataFrame, query_terms: Sequence[str],
     query terms themselves, pre-filtered before the shuffle.
     """
     qterms: List[str] = list(dict.fromkeys(query_terms))
-    toks = (_spread(docs).select(F.col(id_col).alias("doc_id"),
-                                 tokens(text_col).alias("__toks")))
+    toks = (docs.select(F.col(id_col).alias("doc_id"),
+                        tokens(text_col).alias("__toks")))
     dl = toks.select("doc_id", F.size("__toks").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n"),
                    F.avg("dl").alias("avgdl")).first()
