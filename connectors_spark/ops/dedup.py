@@ -1013,8 +1013,12 @@ def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
     chunks = F.when(
         F.size(tk) >= 1,   # sequence(1, 0) counts DOWN, guard empties
         bind_once(tk, _build))
-    return (_spread(df).select(F.col(id_col).alias("doc_id"),
-                               F.posexplode(chunks).alias("cid", "c"))
+    # no _spread here: this op's pinned contract is ZERO shuffles
+    # (content-defined chunking at scan speed — test_plans
+    # test_cdc_chunking_is_fully_narrow); callers that need width
+    # spread their own input
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.posexplode(chunks).alias("cid", "c"))
             .select("doc_id", F.col("cid").cast("bigint").alias("cid"),
                     "c.chunk", "c.n_tok"))
 
