@@ -695,7 +695,75 @@ class Snapshot:
         strictly fewer copies. Bounded by the Snapshot's lifetime —
         a new version produces a new Snapshot and the old cache is
         GC'd with it."""
+        rows = self._files_rows_driver_side()
+        if rows is not None:
+            return rows
         return self.files_df.collect()
+
+    def _files_rows_driver_side(self) -> Optional[List]:
+        """Cold active-file materialization WITHOUT a Spark job, when
+        the segment shape allows (r15) — the files-plane twin of
+        ``_tombstone_rows_driver_side``: seed the state from one
+        driver-side pyarrow read of the checkpoint's ``add`` column,
+        then replay the raw JSON tail through
+        :func:`apply_tail_to_files_rows` (the r14-pinned incremental
+        path). The result is what ``files_df.collect()`` returns minus
+        the Spark job (~0.3-0.6 s per cold Snapshot at bench scale —
+        paid per invocation by every query that creates fresh tables or
+        time-travel snapshots). Returns None for every shape that needs
+        the distributed plan: v2/multi-part checkpoints, compacted
+        ranges, non-POSIX stores, or a checkpoint too big to parse
+        single-process (at 100 TB the inventory is millions of rows —
+        the executor-parallel replay stays the scale path)."""
+        if type(self.store) is not LogStore:
+            return None
+        seg = self.segment
+        cfiles = list(seg.checkpoint_files)
+        if len(cfiles) > 1:
+            return None
+        if cfiles and fn.is_v2_checkpoint_file(cfiles[0]):
+            return None
+        if cfiles:
+            try:
+                if os.path.getsize(cfiles[0]) > 64 * 1024 * 1024:
+                    return None
+            except OSError:
+                return None
+        row = _files_row_factory()
+        state: Dict[str, object] = {}
+        if cfiles:
+            import pyarrow.parquet as pq
+            try:
+                col = pq.read_table(
+                    cfiles[0], columns=["add"]).column("add")
+            except Exception:   # noqa: BLE001 — e.g. schema w/o add
+                return None
+            for d in col.to_pylist():
+                if not d or d.get("path") is None:
+                    continue
+                p = canonical_path(d["path"], self.table_path)
+                state[p] = row(
+                    p,
+                    dict(d["partitionValues"])
+                    if d.get("partitionValues") is not None else None,
+                    d.get("size"), d.get("modificationTime"),
+                    d.get("dataChange"), d.get("stats"),
+                    dict(d["tags"]) if d.get("tags") is not None
+                    else None,
+                    d.get("baseRowId"),
+                    d.get("defaultRowCommitVersion"),
+                    int(seg.checkpoint_version))
+        tail = []
+        for pth in seg.deltas:
+            name = os.path.basename(pth)
+            if "compacted" in name:
+                return None     # net-folded ranges: window plan only
+            lines = self.store.read(pth)
+            tail.append((fn.delta_version(name),
+                         [a for a in (from_json_line(ln)
+                                      for ln in lines) if a is not None]))
+        return apply_tail_to_files_rows(list(state.values()), tail,
+                                        self.table_path)
 
     @cached_property
     def files_local_df(self) -> DataFrame:

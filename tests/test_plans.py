@@ -807,3 +807,42 @@ def test_tombstone_rows_driver_side_matches_window_plan(spark, tmp_path):
 
     wrows = snap._all_tombstones_df().collect()
     assert sorted(map(k, drows)) == sorted(map(k, wrows))
+
+
+def test_files_rows_driver_side_matches_window_plan(spark, tmp_path):
+    # r15: cold ACTIVE-FILE materialization seeds from the classic
+    # checkpoint's add column driver-side and replays the JSON tail
+    # through apply_tail_to_files_rows (the files-plane twin of the r14
+    # tombstone pin above). Must be field-identical — version stamp
+    # included — to the distributed window plan, across checkpointed
+    # adds, DV tags, partition values, a delete, and tail adds/removes.
+    from connectors_spark import DeltaTable
+    from connectors_spark.expressions import Col, Lit
+    from connectors_spark.log.snapshot import Snapshot
+    from tests.conftest import read_table
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "fds"))
+    orders = read_table(spark, "orders")
+    t.write(orders.limit(300), partition_by=["o_orderstatus"],
+            configuration={"delta.checkpointInterval": "2"})
+    t.delete(Col("o_orderkey") < Lit(100), deletion_vectors=True)  # v1
+    t.delete(Col("o_orderkey") < Lit(150))     # v2 -> checkpoint
+    t.write(orders.limit(400), mode="append")  # v3 (tail add)
+    t.delete(Col("o_orderstatus") == Lit("P"))  # v4 -> checkpoint
+    t.write(orders.limit(50), mode="append")   # v5 (tail add)
+    snap = Snapshot(spark, t.path, t.log.snapshot().segment,
+                    t.log.store)
+    drows = snap._files_rows_driver_side()
+    assert drows is not None                   # shape was eligible
+    assert len(drows) > 0
+
+    def k(r):
+        return (r["path"],
+                tuple(sorted((r["partitionValues"] or {}).items())),
+                r["size"], r["modificationTime"], r["dataChange"],
+                r["stats"], tuple(sorted((r["tags"] or {}).items())),
+                r["baseRowId"], r["defaultRowCommitVersion"],
+                r["version"])
+
+    wrows = snap.files_df.collect()
+    assert sorted(map(k, drows)) == sorted(map(k, wrows))
