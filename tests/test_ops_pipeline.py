@@ -1252,6 +1252,53 @@ def test_edit_distance_pairs_matches_brute_force(spark):
             assert got == exp, (k, cap)
 
 
+def test_edit_distance_pairs_adversarial_lengths(spark):
+    """Completeness of the r15 multi-match-aware pigeonhole window
+    (PassJoin Lemma 3) on ADVERSARIAL length combinations: every
+    |len(a) - len(b)| in [0, k] at k as large as the registry gates use
+    (k=8), lengths straddling the k+1 segment count (segments of
+    length 0 and 1), and edits concentrated at the string's ends —
+    where a too-tight start-position window would drop pairs first.
+    Oracle = the O(n²) levenshtein definition."""
+    import itertools
+
+    from connectors_spark.ops.fuzzy import edit_distance_pairs
+
+    base = "abcabdacbadcabdbacdacbd"          # 23 chars, k+1 = 9 segs
+    strs = []
+    for d in range(0, 9):                     # every Δlen 0..8
+        strs.append(base[d:])                 # d deletions at the front
+        strs.append(base[:len(base) - d])     # d deletions at the back
+        strs.append(("z" * d) + base)         # d inserts at the front
+        strs.append(base + ("z" * d))         # d inserts at the back
+        strs.append(base[:8] + ("z" * d) + base[8 + d:])  # middle subs
+    # lengths straddling the segment count: 0-length segments appear
+    strs += ["", "q", "qq", "abcabdacb", "abcabdac", base * 2]
+    rows = [(i, s) for i, s in enumerate(dict.fromkeys(strs))]
+    df = spark.createDataFrame(rows, "doc_id: long, s: string")
+
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[lb]
+
+    for k in (2, 8):
+        exp = {(min(ia, ib), max(ia, ib), lev(sa, sb))
+               for (ia, sa), (ib, sb) in itertools.combinations(rows, 2)
+               if lev(sa, sb) <= k}
+        for cap in (None, 4):                 # cap=4 guts every gram →
+            got = {(r.a_id, r.b_id, r.dist) for r in   # pigeonhole path
+                   edit_distance_pairs(df, k, max_gram_freq=cap)
+                   .collect()}
+            assert got == exp, (k, cap)
+
+
 def test_substring_search_degenerate_patterns(spark, tmp_path):
     """ADVICE r8: an empty patterns LIST must return an empty frame
     with the search's exact schema (not None), and an empty-string
