@@ -346,33 +346,92 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     F.col("_cid").alias(id_col), "sim", "rank"))
 
 
+# Safety margin for the numpy candidate PREFILTER below: BLAS blocked
+# summation and the JVM's sequential zip_with sum agree to ~1e-14
+# relative on float64, and round(·, 6) moves a value by <= 5e-7 — so a
+# raw-cosine margin of 1e-4 can never drop a pair the exact filter
+# keeps. False candidates only cost a little exact re-verification.
+_PREFILTER_MARGIN = 1e-4
+
+
+def _corpus_closure(df: DataFrame, id_col: str, vec_col: str):
+    """(ids int64 array, matrix float64 [n, dim], id -> row index dict)
+    collected to the driver — the same memory class as the forced
+    F.broadcast of the full corpus these pair verifiers already
+    required (a broadcast relation is built driver-side too)."""
+    rows = df.select(F.col(id_col).alias("_id"),
+                     F.col(vec_col).alias("_v")).collect()
+    ids = np.array([r["_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["_v"] for r in rows], dtype=np.float64)
+    return ids, mat, {int(i): ix for ix, i in enumerate(ids)}
+
+
+def _exact_verify(cand: DataFrame, df: DataFrame, threshold: float,
+                  id_col: str, vec_col: str) -> DataFrame:
+    """Attach vectors to (a_id, b_id) candidates and apply the EXACT
+    filter — identical arithmetic (dot/na/nb operation order, F.round
+    half-up) to the pre-r15 per-pair path, so results are bit-identical
+    to the double-precision SQL oracle."""
+    withn = df.select(F.col(id_col), F.col(vec_col),
+                      norm_d(vec_col).alias("_n"))
+    va = withn.select(F.col(id_col).alias("a_id"),
+                      F.col(vec_col).alias("_av"),
+                      F.col("_n").alias("_na"))
+    vb = withn.select(F.col(id_col).alias("b_id"),
+                      F.col(vec_col).alias("_bv"),
+                      F.col("_n").alias("_nb"))
+    return (cand.join(F.broadcast(va), "a_id")
+            .join(F.broadcast(vb), "b_id")
+            .select("a_id", "b_id",
+                    F.round(dot_d("_av", "_bv") / F.col("_na") /
+                            F.col("_nb"), 6).alias("sim"))
+            .filter(F.col("sim") >= threshold))
+
+
 def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.45,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs: all (a_id < b_id) with
     round(cosine, 6) >= threshold.
 
-    The join is a broadcast nested-loop (one side broadcast, map-only,
-    zero shuffle) — exact all-pairs is inherently O(n²), so this is the
+    Exact all-pairs is inherently O(n²), so this is the
     verification/oracle path; at 100 TB corpus scale use the LSH
     candidate generator (`cosine_neardup_pairs_lsh`) which bounds the
-    pair stream to same-bucket collisions. The cosine keeps dot/na/nb
-    operation order so round(·, 6) is bit-identical to a double-precision
-    SQL oracle.
+    pair stream to same-bucket collisions. The n² arithmetic runs as
+    one numpy matmul per Arrow batch against the closure-held corpus
+    matrix (guide §4.1/§4.3 — the cosine_topk pattern; r14's
+    per-pair zip_with expression over the broadcast nested-loop join
+    evaluated interpreted and dominated the op), keeping only
+    candidates within _PREFILTER_MARGIN of the threshold; survivors are
+    re-verified by the EXACT JVM expression (dot/na/nb operation
+    order + F.round half-up), so output is bit-identical to a
+    double-precision SQL oracle. IEEE division semantics (zero norms →
+    inf/nan) match the exact path: numpy and the JVM agree on both.
     """
-    withn = df.select(F.col(id_col), F.col(vec_col),
-                      norm_d(vec_col).alias("_n"))
-    a = _spread(withn).select(F.col(id_col).alias("a_id"),
-                              F.col(vec_col).alias("_av"),
-                              F.col("_n").alias("_na"))
-    b = withn.select(F.col(id_col).alias("b_id"),
-                     F.col(vec_col).alias("_bv"),
-                     F.col("_n").alias("_nb"))
-    return (a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
-            .select("a_id", "b_id",
-                    F.round(dot_d("_av", "_bv") / F.col("_na") /
-                            F.col("_nb"), 6).alias("sim"))
-            .filter(F.col("sim") >= threshold))
+    from pyspark.sql.types import LongType, StructField, StructType
+    ids, mat, _ = _corpus_closure(df, id_col, vec_col)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    cut = threshold - _PREFILTER_MARGIN
+    out_schema = StructType([StructField("a_id", LongType()),
+                             StructField("b_id", LongType())])
+
+    def prefilter(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            amat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            aids = pdf[id_col].to_numpy()
+            anorm = np.sqrt((amat * amat).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (amat @ mat.T) / anorm[:, None] / norms[None, :]
+                keep = (sims >= cut) & (ids[None, :] > aids[:, None])
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame({"a_id": aids[ai].astype(np.int64),
+                                "b_id": ids[bi]})
+
+    cand = (_spread(df.select(F.col(id_col), F.col(vec_col)))
+            .mapInPandas(prefilter, out_schema))
+    return _exact_verify(cand, df, threshold, id_col, vec_col)
 
 
 def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float = 0.45,
@@ -430,17 +489,37 @@ def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float = 0.45,
             .select(F.explode_outer(pair_expand).alias("p"))
             .where(F.col("p").isNotNull())
             .select("p.a_id", "p.b_id").distinct())
-    withn = df.select(F.col(id_col), F.col(vec_col),
-                      norm_d(vec_col).alias("_n"))
-    va = withn.select(F.col(id_col).alias("a_id"),
-                      F.col(vec_col).alias("_av"), F.col("_n").alias("_na"))
-    vb = withn.select(F.col(id_col).alias("b_id"),
-                      F.col(vec_col).alias("_bv"), F.col("_n").alias("_nb"))
-    return (cand.join(F.broadcast(va), "a_id").join(F.broadcast(vb), "b_id")
-            .select("a_id", "b_id",
-                    F.round(dot_d("_av", "_bv") / F.col("_na") /
-                            F.col("_nb"), 6).alias("sim"))
-            .filter(F.col("sim") >= threshold))
+    # Candidate PREFILTER (r15, guide §4.1/§4.3): the in-bucket pair
+    # stream is parameter-bounded but still O(tables·2^planes·cap²);
+    # evaluating the 64-dim zip_with dot per pair in the JVM
+    # interpreter dominated the op. Instead only (a_id, b_id) longs
+    # cross the Python boundary (§8: keys, not payloads); each batch
+    # GATHERS rows from the closure-held corpus matrix (same memory
+    # class as the forced F.broadcast of the full corpus the verify
+    # join already required) and one vectorized einsum filters with
+    # margin. Survivors are re-verified by the EXACT JVM expression —
+    # bit-identical output.
+    from pyspark.sql.types import LongType, StructField, StructType
+    ids_np, mat, idx = _corpus_closure(df, id_col, vec_col)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    cut = threshold - _PREFILTER_MARGIN
+    pair_schema = StructType([StructField("a_id", LongType()),
+                              StructField("b_id", LongType())])
+
+    def prefilter(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ai = pdf["a_id"].map(idx).to_numpy()
+            bi = pdf["b_id"].map(idx).to_numpy()
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (np.einsum("ij,ij->i", mat[ai], mat[bi])
+                        / norms[ai] / norms[bi])
+            keep = sims >= cut
+            yield pdf[["a_id", "b_id"]][keep]
+
+    cand = cand.mapInPandas(prefilter, pair_schema)
+    return _exact_verify(cand, df, threshold, id_col, vec_col)
 
 
 # --------------------------------------------------------------------------
