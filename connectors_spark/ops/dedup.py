@@ -140,7 +140,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     # expression once in that filter (on the narrow pre-spread
     # partitioning) and again in the projection. The outer variant
     # admits no inferred filter; the one null row an empty doc emits is
-    # dropped right after the generate.
+    # dropped right after the generate. CONTRACT for every
+    # explode_outer+isNotNull site in this repo (ADVICE r14): the
+    # generator must never yield NULL ELEMENTS — plain explode would
+    # emit them, the null-filter drops them. All current generators
+    # (tokens, shingles, sequence(), struct arrays) are null-free by
+    # construction; a future generator that can produce null elements
+    # needs a different guard.
     ex = (sh.select("_id", "_sz", F.explode_outer("_sh").alias("_gs"))
           .where(F.col("_gs").isNotNull())
           .select("_id", "_sz", hash64("_gs").alias("_g")))
@@ -493,26 +499,45 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     (quotes, boilerplate, containment) is detectable — which
     whole-document set-Jaccard dilutes away.
 
-    Returns (_id, _f) — one row per distinct fingerprint. The k-grams
-    are hashed once (one array expression), then posexploded so the
-    per-window minimum is a rows-between window function — a single
-    shuffle on doc id, never O(m²) rehashing. Docs with fewer than w
-    k-grams keep all their gram hashes (standard winnowing fallback).
+    Returns (_id, _f) — one row per distinct fingerprint. Docs with
+    fewer than w k-grams keep all their gram hashes (standard
+    winnowing fallback).
+
+    r15 (guide §2.4 — remove shuffles outright): the per-window minima
+    are an ARRAY EXPRESSION (`_winnow_fp_array`) over the once-bound
+    gram-hash array instead of posexplode + rows-between window — the
+    previous shape shuffled and sorted EVERY k-gram of the corpus
+    (O(corpus chars) rows through one exchange) just to take a
+    4-element sliding minimum. slice/array_min operate on the
+    bind_once lambda variable, so each gram is still hashed exactly
+    once per row (the O(m²) rehash kgram_hashes warns about does not
+    apply to a bound array); per-doc distinct becomes array_distinct.
+    Equivalence pinned by test_winnow_fingerprints_shape,
+    test_winnow_overlap_* and the doc_winnow_overlap_pairs oracle.
     """
-    from pyspark.sql import Window
-    ex = (_spread(df)
-          .select(F.col(id_col).alias("_id"),
-                  kgram_hashes(text_col, k).alias("_g"))
-          .select("_id", F.size("_g").alias("_m"),
-                  F.posexplode("_g").alias("_pos", "_h")))
-    win = (Window.partitionBy("_id").orderBy("_pos")
-           .rowsBetween(Window.currentRow, w - 1))
-    return (ex.withColumn("_wmin", F.min("_h").over(win))
-            .filter((F.col("_m") < w) | (F.col("_pos") <= F.col("_m") - w))
-            .select("_id",
-                    F.when(F.col("_m") >= w, F.col("_wmin"))
-                    .otherwise(F.col("_h")).alias("_f"))
-            .distinct())
+    return (_spread(df)
+            .select(F.col(id_col).alias("_id"),
+                    _winnow_fp_array(text_col, k, w).alias("_fs"))
+            .select("_id", F.explode_outer("_fs").alias("_f"))
+            .where(F.col("_f").isNotNull()))
+
+
+def _winnow_fp_array(text_col, k: int, w: int):
+    """Distinct winnowing fingerprints as one array expression:
+    min of each w-wide window over the k-gram hash array (all gram
+    hashes when fewer than w grams exist)."""
+    from ..functions.text import bind_once
+
+    def _build(g):
+        m = F.size(g)
+        mins = F.transform(
+            F.sequence(F.lit(1), m - w + 1),
+            lambda i: F.array_min(F.slice(g, i, w)))
+        # sequence() counts DOWN when m-w+1 < 1 — the when() guard
+        # keeps the mins branch unevaluated for short docs
+        return F.array_distinct(F.when(m >= w, mins).otherwise(g))
+
+    return bind_once(kgram_hashes(text_col, k), _build)
 
 
 def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -530,9 +555,17 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
     key can't create an O(n²) bucket at corpus scale. Output `overlap`
     is the Jaccard of the two fingerprint SETS (deterministic, rounded).
     """
-    fp = winnow_fingerprints(df, id_col, text_col, k, w)
-    sz = fp.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
-    ex = fp.join(sz, "_id")
+    # Set size as size(_fs) on the SAME row (r15): the previous
+    # groupBy(_id)+join-back re-aggregated and re-shuffled the
+    # fingerprint relation just to attach a count the array expression
+    # already knows — two more exchanges gone (guide §2.4). _sz stays
+    # the FULL (pre-cap) fingerprint-set size, as before.
+    ex = (_spread(df)
+          .select(F.col(id_col).alias("_id"),
+                  _winnow_fp_array(text_col, k, w).alias("_fs"))
+          .select("_id", F.size("_fs").alias("_sz"),
+                  F.explode_outer("_fs").alias("_f"))
+          .where(F.col("_f").isNotNull()))
     if max_fp_freq is not None:
         hot = (ex.groupBy("_f").count()
                .filter(F.col("count") > max_fp_freq).select("_f"))
