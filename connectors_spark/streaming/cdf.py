@@ -42,6 +42,20 @@ _FileRow = Tuple[str, int, Optional[dict], Optional[str],
                  Optional[int], Optional[int]]
 
 
+def _v2_change_type(path: str) -> Optional[str]:
+    """Change type of an r15 folded-write CDC file, parsed from its
+    ``_change_data/_change_type=<t>/...`` directory — None for legacy
+    flat cdc files (which carry _change_type as an in-file column).
+    Accepts both the log's percent-quoted form (`_change_type%3D<t>`)
+    and the decoded canonical form."""
+    import urllib.parse
+    for raw in path.split("/"):
+        seg = urllib.parse.unquote(raw)
+        if seg.startswith("_change_type="):
+            return seg.split("=", 1)[1]
+    return None
+
+
 def _scan_tagged(table, snap, file_rows: List[_FileRow],
                  schema: T.StructType, with_partition_cols: bool,
                  change_type: Optional[str],
@@ -165,6 +179,14 @@ def table_changes(table, start_version: int = 0,
                 "not set on this table")
 
     cdc_rows: List[_FileRow] = []
+    # v2 CDC files (r15 folded DML write): partition columns and the
+    # change type live in the file's DIRECTORY layout
+    # (_change_data/_change_type=<t>/<pdirs>/cdc2-*) and on the action
+    # (partitionValues), not as in-file columns — grouped per change
+    # type so each group reads through the same partition-attach path
+    # as synthesized legs. Legacy flat cdc files keep the in-file
+    # format and the original leg.
+    cdc2_rows: dict = {}
     ins_rows: List[_FileRow] = []
     del_rows: List[_FileRow] = []
     for version, actions in table.log.get_changes(start_version):
@@ -172,9 +194,16 @@ def table_changes(table, start_version: int = 0,
             break
         cdcs = [a for a in actions if isinstance(a, AddCDCFile)]
         if cdcs:
-            cdc_rows += [(canonical_path(a.path, snap.table_path),
-                          version, None, None, None, None)
-                         for a in cdcs]
+            for a in cdcs:
+                cp = canonical_path(a.path, snap.table_path)
+                ct = _v2_change_type(cp)
+                if ct is not None:
+                    cdc2_rows.setdefault(ct, []).append(
+                        (cp, version, a.partitionValues or {},
+                         None, None, None))
+                else:
+                    cdc_rows.append((cp, version, None, None,
+                                     None, None))
             continue
         ins_rows += [(canonical_path(a.path, snap.table_path),
                       version, a.partitionValues,
@@ -204,14 +233,24 @@ def table_changes(table, start_version: int = 0,
            if with_row_ids else []))
     parts: List[DataFrame] = []
     if cdc_rows:
-        # CDC files carry every table column (partition cols included)
-        # plus the physical _change_type column.
+        # Legacy CDC files carry every table column (partition cols
+        # included) plus the physical _change_type column.
         cdc_schema = T.StructType(
             list(meta.physical_schema.fields)
             + [T.StructField(CHANGE_TYPE_COL, T.StringType())])
         parts.append(_scan_tagged(table, snap, cdc_rows, rt(cdc_schema),
                                   with_partition_cols=False,
                                   change_type=None,
+                                  with_row_ids=with_row_ids))
+    for ct in sorted(cdc2_rows):
+        # v2 CDC files carry only data columns (plus materialized row
+        # ids); partition columns come from the action's
+        # partitionValues, the change type from the path — the exact
+        # attach path the synthesized insert/delete legs already use.
+        parts.append(_scan_tagged(table, snap, cdc2_rows[ct],
+                                  rt(meta.physical_data_schema),
+                                  with_partition_cols=True,
+                                  change_type=ct,
                                   with_row_ids=with_row_ids))
     if ins_rows:
         parts.append(_scan_tagged(table, snap, ins_rows,

@@ -167,7 +167,10 @@ class DeltaFilePartition(InputPartition):
     """One input file of one microbatch.
 
     ``kind``: "data" (plain row feed), or the CDF kinds — "cdc" (a
-    physical change file carrying its own ``_change_type`` column),
+    legacy physical change file carrying its own ``_change_type``
+    column), "cdc2" (an r15 folded-write change file: partition
+    columns come from ``partition_values`` and the change type from
+    ``change_type`` — both recovered from the action/path),
     "insert"/"delete" (a data file synthesized to that change type).
     ``dv_rel``: deletion-vector sidecar rel path to apply — only the
     file's LIVE rows under that DV are emitted."""
@@ -176,7 +179,8 @@ class DeltaFilePartition(InputPartition):
                  partition_values: dict, kind: str = "data",
                  dv_rel: Optional[str] = None,
                  base_row_id: Optional[int] = None,
-                 default_rcv: Optional[int] = None):
+                 default_rcv: Optional[int] = None,
+                 change_type: Optional[str] = None):
         self.file_path = file_path
         self.version = version
         self.partition_values = partition_values
@@ -186,6 +190,7 @@ class DeltaFilePartition(InputPartition):
         # version from the log action (None on untracked tables)
         self.base_row_id = base_row_id
         self.default_rcv = default_rcv
+        self.change_type = change_type
 
 
 def _parse_bytes(v, option: str) -> int:
@@ -566,9 +571,22 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
                 f"mid-stream")
         cdcs = [a for a in actions if isinstance(a, AddCDCFile)]
         if cdcs:
-            return [DeltaFilePartition(self._fs_path(a.path), version,
-                                       {}, kind="cdc")
-                    for a in cdcs]
+            from .cdf import _v2_change_type
+            out = []
+            for a in cdcs:
+                ct = _v2_change_type(a.path)
+                if ct is not None:
+                    # r15 folded-write change file: data columns only
+                    # in-file; partition values ride the action, the
+                    # change type the path
+                    out.append(DeltaFilePartition(
+                        self._fs_path(a.path), version,
+                        dict(a.partitionValues or {}), kind="cdc2",
+                        change_type=ct))
+                else:
+                    out.append(DeltaFilePartition(
+                        self._fs_path(a.path), version, {}, kind="cdc"))
+            return out
         out: List[DeltaFilePartition] = []
         for a in actions:
             if isinstance(a, AddFile) and a.dataChange:
@@ -645,13 +663,17 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
         kind = getattr(partition, "kind", "data")
         phys = getattr(self, "phys", {})
         if kind == "cdc":
-            # a physical change file: every table column (partition
-            # cols included, stored as ordinary data columns) plus the
-            # _change_type column — nothing synthesized but the version
+            # a legacy physical change file: every table column
+            # (partition cols included, stored as ordinary data
+            # columns) plus the _change_type column — nothing
+            # synthesized but the version
             file_cols = [phys.get(f.name, f.name)
                          for f in meta.fields] + ["_change_type"]
             pcols = set()
         else:
+            # data files and v2 (folded-write) change files both store
+            # only data columns; partition columns attach from the
+            # partition's values below
             file_cols = [phys.get(f.name, f.name) for f in meta.fields
                          if f.name not in pcols]
         want_rid = getattr(self, "with_row_ids", False)
@@ -693,7 +715,10 @@ class DeltaVersionStreamReader(DataSourceStreamReader):
                 arrays.append(pa.array([partition.version] * n,
                                        type=pa.int64()))
             elif f.name == "_change_type" and kind != "cdc":
-                ct = "delete" if kind == "delete" else "insert"
+                if kind == "cdc2":
+                    ct = getattr(partition, "change_type", None)
+                else:
+                    ct = "delete" if kind == "delete" else "insert"
                 arrays.append(pa.array([ct] * n, type=pa.string()))
             elif f.name == "_row_id" and want_rid:
                 base = getattr(partition, "base_row_id", None)

@@ -50,6 +50,40 @@ _log_cache: Dict[str, "DeltaLog"] = {}
 _log_cache_lock = threading.Lock()
 
 
+# Materialization budget for DML intermediate relations (r15, VERDICT
+# r14 #5): localCheckpoint of the matched/hit relation is the r14
+# single-scan optimization, but it stores O(matched rows) on executor
+# local disk — a whole-table MERGE/UPDATE at 100 TB would checkpoint
+# roughly the table. Above this row bound the DML keeps the LAZY plan
+# instead (each consumer re-derives the join/filter — the pre-r14
+# distributed shape: more scans, no materialized state). Row-
+# denominated because the bound comes from file stats numRecords and
+# source counts. Env-overridable for deployments.
+_DML_MATERIALIZE_MAX_ROWS = int(os.environ.get(
+    "CONNECTORS_SPARK_DML_MATERIALIZE_MAX_ROWS", 10_000_000))
+
+
+def _stats_numrecords_bound(files) -> Optional[int]:
+    """Driver-side upper row bound for a set of files from their stats
+    JSON (numRecords); None when any file lacks stats — unknown must
+    read as UNBOUNDED, never zero, or the guard would happily
+    materialize a whole stats-less table. Accepts inventory rows or
+    AddFile actions (both expose ``.stats``)."""
+    total = 0
+    for f in files:
+        st = f.stats if hasattr(f, "stats") else f["stats"]
+        if not st:
+            return None
+        try:
+            n = json.loads(st).get("numRecords")
+        except ValueError:
+            return None
+        if n is None:
+            return None
+        total += int(n)
+    return total
+
+
 def _canonical_table_path(table_path: str) -> str:
     """file:/local → absolute POSIX path; any other scheme stays a URI
     (its registered LogStore owns path semantics)."""
@@ -1255,15 +1289,7 @@ class DeltaTable:
                 keep = (keep
                         .withColumnRenamed("_row_id", rid_c)
                         .withColumnRenamed("_row_commit_version", rcv_c))
-            adds = stage_and_collect(
-                keep, self.log.table_path,
-                snap.metadata.partitionColumns,
-                num_indexed_cols=_n_indexed(
-                    snap.metadata.configuration),
-                bloom_cfg=_bloom(snap.metadata.configuration),
-                physical_meta=snap.metadata)
-            actions += adds
-            actions += [f.remove(now) for f in candidates]
+            cdc = None
             if TableConfig(snap.metadata.configuration) \
                     .enable_change_data_feed:
                 cdc = df.where(hit).withColumn(
@@ -1277,8 +1303,19 @@ class DeltaTable:
                     cdc = (cdc.withColumnRenamed("_row_id", rid_c)
                            .withColumnRenamed("_row_commit_version",
                                               rcv_c))
-                actions += stage_cdc_and_collect(cdc, self.log.table_path,
-                                             physical_meta=snap.metadata)
+            # rewrite + change rows in ONE write job (r15, __is_cdc
+            # staging split — see stage_and_collect)
+            staged = stage_and_collect(
+                keep, self.log.table_path,
+                snap.metadata.partitionColumns,
+                num_indexed_cols=_n_indexed(
+                    snap.metadata.configuration),
+                bloom_cfg=_bloom(snap.metadata.configuration),
+                physical_meta=snap.metadata, cdc_df=cdc)
+            adds, cdcs = staged if cdc is not None else (staged, [])
+            actions += adds
+            actions += [f.remove(now) for f in candidates]
+            actions += cdcs
         return txn.commit(actions, "DELETE", {})
 
     def _delete_with_dv(self, txn, snap, predicate, candidates,
@@ -1479,21 +1516,22 @@ class DeltaTable:
                     .otherwise(F.col("_row_commit_version")))
                 .drop("__hit", "_row_id", "_row_commit_version",
                       *pre_names))
-        adds = stage_and_collect(
-            staged, self.log.table_path,
-            snap.metadata.partitionColumns,
-            num_indexed_cols=_n_indexed(snap.metadata.configuration),
-            bloom_cfg=_bloom(snap.metadata.configuration),
-            physical_meta=snap.metadata)
-        now = int(time.time() * 1000)
-        actions: List[Any] = list(adds) + [f.remove(now) for f in candidates]
+        cdc = None
         if cdf_on:
             # ONE scan for both CDC images (r14): the hit rows — with
             # pre values riding alongside post values — are
             # materialized once; the pre/post projections read the
             # small checkpointed relation instead of each re-scanning
-            # the candidate files.
-            hits = out.where("__hit").localCheckpoint(eager=True)
+            # the candidate files. GUARDED (r15, VERDICT r14 #5): a
+            # non-selective UPDATE would checkpoint O(table) rows onto
+            # executor local disk — when the candidate files' stats
+            # bound the hit volume above the materialization threshold,
+            # keep the lazy plan (the distributed derivation re-scans
+            # the candidates per image; correct at any scale).
+            hits = out.where("__hit")
+            bound = _stats_numrecords_bound(files_subset)
+            if bound is not None and bound <= _DML_MATERIALIZE_MAX_ROWS:
+                hits = hits.localCheckpoint(eager=True)
             pre = hits.select(
                 *[F.col(f"__pre_{c}").alias(c) for c in tcols],
                 *([F.col("_row_id"), F.col("_row_commit_version")]
@@ -1516,9 +1554,19 @@ class DeltaTable:
             pre = pre.withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
             post = post.withColumn(CHANGE_TYPE_COL,
                                    F.lit("update_postimage"))
-            actions += stage_cdc_and_collect(pre.unionByName(post),
-                                             self.log.table_path,
-                                             physical_meta=snap.metadata)
+            cdc = pre.unionByName(post)
+        # rewrite + change rows in ONE write job (r15, __is_cdc staging
+        # split — see stage_and_collect)
+        staged_out = stage_and_collect(
+            staged, self.log.table_path,
+            snap.metadata.partitionColumns,
+            num_indexed_cols=_n_indexed(snap.metadata.configuration),
+            bloom_cfg=_bloom(snap.metadata.configuration),
+            physical_meta=snap.metadata, cdc_df=cdc)
+        adds, cdcs = staged_out if cdc is not None else (staged_out, [])
+        now = int(time.time() * 1000)
+        actions: List[Any] = list(adds) + [f.remove(now) for f in candidates]
+        actions += cdcs
         return txn.commit(actions, "UPDATE", {})
 
     def merge(self, source: DataFrame, condition,
@@ -1617,7 +1665,29 @@ class DeltaTable:
         if rt:
             proj += [F.col("t._row_id").alias("__rid"),
                      F.col("t._row_commit_version").alias("__rcv")]
-        matched_m = joined.select(*proj).localCheckpoint(eager=True)
+        matched_m = joined.select(*proj)
+        # GUARD (r15, VERDICT r14 #5): the matched-pair checkpoint is
+        # O(matched rows) on executor local disk — fine for the
+        # selective-merge contract, catastrophic for a whole-table
+        # match at 100 TB. Estimate matched volume driver-side: the
+        # scoped target's stats numRecords bound it outright when
+        # small; otherwise one count of the already-checkpointed
+        # source (matched ≈ source rows under the usual key-equi
+        # condition; a pathological many-to-many fanout can exceed the
+        # estimate — the budget is a heuristic guard, not a hard cap).
+        # Over budget, the lazy plan re-derives the join per consumer
+        # (touched-path collect + rewrite legs) — the distributed
+        # shape, more scans but no materialized state.
+        # scoped_files is a (driver-local) DataFrame plan, not rows —
+        # partition-scoped merges skip the stats bound and go straight
+        # to the source count.
+        tgt_bound = (_stats_numrecords_bound(snap._files_rows)
+                     if scoped_files is None else None)
+        est = tgt_bound if (tgt_bound is not None
+                            and tgt_bound <= _DML_MATERIALIZE_MAX_ROWS) \
+            else source.count()
+        if est <= _DML_MATERIALIZE_MAX_ROWS:
+            matched_m = matched_m.localCheckpoint(eager=True)
 
         # Touched files: the distinct __file set of the materialized
         # matched relation (no second discovery scan), intersected with
@@ -1727,13 +1797,7 @@ class DeltaTable:
             _enforce_constraints(p, meta.configuration, "merged")
             _enforce_invariants(p, meta, "merged")
             _fill_and_check_generated(p, meta, "merged")
-        adds = stage_and_collect(
-            out, self.log.table_path, meta.partitionColumns,
-            num_indexed_cols=_n_indexed(meta.configuration),
-            bloom_cfg=_bloom(meta.configuration),
-            physical_meta=meta)
-        now = int(time.time() * 1000)
-        actions: List[Any] = list(adds) + [f.remove(now) for f in touched_adds]
+        cdc = None
         if cdc_parts and TableConfig(snap.metadata.configuration) \
                 .enable_change_data_feed:
             # cdc_parts already carry the materialized id/commit-version
@@ -1745,8 +1809,21 @@ class DeltaTable:
             cdc = cdc_parts[0]
             for p in cdc_parts[1:]:
                 cdc = cdc.unionByName(p)
-            actions += stage_cdc_and_collect(cdc, self.log.table_path,
-                                             physical_meta=snap.metadata)
+        # rewrite + change rows in ONE write job (r15, __is_cdc staging
+        # split — see stage_and_collect). The insert leg appears in
+        # both the data and cdc legs of that one plan; its anti-join
+        # subtrees are identical, so the exchange is reused rather
+        # than re-scanned.
+        staged = stage_and_collect(
+            out, self.log.table_path, meta.partitionColumns,
+            num_indexed_cols=_n_indexed(meta.configuration),
+            bloom_cfg=_bloom(meta.configuration),
+            physical_meta=meta, cdc_df=cdc)
+        adds, cdcs = staged if cdc is not None else (staged, [])
+        now = int(time.time() * 1000)
+        actions: List[Any] = (list(adds)
+                              + [f.remove(now) for f in touched_adds]
+                              + list(cdcs))
         return txn.commit(actions, "MERGE", {"predicate": str(condition)})
 
     # ----------------------------------------------------------- changes

@@ -42,6 +42,12 @@ from .log.actions import AddCDCFile, AddFile
 
 CDC_DIR = "_change_data"
 CHANGE_TYPE_COL = "_change_type"
+# Synthetic partition column steering rows of a SINGLE DML write job
+# into either the table layout or _change_data (delta-spark's
+# CDC_PARTITION_COL; TransactionalWrite.performCDCPartition). Never
+# lands in any parquet file or in partitionValues — it exists only in
+# the staging directory layout.
+CDC_PART_COL = "__is_cdc"
 
 _STATS_TYPES = ("int8", "int16", "int32", "int64", "float", "double",
                 "string", "date32", "date64")
@@ -143,16 +149,21 @@ def _bloom_tags_json(path: str, bloom_cfg) -> Optional[str]:
 
 
 def _publish_one(store, staging: str, table_path: str, rel_path: str,
-                 collect_stats: bool, bloom_cfg=None
+                 collect_stats: bool, bloom_cfg=None,
+                 dest_rel: Optional[str] = None
                  ) -> Tuple[int, int, Optional[str], Optional[str]]:
     """Extract stats from one staged file and move it into place (through
     the LogStore's file-plane ops — never raw os calls, so an
     object-store deployment swaps the store, not this code).
     Idempotent: a task retry that finds src gone but dest present reuses
     the already-published file. Returns (size, mtime_ms, stats_json,
-    bloom_tags_json)."""
+    bloom_tags_json). ``dest_rel`` overrides the destination path
+    relative to the table root (defaults to ``rel_path`` — identity
+    layout); folded CDC writes use it to strip the synthetic
+    ``__is_cdc``/``_change_type`` staging dirs and to land change files
+    under ``_change_data/``."""
     src = os.path.join(staging, rel_path)
-    dest = os.path.join(table_path, rel_path)
+    dest = os.path.join(table_path, dest_rel or rel_path)
     stats = tags = None
     if store.exists(src):
         if collect_stats:
@@ -173,13 +184,19 @@ def _publish_one(store, staging: str, table_path: str, rel_path: str,
 
 def publish_plan(spark, staging: str, table_path: str,
                  rel_paths: List[str], collect_stats: bool,
-                 store=None, bloom_cfg=None) -> DataFrame:
+                 store=None, bloom_cfg=None,
+                 dest_rels: Optional[List[Optional[str]]] = None,
+                 want_stats: Optional[List[bool]] = None) -> DataFrame:
     """DataFrame plan that publishes the staged files distributedly: one
     ``mapInPandas`` stage where each task footer-reads + moves its slice
     and emits (rel_path, size, mtime, stats) — the commit's action list.
     Exposed separately so tests can pin that it IS a distributed job.
     ``store`` (a stateless LogStore, pickled into the closure) performs
-    the move/stat on executors."""
+    the move/stat on executors. ``dest_rels`` (parallel to
+    ``rel_paths``) overrides per-file destinations; ``want_stats``
+    (parallel) gates footer stats + bloom per file — folded DML writes
+    publish data files (stats on) and CDC files (stats off, they have
+    no stats field) in this ONE job."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -188,9 +205,14 @@ def publish_plan(spark, staging: str, table_path: str,
     ensure_shipped_by_value()   # workers may not have the pkg installed
     if store is None:
         store = default_log_store(table_path)
+    if dest_rels is None:
+        dest_rels = [None] * len(rel_paths)
+    if want_stats is None:
+        want_stats = [True] * len(rel_paths)
 
     out_schema = T.StructType([
         T.StructField("rel_path", T.StringType()),
+        T.StructField("dest_rel", T.StringType()),
         T.StructField("size", T.LongType()),
         T.StructField("mtime", T.LongType()),
         T.StructField("stats", T.StringType()),
@@ -199,13 +221,17 @@ def publish_plan(spark, staging: str, table_path: str,
 
     def _publish(batches):
         for pdf in batches:
-            rows = {"rel_path": [], "size": [], "mtime": [],
-                    "stats": [], "tags": []}
-            for rel in pdf["rel_path"]:
+            rows = {"rel_path": [], "dest_rel": [], "size": [],
+                    "mtime": [], "stats": [], "tags": []}
+            for rel, dest, ws in zip(pdf["rel_path"], pdf["dest_rel"],
+                                     pdf["want_stats"]):
                 size, mtime, stats, tags = _publish_one(
-                    store, staging, table_path, rel, collect_stats,
-                    bloom_cfg)
+                    store, staging, table_path, rel,
+                    collect_stats and bool(ws),
+                    bloom_cfg if ws else None,
+                    dest_rel=dest)
                 rows["rel_path"].append(rel)
+                rows["dest_rel"].append(dest if dest is not None else rel)
                 rows["size"].append(size)
                 rows["mtime"].append(mtime)
                 rows["stats"].append(stats)
@@ -220,8 +246,10 @@ def publish_plan(spark, staging: str, table_path: str,
     from .localrel import local_rows_df
     n_parts = min(len(rel_paths),
                   spark.sparkContext.defaultParallelism) or 1
-    src = local_rows_df(spark, [(p,) for p in rel_paths],
-                        "rel_path string", parts=n_parts)
+    src = local_rows_df(
+        spark, list(zip(rel_paths, dest_rels, want_stats)),
+        "rel_path string, dest_rel string, want_stats boolean",
+        parts=n_parts)
     return src.mapInPandas(_publish, out_schema)
 
 
@@ -231,7 +259,8 @@ def stage_and_collect(df: DataFrame, table_path: str,
                       collect_stats: bool = True,
                       num_indexed_cols: Optional[int] = None,
                       schema_cols: Optional[List[str]] = None,
-                      bloom_cfg=None, physical_meta=None) -> List[AddFile]:
+                      bloom_cfg=None, physical_meta=None,
+                      cdc_df: Optional[DataFrame] = None):
     """Write ``df`` as Parquet under ``table_path`` and return the AddFile
     actions to commit. Files land in their final Hive-style layout.
 
@@ -257,14 +286,34 @@ def stage_and_collect(df: DataFrame, table_path: str,
     partition_by / stats-width / bloom column lists, so data files,
     partitionValues keys, footer stats and bloom tags all land in the
     physical domain the read path maps back from. Identity when the
-    table has no mapping."""
+    table has no mapping.
+
+    ``cdc_df`` (r15, VERDICT r14 #4 — delta-spark's single-pass DML
+    write): change rows (same columns as ``df`` plus ``_change_type``)
+    ride the SAME Spark write job as the rewrite, partitioned by the
+    synthetic ``__is_cdc`` + ``_change_type`` columns on top of the
+    table partitioning. Data files land byte-identical to the unfolded
+    path (the synthetic columns exist only as staging dirs); change
+    files land under ``_change_data/_change_type=<t>/<pdirs>/cdc2-*``
+    with the table's partitionValues recorded on the AddCDCFile (the
+    v2 CDC layout — readers recover partition columns and the change
+    type from the action + path instead of in-file columns; legacy
+    flat cdc files keep reading unchanged). One staging write + one
+    publish job replaces the previous two write jobs per CDC-enabled
+    DML commit. Returns ``(adds, cdcs)`` instead of ``adds``."""
+    from pyspark.sql import functions as F
     partition_by = list(partition_by or [])
     if physical_meta is not None \
             and physical_meta.column_mapping_mode != "none":
-        from pyspark.sql import functions as F
         nmap = physical_meta.name_map()
         df = df.select(*[F.col(c).alias(nmap.get(c, c))
                          for c in df.columns])
+        if cdc_df is not None:
+            # same physical domain as the data leg (_change_type and
+            # the materialized row-id columns have no mapping entry
+            # and pass through)
+            cdc_df = cdc_df.select(*[F.col(c).alias(nmap.get(c, c))
+                                     for c in cdc_df.columns])
         partition_by = [nmap.get(c, c) for c in partition_by]
         if schema_cols is not None:
             schema_cols = [nmap.get(c, c) for c in schema_cols]
@@ -290,44 +339,109 @@ def stage_and_collect(df: DataFrame, table_path: str,
     if has_variant:
         bloom_cfg = None
     staging = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
+    if cdc_df is None:
+        out = df
+        write_partition_by = partition_by
+    else:
+        # ONE write job for rewrite + change rows: the synthetic
+        # partition columns split the staging layout; unionByName
+        # tolerates column-order differences between the legs.
+        out = (df.withColumn(CHANGE_TYPE_COL,
+                             F.lit(None).cast("string"))
+               .withColumn(CDC_PART_COL, F.lit("false"))
+               .unionByName(cdc_df.withColumn(CDC_PART_COL,
+                                              F.lit("true"))))
+        write_partition_by = [CDC_PART_COL, CHANGE_TYPE_COL] \
+            + partition_by
+    writer = out.write.mode("overwrite")
+    if write_partition_by:
+        writer = writer.partitionBy(*write_partition_by)
     writer.parquet(staging)
 
     from .log.logstore import default_log_store
     store = default_log_store(table_path)
     adds: List[AddFile] = []
+    cdcs: List[AddCDCFile] = []
     try:
         rel_paths = [p for p in store.list_files_recursive(staging)
                      if p.endswith(".parquet")]
-        if not rel_paths:
-            return []
-        pub = publish_plan(df.sparkSession, staging, table_path,
-                           rel_paths, collect_stats_eff, store=store,
-                           bloom_cfg=bloom_cfg).collect()
-        for r in pub:
-            rel_path = r["rel_path"]
-            rel_dir = os.path.dirname(rel_path)
-            pv = _parse_partition_dirs(rel_dir, partition_by)
-            stats = r["stats"]
-            if keep_cols is not None and stats:
-                d = json.loads(stats)
-                for k in ("minValues", "maxValues", "nullCount"):
-                    d[k] = {c: v for c, v in d.get(k, {}).items()
-                            if c in keep_cols}
-                stats = json.dumps(d, separators=(",", ":"))
-            adds.append(AddFile(
-                path="/".join(urllib.parse.quote(s)
-                              for s in rel_path.split("/")),
-                partitionValues=pv,
-                size=r["size"],
-                modificationTime=r["mtime"],
-                dataChange=data_change,
-                stats=stats,
-                tags=json.loads(r["tags"]) if r["tags"] else None))
+        if cdc_df is None:
+            data_rels, cdc_rels = rel_paths, []
+        else:
+            data_rels = [p for p in rel_paths
+                         if p.startswith(f"{CDC_PART_COL}=false/")]
+            cdc_rels = [p for p in rel_paths
+                        if p.startswith(f"{CDC_PART_COL}=true/")]
+        if rel_paths:
+            # data files: strip the two synthetic staging dirs so the
+            # final layout (and bytes) match the unfolded write; cdc
+            # files: keep _change_type=<t> + partition dirs under
+            # _change_data/, unique-prefixed per publish.
+            srcs: List[str] = list(data_rels)
+            dests: List[Optional[str]] = [
+                ("/".join(p.split("/")[2:]) if cdc_df is not None
+                 else None) for p in data_rels]
+            stats_flags: List[bool] = [True] * len(data_rels)
+            for p in cdc_rels:
+                segs = p.split("/")
+                srcs.append(p)
+                dests.append("/".join(
+                    [CDC_DIR] + segs[1:-1]
+                    + [f"cdc2-{uuid.uuid4().hex}-{segs[-1]}"]))
+                stats_flags.append(False)
+            pub = publish_plan(df.sparkSession, staging, table_path,
+                               srcs, collect_stats_eff, store=store,
+                               bloom_cfg=bloom_cfg, dest_rels=dests,
+                               want_stats=stats_flags).collect()
+            for r in pub:
+                rel_path = r["dest_rel"]
+                quoted = "/".join(urllib.parse.quote(s)
+                                  for s in rel_path.split("/"))
+                if rel_path.startswith(f"{CDC_DIR}/"):
+                    # dirs after _change_data: _change_type=<t> then
+                    # the table partition dirs; _change_type never
+                    # enters partitionValues (it is recovered from the
+                    # path at read)
+                    rel_dir = os.path.dirname(rel_path)
+                    segs = [s for s in rel_dir.split("/")[1:] if s]
+                    pv = _parse_partition_dirs(
+                        "/".join(segs), [CHANGE_TYPE_COL] + partition_by)
+                    pv.pop(CHANGE_TYPE_COL, None)
+                    cdcs.append(AddCDCFile(
+                        path=quoted, partitionValues=pv,
+                        size=r["size"]))
+                    continue
+                rel_dir = os.path.dirname(rel_path)
+                pv = _parse_partition_dirs(rel_dir, partition_by)
+                stats = r["stats"]
+                if keep_cols is not None and stats:
+                    d = json.loads(stats)
+                    for k in ("minValues", "maxValues", "nullCount"):
+                        d[k] = {c: v for c, v in d.get(k, {}).items()
+                                if c in keep_cols}
+                    stats = json.dumps(d, separators=(",", ":"))
+                adds.append(AddFile(
+                    path=quoted,
+                    partitionValues=pv,
+                    size=r["size"],
+                    modificationTime=r["mtime"],
+                    dataChange=data_change,
+                    stats=stats,
+                    tags=json.loads(r["tags"]) if r["tags"] else None))
     finally:
         store.remove_tree(staging)
+    if cdc_df is not None and not cdc_rels:
+        # Zero change rows still must commit an (empty) AddCDCFile:
+        # the CDF protocol reads a cdc-carrying commit EXACTLY from
+        # its cdc files, while a cdc-less commit SYNTHESIZES changes
+        # from its dataChange add/remove actions — an identity rewrite
+        # with no hits must not synthesize phantom insert+delete rows.
+        # The partitioned staging write materializes no file for an
+        # empty leg (unlike the old unpartitioned cdc write), so stage
+        # the empty file the old way — rare corner, one small job.
+        cdcs = stage_cdc_and_collect(cdc_df, table_path)
+    if not rel_paths and cdc_df is None:
+        return []
     if has_variant and collect_stats and adds:
         # numRecords via Spark (it reads its own variant files fine):
         # one count per file over exactly the published paths.
@@ -379,6 +493,9 @@ def stage_and_collect(df: DataFrame, table_path: str,
                     separators=(",", ":")))
     # collect() order is partition-arbitrary; sort for reproducible logs.
     adds.sort(key=lambda a: a.path)
+    if cdc_df is not None:
+        cdcs.sort(key=lambda c: c.path)
+        return adds, cdcs
     return adds
 
 

@@ -433,6 +433,88 @@ def test_merge_on_table_with_deletion_vectors(spark, tmp_path):
     assert 2 not in {i for i, _ in got}
 
 
+def test_merge_update_guarded_unmaterialized_path(spark, tmp_path,
+                                                  monkeypatch):
+    """VERDICT r14 #5: above the materialization row budget, MERGE and
+    UPDATE must keep the LAZY matched/hit plan (no localCheckpoint of
+    an O(table) relation onto executor disk) and still produce
+    identical results + change feed. Forcing the budget to 0 routes a
+    whole-table-matching merge and an update through the guarded
+    path."""
+    import connectors_spark.table as TB
+    from connectors_spark.expressions import Col, Lit
+
+    def run(sub):
+        p = str(tmp_path / sub)
+        t = DeltaTable.for_path(spark, p)
+        t.write(spark.createDataFrame(
+            [(i, i * 10) for i in range(20)], "id long, val long"),
+            configuration={"delta.enableChangeDataFeed": "true"})
+        # whole-table match: every target row hits the merge source
+        t.merge(spark.createDataFrame(
+            [(i, i * 10 + 1) for i in range(25)], "id long, val long"),
+            "t.id = s.id",
+            when_matched_update={"val": "s.val"},
+            when_not_matched_insert=True)
+        t.update({"val": "val + 100"}, Col("id") < Lit(5))
+        rows = sorted((r.id, r.val) for r in t.to_df().collect())
+        feed = sorted((r.id, r.val, r._change_type, r._commit_version)
+                      for r in t.table_changes(1).collect())
+        return rows, feed
+
+    base_rows, base_feed = run("materialized")
+    monkeypatch.setattr(TB, "_DML_MATERIALIZE_MAX_ROWS", 0)
+    lazy_rows, lazy_feed = run("guarded")
+    assert lazy_rows == base_rows
+    assert lazy_feed == base_feed
+    assert lazy_rows[:3] == [(0, 101), (1, 111), (2, 121)]
+
+
+def test_dml_cdc_single_write_fold(spark, tmp_path, monkeypatch):
+    """r15 (VERDICT r14 #4): a CDC-enabled MERGE/UPDATE/DELETE stages
+    its change rows in the SAME write job as the rewrite (__is_cdc
+    staging split) — the separate stage_cdc_and_collect job runs only
+    for DV-only commits and the empty-change corner. Pin: no separate
+    CDC staging call on a matching DML, v2 AddCDCFile paths carry the
+    _change_type directory, and the feed reads back exactly."""
+    import connectors_spark.table as TB
+    import connectors_spark.writer as W
+    from connectors_spark.expressions import Col, Lit
+    from connectors_spark.log.actions import AddCDCFile
+
+    calls = []
+    orig = W.stage_cdc_and_collect
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(W, "stage_cdc_and_collect", spy)
+    monkeypatch.setattr(TB, "stage_cdc_and_collect", spy)
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(i, i * 10) for i in range(10)],
+                                  "id long, val long"),
+            configuration={"delta.enableChangeDataFeed": "true"})
+    t.update({"val": "val + 1"}, Col("id") < Lit(4))
+    t.merge(spark.createDataFrame([(2, 0), (99, 990)],
+                                  "id long, val long"),
+            "t.id = s.id", when_matched_update={"val": "s.val"},
+            when_not_matched_insert=True)
+    t.delete(Col("id") == Lit(0))
+    assert not calls, "CDC rows must ride the rewrite's write job"
+    cdc_acts = [a for _, acts in t.log.get_changes(1) for a in acts
+                if isinstance(a, AddCDCFile)]
+    assert cdc_acts and all("_change_type" in a.path for a in cdc_acts)
+    feed = {(r.id, r.val, r._change_type, r._commit_version)
+            for r in t.table_changes(1).collect()}
+    assert (2, 21, "update_preimage", 2) in feed
+    assert (2, 0, "update_postimage", 2) in feed
+    assert (99, 990, "insert", 2) in feed
+    assert (0, 1, "delete", 3) in feed
+    assert (0, 1, "update_postimage", 1) in feed
+
+
 def test_generated_columns_contract(spark, tmp_path):
     """GENERATED ALWAYS AS: computed at create, auto-filled when the
     writer omits the column, validated (null-safe) when supplied,
