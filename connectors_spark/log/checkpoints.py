@@ -152,12 +152,19 @@ def _write_checkpoint_driver(snapshot: Snapshot,
     tbl = pa.Table.from_pylist(rows,
                                schema=to_arrow_schema(SINGLE_ACTION_SCHEMA))
     tmp = os.path.join(log_path, f".tmp_ckpt_{uuid.uuid4().hex}.parquet")
-    pq.write_table(tbl, tmp, compression="snappy")
+    # Any failure between creating tmp and the rename must delete it
+    # (ADVICE r14): the caller's best-effort wrapper falls back to the
+    # distributed write, so a partially-written .tmp_ckpt_* would
+    # otherwise accumulate silently in _delta_log across failures.
     try:
+        pq.write_table(tbl, tmp, compression="snappy")
         store.rename(tmp, fn.checkpoint_file_single(log_path,
                                                     snapshot.version))
     except Exception:
-        store.delete(tmp)
+        try:
+            store.delete(tmp)
+        except FileNotFoundError:
+            pass
         raise
     n_actions = n_files + 2
     write_last_checkpoint(snapshot.store, log_path, snapshot.version,

@@ -27,9 +27,17 @@ def _release_checkpoint(df: DataFrame) -> None:
     InMemoryRelation build plus an extra materializing action per
     iteration), so reach through the analyzed LogicalRDD; on any API
     drift this degrades to ContextCleaner GC-based cleanup instead of
-    failing."""
+    failing. Guarded by node type (ADVICE r14): unpersist only when
+    the analyzed plan IS the checkpoint's LogicalRDD leaf — if a
+    future Spark version resolves ``.rdd()`` through some OTHER
+    (still-referenced) plan, silently unpersisting that RDD could drop
+    live blocks; an unexpected node shape now falls through to GC
+    cleanup instead."""
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        analyzed = df._jdf.queryExecution().analyzed()
+        if analyzed.nodeName() != "LogicalRDD":
+            return
+        analyzed.rdd().unpersist(False)
     except Exception:  # noqa: BLE001 — cleanup must never break the op
         pass
 

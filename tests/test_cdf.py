@@ -9,6 +9,8 @@ commits emit nothing.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 # Integration-heavy: excluded from the fast inner loop (pytest -m "not slow");
 # the full suite still runs these unchanged at round close-out (SURVEY 5).
@@ -206,6 +208,65 @@ def test_cdf_row_ids_dv_delete(spark, tmp_path):
     ins = {r["_row_id"] for r in ch if r["_change_type"] == "insert"}
     net = {v: k for k, v in dl.items() if k not in ins}
     assert net == {k: before[k] for k in range(7)}
+
+
+def test_cdf_row_ids_foreign_remove_and_preimage_null_rcv(spark,
+                                                          tmp_path):
+    """ADVICE r14: files from a FOREIGN writer that lack
+    defaultRowCommitVersion / materialized commit-version columns must
+    read honest NULL _row_commit_version on the delete and
+    update_preimage legs — the _commit_version fallback is only sound
+    where the row's last modification IS this commit (insert /
+    update_postimage)."""
+    import dataclasses
+    import time as _time
+
+    t = DeltaTable.for_path(spark, str(tmp_path / "t"))
+    t.write(spark.range(0, 8).select(
+        F.col("id"), (F.col("id") * 2).alias("v")).coalesce(1),
+        configuration={"delta.enableRowTracking": "true"})
+    snap = t.log.snapshot()
+    f = snap.all_files()[0]
+    # leg 1 — synthesized delete from a foreign RemoveFile: baseRowId
+    # present (ids derivable) but NO defaultRowCommitVersion
+    rm = dataclasses.replace(f.remove(int(_time.time() * 1000)),
+                             defaultRowCommitVersion=None)
+    txn = t.log.start_transaction()
+    txn.read_whole_table()
+    v1 = txn.commit([rm], "DELETE", {})
+    # leg 2 — physical update_preimage CDC file WITHOUT materialized
+    # row-id/commit-version columns (a foreign writer's cdc parquet)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cdc_dir = str(tmp_path / "t" / "_change_data")
+    os.makedirs(cdc_dir, exist_ok=True)
+    cdc_file = os.path.join(cdc_dir, "cdc-foreign-0.parquet")
+    pq.write_table(pa.table({
+        "id": pa.array([0, 1], pa.int64()),
+        "v": pa.array([0, 2], pa.int64()),
+        "_change_type": pa.array(["update_preimage",
+                                  "update_postimage"])}), cdc_file)
+    txn = t.log.start_transaction()
+    txn.read_whole_table()
+    v2 = txn.commit([AddCDCFile("_change_data/cdc-foreign-0.parquet",
+                                {}, os.path.getsize(cdc_file))],
+                    "UPDATE", {})
+    ch = t.table_changes(v1, with_row_ids=True).collect()
+    dels = [r for r in ch if r["_change_type"] == "delete"]
+    assert len(dels) == 8
+    # ids derive from the tombstone's baseRowId; the commit version
+    # must be NULL, not v1
+    assert all(r["_row_id"] is not None for r in dels)
+    assert all(r["_row_commit_version"] is None for r in dels)
+    pre = [r for r in ch if r["_change_type"] == "update_preimage"]
+    post = [r for r in ch if r["_change_type"] == "update_postimage"]
+    assert len(pre) == 1 and len(post) == 1
+    # no materialized id → NULL id; preimage rcv NULL (no fallback),
+    # and the postimage's fallback is GATED on a known id → also NULL
+    assert pre[0]["_row_commit_version"] is None
+    assert pre[0]["_row_id"] is None
+    assert post[0]["_row_commit_version"] is None
 
 
 # ---------------------------------------------------------------------------
