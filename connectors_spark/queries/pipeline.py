@@ -2942,7 +2942,7 @@ def mm_audio_xcodec_clusters(spark, sf_dir):
 SELECT min(doc_id) AS rep, count(*) AS n_members,
        count(DISTINCT doc_id % 3) AS n_sizes
 FROM documents GROUP BY doc_id % 50
-""")
+""", bench=True)
 def mm_phash_clusters(spark, sf_dir):
     # Perceptual-hash image dedup (ops/multimodal.py phash_clusters):
     # the corpus renders each of 50 closed-form patterns as REAL

@@ -246,12 +246,17 @@ def st_cdf_changes(spark, sf_dir):
                  F.round(F.sum("value"), 2).alias("sum_value")))
 
 
+# bench=True (r15, VERDICT r14 #8 — ADDITIONS only): the multimodal
+# and streaming families carried the two previous rounds' largest
+# wins invisibly to the driver's ground truth; one representative gate
+# each joins the headline suite (mm_phash_clusters above it in
+# pipeline.py).
 @register("st_sink_roundtrip", sql="""
 SELECT event_type, count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
        round(sum(value), 2) AS sum_value
 FROM events GROUP BY event_type
-""")
+""", bench=True)
 def st_sink_roundtrip(spark, sf_dir):
     # Full streaming loop: engine source (ST4) → foreachBatch
     # exactly-once Delta sink (ST6, partitioned write ST7) → engine
