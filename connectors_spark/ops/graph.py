@@ -16,6 +16,8 @@ retains one representative (see ops.dedup usage in queries.pipeline).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -42,32 +44,93 @@ def _release_checkpoint(df: DataFrame) -> None:
         pass
 
 
+# Driver-side union-find budget for connected_components (r15): below
+# this many edges the component computation runs single-process on the
+# driver — the distributed label-propagation loop costs ~2 Spark jobs
+# per iteration (checkpoint + convergence probe), pure scheduling
+# overhead on the few-hundred-edge graphs near-dup thresholds produce.
+# 2M edges ≈ 32 MB of long pairs on the driver; above it (real graph
+# scale) the distributed loop runs unchanged. Env-overridable.
+_CC_DRIVER_MAX_EDGES = int(os.environ.get(
+    "CONNECTORS_SPARK_CC_DRIVER_MAX_EDGES", 2_000_000))
+
+_CC_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _cc_driver_side(spark, rows, dtype: str) -> DataFrame:
+    """Union-find over collected (a, b) edge rows; component = min
+    member id — identical to the converged label propagation (and to
+    the oracle's transitive closure). Integral ids only: Python and
+    Spark order them identically, so the min-canonical label is
+    bit-identical."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:          # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)   # min-root union
+    out = [(n, find(n)) for n in parent]
+    from ..localrel import local_rows_df
+    return local_rows_df(spark, sorted(out),
+                         f"node {dtype}, component {dtype}")
+
+
 def connected_components(edges: DataFrame, a_col: str = "a_id",
                          b_col: str = "b_id",
                          max_iter: int = 20) -> DataFrame:
     """(node, component) for every node appearing in `edges`; component
     is the smallest node id reachable (deterministic canonical label).
 
-    Label propagation: each node's label starts as min(self, neighbors)
-    and every round adopts the min label among itself and its neighbors,
-    until a round changes nothing. Rounds are DataFrame joins —
-    distributed, no collect of the graph. `max_iter` bounds worst-case
-    chains; dedup clusters converge in 2-3 rounds.
+    Small graphs (≤ _CC_DRIVER_MAX_EDGES, integral ids, no nulls) run
+    driver-side union-find over the materialized edge plane — the
+    near-dup graphs the dedup family produces are a few hundred edges,
+    where each distributed iteration's 2 Spark jobs are pure
+    scheduling overhead (guide §1.2/§5; the same small-state policy as
+    the driver-written checkpoint). Everything else — and any
+    oversized, non-integral, or null-carrying edge set — runs the
+    distributed label propagation: each node's label starts as
+    min(self, neighbors) and every round adopts the min label among
+    itself and its neighbors, until a round changes nothing. Rounds
+    are DataFrame joins — no collect of the graph. `max_iter` bounds
+    worst-case chains; dedup clusters converge in 2-3 rounds.
     """
     edges = edges.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
-    sym = (edges.union(edges.select(F.col("_b").alias("_a"),
-                                    F.col("_a").alias("_b"))))
-    # Materialize the symmetrized edge list ONCE, eagerly: a lazy
-    # persist() left the (often expensive) upstream edge pipeline to be
-    # evaluated inside the first iteration's action, where the two sym
-    # subtrees (labels init + neighbor join) race to fill the cache —
-    # measured 7.3 s for one iteration over a 512-row sym at sf0.1.
+    # Materialize the EDGE plane once, eagerly: a lazy persist() left
+    # the (often expensive) upstream edge pipeline to be evaluated
+    # inside the first iteration's action, where the two sym subtrees
+    # (labels init + neighbor join) race to fill the cache — measured
+    # 7.3 s for one iteration over a 512-row sym at sf0.1.
     # localCheckpoint pins O(edges) rows, the small relation here by
     # construction (near-dup pairs after thresholding) — NOT the
     # corpus; every superseded checkpoint is released explicitly below,
     # so only the FINAL label relation stays pinned for the caller
     # (pinned by tests test_dedup_ops_release_their_caches).
+    edges = edges.localCheckpoint(eager=True)
+    dtypes = {f.dataType.simpleString() for f in edges.schema.fields}
+    if len(dtypes) == 1 and next(iter(dtypes)) in _CC_INTEGRAL \
+            and edges.count() <= _CC_DRIVER_MAX_EDGES:
+        rows = [(r["_a"], r["_b"]) for r in edges.collect()]
+        if all(a is not None and b is not None for a, b in rows):
+            out = _cc_driver_side(edges.sparkSession, rows,
+                                  next(iter(dtypes)))
+            _release_checkpoint(edges)
+            return out
+    sym = edges.union(edges.select(F.col("_b").alias("_a"),
+                                   F.col("_a").alias("_b")))
     sym = sym.localCheckpoint(eager=True)
+    _release_checkpoint(edges)
     cur = (sym.groupBy("_a")
            .agg(F.least(F.min("_b"), F.first("_a")).alias("_lbl"))
            .select(F.col("_a").alias("_n"), "_lbl")

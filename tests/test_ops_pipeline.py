@@ -607,6 +607,35 @@ def test_connected_components_shapes(spark):
     assert got == {(n, 1) for n in range(1, 8)} | {(10, 10), (11, 10)}
 
 
+def test_connected_components_driver_matches_distributed(spark,
+                                                         monkeypatch):
+    """r15: small integral-id graphs run driver-side union-find;
+    forcing the budget to 0 must route the SAME graphs through the
+    distributed label propagation with identical output — including a
+    long chain (worst case for min-propagation) and random graphs."""
+    import random
+
+    import connectors_spark.ops.graph as G
+
+    def run(edges_rows):
+        df = spark.createDataFrame(edges_rows, "a_id long, b_id long")
+        return {(r["node"], r["component"])
+                for r in G.connected_components(df).collect()}
+
+    cases = [[(i, i + 1) for i in range(15)]]          # 16-node chain
+    rng = random.Random(7)
+    for _ in range(3):
+        n = 40
+        cases.append([(rng.randrange(n), rng.randrange(n))
+                      for _ in range(60)])
+    fast = [run(c) for c in cases]
+    monkeypatch.setattr(G, "_CC_DRIVER_MAX_EDGES", 0)
+    slow = [run(c) for c in cases]
+    assert fast == slow
+    # chain sanity: everything labels to node 0
+    assert fast[0] == {(i, 0) for i in range(16)}
+
+
 def test_salted_join_matches_plain_join(spark):
     from connectors_spark.ops.skew import salted_join
     from pyspark.sql import functions as F
