@@ -488,7 +488,7 @@ def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float = 0.45,
     cand = (grouped.filter(F.size("ids") >= 2)
             .select(F.explode_outer(pair_expand).alias("p"))
             .where(F.col("p").isNotNull())
-            .select("p.a_id", "p.b_id").distinct())
+            .select("p.a_id", "p.b_id"))
     # Candidate PREFILTER (r15, guide §4.1/§4.3): the in-bucket pair
     # stream is parameter-bounded but still O(tables·2^planes·cap²);
     # evaluating the 64-dim zip_with dot per pair in the JVM
@@ -498,7 +498,11 @@ def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float = 0.45,
     # class as the forced F.broadcast of the full corpus the verify
     # join already required) and one vectorized einsum filters with
     # margin. Survivors are re-verified by the EXACT JVM expression —
-    # bit-identical output.
+    # bit-identical output. The multi-table dedup (distinct) runs
+    # AFTER the prefilter: scoring a pair once per colliding table in
+    # numpy costs microseconds, while distinct-ing the full candidate
+    # stream was a dedicated exchange over millions of 16-byte rows
+    # (guide §2.3 — the shuffle, not the arithmetic, was the cost).
     from pyspark.sql.types import LongType, StructField, StructType
     ids_np, mat, idx = _corpus_closure(df, id_col, vec_col)
     norms = np.sqrt((mat * mat).sum(axis=1))
@@ -518,7 +522,7 @@ def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float = 0.45,
             keep = sims >= cut
             yield pdf[["a_id", "b_id"]][keep]
 
-    cand = cand.mapInPandas(prefilter, pair_schema)
+    cand = cand.mapInPandas(prefilter, pair_schema).distinct()
     return _exact_verify(cand, df, threshold, id_col, vec_col)
 
 
