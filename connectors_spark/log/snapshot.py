@@ -50,7 +50,21 @@ def _decode_path(p: str) -> str:
 def canonical_path(p: str, table_path: str) -> str:
     """Absolute posix path for a log ``path`` entry (URI-decoded; relative
     paths resolve against the table root). Mirrors
-    SnapshotImpl.canonicalizePath (SnapshotImpl.scala:349-362)."""
+    SnapshotImpl.canonicalizePath (SnapshotImpl.scala:349-362).
+
+    IDEMPOTENT on its own output (r15 correctness fix): a bare
+    ``/``-absolute input is already canonical/PHYSICAL and is returned
+    as-is — Spark's Hive dir escaping puts literal ``%XX`` bytes into
+    directory names (partition values containing ``=``, ``/``, ``%``…),
+    so decoding a physical path a second time corrupts it. Before the
+    fix, re-canonicalizing inventory-derived paths made DML removes and
+    rewrite subsets silently miss every file in such partitions (the
+    logged REMOVE path no longer matched its ADD). Our writer never
+    emits bare-absolute paths into the log (relativize produces
+    relative or ``file://``-quoted), so log-domain inputs are
+    unaffected."""
+    if p.startswith("/"):
+        return p
     d = _decode_path(p)
     if "://" in d:
         rest = d.split("://", 1)[1]

@@ -2014,15 +2014,18 @@ class DeltaTable:
         def files_factory():
             # streamed off the file-set DataFrame: the driver holds ONE
             # action at a time (VERDICT r10 #8), the commit JSON is
-            # written incrementally through the LogStore
+            # written incrementally through the LogStore. Paths are
+            # yielded CANONICAL-ABSOLUTE (physical) and encoded exactly
+            # once by the commit's relativize — pre-quoting here
+            # double-encoded shallow-clone refs once canonical_path
+            # became idempotent (r15), and for Hive-escaped partition
+            # dirs the old decode+requote round trip corrupted them.
             from .log.snapshot import addfiles_from_rows
             for r in src.files_df.toLocalIterator():
                 f = addfiles_from_rows([r])[0]
                 absolute = _canonical(f.path, src_root)
-                rel = _dest_rel(absolute) if deep else None
-                new_path = "/".join(
-                    urllib.parse.quote(s)
-                    for s in (rel if deep else absolute).split("/"))
+                new_path = (os.path.join(tgt_root, _dest_rel(absolute))
+                            if deep else absolute)
                 yield dataclasses.replace(
                     f, path=new_path, dataChange=True,
                     modificationTime=now)

@@ -53,9 +53,19 @@ ENGINE_INFO = "connectors-spark/0.1"
 
 def relativize(path: str, table_path: str) -> str:
     """Store paths relative to the table root when possible, URI-encoded
-    (DeltaFileOperations.tryRelativizePath, FileNames.absolutePath:100-107)."""
-    c = canonical_path(path, table_path)
+    (DeltaFileOperations.tryRelativizePath, FileNames.absolutePath:100-107).
+
+    The r15 double-decode bug lived here and in canonical_path: a
+    candidate file's already-canonical PHYSICAL path was decoded a
+    second time, corrupting Hive-escaped dir names whose literal bytes
+    contain ``%XX`` (partition values with ``=``, ``/``, ``%``…) — the
+    REMOVE was logged as ``part%3Dx%3Dy`` while its ADD said
+    ``part%3Dx%253Dy``, replay never cancelled the add, and DML
+    silently skipped those partitions. canonical_path is now
+    idempotent (bare-absolute inputs pass through), which fixes every
+    consumer at once."""
     root = table_path.rstrip("/") + "/"
+    c = canonical_path(path, table_path)
     if c.startswith(root):
         rel = c[len(root):]
         return "/".join(urllib.parse.quote(seg) for seg in rel.split("/"))

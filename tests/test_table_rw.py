@@ -515,6 +515,60 @@ def test_dml_cdc_single_write_fold(spark, tmp_path, monkeypatch):
     assert (0, 1, "update_postimage", 1) in feed
 
 
+def test_dml_on_hive_escaped_partition_values(spark, tmp_path):
+    """r15 regression (pre-existing double-decode bug): partition VALUES
+    containing '=', '/', '%' or unicode produce Hive-escaped directory
+    names whose literal bytes contain %XX; re-canonicalizing an
+    already-canonical physical path decoded them a second time, so a
+    DML's REMOVE no longer matched its ADD at replay and whole
+    partitions were silently skipped (rows neither deleted, updated,
+    rewritten, nor fed to CDC). canonical_path is now idempotent."""
+    from connectors_spark.expressions import Col, Lit
+    rows = [(1, "a b", 10.0), (2, "x=y", 20.0), (3, None, 30.0),
+            (4, "ünï/50%", 40.0), (5, "a b", 50.0), (6, "x=y", 60.0),
+            (7, None, 70.0), (8, "ünï/50%", 80.0)]
+    t = DeltaTable.for_path(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame(rows, "id long, part string, val double"),
+            partition_by=["part"],
+            configuration={"delta.enableChangeDataFeed": "true"})
+    t.delete(Col("id") <= Lit(4))
+    ch1 = sorted((r.id, r.part, r._change_type)
+                 for r in t.table_changes(1, 1).collect())
+    assert ch1 == [(i, p, "delete") for i, p, _ in rows[:4]]
+    t.update({"val": "val + 1"}, Col("id") >= Lit(7))
+    ch2 = sorted((r.id, r.part, r.val, r._change_type)
+                 for r in t.table_changes(2, 2).collect())
+    assert ch2 == [(7, None, 70.0, "update_preimage"),
+                   (7, None, 71.0, "update_postimage"),
+                   (8, "ünï/50%", 80.0, "update_preimage"),
+                   (8, "ünï/50%", 81.0, "update_postimage")]
+    assert sorted((r.id, r.part, r.val) for r in t.to_df().collect()) == [
+        (5, "a b", 50.0), (6, "x=y", 60.0), (7, None, 71.0),
+        (8, "ünï/50%", 81.0)]
+    # merge through the same partitions
+    src = spark.createDataFrame([(6, "x=y", 0.0), (9, "ünï/50%", 90.0)],
+                                "id long, part string, val double")
+    v = t.merge(src, "t.id = s.id",
+                when_matched_update={"val": "s.val"},
+                when_not_matched_insert=True)
+    assert sorted((r.id, r.val) for r in t.to_df().collect()) == [
+        (5, 50.0), (6, 0.0), (7, 71.0), (8, 81.0), (9, 90.0)]
+    feed = {(r.id, r.val, r._change_type)
+            for r in t.table_changes(v, v).collect()}
+    assert {(6, 60.0, "update_preimage"), (6, 0.0, "update_postimage"),
+            (9, 90.0, "insert")} <= feed
+    # shallow + deep clone across the same Hive-escaped partitions
+    expect = sorted((r.id, r.part, r.val) for r in t.to_df().collect())
+    t.clone_to(str(tmp_path / "shallow"))
+    sh = DeltaTable.for_path(spark, str(tmp_path / "shallow"))
+    assert sorted((r.id, r.part, r.val)
+                  for r in sh.to_df().collect()) == expect
+    t.clone_to(str(tmp_path / "deep"), deep=True)
+    dp = DeltaTable.for_path(spark, str(tmp_path / "deep"))
+    assert sorted((r.id, r.part, r.val)
+                  for r in dp.to_df().collect()) == expect
+
+
 def test_generated_columns_contract(spark, tmp_path):
     """GENERATED ALWAYS AS: computed at create, auto-filled when the
     writer omits the column, validated (null-safe) when supplied,
